@@ -1,0 +1,42 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the engine's standard tuning.
+  *
+  * Mirrors the session-construction role of the reference's
+  * `yaetos/etl_utils.py:1318-1359` (packages/creds/memory knobs) but
+  * Spark-first: AQE on, shuffle partitions sized to the machine instead of
+  * the 200 default, UTC session time so results are reproducible against
+  * external oracles.
+  */
+object GraftSession {
+
+  /** Runtime confs that must hold on any session the engine uses, including
+    * externally-created ones (Verify/Bench mains, tests).
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    // The driver-generated `events` table stores nanosecond timestamps,
+    // which Spark's parquet reader rejects; read them as raw longs and let
+    // Tables.load convert to microsecond timestamps.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark
+  }
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors(),
+            appName: String = "graft",
+            shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    tune(spark)
+  }
+}

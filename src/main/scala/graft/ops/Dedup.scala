@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions
+
+/** Deduplication operators for large document corpora.
+  *
+  * Design notes for the 100 TB case:
+  *  - every path is a pure DataFrame plan — no collect, no driver loops;
+  *  - "keep first" semantics are explicit (`row_number` over a declared
+  *    order), never `dropDuplicates`' arbitrary-row semantics, so results
+  *    are deterministic across partitionings and reruns;
+  *  - candidate generation (shingle join / LSH bands) shuffles on the
+  *    shingle/band key, so pair verification only touches co-bucketed
+  *    docs — the full O(n²) pair space is never materialized;
+  *  - extremely frequent shingles (stop-shingles) can be frequency-pruned
+  *    before the join to bound skew (`maxShingleFreq`).
+  */
+object Dedup {
+
+  /** Exact dedup, deterministic keep-first: one row per distinct value of
+    * `keys`, keeping the first row by `order`.
+    */
+  def exactKeepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Long-format distinct (id, shingle) pairs for a document table. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
+
+  /** Exact n-gram Jaccard near-duplicate pairs at/above `threshold`.
+    *
+    * Candidates come from an equi-join on shingle (docs sharing zero
+    * shingles can never reach any positive threshold), so the shuffle key
+    * is the shingle, not the document — the classic inverted-index join.
+    * `maxShingleFreq` drops shingles present in more than that many docs
+    * before the join; None keeps exact semantics.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, n: Int = 3,
+                   maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sh0 = shingleTable(docs, idCol, textCol, n)
+    val sh = maxShingleFreq match {
+      case Some(f) =>
+        val freq = sh0.groupBy("shingle").agg(count(lit(1)).as("_f"))
+          .filter(col("_f") <= f).select("shingle")
+        sh0.join(freq, "shingle")
+      case None => sh0
+    }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
+    val b = sh.select(col("doc_id").as("b_id"), col("shingle"))
+    val inter = a.join(b, a("shingle") === b("shingle") && col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signature columns: for each of `numHashes` seeds, the min over
+    * the doc's shingles of xxhash64(seed, shingle). Pure aggregation —
+    * one shuffle on doc_id.
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
+    *
+    * Scale path: signatures (one shuffle), band buckets (explode to
+    * numBands rows/doc, shuffle on band hash), self-join per bucket for
+    * candidates, then exact-Jaccard verification restricted to candidates.
+    * With 64 hashes / 16 bands, detection probability at jaccard 0.8 is
+    * 1-(1-0.8^4)^16 ≈ 0.9998 — and verification removes all false
+    * positives, so output ⊆ exact jaccardPairs output.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, n: Int = 3,
+                      numHashes: Int = 64, numBands: Int = 16): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val rowsPerBand = numHashes / numBands
+    val sh = shingleTable(docs, idCol, textCol, n)
+    val sig = minhashSignatures(sh, numHashes)
+    val bandStructs = (0 until numBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bandhash"))
+    }
+    val buckets = sig.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bandhash").as("bandhash"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bandhash") === col("y.bandhash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Exact Jaccard for an explicit candidate-pair set (a_id, b_id). */
+  def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val aSh = sh.select(col("doc_id").as("a_id"), col("shingle"))
+    val bSh = sh.select(col("doc_id").as("b_id"), col("shingle"))
+    val inter = cand.join(aSh, "a_id").join(bSh, Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash fingerprint per document: per-bit majority vote over
+    * xxhash64(token) — expressed as 64 codegen'd aggregate columns (sum of
+    * ±1 per bit), then packed into one long. One shuffle on doc_id.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i")
+    }
+    val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val packed = (0 until 64).map { i =>
+      when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance <= maxDist, candidate-
+    * generated by 4-way band blocking (any 16-bit quarter equal) so the
+    * self-join never goes O(n²).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val fp = simhash(docs, idCol, textCol)
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(q =>
+        struct(lit(q).as("q"),
+          shiftright(col("simhash"), q * 16).bitwiseAND(0xFFFFL).as("qh"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.q").as("q"), col("b.qh").as("qh"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.q") === col("y.q") && col("x.qh") === col("y.qh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+    cand.withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token statistics, fingerprinting. Pure Column
+  * expressions — fully codegen'd, no shuffles beyond the caller's aggs.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately small and fixed so the oracle SQL can embed
+    * the identical lists.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "un"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une"))
+
+  /** Language-ID scores + argmax prediction. Ties resolve in `stopwords`
+    * declaration order (first match wins); zero hits → "und" (undetermined).
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = stopwords.foldLeft(docs.select(col(idCol).as("doc_id"), toks.as("toks"))) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"hits_$lang",
+          size(filter(col("toks"), t => words.map(w => t === w).reduce(_ || _))))
+    }
+    val maxHits = greatest(stopwords.map(l => col(s"hits_${l._1}")): _*)
+    val best = stopwords.map(_._1).foldRight(lit("und")) { (lang, rest) =>
+      when(col(s"hits_$lang") === maxHits && col(s"hits_$lang") > 0, lit(lang))
+        .otherwise(rest)
+    }
+    scored.select(
+      (col("doc_id") +: stopwords.map(l => col(s"hits_${l._1}")) :+ best.as("pred_lang")): _*)
+  }
+
+  /** Quality metrics: char/token counts, mean token length, punctuation and
+    * digit ratios, and a composite score. All ratios rounded to 4 decimals
+    * for cross-engine comparability.
+    */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = lower(col(textCol))
+    val nChars = length(txt)
+    val nToks = tokenCount(col(textCol))
+    val punct = length(regexp_replace(txt, "[a-z0-9\\s]", ""))
+    val digits = length(regexp_replace(txt, "[^0-9]", ""))
+    docs.select(
+      col(idCol).as("doc_id"),
+      nChars.as("n_chars"),
+      nToks.as("n_tokens"),
+      round((nChars - (nToks - 1)).cast("double") / nToks, 4).as("mean_tok_len"),
+      round(punct.cast("double") / nChars, 4).as("punct_ratio"),
+      round(digits.cast("double") / nChars, 4).as("digit_ratio"))
+      .withColumn("quality",
+        round(least(lit(1.0), col("n_tokens").cast("double") / 100) *
+          (lit(1.0) - col("punct_ratio")) * (lit(1.0) - col("digit_ratio")), 4))
+  }
+
+  /** Token statistics per group column. */
+  def tokenStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
+    docs.select(col(groupCol).as("grp"),
+        tokenCount(col(textCol)).as("n_tok"),
+        subwordCount(col(textCol)).as("n_sub"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tokens"),
+        sum("n_sub").as("total_subwords"),
+        round(avg("n_tok"), 4).as("avg_tokens"))
+}
