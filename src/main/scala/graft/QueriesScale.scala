@@ -1,0 +1,254 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Queries.QueryDef
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data-pipeline operators (dedup, similarity, text analysis,
+  * multimodal) as verifiable queries. Oracles are DuckDB SQL that mirrors
+  * the Spark plan's arithmetic exactly — including fold order for vector
+  * math and rounded tie-break keys for rankings.
+  */
+object QueriesScale {
+
+  /** DuckDB double-precision cosine between two FLOAT[] lists, matching
+    * VectorFunctions.cosine's per-element double cast + ordered fold.
+    * (DuckDB's built-in list_cosine_similarity computes in float32 and
+    * diverges in the 6th decimal — not usable as an oracle.)
+    */
+  private def duckCos(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+       |    (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) *
+       |     sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE))))""".stripMargin
+
+  /** DuckDB word-3-gram distinct shingle table over `documents`. */
+  private val duckShingles =
+    """toks AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+      |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+      |        FROM toks WHERE len(l) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+      |       FROM pos)""".stripMargin
+
+  private val jaccardOracle =
+    s"""WITH $duckShingles,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT a_id, b_id,
+       |  round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = inter.a_id
+       |JOIN sizes sb ON sb.doc_id = inter.b_id
+       |WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+       |ORDER BY a_id, b_id""".stripMargin
+
+  private def t(spark: org.apache.spark.sql.SparkSession, dir: String, name: String) =
+    Tables.load(spark, dir, name)
+
+  /** Exact dedup with deterministic keep-first over a corpus with planted
+    * duplicates (every 7th doc re-appears under a shifted id).
+    */
+  val q24 = QueryDef("q24_dedup_exact", (spark, dir) => {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val dups = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val aug = docs.unionByName(dups)
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy("fp")))
+    Dedup.exactKeepFirst(aug, Seq("fp"), Seq(col("doc_id")))
+      .select("doc_id", "fp", "n_copies").orderBy("doc_id")
+  }, Some(
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0),
+      |aug AS (SELECT doc_id,
+      |          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |        FROM corpus),
+      |w AS (SELECT doc_id, fp,
+      |        row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn,
+      |        count(*) OVER (PARTITION BY fp) AS n_copies
+      |      FROM aug)
+      |SELECT doc_id, fp, n_copies FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+
+  /** Content + bag-of-words fingerprints (md5-based, engine-portable). */
+  val q25 = QueryDef("q25_fingerprints", (spark, dir) => {
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        TextFunctions.bowFingerprint(col("text")).as("bow_fp"))
+      .orderBy("doc_id")
+  }, Some(
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |  md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')) AS bow_fp
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Exact 3-gram Jaccard near-dup pairs (inverted-index join). */
+  val q26 = QueryDef("q26_jaccard_pairs", (spark, dir) =>
+    Dedup.jaccardPairs(t(spark, dir, "documents"), "doc_id", "text", threshold = 0.6)
+      .orderBy("a_id", "b_id"),
+    Some(jaccardOracle))
+
+  /** MinHash+LSH near-dup pairs with exact-Jaccard verification. The
+    * verification step removes all false positives, so the output is a
+    * subset of q26; with 64 hashes / 16 bands recall at 0.6 is ≈1, and the
+    * oracle asserts exact equality with the full Jaccard output.
+    */
+  val q27 = QueryDef("q27_minhash_lsh", (spark, dir) =>
+    Dedup.minhashLshPairs(t(spark, dir, "documents"), "doc_id", "text", threshold = 0.6)
+      .orderBy("a_id", "b_id"),
+    Some(jaccardOracle))
+
+  /** SimHash near-dup pairs (engine-specific xxhash64 bit votes — no SQL
+    * oracle; the driver records a rows-only check).
+    */
+  val q28 = QueryDef("q28_simhash_pairs", (spark, dir) =>
+    Dedup.simhashPairs(t(spark, dir, "documents"), "doc_id", "text", maxDist = 3)
+      .orderBy("a_id", "b_id"),
+    None)
+
+  /** Brute-force cosine top-10 for a modulo probe set. */
+  val q29 = QueryDef("q29_ann_topk", (spark, dir) => {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 10)
+  }, Some(
+    s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+       |           WHERE vec_id % 100 = 0),
+       |c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+       |scored AS (
+       |  SELECT probe_id, cand_id, ${duckCos("pe", "ce")} AS cos
+       |  FROM p, c WHERE probe_id <> cand_id),
+       |ranked AS (SELECT probe_id, cand_id, cos,
+       |    row_number() OVER (PARTITION BY probe_id
+       |                       ORDER BY round(cos, 6) DESC, cand_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, cand_id, round(cos, 4) AS cos, rank
+       |FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin))
+
+  /** IVF-pruned top-5: candidates restricted to the probe's cluster. */
+  val q30 = QueryDef("q30_ivf_topk", (spark, dir) => {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), "label", k = 5)
+  }, Some(
+    s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe, label FROM embeddings
+       |           WHERE vec_id % 100 = 0),
+       |c AS (SELECT vec_id AS cand_id, embedding AS ce, label FROM embeddings),
+       |scored AS (
+       |  SELECT probe_id, cand_id, ${duckCos("pe", "ce")} AS cos
+       |  FROM p JOIN c ON p.label = c.label AND probe_id <> cand_id),
+       |ranked AS (SELECT probe_id, cand_id, cos,
+       |    row_number() OVER (PARTITION BY probe_id
+       |                       ORDER BY round(cos, 6) DESC, cand_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, cand_id, round(cos, 4) AS cos, rank
+       |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin))
+
+  /** Embedding-cosine near-duplicate pairs above 0.4 for a delta sample. */
+  val q31 = QueryDef("q31_cosine_neardup", (spark, dir) =>
+    Similarity.cosineNearDupPairs(t(spark, dir, "embeddings"), probeModulo = 10,
+      threshold = 0.4),
+    Some(
+      s"""WITH a AS (SELECT vec_id AS a_id, embedding AS ae FROM embeddings
+         |           WHERE vec_id % 10 = 0),
+         |b AS (SELECT vec_id AS b_id, embedding AS be FROM embeddings),
+         |s AS (SELECT a_id, b_id, ${duckCos("ae", "be")} AS cos
+         |      FROM a JOIN b ON a_id < b_id)
+         |SELECT a_id, b_id, round(cos, 4) AS cos FROM s
+         |WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin))
+
+  /** Stopword-hit language ID; SQL mirror built from the same word lists. */
+  val q32 = QueryDef("q32_lang_id", (spark, dir) =>
+    TextAnalysis.langId(t(spark, dir, "documents"), "doc_id", "text").orderBy("doc_id"),
+    Some {
+      val hits = TextAnalysis.stopwords.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(string_split(lower(text), ' '), x -> list_contains([$lst], x))) AS BIGINT) AS hits_$lang"
+      }.mkString(",\n    ")
+      val gExpr = TextAnalysis.stopwords.map(l => s"hits_${l._1}").mkString("greatest(", ", ", ")")
+      val pred = TextAnalysis.stopwords.map { case (lang, _) =>
+        s"WHEN hits_$lang = g AND hits_$lang > 0 THEN '$lang'"
+      }.mkString(" ")
+      val hitCols = TextAnalysis.stopwords.map(l => s"hits_${l._1}").mkString(", ")
+      s"""SELECT doc_id, $hitCols,
+         |  CASE $pred ELSE 'und' END AS pred_lang
+         |FROM (SELECT doc_id,
+         |    $hits,
+         |    $gExpr AS g
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    })
+
+  /** Text quality metrics + composite score. */
+  val q33 = QueryDef("q33_quality_score", (spark, dir) =>
+    TextAnalysis.qualityScore(t(spark, dir, "documents"), "doc_id", "text").orderBy("doc_id"),
+    Some(
+      """SELECT doc_id, n_chars, n_tokens,
+        |  round((n_chars - (n_tokens - 1))::DOUBLE / n_tokens, 4) AS mean_tok_len,
+        |  punct_ratio, digit_ratio,
+        |  round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio) * (1.0 - digit_ratio), 4) AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(length(lower(text)) AS BIGINT) AS n_chars,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+        |    round(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g'))::DOUBLE
+        |      / length(lower(text)), 4) AS punct_ratio,
+        |    round(length(regexp_replace(lower(text), '[^0-9]', '', 'g'))::DOUBLE
+        |      / length(lower(text)), 4) AS digit_ratio
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin))
+
+  /** Token statistics per language group (whitespace + BPE-ish subwords). */
+  val q34 = QueryDef("q34_token_stats", (spark, dir) =>
+    TextAnalysis.tokenStats(t(spark, dir, "documents"), "lang", "text").orderBy("grp"),
+    Some(
+      """SELECT lang AS grp, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_sub) AS BIGINT) AS total_subwords,
+        |  round(avg(n_tok), 4) AS avg_tokens
+        |FROM (SELECT lang,
+        |        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+        |        CAST(len(regexp_extract_all(lower(text),
+        |          '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_sub
+        |      FROM documents)
+        |GROUP BY lang ORDER BY grp""".stripMargin))
+
+  /** Multimodal metadata extraction: documents' text bytes stand in for an
+    * opaque binary payload; a deterministic stub "decoder" (md5-derived
+    * width/height/frames) runs per-partition with real Spark plumbing —
+    * binary column in, typed metadata out, no shuffle.
+    */
+  val q35 = QueryDef("q35_multimodal_meta", (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          md.reset()
+          val hex = md.digest(bytes).map("%02x".format(_)).mkString
+          // Deterministic fake of a media decoder: real decode would use the
+          // same shape (binary in, metadata struct out, partition-local).
+          val width = ((hex.charAt(0).toInt % 8) + 1) * 64L
+          val height = ((hex.charAt(1).toInt % 8) + 1) * 64L
+          val frames = (hex.charAt(2).toInt % 16) + 1L
+          (id, bytes.length.toLong, hex, width, height, frames)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "content_md5", "width", "height", "n_frames")
+      .orderBy("doc_id")
+  }, Some(
+    """SELECT doc_id,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  md5(text) AS content_md5,
+      |  CAST(((ascii(substr(md5(text), 1, 1)) % 8) + 1) * 64 AS BIGINT) AS width,
+      |  CAST(((ascii(substr(md5(text), 2, 1)) % 8) + 1) * 64 AS BIGINT) AS height,
+      |  CAST((ascii(substr(md5(text), 3, 1)) % 16) + 1 AS BIGINT) AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
+}

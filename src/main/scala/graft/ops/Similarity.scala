@@ -14,8 +14,24 @@ import graft.functions.VectorFunctions._
   * variant prunes the scan to the probe's cluster(s), turning a full scan
   * into a partition-pruned one — at 100 TB the corpus would be written
   * partitioned by cluster id so pruning happens at the file level.
+  *
+  * Ranking ties: row_number over cosine rounded to 6 decimals with the
+  * candidate id as tie-break, so ranks are reproducible across engines and
+  * partitionings (raw double ordering would make rank depend on sub-ulp
+  * noise).
   */
 object Similarity {
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos_r").desc, col("cand_id").asc)
+    scored.withColumn("cos_r", round(col("cos"), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("cand_id"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
 
   /** Exact brute-force cosine top-k: every probe row scored against every
     * corpus row; corpus never shuffles (probes broadcast).
@@ -25,11 +41,7 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
     val scored = c.join(broadcast(p), col("probe_id") =!= col("cand_id"))
       .withColumn("cos", cosine(col("p_emb"), col("c_emb")))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("cand_id"), round(col("cos"), 4).as("cos"), col("rank"))
+    topK(scored, k)
   }
 
   /** IVF-style top-k: only candidates in the same cluster as the probe are
@@ -44,15 +56,11 @@ object Similarity {
     val scored = c.join(broadcast(p),
         col("p_cluster") === col("c_cluster") && col("probe_id") =!= col("cand_id"))
       .withColumn("cos", cosine(col("p_emb"), col("c_emb")))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("cand_id"), round(col("cos"), 4).as("cos"), col("rank"))
+    topK(scored, k)
   }
 
   /** Cosine near-duplicate pairs above `threshold` within a probe subset
-    * (`probeFilter` keeps the left side small; at scale the left side is
+    * (`probeModulo` keeps the left side small; at scale the left side is
     * the newly-ingested delta, not a modulo sample).
     */
   def cosineNearDupPairs(corpus: DataFrame, probeModulo: Int, threshold: Double): DataFrame = {
@@ -63,5 +71,6 @@ object Similarity {
       .withColumn("cos", cosine(col("a_emb"), col("b_emb")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("a_id", "b_id")
   }
 }

@@ -28,7 +28,8 @@ object TextAnalysis {
     val scored = stopwords.foldLeft(docs.select(col(idCol).as("doc_id"), toks.as("toks"))) {
       case (df, (lang, words)) =>
         df.withColumn(s"hits_$lang",
-          size(filter(col("toks"), t => words.map(w => t === w).reduce(_ || _))))
+          size(filter(col("toks"), t => words.map(w => t === w).reduce(_ || _)))
+            .cast("long"))
     }
     val maxHits = greatest(stopwords.map(l => col(s"hits_${l._1}")): _*)
     val best = stopwords.map(_._1).foldRight(lit("und")) { (lang, rest) =>
@@ -45,8 +46,8 @@ object TextAnalysis {
     */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val txt = lower(col(textCol))
-    val nChars = length(txt)
-    val nToks = tokenCount(col(textCol))
+    val nChars = length(txt).cast("long")
+    val nToks = tokenCount(col(textCol)).cast("long")
     val punct = length(regexp_replace(txt, "[a-z0-9\\s]", ""))
     val digits = length(regexp_replace(txt, "[^0-9]", ""))
     docs.select(
