@@ -33,6 +33,35 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
         explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
 
+  /** (doc_id, shingle, n_sh) — shingle table with the doc's shingle count
+    * attached via a window, so both sides of the inverted-index self-join
+    * are the *same* plan and Spark computes the underlying exchange once
+    * (ReusedExchange) instead of rebuilding the shingle table per use.
+    */
+  private def sizedShingles(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int, maxShingleFreq: Option[Int]): DataFrame = {
+    val sh0 = shingleTable(docs, idCol, textCol, n)
+    val sh = maxShingleFreq match {
+      case Some(f) =>
+        val freq = sh0.groupBy("shingle").agg(count(lit(1)).as("_f"))
+          .filter(col("_f") <= f).select("shingle")
+        sh0.join(freq, "shingle")
+      case None => sh0
+    }
+    sh.withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+  }
+
+  private def pairsFromSizedShingles(sh: DataFrame, threshold: Double): DataFrame = {
+    val a = sh.select(col("doc_id").as("a_id"), col("shingle"), col("n_sh").as("n_a"))
+    val b = sh.select(col("doc_id").as("b_id"), col("shingle"), col("n_sh").as("n_b"))
+    a.join(b, a("shingle") === b("shingle") && col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "n_a", "n_b").agg(count(lit(1)).as("n_inter"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Exact n-gram Jaccard near-duplicate pairs at/above `threshold`.
     *
     * Candidates come from an equi-join on shingle (docs sharing zero
@@ -43,28 +72,9 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, n: Int = 3,
-                   maxShingleFreq: Option[Int] = None): DataFrame = {
-    val sh0 = shingleTable(docs, idCol, textCol, n)
-    val sh = maxShingleFreq match {
-      case Some(f) =>
-        val freq = sh0.groupBy("shingle").agg(count(lit(1)).as("_f"))
-          .filter(col("_f") <= f).select("shingle")
-        sh0.join(freq, "shingle")
-      case None => sh0
-    }
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
-    val b = sh.select(col("doc_id").as("b_id"), col("shingle"))
-    val inter = a.join(b, a("shingle") === b("shingle") && col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
-  }
+                   maxShingleFreq: Option[Int] = None): DataFrame =
+    pairsFromSizedShingles(
+      sizedShingles(docs, idCol, textCol, n, maxShingleFreq), threshold)
 
   /** MinHash signature columns: for each of `numHashes` seeds, the min over
     * the doc's shingles of xxhash64(seed, shingle). Pure aggregation —
@@ -90,8 +100,8 @@ object Dedup {
                       numHashes: Int = 64, numBands: Int = 16): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rowsPerBand = numHashes / numBands
-    val sh = shingleTable(docs, idCol, textCol, n)
-    val sig = minhashSignatures(sh, numHashes)
+    val sh = sizedShingles(docs, idCol, textCol, n, None)
+    val sig = minhashSignatures(sh.select("doc_id", "shingle"), numHashes)
     val bandStructs = (0 until numBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bandhash"))
@@ -108,16 +118,19 @@ object Dedup {
     verifyJaccard(cand, sh, threshold)
   }
 
-  /** Exact Jaccard for an explicit candidate-pair set (a_id, b_id). */
+  /** Exact Jaccard for an explicit candidate-pair set (a_id, b_id). `sh` is
+    * a (doc_id, shingle[, n_sh]) table; the per-doc size is attached via a
+    * window if not already present, so the shingle exchange is shared
+    * between the two join sides.
+    */
   def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val aSh = sh.select(col("doc_id").as("a_id"), col("shingle"))
-    val bSh = sh.select(col("doc_id").as("b_id"), col("shingle"))
-    val inter = cand.join(aSh, "a_id").join(bSh, Seq("b_id", "shingle"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+    val sized =
+      if (sh.columns.contains("n_sh")) sh
+      else sh.withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val aSh = sized.select(col("doc_id").as("a_id"), col("shingle"), col("n_sh").as("n_a"))
+    val bSh = sized.select(col("doc_id").as("b_id"), col("shingle"), col("n_sh").as("n_b"))
+    cand.join(aSh, "a_id").join(bSh, Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id", "n_a", "n_b").agg(count(lit(1)).as("n_inter"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= threshold)

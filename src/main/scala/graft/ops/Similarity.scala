@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.VectorFunctions._
+import graft.functions.NativeFunctions.dotF
 
 /** Approximate / exact nearest-neighbor search over an embedding column
   * (`array<float>`).
@@ -33,14 +33,31 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** id/embedding/precomputed-norm projection: norms are computed once per
+    * row (one native dot per vector) instead of once per scored pair —
+    * at 1M corpus × 1k probes that's 1M norm evaluations instead of 1B.
+    */
+  private def withNorm(df: DataFrame, prefix: String,
+                       extra: Seq[(String, String)] = Nil): DataFrame =
+    df.select((Seq(col("vec_id").as(s"${prefix}_id"), col("embedding").as(s"${prefix}_emb"))
+        ++ extra.map { case (c, a) => col(c).as(a) }): _*)
+      .withColumn(s"${prefix}_norm",
+        sqrt(dotF(col(s"${prefix}_emb"), col(s"${prefix}_emb"))))
+
+  private def cosFromNorms(prefix1: String, prefix2: String) = {
+    val nn = col(s"${prefix1}_norm") * col(s"${prefix2}_norm")
+    when(nn === 0.0, lit(null))
+      .otherwise(dotF(col(s"${prefix1}_emb"), col(s"${prefix2}_emb")) / nn)
+  }
+
   /** Exact brute-force cosine top-k: every probe row scored against every
     * corpus row; corpus never shuffles (probes broadcast).
     */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
-    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val p = withNorm(probes, "probe")
+    val c = withNorm(corpus, "cand")
     val scored = c.join(broadcast(p), col("probe_id") =!= col("cand_id"))
-      .withColumn("cos", cosine(col("p_emb"), col("c_emb")))
+      .withColumn("cos", cosFromNorms("probe", "cand"))
     topK(scored, k)
   }
 
@@ -49,13 +66,11 @@ object Similarity {
     * `label`; in production, a k-means cell id the table is partitioned by).
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, clusterCol: String, k: Int): DataFrame = {
-    val p = probes.select(col("vec_id").as("probe_id"),
-      col("embedding").as("p_emb"), col(clusterCol).as("p_cluster"))
-    val c = corpus.select(col("vec_id").as("cand_id"),
-      col("embedding").as("c_emb"), col(clusterCol).as("c_cluster"))
+    val p = withNorm(probes, "probe", Seq(clusterCol -> "p_cluster"))
+    val c = withNorm(corpus, "cand", Seq(clusterCol -> "c_cluster"))
     val scored = c.join(broadcast(p),
         col("p_cluster") === col("c_cluster") && col("probe_id") =!= col("cand_id"))
-      .withColumn("cos", cosine(col("p_emb"), col("c_emb")))
+      .withColumn("cos", cosFromNorms("probe", "cand"))
     topK(scored, k)
   }
 
@@ -64,11 +79,10 @@ object Similarity {
     * the newly-ingested delta, not a modulo sample).
     */
   def cosineNearDupPairs(corpus: DataFrame, probeModulo: Int, threshold: Double): DataFrame = {
-    val a = corpus.filter(col("vec_id") % probeModulo === 0)
-      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = corpus.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val a = withNorm(corpus.filter(col("vec_id") % probeModulo === 0), "a")
+    val b = withNorm(corpus, "b")
     b.join(broadcast(a), col("a_id") < col("b_id"))
-      .withColumn("cos", cosine(col("a_emb"), col("b_emb")))
+      .withColumn("cos", cosFromNorms("a", "b"))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
       .orderBy("a_id", "b_id")

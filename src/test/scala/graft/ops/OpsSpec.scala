@@ -1,0 +1,134 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pkIsUnique detects duplicates") {
+    val df = Seq((1, "a"), (1, "b"), (2, "a")).toDF("k1", "k2")
+    assert(Checks.pkIsUnique(df, Seq("k1", "k2")))
+    assert(!Checks.pkIsUnique(df, Seq("k1")))
+  }
+
+  test("nonUniquePks returns only duplicated keys with counts") {
+    val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    val out = Checks.nonUniquePks(df, Seq("k")).collect()
+    assert(out.length == 2 && out.forall(_.getAs[Long]("_count_pk") == 2L))
+  }
+}
+
+class CompareSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactSummary reports multiset differences") {
+    val l = Seq(1, 2, 2, 3).toDF("x")
+    val r = Seq(2, 3, 4).toDF("x")
+    val m = Compare.exactSummary(l, r).collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(m == Map("only_left" -> 2L, "only_right" -> 1L,
+      "rows_left" -> 4L, "rows_right" -> 3L))
+  }
+
+  test("fuzzyRows statuses: match, delta, only-left/right, zero case") {
+    val l = Seq((1, 100.0), (2, 0.0), (3, 50.0), (4, 10.0)).toDF("id", "v")
+    val r = Seq((1, 100.000001), (2, 0.1), (3, 60.0), (5, 1.0)).toDF("id", "v")
+    val m = Compare.fuzzyRows(l, r, Seq("id"), Seq("v"), thresholdPct = 0.01)
+      .collect().map(row => row.getInt(0) -> row.getString(1)).toMap
+    assert(m == Map(1 -> "match", 2 -> "delta_exceeds", 3 -> "delta_exceeds",
+      4 -> "only_left", 5 -> "only_right"))
+  }
+}
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("periodFilter keeps a single day") {
+    val df = Seq("2024-01-01 05:00:00", "2024-01-02 00:00:00")
+      .toDF("ts").select(col("ts").cast("timestamp").as("ts"))
+    assert(Incremental.periodFilter(df, "ts", "2024-01-01").count() == 1)
+  }
+
+  test("minOfMaxFilter bounds by the slowest input") {
+    val main = Seq("2024-01-01", "2024-01-05", "2024-01-09")
+      .toDF("ts").select(col("ts").cast("timestamp").as("ts"))
+    val lagging = Seq("2024-01-06")
+      .toDF("ts").select(col("ts").cast("timestamp").as("ts"))
+    val out = Incremental.minOfMaxFilter(main, "ts",
+      lit("2024-01-01").cast("timestamp"), Seq((main, "ts"), (lagging, "ts")))
+    // (2024-01-01, 2024-01-06]: only 2024-01-05 qualifies
+    assert(out.collect().map(_.getTimestamp(0).toString).toSeq ==
+      Seq("2024-01-05 00:00:00.0"))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),  // near-dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 1
+    (4L, "completely different words entirely here now today")
+  ).toDF("doc_id", "text")
+
+  test("exactKeepFirst keeps lowest-ordered row per key deterministically") {
+    val out = Dedup.exactKeepFirst(docs, Seq("text"), Seq(col("doc_id")))
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 4L))
+  }
+
+  test("jaccardPairs finds near and exact dups above threshold") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val exact = pairs.find(p => (p._1, p._2) == (1L, 3L)).get
+    assert(exact._3 == 1.0)
+    // 7 shingles each, 6 shared between 1 and 2 -> 6/8 = 0.75
+    val near = pairs.find(p => (p._1, p._2) == (1L, 2L)).get
+    assert(near._3 == 0.75)
+  }
+
+  test("minhashLshPairs output is the verified subset of exact jaccard") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((1L, 3L))) // identical docs always collide in every band
+  }
+
+  test("simhash of identical docs is identical; pairs found at distance 0") {
+    val out = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 0).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 3L)))
+    assert(out.head.getInt(2) == 0)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId scores stopword hits and predicts argmax with und fallback") {
+    val docs = Seq(
+      (1L, "the cat is on a mat of the king"),
+      (2L, "der hund ist nicht ein tier und"),
+      (3L, "zzz qqq www")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("pred_lang") == "en")
+    assert(out(1).getAs[String]("pred_lang") == "de")
+    assert(out(2).getAs[String]("pred_lang") == "und")
+  }
+
+  test("qualityScore arithmetic on a known string") {
+    val out = TextAnalysis.qualityScore(
+      Seq((1L, "ab cd 12!")).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(out.getAs[Long]("n_chars") == 9L)
+    assert(out.getAs[Long]("n_tokens") == 3L)
+    assert(out.getAs[Double]("punct_ratio") == math.rint(1.0 / 9 * 10000) / 10000)
+    assert(out.getAs[Double]("digit_ratio") == math.rint(2.0 / 9 * 10000) / 10000)
+  }
+}
