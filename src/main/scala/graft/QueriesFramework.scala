@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Queries.QueryDef
+import graft.core.Tables
+import graft.core.io.Reader
+import graft.core.model.{DatasetSpec, JobSpec}
+import graft.engine.{Etl, Flow, MultiPass}
+import java.nio.file.Files
+
+/** Framework-lifecycle operators (SURVEY §2.1/§2.2/§2.6) as verifiable
+  * queries: each runs the real manifest-level machinery — Reader/Writer
+  * format dispatch, the Etl load→transform→save loop, DAG chaining, and
+  * the multi-pass incremental driver — and lands on an aggregate the
+  * DuckDB oracle reproduces straight from the source parquet. A round-trip
+  * through a sink+source that changes the result would break the hash.
+  */
+object QueriesFramework {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** CSV sink + scan round-trip (S1/K1): write orders as CSV via the job
+    * lifecycle, read back (header-only, all strings — the reference's CSV
+    * semantics), cast and aggregate.
+    */
+  val q36 = QueryDef("q36_csv_roundtrip", (spark, dir) => {
+    val out = tmp("graft_q36")
+    val job = JobSpec(name = "csv_copy",
+      inputs = Map("orders" -> DatasetSpec(path = s"$dir/orders.parquet")),
+      output = Some(DatasetSpec(path = s"$out/orders_csv", format = "csv")),
+      sql = Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"))
+    Etl.runJob(spark, job, now = "r1")
+    Reader.read(spark, DatasetSpec(path = s"$out/orders_csv", format = "csv"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("double")), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }, Some(
+    """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
+  /** JSON sink + scan round-trip (S3/K1) with timestamp fidelity via epoch
+    * micros.
+    */
+  val q37 = QueryDef("q37_json_roundtrip", (spark, dir) => {
+    val out = tmp("graft_q37")
+    val job = JobSpec(name = "json_copy",
+      inputs = Map("orders" -> DatasetSpec(path = s"$dir/orders.parquet")),
+      output = Some(DatasetSpec(path = s"$out/orders_json", format = "json")),
+      sql = Some("""SELECT o_orderkey, o_orderpriority,
+                   |  unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS ts_us, o_totalprice
+                   |FROM orders""".stripMargin))
+    Etl.runJob(spark, job, now = "r1")
+    Reader.read(spark, DatasetSpec(path = s"$out/orders_json", format = "json"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), max("ts_us").as("max_ts_us"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderpriority")
+  }, Some(
+    """SELECT o_orderpriority, count(*) AS n, max(epoch_us(o_orderdate)) AS max_ts_us,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  /** Three-job DAG with in-memory chaining (O3): enrich → aggregate →
+    * report, manifest-shaped specs, outputs handed downstream without
+    * touching disk.
+    */
+  val q38 = QueryDef("q38_pipeline_dag", (spark, dir) => {
+    val jobs = Map(
+      "enrich" -> JobSpec(name = "enrich",
+        inputs = Map(
+          "orders" -> DatasetSpec(path = s"$dir/orders.parquet"),
+          "customer" -> DatasetSpec(path = s"$dir/customer.parquet")),
+        sql = Some("""SELECT o_orderkey, o_totalprice, c_mktsegment, c_nationkey
+                     |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin)),
+      "agg" -> JobSpec(name = "agg",
+        inputs = Map("enrich" -> DatasetSpec(format = "df")),
+        dependencies = Seq("enrich"),
+        sql = Some("""SELECT c_mktsegment, count(*) AS n,
+                     |  round(sum(o_totalprice), 2) AS total
+                     |FROM enrich GROUP BY c_mktsegment""".stripMargin)),
+      "report" -> JobSpec(name = "report",
+        inputs = Map("agg" -> DatasetSpec(format = "df")),
+        dependencies = Seq("agg"),
+        sql = Some("""SELECT c_mktsegment, n, total,
+                     |  CASE WHEN n > 3000 THEN 'major' ELSE 'minor' END AS tier
+                     |FROM agg ORDER BY c_mktsegment""".stripMargin)))
+    Flow.runPipeline(spark, jobs, "report", save = false)("report")
+  }, Some(
+    """WITH enrich AS (
+      |  SELECT o_orderkey, o_totalprice, c_mktsegment, c_nationkey
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |agg AS (SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |        FROM enrich GROUP BY c_mktsegment)
+      |SELECT c_mktsegment, n, total,
+      |  CASE WHEN n > 3000 THEN 'major' ELSE 'minor' END AS tier
+      |FROM agg ORDER BY c_mktsegment""".stripMargin))
+
+  /** Multi-pass incremental driver (O4/P1/K4): one pass per day over three
+    * days, each appending an `inc_<now>_<period>` subfolder; the union of
+    * the increments must equal a direct slice of the source.
+    */
+  val q39 = QueryDef("q39_incremental_multipass", (spark, dir) => {
+    val out = tmp("graft_q39")
+    // Pre-convert events' nanosecond ts once (Tables.load handles it) so
+    // the incremental job reads a plain-micros parquet copy.
+    Tables.load(spark, dir, "events").write.parquet(s"$out/events")
+    val job = JobSpec(name = "inc_events",
+      inputs = Map("ev" -> DatasetSpec(path = s"$out/events", incField = Some("ts"))),
+      output = Some(DatasetSpec(path = s"$out/sink")),
+      sql = Some("SELECT ts, event_type, value FROM ev"))
+    MultiPass.run(spark, job, java.time.LocalDate.parse("2024-01-05"),
+      java.time.LocalDate.parse("2024-01-07"), now = "r1")
+    spark.read.parquet(s"$out/sink/inc_*")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("day")
+  }, Some(
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+      |  round(sum(value), 2) AS sum_value
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
+      |GROUP BY 1 ORDER BY day""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q36, q37, q38, q39)
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.core.GraftSession
+import graft.core.model.Manifest
+import graft.engine.{Etl, Flow, MultiPass}
+import java.time.LocalDate
+
+/** CLI entry point (reference Runner/Commandliner surface,
+  * yaetos/etl_utils.py:1122-1254): manifest-driven single-job or pipeline
+  * runs, local mode.
+  *
+  * {{{
+  * runMain graft.Runner --manifest=conf/jobs.yml --job_name=my_job \
+  *   [--mode=dev[,prod]] [--dependencies] [--period_first=YYYY-MM-DD] \
+  *   [--period_until=YYYY-MM-DD] [--no_save] [--param.k=v ...]
+  * }}}
+  */
+object Runner {
+  def main(args: Array[String]): Unit = {
+    val kv = args.collect {
+      case a if a.startsWith("--") && a.contains("=") =>
+        val Array(k, v) = a.drop(2).split("=", 2); k -> v
+      case a if a.startsWith("--") => a.drop(2) -> "true"
+    }.toMap
+    val manifestPath = kv.getOrElse("manifest", sys.error("--manifest=<yml> required"))
+    val jobName = kv.getOrElse("job_name", sys.error("--job_name=<name> required"))
+    val modes = kv.getOrElse("mode", "dev").split(",").toSeq
+    val cmdParams = kv.collect { case (k, v) if k.startsWith("param.") => k.drop(6) -> v }
+    val loaded = Manifest.loadFile(manifestPath, modes, cmdParams)
+    val job = loaded.jobs.getOrElse(jobName, sys.error(s"job not in manifest: $jobName"))
+    val spark = GraftSession.local(appName = s"graft-$jobName")
+    val save = !kv.contains("no_save")
+    try {
+      if (kv.contains("dependencies")) {
+        val outs = Flow.runPipeline(spark, loaded.jobs, jobName, save = save)
+        outs(jobName).show(20, truncate = false)
+      } else (kv.get("period_first"), kv.get("period_until")) match {
+        case (Some(f), Some(u)) =>
+          val results = MultiPass.run(spark, job, LocalDate.parse(f), LocalDate.parse(u))
+          results.foreach(r => println(s"[runner] period ${r.period}: ${r.rows} rows -> ${r.path}"))
+        case _ =>
+          val res = Etl.runJob(spark, job, save = save)
+          res.df.show(20, truncate = false)
+          res.writtenPath.foreach(p => println(s"[runner] wrote $p"))
+      }
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,46 @@
+package graft.core.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.model.DatasetSpec
+
+/** Format-dispatched dataset reader (reference load_input,
+  * yaetos/etl_utils.py:356-429 and pandas loaders
+  * yaetos/pandas_utils.py:28-82, collapsed onto `spark.read`).
+  *
+  * Defaults mirror the reference: CSV reads with header=true and all
+  * string columns (inferSchema is opt-in via read_kwargs so SQL implicit
+  * casts behave identically to the reference's string-typed frames);
+  * glob suffixes append to the path; `json_records` unwraps the
+  * `{"records": [...]}` envelope (reference conf/jobs_metadata.yml:316-322).
+  */
+object Reader {
+
+  def read(spark: SparkSession, ds: DatasetSpec): DataFrame = {
+    val path = ds.glob.map(g => s"${ds.path.stripSuffix("/")}/$g").getOrElse(ds.path)
+    ds.format match {
+      case "csv" =>
+        spark.read.option("header", "true")
+          .options(ds.readOptions).csv(path)
+      case "parquet" => spark.read.options(ds.readOptions).parquet(path)
+      case "json" => spark.read.options(ds.readOptions).json(path)
+      case "json_records" =>
+        spark.read.option("multiLine", "true").options(ds.readOptions).json(path)
+          .select(explode(col("records")).as("r")).select("r.*")
+      case "text" => spark.read.options(ds.readOptions).text(path)
+      case "jdbc" => spark.read.format("jdbc").options(ds.readOptions).load()
+      case other => sys.error(s"unsupported input format: $other")
+    }
+  }
+
+  /** Multi-path scan: expand a `{param}` template over given combos and
+    * union with a `_source` column (reference ex15 multi-path copy +
+    * the pandas multi-file `_source` concat, yaetos/pandas_utils.py:28-39).
+    */
+  def readMultiPath(spark: SparkSession, ds: DatasetSpec,
+                    combos: Seq[Map[String, String]]): DataFrame =
+    combos.map { combo =>
+      val p = combo.foldLeft(ds.path) { case (t, (k, v)) => t.replace(s"{$k}", v) }
+      read(spark, ds.copy(path = p)).withColumn("_source", lit(p))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+}

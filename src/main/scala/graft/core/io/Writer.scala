@@ -1,0 +1,76 @@
+package graft.core.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import graft.core.model.{DatasetSpec, JobSpec}
+
+/** Format-dispatched dataset writer (reference save_output,
+  * yaetos/etl_utils.py:595-655).
+  *
+  * Semantics mirrored from the reference:
+  *  - mode is `append` iff the write is partitioned or incremental,
+  *    `errorifexists` otherwise (yaetos/etl_utils.py:622-623);
+  *  - incremental `no_schema` sinks append a run subfolder
+  *    `inc_<now>_<period>/` per increment (yaetos/etl_utils.py:615-618);
+  *  - incremental `partitioned` sinks use `partitionBy(inc_field)` +
+  *    append (yaetos/etl_utils.py:603,622);
+  *  - CSV writes a header;
+  *  - an explicit `repartition` knob passes through
+  *    (yaetos/sql_spark_job.py:28-29); writes stay distributed otherwise —
+  *    there is deliberately no count()-based small-output compaction on
+  *    the hot path (the reference's `count() < 500000 → repartition(1)`
+  *    forces an extra job; callers opt in via repartition=1).
+  */
+object Writer {
+
+  final case class Written(path: String, mode: String)
+
+  def write(df: DataFrame, job: JobSpec, out: DatasetSpec,
+            now: String, period: Option[String] = None): Written = {
+    val incremental = job.isIncremental
+    val basePath = PathTemplating.expandNow(out.path, now)
+    val path = (incremental, job.incrementalMode) match {
+      case (true, "no_schema") =>
+        s"${basePath.stripSuffix("/")}/inc_${now}_${period.getOrElse("all")}"
+      case _ => basePath
+    }
+    val partitionCols =
+      if (incremental && job.incrementalMode == "partitioned")
+        out.incField.toSeq ++ job.partitionBy
+      else job.partitionBy
+    val mode =
+      if (incremental || partitionCols.nonEmpty) SaveMode.Append
+      else SaveMode.ErrorIfExists
+    val repartitioned = job.repartition.map(df.repartition(_)).getOrElse(df)
+    var w = repartitioned.write.mode(mode).options(out.saveOptions)
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+    out.format match {
+      case "csv" => w.option("header", "true").csv(path)
+      case "parquet" => w.parquet(path)
+      case "json" => w.json(path)
+      case "text" => repartitioned.write.mode(mode).text(path)
+      case "jdbc" => repartitioned.write.format("jdbc").options(out.saveOptions).mode(
+        if (incremental) SaveMode.Append else SaveMode.Overwrite).save()
+      case other => sys.error(s"unsupported output format: $other")
+    }
+    Written(path, mode.toString)
+  }
+
+  /** Schema sidecar: dump the output schema as JSON next to the data
+    * (reference Schema_Builder, yaetos/etl_utils.py:804-821 — capture,
+    * not enforcement).
+    */
+  def writeSchemaSidecar(df: DataFrame, dir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_schema.json"), true)
+    try out.write(df.schema.prettyJson.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Catalog registration of a written location (reference Athena/Glue
+    * CREATE EXTERNAL TABLE, yaetos/athena.py:9-59) against the session
+    * catalog.
+    */
+  def registerTable(df: DataFrame, table: String, path: String, format: String): Unit =
+    df.sparkSession.sql(
+      s"CREATE TABLE IF NOT EXISTS $table USING $format LOCATION '$path'")
+}

@@ -1,0 +1,70 @@
+package graft.core.model
+
+/** Declarative dataset description (reference manifest `inputs:`/`output:`
+  * attrs — path/type/inc_field/glob/read_kwargs/pk/from,
+  * reference conf/jobs_metadata.yml:13-16, yaetos/etl_utils.py:404-429).
+  * All tabular data is a Spark DataFrame; `format` selects the reader/
+  * writer ("csv" | "parquet" | "json" | "json_records" | "text" | "jdbc" |
+  * "df" for in-memory handoff).
+  */
+final case class DatasetSpec(
+    path: String = "",
+    format: String = "parquet",
+    incField: Option[String] = None,
+    glob: Option[String] = None,
+    readOptions: Map[String, String] = Map.empty,
+    saveOptions: Map[String, String] = Map.empty,
+    pk: Seq[String] = Nil,
+    from: Option[String] = None)
+
+/** Declarative job description (one entry of the reference's
+  * `conf/jobs_metadata.yml`): named inputs → transform (inline SQL, SQL
+  * file, or registered class) → output, plus orchestration attrs.
+  */
+final case class JobSpec(
+    name: String,
+    inputs: Map[String, DatasetSpec] = Map.empty,
+    output: Option[DatasetSpec] = None,
+    sql: Option[String] = None,
+    sqlFile: Option[String] = None,
+    className: Option[String] = None,
+    dependencies: Seq[String] = Nil,
+    incrementalMode: String = "no_schema", // "no_schema" | "partitioned"
+    repartition: Option[Int] = None,
+    partitionBy: Seq[String] = Nil,
+    params: Map[String, String] = Map.empty) {
+
+  /** A job is incremental iff any input or the output declares inc_field
+    * (reference yaetos/etl_utils.py:1034-1035).
+    */
+  def isIncremental: Boolean =
+    inputs.values.exists(_.incField.nonEmpty) || output.exists(_.incField.nonEmpty)
+}
+
+/** Recursive `{{param}}` interpolation with a depth guard (reference
+  * Job_Args_Parser.replace_placeholders, yaetos/etl_utils.py:1051-1078).
+  * Unknown keys are left intact so path templating (`{{latest}}`) can run
+  * in a later pass.
+  */
+object Params {
+  def interpolate(text: String, args: Map[String, String], maxDepth: Int = 100): String = {
+    var cur = text
+    var depth = 0
+    var changed = true
+    while (changed && depth < maxDepth) {
+      val next = args.foldLeft(cur) { case (t, (k, v)) => t.replace(s"{{$k}}", v) }
+      changed = next != cur
+      cur = next
+      depth += 1
+    }
+    cur
+  }
+
+  /** Interpolate every string field of a DatasetSpec. */
+  def resolve(ds: DatasetSpec, args: Map[String, String]): DatasetSpec =
+    ds.copy(
+      path = interpolate(ds.path, args),
+      glob = ds.glob.map(interpolate(_, args)),
+      readOptions = ds.readOptions.map { case (k, v) => k -> interpolate(v, args) },
+      saveOptions = ds.saveOptions.map { case (k, v) => k -> interpolate(v, args) })
+}

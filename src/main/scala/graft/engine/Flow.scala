@@ -1,0 +1,96 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.model.JobSpec
+import java.time.LocalDate
+
+/** Dependency-DAG execution (reference Flow, yaetos/etl_utils.py:1418-1518,
+  * minus networkx): extract the upstream subtree of the target job,
+  * topologically order it (Kahn), run each job in order, passing outputs
+  * in-memory to downstream jobs (`chain_dependencies` — the output of job
+  * J is available to any successor input named J or declaring `from: J`).
+  */
+object Flow {
+
+  /** Upstream closure of `target` (target included). */
+  def upstream(jobs: Map[String, JobSpec], target: String): Map[String, JobSpec] = {
+    val seen = collection.mutable.Set.empty[String]
+    def visit(n: String): Unit = if (seen.add(n)) {
+      val j = jobs.getOrElse(n, sys.error(s"unknown job in DAG: $n"))
+      j.dependencies.foreach(visit)
+    }
+    visit(target)
+    jobs.view.filterKeys(seen).toMap
+  }
+
+  /** Kahn topological order; fails on cycles. */
+  def topoOrder(jobs: Map[String, JobSpec]): Seq[String] = {
+    val indeg = collection.mutable.Map.from(jobs.map { case (n, j) =>
+      n -> j.dependencies.count(jobs.contains)
+    })
+    val queue = collection.mutable.PriorityQueue.empty[String](Ordering[String].reverse)
+    indeg.foreach { case (n, d) => if (d == 0) queue.enqueue(n) }
+    val order = collection.mutable.ArrayBuffer.empty[String]
+    while (queue.nonEmpty) {
+      val n = queue.dequeue()
+      order += n
+      jobs.foreach { case (m, j) =>
+        if (j.dependencies.contains(n) && jobs.contains(m)) {
+          indeg(m) -= 1
+          if (indeg(m) == 0) queue.enqueue(m)
+        }
+      }
+    }
+    require(order.size == jobs.size,
+      s"dependency cycle among: ${jobs.keySet -- order.toSet}")
+    order.toSeq
+  }
+
+  /** Run the pipeline up to `target`; returns each job's output frame.
+    * `save=false` keeps everything in memory (test/chained mode).
+    */
+  def runPipeline(spark: SparkSession, jobs: Map[String, JobSpec], target: String,
+                  save: Boolean = true, now: String = Etl.defaultNow()):
+      Map[String, DataFrame] = {
+    val sub = upstream(jobs, target)
+    val done = collection.mutable.Map.empty[String, DataFrame]
+    topoOrder(sub).foreach { name =>
+      val res = Etl.runJob(spark, sub(name), loadedInputs = done.toMap,
+        now = now, save = save)
+      done(name) = res.df
+    }
+    done.toMap
+  }
+}
+
+/** Day-granularity period generation (reference Period_Builder,
+  * yaetos/etl_utils.py:775-801): all days from `first` to `until`,
+  * inclusive, as ISO strings.
+  */
+object PeriodBuilder {
+  def periods(first: LocalDate, until: LocalDate): Seq[String] =
+    Iterator.iterate(first)(_.plusDays(1)).takeWhile(!_.isAfter(until))
+      .map(_.toString).toSeq
+}
+
+/** Multi-pass incremental driver (reference etl_multi_pass,
+  * yaetos/etl_utils.py:97-137): one `Etl.runJob` per period, bounded by
+  * `maxPeriods` (the reference's unbounded rerun loop is a documented
+  * footgun — SURVEY §7.4).
+  */
+object MultiPass {
+  final case class PassResult(period: String, rows: Long, path: Option[String])
+
+  def run(spark: SparkSession, job: JobSpec, first: LocalDate, until: LocalDate,
+          now: String = Etl.defaultNow(), maxPeriods: Int = 1000,
+          stopOnEmpty: Boolean = false): Seq[PassResult] = {
+    val ps = PeriodBuilder.periods(first, until).take(maxPeriods)
+    val out = collection.mutable.ArrayBuffer.empty[PassResult]
+    ps.iterator.takeWhile { _ => !stopOnEmpty || out.lastOption.forall(_.rows > 0) }
+      .foreach { p =>
+        val res = Etl.runJob(spark, job, period = Some(p), now = now)
+        out += PassResult(p, res.df.count(), res.writtenPath)
+      }
+    out.toSeq
+  }
+}

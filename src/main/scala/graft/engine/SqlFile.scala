@@ -30,18 +30,8 @@ object SqlFile {
   /** Recursive `{{param}}` interpolation, cycle-limited (reference
     * Job_Args_Parser.replace_placeholders, yaetos/etl_utils.py:1051-1078).
     */
-  def interpolate(text: String, args: Map[String, String], maxDepth: Int = 100): String = {
-    var cur = text
-    var depth = 0
-    var changed = true
-    while (changed && depth < maxDepth) {
-      val next = args.foldLeft(cur) { case (t, (k, v)) => t.replace(s"{{$k}}", v) }
-      changed = next != cur
-      cur = next
-      depth += 1
-    }
-    cur
-  }
+  def interpolate(text: String, args: Map[String, String], maxDepth: Int = 100): String =
+    graft.core.model.Params.interpolate(text, args, maxDepth)
 
   /** Run a SQL-file job: parse header params (overridable by `overrides`),
     * interpolate, execute via `spark.sql`. Inputs must already be
@@ -63,5 +53,14 @@ object SqlFile {
     val in = getClass.getResourceAsStream(name)
     require(in != null, s"missing SQL resource: $name")
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** SQL text from a classpath resource if present, else a filesystem path. */
+  def resourceOrFile(path: String): String = {
+    val in = getClass.getResourceAsStream(path)
+    if (in != null)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    else new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
   }
 }

@@ -1,0 +1,204 @@
+package graft.core
+
+import graft.SparkSpec
+import graft.core.io.{PathTemplating, Reader, Writer}
+import graft.core.model.{DatasetSpec, JobSpec, Manifest, Params}
+import graft.engine.{Etl, Flow, MultiPass, PeriodBuilder}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class ManifestSpec extends SparkSpec {
+
+  val yml =
+    """common_params:
+      |  all_mode_params:
+      |    base: /data
+      |    k1: all
+      |  mode_specific_params:
+      |    dev:
+      |      k1: dev
+      |      k2: dev-only
+      |    prod:
+      |      k1: prod
+      |jobs:
+      |  j1:
+      |    inputs:
+      |      ev: {path: "{{base}}/ev.csv", type: csv, inc_field: ts, glob: "part*"}
+      |    output: {path: "{{base}}/out", type: parquet, pk: [id]}
+      |    sql: SELECT 1
+      |    params: {k2: job}
+      |  j2:
+      |    dependencies: [j1]
+      |    output: {path: /o2, type: csv}
+      |""".stripMargin
+
+  test("mode layering precedence: all < mode < job < cmd") {
+    val dev = Manifest.parse(yml, Seq("dev"))
+    assert(dev.jobs("j1").params("k1") == "dev")
+    assert(dev.jobs("j1").params("k2") == "job")
+    assert(dev.jobs("j2").params("k2") == "dev-only")
+    val prod = Manifest.parse(yml, Seq("prod"))
+    assert(prod.jobs("j1").params("k1") == "prod")
+    val cmd = Manifest.parse(yml, Seq("dev"), Map("k1" -> "cli"))
+    assert(cmd.jobs("j1").params("k1") == "cli")
+  }
+
+  test("dataset attrs parse: type, inc_field, glob, pk; dependencies") {
+    val m = Manifest.parse(yml, Seq("dev"))
+    val ds = m.jobs("j1").inputs("ev")
+    assert(ds.format == "csv" && ds.incField.contains("ts") && ds.glob.contains("part*"))
+    assert(m.jobs("j1").output.get.pk == Seq("id"))
+    assert(m.jobs("j2").dependencies == Seq("j1"))
+    assert(m.jobs("j1").isIncremental && !m.jobs("j2").isIncremental)
+  }
+
+  test("param interpolation resolves paths") {
+    val m = Manifest.parse(yml, Seq("dev"))
+    val resolved = Params.resolve(m.jobs("j1").inputs("ev"), m.jobs("j1").params)
+    assert(resolved.path == "/data/ev.csv")
+  }
+}
+
+class FlowSpec extends SparkSpec {
+  import spark.implicits._
+
+  def job(name: String, deps: Seq[String] = Nil, sql: Option[String] = None): JobSpec =
+    JobSpec(name = name, dependencies = deps, sql = sql)
+
+  test("topoOrder respects dependencies and rejects cycles") {
+    val jobs = Map(
+      "a" -> job("a"), "b" -> job("b", Seq("a")),
+      "c" -> job("c", Seq("a")), "d" -> job("d", Seq("b", "c")))
+    val order = Flow.topoOrder(jobs)
+    assert(order.indexOf("a") < order.indexOf("b"))
+    assert(order.indexOf("b") < order.indexOf("d"))
+    assert(order.indexOf("c") < order.indexOf("d"))
+    val cyc = Map("x" -> job("x", Seq("y")), "y" -> job("y", Seq("x")))
+    assertThrows[IllegalArgumentException](Flow.topoOrder(cyc))
+  }
+
+  test("upstream extracts only the target's ancestor subtree") {
+    val jobs = Map(
+      "a" -> job("a"), "b" -> job("b", Seq("a")),
+      "z" -> job("z"))
+    assert(Flow.upstream(jobs, "b").keySet == Set("a", "b"))
+  }
+
+  test("runPipeline chains outputs in memory by job name") {
+    Seq((1, 10), (2, 20)).toDF("id", "v").createOrReplaceTempView("src")
+    val jobs = Map(
+      "base" -> JobSpec(name = "base", sql = Some("SELECT id, v * 2 AS v2 FROM src")),
+      "final" -> JobSpec(name = "final",
+        inputs = Map("base" -> DatasetSpec(format = "df")),
+        sql = Some("SELECT sum(v2) AS total FROM base"),
+        dependencies = Seq("base")))
+    val outs = Flow.runPipeline(spark, jobs, "final", save = false)
+    assert(outs("final").head().getLong(0) == 60L)
+  }
+}
+
+class EtlIoSpec extends SparkSpec {
+  import spark.implicits._
+
+  def tmp(): String = Files.createTempDirectory("graft_test").toString
+
+  test("csv job end-to-end: read csv glob, sql transform, write csv with {{now}}") {
+    val dir = tmp()
+    Seq((1, "a", 5), (2, "b", 6), (3, "a", 7)).toDF("id", "grp", "v")
+      .write.option("header", "true").csv(s"$dir/in")
+    val job = JobSpec(name = "t",
+      inputs = Map("raw" -> DatasetSpec(path = s"$dir/in", format = "csv")),
+      output = Some(DatasetSpec(path = s"$dir/out/{{now}}", format = "csv")),
+      sql = Some("SELECT grp, count(*) AS n FROM raw GROUP BY grp"))
+    val res = Etl.runJob(spark, job, now = "20240101_000000")
+    assert(res.writtenPath.get.endsWith("/out/20240101_000000"))
+    val back = spark.read.option("header", "true").csv(res.writtenPath.get)
+    assert(back.count() == 2)
+    // schema sidecar written next to data
+    assert(new java.io.File(res.writtenPath.get, "_schema.json").exists())
+  }
+
+  test("incremental no_schema sink appends inc_<now>_<period> subfolders") {
+    val dir = tmp()
+    Seq(("2024-01-01 01:00:00", 1.0), ("2024-01-02 01:00:00", 2.0),
+        ("2024-01-02 02:00:00", 3.0))
+      .toDF("ts", "v").select(col("ts").cast("timestamp").as("ts"), col("v"))
+      .write.parquet(s"$dir/ev")
+    val job = JobSpec(name = "inc",
+      inputs = Map("ev" -> DatasetSpec(path = s"$dir/ev", incField = Some("ts"))),
+      output = Some(DatasetSpec(path = s"$dir/out")),
+      sql = Some("SELECT ts, v FROM ev"))
+    val results = MultiPass.run(spark, job,
+      java.time.LocalDate.parse("2024-01-01"), java.time.LocalDate.parse("2024-01-03"),
+      now = "20240101_000000")
+    assert(results.map(_.rows) == Seq(1L, 2L, 0L))
+    assert(results.head.path.get.endsWith("inc_20240101_000000_2024-01-01"))
+    val all = spark.read.parquet(s"$dir/out/inc_*")
+    assert(all.count() == 3)
+  }
+
+  test("partitioned incremental sink partitions by a derived inc column") {
+    val dir = tmp()
+    Seq(("2024-01-01", 1.0), ("2024-01-02", 2.0)).toDF("day", "v")
+      .write.parquet(s"$dir/ev")
+    val job = JobSpec(name = "p",
+      inputs = Map("ev" -> DatasetSpec(path = s"$dir/ev")),
+      output = Some(DatasetSpec(path = s"$dir/out", incField = Some("day"))),
+      incrementalMode = "partitioned",
+      sql = Some("SELECT day, v FROM ev"))
+    Etl.runJob(spark, job)
+    val dirs = new java.io.File(s"$dir/out").list().filter(_.startsWith("day="))
+    assert(dirs.toSet == Set("day=2024-01-01", "day=2024-01-02"))
+  }
+
+  test("pk violation on output fails the job") {
+    val dir = tmp()
+    Seq((1, "x"), (1, "y")).toDF("id", "s").write.parquet(s"$dir/in")
+    val job = JobSpec(name = "pkfail",
+      inputs = Map("t" -> DatasetSpec(path = s"$dir/in")),
+      output = Some(DatasetSpec(path = s"$dir/out", pk = Seq("id"))),
+      sql = Some("SELECT * FROM t"))
+    assertThrows[IllegalArgumentException](Etl.runJob(spark, job))
+  }
+
+  test("{{latest}} resolves to max lexicographic subfolder") {
+    val dir = tmp()
+    Seq(1).toDF("x").write.parquet(s"$dir/v/2024-01-01")
+    Seq(2).toDF("x").write.parquet(s"$dir/v/2024-02-01")
+    val p = PathTemplating.expandLatest(s"$dir/v/{{latest}}", spark)
+    assert(p == s"$dir/v/2024-02-01")
+    assert(spark.read.parquet(p).head().getInt(0) == 2)
+  }
+
+  test("json_records reader unwraps the records envelope") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(dir, "r.json"),
+      """{"records": [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]}""")
+    val df = Reader.read(spark, DatasetSpec(path = s"$dir/r.json", format = "json_records"))
+    assert(df.columns.sorted.toSeq == Seq("a", "b") && df.count() == 2)
+  }
+
+  test("multi-path reader unions combos with _source column") {
+    val dir = tmp()
+    Seq(1).toDF("x").write.option("header", "true").csv(s"$dir/cat1/sub1")
+    Seq(2).toDF("x").write.option("header", "true").csv(s"$dir/cat2/sub2")
+    val df = Reader.readMultiPath(spark,
+      DatasetSpec(path = s"$dir/{cat}/{sub}", format = "csv"),
+      Seq(Map("cat" -> "cat1", "sub" -> "sub1"), Map("cat" -> "cat2", "sub" -> "sub2")))
+    assert(df.count() == 2 && df.columns.contains("_source"))
+  }
+
+  test("listFiles returns matching files as a frame") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(dir, "a.txt"), "1")
+    Files.writeString(java.nio.file.Paths.get(dir, "b.log"), "2")
+    val df = PathTemplating.listFiles(spark, dir, Some("*.txt"))
+    assert(df.count() == 1 && df.head().getString(0).endsWith("a.txt"))
+  }
+
+  test("periods generates inclusive day range") {
+    assert(PeriodBuilder.periods(
+      java.time.LocalDate.parse("2024-01-30"), java.time.LocalDate.parse("2024-02-02"))
+      == Seq("2024-01-30", "2024-01-31", "2024-02-01", "2024-02-02"))
+  }
+}
