@@ -65,6 +65,12 @@ object Compare {
       (pks.map(k => coalesce(col(s"l_$k"), col(s"r_$k")).as(k)) :+ status.as("status")): _*)
   }
 
+  /** Pre-compare column profile (reference compare_job's describe() step,
+    * jobs/generic/compare_job.py:24-26): count/mean/stddev/min/quartiles/max
+    * per numeric column.
+    */
+  def columnStats(df: DataFrame): DataFrame = df.summary()
+
   /** Aggregated fuzzy-compare report: counts per status. */
   def fuzzySummary(left: DataFrame, right: DataFrame, pks: Seq[String],
                    compareCols: Seq[String], thresholdPct: Double): DataFrame =

@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import graft.core.model.DatasetSpec
+
+/** JDBC source/sink option builders (reference MySQL/ClickHouse/Redshift
+  * readers, yaetos/etl_utils.py:504-577 and push jobs
+  * yaetos/redshift_spark.py, clickhouse.py).
+  *
+  * No database ships in this environment, so these build the exact option
+  * maps Spark's JDBC relation consumes — the part the reference owns —
+  * and the read/write calls are thin dispatch. Incremental reads push the
+  * period predicate into the database query (the reference's
+  * `WHERE inc >= period AND inc < period_next`, fetchsize 10000,
+  * numPartitions 3 — yaetos/etl_utils.py:525-536).
+  */
+object Jdbc {
+
+  val defaultFetchSize = "10000"
+  val defaultNumPartitions = "3"
+
+  def fullTableOptions(url: String, table: String,
+                       extra: Map[String, String] = Map.empty): Map[String, String] =
+    Map("url" -> url, "dbtable" -> table,
+      "fetchsize" -> defaultFetchSize) ++ extra
+
+  /** Range-pushdown incremental read: the WHERE clause runs in the
+    * database, so only one period's rows cross the wire.
+    */
+  def incrementalOptions(url: String, table: String, incField: String,
+                         period: String, periodNext: String,
+                         extra: Map[String, String] = Map.empty): Map[String, String] =
+    Map("url" -> url,
+      "query" ->
+        s"SELECT * FROM $table WHERE $incField >= '$period' AND $incField < '$periodNext'",
+      "fetchsize" -> defaultFetchSize,
+      "numPartitions" -> defaultNumPartitions) ++ extra
+
+  /** Parallel partitioned read bounds (for big backfills): Spark splits
+    * the scan into numPartitions range queries on partitionColumn.
+    */
+  def partitionedOptions(url: String, table: String, partitionColumn: String,
+                         lowerBound: Long, upperBound: Long, numPartitions: Int,
+                         extra: Map[String, String] = Map.empty): Map[String, String] =
+    Map("url" -> url, "dbtable" -> table,
+      "partitionColumn" -> partitionColumn,
+      "lowerBound" -> lowerBound.toString,
+      "upperBound" -> upperBound.toString,
+      "numPartitions" -> numPartitions.toString,
+      "fetchsize" -> defaultFetchSize) ++ extra
+
+  def read(spark: SparkSession, options: Map[String, String]): DataFrame =
+    spark.read.format("jdbc").options(options).load()
+
+  /** Push a frame to a table; overwrite for full loads, append for
+    * incremental (reference redshift_spark.py:7-31 mode logic).
+    */
+  def write(df: DataFrame, url: String, table: String, incremental: Boolean,
+            extra: Map[String, String] = Map.empty): Unit =
+    df.write.format("jdbc")
+      .options(Map("url" -> url, "dbtable" -> table) ++ extra)
+      .mode(if (incremental) SaveMode.Append else SaveMode.Overwrite)
+      .save()
+
+  /** DatasetSpec adapter so manifests can declare `type: jdbc` inputs with
+    * read_kwargs carrying the options.
+    */
+  def fromSpec(spark: SparkSession, ds: DatasetSpec,
+               period: Option[(String, String)] = None): DataFrame = {
+    val opts = (ds.incField, period) match {
+      case (Some(f), Some((p, pNext))) =>
+        incrementalOptions(ds.readOptions("url"), ds.readOptions("dbtable"),
+          f, p, pNext, ds.readOptions -- Seq("url", "dbtable"))
+      case _ => ds.readOptions
+    }
+    read(spark, opts)
+  }
+}

@@ -1,0 +1,164 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import graft.core.io.Writer
+import graft.core.model.{DatasetSpec, JobSpec}
+
+/** Structured Streaming surface. The reference has no stream consumer
+  * (Kafka is a push-only sink, reference yaetos/kafka_utils.py) — this
+  * module is the Spark-native extension of its incremental jobs: the same
+  * day-granularity batch increments, re-expressed as continuous streams
+  * with watermarks and stateful operators.
+  */
+object Streams {
+
+  /** File-source stream over the same DatasetSpec formats as the batch
+    * Reader (schema required — streaming reads can't infer).
+    */
+  def readFileStream(spark: SparkSession, ds: DatasetSpec, schemaDdl: String): DataFrame = {
+    val reader = spark.readStream.schema(schemaDdl).options(ds.readOptions)
+    ds.format match {
+      case "csv" => reader.option("header", "true").csv(ds.path)
+      case "json" => reader.json(ds.path)
+      case "parquet" => reader.parquet(ds.path)
+      case "text" => reader.text(ds.path)
+      case other => sys.error(s"unsupported stream source format: $other")
+    }
+  }
+
+  /** Watermarked sliding-window aggregation: counts + sum per
+    * (window, key). Late rows beyond `watermarkDelay` are dropped and
+    * their state reclaimed — the property that keeps state bounded on an
+    * unbounded stream.
+    */
+  def windowedAgg(df: DataFrame, tsCol: String, keyCol: String,
+                  watermarkDelay: String, windowDur: String,
+                  slide: Option[String] = None): DataFrame = {
+    val win = slide match {
+      case Some(s) => window(col(tsCol), windowDur, s)
+      case None => window(col(tsCol), windowDur)
+    }
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(win.as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col(keyCol), col("n"), col("sum_value"))
+  }
+
+  /** Streaming dedup on a key within the watermark horizon — the streaming
+    * twin of exact batch dedup (state bounded by the watermark).
+    */
+  def dedupStream(df: DataFrame, tsCol: String, keys: Seq[String],
+                  watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** foreachBatch bridge into the batch Writer: each micro-batch lands as
+    * one increment through the exact same sink code as batch jobs (path
+    * suffixing, partitioning, schema sidecar).
+    */
+  def writeIncrements(stream: DataFrame, job: JobSpec, out: DatasetSpec,
+                      checkpoint: String, now: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        Writer.write(batch, job, out, now, period = Some(s"batch$id")): Unit
+      }
+      .start()
+}
+
+/** Gap-based sessionization with explicit state — the canonical
+  * `flatMapGroupsWithState` pattern: one state entry per key, emitted and
+  * cleared when the gap elapses (processing-time timeout keeps the example
+  * test-drivable; event-time gap logic is in `fold`).
+  */
+object Sessionize {
+
+  final case class Event(user_id: Long, ts_ms: Long, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  final case class Session(user_id: Long, start_ms: Long, end_ms: Long,
+                           n_events: Long, sum_value: Double)
+
+  /** Pure state fold: feed sorted events; emit a session whenever the gap
+    * between consecutive events exceeds `gapMs`.
+    */
+  def fold(state: Option[SessionState], events: Seq[Event], gapMs: Long):
+      (Option[SessionState], Seq[(SessionState, Long)]) = {
+    var cur = state
+    val out = collection.mutable.ArrayBuffer.empty[(SessionState, Long)]
+    events.sortBy(_.ts_ms).foreach { e =>
+      cur match {
+        case Some(s) if e.ts_ms - s.end > gapMs =>
+          out += ((s, e.user_id))
+          cur = Some(SessionState(e.ts_ms, e.ts_ms, 1, e.value))
+        case Some(s) =>
+          cur = Some(SessionState(s.start, math.max(s.end, e.ts_ms), s.n + 1, s.sum + e.value))
+        case None =>
+          cur = Some(SessionState(e.ts_ms, e.ts_ms, 1, e.value))
+      }
+    }
+    (cur, out.toSeq)
+  }
+
+  /** Sessions close when a later event arrives past the gap. With
+    * `idleTimeout=true` (production default) a processing-time timeout
+    * also flushes sessions whose key goes silent; tests use `false` so
+    * micro-batches stay purely data-driven.
+    */
+  def sessions(events: Dataset[Event], gapMs: Long,
+               idleTimeout: Boolean = true): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, timeoutConf) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          if (idleTimeout && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(uid, s.start, s.end, s.n, s.sum))
+          } else {
+            val (next, closed) = fold(state.getOption, it.toSeq, gapMs)
+            next.foreach { s =>
+              state.update(s)
+              if (idleTimeout) state.setTimeoutDuration(gapMs)
+            }
+            closed.iterator.map { case (s, u) => Session(u, s.start, s.end, s.n, s.sum) }
+          }
+      }
+  }
+}
+
+/** Kafka-sink payload semantics (reference yaetos/kafka_utils.py:14-73):
+  * one JSON document per record with required-field validation before
+  * send. The actual Kafka transport needs the spark-sql-kafka connector
+  * (not present in this zero-egress image) — `payload` produces exactly
+  * the (key, value) frame `.format("kafka")` consumes, so wiring the
+  * transport is one `.writeStream.format("kafka")` away.
+  */
+object KafkaSink {
+
+  /** (key, value) frame: value = to_json(struct(*)), key optional. */
+  def payload(df: DataFrame, keyCol: Option[String] = None): DataFrame = {
+    val value = to_json(struct(df.columns.map(col): _*)).as("value")
+    keyCol match {
+      case Some(k) => df.select(col(k).cast("string").as("key"), value)
+      case None => df.select(value)
+    }
+  }
+
+  /** Split records by required-field presence (the reference's JSON-schema
+    * check, as a distributed filter): returns (valid, invalid).
+    */
+  def validateRequired(df: DataFrame, required: Seq[String]): (DataFrame, DataFrame) = {
+    val missing = required.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"schema missing required fields: $missing")
+    val ok = required.map(col(_).isNotNull).reduce(_ && _)
+    (df.filter(ok), df.filter(!ok))
+  }
+}

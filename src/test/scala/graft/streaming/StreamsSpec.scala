@@ -1,0 +1,124 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpec {
+
+  test("windowedAgg: watermarked tumbling-window counts over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = Streams.windowedAgg(df, "ts", "event_type",
+      watermarkDelay = "10 minutes", windowDur = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:01:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 00:02:00"), "click", 2.0),
+        (Timestamp.valueOf("2024-01-01 00:07:00"), "click", 3.0),
+        (Timestamp.valueOf("2024-01-01 00:03:00"), "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT window_start, event_type, n, sum_value FROM win_counts
+          |ORDER BY window_start, event_type""".stripMargin).collect()
+      assert(rows.length == 3)
+      assert(rows(0).getString(1) == "click" && rows(0).getLong(2) == 2L
+        && rows(0).getDouble(3) == 3.0)
+      assert(rows(1).getString(1) == "view" && rows(1).getLong(2) == 1L)
+      assert(rows(2).getString(1) == "click" && rows(2).getLong(2) == 1L)
+    } finally q.stop()
+  }
+
+  test("dedupStream drops duplicate keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "event_id")
+    val q = Streams.dedupStream(df, "ts", Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:01:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 00:02:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 00:03:00"), 2L))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM dedup_out").head().getLong(0) == 2L)
+    } finally q.stop()
+  }
+
+  test("Sessionize.fold closes sessions on gap and accumulates otherwise") {
+    import Sessionize._
+    val events = Seq(Event(1, 1000, 1.0), Event(1, 2000, 2.0), Event(1, 99000, 3.0))
+    val (state, closed) = fold(None, events, gapMs = 30000)
+    assert(closed.map(_._1) == Seq(SessionState(1000, 2000, 2, 3.0)))
+    assert(state.contains(SessionState(99000, 99000, 1, 3.0)))
+  }
+
+  test("Sessionize.sessions emits closed sessions through the stateful stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import Sessionize._
+    val mem = MemoryStream[Event]
+    val q = sessions(mem.toDS(), gapMs = 30000, idleTimeout = false)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(7, 1000, 1.0), Event(7, 2000, 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(7, 99000, 5.0)) // gap > 30s closes the first session
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, start_ms, end_ms, n_events, sum_value FROM sessions_out").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getLong(0) == 7L && rows(0).getLong(1) == 1000L
+        && rows(0).getLong(2) == 2000L && rows(0).getLong(3) == 2L)
+    } finally q.stop()
+  }
+
+  test("KafkaSink.payload builds per-record JSON; validateRequired splits nulls") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("id", "s")
+    val p = KafkaSink.payload(df, keyCol = Some("id")).collect()
+    assert(p.map(_.getString(0)).toSeq == Seq("1", "2"))
+    assert(p(0).getString(1) == """{"id":1,"s":"a"}""")
+    val (ok, bad) = KafkaSink.validateRequired(df, Seq("id", "s"))
+    assert(ok.count() == 1 && bad.count() == 1)
+    assertThrows[IllegalArgumentException](
+      KafkaSink.validateRequired(df, Seq("missing_col")))
+  }
+}
+
+class TypedAndJdbcSpec extends SparkSpec {
+
+  test("typed wordcount matches the explode/groupBy plan") {
+    import spark.implicits._
+    val lines = Seq("a b a", "b  c").toDS()
+    val m = graft.ops.Typed.wordcount(lines).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("jdbc incremental options push the period range into the db query") {
+    val opts = graft.sources.Jdbc.incrementalOptions(
+      "jdbc:mysql://host/db", "events", "created_at", "2024-01-01", "2024-01-02")
+    assert(opts("query") ==
+      "SELECT * FROM events WHERE created_at >= '2024-01-01' AND created_at < '2024-01-02'")
+    assert(opts("fetchsize") == "10000" && opts("numPartitions") == "3")
+    val part = graft.sources.Jdbc.partitionedOptions(
+      "jdbc:x://h/d", "t", "id", 0L, 1000L, 8)
+    assert(part("partitionColumn") == "id" && part("numPartitions") == "8")
+  }
+
+  test("columnStats yields summary rows per numeric column") {
+    import spark.implicits._
+    val s = graft.ops.Compare.columnStats(Seq(1.0, 2.0, 3.0).toDF("v")).collect()
+    val m = s.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("count") == "3" && m("min") == "1.0" && m("max") == "3.0")
+  }
+}
