@@ -63,6 +63,21 @@ object Flow {
   }
 }
 
+/** Multi-region/param-grid meta-runs (reference multi_region_meta_job,
+  * jobs/generic/multi_region_meta_job.py:5-24): re-run a pipeline once per
+  * param combination, with each combo's params interpolated into every
+  * job's datasets (e.g. region-specific paths).
+  */
+object MultiRun {
+  def runGrid(spark: SparkSession, jobs: Map[String, JobSpec], target: String,
+              grid: Seq[Map[String, String]], save: Boolean = true,
+              now: String = Etl.defaultNow()): Map[Map[String, String], DataFrame] =
+    grid.map { combo =>
+      val withParams = jobs.map { case (n, j) => n -> j.copy(params = j.params ++ combo) }
+      combo -> Flow.runPipeline(spark, withParams, target, save, now)(target)
+    }.toMap
+}
+
 /** Day-granularity period generation (reference Period_Builder,
   * yaetos/etl_utils.py:775-801): all days from `first` to `until`,
   * inclusive, as ISO strings.

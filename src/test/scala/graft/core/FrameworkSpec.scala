@@ -196,6 +196,41 @@ class EtlIoSpec extends SparkSpec {
     assert(df.count() == 1 && df.head().getString(0).endsWith("a.txt"))
   }
 
+  test("MultiRun.runGrid re-runs the pipeline per param combo") {
+    val dir = tmp()
+    Seq(("us", 1), ("eu", 2), ("us", 3)).toDF("region", "v")
+      .write.partitionBy("region").parquet(s"$dir/in")
+    val jobs = Map("per_region" -> JobSpec(name = "per_region",
+      inputs = Map("t" -> DatasetSpec(path = s"$dir/in/region={{region}}")),
+      sql = Some("SELECT sum(v) AS total FROM t")))
+    val out = graft.engine.MultiRun.runGrid(spark, jobs, "per_region",
+      Seq(Map("region" -> "us"), Map("region" -> "eu")), save = false)
+    assert(out(Map("region" -> "us")).head().getLong(0) == 4L)
+    assert(out(Map("region" -> "eu")).head().getLong(0) == 2L)
+  }
+
+  test("QueryCache serves repeated queries from parquet by sql hash") {
+    val dir = tmp()
+    Seq((1, "x")).toDF("id", "s").createOrReplaceTempView("qc_src")
+    val sql = "SELECT id, s FROM qc_src"
+    val first = graft.ops.QueryCache.cached(spark, sql, dir)
+    assert(first.count() == 1)
+    // cache file exists under md5 key; second call reads it even if the
+    // view changes underneath
+    Seq((1, "x"), (2, "y")).toDF("id", "s").createOrReplaceTempView("qc_src")
+    assert(graft.ops.QueryCache.cached(spark, sql, dir).count() == 1)
+    assert(graft.ops.QueryCache.cached(spark, sql, dir, overwrite = true).count() == 2)
+  }
+
+  test("catalog registration makes a written location queryable by table name") {
+    val dir = tmp()
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    df.write.parquet(s"$dir/tbl")
+    graft.core.io.Writer.registerTable(df, "graft_reg_test", s"$dir/tbl", "parquet")
+    assert(spark.sql("SELECT count(*) FROM graft_reg_test").head().getLong(0) == 2L)
+    spark.sql("DROP TABLE graft_reg_test")
+  }
+
   test("periods generates inclusive day range") {
     assert(PeriodBuilder.periods(
       java.time.LocalDate.parse("2024-01-30"), java.time.LocalDate.parse("2024-02-02"))
