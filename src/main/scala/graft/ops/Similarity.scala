@@ -74,6 +74,22 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Persist the corpus partitioned by cluster id — the on-disk IVF
+    * layout. With this layout, `ivfTopK` over the read-back frame prunes
+    * at the FILE level: the broadcast probe side's clusters drive dynamic
+    * partition pruning, so only the probes' cells are ever scanned. At
+    * 100 TB that's the difference between a full-corpus scan and reading
+    * a handful of cells.
+    */
+  def writeClusteredIndex(corpus: DataFrame, dir: String,
+                          clusterCol: String = "label"): Unit =
+    corpus.write.mode("overwrite").partitionBy(clusterCol).parquet(dir)
+
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     probes: DataFrame, k: Int,
+                     clusterCol: String = "label"): DataFrame =
+    ivfTopK(spark.read.parquet(dir), probes, clusterCol, k)
+
   /** Cosine near-duplicate pairs above `threshold` within a probe subset
     * (`probeModulo` keeps the left side small; at scale the left side is
     * the newly-ingested delta, not a modulo sample).

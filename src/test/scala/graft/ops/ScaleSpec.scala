@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the plain-join result") {
+    // heavy skew: key 1 dominates
+    val left = ((1 to 100).map(i => (1, s"l$i")) ++ Seq((2, "x"), (3, "y")))
+      .toDF("k", "lv")
+    val right = Seq((1, 10.0), (2, 20.0), (4, 40.0)).toDF("k", "rv")
+    val expected = left.join(right, Seq("k"))
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSet
+    val got = Skew.saltedJoin(left, right, Seq("k"), factor = 8)
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(got.size == 101) // 100 skewed k=1 matches + one k=2 match
+  }
+}
+
+class SimilarityIndexSpec extends SparkSpec {
+
+  test("clustered index layout enables partition-pruned IVF top-k") {
+    val dir = Files.createTempDirectory("graft_ivf").toString
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    Similarity.writeClusteredIndex(emb, s"$dir/index")
+    // probe set lives in a single cluster
+    val probes = emb.filter(col("vec_id") === 0)
+    val indexed = Similarity.ivfTopKIndexed(spark, s"$dir/index", probes, k = 3)
+    val direct = Similarity.ivfTopK(emb, probes, "label", k = 3)
+    assert(indexed.collect().map(_.toSeq).toSeq == direct.collect().map(_.toSeq).toSeq)
+    // the scan over the partitioned layout carries a partition filter —
+    // at scale this is file-level pruning to the probes' cells
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("dynamicpruning") || plan.contains("isnotnull(label")))
+  }
+}
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("dot_f resolves through SQL after registration (tune/extensions path)") {
+    val r = spark.sql("SELECT dot_f(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d").head()
+    assert(r.getDouble(0) == 11.0)
+  }
+
+  test("GraftExtensions installs without error") {
+    // full end-to-end needs a fresh JVM (spark.sql.extensions is read at
+    // session build); here we pin that the injector wires up
+    new graft.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+}
