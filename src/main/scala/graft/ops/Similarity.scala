@@ -90,6 +90,53 @@ object Similarity {
                      clusterCol: String = "label"): DataFrame =
     ivfTopK(spark.read.parquet(dir), probes, clusterCol, k)
 
+  /** Deterministic random hyperplanes for sign-bit LSH: `tables` hash
+    * tables of `bits` planes each, seeded — same seed, same planes, on
+    * every executor and every rerun.
+    */
+  def hyperplanes(dim: Int, bits: Int, tables: Int, seed: Long): Array[Array[Array[Float]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables, bits, dim)(rnd.nextGaussian().toFloat)
+  }
+
+  /** Random-projection (SimHash-for-vectors) LSH near-dup pairs: each
+    * vector hashes to one `bits`-bit bucket per table (sign of the dot
+    * with each hyperplane); only same-bucket pairs are scored. The
+    * self-join shuffles on (table, bucket) — the all-pairs space is never
+    * materialized, and the output is verified with exact cosine so every
+    * reported pair is a true positive (recall, not precision, is the
+    * approximation). Collision probability per bit is 1 - angle/pi, so
+    * recall tunes with bits/tables.
+    */
+  def lshCosinePairs(corpus: DataFrame, threshold: Double,
+                     bits: Int = 4, tables: Int = 16, seed: Long = 42L): DataFrame = {
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    val planes = hyperplanes(dim, bits, tables, seed)
+    val buckets = planes.indices.map { t =>
+      val bucket = (0 until bits).map { i =>
+        val plane = array(planes(t)(i).map(v => lit(v)): _*)
+        when(dotF(col("embedding"), plane) >= 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), bucket.as("bucket"))
+    }
+    // Bucket table carries ids only — embeddings are not replicated per
+    // hash table; vectors join back in once per verified candidate.
+    val hashed = corpus
+      .select(col("vec_id"), explode(array(buckets: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val cand = hashed.as("x").join(hashed.as("y"), Seq("t", "bucket"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    val aSide = withNorm(corpus, "av")
+    val bSide = withNorm(corpus, "bv")
+    cand.join(aSide, col("a_id") === col("av_id")).join(bSide, col("b_id") === col("bv_id"))
+      .withColumn("cos", cosFromNorms("av", "bv"))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Cosine near-duplicate pairs above `threshold` within a probe subset
     * (`probeModulo` keeps the left side small; at scale the left side is
     * the newly-ingested delta, not a modulo sample).

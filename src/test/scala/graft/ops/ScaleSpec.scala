@@ -40,6 +40,29 @@ class SimilarityIndexSpec extends SparkSpec {
   }
 }
 
+class LshCosineSpec extends SparkSpec {
+
+  test("lshCosinePairs output is a verified subset of brute-force pairs") {
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // brute force: all pairs above threshold (probeModulo=1 scores all ids)
+    val brute = Similarity.cosineNearDupPairs(emb, probeModulo = 1, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshCosinePairs(emb, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))
+    assert(lsh.nonEmpty, s"expected nonzero recall; brute had ${brute.size} pairs")
+    info(s"recall ${lsh.size}/${brute.size}")
+  }
+
+  test("hyperplanes are deterministic per seed") {
+    val a = Similarity.hyperplanes(8, 4, 2, seed = 7L)
+    val b = Similarity.hyperplanes(8, 4, 2, seed = 7L)
+    val c = Similarity.hyperplanes(8, 4, 2, seed = 8L)
+    assert(a.flatten.flatten.toSeq == b.flatten.flatten.toSeq)
+    assert(a.flatten.flatten.toSeq != c.flatten.flatten.toSeq)
+  }
+}
+
 class ExtensionsSpec extends SparkSpec {
 
   test("dot_f resolves through SQL after registration (tune/extensions path)") {
