@@ -250,5 +250,41 @@ object QueriesScale {
       |  CAST((ascii(substr(md5(text), 3, 1)) % 16) + 1 AS BIGINT) AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
+  /** Random-projection LSH near-dup pairs. The oracle rebuilds the SAME
+    * seeded hyperplanes as FLOAT literals and replays bucketing +
+    * verification in SQL — bucket bits come from sign(dot), which both
+    * engines compute identically in double.
+    */
+  val q40 = {
+    val (bits, tables, seed, threshold) = (4, 16, 42L, 0.4)
+    val dim = 64 // embeddings are 64-dim (TESTDATA corpus)
+    val planes = Similarity.hyperplanes(dim, bits, tables, seed)
+    def planeSql(p: Array[Float]): String =
+      p.map(_.toString).mkString("[", ", ", "]::FLOAT[]")
+    def dotPlane(p: Array[Float]): String =
+      s"list_sum(list_transform(list_zip(embedding, ${planeSql(p)}), x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+    val bucketRows = (0 until tables).map { t =>
+      val bucket = (0 until bits).map { i =>
+        s"(CASE WHEN ${dotPlane(planes(t)(i))} >= 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS t, $bucket AS bucket FROM embeddings"
+    }.mkString("\nUNION ALL ")
+    QueryDef("q40_lsh_cosine_pairs",
+      (spark, dir) => Similarity.lshCosinePairs(
+        t(spark, dir, "embeddings"), threshold, bits, tables, seed),
+      Some(
+        s"""WITH hashed AS ($bucketRows),
+           |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+           |         FROM hashed x JOIN hashed y
+           |           ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+           |av AS (SELECT vec_id, embedding AS ae FROM embeddings),
+           |bv AS (SELECT vec_id, embedding AS be FROM embeddings),
+           |scored AS (SELECT a_id, b_id, ${duckCos("ae", "be")} AS cos
+           |           FROM cand JOIN av ON a_id = av.vec_id
+           |           JOIN bv ON b_id = bv.vec_id)
+           |SELECT a_id, b_id, round(cos, 4) AS cos FROM scored
+           |WHERE cos >= $threshold ORDER BY a_id, b_id""".stripMargin))
+  }
+
+  val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q40)
 }

@@ -47,12 +47,20 @@ object Compare {
     val rr = compareCols.foldLeft(r0)((df, c) => df.withColumnRenamed(c, s"rv_$c"))
     val cond = pks.map(k => col(s"l_$k") === col(s"r_$k")).reduce(_ && _)
     val joined = lr.join(rr, cond, "full_outer")
+    // Numeric columns match within the relative threshold; everything else
+    // (strings, dates, booleans) by null-safe equality — the reference's
+    // split (compare_pandas_dfs.py:31-103).
+    val numericCols = left.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+    }.toSet
     val colMatches: Seq[Column] = compareCols.map { c =>
       val a = col(s"lv_$c"); val b = col(s"rv_$c")
-      when(a.isNull && b.isNull, lit(true))
-        .when(a.isNull || b.isNull, lit(false))
-        .when(a === 0, b === 0)
-        .otherwise(abs((a - b) / a) * 100 < thresholdPct)
+      if (numericCols.contains(c))
+        when(a.isNull && b.isNull, lit(true))
+          .when(a.isNull || b.isNull, lit(false))
+          .when(a === 0, b === 0)
+          .otherwise(abs((a - b) / a) * 100 < thresholdPct)
+      else a <=> b
     }
     val allMatch = colMatches.reduce(_ && _)
     val inLeft = pks.map(k => col(s"l_$k").isNotNull).reduce(_ && _)
@@ -61,8 +69,14 @@ object Compare {
       .when(inLeft && inRight, "delta_exceeds")
       .when(inLeft, "only_left")
       .otherwise("only_right")
+    // per-column verdicts (the reference's per-column delta columns +
+    // `_no_deltas` rollup, compare_pandas_dfs.py:31-103)
+    val perCol = compareCols.zip(colMatches).map { case (c, m) =>
+      when(inLeft && inRight, m).as(s"${c}_match")
+    }
     joined.select(
-      (pks.map(k => coalesce(col(s"l_$k"), col(s"r_$k")).as(k)) :+ status.as("status")): _*)
+      (pks.map(k => coalesce(col(s"l_$k"), col(s"r_$k")).as(k)) ++
+        Seq(status.as("status"), allMatch.as("_no_deltas")) ++ perCol): _*)
   }
 
   /** Pre-compare column profile (reference compare_job's describe() step,

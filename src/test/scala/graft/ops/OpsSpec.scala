@@ -34,10 +34,15 @@ class CompareSpec extends SparkSpec {
   test("fuzzyRows statuses: match, delta, only-left/right, zero case") {
     val l = Seq((1, 100.0), (2, 0.0), (3, 50.0), (4, 10.0)).toDF("id", "v")
     val r = Seq((1, 100.000001), (2, 0.1), (3, 60.0), (5, 1.0)).toDF("id", "v")
-    val m = Compare.fuzzyRows(l, r, Seq("id"), Seq("v"), thresholdPct = 0.01)
-      .collect().map(row => row.getInt(0) -> row.getString(1)).toMap
+    val rows = Compare.fuzzyRows(l, r, Seq("id"), Seq("v"), thresholdPct = 0.01).collect()
+    val m = rows.map(row => row.getInt(0) -> row.getString(1)).toMap
     assert(m == Map(1 -> "match", 2 -> "delta_exceeds", 3 -> "delta_exceeds",
       4 -> "only_left", 5 -> "only_right"))
+    // per-column verdicts: present for both-sided rows, null otherwise
+    val byId = rows.map(r => r.getInt(0) -> r).toMap
+    assert(byId(1).getAs[Boolean]("v_match") && !byId(3).getAs[Boolean]("v_match"))
+    assert(byId(4).isNullAt(byId(4).fieldIndex("v_match")))
+    assert(byId(1).getAs[Boolean]("_no_deltas"))
   }
 }
 
