@@ -1,0 +1,195 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import java.io.{InputStream, OutputStream}
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+import scala.collection.mutable
+
+/** Minimal XLSX reader/writer (reference reads Excel via pandas
+  * `read_excel`, yaetos/pandas_utils.py:53-82 — a small-lookup-table use
+  * case). No POI on the zero-egress classpath, so this parses the OOXML
+  * subset directly: shared strings, inline strings, numbers, booleans,
+  * sparse rows. First row = header; all values land as strings (the
+  * engine's CSV philosophy — explicit casts downstream, so SQL semantics
+  * match the reference's string-typed frames).
+  *
+  * Excel inputs are config/lookup sized; parsing happens on the driver and
+  * the result distributes via createDataFrame — not a path for big data.
+  */
+object Excel {
+
+  private val xmlIn = XMLInputFactory.newInstance()
+  xmlIn.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+  xmlIn.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+
+  /** "B3" → 0-based column index (1 for B). */
+  private[sources] def colIndex(cellRef: String): Int =
+    cellRef.takeWhile(_.isLetter).foldLeft(0)((acc, c) => acc * 26 + (c - 'A' + 1)) - 1
+
+  private def entryBytes(zin: ZipInputStream): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    var n = zin.read(tmp)
+    while (n >= 0) { buf.write(tmp, 0, n); n = zin.read(tmp) }
+    buf.toByteArray
+  }
+
+  private def parseSharedStrings(bytes: Array[Byte]): IndexedSeq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val r = xmlIn.createXMLStreamReader(new java.io.ByteArrayInputStream(bytes))
+    var cur: StringBuilder = null
+    var inT = false
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => cur = new StringBuilder
+            case "t" => inT = true
+            case _ =>
+          }
+        case XMLStreamConstants.CHARACTERS if inT && cur != null =>
+          cur.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "t" => inT = false
+            case "si" => out += cur.toString; cur = null
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    out.toIndexedSeq
+  }
+
+  /** Parse one worksheet into sparse rows of (colIndex -> text). */
+  private def parseSheet(bytes: Array[Byte],
+                         shared: IndexedSeq[String]): Seq[Map[Int, String]] = {
+    val rows = mutable.ArrayBuffer.empty[Map[Int, String]]
+    val r = xmlIn.createXMLStreamReader(new java.io.ByteArrayInputStream(bytes))
+    var row: mutable.Map[Int, String] = null
+    var cellCol = -1
+    var cellType = ""
+    var text: StringBuilder = null
+    var collecting = false
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" => row = mutable.Map.empty; cellCol = -1
+            case "c" =>
+              cellCol = Option(r.getAttributeValue(null, "r"))
+                .map(colIndex).getOrElse(cellCol + 1)
+              cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+            case "v" | "t" => collecting = true; text = new StringBuilder
+            case _ =>
+          }
+        case XMLStreamConstants.CHARACTERS if collecting =>
+          text.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "v" | "t" if collecting =>
+              collecting = false
+              if (row != null && cellCol >= 0) {
+                val raw = text.toString
+                val value = cellType match {
+                  case "s" => shared(raw.trim.toInt)
+                  case "b" => if (raw.trim == "1") "true" else "false"
+                  case _ => raw // n, str, inlineStr (t-element content)
+                }
+                row(cellCol) = value
+              }
+            case "row" => rows += row.toMap; row = null
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    rows.toSeq
+  }
+
+  /** Read the first worksheet of an .xlsx into a DataFrame of strings.
+    * Header = first row; sparse cells become nulls.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val in: InputStream = fs.open(new org.apache.hadoop.fs.Path(path))
+    try readStream(spark, in) finally in.close()
+  }
+
+  def readStream(spark: SparkSession, in: InputStream): DataFrame = {
+    val zin = new ZipInputStream(in)
+    var shared: IndexedSeq[String] = IndexedSeq.empty
+    var sheetBytes: Array[Byte] = null
+    var entry = zin.getNextEntry
+    val sheets = mutable.SortedMap.empty[String, Array[Byte]]
+    while (entry != null) {
+      entry.getName match {
+        case "xl/sharedStrings.xml" => shared = parseSharedStrings(entryBytes(zin))
+        case n if n.startsWith("xl/worksheets/sheet") && n.endsWith(".xml") =>
+          sheets(n) = entryBytes(zin)
+        case _ =>
+      }
+      entry = zin.getNextEntry
+    }
+    require(sheets.nonEmpty, "xlsx contains no worksheets")
+    sheetBytes = sheets.head._2
+    val rows = parseSheet(sheetBytes, shared)
+    require(rows.nonEmpty, "xlsx sheet is empty")
+    val width = rows.map(m => if (m.isEmpty) 0 else m.keys.max + 1).max
+    val header = (0 until width).map(i =>
+      rows.head.getOrElse(i, s"_c$i"))
+    val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
+    val data = rows.tail.map { m =>
+      Row.fromSeq((0 until width).map(i => m.get(i).orNull))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava),
+      schema)
+  }
+
+  /** Write a (small) DataFrame as a single-sheet .xlsx with inline
+    * strings — collect-to-driver by design, lookup-table sized.
+    */
+  def write(df: DataFrame, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val out: OutputStream = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    val zout = new ZipOutputStream(out)
+    def put(name: String, content: String): Unit = {
+      zout.putNextEntry(new ZipEntry(name))
+      zout.write(content.getBytes("UTF-8"))
+      zout.closeEntry()
+    }
+    def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;")
+    def cell(v: Any): String = v match {
+      case null => ""
+      case _ => s"""<c t="inlineStr"><is><t>${esc(v.toString)}</t></is></c>"""
+    }
+    val header = df.columns.map(c => cell(c)).mkString
+    val body = df.collect().map(r =>
+      s"<row>${r.toSeq.map(cell).mkString}</row>").mkString
+    try {
+      put("[Content_Types].xml",
+        """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+          """<Default Extension="xml" ContentType="application/xml"/>""" +
+          """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+          """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+          """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>""")
+      put("_rels/.rels",
+        """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+      put("xl/workbook.xml",
+        """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+          """<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+      put("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+      put("xl/worksheets/sheet1.xml",
+        s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row>$header</row>$body</sheetData></worksheet>""")
+    } finally { zout.close() }
+  }
+}

@@ -1,0 +1,53 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.core.model.DatasetSpec
+import java.nio.file.Files
+
+class ExcelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("xlsx write/read round-trip preserves header, values, and nulls") {
+    val dir = Files.createTempDirectory("graft_xlsx").toString
+    val df = Seq(("a", "1", "x&<y>"), ("b", "2", null)).toDF("k", "n", "s")
+    Excel.write(df, s"$dir/t.xlsx")
+    val back = Excel.read(spark, s"$dir/t.xlsx")
+    assert(back.columns.toSeq == Seq("k", "n", "s"))
+    val rows = back.orderBy("k").collect()
+    assert(rows(0).toSeq == Seq("a", "1", "x&<y>"))
+    assert(rows(1).toSeq == Seq("b", "2", null))
+  }
+
+  test("reader dispatches type: excel and parses shared strings + sparse cells") {
+    val dir = Files.createTempDirectory("graft_xlsx2").toString
+    // hand-rolled xlsx with sharedStrings, a numeric cell, and a gap at B2
+    val zout = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(s"$dir/s.xlsx"))
+    def put(n: String, c: String): Unit = {
+      zout.putNextEntry(new java.util.zip.ZipEntry(n))
+      zout.write(c.getBytes("UTF-8")); zout.closeEntry()
+    }
+    put("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst><si><t>id</t></si><si><t>name</t></si><si><t>city</t></si><si><t>bo</t></si></sst>""")
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>
+        |<row r="2"><c r="A2"><v>7</v></c><c r="C2" t="s"><v>3</v></c></row>
+        |<row r="3"><c r="A3"><v>8.5</v></c><c r="B3" t="b"><v>1</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zout.close()
+    val df = graft.core.io.Reader.read(spark,
+      DatasetSpec(path = s"$dir/s.xlsx", format = "excel"))
+    assert(df.columns.toSeq == Seq("id", "name", "city"))
+    val rows = df.collect()
+    assert(rows(0).toSeq == Seq("7", null, "bo"))   // sparse B2 -> null
+    assert(rows(1).toSeq == Seq("8.5", "true", null)) // bool + trailing gap
+  }
+
+  test("colIndex decodes multi-letter refs") {
+    assert(Excel.colIndex("A1") == 0)
+    assert(Excel.colIndex("Z9") == 25)
+    assert(Excel.colIndex("AA12") == 26)
+    assert(Excel.colIndex("AB3") == 27)
+  }
+}
