@@ -54,7 +54,12 @@ object Dedup {
   private def pairsFromSizedShingles(sh: DataFrame, threshold: Double): DataFrame = {
     val a = sh.select(col("doc_id").as("a_id"), col("shingle"), col("n_sh").as("n_a"))
     val b = sh.select(col("doc_id").as("b_id"), col("shingle"), col("n_sh").as("n_b"))
-    a.join(b, a("shingle") === b("shingle") && col("a_id") < col("b_id"))
+    // Size-ratio prune: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs whose
+    // shingle counts differ by more than the threshold ratio can never
+    // qualify — dropped inside the join, before the pair aggregation.
+    a.join(b, a("shingle") === b("shingle") && col("a_id") < col("b_id") &&
+        col("n_a") >= lit(threshold) * col("n_b") &&
+        col("n_b") >= lit(threshold) * col("n_a"))
       .groupBy("a_id", "b_id", "n_a", "n_b").agg(count(lit(1)).as("n_inter"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
