@@ -28,7 +28,8 @@ object Reader {
         spark.read.option("multiLine", "true").options(ds.readOptions).json(path)
           .select(explode(col("records")).as("r")).select("r.*")
       case "text" => spark.read.options(ds.readOptions).text(path)
-      case "excel" => graft.sources.Excel.read(spark, path)
+      case "excel" => graft.sources.Excel.read(spark, path,
+        ds.readOptions.get("header").map(_.toInt).getOrElse(0))
       case "jdbc" => spark.read.format("jdbc").options(ds.readOptions).load()
       case other => sys.error(s"unsupported input format: $other")
     }

@@ -57,7 +57,12 @@ object Dedup {
     // Size-ratio prune: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs whose
     // shingle counts differ by more than the threshold ratio can never
     // qualify — dropped inside the join, before the pair aggregation.
-    a.join(b, a("shingle") === b("shingle") && col("a_id") < col("b_id") &&
+    // shuffle_hash hint: broadcasting one side would rebuild the shingle
+    // subtree twice; with both sides shuffled on the shingle the exchanges
+    // canonicalize identically and Spark computes the table once
+    // (ReusedExchange) — also the only viable plan at corpus scale.
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"),
+        a("shingle") === b("shingle") && col("a_id") < col("b_id") &&
         col("n_a") >= lit(threshold) * col("n_b") &&
         col("n_b") >= lit(threshold) * col("n_a"))
       .groupBy("a_id", "b_id", "n_a", "n_b").agg(count(lit(1)).as("n_inter"))

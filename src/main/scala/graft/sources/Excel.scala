@@ -110,16 +110,18 @@ object Excel {
   }
 
   /** Read the first worksheet of an .xlsx into a DataFrame of strings.
-    * Header = first row; sparse cells become nulls.
+    * Header = row `headerRow` (0-based; rows above are skipped — the
+    * reference's `read_kwargs: {header: 1}` pattern,
+    * reference conf/jobs_metadata.yml:224); sparse cells become nulls.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String, headerRow: Int = 0): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     val in: InputStream = fs.open(new org.apache.hadoop.fs.Path(path))
-    try readStream(spark, in) finally in.close()
+    try readStream(spark, in, headerRow) finally in.close()
   }
 
-  def readStream(spark: SparkSession, in: InputStream): DataFrame = {
+  def readStream(spark: SparkSession, in: InputStream, headerRow: Int = 0): DataFrame = {
     val zin = new ZipInputStream(in)
     var shared: IndexedSeq[String] = IndexedSeq.empty
     var sheetBytes: Array[Byte] = null
@@ -136,8 +138,9 @@ object Excel {
     }
     require(sheets.nonEmpty, "xlsx contains no worksheets")
     sheetBytes = sheets.head._2
-    val rows = parseSheet(sheetBytes, shared)
-    require(rows.nonEmpty, "xlsx sheet is empty")
+    val allRows = parseSheet(sheetBytes, shared)
+    val rows = allRows.drop(headerRow)
+    require(rows.nonEmpty, s"xlsx sheet has no rows at/after header row $headerRow")
     val width = rows.map(m => if (m.isEmpty) 0 else m.keys.max + 1).max
     val header = (0 until width).map(i =>
       rows.head.getOrElse(i, s"_c$i"))

@@ -44,6 +44,21 @@ class ExcelSpec extends SparkSpec {
     assert(rows(1).toSeq == Seq("8.5", "true", null)) // bool + trailing gap
   }
 
+  test("header row offset skips leading rows (reference header:1 pattern)") {
+    val dir = Files.createTempDirectory("graft_xlsx3").toString
+    val df = Seq(("title row", "", ""), ("k", "n", "s"), ("a", "1", "z")).toDF("x", "y", "z")
+    // write without header so row0 = title, row1 = real header
+    Excel.write(df.limit(0), s"$dir/ignore.xlsx") // exercise empty-body write
+    val zdf = Seq(("junk", "junk2"), ("k", "n"), ("a", "1")).toDF("c1", "c2")
+    Excel.write(zdf, s"$dir/h.xlsx")
+    // file has writer header (c1,c2) at row0, junk at row1, header at row2
+    val back = graft.core.io.Reader.read(spark, graft.core.model.DatasetSpec(
+      path = s"$dir/h.xlsx", format = "excel",
+      readOptions = Map("header" -> "2")))
+    assert(back.columns.toSeq == Seq("k", "n"))
+    assert(back.head().toSeq == Seq("a", "1"))
+  }
+
   test("colIndex decodes multi-letter refs") {
     assert(Excel.colIndex("A1") == 0)
     assert(Excel.colIndex("Z9") == 25)
