@@ -36,7 +36,11 @@ object Runner {
         outs(jobName).show(20, truncate = false)
       } else (kv.get("period_first"), kv.get("period_until")) match {
         case (Some(f), Some(u)) =>
-          val results = MultiPass.run(spark, job, LocalDate.parse(f), LocalDate.parse(u))
+          val results =
+            if (kv.contains("resume"))
+              MultiPass.resume(spark, job, LocalDate.parse(f), LocalDate.parse(u))
+            else MultiPass.run(spark, job, LocalDate.parse(f), LocalDate.parse(u))
+          if (results.isEmpty) println("[runner] nothing to do (all periods already processed)")
           results.foreach(r => println(s"[runner] period ${r.period}: ${r.rows} rows -> ${r.path}"))
         case _ =>
           val res = Etl.runJob(spark, job, save = save)

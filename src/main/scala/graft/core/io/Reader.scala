@@ -24,6 +24,8 @@ object Reader {
           .options(ds.readOptions).csv(path)
       case "parquet" => spark.read.options(ds.readOptions).parquet(path)
       case "json" => spark.read.options(ds.readOptions).json(path)
+      case "json_array" => // whole-file `[ {...}, ... ]` layout
+        spark.read.option("multiLine", "true").options(ds.readOptions).json(path)
       case "json_records" =>
         spark.read.option("multiLine", "true").options(ds.readOptions).json(path)
           .select(explode(col("records")).as("r")).select("r.*")

@@ -108,4 +108,32 @@ object MultiPass {
       }
     out.toSeq
   }
+
+  /** Resume after the last already-written increment: probe the prior
+    * output's max increment value (reference's previous-output
+    * max-timestamp probe, yaetos/etl_utils.py:579-593) and continue from
+    * the next day. `defaultFirst` seeds an empty/missing sink. One tiny
+    * driver-side action on the existing output — a scheduling decision,
+    * not a data path.
+    */
+  def resume(spark: SparkSession, job: JobSpec, defaultFirst: LocalDate,
+             until: LocalDate, now: String = Etl.defaultNow(),
+             maxPeriods: Int = 1000): Seq[PassResult] = {
+    val out = job.output.getOrElse(sys.error(s"job ${job.name} has no output to resume"))
+    val incField = out.incField
+      .orElse(job.inputs.values.flatMap(_.incField).headOption)
+      .getOrElse(sys.error(s"job ${job.name} is not incremental"))
+    val priorGlob = s"${out.path.stripSuffix("/")}/inc_*"
+    val lastDone: Option[LocalDate] =
+      try {
+        val prior = spark.read.parquet(priorGlob)
+        val m = prior.agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col(incField)))).head()
+        if (m.isNullAt(0)) None else Some(m.getDate(0).toLocalDate)
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val first = lastDone.map(_.plusDays(1)).getOrElse(defaultFirst)
+    if (first.isAfter(until)) Seq.empty
+    else run(spark, job, first, until, now, maxPeriods)
+  }
 }

@@ -170,6 +170,38 @@ class EtlIoSpec extends SparkSpec {
     assert(spark.read.parquet(p).head().getInt(0) == 2)
   }
 
+  test("MultiPass.resume continues after the last written increment") {
+    val dir = tmp()
+    Seq(("2024-01-01 01:00:00", 1.0), ("2024-01-02 01:00:00", 2.0),
+        ("2024-01-03 01:00:00", 3.0))
+      .toDF("ts", "v").select(col("ts").cast("timestamp").as("ts"), col("v"))
+      .write.parquet(s"$dir/ev")
+    val job = JobSpec(name = "resume",
+      inputs = Map("ev" -> DatasetSpec(path = s"$dir/ev", incField = Some("ts"))),
+      output = Some(DatasetSpec(path = s"$dir/out", incField = Some("ts"))),
+      sql = Some("SELECT ts, v FROM ev"))
+    // first run covers days 1-2
+    val r1 = MultiPass.resume(spark, job, java.time.LocalDate.parse("2024-01-01"),
+      java.time.LocalDate.parse("2024-01-02"), now = "n1")
+    assert(r1.map(_.period) == Seq("2024-01-01", "2024-01-02"))
+    // resume to day 3: only day 3 runs (max probe saw day 2)
+    val r2 = MultiPass.resume(spark, job, java.time.LocalDate.parse("2024-01-01"),
+      java.time.LocalDate.parse("2024-01-03"), now = "n2")
+    assert(r2.map(_.period) == Seq("2024-01-03"))
+    // nothing new: no passes
+    assert(MultiPass.resume(spark, job, java.time.LocalDate.parse("2024-01-01"),
+      java.time.LocalDate.parse("2024-01-03"), now = "n3").isEmpty)
+    assert(spark.read.parquet(s"$dir/out/inc_*").count() == 3)
+  }
+
+  test("json_array reader parses whole-file array layout") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(dir, "a.json"),
+      """[{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]""")
+    val df = Reader.read(spark, DatasetSpec(path = s"$dir/a.json", format = "json_array"))
+    assert(df.count() == 2 && df.columns.sorted.toSeq == Seq("a", "b"))
+  }
+
   test("json_records reader unwraps the records envelope") {
     val dir = tmp()
     Files.writeString(java.nio.file.Paths.get(dir, "r.json"),
