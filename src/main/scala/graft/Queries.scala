@@ -344,7 +344,8 @@ object Queries {
   val relational: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23)
 
-  val all: Seq[QueryDef] = relational ++ QueriesScale.all ++ QueriesFramework.all
+  val all: Seq[QueryDef] =
+    relational ++ QueriesScale.all ++ QueriesFramework.all ++ QueriesExtra.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Queries.QueryDef
+import graft.core.Tables
+
+/** Statistical, grouping-set, JSON, and pivot coverage — capabilities the
+  * reference gets "for free" from its engines (SURVEY §2.5 tail), pinned
+  * here with oracles so the engine's semantics are verified, not assumed.
+  */
+object QueriesExtra {
+
+  private def t(spark: org.apache.spark.sql.SparkSession, dir: String, name: String) =
+    Tables.load(spark, dir, name)
+
+  /** Exact interpolated percentiles (Spark `percentile` == DuckDB
+    * `quantile_cont`).
+    */
+  val q41 = QueryDef("q41_percentiles", (spark, dir) =>
+    t(spark, dir, "events").groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(stddev_pop(col("value")), 4).as("sd"))
+      .orderBy("event_type"),
+    Some(
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(stddev_pop(value), 4) AS sd
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Explicit GROUPING SETS with grouping() markers (same SQL text on both
+    * engines; marker cast to BIGINT for dtype agreement).
+    */
+  val q42 = {
+    val sql =
+      """SELECT c_mktsegment, c_nationkey,
+        |  CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+        |  CAST(grouping(c_nationkey) AS BIGINT) AS g_nat,
+        |  count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+        |ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin
+    QueryDef("q42_grouping_sets",
+      (spark, dir) => { Tables.registerAll(spark, dir); spark.sql(sql) }, Some(sql))
+  }
+
+  /** JSON scalar extraction from the events props column. */
+  val q43 = QueryDef("q43_json_extract", (spark, dir) =>
+    t(spark, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k_mod"),
+    Some(
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin))
+
+  /** Pivot: event counts per user decile by type (DataFrame pivot; oracle
+    * is the equivalent conditional aggregation).
+    */
+  val q44 = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    QueryDef("q44_pivot", (spark, dir) =>
+      t(spark, dir, "events")
+        .groupBy((col("user_id") % 10).as("user_decile"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .orderBy("user_decile"),
+      Some(
+        s"""SELECT user_id % 10 AS user_decile,
+           |${types.map(t => s"  count(CASE WHEN event_type = '$t' THEN 1 END) AS $t").mkString(",\n")}
+           |FROM events GROUP BY 1 ORDER BY user_decile""".stripMargin))
+  }
+
+  val all: Seq[QueryDef] = Seq(q41, q42, q43, q44)
+}
