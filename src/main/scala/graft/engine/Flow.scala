@@ -48,16 +48,48 @@ object Flow {
 
   /** Run the pipeline up to `target`; returns each job's output frame.
     * `save=false` keeps everything in memory (test/chained mode).
+    *
+    * `persistIntermediates` persists each chained output that more than
+    * one downstream job consumes (MEMORY_AND_DISK) and unpersists it as
+    * soon as its last consumer has run — without it, Spark's laziness
+    * recomputes a shared upstream once per consumer, which at scale means
+    * re-reading and re-shuffling the whole lineage (the reference's
+    * explicit cache/unpersist policy, yaetos/etl_utils.py:1457-1461, made
+    * refcount-precise).
     */
   def runPipeline(spark: SparkSession, jobs: Map[String, JobSpec], target: String,
-                  save: Boolean = true, now: String = Etl.defaultNow()):
+                  save: Boolean = true, now: String = Etl.defaultNow(),
+                  persistIntermediates: Boolean = false):
       Map[String, DataFrame] = {
     val sub = upstream(jobs, target)
+    val order = topoOrder(sub)
+    // consumers per job = downstream jobs whose inputs reference it (by
+    // input name or explicit `from:` — the same resolution Etl.runJob uses)
+    val consumers: Map[String, Int] = sub.keys.map { up =>
+      up -> sub.values.count(j => j.name != up &&
+        (j.inputs.contains(up) || j.inputs.values.exists(_.from.contains(up))))
+    }.toMap
+    val remaining = collection.mutable.Map.from(consumers)
+    val persisted = collection.mutable.Set.empty[String]
     val done = collection.mutable.Map.empty[String, DataFrame]
-    topoOrder(sub).foreach { name =>
-      val res = Etl.runJob(spark, sub(name), loadedInputs = done.toMap,
+    order.foreach { name =>
+      val job = sub(name)
+      val res = Etl.runJob(spark, job, loadedInputs = done.toMap,
         now = now, save = save)
-      done(name) = res.df
+      val df =
+        if (persistIntermediates && consumers.getOrElse(name, 0) > 1) {
+          persisted += name
+          res.df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        } else res.df
+      done(name) = df
+      // release upstreams whose last consumer just ran
+      sub.keys.filter(up => up != name &&
+          (job.inputs.contains(up) || job.inputs.values.exists(_.from.contains(up))))
+        .foreach { up =>
+          remaining.updateWith(up)(_.map(_ - 1))
+          if (remaining.getOrElse(up, 0) <= 0 && persisted.remove(up))
+            done(up).unpersist()
+        }
     }
     done.toMap
   }

@@ -84,6 +84,29 @@ class FlowSpec extends SparkSpec {
     assert(Flow.upstream(jobs, "b").keySet == Set("a", "b"))
   }
 
+  test("persistIntermediates caches shared upstreams and releases them after last consumer") {
+    Seq((1, 10), (2, 20)).toDF("id", "v").createOrReplaceTempView("p_src")
+    val jobs = Map(
+      "base" -> JobSpec(name = "base", sql = Some("SELECT id, v * 2 AS v2 FROM p_src")),
+      "left" -> JobSpec(name = "left",
+        inputs = Map("base" -> DatasetSpec(format = "df")),
+        sql = Some("SELECT sum(v2) AS s FROM base"), dependencies = Seq("base")),
+      "right" -> JobSpec(name = "right",
+        inputs = Map("base" -> DatasetSpec(format = "df")),
+        sql = Some("SELECT count(*) AS c FROM base"), dependencies = Seq("base")),
+      "join" -> JobSpec(name = "join",
+        inputs = Map("left" -> DatasetSpec(format = "df"),
+          "right" -> DatasetSpec(format = "df")),
+        sql = Some("SELECT s, c FROM left CROSS JOIN right"),
+        dependencies = Seq("left", "right")))
+    val outs = Flow.runPipeline(spark, jobs, "join", save = false,
+      persistIntermediates = true)
+    assert(outs("join").head().toSeq == Seq(60L, 2L))
+    // base (2 consumers) was persisted during the run and released after
+    assert(outs("base").storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("runPipeline chains outputs in memory by job name") {
     Seq((1, 10), (2, 20)).toDF("id", "v").createOrReplaceTempView("src")
     val jobs = Map(

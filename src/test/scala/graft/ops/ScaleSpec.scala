@@ -63,6 +63,19 @@ class LshCosineSpec extends SparkSpec {
   }
 }
 
+class ApproxAggSpec extends SparkSpec {
+
+  test("HLL distinct estimate lands within rsd of exact on real data") {
+    val li = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    val row = li.agg(
+      org.apache.spark.sql.functions.countDistinct("l_orderkey"),
+      org.apache.spark.sql.functions.approx_count_distinct("l_orderkey", rsd = 0.02)).head()
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.06,
+      s"approx=$approx exact=$exact")
+  }
+}
+
 class ExtensionsSpec extends SparkSpec {
 
   test("dot_f resolves through SQL after registration (tune/extensions path)") {
