@@ -86,14 +86,19 @@ object Dedup {
     pairsFromSizedShingles(
       sizedShingles(docs, idCol, textCol, n, maxShingleFreq), threshold)
 
-  /** MinHash signature columns: for each of `numHashes` seeds, the min over
-    * the doc's shingles of xxhash64(seed, shingle). Pure aggregation —
-    * one shuffle on doc_id.
+  /** MinHash signature columns: the shingle string is hashed ONCE to a
+    * long, and the `numHashes` per-function values re-hash that fixed-
+    * width long with the function index as seed — variable-length string
+    * hashing happens once per row instead of `numHashes` times (wrapping
+    * `h1 + i·h2` double-hashing would be cheaper still, but ANSI mode
+    * faults on the deliberate overflow). Pure aggregation — one shuffle
+    * on doc_id.
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val withBase = sh.withColumn("_h1", xxhash64(col("shingle")))
     val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      min(xxhash64(lit(i), col("_h1"))).as(s"mh_$i"))
+    withBase.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
