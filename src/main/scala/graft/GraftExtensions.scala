@@ -3,23 +3,22 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.DotProductF
+import graft.functions.NativeFunctions
 
 /** Spark extensions entry point: lets any Spark deployment load graft's
   * native functions without code changes —
   *
   *   spark.sql.extensions=graft.GraftExtensions
   *
-  * (cluster-wide what `GraftSession.tune` does per-session).
+  * (cluster-wide what `GraftSession.tune` does per-session; both paths
+  * iterate the same NativeFunctions.fns registry).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("dot_f"),
-      new ExpressionInfo("graft.functions.NativeFunctions", "dot_f"),
-      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(args.length == 2, "dot_f takes 2 arguments")
-        DotProductF(args(0), args(1))
-      }))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    NativeFunctions.fns.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.NativeFunctions", name),
+        builder))
+    }
 }

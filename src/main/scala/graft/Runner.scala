@@ -38,8 +38,10 @@ object Runner {
         case (Some(f), Some(u)) =>
           val results =
             if (kv.contains("resume"))
-              MultiPass.resume(spark, job, LocalDate.parse(f), LocalDate.parse(u))
-            else MultiPass.run(spark, job, LocalDate.parse(f), LocalDate.parse(u))
+              MultiPass.resume(spark, job, LocalDate.parse(f), LocalDate.parse(u),
+                save = save)
+            else MultiPass.run(spark, job, LocalDate.parse(f), LocalDate.parse(u),
+              save = save)
           if (results.isEmpty) println("[runner] nothing to do (all periods already processed)")
           results.foreach(r => println(s"[runner] period ${r.period}: ${r.rows} rows -> ${r.path}"))
         case _ =>

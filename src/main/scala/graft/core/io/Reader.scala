@@ -30,8 +30,15 @@ object Reader {
         spark.read.option("multiLine", "true").options(ds.readOptions).json(path)
           .select(explode(col("records")).as("r")).select("r.*")
       case "text" => spark.read.options(ds.readOptions).text(path)
-      case "excel" => graft.sources.Excel.read(spark, path,
-        ds.readOptions.get("header").map(_.toInt).getOrElse(0))
+      case "excel" =>
+        // `header` here is the 0-based header ROW INDEX (pandas read_excel
+        // semantics), not csv's has-header boolean; "true" maps to row 0.
+        val headerRow = ds.readOptions.get("header") match {
+          case None | Some("true") => 0
+          case Some(v) => v.toIntOption.getOrElse(sys.error(
+            s"excel read option header must be a row index (or 'true'), got '$v'"))
+        }
+        graft.sources.Excel.read(spark, path, headerRow)
       case "jdbc" => spark.read.format("jdbc").options(ds.readOptions).load()
       case other => sys.error(s"unsupported input format: $other")
     }

@@ -47,7 +47,7 @@ object Writer {
       case "csv" => w.option("header", "true").csv(path)
       case "parquet" => w.parquet(path)
       case "json" => w.json(path)
-      case "text" => repartitioned.write.mode(mode).text(path)
+      case "text" => w.text(path)
       case "jdbc" => repartitioned.write.format("jdbc").options(out.saveOptions).mode(
         if (incremental) SaveMode.Append else SaveMode.Overwrite).save()
       case other => sys.error(s"unsupported output format: $other")

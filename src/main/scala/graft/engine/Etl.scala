@@ -58,7 +58,10 @@ object Etl {
       val base = fromMem match {
         case Some(src) => loadedInputs.getOrElse(src,
           sys.error(s"job ${job.name}: in-memory input '$src' not available"))
-        case None if loadedInputs.contains(name) => loadedInputs(name)
+        // pathless specs take a pre-loaded frame (tests / chained runs); a
+        // spec that DECLARES a path always reads it — an upstream job that
+        // merely shares the input's name must not shadow the declared data
+        case None if ds.path.isEmpty && loadedInputs.contains(name) => loadedInputs(name)
         case None =>
           Reader.read(spark, ds.copy(path = PathTemplating.expand(ds.path, spark, now)))
       }
@@ -75,14 +78,20 @@ object Etl {
     if (auditCols) out = out.withColumn("_created_at", lit(now))
     job.output.map(o => Params.resolve(o, job.params)) match {
       case Some(o) =>
-        if (o.pk.nonEmpty)
-          require(Checks.pkIsUnique(out, o.pk),
-            s"job ${job.name}: output violates pk uniqueness on ${o.pk}")
-        if (save) {
-          val written = Writer.write(out, job, o, now, period)
-          Writer.writeSchemaSidecar(out, written.path)
-          Result(out, Some(written.path))
-        } else Result(out, None)
+        // pk check + write both execute the plan; persist across the pair
+        // so the lineage computes once, released before returning
+        val multiAction = o.pk.nonEmpty && save
+        if (multiAction) out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (o.pk.nonEmpty)
+            require(Checks.pkIsUnique(out, o.pk),
+              s"job ${job.name}: output violates pk uniqueness on ${o.pk}")
+          if (save) {
+            val written = Writer.write(out, job, o, now, period)
+            Writer.writeSchemaSidecar(out, written.path)
+            Result(out, Some(written.path))
+          } else Result(out, None)
+        } finally if (multiAction) { out.unpersist(); () }
       case None => Result(out, None)
     }
   }

@@ -130,13 +130,19 @@ object MultiPass {
 
   def run(spark: SparkSession, job: JobSpec, first: LocalDate, until: LocalDate,
           now: String = Etl.defaultNow(), maxPeriods: Int = 1000,
-          stopOnEmpty: Boolean = false): Seq[PassResult] = {
+          stopOnEmpty: Boolean = false, save: Boolean = true): Seq[PassResult] = {
     val ps = PeriodBuilder.periods(first, until).take(maxPeriods)
     val out = collection.mutable.ArrayBuffer.empty[PassResult]
     ps.iterator.takeWhile { _ => !stopOnEmpty || out.lastOption.forall(_.rows > 0) }
       .foreach { p =>
-        val res = Etl.runJob(spark, job, period = Some(p), now = now)
-        out += PassResult(p, res.df.count(), res.writtenPath)
+        val res = Etl.runJob(spark, job, period = Some(p), now = now, save = save)
+        // count the materialized increment where one exists — re-counting
+        // res.df would recompute the whole lineage a second time
+        val rows = res.writtenPath match {
+          case Some(path) => spark.read.parquet(path).count()
+          case None => res.df.count()
+        }
+        out += PassResult(p, rows, res.writtenPath)
       }
     out.toSeq
   }
@@ -150,15 +156,23 @@ object MultiPass {
     */
   def resume(spark: SparkSession, job: JobSpec, defaultFirst: LocalDate,
              until: LocalDate, now: String = Etl.defaultNow(),
-             maxPeriods: Int = 1000): Seq[PassResult] = {
-    val out = job.output.getOrElse(sys.error(s"job ${job.name} has no output to resume"))
+             maxPeriods: Int = 1000, save: Boolean = true): Seq[PassResult] = {
+    val out = job.output
+      .map(o => graft.core.model.Params.resolve(o, job.params))
+      .getOrElse(sys.error(s"job ${job.name} has no output to resume"))
+    require(!out.path.contains("{{"),
+      s"job ${job.name}: output path has unresolved placeholders: ${out.path}")
     val incField = out.incField
       .orElse(job.inputs.values.flatMap(_.incField).headOption)
       .getOrElse(sys.error(s"job ${job.name} is not incremental"))
-    val priorGlob = s"${out.path.stripSuffix("/")}/inc_*"
+    // no_schema sinks write inc_* run subfolders; partitioned sinks write
+    // straight under the base path — probe the matching layout
+    val priorPath =
+      if (job.incrementalMode == "partitioned") out.path
+      else s"${out.path.stripSuffix("/")}/inc_*"
     val lastDone: Option[LocalDate] =
       try {
-        val prior = spark.read.parquet(priorGlob)
+        val prior = spark.read.parquet(priorPath)
         val m = prior.agg(org.apache.spark.sql.functions.max(
           org.apache.spark.sql.functions.to_date(
             org.apache.spark.sql.functions.col(incField)))).head()
@@ -166,6 +180,6 @@ object MultiPass {
       } catch { case _: org.apache.spark.sql.AnalysisException => None }
     val first = lastDone.map(_.plusDays(1)).getOrElse(defaultFirst)
     if (first.isAfter(until)) Seq.empty
-    else run(spark, job, first, until, now, maxPeriods)
+    else run(spark, job, first, until, now, maxPeriods, save = save)
   }
 }

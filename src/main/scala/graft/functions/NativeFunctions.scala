@@ -73,7 +73,10 @@ case class DotProductF(left: Expression, right: Expression)
 
 object NativeFunctions {
 
-  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  /** Registry of native functions, shared by per-session registration
+    * (GraftSession.tune) and the cluster-wide GraftExtensions installer.
+    */
+  val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_f" -> { args =>
       require(args.length == 2, "dot_f takes 2 arguments")
       DotProductF(args(0), args(1))

@@ -176,6 +176,11 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
+    // 4 disjoint 16-bit bands guarantee (pigeonhole) that any pair within
+    // hamming distance 3 shares at least one identical band; at maxDist 4+
+    // the blocking would silently drop qualifying pairs
+    require(maxDist <= 3, s"simhashPairs with 4 bands guarantees recall only " +
+      s"for maxDist <= 3 (got $maxDist)")
     val fp = simhash(docs, idCol, textCol)
     val banded = fp.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(q =>

@@ -168,13 +168,23 @@ object Excel {
     }
     def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
       .replace(">", "&gt;")
-    def cell(v: Any): String = v match {
-      case null => ""
-      case _ => s"""<c t="inlineStr"><is><t>${esc(v.toString)}</t></is></c>"""
+    // Explicit r= refs: without them, a skipped (null) interior cell would
+    // shift every later value one column left on read-back.
+    def colRef(i: Int): String = {
+      var n = i + 1; val sb = new StringBuilder
+      while (n > 0) { sb.insert(0, ('A' + (n - 1) % 26).toChar); n = (n - 1) / 26 }
+      sb.toString
     }
-    val header = df.columns.map(c => cell(c)).mkString
-    val body = df.collect().map(r =>
-      s"<row>${r.toSeq.map(cell).mkString}</row>").mkString
+    def cell(v: Any, row: Int, ci: Int): String = v match {
+      case null => ""
+      case _ =>
+        s"""<c r="${colRef(ci)}$row" t="inlineStr"><is><t>${esc(v.toString)}</t></is></c>"""
+    }
+    val header = df.columns.zipWithIndex.map { case (c, i) => cell(c, 1, i) }.mkString
+    val body = df.collect().zipWithIndex.map { case (r, ri) =>
+      s"""<row r="${ri + 2}">${r.toSeq.zipWithIndex.map { case (v, ci) =>
+        cell(v, ri + 2, ci) }.mkString}</row>"""
+    }.mkString
     try {
       put("[Content_Types].xml",
         """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +

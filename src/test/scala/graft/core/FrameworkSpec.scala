@@ -217,6 +217,43 @@ class EtlIoSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out/inc_*").count() == 3)
   }
 
+  test("resume probes partitioned sinks and resolves params in paths") {
+    val dir = tmp()
+    Seq(("2024-01-01", 1.0), ("2024-01-02", 2.0), ("2024-01-03", 3.0))
+      .toDF("day", "v").write.parquet(s"$dir/ev")
+    val job = JobSpec(name = "presume",
+      inputs = Map("ev" -> DatasetSpec(path = s"$dir/ev", incField = Some("day"))),
+      output = Some(DatasetSpec(path = "{{root}}/out", incField = Some("day"))),
+      incrementalMode = "partitioned",
+      sql = Some("SELECT day, v FROM ev"),
+      params = Map("root" -> dir))
+    val r1 = MultiPass.resume(spark, job, java.time.LocalDate.parse("2024-01-01"),
+      java.time.LocalDate.parse("2024-01-02"), now = "n1")
+    assert(r1.map(_.period) == Seq("2024-01-01", "2024-01-02"))
+    // partitioned layout (day=...) is probed, not inc_* subfolders
+    val r2 = MultiPass.resume(spark, job, java.time.LocalDate.parse("2024-01-01"),
+      java.time.LocalDate.parse("2024-01-03"), now = "n2")
+    assert(r2.map(_.period) == Seq("2024-01-03"))
+    assert(spark.read.parquet(s"$dir/out").count() == 3) // no duplicates
+  }
+
+  test("a declared path is not shadowed by a same-named upstream job") {
+    val dir = tmp()
+    Seq((1, "disk")).toDF("id", "srcname").write.parquet(s"$dir/snap")
+    Seq((2, "mem")).toDF("id", "srcname").createOrReplaceTempView("shadow_src")
+    val jobs = Map(
+      "snapshot" -> JobSpec(name = "snapshot",
+        sql = Some("SELECT id, srcname FROM shadow_src")),
+      "consumer" -> JobSpec(name = "consumer",
+        // input named like the upstream job but with an explicit path:
+        // must read the path, not the upstream's in-memory frame
+        inputs = Map("snapshot" -> DatasetSpec(path = s"$dir/snap")),
+        dependencies = Seq("snapshot"),
+        sql = Some("SELECT srcname FROM snapshot")))
+    val outs = Flow.runPipeline(spark, jobs, "consumer", save = false)
+    assert(outs("consumer").head().getString(0) == "disk")
+  }
+
   test("json_array reader parses whole-file array layout") {
     val dir = tmp()
     Files.writeString(java.nio.file.Paths.get(dir, "a.json"),

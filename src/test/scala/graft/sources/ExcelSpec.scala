@@ -18,6 +18,14 @@ class ExcelSpec extends SparkSpec {
     assert(rows(1).toSeq == Seq("b", "2", null))
   }
 
+  test("interior null cells keep later values in their columns") {
+    val dir = Files.createTempDirectory("graft_xlsx_null").toString
+    val df = Seq(("a", null.asInstanceOf[String], "c")).toDF("x", "y", "z")
+    Excel.write(df, s"$dir/n.xlsx")
+    val back = Excel.read(spark, s"$dir/n.xlsx").head()
+    assert(back.toSeq == Seq("a", null, "c"))
+  }
+
   test("reader dispatches type: excel and parses shared strings + sparse cells") {
     val dir = Files.createTempDirectory("graft_xlsx2").toString
     // hand-rolled xlsx with sharedStrings, a numeric cell, and a gap at B2
