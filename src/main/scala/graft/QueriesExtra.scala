@@ -76,5 +76,56 @@ object QueriesExtra {
            |FROM events GROUP BY 1 ORDER BY user_decile""".stripMargin))
   }
 
-  val all: Seq[QueryDef] = Seq(q41, q42, q43, q44)
+  /** As-of join: each view/click event picks up the user's latest
+    * purchase value at-or-before its timestamp. Oracle = DuckDB's native
+    * ASOF LEFT JOIN.
+    */
+  val q45 = QueryDef("q45_asof_join", (spark, dir) => {
+    val ev = t(spark, dir, "events")
+    val activity = ev.filter(col("event_type").isin("view", "click"))
+      .select("user_id", "ts", "event_type")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+    graft.ops.TemporalJoins.asofJoin(activity, purchases,
+        key = "user_id", leftTs = "ts", rightTs = "ts", rightVals = Seq("value"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(col("asof_value")).as("n_with_prior"),
+        round(sum("asof_value"), 2).as("sum_prior"))
+      .orderBy("event_type")
+  }, Some(
+    """WITH l AS (SELECT user_id, ts, event_type FROM events
+      |           WHERE event_type IN ('view', 'click')),
+      |r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+      |SELECT l.event_type, count(*) AS n, count(r.value) AS n_with_prior,
+      |  round(sum(r.value), 2) AS sum_prior
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      |GROUP BY 1 ORDER BY event_type""".stripMargin))
+
+  /** Range join: error events open a 30-minute incident window; count the
+    * same user's events inside each window. Oracle = plain inequality
+    * join (exact semantics; the bucketed plan must agree).
+    */
+  val q46 = QueryDef("q46_range_join", (spark, dir) => {
+    val ev = t(spark, dir, "events")
+    val windows = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), col("user_id"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+    graft.ops.TemporalJoins.rangeJoin(
+        ev.select(col("user_id"), col("ts"), col("event_id")), "ts",
+        windows, "w_start", "w_end", bucketSeconds = 1800, key = Some("user_id"))
+      .groupBy("incident_id")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("incident_id")
+  }, Some(
+    """WITH w AS (SELECT event_id AS incident_id, user_id, ts AS w_start,
+      |             ts + INTERVAL 30 MINUTE AS w_end
+      |           FROM events WHERE event_type = 'error')
+      |SELECT w.incident_id, count(*) AS n_events
+      |FROM events e JOIN w ON e.user_id = w.user_id
+      |  AND e.ts >= w.w_start AND e.ts <= w.w_end
+      |GROUP BY 1 ORDER BY incident_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q46)
 }

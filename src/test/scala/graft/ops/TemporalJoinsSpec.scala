@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofJoin picks the latest right row at-or-before each left ts, left-outer") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 110.0),
+      (2L, ts("2024-01-01 10:30:00"), 200.0)
+    ).toDF("k", "ts", "px")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:30:00"), "t1"), // after 10:00 quote -> 100
+      (1L, ts("2024-01-01 11:00:00"), "t2"), // equal ts inclusive -> 110
+      (2L, ts("2024-01-01 10:00:00"), "t3"), // before any quote -> null
+      (3L, ts("2024-01-01 12:00:00"), "t4")  // key with no quotes -> null
+    ).toDF("k", "ts", "trade")
+    val out = TemporalJoins.asofJoin(trades, quotes, "k", "ts", "ts", Seq("px"))
+      .orderBy("trade").collect()
+    assert(out.map(r => r.getAs[String]("trade") ->
+      Option(r.getAs[Any]("asof_px"))).toSeq == Seq(
+      "t1" -> Some(100.0), "t2" -> Some(110.0), "t3" -> None, "t4" -> None))
+  }
+
+  test("rangeJoin matches points to covering intervals across bucket boundaries") {
+    val points = Seq(
+      (ts("2024-01-01 10:05:00"), "p1"),
+      (ts("2024-01-01 10:59:00"), "p2"),
+      (ts("2024-01-01 12:00:00"), "p3")
+    ).toDF("ts", "p")
+    val intervals = Seq(
+      // spans two 30-min buckets
+      (ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), "i1"),
+      (ts("2024-01-01 11:30:00"), ts("2024-01-01 11:59:00"), "i2")
+    ).toDF("s", "e", "i")
+    val out = TemporalJoins.rangeJoin(points, "ts", intervals, "s", "e",
+        bucketSeconds = 1800)
+      .select("p", "i").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("p1", "i1"), ("p2", "i1"))) // p3 in no interval
+  }
+}
