@@ -38,7 +38,9 @@ object Reader {
           case Some(v) => v.toIntOption.getOrElse(sys.error(
             s"excel read option header must be a row index (or 'true'), got '$v'"))
         }
-        graft.sources.Excel.read(spark, path, headerRow)
+        require(ds.glob.isEmpty, "glob is not supported for excel inputs " +
+          "(driver-side single-file parse); list files and union explicitly")
+        graft.sources.Excel.read(spark, ds.path, headerRow)
       case "jdbc" => spark.read.format("jdbc").options(ds.readOptions).load()
       case other => sys.error(s"unsupported input format: $other")
     }

@@ -55,13 +55,18 @@ object Etl {
     val inputs = job.inputs.map { case (name, ds0) =>
       val ds = Params.resolve(ds0, job.params)
       val fromMem = ds.from.orElse(if (ds.format == "df") Some(name) else None)
+      // Chaining rule (reference chain_dependencies semantics): an input
+      // takes the in-memory frame when it opts in (`from:` / `type: df`),
+      // when it declares no path, or when the job LISTS the same-named
+      // upstream as a dependency — declaring both a path and the
+      // dependency means "the fresh chained output". A same-named input
+      // with a path but NO dependency edge reads its declared data.
+      val chainsByName = loadedInputs.contains(name) &&
+        (ds.path.isEmpty || job.dependencies.contains(name))
       val base = fromMem match {
         case Some(src) => loadedInputs.getOrElse(src,
           sys.error(s"job ${job.name}: in-memory input '$src' not available"))
-        // pathless specs take a pre-loaded frame (tests / chained runs); a
-        // spec that DECLARES a path always reads it — an upstream job that
-        // merely shares the input's name must not shadow the declared data
-        case None if ds.path.isEmpty && loadedInputs.contains(name) => loadedInputs(name)
+        case None if chainsByName => loadedInputs(name)
         case None =>
           Reader.read(spark, ds.copy(path = PathTemplating.expand(ds.path, spark, now)))
       }

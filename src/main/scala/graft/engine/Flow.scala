@@ -63,11 +63,15 @@ object Flow {
       Map[String, DataFrame] = {
     val sub = upstream(jobs, target)
     val order = topoOrder(sub)
-    // consumers per job = downstream jobs whose inputs reference it (by
-    // input name or explicit `from:` — the same resolution Etl.runJob uses)
+    // consumers per job = downstream jobs that actually CHAIN from it —
+    // same rule as Etl.runJob: `from:`/`type: df`, pathless same-named
+    // input, or same-named input + dependency edge
+    def chains(j: JobSpec, up: String): Boolean =
+      j.inputs.get(up).exists(d => d.format == "df" || d.path.isEmpty ||
+        j.dependencies.contains(up)) ||
+      j.inputs.values.exists(_.from.contains(up))
     val consumers: Map[String, Int] = sub.keys.map { up =>
-      up -> sub.values.count(j => j.name != up &&
-        (j.inputs.contains(up) || j.inputs.values.exists(_.from.contains(up))))
+      up -> sub.values.count(j => j.name != up && chains(j, up))
     }.toMap
     val remaining = collection.mutable.Map.from(consumers)
     val persisted = collection.mutable.Set.empty[String]
@@ -83,8 +87,7 @@ object Flow {
         } else res.df
       done(name) = df
       // release upstreams whose last consumer just ran
-      sub.keys.filter(up => up != name &&
-          (job.inputs.contains(up) || job.inputs.values.exists(_.from.contains(up))))
+      sub.keys.filter(up => up != name && chains(job, up))
         .foreach { up =>
           remaining.updateWith(up)(_.map(_ - 1))
           if (remaining.getOrElse(up, 0) <= 0 && persisted.remove(up))
@@ -136,11 +139,20 @@ object MultiPass {
     ps.iterator.takeWhile { _ => !stopOnEmpty || out.lastOption.forall(_.rows > 0) }
       .foreach { p =>
         val res = Etl.runJob(spark, job, period = Some(p), now = now, save = save)
-        // count the materialized increment where one exists — re-counting
-        // res.df would recompute the whole lineage a second time
+        // Count the materialized increment where one exists (re-counting
+        // res.df recomputes the whole lineage). Only valid for file sinks
+        // in no_schema mode — a partitioned sink's written path is the
+        // cumulative base, and jdbc has no readable path — those recount
+        // the frame.
+        val outSpec = job.output.map(o => graft.core.model.Params.resolve(o, job.params))
+        val countableFile = outSpec.exists(o =>
+          Set("parquet", "csv", "json", "text").contains(o.format)) &&
+          job.incrementalMode != "partitioned"
         val rows = res.writtenPath match {
-          case Some(path) => spark.read.parquet(path).count()
-          case None => res.df.count()
+          case Some(path) if countableFile =>
+            graft.core.io.Reader.read(spark,
+              outSpec.get.copy(path = path, glob = None)).count()
+          case _ => res.df.count()
         }
         out += PassResult(p, rows, res.writtenPath)
       }
@@ -166,18 +178,30 @@ object MultiPass {
       .orElse(job.inputs.values.flatMap(_.incField).headOption)
       .getOrElse(sys.error(s"job ${job.name} is not incremental"))
     // no_schema sinks write inc_* run subfolders; partitioned sinks write
-    // straight under the base path — probe the matching layout
+    // straight under the base path — probe the matching layout with the
+    // sink's OWN format. A missing sink means "first run"; any other probe
+    // failure (wrong format, missing inc column) must fail loudly, or a
+    // silent None would duplicate every period on append.
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(out.path),
+      spark.sparkContext.hadoopConfiguration)
+    val sinkExists = fs.exists(new org.apache.hadoop.fs.Path(out.path))
     val priorPath =
       if (job.incrementalMode == "partitioned") out.path
       else s"${out.path.stripSuffix("/")}/inc_*"
+    val hasPrior = sinkExists && (job.incrementalMode == "partitioned" || {
+      val matches = fs.globStatus(new org.apache.hadoop.fs.Path(priorPath))
+      matches != null && matches.nonEmpty
+    })
     val lastDone: Option[LocalDate] =
-      try {
-        val prior = spark.read.parquet(priorPath)
+      if (!hasPrior) None
+      else {
+        val prior = graft.core.io.Reader.read(spark,
+          out.copy(path = priorPath, glob = None))
         val m = prior.agg(org.apache.spark.sql.functions.max(
           org.apache.spark.sql.functions.to_date(
             org.apache.spark.sql.functions.col(incField)))).head()
         if (m.isNullAt(0)) None else Some(m.getDate(0).toLocalDate)
-      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+      }
     val first = lastDone.map(_.plusDays(1)).getOrElse(defaultFirst)
     if (first.isAfter(until)) Seq.empty
     else run(spark, job, first, until, now, maxPeriods, save = save)

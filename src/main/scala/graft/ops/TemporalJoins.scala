@@ -27,25 +27,33 @@ object TemporalJoins {
                leftTs: String, rightTs: String,
                rightVals: Seq[String], prefix: String = "asof_"): DataFrame = {
     val leftCols = left.columns.toSeq
+    // improbable working names + explicit collision checks: a silent
+    // overwrite of a user column would corrupt output
+    val (cTs, cSide, cRv, cLast) =
+      ("__graft_asof_ts", "__graft_asof_side", "__graft_asof_rv", "__graft_asof_last")
+    val reserved = Seq(cTs, cSide, cRv, cLast) ++ rightVals.map(prefix + _)
+    val clash = reserved.intersect(leftCols)
+    require(clash.isEmpty, s"asofJoin output/working columns collide with " +
+      s"left columns: ${clash.mkString(", ")} (choose a different prefix)")
     val l = left
-      .withColumn("_ts", col(leftTs))
-      .withColumn("_side", lit(1))
-      .withColumn("_rv", lit(null).cast(
+      .withColumn(cTs, col(leftTs))
+      .withColumn(cSide, lit(1))
+      .withColumn(cRv, lit(null).cast(
         org.apache.spark.sql.types.StructType(
           rightVals.map(v => org.apache.spark.sql.types.StructField(v,
             right.schema(v).dataType)))))
     val r = right.select(
-        (Seq(col(key), col(rightTs).as("_ts"), lit(0).as("_side"),
-          struct(rightVals.map(col): _*).as("_rv"))): _*)
+        (Seq(col(key), col(rightTs).as(cTs), lit(0).as(cSide),
+          struct(rightVals.map(col): _*).as(cRv))): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // right (side 0) sorts before left (side 1) at equal ts → inclusive <=
-    val w = Window.partitionBy(key).orderBy(col("_ts"), col("_side"))
+    val w = Window.partitionBy(key).orderBy(col(cTs), col(cSide))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned.withColumn("_last_rv",
-      last(col("_rv"), ignoreNulls = true).over(w))
-    carried.filter(col("_side") === 1)
+    val carried = unioned.withColumn(cLast,
+      last(col(cRv), ignoreNulls = true).over(w))
+    carried.filter(col(cSide) === 1)
       .select(leftCols.map(col) ++
-        rightVals.map(v => col(s"_last_rv.$v").as(s"$prefix$v")): _*)
+        rightVals.map(v => col(s"$cLast.$v").as(s"$prefix$v")): _*)
   }
 
   /** Interval/range join: left rows matched to right intervals containing

@@ -41,12 +41,14 @@ object Excel {
     val r = xmlIn.createXMLStreamReader(new java.io.ByteArrayInputStream(bytes))
     var cur: StringBuilder = null
     var inT = false
+    var phoneticDepth = 0 // skip <rPh> phonetic-guide runs — not cell text
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
             case "si" => cur = new StringBuilder
-            case "t" => inT = true
+            case "rPh" => phoneticDepth += 1
+            case "t" if phoneticDepth == 0 => inT = true
             case _ =>
           }
         case XMLStreamConstants.CHARACTERS if inT && cur != null =>
@@ -54,6 +56,7 @@ object Excel {
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
             case "t" => inT = false
+            case "rPh" => phoneticDepth -= 1
             case "si" => out += cur.toString; cur = null
             case _ =>
           }
@@ -72,6 +75,7 @@ object Excel {
     var cellCol = -1
     var cellType = ""
     var text: StringBuilder = null
+    var sawText = false
     var collecting = false
     while (r.hasNext) {
       r.next() match {
@@ -82,23 +86,23 @@ object Excel {
               cellCol = Option(r.getAttributeValue(null, "r"))
                 .map(colIndex).getOrElse(cellCol + 1)
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
-            case "v" | "t" => collecting = true; text = new StringBuilder
+              text = new StringBuilder
+              sawText = false
+            // multiple <t> runs (rich inline text) accumulate into one cell
+            case "v" | "t" => collecting = true; sawText = true
             case _ =>
           }
         case XMLStreamConstants.CHARACTERS if collecting =>
           text.append(r.getText)
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
-            case "v" | "t" if collecting =>
-              collecting = false
-              if (row != null && cellCol >= 0) {
-                val raw = text.toString
-                val value = cellType match {
-                  case "s" => shared(raw.trim.toInt)
-                  case "b" => if (raw.trim == "1") "true" else "false"
-                  case _ => raw // n, str, inlineStr (t-element content)
-                }
-                row(cellCol) = value
+            case "v" | "t" => collecting = false
+            case "c" if row != null && cellCol >= 0 && sawText =>
+              val raw = text.toString
+              row(cellCol) = cellType match {
+                case "s" => shared(raw.trim.toInt)
+                case "b" => if (raw.trim == "1") "true" else "false"
+                case _ => raw // n, str, inlineStr (concatenated runs)
               }
             case "row" => rows += row.toMap; row = null
             case _ =>
@@ -137,7 +141,13 @@ object Excel {
       entry = zin.getNextEntry
     }
     require(sheets.nonEmpty, "xlsx contains no worksheets")
-    sheetBytes = sheets.head._2
+    // numeric sheet order: lexicographic zip-entry order would put
+    // sheet10.xml before sheet2.xml
+    val SheetNum = """.*sheet(\d+)\.xml""".r
+    sheetBytes = sheets.toSeq.sortBy {
+      case (SheetNum(n), _) => n.toInt
+      case _ => Int.MaxValue
+    }.head._2
     val allRows = parseSheet(sheetBytes, shared)
     val rows = allRows.drop(headerRow)
     require(rows.nonEmpty, s"xlsx sheet has no rows at/after header row $headerRow")

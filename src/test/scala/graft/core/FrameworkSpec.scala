@@ -237,21 +237,28 @@ class EtlIoSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out").count() == 3) // no duplicates
   }
 
-  test("a declared path is not shadowed by a same-named upstream job") {
+  test("chaining: dependency edge takes the fresh frame, no edge reads the declared path") {
     val dir = tmp()
     Seq((1, "disk")).toDF("id", "srcname").write.parquet(s"$dir/snap")
     Seq((2, "mem")).toDF("id", "srcname").createOrReplaceTempView("shadow_src")
-    val jobs = Map(
-      "snapshot" -> JobSpec(name = "snapshot",
-        sql = Some("SELECT id, srcname FROM shadow_src")),
-      "consumer" -> JobSpec(name = "consumer",
-        // input named like the upstream job but with an explicit path:
-        // must read the path, not the upstream's in-memory frame
-        inputs = Map("snapshot" -> DatasetSpec(path = s"$dir/snap")),
-        dependencies = Seq("snapshot"),
-        sql = Some("SELECT srcname FROM snapshot")))
-    val outs = Flow.runPipeline(spark, jobs, "consumer", save = false)
-    assert(outs("consumer").head().getString(0) == "disk")
+    val snapshot = JobSpec(name = "snapshot",
+      sql = Some("SELECT id, srcname FROM shadow_src"))
+    // path + dependency edge: chained output wins (that is what the edge means)
+    val chained = JobSpec(name = "chained",
+      inputs = Map("snapshot" -> DatasetSpec(path = s"$dir/snap")),
+      dependencies = Seq("snapshot"),
+      sql = Some("SELECT srcname FROM snapshot"))
+    val outs = Flow.runPipeline(spark,
+      Map("snapshot" -> snapshot, "chained" -> chained), "chained", save = false)
+    assert(outs("chained").head().getString(0) == "mem")
+    // path + NO dependency edge: an unrelated same-named frame in
+    // loadedInputs must not shadow the declared data
+    val independent = JobSpec(name = "independent",
+      inputs = Map("snapshot" -> DatasetSpec(path = s"$dir/snap")),
+      sql = Some("SELECT srcname FROM snapshot"))
+    val res = graft.engine.Etl.runJob(spark, independent,
+      loadedInputs = Map("snapshot" -> outs("snapshot")), save = false)
+    assert(res.df.head().getString(0) == "disk")
   }
 
   test("json_array reader parses whole-file array layout") {
