@@ -55,6 +55,24 @@ object Streams {
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Watermarked stream-stream inner join: right rows match left rows of
+    * the same key within `[leftTs - within, leftTs]`. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can expire join state — without the bound, stream-stream join
+    * state grows forever.
+    */
+  def streamJoin(left: DataFrame, right: DataFrame, key: String,
+                 leftTs: String, rightTs: String,
+                 watermarkDelay: String, within: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+        l(key) === r(key) &&
+          r(rightTs) >= l(leftTs) - expr(s"INTERVAL $within") &&
+          r(rightTs) <= l(leftTs))
+      .drop(r(key))
+  }
+
   /** foreachBatch bridge into the batch Writer: each micro-batch lands as
     * one increment through the exact same sink code as batch jobs (path
     * suffixing, partitioning, schema sidecar).

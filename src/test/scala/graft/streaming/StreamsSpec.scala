@@ -52,6 +52,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamJoin matches keys within the event-time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val buys = MemoryStream[(Timestamp, Long, Double)]
+    val joined = Streams.streamJoin(
+      clicks.toDF().toDF("cts", "uid", "page"),
+      buys.toDF().toDF("bts", "uid", "amount"),
+      key = "uid", leftTs = "cts", rightTs = "bts",
+      watermarkDelay = "1 hour", within = "10 MINUTES")
+    val q = joined.select("uid", "page", "amount")
+      .writeStream.format("memory").queryName("sj_out")
+      .outputMode("append").start()
+    try {
+      buys.addData((Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 9.99))
+      clicks.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "inside"),   // within 10m
+        (Timestamp.valueOf("2024-01-01 10:20:00"), 1L, "too_late"), // outside
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 2L, "wrong_key"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT uid, page, amount FROM sj_out").collect()
+      assert(rows.map(_.getString(1)).toSeq == Seq("inside"))
+      assert(rows.head.getLong(0) == 1L && rows.head.getDouble(2) == 9.99)
+    } finally q.stop()
+  }
+
   test("Sessionize.fold closes sessions on gap and accumulates otherwise") {
     import Sessionize._
     val events = Seq(Event(1, 1000, 1.0), Event(1, 2000, 2.0), Event(1, 99000, 3.0))
