@@ -84,8 +84,10 @@ object QueriesExtra {
     val ev = t(spark, dir, "events")
     val activity = ev.filter(col("event_type").isin("view", "click"))
       .select("user_id", "ts", "event_type")
+    // asofJoin requires right rows unique per (key, ts) — aggregate ties
+    // deterministically (max value); the oracle does the identical prep
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select("user_id", "ts", "value")
+      .groupBy("user_id", "ts").agg(max("value").as("value"))
     graft.ops.TemporalJoins.asofJoin(activity, purchases,
         key = "user_id", leftTs = "ts", rightTs = "ts", rightVals = Seq("value"))
       .groupBy("event_type")
@@ -96,7 +98,8 @@ object QueriesExtra {
   }, Some(
     """WITH l AS (SELECT user_id, ts, event_type FROM events
       |           WHERE event_type IN ('view', 'click')),
-      |r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+      |r AS (SELECT user_id, ts, max(value) AS value FROM events
+      |      WHERE event_type = 'purchase' GROUP BY user_id, ts)
       |SELECT l.event_type, count(*) AS n, count(r.value) AS n_with_prior,
       |  round(sum(r.value), 2) AS sum_prior
       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts

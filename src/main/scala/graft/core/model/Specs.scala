@@ -39,6 +39,19 @@ final case class JobSpec(
     */
   def isIncremental: Boolean =
     inputs.values.exists(_.incField.nonEmpty) || output.exists(_.incField.nonEmpty)
+
+  /** Whether the input named `inputName` chains from a same-named upstream
+    * job's in-memory output: opts in via `type: df`, declares no (resolved)
+    * path, or the job lists the upstream as a dependency. THE single
+    * definition of the chaining rule — Etl.runJob input resolution and
+    * Flow's persist refcounting both call this.
+    */
+  def chainsByName(inputName: String): Boolean =
+    inputs.get(inputName).exists { d =>
+      d.format == "df" ||
+        Params.interpolate(d.path, params).isEmpty ||
+        dependencies.contains(inputName)
+    }
 }
 
 /** Recursive `{{param}}` interpolation with a depth guard (reference

@@ -55,14 +55,12 @@ object Etl {
     val inputs = job.inputs.map { case (name, ds0) =>
       val ds = Params.resolve(ds0, job.params)
       val fromMem = ds.from.orElse(if (ds.format == "df") Some(name) else None)
-      // Chaining rule (reference chain_dependencies semantics): an input
-      // takes the in-memory frame when it opts in (`from:` / `type: df`),
-      // when it declares no path, or when the job LISTS the same-named
-      // upstream as a dependency — declaring both a path and the
-      // dependency means "the fresh chained output". A same-named input
-      // with a path but NO dependency edge reads its declared data.
-      val chainsByName = loadedInputs.contains(name) &&
-        (ds.path.isEmpty || job.dependencies.contains(name))
+      // Chaining rule (reference chain_dependencies semantics) — single
+      // definition in JobSpec.chainsByName: in-memory frame when the input
+      // opts in (`type: df`), declares no path, or the job lists the
+      // same-named upstream as a dependency. A same-named input with a
+      // path but NO dependency edge reads its declared data.
+      val chainsByName = loadedInputs.contains(name) && job.chainsByName(name)
       val base = fromMem match {
         case Some(src) => loadedInputs.getOrElse(src,
           sys.error(s"job ${job.name}: in-memory input '$src' not available"))

@@ -64,12 +64,9 @@ object Flow {
     val sub = upstream(jobs, target)
     val order = topoOrder(sub)
     // consumers per job = downstream jobs that actually CHAIN from it —
-    // same rule as Etl.runJob: `from:`/`type: df`, pathless same-named
-    // input, or same-named input + dependency edge
+    // the one rule lives in JobSpec.chainsByName (plus explicit `from:`)
     def chains(j: JobSpec, up: String): Boolean =
-      j.inputs.get(up).exists(d => d.format == "df" || d.path.isEmpty ||
-        j.dependencies.contains(up)) ||
-      j.inputs.values.exists(_.from.contains(up))
+      j.chainsByName(up) || j.inputs.values.exists(_.from.contains(up))
     val consumers: Map[String, Int] = sub.keys.map { up =>
       up -> sub.values.count(j => j.name != up && chains(j, up))
     }.toMap
@@ -135,23 +132,20 @@ object MultiPass {
           now: String = Etl.defaultNow(), maxPeriods: Int = 1000,
           stopOnEmpty: Boolean = false, save: Boolean = true): Seq[PassResult] = {
     val ps = PeriodBuilder.periods(first, until).take(maxPeriods)
+    // Count the materialized increment where one exists (re-counting
+    // res.df recomputes the whole lineage). Parquet-only: a zero-row
+    // csv/json increment has no schema to read back; a partitioned sink's
+    // written path is the cumulative base; jdbc has no readable path —
+    // all of those recount the frame instead.
+    val outSpec = job.output.map(o => graft.core.model.Params.resolve(o, job.params))
+    val countableFile = outSpec.exists(_.format == "parquet") &&
+      job.incrementalMode != "partitioned"
     val out = collection.mutable.ArrayBuffer.empty[PassResult]
     ps.iterator.takeWhile { _ => !stopOnEmpty || out.lastOption.forall(_.rows > 0) }
       .foreach { p =>
         val res = Etl.runJob(spark, job, period = Some(p), now = now, save = save)
-        // Count the materialized increment where one exists (re-counting
-        // res.df recomputes the whole lineage). Only valid for file sinks
-        // in no_schema mode — a partitioned sink's written path is the
-        // cumulative base, and jdbc has no readable path — those recount
-        // the frame.
-        val outSpec = job.output.map(o => graft.core.model.Params.resolve(o, job.params))
-        val countableFile = outSpec.exists(o =>
-          Set("parquet", "csv", "json", "text").contains(o.format)) &&
-          job.incrementalMode != "partitioned"
         val rows = res.writtenPath match {
-          case Some(path) if countableFile =>
-            graft.core.io.Reader.read(spark,
-              outSpec.get.copy(path = path, glob = None)).count()
+          case Some(path) if countableFile => spark.read.parquet(path).count()
           case _ => res.df.count()
         }
         out += PassResult(p, rows, res.writtenPath)
@@ -174,6 +168,9 @@ object MultiPass {
       .getOrElse(sys.error(s"job ${job.name} has no output to resume"))
     require(!out.path.contains("{{"),
       s"job ${job.name}: output path has unresolved placeholders: ${out.path}")
+    require(Set("parquet", "csv", "json", "text").contains(out.format),
+      s"job ${job.name}: resume needs a file sink to probe (got ${out.format}); " +
+        "use an explicit --period_first for jdbc sinks")
     val incField = out.incField
       .orElse(job.inputs.values.flatMap(_.incField).headOption)
       .getOrElse(sys.error(s"job ${job.name} is not incremental"))
@@ -182,9 +179,9 @@ object MultiPass {
     // sink's OWN format. A missing sink means "first run"; any other probe
     // failure (wrong format, missing inc column) must fail loudly, or a
     // silent None would duplicate every period on append.
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(out.path),
-      spark.sparkContext.hadoopConfiguration)
-    val sinkExists = fs.exists(new org.apache.hadoop.fs.Path(out.path))
+    val sinkPath = new org.apache.hadoop.fs.Path(out.path)
+    val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sinkExists = fs.exists(sinkPath)
     val priorPath =
       if (job.incrementalMode == "partitioned") out.path
       else s"${out.path.stripSuffix("/")}/inc_*"
@@ -195,8 +192,11 @@ object MultiPass {
     val lastDone: Option[LocalDate] =
       if (!hasPrior) None
       else {
+        // read the sink back with the options it was WRITTEN with (e.g. a
+        // csv separator) layered over any read options
         val prior = graft.core.io.Reader.read(spark,
-          out.copy(path = priorPath, glob = None))
+          out.copy(path = priorPath, glob = None,
+            readOptions = out.readOptions ++ out.saveOptions))
         val m = prior.agg(org.apache.spark.sql.functions.max(
           org.apache.spark.sql.functions.to_date(
             org.apache.spark.sql.functions.col(incField)))).head()

@@ -42,7 +42,10 @@ object TemporalJoins {
         org.apache.spark.sql.types.StructType(
           rightVals.map(v => org.apache.spark.sql.types.StructField(v,
             right.schema(v).dataType)))))
-    val r = right.select(
+    // NULL keys never match in SQL join / ASOF semantics: drop them from
+    // the right so the NULL-key window partition carries no payload and
+    // NULL-key left rows keep a NULL result (left-outer behavior)
+    val r = right.filter(col(key).isNotNull).select(
         (Seq(col(key), col(rightTs).as(cTs), lit(0).as(cSide),
           struct(rightVals.map(col): _*).as(cRv))): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
@@ -69,15 +72,18 @@ object TemporalJoins {
   def rangeJoin(left: DataFrame, leftTs: String,
                 right: DataFrame, rightStart: String, rightEnd: String,
                 bucketSeconds: Long, key: Option[String] = None): DataFrame = {
-    val lb = left.withColumn("_bucket",
+    val cBucket = "__graft_range_bucket"
+    val clash = (left.columns ++ right.columns).filter(_ == cBucket)
+    require(clash.isEmpty, s"rangeJoin working column $cBucket collides with input")
+    val lb = left.withColumn(cBucket,
       floor(unix_timestamp(col(leftTs)) / bucketSeconds))
-    val rb = right.withColumn("_bucket",
+    val rb = right.withColumn(cBucket,
       explode(sequence(
         floor(unix_timestamp(col(rightStart)) / bucketSeconds),
         floor(unix_timestamp(col(rightEnd)) / bucketSeconds))))
-    val joinCols = "_bucket" +: key.toSeq
+    val joinCols = cBucket +: key.toSeq
     lb.join(rb, joinCols)
       .filter(col(leftTs) >= col(rightStart) && col(leftTs) <= col(rightEnd))
-      .drop("_bucket")
+      .drop(cBucket)
   }
 }

@@ -66,6 +66,33 @@ object Excel {
     out.toIndexedSeq
   }
 
+  /** Zip path of the workbook's FIRST sheet in displayed (workbook.xml)
+    * order, resolved through the rels file — sheetN.xml file numbering
+    * does not track tab order after a user reorders sheets.
+    */
+  private def firstSheetPath(workbook: Array[Byte], rels: Array[Byte]): Option[String] = {
+    def attr(r: javax.xml.stream.XMLStreamReader, local: String): Option[String] =
+      (0 until r.getAttributeCount)
+        .find(i => r.getAttributeLocalName(i) == local)
+        .map(r.getAttributeValue)
+    var rid: Option[String] = None
+    val wb = xmlIn.createXMLStreamReader(new java.io.ByteArrayInputStream(workbook))
+    while (wb.hasNext && rid.isEmpty) {
+      if (wb.next() == XMLStreamConstants.START_ELEMENT && wb.getLocalName == "sheet")
+        rid = attr(wb, "id")
+    }
+    rid.flatMap { id =>
+      var target: Option[String] = None
+      val rl = xmlIn.createXMLStreamReader(new java.io.ByteArrayInputStream(rels))
+      while (rl.hasNext && target.isEmpty) {
+        if (rl.next() == XMLStreamConstants.START_ELEMENT &&
+            rl.getLocalName == "Relationship" && attr(rl, "Id").contains(id))
+          target = attr(rl, "Target")
+      }
+      target.map(t => "xl/" + t.stripPrefix("/xl/").stripPrefix("xl/"))
+    }
+  }
+
   /** Parse one worksheet into sparse rows of (colIndex -> text). */
   private def parseSheet(bytes: Array[Byte],
                          shared: IndexedSeq[String]): Seq[Map[Int, String]] = {
@@ -77,6 +104,7 @@ object Excel {
     var text: StringBuilder = null
     var sawText = false
     var collecting = false
+    var phoneticDepth = 0 // <rPh> runs are pronunciation guides, not text
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
@@ -88,14 +116,16 @@ object Excel {
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
               text = new StringBuilder
               sawText = false
+            case "rPh" => phoneticDepth += 1
             // multiple <t> runs (rich inline text) accumulate into one cell
-            case "v" | "t" => collecting = true; sawText = true
+            case "v" | "t" if phoneticDepth == 0 => collecting = true; sawText = true
             case _ =>
           }
         case XMLStreamConstants.CHARACTERS if collecting =>
           text.append(r.getText)
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
+            case "rPh" => phoneticDepth -= 1
             case "v" | "t" => collecting = false
             case "c" if row != null && cellCol >= 0 && sawText =>
               val raw = text.toString
@@ -128,12 +158,15 @@ object Excel {
   def readStream(spark: SparkSession, in: InputStream, headerRow: Int = 0): DataFrame = {
     val zin = new ZipInputStream(in)
     var shared: IndexedSeq[String] = IndexedSeq.empty
-    var sheetBytes: Array[Byte] = null
+    var workbook: Array[Byte] = null
+    var rels: Array[Byte] = null
     var entry = zin.getNextEntry
     val sheets = mutable.SortedMap.empty[String, Array[Byte]]
     while (entry != null) {
       entry.getName match {
         case "xl/sharedStrings.xml" => shared = parseSharedStrings(entryBytes(zin))
+        case "xl/workbook.xml" => workbook = entryBytes(zin)
+        case "xl/_rels/workbook.xml.rels" => rels = entryBytes(zin)
         case n if n.startsWith("xl/worksheets/sheet") && n.endsWith(".xml") =>
           sheets(n) = entryBytes(zin)
         case _ =>
@@ -141,13 +174,17 @@ object Excel {
       entry = zin.getNextEntry
     }
     require(sheets.nonEmpty, "xlsx contains no worksheets")
-    // numeric sheet order: lexicographic zip-entry order would put
-    // sheet10.xml before sheet2.xml
+    // first sheet per workbook.xml tab order (via rels); fall back to
+    // numeric filename order (lexicographic would put sheet10 before sheet2)
+    val byWorkbook =
+      if (workbook != null && rels != null)
+        firstSheetPath(workbook, rels).flatMap(sheets.get)
+      else None
     val SheetNum = """.*sheet(\d+)\.xml""".r
-    sheetBytes = sheets.toSeq.sortBy {
+    val sheetBytes = byWorkbook.getOrElse(sheets.toSeq.sortBy {
       case (SheetNum(n), _) => n.toInt
       case _ => Int.MaxValue
-    }.head._2
+    }.head._2)
     val allRows = parseSheet(sheetBytes, shared)
     val rows = allRows.drop(headerRow)
     require(rows.nonEmpty, s"xlsx sheet has no rows at/after header row $headerRow")

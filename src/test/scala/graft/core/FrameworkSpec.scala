@@ -217,6 +217,27 @@ class EtlIoSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out/inc_*").count() == 3)
   }
 
+  test("resume works against a csv sink (format-aware probe and counts)") {
+    val dir = tmp()
+    Seq(("2024-01-01 01:00:00", 1.0), ("2024-01-02 01:00:00", 2.0),
+        ("2024-01-03 01:00:00", 3.0))
+      .toDF("ts", "v").select(col("ts").cast("timestamp").as("ts"), col("v"))
+      .write.parquet(s"$dir/ev")
+    val job = JobSpec(name = "csvres",
+      inputs = Map("ev" -> DatasetSpec(path = s"$dir/ev", incField = Some("ts"))),
+      output = Some(DatasetSpec(path = s"$dir/out", format = "csv",
+        incField = Some("ts"))),
+      sql = Some("SELECT CAST(ts AS STRING) AS ts, v FROM ev"))
+    val r1 = MultiPass.resume(spark, job, java.time.LocalDate.parse("2024-01-01"),
+      java.time.LocalDate.parse("2024-01-02"), now = "n1")
+    assert(r1.map(_.rows) == Seq(1L, 1L))
+    val r2 = MultiPass.resume(spark, job, java.time.LocalDate.parse("2024-01-01"),
+      java.time.LocalDate.parse("2024-01-03"), now = "n2")
+    assert(r2.map(_.period) == Seq("2024-01-03"))
+    // 3 increments total, no duplicates, csv read back fine
+    assert(spark.read.option("header", "true").csv(s"$dir/out/inc_*").count() == 3)
+  }
+
   test("resume probes partitioned sinks and resolves params in paths") {
     val dir = tmp()
     Seq(("2024-01-01", 1.0), ("2024-01-02", 2.0), ("2024-01-03", 3.0))

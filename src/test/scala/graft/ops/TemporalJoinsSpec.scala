@@ -27,6 +27,21 @@ class TemporalJoinsSpec extends SparkSpec {
       "t1" -> Some(100.0), "t2" -> Some(110.0), "t3" -> None, "t4" -> None))
   }
 
+  test("asofJoin never matches NULL keys (SQL join semantics)") {
+    val quotes = Seq((Option.empty[Long], ts("2024-01-01 09:00:00"), 50.0),
+        (Some(1L), ts("2024-01-01 10:00:00"), 100.0))
+      .toDF("k", "ts", "px")
+    val trades = Seq((Option.empty[Long], ts("2024-01-01 10:30:00"), "tnull"),
+        (Some(1L), ts("2024-01-01 10:30:00"), "t1"))
+      .toDF("k", "ts", "trade")
+    val out = TemporalJoins.asofJoin(trades, quotes, "k", "ts", "ts", Seq("px"))
+      .orderBy("trade").collect()
+    // NULL-key trade gets NO payload even though a NULL-key quote exists
+    assert(out.map(r => r.getAs[String]("trade") ->
+      Option(r.getAs[Any]("asof_px"))).toSeq ==
+      Seq("t1" -> Some(100.0), "tnull" -> None))
+  }
+
   test("rangeJoin matches points to covering intervals across bucket boundaries") {
     val points = Seq(
       (ts("2024-01-01 10:05:00"), "p1"),

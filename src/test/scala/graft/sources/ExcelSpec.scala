@@ -67,6 +67,46 @@ class ExcelSpec extends SparkSpec {
     assert(back.head().toSeq == Seq("a", "1"))
   }
 
+  test("first sheet follows workbook tab order, not filename number") {
+    val dir = Files.createTempDirectory("graft_xlsx4").toString
+    val zout = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(s"$dir/o.xlsx"))
+    def put(n: String, c: String): Unit = {
+      zout.putNextEntry(new java.util.zip.ZipEntry(n))
+      zout.write(c.getBytes("UTF-8")); zout.closeEntry()
+    }
+    // workbook lists sheet2.xml (rId2) FIRST in tab order
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        """<sheets><sheet name="Front" sheetId="2" r:id="rId2"/><sheet name="Back" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Target="worksheets/sheet1.xml"/>""" +
+        """<Relationship Id="rId2" Target="worksheets/sheet2.xml"/></Relationships>""")
+    def sheet(v: String) =
+      s"""<?xml version="1.0"?><worksheet><sheetData><row><c t="inlineStr"><is><t>col</t></is></c></row><row><c t="inlineStr"><is><t>$v</t></is></c></row></sheetData></worksheet>"""
+    put("xl/worksheets/sheet1.xml", sheet("from_sheet1"))
+    put("xl/worksheets/sheet2.xml", sheet("from_sheet2"))
+    zout.close()
+    val df = Excel.read(spark, s"$dir/o.xlsx")
+    assert(df.head().getString(0) == "from_sheet2") // tab order wins
+  }
+
+  test("inline rich-text runs concatenate; phonetic runs are skipped") {
+    val dir = Files.createTempDirectory("graft_xlsx5").toString
+    val zout = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(s"$dir/r.xlsx"))
+    zout.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+    zout.write(
+      ("""<?xml version="1.0"?><worksheet><sheetData>""" +
+        """<row><c t="inlineStr"><is><t>h</t></is></c></row>""" +
+        """<row><c t="inlineStr"><is><r><t>Hello </t></r><r><t>World</t></r><rPh><t>IGNORED</t></rPh></is></c></row>""" +
+        """</sheetData></worksheet>""").getBytes("UTF-8"))
+    zout.closeEntry(); zout.close()
+    val df = Excel.read(spark, s"$dir/r.xlsx")
+    assert(df.head().getString(0) == "Hello World")
+  }
+
   test("colIndex decodes multi-letter refs") {
     assert(Excel.colIndex("A1") == 0)
     assert(Excel.colIndex("Z9") == 25)
