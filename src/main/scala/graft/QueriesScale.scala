@@ -182,24 +182,34 @@ object QueriesScale {
          |ORDER BY doc_id""".stripMargin
     })
 
-  /** Text quality metrics + composite score. */
-  val q33 = QueryDef("q33_quality_score", (spark, dir) =>
-    TextAnalysis.qualityScore(t(spark, dir, "documents"), "doc_id", "text").orderBy("doc_id"),
-    Some(
-      """SELECT doc_id, n_chars, n_tokens,
-        |  round((n_chars - (n_tokens - 1))::DOUBLE / n_tokens, 4) AS mean_tok_len,
-        |  punct_ratio, digit_ratio,
-        |  round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio) * (1.0 - digit_ratio), 4) AS quality
-        |FROM (
-        |  SELECT doc_id,
-        |    CAST(length(lower(text)) AS BIGINT) AS n_chars,
-        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
-        |    round(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g'))::DOUBLE
-        |      / length(lower(text)), 4) AS punct_ratio,
-        |    round(length(regexp_replace(lower(text), '[^0-9]', '', 'g'))::DOUBLE
-        |      / length(lower(text)), 4) AS digit_ratio
-        |  FROM documents)
-        |ORDER BY doc_id""".stripMargin))
+  /** Text quality metrics + composite score (oracle embeds the same
+    * stopword list as TextAnalysis.stopwords head).
+    */
+  val q33 = {
+    val enStops = TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    QueryDef("q33_quality_score", (spark, dir) =>
+      TextAnalysis.qualityScore(t(spark, dir, "documents"), "doc_id", "text").orderBy("doc_id"),
+      Some(
+        s"""SELECT doc_id, n_chars, n_tokens,
+           |  round((n_chars - (n_tokens - 1))::DOUBLE / n_tokens, 4) AS mean_tok_len,
+           |  punct_ratio, digit_ratio, stopword_ratio,
+           |  round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio)
+           |    * (1.0 - digit_ratio)
+           |    * (0.8 + least(0.2, stopword_ratio)), 4) AS quality
+           |FROM (
+           |  SELECT doc_id,
+           |    CAST(length(lower(text)) AS BIGINT) AS n_chars,
+           |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+           |    round(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::DOUBLE
+           |      / length(lower(text)), 4) AS punct_ratio,
+           |    round(length(regexp_replace(lower(text), '[^0-9]', '', 'g'))::DOUBLE
+           |      / length(lower(text)), 4) AS digit_ratio,
+           |    round(len(list_filter(string_split(lower(text), ' '),
+           |        x -> list_contains([$enStops], x)))::DOUBLE
+           |      / len(string_split(lower(text), ' ')), 4) AS stopword_ratio
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin))
+  }
 
   /** Token statistics per language group (whitespace + BPE-ish subwords). */
   val q34 = QueryDef("q34_token_stats", (spark, dir) =>

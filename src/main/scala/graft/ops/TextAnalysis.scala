@@ -40,9 +40,11 @@ object TextAnalysis {
       (col("doc_id") +: stopwords.map(l => col(s"hits_${l._1}")) :+ best.as("pred_lang")): _*)
   }
 
-  /** Quality metrics: char/token counts, mean token length, punctuation and
-    * digit ratios, and a composite score. All ratios rounded to 4 decimals
-    * for cross-engine comparability.
+  /** Quality metrics: char/token counts, mean token length, punctuation,
+    * digit, and stopword ratios, and a composite score. All ratios rounded
+    * to 4 decimals for cross-engine comparability. A healthy natural-text
+    * stopword ratio sits well above machine-generated or boilerplate text,
+    * so the composite rewards it up to a 0.2 cap.
     */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val txt = lower(col(textCol))
@@ -50,16 +52,21 @@ object TextAnalysis {
     val nToks = tokenCount(col(textCol)).cast("long")
     val punct = length(regexp_replace(txt, "[a-z0-9\\s]", ""))
     val digits = length(regexp_replace(txt, "[^0-9]", ""))
+    val enStops = stopwords.head._2
+    val stopHits = size(filter(tokens(col(textCol)),
+      t => enStops.map(w => t === w).reduce(_ || _))).cast("long")
     docs.select(
       col(idCol).as("doc_id"),
       nChars.as("n_chars"),
       nToks.as("n_tokens"),
       round((nChars - (nToks - 1)).cast("double") / nToks, 4).as("mean_tok_len"),
       round(punct.cast("double") / nChars, 4).as("punct_ratio"),
-      round(digits.cast("double") / nChars, 4).as("digit_ratio"))
+      round(digits.cast("double") / nChars, 4).as("digit_ratio"),
+      round(stopHits.cast("double") / nToks, 4).as("stopword_ratio"))
       .withColumn("quality",
         round(least(lit(1.0), col("n_tokens").cast("double") / 100) *
-          (lit(1.0) - col("punct_ratio")) * (lit(1.0) - col("digit_ratio")), 4))
+          (lit(1.0) - col("punct_ratio")) * (lit(1.0) - col("digit_ratio")) *
+          (lit(0.8) + least(lit(0.2), col("stopword_ratio"))), 4))
   }
 
   /** Token statistics per group column. */
