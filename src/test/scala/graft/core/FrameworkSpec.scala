@@ -351,6 +351,32 @@ class EtlIoSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_reg_test")
   }
 
+  test("copyRaw byte-copies files without parsing") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(dir, "raw.bin"), "not,a\nvalid[csv")
+    graft.core.io.PathTemplating.copyRaw(spark, s"$dir/raw.bin", s"$dir/copy.bin")
+    assert(Files.readString(java.nio.file.Paths.get(dir, "copy.bin")) == "not,a\nvalid[csv")
+  }
+
+  test("auditCols stamps _created_at with the run timestamp") {
+    Seq((1, "x")).toDF("id", "s").createOrReplaceTempView("audit_src")
+    val job = JobSpec(name = "audit", sql = Some("SELECT id, s FROM audit_src"))
+    val res = graft.engine.Etl.runJob(spark, job, now = "20240101_000000",
+      save = false, auditCols = true)
+    assert(res.df.columns.contains("_created_at"))
+    assert(res.df.head().getAs[String]("_created_at") == "20240101_000000")
+  }
+
+  test("SqlFile.runFile reads a .sql file from disk with header params") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(dir, "job.sql"),
+      """----param---- 'lim' : '1' ----
+        |SELECT id FROM file_src ORDER BY id LIMIT {{lim}}""".stripMargin)
+    Seq(3, 1, 2).toDF("id").createOrReplaceTempView("file_src")
+    val out = graft.engine.SqlFile.runFile(spark, s"$dir/job.sql")
+    assert(out.collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("periods generates inclusive day range") {
     assert(PeriodBuilder.periods(
       java.time.LocalDate.parse("2024-01-30"), java.time.LocalDate.parse("2024-02-02"))
