@@ -18,10 +18,14 @@ object Bench {
     // corpus (joins/aggs, explode/limit, shingle join, vector scoring,
     // mapPartitions), then the bench SF's fact-table read path.
     val warmDir = "/root/testdata/sf0.001"
-    Seq("q03_region_revenue", "q17_wordcount", "q26_jaccard_pairs",
-        "q29_ann_topk", "q35_multimodal_meta")
-      .foreach(n => queries.get(n).foreach(fn => fn(spark, warmDir).count()))
-    queries.get("q03_region_revenue").foreach(fn => fn(spark, sfDir).count())
+    (Seq("q03_region_revenue", "q17_wordcount", "q26_jaccard_pairs",
+        "q29_ann_topk", "q35_multimodal_meta").map(_ -> warmDir) :+
+      ("q03_region_revenue" -> sfDir))
+      .foreach { case (n, d) =>
+        // warmup failures must not kill the run before the JSON line prints
+        try queries.get(n).foreach(fn => fn(spark, d).count())
+        catch { case _: Throwable => }
+      }
     val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
@@ -33,7 +37,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // failures carry a -1 sentinel per query; excluding them from total
+    // stops a failing run from reporting a better-looking sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -17,8 +17,19 @@ import java.nio.file.Files
   */
 object QueriesFramework {
 
-  private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  private def tmp(prefix: String): String = {
+    val dir = Files.createTempDirectory(prefix)
+    // these hold full table copies — reclaim them when the JVM exits so
+    // repeated Bench/Verify cycles don't accumulate unbounded /tmp usage
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
 
   /** CSV sink + scan round-trip (S1/K1): write orders as CSV via the job
     * lifecycle, read back (header-only, all strings — the reference's CSV

@@ -18,12 +18,14 @@ object Streams {
     * Reader (schema required — streaming reads can't infer).
     */
   def readFileStream(spark: SparkSession, ds: DatasetSpec, schemaDdl: String): DataFrame = {
-    val reader = spark.readStream.schema(schemaDdl).options(ds.readOptions)
+    // defaults first, user readOptions second so they can override (same
+    // precedence as the batch Reader)
+    val reader = spark.readStream.schema(schemaDdl)
     ds.format match {
-      case "csv" => reader.option("header", "true").csv(ds.path)
-      case "json" => reader.json(ds.path)
-      case "parquet" => reader.parquet(ds.path)
-      case "text" => reader.text(ds.path)
+      case "csv" => reader.option("header", "true").options(ds.readOptions).csv(ds.path)
+      case "json" => reader.options(ds.readOptions).json(ds.path)
+      case "parquet" => reader.options(ds.readOptions).parquet(ds.path)
+      case "text" => reader.options(ds.readOptions).text(ds.path)
       case other => sys.error(s"unsupported stream source format: $other")
     }
   }
@@ -35,14 +37,15 @@ object Streams {
     */
   def windowedAgg(df: DataFrame, tsCol: String, keyCol: String,
                   watermarkDelay: String, windowDur: String,
-                  slide: Option[String] = None): DataFrame = {
+                  slide: Option[String] = None,
+                  valueCol: String = "value"): DataFrame = {
     val win = slide match {
       case Some(s) => window(col(tsCol), windowDur, s)
       case None => window(col(tsCol), windowDur)
     }
     df.withWatermark(tsCol, watermarkDelay)
       .groupBy(win.as("w"), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(valueCol).as("sum_value"))
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col(keyCol), col("n"), col("sum_value"))
   }
@@ -51,9 +54,11 @@ object Streams {
     * twin of exact batch dedup (state bounded by the watermark).
     */
   def dedupStream(df: DataFrame, tsCol: String, keys: Seq[String],
-                  watermarkDelay: String): DataFrame =
+                  watermarkDelay: String): DataFrame = {
+    require(keys.nonEmpty, "dedupStream needs at least one key column")
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+  }
 
   /** Watermarked stream-stream inner join: right rows match left rows of
     * the same key within `[leftTs - within, leftTs]`. Both sides carry
@@ -74,11 +79,16 @@ object Streams {
   }
 
   /** foreachBatch bridge into the batch Writer: each micro-batch lands as
-    * one increment through the exact same sink code as batch jobs (path
-    * suffixing, partitioning, schema sidecar).
+    * one increment through the same sink code as batch jobs (path
+    * suffixing, partitioning). Requires an incremental job — otherwise
+    * the Writer's error-if-exists mode would kill the stream on the
+    * second batch.
     */
   def writeIncrements(stream: DataFrame, job: JobSpec, out: DatasetSpec,
-                      checkpoint: String, now: String): StreamingQuery =
+                      checkpoint: String, now: String): StreamingQuery = {
+    require(job.isIncremental || job.partitionBy.nonEmpty,
+      s"writeIncrements needs an incremental or partitioned job " +
+        s"(${job.name} would error-if-exists on the second micro-batch)")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
@@ -86,6 +96,7 @@ object Streams {
         Writer.write(batch, job, out, now, period = Some(s"batch$id")): Unit
       }
       .start()
+  }
 }
 
 /** Gap-based sessionization with explicit state — the canonical
@@ -123,7 +134,10 @@ object Sessionize {
 
   /** Sessions close when a later event arrives past the gap. With
     * `idleTimeout=true` (production default) a processing-time timeout
-    * also flushes sessions whose key goes silent; tests use `false` so
+    * also flushes sessions whose key goes silent — note that
+    * processing-time timeouts only fire when a micro-batch runs, so a
+    * completely quiet stream needs a processing-time trigger interval on
+    * the query for idle sessions to flush. Tests use `false` so
     * micro-batches stay purely data-driven.
     */
   def sessions(events: Dataset[Event], gapMs: Long,
