@@ -130,5 +130,36 @@ object QueriesExtra {
       |  AND e.ts >= w.w_start AND e.ts <= w.w_end
       |GROUP BY 1 ORDER BY incident_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q46)
+  /** Batch sessionization (gaps-and-islands): session-size distribution
+    * with average duration. The oracle floors epoch seconds to mirror
+    * Spark's unix_timestamp truncation.
+    */
+  val q47 = QueryDef("q47_sessionize", (spark, dir) =>
+    graft.ops.Sessions.sessionStats(t(spark, dir, "events"),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id", gapSeconds = 1800)
+      .groupBy("n_events")
+      .agg(count(lit(1)).as("n_sessions"),
+        round(avg("duration_sec"), 4).as("avg_duration_sec"))
+      .orderBy("n_events"),
+    Some(
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |    lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+        |  FROM events),
+        |flagged AS (SELECT user_id, ts, event_id, es,
+        |    CASE WHEN prev_es IS NULL OR es - prev_es > 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM ordered),
+        |sess AS (SELECT user_id, es,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |stats AS (SELECT user_id, session_id, count(*) AS n_events,
+        |    max(es) - min(es) AS duration_sec
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT n_events, count(*) AS n_sessions,
+        |  round(avg(duration_sec), 4) AS avg_duration_sec
+        |FROM stats GROUP BY n_events ORDER BY n_events""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q41, q42, q43, q44, q45, q46, q47)
 }

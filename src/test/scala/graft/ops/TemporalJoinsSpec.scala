@@ -42,6 +42,20 @@ class TemporalJoinsSpec extends SparkSpec {
       Seq("t1" -> Some(100.0), "tnull" -> None))
   }
 
+  test("batch sessionize splits on gaps and numbers sessions per key") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:10:00"), 2L),  // same session (10 min gap)
+      (1L, ts("2024-01-01 11:30:00"), 3L),  // new session (80 min gap)
+      (2L, ts("2024-01-01 10:00:00"), 4L)
+    ).toDF("user_id", "ts", "event_id")
+    val stats = graft.ops.Sessions.sessionStats(ev, "user_id", "ts", "event_id",
+        gapSeconds = 1800)
+      .orderBy("user_id", "session_id").collect()
+    assert(stats.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 1L, 2L, 600L), (1L, 2L, 1L, 0L), (2L, 1L, 1L, 0L)))
+  }
+
   test("rangeJoin matches points to covering intervals across bucket boundaries") {
     val points = Seq(
       (ts("2024-01-01 10:05:00"), "p1"),
