@@ -87,9 +87,14 @@ object QueriesScale {
       |  md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')) AS bow_fp
       |FROM documents ORDER BY doc_id""".stripMargin))
 
-  /** Exact 3-gram Jaccard near-dup pairs (inverted-index join). */
+  /** Exact 3-gram Jaccard near-dup pairs (inverted-index join), run with
+    * the stop-shingle frequency cap the 100 TB deployment would use — the
+    * oracle computes UNCAPPED Jaccard, so the green hash is itself the
+    * proof that the cap preserves the exact result on this corpus.
+    */
   val q26 = QueryDef("q26_jaccard_pairs", (spark, dir) =>
-    Dedup.jaccardPairs(t(spark, dir, "documents"), "doc_id", "text", threshold = 0.6)
+    Dedup.jaccardPairs(t(spark, dir, "documents"), "doc_id", "text", threshold = 0.6,
+        maxShingleFreq = Some(50))
       .orderBy("a_id", "b_id"),
     Some(jaccardOracle))
 
@@ -103,13 +108,29 @@ object QueriesScale {
       .orderBy("a_id", "b_id"),
     Some(jaccardOracle))
 
-  /** SimHash near-dup pairs (engine-specific xxhash64 bit votes — no SQL
-    * oracle; the driver records a rows-only check).
+  /** SimHash near-dup pairs. The fingerprint itself is engine-specific
+    * (xxhash64 bit votes — DuckDB has no xxhash64), so the query
+    * materializes the Spark-computed (doc_id, simhash) table to a fixed
+    * side path and the oracle replays the banding-sensitive part — hamming
+    * pairing via `bit_count(xor(ha, hb))` — from that table. That verifies
+    * the 4-band blocking never loses a qualifying pair (the part that can
+    * silently drop recall), while the fingerprint stays engine-native.
     */
-  val q28 = QueryDef("q28_simhash_pairs", (spark, dir) =>
-    Dedup.simhashPairs(t(spark, dir, "documents"), "doc_id", "text", maxDist = 3)
-      .orderBy("a_id", "b_id"),
-    None)
+  private val q28FpPath = "/tmp/graft_oracle_side/q28_simhash_fp"
+
+  val q28 = QueryDef("q28_simhash_pairs", (spark, dir) => {
+    Dedup.simhash(t(spark, dir, "documents"), "doc_id", "text")
+      .write.mode("overwrite").parquet(q28FpPath)
+    Dedup.simhashPairsFrom(spark.read.parquet(q28FpPath), maxDist = 3)
+      .orderBy("a_id", "b_id")
+  }, Some(
+    s"""WITH fp AS (SELECT doc_id, simhash
+       |            FROM read_parquet('$q28FpPath/*.parquet')),
+       |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
+       |          FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, dist FROM pairs WHERE dist <= 3
+       |ORDER BY a_id, b_id""".stripMargin))
 
   /** Brute-force cosine top-10 for a modulo probe set. */
   val q29 = QueryDef("q29_ann_topk", (spark, dir) => {

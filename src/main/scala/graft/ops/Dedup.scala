@@ -33,23 +33,16 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
         explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
 
-  /** (doc_id, shingle, n_sh) — shingle table with the doc's shingle count
-    * attached via a window, so both sides of the inverted-index self-join
-    * are the *same* plan and Spark computes the underlying exchange once
-    * (ReusedExchange) instead of rebuilding the shingle table per use.
+  /** (doc_id, shingle, n_sh) — shingle table with the doc's FULL shingle
+    * count attached via a window, so both sides of the inverted-index
+    * self-join are the *same* plan and Spark computes the underlying
+    * exchange once (ReusedExchange) instead of rebuilding the shingle
+    * table per use.
     */
   private def sizedShingles(docs: DataFrame, idCol: String, textCol: String,
-                            n: Int, maxShingleFreq: Option[Int]): DataFrame = {
-    val sh0 = shingleTable(docs, idCol, textCol, n)
-    val sh = maxShingleFreq match {
-      case Some(f) =>
-        val freq = sh0.groupBy("shingle").agg(count(lit(1)).as("_f"))
-          .filter(col("_f") <= f).select("shingle")
-        sh0.join(freq, "shingle")
-      case None => sh0
-    }
-    sh.withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
-  }
+                            n: Int): DataFrame =
+    shingleTable(docs, idCol, textCol, n)
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
 
   private def pairsFromSizedShingles(sh: DataFrame, threshold: Double): DataFrame = {
     val a = sh.select(col("doc_id").as("a_id"), col("shingle"), col("n_sh").as("n_a"))
@@ -77,14 +70,47 @@ object Dedup {
     * Candidates come from an equi-join on shingle (docs sharing zero
     * shingles can never reach any positive threshold), so the shuffle key
     * is the shingle, not the document — the classic inverted-index join.
-    * `maxShingleFreq` drops shingles present in more than that many docs
-    * before the join; None keeps exact semantics.
+    *
+    * `maxShingleFreq` bounds skew for the 100 TB case: a stop-shingle
+    * ("of the and") otherwise lands millions of docs on one join key and
+    * the within-key pair blowup is quadratic before any prune applies.
+    * With a cap of f, candidate generation only joins on shingles present
+    * in <= f docs (worst-case f² pairs per key), while the Jaccard itself
+    * is still computed EXACTLY: per-doc sizes come from the full shingle
+    * table, and candidates are re-verified against the full table — so a
+    * reported pair's score never changes with the cap. The only semantic
+    * delta is recall on pairs whose *every* shared shingle is a
+    * stop-shingle (such a pair is never a near-duplicate in practice —
+    * its similarity is made of boilerplate n-grams); the cap-vs-uncapped
+    * equality spec pins this on real data.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, n: Int = 3,
-                   maxShingleFreq: Option[Int] = None): DataFrame =
-    pairsFromSizedShingles(
-      sizedShingles(docs, idCol, textCol, n, maxShingleFreq), threshold)
+                   maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sized = sizedShingles(docs, idCol, textCol, n)
+    maxShingleFreq match {
+      case None => pairsFromSizedShingles(sized, threshold)
+      case Some(f) =>
+        val rareKeys = sized.groupBy("shingle").agg(count(lit(1)).as("_f"))
+          .filter(col("_f") <= f).select("shingle")
+        val rare = sized.join(rareKeys, "shingle")
+        val a = rare.select(col("doc_id").as("a_id"), col("shingle").as("sh_a"),
+          col("n_sh").as("n_a"))
+        val b = rare.select(col("doc_id").as("b_id"), col("shingle").as("sh_b"),
+          col("n_sh").as("n_b"))
+        // Same size-ratio prune as the uncapped path (n_a/n_b are FULL
+        // sizes, so the bound J <= min/max still holds); distinct pairs
+        // only — the exact intersection count happens in verifyJaccard
+        // over the full shingle table, where the join keys are doc ids
+        // (bounded per-doc fan-out), not shingles.
+        val cand = a.hint("shuffle_hash").join(b.hint("shuffle_hash"),
+            col("sh_a") === col("sh_b") && col("a_id") < col("b_id") &&
+            col("n_a") >= lit(threshold) * col("n_b") &&
+            col("n_b") >= lit(threshold) * col("n_a"))
+          .select("a_id", "b_id").distinct()
+        verifyJaccard(cand, sized, threshold)
+    }
+  }
 
   /** MinHash signature columns: the shingle string is hashed ONCE to a
     * long, and the `numHashes` per-function values re-hash that fixed-
@@ -115,7 +141,7 @@ object Dedup {
                       numHashes: Int = 64, numBands: Int = 16): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rowsPerBand = numHashes / numBands
-    val sh = sizedShingles(docs, idCol, textCol, n, None)
+    val sh = sizedShingles(docs, idCol, textCol, n)
     val sig = minhashSignatures(sh.select("doc_id", "shingle"), numHashes)
     val bandStructs = (0 until numBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
@@ -175,13 +201,19 @@ object Dedup {
     * self-join never goes O(n²).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3): DataFrame =
+    simhashPairsFrom(simhash(docs, idCol, textCol), maxDist)
+
+  /** Banding + hamming pairing over an existing (doc_id, simhash) table —
+    * split out from [[simhashPairs]] so the fingerprint table can be
+    * materialized (and independently verified) between the two stages.
+    */
+  def simhashPairsFrom(fp: DataFrame, maxDist: Int = 3): DataFrame = {
     // 4 disjoint 16-bit bands guarantee (pigeonhole) that any pair within
     // hamming distance 3 shares at least one identical band; at maxDist 4+
     // the blocking would silently drop qualifying pairs
     require(maxDist <= 3, s"simhashPairs with 4 bands guarantees recall only " +
       s"for maxDist <= 3 (got $maxDist)")
-    val fp = simhash(docs, idCol, textCol)
     val banded = fp.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(q =>
         struct(lit(q).as("q"),

@@ -108,10 +108,11 @@ object Similarity {
     * approximation). Collision probability per bit is 1 - angle/pi, so
     * recall tunes with bits/tables.
     */
-  def lshCosinePairs(corpus: DataFrame, threshold: Double,
-                     bits: Int = 4, tables: Int = 16, seed: Long = 42L): DataFrame = {
-    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
-    val planes = hyperplanes(dim, bits, tables, seed)
+  /** (vec_id, t, bucket) sign-bit LSH bucket table — ids only, embeddings
+    * are not replicated per hash table.
+    */
+  private def bucketTable(df: DataFrame, planes: Array[Array[Array[Float]]],
+                          bits: Int): DataFrame = {
     val buckets = planes.indices.map { t =>
       val bucket = (0 until bits).map { i =>
         val plane = array(planes(t)(i).map(v => lit(v)): _*)
@@ -119,17 +120,18 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(t).as("t"), bucket.as("bucket"))
     }
-    // Bucket table carries ids only — embeddings are not replicated per
-    // hash table; vectors join back in once per verified candidate.
-    val hashed = corpus
-      .select(col("vec_id"), explode(array(buckets: _*)).as("tb"))
+    df.select(col("vec_id"), explode(array(buckets: _*)).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-    val cand = hashed.as("x").join(hashed.as("y"), Seq("t", "bucket"))
-      .filter(col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-      .distinct()
-    val aSide = withNorm(corpus, "av")
-    val bSide = withNorm(corpus, "bv")
+  }
+
+  /** Exact-cosine verification of an (a_id, b_id) candidate set: vectors
+    * join back in once per candidate; every reported pair is a true
+    * positive.
+    */
+  private def verifyCosine(cand: DataFrame, aVecs: DataFrame, bVecs: DataFrame,
+                           threshold: Double): DataFrame = {
+    val aSide = withNorm(aVecs, "av")
+    val bSide = withNorm(bVecs, "bv")
     cand.join(aSide, col("a_id") === col("av_id")).join(bSide, col("b_id") === col("bv_id"))
       .withColumn("cos", cosFromNorms("av", "bv"))
       .filter(col("cos") >= threshold)
@@ -137,17 +139,65 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
+  def lshCosinePairs(corpus: DataFrame, threshold: Double,
+                     bits: Int = 4, tables: Int = 16, seed: Long = 42L): DataFrame = {
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    val hashed = bucketTable(corpus, hyperplanes(dim, bits, tables, seed), bits)
+    val cand = hashed.as("x").join(hashed.as("y"), Seq("t", "bucket"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    verifyCosine(cand, corpus, corpus, threshold)
+  }
+
   /** Cosine near-duplicate pairs above `threshold` within a probe subset
     * (`probeModulo` keeps the left side small; at scale the left side is
-    * the newly-ingested delta, not a modulo sample).
+    * the newly-ingested delta, not a modulo sample). Delegates to
+    * [[deltaNearDupPairs]], which gates the broadcast plan on delta size.
     */
-  def cosineNearDupPairs(corpus: DataFrame, probeModulo: Int, threshold: Double): DataFrame = {
-    val a = withNorm(corpus.filter(col("vec_id") % probeModulo === 0), "a")
-    val b = withNorm(corpus, "b")
-    b.join(broadcast(a), col("a_id") < col("b_id"))
-      .withColumn("cos", cosFromNorms("a", "b"))
-      .filter(col("cos") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
-      .orderBy("a_id", "b_id")
+  def cosineNearDupPairs(corpus: DataFrame, probeModulo: Int, threshold: Double,
+                         maxBroadcastDelta: Long = DefaultMaxBroadcastDelta): DataFrame =
+    deltaNearDupPairs(corpus, corpus.filter(col("vec_id") % probeModulo === 0),
+      threshold, maxBroadcastDelta)
+
+  /** Above this many delta rows the broadcast-nested-loop plan stops being
+    * viable (the broadcast side no longer fits executor memory and the
+    * probe×corpus score count is quadratic-ish) — route through LSH
+    * buckets instead. ~100k 64-dim float vectors ≈ 30 MB broadcast.
+    */
+  val DefaultMaxBroadcastDelta: Long = 100000L
+
+  /** Near-dup pairs between a delta set and the corpus.
+    *
+    * Small delta (≤ `maxBroadcastDelta` rows): exact — the delta is
+    * broadcast and every corpus row is scored against every delta row; one
+    * corpus scan, no shuffle. Large delta: the broadcast plan would be a
+    * memory-unbounded nested loop, so candidates come from sign-bit LSH
+    * buckets (shuffle on (table, bucket)) and are exact-cosine verified —
+    * precision stays exact, recall becomes the LSH collision probability.
+    * The size gate runs one count() over the delta; at scale that's a
+    * metadata-cheap scan of the small side, not the corpus.
+    */
+  def deltaNearDupPairs(corpus: DataFrame, delta: DataFrame, threshold: Double,
+                        maxBroadcastDelta: Long = DefaultMaxBroadcastDelta,
+                        bits: Int = 4, tables: Int = 16, seed: Long = 42L): DataFrame = {
+    if (delta.count() <= maxBroadcastDelta) {
+      val a = withNorm(delta, "a")
+      val b = withNorm(corpus, "b")
+      b.join(broadcast(a), col("a_id") < col("b_id"))
+        .withColumn("cos", cosFromNorms("a", "b"))
+        .filter(col("cos") >= threshold)
+        .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+        .orderBy("a_id", "b_id")
+    } else {
+      val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+      val planes = hyperplanes(dim, bits, tables, seed)
+      val hp = bucketTable(delta, planes, bits).withColumnRenamed("vec_id", "a_id")
+      val hc = bucketTable(corpus, planes, bits).withColumnRenamed("vec_id", "b_id")
+      val cand = hp.join(hc, Seq("t", "bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      verifyCosine(cand, delta, corpus, threshold)
+    }
   }
 }

@@ -110,6 +110,36 @@ class DedupSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 3L)))
     assert(out.head.getInt(2) == 0)
   }
+
+  test("maxShingleFreq cap: hot shingle in every doc, result identical to uncapped") {
+    // One stop-shingle ("alpha beta gamma") lands in 100% of docs — the
+    // unguarded inverted-index join would put all 102 docs on that one key
+    // (quadratic within-key pairs); the cap excludes it from candidate
+    // generation while the two planted exact dups still surface via their
+    // rare tail shingles, with UNCHANGED jaccard scores (full-table sizes
+    // and verification).
+    val base = (1 to 100).map(i =>
+      (i.toLong, s"alpha beta gamma unique$i token$i word$i filler$i"))
+    val planted = Seq((201L, base(0)._2), (202L, base(5)._2))
+    val corpus = (base ++ planted).toDF("doc_id", "text")
+    def run(cap: Option[Int]) =
+      Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.6,
+          maxShingleFreq = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = run(None)
+    val capped = run(Some(10))
+    assert(capped == uncapped)
+    assert(capped == Set((1L, 201L, 1.0), (6L, 202L, 1.0)))
+  }
+
+  test("maxShingleFreq cap-vs-uncapped equality on the testdata corpus") {
+    val corpus = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def run(cap: Option[Int]) =
+      Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.6,
+          maxShingleFreq = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(Some(50)) == run(None))
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {

@@ -54,6 +54,21 @@ class LshCosineSpec extends SparkSpec {
     info(s"recall ${lsh.size}/${brute.size}")
   }
 
+  test("deltaNearDupPairs reroutes an oversized delta through LSH buckets") {
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Similarity.deltaNearDupPairs(emb, emb, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rerouted = Similarity.deltaNearDupPairs(emb, emb, threshold = 0.35,
+      maxBroadcastDelta = 0)
+    // the gate must have picked the bucketed plan, not the nested loop
+    assert(!rerouted.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val got = rerouted.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.subsetOf(exact))
+    assert(got.nonEmpty, s"expected nonzero recall; exact had ${exact.size} pairs")
+    info(s"recall ${got.size}/${exact.size}")
+  }
+
   test("hyperplanes are deterministic per seed") {
     val a = Similarity.hyperplanes(8, 4, 2, seed = 7L)
     val b = Similarity.hyperplanes(8, 4, 2, seed = 7L)
