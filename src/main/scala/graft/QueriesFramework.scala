@@ -134,5 +134,62 @@ object QueriesFramework {
       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
       |GROUP BY 1 ORDER BY day""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q36, q37, q38, q39)
+  /** Registered row-wise UDF used from SQL (Q20/Q21) — the reference's
+    * most-copied pattern (`ex2_frameworked_job.py:18-26`: a python
+    * `format_datetime` udf + `registerFunction`). Here the reformat runs
+    * as a Scala UDF registered into the session; the oracle reproduces it
+    * with DuckDB's strftime.
+    */
+  val q48 = QueryDef("q48_registered_udf", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    spark.udf.register("fmt_day",
+      (d: String) => if (d == null) null else d.substring(0, 10).replace("-", "/"))
+    spark.sql(
+      """SELECT fmt_day(CAST(o_orderdate AS STRING)) AS day_fmt,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderdate >= '1998-01-01'
+        |GROUP BY 1 ORDER BY day_fmt""".stripMargin)
+  }, Some(
+    """SELECT strftime(o_orderdate, '%Y/%m/%d') AS day_fmt,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      |GROUP BY 1 ORDER BY day_fmt""".stripMargin))
+
+  /** Catalog registration (K9): write parquet, register the location as a
+    * catalog table, and answer the query THROUGH the table name — a stale
+    * or wrong registration would change the aggregate.
+    */
+  val q49 = QueryDef("q49_catalog_table", (spark, dir) => {
+    val out = tmp("graft_q49")
+    val cust = Tables.load(spark, dir, "customer")
+    cust.write.mode("overwrite").parquet(s"$out/cust")
+    spark.sql("DROP TABLE IF EXISTS graft_q49_cust")
+    graft.core.io.Writer.registerTable(cust, "graft_q49_cust", s"$out/cust", "parquet")
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        |FROM graft_q49_cust GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }, Some(
+    """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  /** Excel sink + source round-trip (S5/K3): nation → .xlsx (driver-side
+    * single-file write) → Reader excel dispatch (all-string frame, the
+    * pandas read_excel twin) → cast + aggregate.
+    */
+  val q50 = QueryDef("q50_excel_roundtrip", (spark, dir) => {
+    val out = tmp("graft_q50")
+    val nation = Tables.load(spark, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.Excel.write(nation, s"$out/nation.xlsx")
+    Reader.read(spark, DatasetSpec(path = s"$out/nation.xlsx", format = "excel"))
+      // nation.n_regionkey is int32 in the source parquet — cast the
+      // string round-trip back to int so dtypes agree with the oracle
+      .groupBy(col("n_regionkey").cast("int").as("region"))
+      .agg(count(lit(1)).as("n"), min("n_name").as("first_name"))
+      .orderBy("region")
+  }, Some(
+    """SELECT n_regionkey AS region, count(*) AS n, min(n_name) AS first_name
+      |FROM nation GROUP BY 1 ORDER BY region""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q36, q37, q38, q39, q48, q49, q50)
 }

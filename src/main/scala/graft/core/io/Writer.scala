@@ -66,11 +66,22 @@ object Writer {
     try out.write(df.schema.prettyJson.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Backtick-quoted Spark SQL identifier: each dot-separated part quoted,
+    * embedded backticks doubled — a hostile or reserved-word table name
+    * cannot escape into the statement.
+    */
+  private[graft] def quoteIdent(name: String): String =
+    name.split('.').map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+
   /** Catalog registration of a written location (reference Athena/Glue
     * CREATE EXTERNAL TABLE, yaetos/athena.py:9-59) against the session
     * catalog.
     */
-  def registerTable(df: DataFrame, table: String, path: String, format: String): Unit =
+  def registerTable(df: DataFrame, table: String, path: String, format: String): Unit = {
+    require(Seq("parquet", "csv", "json", "orc", "text").contains(format.toLowerCase),
+      s"unsupported catalog table format: $format")
     df.sparkSession.sql(
-      s"CREATE TABLE IF NOT EXISTS $table USING $format LOCATION '$path'")
+      s"CREATE TABLE IF NOT EXISTS ${quoteIdent(table)} USING $format " +
+        s"LOCATION '${path.replace("'", "''")}'")
+  }
 }

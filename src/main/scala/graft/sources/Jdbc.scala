@@ -19,6 +19,19 @@ object Jdbc {
   val defaultFetchSize = "10000"
   val defaultNumPartitions = "3"
 
+  /** ANSI-quoted identifier (Derby/Postgres/Redshift/Oracle): each
+    * dot-separated part quoted, embedded quotes doubled. Required — not
+    * just hygiene — because Spark's JDBC writer quotes column names at
+    * CREATE, so a lower-case column is only reachable from a quoted
+    * reference in databases that upper-case unquoted identifiers (Derby,
+    * Oracle).
+    */
+  def quoteIdent(name: String): String =
+    name.split('.').map(p => "\"" + p.replace("\"", "\"\"") + "\"").mkString(".")
+
+  /** Single-quoted SQL string literal with embedded quotes doubled. */
+  def quoteLit(value: String): String = "'" + value.replace("'", "''") + "'"
+
   def fullTableOptions(url: String, table: String,
                        extra: Map[String, String] = Map.empty): Map[String, String] =
     Map("url" -> url, "dbtable" -> table,
@@ -26,13 +39,18 @@ object Jdbc {
 
   /** Range-pushdown incremental read: the WHERE clause runs in the
     * database, so only one period's rows cross the wire.
+    *
+    * `table` passes through verbatim — the same contract as Spark's own
+    * `dbtable` option (pre-quote it yourself if the name needs quoting);
+    * `incField` and the period literals are quoted/escaped here.
     */
   def incrementalOptions(url: String, table: String, incField: String,
                          period: String, periodNext: String,
                          extra: Map[String, String] = Map.empty): Map[String, String] =
     Map("url" -> url,
       "query" ->
-        s"SELECT * FROM $table WHERE $incField >= '$period' AND $incField < '$periodNext'",
+        (s"SELECT * FROM $table WHERE ${quoteIdent(incField)} >= ${quoteLit(period)}" +
+          s" AND ${quoteIdent(incField)} < ${quoteLit(periodNext)}"),
       "fetchsize" -> defaultFetchSize,
       "numPartitions" -> defaultNumPartitions) ++ extra
 

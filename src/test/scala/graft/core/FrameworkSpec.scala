@@ -351,6 +351,24 @@ class EtlIoSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_reg_test")
   }
 
+  test("catalog registration quotes hostile table names and rejects bad formats") {
+    val dir = tmp()
+    val df = Seq((1, "a")).toDF("id", "s")
+    df.write.parquet(s"$dir/tbl2")
+    // a reserved word registers as ONE quoted identifier and is queryable
+    graft.core.io.Writer.registerTable(df, "select", s"$dir/tbl2", "parquet")
+    assert(spark.sql("SELECT count(*) FROM `select`").head().getLong(0) == 1L)
+    spark.sql("DROP TABLE `select`")
+    // an injection-shaped name parses as ONE identifier, which the session
+    // catalog then rejects as invalid — nothing in it executes
+    intercept[org.apache.spark.sql.AnalysisException] {
+      graft.core.io.Writer.registerTable(df, "x; DROP TABLE y", s"$dir/tbl2", "parquet")
+    }
+    intercept[IllegalArgumentException] {
+      graft.core.io.Writer.registerTable(df, "t", s"$dir/tbl2", "parquet) AS x--")
+    }
+  }
+
   test("copyRaw byte-copies files without parsing") {
     val dir = tmp()
     Files.writeString(java.nio.file.Paths.get(dir, "raw.bin"), "not,a\nvalid[csv")

@@ -134,8 +134,13 @@ class TypedAndJdbcSpec extends SparkSpec {
     val opts = graft.sources.Jdbc.incrementalOptions(
       "jdbc:mysql://host/db", "events", "created_at", "2024-01-01", "2024-01-02")
     assert(opts("query") ==
-      "SELECT * FROM events WHERE created_at >= '2024-01-01' AND created_at < '2024-01-02'")
+      "SELECT * FROM events WHERE \"created_at\" >= '2024-01-01' AND \"created_at\" < '2024-01-02'")
     assert(opts("fetchsize") == "10000" && opts("numPartitions") == "3")
+    // hostile inputs can't escape the quoting
+    val hostile = graft.sources.Jdbc.incrementalOptions(
+      "jdbc:x://h/d", "t", """f" --""", "2024-01-01' OR '1'='1", "x")
+    assert(hostile("query").contains("\"f\"\" --\"") &&
+      hostile("query").contains("'2024-01-01'' OR ''1''=''1'"))
     val part = graft.sources.Jdbc.partitionedOptions(
       "jdbc:x://h/d", "t", "id", 0L, 1000L, 8)
     assert(part("partitionColumn") == "id" && part("numPartitions") == "8")
