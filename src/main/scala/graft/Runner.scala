@@ -30,6 +30,22 @@ object Runner {
     val job = loaded.jobs.getOrElse(jobName, sys.error(s"job not in manifest: $jobName"))
     val spark = GraftSession.local(appName = s"graft-$jobName")
     val save = !kv.contains("no_save")
+    // Failure notification (reference send_job_failure_email,
+    // yaetos/etl_utils.py:754-755): fires only when the job declares
+    // owners + a connection file; the notification itself never masks the
+    // original failure.
+    def notifyFailure(e: Throwable): Unit =
+      (job.params.get("owners"), job.params.get("connection_file")) match {
+        case (Some(owners), Some(cfg)) =>
+          try graft.engine.Notify.sendMessage(
+            graft.engine.Notify.failureMessage(jobName, String.valueOf(e)),
+            owners.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+            graft.core.Secrets.retrieve("local", cfg),
+            job.params.getOrElse("email_cred_section", "email_notify")): Unit
+          catch { case n: Throwable =>
+            System.err.println(s"[runner] failure notification failed: $n") }
+        case _ => ()
+      }
     try {
       if (kv.contains("dependencies")) {
         val outs = Flow.runPipeline(spark, loaded.jobs, jobName, save = save)
@@ -49,6 +65,7 @@ object Runner {
           res.df.show(20, truncate = false)
           res.writtenPath.foreach(p => println(s"[runner] wrote $p"))
       }
-    } finally spark.stop()
+    } catch { case e: Throwable => notifyFailure(e); throw e }
+    finally spark.stop()
   }
 }

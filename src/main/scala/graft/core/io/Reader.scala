@@ -42,6 +42,14 @@ object Reader {
           "(driver-side single-file parse); list files and union explicitly")
         graft.sources.Excel.read(spark, ds.path, headerRow)
       case "jdbc" => spark.read.format("jdbc").options(ds.readOptions).load()
+      // HTTP extraction (S11): `path` is the URL; driver-side fetch, then
+      // spark.read over the landed bytes. Gzip auto-detected.
+      case "http_csv" => graft.sources.Http.readCsv(spark, ds.path,
+        options = ds.readOptions)
+      case "http_json" => graft.sources.Http.readJson(spark, ds.path,
+        options = ds.readOptions)
+      case "http_paginated" => graft.sources.Http.readPaginatedJson(spark, ds.path,
+        maxPages = ds.readOptions.get("maxPages").flatMap(_.toIntOption).getOrElse(1000))
       case other => sys.error(s"unsupported input format: $other")
     }
   }

@@ -92,6 +92,12 @@ object Etl {
           if (save) {
             val written = Writer.write(out, job, o, now, period)
             Writer.writeSchemaSidecar(out, written.path)
+            // provenance sidecar (reference Git_Config_Manager), opt-in:
+            // records which commit produced this output
+            if (job.params.get("git_info").contains("true"))
+              GitInfo.writeSidecar(
+                job.params.getOrElse("git_repo_dir", "."),
+                s"${written.path.stripSuffix("/")}/_git_info.json"): Unit
             Result(out, Some(written.path))
           } else Result(out, None)
         } finally if (multiAction) { out.unpersist(); () }

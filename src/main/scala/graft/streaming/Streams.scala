@@ -132,6 +132,48 @@ object Sessionize {
     (cur, out.toSeq)
   }
 
+  final case class TimedEvent(user_id: Long, ts_ms: Long, value: Double,
+                              ts: java.sql.Timestamp)
+
+  /** Event-time sessionization: idle keys flush when the WATERMARK passes
+    * session end + gap — no wall-clock dependence, so replays and
+    * backfills produce identical sessions (the production-correct shape;
+    * the processing-time variant below stays for wall-clock-driven
+    * flushing). Spark runs a no-data micro-batch when the watermark
+    * advances, so the flush needs no new same-key data.
+    */
+  def sessionsEventTime(events: Dataset[Event], gapMs: Long,
+                        watermarkDelay: String): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val timed = events
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", watermarkDelay)
+      .as[TimedEvent]
+    timed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(uid, s.start, s.end, s.n, s.sum))
+          } else {
+            val (next, closed) = fold(state.getOption,
+              it.map(t => Event(t.user_id, t.ts_ms, t.value)).toSeq, gapMs)
+            next.foreach { s =>
+              state.update(s)
+              // flush when the watermark passes end+gap; a timeout in the
+              // watermark's past is illegal, so clamp just beyond it
+              state.setTimeoutTimestamp(
+                math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator.map { case (s, u) =>
+              Session(u, s.start, s.end, s.n, s.sum)
+            }
+          }
+      }
+  }
+
   /** Sessions close when a later event arrives past the gap. With
     * `idleTimeout=true` (production default) a processing-time timeout
     * also flushes sessions whose key goes silent — note that

@@ -141,6 +141,21 @@ class EtlIoSpec extends SparkSpec {
     assert(new java.io.File(res.writtenPath.get, "_schema.json").exists())
   }
 
+  test("git_info param writes a provenance sidecar next to the output") {
+    val dir = tmp()
+    Seq((1, "a")).toDF("id", "s").write.parquet(s"$dir/in")
+    val job = JobSpec(name = "prov",
+      inputs = Map("raw" -> DatasetSpec(path = s"$dir/in")),
+      output = Some(DatasetSpec(path = s"$dir/out")),
+      sql = Some("SELECT id, s FROM raw"),
+      params = Map("git_info" -> "true", "git_repo_dir" -> "/root/repo"))
+    val res = Etl.runJob(spark, job, now = "20240101_000001")
+    val side = new java.io.File(res.writtenPath.get, "_git_info.json")
+    assert(side.exists())
+    val json = java.nio.file.Files.readString(side.toPath)
+    assert(json.contains("\"last_commit\"") && json.contains("\"branch\""))
+  }
+
   test("incremental no_schema sink appends inc_<now>_<period> subfolders") {
     val dir = tmp()
     Seq(("2024-01-01 01:00:00", 1.0), ("2024-01-02 01:00:00", 2.0),

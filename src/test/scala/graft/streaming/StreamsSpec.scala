@@ -107,6 +107,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionsEventTime flushes idle keys when the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import Sessionize._
+    val mem = MemoryStream[Event]
+    val q = sessionsEventTime(mem.toDS(), gapMs = 30000,
+        watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("sessions_et_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(7, 1000, 1.0), Event(7, 2000, 2.0))
+      q.processAllAvailable()
+      // no same-key event arrives; a LATER key advances the watermark to
+      // 110000 > 2000 + 30000, so key 7's session flushes via timeout in
+      // the no-data batch — wall clock plays no part
+      mem.addData(Event(8, 120000, 5.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT user_id, start_ms, end_ms, n_events, sum_value
+          |FROM sessions_et_out ORDER BY user_id""".stripMargin).collect()
+      assert(rows.length == 1)
+      assert(rows(0).getLong(0) == 7L && rows(0).getLong(1) == 1000L
+        && rows(0).getLong(2) == 2000L && rows(0).getLong(3) == 2L
+        && rows(0).getDouble(4) == 3.0)
+    } finally q.stop()
+  }
+
   test("KafkaSink.payload builds per-record JSON; validateRequired splits nulls") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("id", "s")
