@@ -77,12 +77,13 @@ object Dedup {
     * With a cap of f, candidate generation only joins on shingles present
     * in <= f docs (worst-case f² pairs per key), while the Jaccard itself
     * is still computed EXACTLY: per-doc sizes come from the full shingle
-    * table, and candidates are re-verified against the full table — so a
-    * reported pair's score never changes with the cap. The only semantic
-    * delta is recall on pairs whose *every* shared shingle is a
-    * stop-shingle (such a pair is never a near-duplicate in practice —
-    * its similarity is made of boilerplate n-grams); the cap-vs-uncapped
-    * equality spec pins this on real data.
+    * table, and the hot-shingle intersections the rare join can't see are
+    * added back by a per-candidate correction join (doc-id keys, bounded
+    * fan-out) — so a reported pair's score never changes with the cap.
+    * The only semantic delta is recall on pairs whose *every* shared
+    * shingle is a stop-shingle (such a pair is never a near-duplicate in
+    * practice — its similarity is made of boilerplate n-grams); the
+    * cap-vs-uncapped equality spec pins this on real data.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, n: Int = 3,
@@ -91,24 +92,43 @@ object Dedup {
     maxShingleFreq match {
       case None => pairsFromSizedShingles(sized, threshold)
       case Some(f) =>
-        val rareKeys = sized.groupBy("shingle").agg(count(lit(1)).as("_f"))
-          .filter(col("_f") <= f).select("shingle")
-        val rare = sized.join(rareKeys, "shingle")
+        // Per-shingle frequency via a window (keeps rows; one shuffle on
+        // shingle, which the self-join needs anyway). n_sh stays the FULL
+        // per-doc count, so jaccard denominators are exact under the cap.
+        val withFreq = sized.withColumn("_f",
+          count(lit(1)).over(Window.partitionBy("shingle")))
+        val rare = withFreq.filter(col("_f") <= f)
         val a = rare.select(col("doc_id").as("a_id"), col("shingle").as("sh_a"),
           col("n_sh").as("n_a"))
         val b = rare.select(col("doc_id").as("b_id"), col("shingle").as("sh_b"),
           col("n_sh").as("n_b"))
-        // Same size-ratio prune as the uncapped path (n_a/n_b are FULL
-        // sizes, so the bound J <= min/max still holds); distinct pairs
-        // only — the exact intersection count happens in verifyJaccard
-        // over the full shingle table, where the join keys are doc ids
-        // (bounded per-doc fan-out), not shingles.
-        val cand = a.hint("shuffle_hash").join(b.hint("shuffle_hash"),
+        // Single-pass rare-shingle join with the same size-ratio prune as
+        // the uncapped path (n_a/n_b are full sizes, so J <= min/max still
+        // bounds) — identical a/b subtrees keep the exchange reused.
+        val candCounts = a.hint("shuffle_hash").join(b.hint("shuffle_hash"),
             col("sh_a") === col("sh_b") && col("a_id") < col("b_id") &&
             col("n_a") >= lit(threshold) * col("n_b") &&
             col("n_b") >= lit(threshold) * col("n_a"))
-          .select("a_id", "b_id").distinct()
-        verifyJaccard(cand, sized, threshold)
+          .groupBy("a_id", "b_id", "n_a", "n_b")
+          .agg(count(lit(1)).as("n_rare"))
+        // Exact correction for intersections the rare join can't see: hot
+        // shingles shared by a candidate pair. The hot table is only the
+        // stop-shingle rows (empty when no shingle exceeds the cap), and
+        // it joins per CANDIDATE on doc-id keys — never the quadratic
+        // hot-key self-join the cap exists to avoid.
+        val hot = withFreq.filter(col("_f") > f).select("doc_id", "shingle")
+        val hotCounts = candCounts.select("a_id", "b_id")
+          .join(hot.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+          .join(hot.select(col("doc_id").as("b_id"), col("shingle")),
+            Seq("b_id", "shingle"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_hot"))
+        candCounts.join(hotCounts, Seq("a_id", "b_id"), "left")
+          .withColumn("n_inter",
+            col("n_rare") + coalesce(col("n_hot"), lit(0L)))
+          .withColumn("jaccard",
+            col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
     }
   }
 
