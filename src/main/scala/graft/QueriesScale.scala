@@ -116,9 +116,26 @@ object QueriesScale {
     * the 4-band blocking never loses a qualifying pair (the part that can
     * silently drop recall), while the fingerprint stays engine-native.
     */
-  private val q28FpPath = "/tmp/graft_oracle_side/q28_simhash_fp"
+  // PID-keyed so a Bench run (different JVM) can't clobber the table
+  // between a Verify run and the driver's DuckDB compare, and concurrent
+  // users never collide; the oracle string below is built in the SAME JVM
+  // as the query run, so both sides agree on the path.
+  private val q28FpPath =
+    s"/tmp/graft_oracle_side/q28_simhash_fp_${ProcessHandle.current().pid()}"
 
   val q28 = QueryDef("q28_simhash_pairs", (spark, dir) => {
+    // best-effort reap of siblings older than a day (dead JVMs' tables)
+    val parent = new java.io.File("/tmp/graft_oracle_side")
+    Option(parent.listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith("q28_simhash_fp_") &&
+          f.lastModified() < System.currentTimeMillis() - 86400000L) {
+        def rm(x: java.io.File): Unit = {
+          if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
+          x.delete(): Unit
+        }
+        rm(f)
+      }
+    })
     Dedup.simhash(t(spark, dir, "documents"), "doc_id", "text")
       .write.mode("overwrite").parquet(q28FpPath)
     Dedup.simhashPairsFrom(spark.read.parquet(q28FpPath), maxDist = 3)

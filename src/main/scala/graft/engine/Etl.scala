@@ -93,11 +93,12 @@ object Etl {
             val written = Writer.write(out, job, o, now, period)
             Writer.writeSchemaSidecar(out, written.path)
             // provenance sidecar (reference Git_Config_Manager), opt-in:
-            // records which commit produced this output
+            // records which commit produced this output; goes through the
+            // sink's Hadoop filesystem so non-local schemes work too
             if (job.params.get("git_info").contains("true"))
-              GitInfo.writeSidecar(
-                job.params.getOrElse("git_repo_dir", "."),
-                s"${written.path.stripSuffix("/")}/_git_info.json"): Unit
+              GitInfo.writeSidecarHadoop(
+                job.params.getOrElse("git_repo_dir", "."), written.path,
+                spark.sparkContext.hadoopConfiguration): Unit
             Result(out, Some(written.path))
           } else Result(out, None)
         } finally if (multiAction) { out.unpersist(); () }

@@ -36,21 +36,40 @@ object GitInfo {
       "last_commit" -> commit,
       "is_dirty" -> (diff.nonEmpty).toString)
 
-  /** Write the capture as a small JSON sidecar (reference save_yaml →
+  /** The capture as a JSON document (reference save_yaml →
     * conf/git_config.yml; JSON here so no YAML writer is needed and the
     * driver-side tooling can json.load it).
     */
+  def captureJson(repoDir: String): Option[String] =
+    capture(repoDir).map(_.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        s""""$k": "${v.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+      }
+      .mkString("{", ", ", "}"))
+
+  /** Write the capture as a small JSON sidecar to a LOCAL path. */
   def writeSidecar(repoDir: String, outPath: String): Boolean =
-    capture(repoDir) match {
-      case Some(m) =>
-        val json = m.toSeq.sortBy(_._1)
-          .map { case (k, v) =>
-            s""""$k": "${v.replace("\\", "\\\\").replace("\"", "\\\"")}""""
-          }
-          .mkString("{", ", ", "}")
+    captureJson(repoDir) match {
+      case Some(json) =>
         val p = java.nio.file.Paths.get(outPath)
         Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
         java.nio.file.Files.writeString(p, json)
+        true
+      case None => false
+    }
+
+  /** Write the sidecar next to a written dataset through the Hadoop
+    * filesystem of the target path — works for any scheme the sink can
+    * write to (local, hdfs, s3a, ...), unlike a java.nio path.
+    */
+  def writeSidecarHadoop(repoDir: String, dataDir: String,
+                         conf: org.apache.hadoop.conf.Configuration): Boolean =
+    captureJson(repoDir) match {
+      case Some(json) =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dataDir), conf)
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(dataDir, "_git_info.json"), true)
+        try out.write(json.getBytes("UTF-8")) finally out.close()
         true
       case None => false
     }

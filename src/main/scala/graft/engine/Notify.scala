@@ -31,6 +31,11 @@ object Notify {
     * `creds` (reference send_msg). Returns the recipients actually sent
     * to; empty recipients logs-and-skips like the reference rather than
     * failing the job over a notification.
+    *
+    * STARTTLS defaults ON whenever a password is configured (sending AUTH
+    * credentials over plaintext is never right against a real server);
+    * a loopback/test relay without auth stays plaintext. Override with an
+    * explicit `starttls = true|false` key in the creds section.
     */
   def sendMessage(message: String, recipients: Seq[String],
                   creds: Secrets.Creds, credsSection: String,
@@ -43,9 +48,12 @@ object Notify {
       val port = Secrets.get(creds, credsSection, "port").toInt
       val sender = Secrets.get(creds, credsSection, "sender_email")
       val password = creds(credsSection).get("password").filter(_.nonEmpty)
+      val startTls = creds(credsSection).get("starttls")
+        .map(_.toBoolean).getOrElse(password.isDefined)
       recipients.foreach { r =>
         transport.send(host, port, sender, Seq(r), message,
-          user = password.map(_ => sender), password = password)
+          user = password.map(_ => sender), password = password,
+          startTls = startTls)
       }
       recipients
     }
@@ -77,7 +85,11 @@ object Notify {
         def expect(codes: Int*): Unit = {
           var line = in.readLine()
           require(line != null && line.length >= 3, s"connection closed by $host")
-          while (line.length > 3 && line.charAt(3) == '-') line = in.readLine()
+          while (line.length > 3 && line.charAt(3) == '-') {
+            line = in.readLine()
+            require(line != null && line.length >= 3,
+              s"connection closed by $host mid-reply")
+          }
           val code = line.substring(0, 3).toInt
           require(codes.contains(code), s"SMTP $host: expected $codes, got: $line")
         }

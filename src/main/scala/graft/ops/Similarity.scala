@@ -174,28 +174,42 @@ object Similarity {
     * corpus scan, no shuffle. Large delta: the broadcast plan would be a
     * memory-unbounded nested loop, so candidates come from sign-bit LSH
     * buckets (shuffle on (table, bucket)) and are exact-cosine verified —
-    * precision stays exact, recall becomes the LSH collision probability.
+    * precision stays exact, recall becomes the LSH collision probability;
+    * the switch is logged because it changes the exactness contract.
     * The size gate runs one count() over the delta; at scale that's a
     * metadata-cheap scan of the small side, not the corpus.
+    *
+    * `deltaInCorpus = true` (the modulo-sample / re-scan case) pairs on
+    * `a_id < b_id` so each unordered pair appears once. Set it FALSE for a
+    * disjoint delta (newly-ingested ids vs an existing corpus): delta ids
+    * are typically HIGHER than every corpus id, and the ordering filter
+    * would silently drop all cross pairs — disjoint mode pairs on
+    * `a_id =!= b_id` instead, delta id always on the left.
     */
   def deltaNearDupPairs(corpus: DataFrame, delta: DataFrame, threshold: Double,
                         maxBroadcastDelta: Long = DefaultMaxBroadcastDelta,
-                        bits: Int = 4, tables: Int = 16, seed: Long = 42L): DataFrame = {
+                        bits: Int = 4, tables: Int = 16, seed: Long = 42L,
+                        deltaInCorpus: Boolean = true): DataFrame = {
+    val pairCond =
+      if (deltaInCorpus) col("a_id") < col("b_id") else col("a_id") =!= col("b_id")
     if (delta.count() <= maxBroadcastDelta) {
       val a = withNorm(delta, "a")
       val b = withNorm(corpus, "b")
-      b.join(broadcast(a), col("a_id") < col("b_id"))
+      b.join(broadcast(a), pairCond)
         .withColumn("cos", cosFromNorms("a", "b"))
         .filter(col("cos") >= threshold)
         .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
         .orderBy("a_id", "b_id")
     } else {
+      System.err.println(s"[graft] deltaNearDupPairs: delta exceeds " +
+        s"$maxBroadcastDelta rows; switching from exact broadcast scoring to " +
+        s"LSH-bucketed candidates (exact precision, approximate recall)")
       val dim = corpus.select(size(col("embedding"))).head().getInt(0)
       val planes = hyperplanes(dim, bits, tables, seed)
       val hp = bucketTable(delta, planes, bits).withColumnRenamed("vec_id", "a_id")
       val hc = bucketTable(corpus, planes, bits).withColumnRenamed("vec_id", "b_id")
       val cand = hp.join(hc, Seq("t", "bucket"))
-        .filter(col("a_id") < col("b_id"))
+        .filter(pairCond)
         .select("a_id", "b_id").distinct()
       verifyCosine(cand, delta, corpus, threshold)
     }

@@ -20,8 +20,16 @@ import java.util.zip.GZIPInputStream
   */
 object Http {
 
+  /** A stalled endpoint must fail the run, not wedge it: connect and
+    * whole-request timeouts bound every fetch (`maxPages` bounds count,
+    * these bound time).
+    */
+  val connectTimeout: java.time.Duration = java.time.Duration.ofSeconds(30)
+  val requestTimeout: java.time.Duration = java.time.Duration.ofMinutes(5)
+
   private lazy val client: HttpClient = HttpClient.newBuilder()
     .followRedirects(HttpClient.Redirect.NORMAL) // reference: allow_redirects=True
+    .connectTimeout(connectTimeout)
     .build()
 
   final case class Response(status: Int, body: Array[Byte],
@@ -31,7 +39,7 @@ object Http {
   }
 
   def get(url: String, headers: Map[String, String] = Map.empty): Response = {
-    val b = HttpRequest.newBuilder(URI.create(url)).GET()
+    val b = HttpRequest.newBuilder(URI.create(url)).GET().timeout(requestTimeout)
     headers.foreach { case (k, v) => b.header(k, v) }
     val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
     Response(resp.statusCode(), resp.body(),
@@ -81,13 +89,25 @@ object Http {
       .options(options - "compression").csv(f.toString)
   }
 
-  /** GET + parse as JSON lines / array. */
+  /** GET + parse as JSON. Layout is sniffed from the landed bytes: a
+    * payload opening with `[` is a whole-file array (multiLine), anything
+    * else is JSON-lines — a fixed multiLine default would silently keep
+    * only the FIRST document of a JSONL payload. Explicit `multiLine` in
+    * `options` overrides the sniff.
+    */
   def readJson(spark: SparkSession, url: String,
                headers: Map[String, String] = Map.empty,
                options: Map[String, String] = Map.empty): DataFrame = {
     val f = fetchToFile(url, headers, options.get("compression"))
-    spark.read.option("multiLine", "true").options(options - "compression")
-      .json(f.toString)
+    val firstChar = {
+      val in = Files.newInputStream(f)
+      try Iterator.continually(in.read()).dropWhile(c => c >= 0 && c.toChar.isWhitespace)
+        .next()
+      finally in.close()
+    }
+    val multiLine = firstChar == '['.toInt
+    spark.read.option("multiLine", multiLine.toString)
+      .options(options - "compression").json(f.toString)
   }
 
   /** Follow RFC 5988 pagination: GET `url`, then keep following the
@@ -112,15 +132,20 @@ object Http {
     pages.result()
   }
 
-  /** Parse `Link: <url>; rel="next"` out of a response (comma-separated
-    * link-values, parameters after `;`).
+  /** Parse `Link: <url>; rel="next"` out of a response. Link-values split
+    * on commas followed by `<` — `<` can never occur inside a URL
+    * (RFC 3986), so commas WITHIN a URL survive; malformed values
+    * (missing angle brackets) are skipped, not crashed on.
     */
   private[sources] def nextLink(resp: Response): Option[String] =
-    resp.header("link").flatMap(_.split(",")).collectFirst {
-      case l if l.contains("rel=\"next\"") =>
-        val s = l.indexOf('<'); val e = l.indexOf('>')
-        l.substring(s + 1, e)
-    }
+    resp.header("link").flatMap(_.split(",(?=\\s*<)")).flatMap { l =>
+      if (!l.contains("rel=\"next\"")) None
+      else {
+        val s = l.indexOf('<')
+        val e = l.indexOf('>', s + 1)
+        if (s < 0 || e < 0) None else Some(l.substring(s + 1, e))
+      }
+    }.headOption
 
   /** Paginated REST → DataFrame: each page body is a JSON array of
     * records; pages concatenate into one frame (the reference's

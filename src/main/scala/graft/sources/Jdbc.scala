@@ -41,18 +41,31 @@ object Jdbc {
     * database, so only one period's rows cross the wire.
     *
     * `table` passes through verbatim — the same contract as Spark's own
-    * `dbtable` option (pre-quote it yourself if the name needs quoting);
-    * `incField` and the period literals are quoted/escaped here.
+    * `dbtable` option (pre-quote it yourself if the name needs quoting).
+    * `incField` is quoted by default because Spark's JDBC writer quotes
+    * column names at CREATE (a Spark-written lower-case column is ONLY
+    * reachable quoted on case-folding databases); for a table created
+    * with unquoted DDL outside Spark, quoting would instead demand an
+    * exact-case match — pass `quoteField = false` to keep the old
+    * case-insensitive resolution there. Period literals are always
+    * escaped.
     */
   def incrementalOptions(url: String, table: String, incField: String,
                          period: String, periodNext: String,
-                         extra: Map[String, String] = Map.empty): Map[String, String] =
+                         extra: Map[String, String] = Map.empty,
+                         quoteField: Boolean = true): Map[String, String] = {
+    val f = if (quoteField) quoteIdent(incField) else {
+      require(incField.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"unquoted inc_field must be a plain identifier, got '$incField'")
+      incField
+    }
     Map("url" -> url,
       "query" ->
-        (s"SELECT * FROM $table WHERE ${quoteIdent(incField)} >= ${quoteLit(period)}" +
-          s" AND ${quoteIdent(incField)} < ${quoteLit(periodNext)}"),
+        (s"SELECT * FROM $table WHERE $f >= ${quoteLit(period)}" +
+          s" AND $f < ${quoteLit(periodNext)}"),
       "fetchsize" -> defaultFetchSize,
       "numPartitions" -> defaultNumPartitions) ++ extra
+  }
 
   /** Parallel partitioned read bounds (for big backfills): Spark splits
     * the scan into numPartitions range queries on partitionColumn.
@@ -87,8 +100,12 @@ object Jdbc {
                period: Option[(String, String)] = None): DataFrame = {
     val opts = (ds.incField, period) match {
       case (Some(f), Some((p, pNext))) =>
+        // manifests opt out of identifier quoting (legacy unquoted-DDL
+        // tables) via read_kwargs: {quote_inc_field: "false"}
         incrementalOptions(ds.readOptions("url"), ds.readOptions("dbtable"),
-          f, p, pNext, ds.readOptions -- Seq("url", "dbtable"))
+          f, p, pNext,
+          ds.readOptions -- Seq("url", "dbtable", "quote_inc_field"),
+          quoteField = ds.readOptions.get("quote_inc_field").forall(_.toBoolean))
       case _ => ds.readOptions
     }
     read(spark, opts)

@@ -73,6 +73,7 @@ class NotifySpec extends AnyFunSuite {
          |[email_notify]
          |sender_email = pipeline@example.com
          |password = hunter2
+         |starttls = false
          |smtp_server = 127.0.0.1
          |port = ${fake.port}
          |""".stripMargin)

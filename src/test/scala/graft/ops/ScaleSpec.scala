@@ -69,6 +69,29 @@ class LshCosineSpec extends SparkSpec {
     info(s"recall ${got.size}/${exact.size}")
   }
 
+  test("disjoint delta (higher ids than corpus) still finds cross pairs") {
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.filter(col("vec_id") < 400)
+    val delta = emb.filter(col("vec_id") >= 400) // ids all ABOVE the corpus
+    val got = Similarity.deltaNearDupPairs(corpus, delta, threshold = 0.35,
+        deltaInCorpus = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // expected: every (delta, corpus) pair above threshold on RAW cosine
+    // (the operator filters pre-rounding), delta id on the left
+    import graft.functions.NativeFunctions.dotF
+    val d = delta.select(col("vec_id").as("a_id"), col("embedding").as("ae"))
+    val c = corpus.select(col("vec_id").as("b_id"), col("embedding").as("be"))
+    val expected = d.crossJoin(c)
+      .withColumn("cos", dotF(col("ae"), col("be")) /
+        (sqrt(dotF(col("ae"), col("ae"))) * sqrt(dotF(col("be"), col("be")))))
+      .filter(col("cos") >= 0.35).select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "threshold should catch at least one cross pair")
+    // the ordered-id mode would have dropped every one of these
+    assert(got.forall { case (a, b) => a > b })
+  }
+
   test("hyperplanes are deterministic per seed") {
     val a = Similarity.hyperplanes(8, 4, 2, seed = 7L)
     val b = Similarity.hyperplanes(8, 4, 2, seed = 7L)

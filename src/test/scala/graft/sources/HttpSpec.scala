@@ -46,6 +46,10 @@ class HttpSpec extends SparkSpec {
       (ex: HttpExchange) => respond(ex, 200, csvText.getBytes("UTF-8")))
     server.createContext("/missing",
       (ex: HttpExchange) => respond(ex, 404, "gone".getBytes("UTF-8")))
+    server.createContext("/lines.json", (ex: HttpExchange) => respond(ex, 200,
+      "{\"a\": 1}\n{\"a\": 2}\n{\"a\": 3}\n".getBytes("UTF-8")))
+    server.createContext("/array.json", (ex: HttpExchange) => respond(ex, 200,
+      "[{\"a\": 1}, {\"a\": 2}]".getBytes("UTF-8")))
     server.createContext("/api", (ex: HttpExchange) => {
       val page = Option(ex.getRequestURI.getQuery)
         .flatMap(_.split("&").find(_.startsWith("page=")))
@@ -92,5 +96,23 @@ class HttpSpec extends SparkSpec {
   test("maxPages bounds a runaway pagination walk") {
     val pages = Http.pullAllPages(s"$base/api?page=1", maxPages = 2)
     assert(pages.length == 2)
+  }
+
+  test("readJson sniffs layout: JSONL keeps every line, arrays parse whole-file") {
+    assert(Http.readJson(spark, s"$base/lines.json").count() == 3)
+    assert(Http.readJson(spark, s"$base/array.json").count() == 2)
+  }
+
+  test("nextLink survives commas in URLs and malformed link-values") {
+    def resp(link: String) = Http.Response(200, Array.emptyByteArray,
+      Map("link" -> Seq(link)))
+    assert(Http.nextLink(resp(
+      s"""<$base/items?ids=1,2,3&page=2>; rel="next"""")) ==
+      Some(s"$base/items?ids=1,2,3&page=2"))
+    assert(Http.nextLink(resp(
+      s"""<$base/a?x=1,2>; rel="prev", <$base/b?y=3,4>; rel="next"""")) ==
+      Some(s"$base/b?y=3,4"))
+    assert(Http.nextLink(resp("""garbage; rel="next"""")).isEmpty)
+    assert(Http.nextLink(resp("")).isEmpty)
   }
 }

@@ -168,6 +168,13 @@ class TypedAndJdbcSpec extends SparkSpec {
       "jdbc:x://h/d", "t", """f" --""", "2024-01-01' OR '1'='1", "x")
     assert(hostile("query").contains("\"f\"\" --\"") &&
       hostile("query").contains("'2024-01-01'' OR ''1''=''1'"))
+    // legacy unquoted-DDL tables: quoteField=false keeps case-insensitive
+    // resolution but only for plain identifiers
+    val unquoted = graft.sources.Jdbc.incrementalOptions(
+      "jdbc:x://h/d", "t", "created_at", "a", "b", quoteField = false)
+    assert(unquoted("query").contains("WHERE created_at >="))
+    intercept[IllegalArgumentException](graft.sources.Jdbc.incrementalOptions(
+      "jdbc:x://h/d", "t", "bad name", "a", "b", quoteField = false))
     val part = graft.sources.Jdbc.partitionedOptions(
       "jdbc:x://h/d", "t", "id", 0L, 1000L, 8)
     assert(part("partitionColumn") == "id" && part("numPartitions") == "8")
