@@ -334,5 +334,61 @@ object QueriesScale {
            |WHERE cos >= $threshold ORDER BY a_id, b_id""".stripMargin))
   }
 
-  val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q40)
+  /** Near-dup CLUSTERS: q26's pair output fed through connected
+    * components (min-label propagation). The oracle replays the pairing
+    * in SQL and clusters with a recursive CTE — label propagation to
+    * fixpoint, then min per node.
+    */
+  val q51 = QueryDef("q51_neardup_clusters", (spark, dir) => {
+    val pairs = Dedup.jaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
+      threshold = 0.6, maxShingleFreq = Some(50))
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("comp"))
+      .orderBy("doc_id")
+  }, Some(
+    s"""WITH RECURSIVE $duckShingles,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT a_id, b_id FROM inter
+       |          JOIN sizes sa ON sa.doc_id = inter.a_id
+       |          JOIN sizes sb ON sb.doc_id = inter.b_id
+       |          WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.6),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |walk(id, lbl) AS (
+       |  SELECT s, s FROM edges GROUP BY s
+       |  UNION
+       |  SELECT e.s, walk.lbl FROM edges e JOIN walk ON walk.id = e.d)
+       |SELECT id AS doc_id, min(lbl) AS comp FROM walk
+       |GROUP BY id ORDER BY doc_id""".stripMargin))
+
+  /** Deterministic hash-based train/val/test split: the assignment is a
+    * pure function of (salt, doc_id), bit-identical on both engines
+    * (md5 60-bit prefix), so a document can never migrate between splits
+    * across reruns or engines.
+    */
+  val q52 = QueryDef("q52_hash_split", (spark, dir) => {
+    import graft.ops.Sampling
+    val docs = t(spark, dir, "documents").select("doc_id")
+    Sampling.hashSplit(docs, "doc_id", salt = "s1",
+        fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .withColumn("bucket", Sampling.hashBucket(col("doc_id"), "s1", 10000))
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+  }, Some(
+    """SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 8000 THEN 'train'
+      |       WHEN bucket < 9000 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 10000 AS bucket
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32,
+    q33, q34, q35, q40, q51, q52)
 }

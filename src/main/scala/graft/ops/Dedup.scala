@@ -92,43 +92,53 @@ object Dedup {
     maxShingleFreq match {
       case None => pairsFromSizedShingles(sized, threshold)
       case Some(f) =>
-        // Per-shingle frequency via a window (keeps rows; one shuffle on
-        // shingle, which the self-join needs anyway). n_sh stays the FULL
-        // per-doc count, so jaccard denominators are exact under the cap.
-        val withFreq = sized.withColumn("_f",
-          count(lit(1)).over(Window.partitionBy("shingle")))
-        val rare = withFreq.filter(col("_f") <= f)
-        val a = rare.select(col("doc_id").as("a_id"), col("shingle").as("sh_a"),
-          col("n_sh").as("n_a"))
-        val b = rare.select(col("doc_id").as("b_id"), col("shingle").as("sh_b"),
-          col("n_sh").as("n_b"))
-        // Single-pass rare-shingle join with the same size-ratio prune as
-        // the uncapped path (n_a/n_b are full sizes, so J <= min/max still
-        // bounds) — identical a/b subtrees keep the exchange reused.
-        val candCounts = a.hint("shuffle_hash").join(b.hint("shuffle_hash"),
-            col("sh_a") === col("sh_b") && col("a_id") < col("b_id") &&
-            col("n_a") >= lit(threshold) * col("n_b") &&
-            col("n_b") >= lit(threshold) * col("n_a"))
-          .groupBy("a_id", "b_id", "n_a", "n_b")
-          .agg(count(lit(1)).as("n_rare"))
-        // Exact correction for intersections the rare join can't see: hot
-        // shingles shared by a candidate pair. The hot table is only the
-        // stop-shingle rows (empty when no shingle exceeds the cap), and
-        // it joins per CANDIDATE on doc-id keys — never the quadratic
-        // hot-key self-join the cap exists to avoid.
-        val hot = withFreq.filter(col("_f") > f).select("doc_id", "shingle")
-        val hotCounts = candCounts.select("a_id", "b_id")
-          .join(hot.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
-          .join(hot.select(col("doc_id").as("b_id"), col("shingle")),
-            Seq("b_id", "shingle"))
-          .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_hot"))
-        candCounts.join(hotCounts, Seq("a_id", "b_id"), "left")
-          .withColumn("n_inter",
-            col("n_rare") + coalesce(col("n_hot"), lit(0L)))
-          .withColumn("jaccard",
-            col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-          .filter(col("jaccard") >= threshold)
-          .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+        // Heavy hitters first: the hot-key set is by definition tiny
+        // (<= total shingle occurrences / f), computed with one small
+        // aggregation. When it's EMPTY — the common case — the capped
+        // plan is byte-identical to the uncapped single-pass plan, so the
+        // guard costs only this probe.
+        val hotKeys = shingleTable(docs, idCol, textCol, n)
+          .groupBy("shingle").agg(count(lit(1)).as("_f"))
+          .filter(col("_f") > f).select("shingle")
+        if (hotKeys.isEmpty) pairsFromSizedShingles(sized, threshold)
+        else {
+          // Broadcast anti-join strips stop-shingle rows from candidate
+          // generation; n_sh stays the FULL per-doc count so jaccard
+          // denominators are exact under the cap.
+          val rare = sized.join(broadcast(hotKeys), Seq("shingle"), "left_anti")
+          val a = rare.select(col("doc_id").as("a_id"), col("shingle").as("sh_a"),
+            col("n_sh").as("n_a"))
+          val b = rare.select(col("doc_id").as("b_id"), col("shingle").as("sh_b"),
+            col("n_sh").as("n_b"))
+          // Single-pass rare-shingle join with the same size-ratio prune
+          // as the uncapped path (n_a/n_b are full sizes, so J <= min/max
+          // still bounds).
+          val candCounts = a.hint("shuffle_hash").join(b.hint("shuffle_hash"),
+              col("sh_a") === col("sh_b") && col("a_id") < col("b_id") &&
+              col("n_a") >= lit(threshold) * col("n_b") &&
+              col("n_b") >= lit(threshold) * col("n_a"))
+            .groupBy("a_id", "b_id", "n_a", "n_b")
+            .agg(count(lit(1)).as("n_rare"))
+          // Exact correction for intersections the rare join can't see:
+          // hot shingles shared by a candidate pair, joined per CANDIDATE
+          // on doc-id keys — never the quadratic hot-key self-join the
+          // cap exists to avoid. (candCounts feeds two branches and is
+          // recomputed; that price is only paid when hot keys exist.)
+          val hot = sized.join(broadcast(hotKeys), Seq("shingle"), "left_semi")
+            .select("doc_id", "shingle")
+          val hotCounts = candCounts.select("a_id", "b_id")
+            .join(hot.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+            .join(hot.select(col("doc_id").as("b_id"), col("shingle")),
+              Seq("b_id", "shingle"))
+            .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_hot"))
+          candCounts.join(hotCounts, Seq("a_id", "b_id"), "left")
+            .withColumn("n_inter",
+              col("n_rare") + coalesce(col("n_hot"), lit(0L)))
+            .withColumn("jaccard",
+              col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+            .filter(col("jaccard") >= threshold)
+            .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+        }
     }
   }
 
@@ -196,6 +206,42 @@ object Dedup {
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Connected components over an undirected pair list (a_id, b_id) —
+    * turns near-duplicate PAIRS into duplicate CLUSTERS (keep one doc per
+    * component). Iterative min-label propagation: every node adopts the
+    * minimum label among itself and its neighbors until fixpoint; each
+    * round is one join + one aggregation, and the round count is the
+    * graph diameter — near-dup clusters are dense (quasi-cliques), so
+    * 2-3 rounds in practice, with `maxIter` as the safety bound.
+    * Lineage is truncated per round (`localCheckpoint`) so the plan does
+    * not grow exponentially with iterations — the standard Spark
+    * iterative-graph pattern.
+    *
+    * Returns (id, comp) where comp = min doc id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
+        .groupBy(col("src").as("id")).agg(min("comp").as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = updated.filter(col("comp") =!= col("old")).isEmpty
+      labels = updated.select("id", "comp").localCheckpoint()
+      iter += 1
+    }
+    labels
   }
 
   /** 64-bit SimHash fingerprint per document: per-bit majority vote over

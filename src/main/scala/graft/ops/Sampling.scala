@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / dataset splitting for training pipelines.
+  *
+  * A train/val/test split must be a pure function of the record identity:
+  * stable across engines, partitionings, reruns, and corpus growth — a
+  * document must never migrate from eval into train when the pipeline
+  * re-runs (`sample()`/`randomSplit` give none of that). Buckets come
+  * from md5 of (salt || id): cryptographic mixing, available bit-identical
+  * on every engine (unlike xxhash64), salt-switchable so independent
+  * experiments get independent partitions.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from md5(salt || id). The first 15
+    * hex chars (60 bits) fit a signed long on both engines:
+    * Spark `conv(hex, 16, 10)` == DuckDB `CAST('0x' || hex AS BIGINT)`.
+    */
+  def hashBucket(id: Column, salt: String, buckets: Int = 100): Column =
+    pmod(
+      conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 15), 16, 10)
+        .cast("long"),
+      lit(buckets.toLong))
+
+  /** Assign a split label per row by cumulative fraction over 10k hash
+    * buckets (0.01% granularity). `fractions` must sum to <= 1; rows
+    * falling past the last bound get the final label (so (train 0.8,
+    * val 0.1, test 0.1) is exhaustive and exact to the bucket).
+    */
+  def hashSplit(df: DataFrame, idCol: String, salt: String,
+                fractions: Seq[(String, Double)],
+                outCol: String = "split"): DataFrame = {
+    require(fractions.nonEmpty, "need at least one (label, fraction)")
+    val total = fractions.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"fractions sum to $total > 1")
+    val buckets = 10000
+    val bucket = hashBucket(col(idCol), salt, buckets)
+    val bounds = fractions.scanLeft(0.0)(_ + _._2).tail
+      .map(f => math.round(f * buckets))
+    val expr = fractions.zip(bounds).init
+      .foldRight(lit(fractions.last._1): Column) {
+        case (((label, _), bound), elseCol) =>
+          when(bucket < bound, label).otherwise(elseCol)
+      }
+    df.withColumn(outCol, expr)
+  }
+
+  /** Deterministic fraction-of-corpus sample (keep iff bucket < p·10k). */
+  def hashSample(df: DataFrame, idCol: String, salt: String,
+                 fraction: Double): DataFrame =
+    df.filter(hashBucket(col(idCol), salt, 10000) < math.round(fraction * 10000))
+}

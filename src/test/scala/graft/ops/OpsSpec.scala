@@ -132,6 +132,25 @@ class DedupSpec extends SparkSpec {
     assert(capped == Set((1L, 201L, 1.0), (6L, 202L, 1.0)))
   }
 
+  test("connectedComponents clusters pairs into min-labeled components") {
+    // chain 1-2-3 (transitive, never a direct 1-3 pair), clique 10-11-12,
+    // isolated pair 20-21 — all must resolve to their min id
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents converges on a long path within maxIter") {
+    // path 0-1-2-...-9: min-label needs several rounds to reach the tail
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.values.toSet == Set(0L) && comp.size == 10)
+  }
+
   test("maxShingleFreq cap-vs-uncapped equality on the testdata corpus") {
     val corpus = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     def run(cap: Option[Int]) =
@@ -139,6 +158,38 @@ class DedupSpec extends SparkSpec {
           maxShingleFreq = cap)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(run(Some(50)) == run(None))
+  }
+}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit is exhaustive, deterministic, and near the fractions") {
+    val ids = (1L to 2000L).toDF("id")
+    val split = Sampling.hashSplit(ids, "id", salt = "exp1",
+      fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000L)
+    assert(math.abs(counts("train") - 1600L) < 100, s"train=${counts("train")}")
+    assert(counts.keySet == Set("train", "val", "test"))
+    // pure function of (salt, id): rerun identical, different salt differs
+    val again = Sampling.hashSplit(ids, "id", "exp1",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.except(again).isEmpty && again.except(split).isEmpty)
+    val other = Sampling.hashSplit(ids, "id", "exp2",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(!other.except(split).isEmpty)
+  }
+
+  test("hashSample keeps a stable deterministic subset") {
+    val ids = (1L to 1000L).toDF("id")
+    val s = Sampling.hashSample(ids, "id", "s", 0.25)
+    val n = s.count()
+    assert(math.abs(n - 250L) < 60, s"n=$n")
+    assert(s.except(Sampling.hashSample(ids, "id", "s", 0.25)).isEmpty)
+    // monotone: a bigger fraction is a superset of a smaller one
+    assert(s.except(Sampling.hashSample(ids, "id", "s", 0.5)).isEmpty)
   }
 }
 
