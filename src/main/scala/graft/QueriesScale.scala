@@ -319,7 +319,8 @@ object QueriesScale {
     }.mkString("\nUNION ALL ")
     QueryDef("q40_lsh_cosine_pairs",
       (spark, dir) => Similarity.lshCosinePairs(
-        t(spark, dir, "embeddings"), threshold, bits, tables, seed),
+        t(spark, dir, "embeddings"), threshold, bits, tables, seed,
+        dim = Some(dim)),
       Some(
         s"""WITH hashed AS ($bucketRows),
            |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id

@@ -139,10 +139,18 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
+  /** Vector width for plane generation: taken from `dim` when the caller
+    * knows it (no job), else probed with one driver-side head() — the
+    * schema's ArrayType carries no length.
+    */
+  private def dimOf(corpus: DataFrame, dim: Option[Int]): Int =
+    dim.getOrElse(corpus.select(size(col("embedding"))).head().getInt(0))
+
   def lshCosinePairs(corpus: DataFrame, threshold: Double,
-                     bits: Int = 4, tables: Int = 16, seed: Long = 42L): DataFrame = {
-    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
-    val hashed = bucketTable(corpus, hyperplanes(dim, bits, tables, seed), bits)
+                     bits: Int = 4, tables: Int = 16, seed: Long = 42L,
+                     dim: Option[Int] = None): DataFrame = {
+    val hashed = bucketTable(corpus,
+      hyperplanes(dimOf(corpus, dim), bits, tables, seed), bits)
     val cand = hashed.as("x").join(hashed.as("y"), Seq("t", "bucket"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
@@ -189,7 +197,8 @@ object Similarity {
   def deltaNearDupPairs(corpus: DataFrame, delta: DataFrame, threshold: Double,
                         maxBroadcastDelta: Long = DefaultMaxBroadcastDelta,
                         bits: Int = 4, tables: Int = 16, seed: Long = 42L,
-                        deltaInCorpus: Boolean = true): DataFrame = {
+                        deltaInCorpus: Boolean = true,
+                        dim: Option[Int] = None): DataFrame = {
     val pairCond =
       if (deltaInCorpus) col("a_id") < col("b_id") else col("a_id") =!= col("b_id")
     if (delta.count() <= maxBroadcastDelta) {
@@ -204,8 +213,7 @@ object Similarity {
       System.err.println(s"[graft] deltaNearDupPairs: delta exceeds " +
         s"$maxBroadcastDelta rows; switching from exact broadcast scoring to " +
         s"LSH-bucketed candidates (exact precision, approximate recall)")
-      val dim = corpus.select(size(col("embedding"))).head().getInt(0)
-      val planes = hyperplanes(dim, bits, tables, seed)
+      val planes = hyperplanes(dimOf(corpus, dim), bits, tables, seed)
       val hp = bucketTable(delta, planes, bits).withColumnRenamed("vec_id", "a_id")
       val hc = bucketTable(corpus, planes, bits).withColumnRenamed("vec_id", "b_id")
       val cand = hp.join(hc, Seq("t", "bucket"))
