@@ -365,6 +365,33 @@ object QueriesScale {
        |SELECT id AS doc_id, min(lbl) AS comp FROM walk
        |GROUP BY id ORDER BY doc_id""".stripMargin))
 
+  /** Multimodal frame sampling: the document's bytes stand in for an
+    * opaque media container of fixed 64-byte frames; every 4th frame is
+    * "decoded" (md5'd) partition-locally with one OUTPUT ROW PER FRAME —
+    * the row-explosion shape a real video/audio sampler has. The oracle
+    * replays the framing with generate_series + substr (the corpus text
+    * is ASCII, so byte and char offsets agree — the same equivalence q35
+    * already relies on).
+    */
+  val q53 = QueryDef("q53_frame_sample", (spark, dir) =>
+    graft.ops.Multimodal.sampleFrames(
+        t(spark, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload", frameSize = 64, every = 4)
+      .orderBy("doc_id", "frame_idx"),
+    Some(
+      """WITH fr AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(strlen(text) / 64.0) AS BIGINT) - 1)) AS idx
+        |  FROM documents)
+        |SELECT doc_id, idx AS frame_idx,
+        |  CAST(strlen(substr(text, CAST(idx * 64 + 1 AS BIGINT), 64)) AS BIGINT)
+        |    AS n_bytes,
+        |  md5(substr(text, CAST(idx * 64 + 1 AS BIGINT), 64)) AS frame_md5
+        |FROM fr WHERE idx % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin))
+
   /** Deterministic hash-based train/val/test split: the assignment is a
     * pure function of (salt, doc_id), bit-identical on both engines
     * (md5 60-bit prefix), so a document can never migrate between splits
@@ -391,5 +418,5 @@ object QueriesScale {
       |ORDER BY doc_id""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32,
-    q33, q34, q35, q40, q51, q52)
+    q33, q34, q35, q40, q51, q52, q53)
 }

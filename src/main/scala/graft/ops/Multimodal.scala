@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads are opaque `binary` columns;
+  * decode / feature-extract / frame-sample run partition-local (a real
+  * codec cannot be a Catalyst expression), binary in → typed rows out, no
+  * shuffle. The container format here is a deterministic stand-in (fixed
+  * `frameSize`-byte frames), but the Spark shape — schema, partitioning,
+  * per-frame row explosion, batch iteration — is exactly what a real
+  * ffmpeg/PIL-style decoder plugs into.
+  */
+object Multimodal {
+
+  /** Sample every `every`-th frame of each payload: one output row per
+    * sampled frame (doc_id, frame_idx, n_bytes, frame_md5). Row count
+    * multiplies by frames-per-doc / every — the operator stays
+    * partition-local, so the explosion never shuffles; downstream
+    * aggregation decides the next exchange.
+    */
+  def sampleFrames(docs: DataFrame, idCol: String, payloadCol: String,
+                   frameSize: Int = 64, every: Int = 4): DataFrame = {
+    require(frameSize > 0 && every > 0, "frameSize and every must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          val nFrames = (bytes.length.toLong + frameSize - 1) / frameSize
+          (0L until nFrames).iterator.filter(_ % every == 0).map { i =>
+            val from = (i * frameSize).toInt
+            val until = math.min(bytes.length, from + frameSize)
+            md.reset()
+            val hex = md.digest(java.util.Arrays.copyOfRange(bytes, from, until))
+              .map("%02x".format(_)).mkString
+            (id, i, (until - from).toLong, hex)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "n_bytes", "frame_md5")
+  }
+}

@@ -193,6 +193,25 @@ class SamplingSpec extends SparkSpec {
   }
 }
 
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sampleFrames explodes every Nth frame with correct slicing") {
+    // 150 bytes -> frames [0,64) [64,128) [128,150); every=2 keeps 0 and 2
+    val payload = ("a" * 150).getBytes("UTF-8")
+    val df = Seq((1L, payload), (2L, Array.emptyByteArray)).toDF("doc_id", "payload")
+    val out = Multimodal.sampleFrames(df, "doc_id", "payload",
+        frameSize = 64, every = 2)
+      .orderBy("doc_id", "frame_idx").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 0L, 64L), (1L, 2L, 22L)))
+    // frame md5 is of the SLICE, not the whole payload
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h0 = md.digest(("a" * 64).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getString(3) == h0)
+  }
+}
+
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
