@@ -23,6 +23,7 @@ object Reader {
         spark.read.option("header", "true")
           .options(ds.readOptions).csv(path)
       case "parquet" => spark.read.options(ds.readOptions).parquet(path)
+      case "orc" => spark.read.options(ds.readOptions).orc(path)
       case "json" => spark.read.options(ds.readOptions).json(path)
       case "json_array" => // whole-file `[ {...}, ... ]` layout
         spark.read.option("multiLine", "true").options(ds.readOptions).json(path)

@@ -46,6 +46,7 @@ object Writer {
     out.format match {
       case "csv" => w.option("header", "true").csv(path)
       case "parquet" => w.parquet(path)
+      case "orc" => w.orc(path)
       case "json" => w.json(path)
       case "text" => w.text(path)
       case "jdbc" => repartitioned.write.format("jdbc").options(out.saveOptions).mode(

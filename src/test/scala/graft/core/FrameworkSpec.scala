@@ -141,6 +141,21 @@ class EtlIoSpec extends SparkSpec {
     assert(new java.io.File(res.writtenPath.get, "_schema.json").exists())
   }
 
+  test("orc job round-trips through the Writer/Reader dispatch") {
+    val dir = tmp()
+    Seq((1, "a", 5.0), (2, "b", 6.5)).toDF("id", "grp", "v")
+      .write.parquet(s"$dir/in")
+    val job = JobSpec(name = "orc_copy",
+      inputs = Map("raw" -> DatasetSpec(path = s"$dir/in")),
+      output = Some(DatasetSpec(path = s"$dir/out", format = "orc")),
+      sql = Some("SELECT id, grp, v FROM raw"))
+    val res = Etl.runJob(spark, job, now = "20240101_000000")
+    val back = graft.core.io.Reader.read(spark,
+      DatasetSpec(path = res.writtenPath.get, format = "orc"))
+    assert(back.count() == 2)
+    assert(back.agg(org.apache.spark.sql.functions.sum("v")).head().getDouble(0) == 11.5)
+  }
+
   test("git_info param writes a provenance sidecar next to the output") {
     val dir = tmp()
     Seq((1, "a")).toDF("id", "s").write.parquet(s"$dir/in")
