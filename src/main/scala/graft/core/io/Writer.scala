@@ -61,9 +61,10 @@ object Writer {
     * not enforcement).
     */
   def writeSchemaSidecar(df: DataFrame, dir: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_schema.json"), true)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dirPath, "_schema.json"), true)
     try out.write(df.schema.prettyJson.getBytes("UTF-8")) finally out.close()
   }
 

@@ -66,9 +66,12 @@ object GitInfo {
                          conf: org.apache.hadoop.conf.Configuration): Boolean =
     captureJson(repoDir) match {
       case Some(json) =>
-        val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dataDir), conf)
+        // Path-derived filesystem: raw path strings with spaces etc. are
+        // legal here, where a java.net.URI constructor would throw
+        val dir = new org.apache.hadoop.fs.Path(dataDir)
+        val fs = dir.getFileSystem(conf)
         val out = fs.create(
-          new org.apache.hadoop.fs.Path(dataDir, "_git_info.json"), true)
+          new org.apache.hadoop.fs.Path(dir, "_git_info.json"), true)
         try out.write(json.getBytes("UTF-8")) finally out.close()
         true
       case None => false

@@ -80,10 +80,17 @@ object Dedup {
     * table, and the hot-shingle intersections the rare join can't see are
     * added back by a per-candidate correction join (doc-id keys, bounded
     * fan-out) — so a reported pair's score never changes with the cap.
-    * The only semantic delta is recall on pairs whose *every* shared
-    * shingle is a stop-shingle (such a pair is never a near-duplicate in
-    * practice — its similarity is made of boilerplate n-grams); the
-    * cap-vs-uncapped equality spec pins this on real data.
+    * The semantic delta is recall on pairs whose *every* shared shingle
+    * exceeds the cap. Two ways that happens: (1) the pair's similarity is
+    * pure boilerplate n-grams — not a near-duplicate worth keeping; (2) a
+    * document duplicated in MORE than f copies, whose every shingle is
+    * hot by virtue of the duplication itself. Case (2) is real and is the
+    * contract: run [[exactKeepFirst]] (one shuffle, no pair
+    * materialization, unbounded copy counts) BEFORE near-dup pairing —
+    * a 1M-copy cluster has ~5·10¹¹ true pairs, so any operator that
+    * reported them all would be the blowup this cap exists to prevent.
+    * The cap-vs-uncapped equality spec pins the no-hot-keys case on real
+    * data; the hot-key spec pins exactness when the cap binds.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, n: Int = 3,
@@ -93,15 +100,25 @@ object Dedup {
       case None => pairsFromSizedShingles(sized, threshold)
       case Some(f) =>
         // Heavy hitters first: the hot-key set is by definition tiny
-        // (<= total shingle occurrences / f), computed with one small
-        // aggregation. When it's EMPTY — the common case — the capped
-        // plan is byte-identical to the uncapped single-pass plan, so the
-        // guard costs only this probe.
-        val hotKeys = shingleTable(docs, idCol, textCol, n)
+        // (<= total shingle occurrences / f), so COLLECT it in the one
+        // probe job and reuse the local table for both downstream joins —
+        // re-deriving it lazily would rescan + re-aggregate the full
+        // shingle table once per use. When it's EMPTY — the common
+        // case — the capped plan is byte-identical to the uncapped
+        // single-pass plan, so the guard costs only this probe. (This
+        // makes jaccardPairs-with-cap eagerly run one aggregation job at
+        // call time.)
+        val spark = docs.sparkSession
+        val hotRows = shingleTable(docs, idCol, textCol, n)
           .groupBy("shingle").agg(count(lit(1)).as("_f"))
           .filter(col("_f") > f).select("shingle")
-        if (hotKeys.isEmpty) pairsFromSizedShingles(sized, threshold)
+          .limit(4000001).collect()
+        require(hotRows.length <= 4000000, s"maxShingleFreq=$f marks over " +
+          "4M shingles as hot — that is not a stop-shingle cap; raise f")
+        if (hotRows.isEmpty) pairsFromSizedShingles(sized, threshold)
         else {
+          import spark.implicits._
+          val hotKeys = hotRows.map(_.getString(0)).toSeq.toDF("shingle")
           // Broadcast anti-join strips stop-shingle rows from candidate
           // generation; n_sh stays the FULL per-doc count so jaccard
           // denominators are exact under the cap.
@@ -241,6 +258,12 @@ object Dedup {
       labels = updated.select("id", "comp").localCheckpoint()
       iter += 1
     }
+    // Partial labels are WORSE than no labels — one logical cluster split
+    // in two means dedup keeps extra copies silently. Min-label moves the
+    // minimum one hop per round, so a miss here means the graph has a
+    // path longer than maxIter: fail loudly, the caller raises the bound.
+    require(converged, s"connectedComponents did not converge in $maxIter " +
+      s"rounds — the pair graph has a path longer than that; raise maxIter")
     labels
   }
 

@@ -24,7 +24,11 @@ object Multimodal {
     require(frameSize > 0 && every > 0, "frameSize and every must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
+    // null payloads would NPE in the decoder and a null id silently
+    // decodes to 0 through the tuple encoder — exclude both up front
+    // (a row with no media or no identity has no frames to sample)
     docs.select(col(idCol).cast("long"), col(payloadCol))
+      .filter(col(idCol).isNotNull && col(payloadCol).isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")

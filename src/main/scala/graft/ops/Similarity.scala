@@ -188,11 +188,15 @@ object Similarity {
     * metadata-cheap scan of the small side, not the corpus.
     *
     * `deltaInCorpus = true` (the modulo-sample / re-scan case) pairs on
-    * `a_id < b_id` so each unordered pair appears once. Set it FALSE for a
-    * disjoint delta (newly-ingested ids vs an existing corpus): delta ids
-    * are typically HIGHER than every corpus id, and the ordering filter
-    * would silently drop all cross pairs — disjoint mode pairs on
-    * `a_id =!= b_id` instead, delta id always on the left.
+    * `a_id < b_id`: a pair is reported iff its DELTA member has the lower
+    * id (two delta members report once; a delta doc similar to a
+    * lower-id non-delta doc is NOT reported — this matches the q31
+    * oracle's contract and keeps sample scans duplicate-free). Set it
+    * FALSE for a disjoint delta (newly-ingested ids vs an existing
+    * corpus), where delta ids are typically HIGHER than every corpus id
+    * and the ordering filter would drop everything — disjoint mode pairs
+    * on `a_id =!= b_id`, delta id always on the left, full delta×corpus
+    * coverage.
     */
   def deltaNearDupPairs(corpus: DataFrame, delta: DataFrame, threshold: Double,
                         maxBroadcastDelta: Long = DefaultMaxBroadcastDelta,

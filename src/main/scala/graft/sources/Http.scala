@@ -89,23 +89,27 @@ object Http {
       .options(options - "compression").csv(f.toString)
   }
 
-  /** GET + parse as JSON. Layout is sniffed from the landed bytes: a
-    * payload opening with `[` is a whole-file array (multiLine), anything
-    * else is JSON-lines — a fixed multiLine default would silently keep
-    * only the FIRST document of a JSONL payload. Explicit `multiLine` in
-    * `options` overrides the sniff.
+  /** GET + parse as JSON. Layout is sniffed from the landed bytes —
+    * each of the three common REST shapes parses correctly:
+    *  - starts with `[`            → whole-file array (multiLine);
+    *  - first line is a complete
+    *    document (ends with `}`)   → JSON-lines (a multiLine default
+    *    would silently keep only the FIRST document);
+    *  - anything else (e.g. a pretty-printed single object whose first
+    *    line is just `{`)          → whole-file (multiLine).
+    * Explicit `multiLine` in `options` overrides the sniff.
     */
   def readJson(spark: SparkSession, url: String,
                headers: Map[String, String] = Map.empty,
                options: Map[String, String] = Map.empty): DataFrame = {
     val f = fetchToFile(url, headers, options.get("compression"))
-    val firstChar = {
-      val in = Files.newInputStream(f)
-      try Iterator.continually(in.read()).dropWhile(c => c >= 0 && c.toChar.isWhitespace)
-        .next()
+    val firstLine = {
+      val in = Files.newBufferedReader(f)
+      try Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .map(_.trim).find(_.nonEmpty).getOrElse("")
       finally in.close()
     }
-    val multiLine = firstChar == '['.toInt
+    val multiLine = firstLine.startsWith("[") || !firstLine.endsWith("}")
     spark.read.option("multiLine", multiLine.toString)
       .options(options - "compression").json(f.toString)
   }

@@ -199,7 +199,8 @@ class MultimodalSpec extends SparkSpec {
   test("sampleFrames explodes every Nth frame with correct slicing") {
     // 150 bytes -> frames [0,64) [64,128) [128,150); every=2 keeps 0 and 2
     val payload = ("a" * 150).getBytes("UTF-8")
-    val df = Seq((1L, payload), (2L, Array.emptyByteArray)).toDF("doc_id", "payload")
+    val df = Seq((1L, payload), (2L, Array.emptyByteArray),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "payload")
     val out = Multimodal.sampleFrames(df, "doc_id", "payload",
         frameSize = 64, every = 2)
       .orderBy("doc_id", "frame_idx").collect()

@@ -50,6 +50,8 @@ class HttpSpec extends SparkSpec {
       "{\"a\": 1}\n{\"a\": 2}\n{\"a\": 3}\n".getBytes("UTF-8")))
     server.createContext("/array.json", (ex: HttpExchange) => respond(ex, 200,
       "[{\"a\": 1}, {\"a\": 2}]".getBytes("UTF-8")))
+    server.createContext("/pretty.json", (ex: HttpExchange) => respond(ex, 200,
+      "{\n  \"a\": 1,\n  \"b\": 2\n}\n".getBytes("UTF-8")))
     server.createContext("/api", (ex: HttpExchange) => {
       val page = Option(ex.getRequestURI.getQuery)
         .flatMap(_.split("&").find(_.startsWith("page=")))
@@ -101,6 +103,9 @@ class HttpSpec extends SparkSpec {
   test("readJson sniffs layout: JSONL keeps every line, arrays parse whole-file") {
     assert(Http.readJson(spark, s"$base/lines.json").count() == 3)
     assert(Http.readJson(spark, s"$base/array.json").count() == 2)
+    // a pretty-printed single object is one row, not _corrupt_record lines
+    val pretty = Http.readJson(spark, s"$base/pretty.json")
+    assert(pretty.count() == 1 && pretty.columns.toSeq == Seq("a", "b"))
   }
 
   test("nextLink survives commas in URLs and malformed link-values") {
