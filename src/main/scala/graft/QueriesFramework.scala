@@ -191,5 +191,35 @@ object QueriesFramework {
     """SELECT n_regionkey AS region, count(*) AS n, min(n_name) AS first_name
       |FROM nation GROUP BY 1 ORDER BY region""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q36, q37, q38, q39, q48, q49, q50)
+  /** Structured Streaming equivalence (the engine's beyond-reference
+    * surface): events replayed through a file-source STREAM into a
+    * watermarked day-window aggregation must produce exactly the batch
+    * answer the DuckDB oracle computes — the streaming path is held to
+    * the same hash gate as every batch operator.
+    */
+  val q54 = QueryDef("q54_stream_windowed", (spark, dir) => {
+    val out = tmp("graft_q54")
+    // land a plain-micros copy (events.parquet is TIMESTAMP(NANOS), which
+    // a schema'd file stream can't read directly)
+    Tables.load(spark, dir, "events").select("ts", "event_type", "value")
+      .write.parquet(s"$out/ev")
+    val stream = graft.streaming.Streams.readFileStream(spark,
+      DatasetSpec(path = s"$out/ev", format = "parquet"),
+      "ts TIMESTAMP, event_type STRING, value DOUBLE")
+    val agg = graft.streaming.Streams.windowedAgg(stream, "ts", "event_type",
+      watermarkDelay = "1 hour", windowDur = "1 day")
+    val sink = s"q54_sink_${System.nanoTime}"
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sink)
+      .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("day", "event_type")
+  }, Some(
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q36, q37, q38, q39, q48, q49, q50, q54)
 }

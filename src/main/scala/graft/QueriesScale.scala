@@ -341,8 +341,10 @@ object QueriesScale {
     * fixpoint, then min per node.
     */
   val q51 = QueryDef("q51_neardup_clusters", (spark, dir) => {
+    // uncapped pairing here: q26 already pins cap-vs-uncapped equality,
+    // so q51 spends its budget on the clustering step it exists to verify
     val pairs = Dedup.jaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
-      threshold = 0.6, maxShingleFreq = Some(50))
+      threshold = 0.6)
     Dedup.connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("comp"))
       .orderBy("doc_id")
