@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{GraftSession, Tables}
+import graft.ops.Dedup
+
+/** Scale-stress measurement for the dedup family: a 10× corpus where
+  * every document gains 9 planted near-duplicate variants (~50× denser
+  * pair structure than the raw corpus). Prints per-operator wall times
+  * and the observed pair counts, so the "sub-linear in pair density"
+  * claim is one command to reproduce:
+  *
+  * {{{ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.BenchStress" }}}
+  */
+object BenchStress {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = GraftSession.local()
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val n = docs.count()
+    // copy k keeps the doc's text but perturbs the tail so each variant is
+    // a near-duplicate (high but non-1.0 jaccard) of the original
+    val stressed = (0 until copies).map { k =>
+      if (k == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(k.toLong * 1000000L)).as("doc_id"),
+        concat(col("text"), lit(s" variant token$k stress$k pad$k")).as("text"))
+    }.reduce(_.unionByName(_)).localCheckpoint() // exclude build cost from timings
+    println(s"corpus: $n docs x $copies copies = ${stressed.count()} rows")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $rows%10d rows")
+    }
+    time("exactKeepFirst") {
+      Dedup.exactKeepFirst(stressed, Seq("text"), Seq(col("doc_id"))).count()
+    }
+    time("jaccardPairs(cap=50)") {
+      Dedup.jaccardPairs(stressed, "doc_id", "text", threshold = 0.6,
+        maxShingleFreq = Some(50)).count()
+    }
+    time("minhashLshPairs") {
+      Dedup.minhashLshPairs(stressed, "doc_id", "text", threshold = 0.6).count()
+    }
+    time("simhashPairs") {
+      Dedup.simhashPairs(stressed, "doc_id", "text", maxDist = 3).count()
+    }
+    spark.stop()
+  }
+}
