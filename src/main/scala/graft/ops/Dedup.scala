@@ -130,12 +130,17 @@ object Dedup {
           // Single-pass rare-shingle join with the same size-ratio prune
           // as the uncapped path (n_a/n_b are full sizes, so J <= min/max
           // still bounds).
+          // materialized once (this branch is already eager): candCounts
+          // feeds both the output and the correction join, and the rare
+          // self-join is the expensive stage — recomputing it would
+          // roughly double the operator
           val candCounts = a.hint("shuffle_hash").join(b.hint("shuffle_hash"),
               col("sh_a") === col("sh_b") && col("a_id") < col("b_id") &&
               col("n_a") >= lit(threshold) * col("n_b") &&
               col("n_b") >= lit(threshold) * col("n_a"))
             .groupBy("a_id", "b_id", "n_a", "n_b")
             .agg(count(lit(1)).as("n_rare"))
+            .localCheckpoint()
           // Exact correction for intersections the rare join can't see:
           // hot shingles shared by a candidate pair, joined per CANDIDATE
           // on doc-id keys — never the quadratic hot-key self-join the
