@@ -419,6 +419,100 @@ object QueriesScale {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin))
 
+  /** Benchmark decontamination: every 50th doc plays the benchmark set;
+    * corpus docs sharing any distinct 8-gram with it are flagged. The
+    * benchmark docs flag themselves (full overlap) — the realistic shape,
+    * since eval sets leak into crawls verbatim.
+    */
+  val q55 = QueryDef("q55_decontamination", (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    TextAnalysis.contaminationFlags(docs,
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+        n = 8, minShared = 1)
+      .orderBy("doc_id")
+  }, Some(
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+      |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 7)) AS i
+      |        FROM toks WHERE len(l) >= 8),
+      |g AS (SELECT DISTINCT doc_id,
+      |        l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
+      |        l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' || l[i+7] AS gram
+      |      FROM pos),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+      |shared AS (SELECT doc_id, count(*) AS n_shared
+      |           FROM g JOIN bench USING (gram) GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(shared.n_shared, 0) AS n_shared,
+      |  coalesce(shared.n_shared, 0) >= 1 AS contaminated
+      |FROM documents d LEFT JOIN shared ON d.doc_id = shared.doc_id
+      |ORDER BY d.doc_id""".stripMargin))
+
+  /** Intra-document n-gram repetition ratio (Gopher-style quality
+    * signal); the corpus is augmented with a deliberately repetitive
+    * variant of every 25th doc so the signal separates.
+    */
+  val q56 = QueryDef("q56_repetition_ratio", (spark, dir) => {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val spam = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text"))
+    TextAnalysis.repetitionRatio(docs.unionByName(spam), "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+  }, Some(
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 500000, text || ' ' || text FROM documents
+      |  WHERE doc_id % 25 = 0),
+      |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM corpus),
+      |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+      |        FROM toks WHERE len(l) >= 3),
+      |g AS (SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS gram FROM pos),
+      |agg AS (SELECT doc_id, count(*) AS n_ngrams,
+      |          count(DISTINCT gram) AS n_distinct
+      |        FROM g GROUP BY doc_id)
+      |SELECT c.doc_id,
+      |  coalesce(agg.n_ngrams, 0) AS n_ngrams,
+      |  coalesce(agg.n_distinct, 0) AS n_distinct,
+      |  CASE WHEN coalesce(agg.n_ngrams, 0) = 0 THEN 0.0
+      |       ELSE round(1.0 - agg.n_distinct::DOUBLE / agg.n_ngrams, 4) END
+      |    AS rep_ratio
+      |FROM corpus c LEFT JOIN agg ON c.doc_id = agg.doc_id
+      |ORDER BY c.doc_id""".stripMargin))
+
+  /** PII-pattern redaction: planted emails/phone numbers must come out as
+    * placeholder tags; the oracle replays the identical RE2-compatible
+    * regexes and the comparison is on the full redacted text hash plus
+    * tag counts.
+    */
+  val q57 = QueryDef("q57_pii_redaction", (spark, dir) => {
+    val planted = t(spark, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or +1 (555) 010-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+    val red = TextAnalysis.redactPii(col("text"))
+    planted.select(col("doc_id"), md5(red).as("red_md5"),
+        ((length(red) - length(regexp_replace(red, "<EMAIL>", ""))) / 7)
+          .cast("long").as("n_email"),
+        ((length(red) - length(regexp_replace(red, "<PHONE>", ""))) / 7)
+          .cast("long").as("n_phone"))
+      .orderBy("doc_id")
+  }, Some(
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id || '@example.com or +1 (555) 010-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      |  FROM documents),
+      |red AS (SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(text,
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS r
+      |  FROM planted)
+      |SELECT doc_id, md5(r) AS red_md5,
+      |  CAST((length(r) - length(replace(r, '<EMAIL>', ''))) / 7 AS BIGINT) AS n_email,
+      |  CAST((length(r) - length(replace(r, '<PHONE>', ''))) / 7 AS BIGINT) AS n_phone
+      |FROM red ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32,
-    q33, q34, q35, q40, q51, q52, q53)
+    q33, q34, q35, q40, q51, q52, q53, q55, q56, q57)
 }

@@ -41,13 +41,18 @@ object TextFunctions {
     * `transform` over an index sequence — no explode here so callers choose
     * when to go long-format.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
+  def shingles(text: Column, n: Int = 3): Column =
+    array_distinct(shinglesRaw(text, n))
+
+  /** Word n-gram shingles WITH duplicates, in document order — the raw
+    * stream repetition metrics need (dedup callers use [[shingles]]).
+    */
+  def shinglesRaw(text: Column, n: Int = 3): Column = {
     val toks = tokens(text)
     when(size(toks) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
 }

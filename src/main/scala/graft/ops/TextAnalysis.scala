@@ -69,6 +69,60 @@ object TextAnalysis {
           (lit(0.8) + least(lit(0.2), col("stopword_ratio"))), 4))
   }
 
+  /** Intra-document repetition ratio (the Gopher/RefinedWeb-style quality
+    * signal): 1 - distinct/total word n-grams. Boilerplate, keyword spam,
+    * and degenerate generations repeat n-grams heavily; clean prose sits
+    * near 0. Pure columns — no shuffle.
+    */
+  def repetitionRatio(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    val sh = shinglesRaw(col(textCol), n) // duplicates are the signal
+    val total = size(sh).cast("long")
+    docs.select(col(idCol).as("doc_id"),
+      total.as("n_ngrams"),
+      size(array_distinct(sh)).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_ngrams") === 0, 0.0).otherwise(
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"), 4)))
+  }
+
+  /** Benchmark decontamination: flag corpus docs sharing at least
+    * `minShared` distinct word n-grams with ANY benchmark document — the
+    * standard test-set-overlap removal step before training. Inverted-
+    * index shape: the join key is the n-gram, so the benchmark (small)
+    * broadcasts and the corpus shuffles once for the aggregation; the
+    * corpus×benchmark cross product never materializes.
+    *
+    * Returns (doc_id, n_shared, contaminated).
+    */
+  def contaminationFlags(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 8, minShared: Int = 1): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(shingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val corpusGrams = corpus.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), n)).as("gram"))
+    val shared = corpusGrams.join(broadcast(benchGrams), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+  }
+
+  /** PII-pattern redaction: replace email addresses and long digit
+    * sequences (phone-like) with placeholder tags. Regex-only — the
+    * honest scope of pattern scrubbing; entity-level PII needs a model,
+    * which plugs into the same column seam.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(email, "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]", "<PHONE>")
+  }
+
   /** Token statistics per group column. */
   def tokenStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
     docs.select(col(groupCol).as("grp"),

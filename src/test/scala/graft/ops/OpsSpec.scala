@@ -216,6 +216,41 @@ class MultimodalSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("repetitionRatio separates clean prose from repeated boilerplate") {
+    val docs = Seq(
+      (1L, "every word here appears exactly once in this sentence"),
+      (2L, "buy now buy now buy now buy now buy now"),
+      (3L, "ab")  // shorter than one 3-gram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionRatio(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("rep_ratio") == 0.0)
+    assert(out(1).getAs[Double]("rep_ratio") > 0.6)
+    assert(out(2).getAs[Long]("n_ngrams") == 0L &&
+      out(2).getAs[Double]("rep_ratio") == 0.0)
+  }
+
+  test("contaminationFlags marks docs sharing benchmark n-grams only") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "a completely unrelated document about maritime navigation routes"),
+      (3L, "something else entirely with the quick brown fox jumps over the lazy dog inside")
+    ).toDF("doc_id", "text")
+    val bench = Seq((99L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.contaminationFlags(corpus, bench, "doc_id", "text",
+        n = 8, minShared = 1)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getBoolean(2))).toSeq ==
+      Seq((1L, true), (2L, false), (3L, true)))
+  }
+
+  test("redactPii replaces emails and phone-like runs with tags") {
+    val out = Seq("reach me at jane.doe+x@corp.example.org or +1 (555) 123-4567 ok")
+      .toDF("t").select(TextAnalysis.redactPii(col("t"))).head().getString(0)
+    assert(out == "reach me at <EMAIL> or <PHONE> ok")
+  }
+
   test("langId scores stopword hits and predicts argmax with und fallback") {
     val docs = Seq(
       (1L, "the cat is on a mat of the king"),
