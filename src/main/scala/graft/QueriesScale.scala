@@ -506,7 +506,7 @@ object QueriesScale {
       |    regexp_replace(
       |      regexp_replace(text,
       |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |      '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS r
+      |      '\+?[0-9][0-9()\- \t\n\f\r]{7,}[0-9]', '<PHONE>', 'g') AS r
       |  FROM planted)
       |SELECT doc_id, md5(r) AS red_md5,
       |  CAST((length(r) - length(replace(r, '<EMAIL>', ''))) / 7 AS BIGINT) AS n_email,

@@ -130,22 +130,23 @@ object Dedup {
           // Single-pass rare-shingle join with the same size-ratio prune
           // as the uncapped path (n_a/n_b are full sizes, so J <= min/max
           // still bounds).
-          // materialized once (this branch is already eager): candCounts
-          // feeds both the output and the correction join, and the rare
-          // self-join is the expensive stage — recomputing it would
-          // roughly double the operator
+          // persisted: candCounts feeds both the output and the correction
+          // join, and the rare self-join is the expensive stage — the
+          // cache makes one materialization serve both branches.
+          // persist (recomputable on executor loss), NOT localCheckpoint
+          // (non-reliable storage that fails the job when an executor
+          // holding a block is decommissioned).
           val candCounts = a.hint("shuffle_hash").join(b.hint("shuffle_hash"),
               col("sh_a") === col("sh_b") && col("a_id") < col("b_id") &&
               col("n_a") >= lit(threshold) * col("n_b") &&
               col("n_b") >= lit(threshold) * col("n_a"))
             .groupBy("a_id", "b_id", "n_a", "n_b")
             .agg(count(lit(1)).as("n_rare"))
-            .localCheckpoint()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           // Exact correction for intersections the rare join can't see:
           // hot shingles shared by a candidate pair, joined per CANDIDATE
           // on doc-id keys — never the quadratic hot-key self-join the
-          // cap exists to avoid. (candCounts feeds two branches and is
-          // recomputed; that price is only paid when hot keys exist.)
+          // cap exists to avoid.
           val hot = sized.join(broadcast(hotKeys), Seq("shingle"), "left_semi")
             .select("doc_id", "shingle")
           val hotCounts = candCounts.select("a_id", "b_id")

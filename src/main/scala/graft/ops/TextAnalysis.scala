@@ -97,13 +97,20 @@ object TextAnalysis {
     */
   def contaminationFlags(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String,
-                         n: Int = 8, minShared: Int = 1): DataFrame = {
+                         n: Int = 8, minShared: Int = 1,
+                         maxBroadcastGrams: Long = 10000000L): DataFrame = {
     val benchGrams = benchmark
       .select(explode(shingles(col(textCol), n)).as("gram"))
       .distinct()
     val corpusGrams = corpus.select(col(idCol).as("doc_id"),
       explode(shingles(col(textCol), n)).as("gram"))
-    val shared = corpusGrams.join(broadcast(benchGrams), "gram")
+    // eval sets are small by definition, so the gram set broadcasts; gate
+    // it anyway (one count over the SMALL side) so an oversized benchmark
+    // degrades to a shuffle join instead of an 8GB-broadcast failure
+    val benchSide =
+      if (benchGrams.count() <= maxBroadcastGrams) broadcast(benchGrams)
+      else benchGrams
+    val shared = corpusGrams.join(benchSide, "gram")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     corpus.select(col(idCol).as("doc_id"))
       .join(shared, Seq("doc_id"), "left")
@@ -120,7 +127,9 @@ object TextAnalysis {
   def redactPii(text: Column): Column = {
     val email = regexp_replace(text,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    regexp_replace(email, "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]", "<PHONE>")
+    // whitespace spelled out, not \s: Java's \s includes \x0B, RE2's does
+    // not — the explicit class keeps Spark and the DuckDB oracle identical
+    regexp_replace(email, "\\+?[0-9][0-9()\\- \\t\\n\\f\\r]{7,}[0-9]", "<PHONE>")
   }
 
   /** Token statistics per group column. */
