@@ -75,6 +75,25 @@ object Writer {
   private[graft] def quoteIdent(name: String): String =
     name.split('.').map(p => "`" + p.replace("`", "``") + "`").mkString(".")
 
+  /** Bucketed catalog table: rows are hash-bucketed (and sorted) on the
+    * join key at WRITE time, so every later equi-join or aggregation on
+    * that key runs with no exchange — the sort-merge join reads
+    * co-located buckets directly. At 100 TB this converts the dominant
+    * repeated-join shuffle into a one-time write cost; both sides of a
+    * join must use the same bucket count to pair up.
+    * (Spark requires `saveAsTable` for bucketing metadata, hence the
+    * catalog route rather than a path write.)
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, format: String = "parquet",
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(bucketCols.nonEmpty, "bucketed write needs at least one column")
+    df.write.mode(mode).format(format)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** Catalog registration of a written location (reference Athena/Glue
     * CREATE EXTERNAL TABLE, yaetos/athena.py:9-59) against the session
     * catalog.

@@ -141,6 +141,41 @@ class EtlIoSpec extends SparkSpec {
     assert(new java.io.File(res.writtenPath.get, "_schema.json").exists())
   }
 
+  test("bucketed tables join with no exchange on the bucket key") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val orders = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_quantity")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    graft.core.io.Writer.writeBucketed(orders, "b_orders", Seq("o_orderkey"), 8)
+    graft.core.io.Writer.writeBucketed(
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", Seq("o_orderkey"), 8)
+    // disable broadcast so the join would OTHERWISE shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        .select("o_orderkey", "o_custkey", "l_quantity")
+      // bucket co-location: the join itself plans with ZERO exchanges —
+      // both sides read co-bucketed files directly
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"plan:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"expected a shuffle-free bucketed join; plan:\n$plan")
+      // and the result is right
+      val direct = orders.join(
+          lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+        .select("o_orderkey", "o_custkey", "l_quantity")
+      assert(joined.except(direct).isEmpty && direct.except(joined).isEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE b_orders")
+      spark.sql("DROP TABLE b_lineitem")
+    }
+  }
+
   test("orc job round-trips through the Writer/Reader dispatch") {
     val dir = tmp()
     Seq((1, "a", 5.0), (2, "b", 6.5)).toDF("id", "grp", "v")
