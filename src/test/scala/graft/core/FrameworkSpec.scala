@@ -141,6 +141,26 @@ class EtlIoSpec extends SparkSpec {
     assert(new java.io.File(res.writtenPath.get, "_schema.json").exists())
   }
 
+  test("compactParquet collapses small files and preserves the data") {
+    val dir = tmp()
+    val df = spark.range(0, 10000).toDF("id")
+      .withColumn("v", col("id") % 7)
+    df.repartition(40).write.parquet(s"$dir/data")
+    val before = new java.io.File(s"$dir/data").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before == 40)
+    val res = graft.core.io.Maintenance.compactParquet(spark, s"$dir/data",
+      targetFileBytes = 512L * 1024)
+    assert(res.filesBefore == 40 && res.filesAfter < 40)
+    val back = spark.read.parquet(s"$dir/data")
+    assert(back.count() == 10000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0) ==
+      df.agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0))
+    // no stray temp/old dirs left behind
+    val siblings = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!siblings.exists(_.contains("_compact")))
+  }
+
   test("bucketed tables join with no exchange on the bucket key") {
     import org.apache.spark.sql.functions.{col, sum}
     val orders = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "orders")
