@@ -130,6 +130,29 @@ class SecretsSpec extends AnyFunSuite {
   }
 }
 
+class SubmitSpec extends AnyFunSuite {
+
+  test("buildCommand orders submit args, launcher, then app args") {
+    val cmd = Submit.buildCommand("jobs/report.jar", Map(
+      "spark_submit_keys" -> "deploy-mode--num-executors--verbose",
+      "deploy-mode" -> "cluster",
+      "num-executors" -> "100",
+      "verbose" -> Submit.flagOnly,
+      "spark_app_keys" -> "job_name--mode",
+      "job_name" -> "report",
+      "mode" -> "prod"))
+    assert(cmd == Seq("spark-submit", "--deploy-mode=cluster",
+      "--num-executors=100", "--verbose", "jobs/report.jar",
+      "--job_name=report", "--mode=prod"))
+  }
+
+  test("a key named in the lists but absent from params fails loudly") {
+    val e = intercept[RuntimeException](Submit.buildCommand("a.jar",
+      Map("spark_submit_keys" -> "missing-thing")))
+    assert(e.getMessage.contains("missing-thing"))
+  }
+}
+
 class GitInfoSpec extends AnyFunSuite {
 
   test("capture records branch/commit/dirty in a fresh repo; sidecar is JSON") {
