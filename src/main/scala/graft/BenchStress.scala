@@ -47,6 +47,30 @@ object BenchStress {
     time("simhashPairs") {
       Dedup.simhashPairs(stressed, "doc_id", "text", maxDist = 3).count()
     }
+
+    // similarity family on a duplicated embedding corpus: copy k scales
+    // each vector by (1 + k·1e-4), which preserves cosine exactly — every
+    // group of `copies` vectors is a true near-dup cluster
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding", "label")
+    val stressedEmb = (0 until copies).map { k =>
+      if (k == 0) emb
+      else emb.select((col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
+        transform(col("embedding"),
+          x => x * (lit(1.0f) + lit((k * 1e-4).toFloat))).as("embedding"),
+        col("label"))
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    println(s"embeddings: ${stressedEmb.count()} rows")
+    // bits sized for the corpus: ~20k rows / 2^8 ≈ 78 rows per bucket
+    // (see lshCosinePairs scaladoc — the default 4 bits is for ~1k rows)
+    time("lshCosinePairs(0.4)") {
+      graft.ops.Similarity.lshCosinePairs(stressedEmb, threshold = 0.4,
+        bits = 8, dim = Some(64)).count()
+    }
+    time("ivfTopK(k=10)") {
+      graft.ops.Similarity.ivfTopK(stressedEmb,
+        stressedEmb.filter(col("vec_id") % 1000 === 0), "label", k = 10).count()
+    }
     spark.stop()
   }
 }

@@ -107,6 +107,12 @@ object Similarity {
     * reported pair is a true positive (recall, not precision, is the
     * approximation). Collision probability per bit is 1 - angle/pi, so
     * recall tunes with bits/tables.
+    *
+    * SIZE `bits` WITH THE CORPUS: within-bucket candidate pairs grow
+    * quadratically in bucket occupancy (n / 2^bits per table), so hold
+    * occupancy at O(100) rows — bits ≈ log2(n/100). The default 4 suits
+    * ~10³ vectors; a 10⁶-vector corpus wants ~13 bits, and recall lost to
+    * the narrower buckets is bought back with more tables.
     */
   /** (vec_id, t, bucket) sign-bit LSH bucket table — ids only, embeddings
     * are not replicated per hash table.
