@@ -61,11 +61,10 @@ object BenchStress {
         col("label"))
     }.reduce(_.unionByName(_)).localCheckpoint()
     println(s"embeddings: ${stressedEmb.count()} rows")
-    // bits sized for the corpus: ~20k rows / 2^8 ≈ 78 rows per bucket
-    // (see lshCosinePairs scaladoc — the default 4 bits is for ~1k rows)
+    // bits auto-size from the corpus count (20k rows → 8 bits ≈ 78/bucket)
     time("lshCosinePairs(0.4)") {
       graft.ops.Similarity.lshCosinePairs(stressedEmb, threshold = 0.4,
-        bits = 8, dim = Some(64)).count()
+        dim = Some(64)).count()
     }
     time("ivfTopK(k=10)") {
       graft.ops.Similarity.ivfTopK(stressedEmb,

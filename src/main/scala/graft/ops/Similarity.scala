@@ -110,9 +110,11 @@ object Similarity {
     *
     * SIZE `bits` WITH THE CORPUS: within-bucket candidate pairs grow
     * quadratically in bucket occupancy (n / 2^bits per table), so hold
-    * occupancy at O(100) rows — bits ≈ log2(n/100). The default 4 suits
-    * ~10³ vectors; a 10⁶-vector corpus wants ~13 bits, and recall lost to
-    * the narrower buckets is bought back with more tables.
+    * occupancy at O(100) rows — bits ≈ log2(n/100); recall lost to
+    * narrower buckets is bought back with more tables. `bits = 0` (the
+    * default) sizes automatically from a corpus count — at a 10⁶-vector
+    * corpus that is ~13 bits where a fixed small default would be a
+    * quadratic blowup.
     */
   /** (vec_id, t, bucket) sign-bit LSH bucket table — ids only, embeddings
     * are not replicated per hash table.
@@ -152,11 +154,20 @@ object Similarity {
   private def dimOf(corpus: DataFrame, dim: Option[Int]): Int =
     dim.getOrElse(corpus.select(size(col("embedding"))).head().getInt(0))
 
+  /** Bucket bits for ~100-row occupancy, floored at 4. */
+  def autoBits(corpusRows: Long): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(1.0, corpusRows / 100.0)) / math.log(2.0)).toInt)
+
+  private def bitsOf(corpus: DataFrame, bits: Int): Int =
+    if (bits > 0) bits else autoBits(corpus.count())
+
   def lshCosinePairs(corpus: DataFrame, threshold: Double,
-                     bits: Int = 4, tables: Int = 16, seed: Long = 42L,
+                     bits: Int = 0, tables: Int = 16, seed: Long = 42L,
                      dim: Option[Int] = None): DataFrame = {
+    val b = bitsOf(corpus, bits)
     val hashed = bucketTable(corpus,
-      hyperplanes(dimOf(corpus, dim), bits, tables, seed), bits)
+      hyperplanes(dimOf(corpus, dim), b, tables, seed), b)
     val cand = hashed.as("x").join(hashed.as("y"), Seq("t", "bucket"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
@@ -206,7 +217,7 @@ object Similarity {
     */
   def deltaNearDupPairs(corpus: DataFrame, delta: DataFrame, threshold: Double,
                         maxBroadcastDelta: Long = DefaultMaxBroadcastDelta,
-                        bits: Int = 4, tables: Int = 16, seed: Long = 42L,
+                        bits: Int = 0, tables: Int = 16, seed: Long = 42L,
                         deltaInCorpus: Boolean = true,
                         dim: Option[Int] = None): DataFrame = {
     val pairCond =
@@ -223,9 +234,10 @@ object Similarity {
       System.err.println(s"[graft] deltaNearDupPairs: delta exceeds " +
         s"$maxBroadcastDelta rows; switching from exact broadcast scoring to " +
         s"LSH-bucketed candidates (exact precision, approximate recall)")
-      val planes = hyperplanes(dimOf(corpus, dim), bits, tables, seed)
-      val hp = bucketTable(delta, planes, bits).withColumnRenamed("vec_id", "a_id")
-      val hc = bucketTable(corpus, planes, bits).withColumnRenamed("vec_id", "b_id")
+      val b = bitsOf(corpus, bits)
+      val planes = hyperplanes(dimOf(corpus, dim), b, tables, seed)
+      val hp = bucketTable(delta, planes, b).withColumnRenamed("vec_id", "a_id")
+      val hc = bucketTable(corpus, planes, b).withColumnRenamed("vec_id", "b_id")
       val cand = hp.join(hc, Seq("t", "bucket"))
         .filter(pairCond)
         .select("a_id", "b_id").distinct()
