@@ -74,6 +74,43 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Train real IVF cells: k-means over the embedding column (seeded →
+    * deterministic), returning the corpus with a `cell` assignment plus
+    * the fitted model so probes are assigned by the SAME centroids. This
+    * is the trained version of the label-based IVF above; write the
+    * result with [[writeClusteredIndex]](clusterCol = "cell") for
+    * file-level pruning.
+    */
+  def kmeansCells(corpus: DataFrame, cells: Int, seed: Long = 42L,
+                  maxIter: Int = 20):
+      (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = corpus.withColumn("_features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("_features").setPredictionCol("cell").fit(vecs)
+    (model.transform(vecs).drop("_features"), model)
+  }
+
+  /** Assign `df` rows to an already-trained cell model. */
+  def assignCells(df: DataFrame,
+                  model: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    model.transform(df.withColumn("_features", array_to_vector(col("embedding"))))
+      .drop("_features")
+  }
+
+  /** End-to-end trained-IVF top-k: fit cells on the corpus, assign both
+    * sides with the same centroids, then cell-pruned scoring. Recall is
+    * the IVF approximation (a true neighbor in a different cell is
+    * missed) — raise `cells` resolution or probe multiple cells for more.
+    */
+  def kmeansIvfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                    cells: Int = 16, seed: Long = 42L): DataFrame = {
+    val (clustered, model) = kmeansCells(corpus, cells, seed)
+    ivfTopK(clustered, assignCells(probes, model), "cell", k)
+  }
+
   /** Persist the corpus partitioned by cluster id — the on-disk IVF
     * layout. With this layout, `ivfTopK` over the read-back frame prunes
     * at the FILE level: the broadcast probe side's clusters drive dynamic

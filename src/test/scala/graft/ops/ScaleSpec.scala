@@ -40,6 +40,34 @@ class SimilarityIndexSpec extends SparkSpec {
   }
 }
 
+class KmeansIvfSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("trained IVF assigns deterministic cells and prunes scoring to them") {
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (clustered, model) = Similarity.kmeansCells(emb, cells = 8, seed = 7L)
+    val counts = clustered.groupBy("cell").count()
+    assert(counts.count() == 8)
+    // same seed → identical assignment
+    val (again, _) = Similarity.kmeansCells(emb, cells = 8, seed = 7L)
+    assert(clustered.select("vec_id", "cell")
+      .except(again.select("vec_id", "cell")).isEmpty)
+    // end-to-end: every probe gets k results, each scored within one cell
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+    val top = Similarity.kmeansIvfTopK(emb, probes, k = 5, cells = 8, seed = 7L)
+    val perProbe = top.groupBy("probe_id").count().collect()
+    assert(perProbe.nonEmpty && perProbe.forall(_.getLong(1) == 5L))
+    // candidates really were cell-restricted: join assignments back in
+    val cells = Similarity.assignCells(emb, model).select(
+      col("vec_id"), col("cell"))
+    val crossCell = top
+      .join(cells.select(col("vec_id").as("probe_id"), col("cell").as("pc")), "probe_id")
+      .join(cells.select(col("vec_id").as("cand_id"), col("cell").as("cc")), "cand_id")
+      .filter(col("pc") =!= col("cc"))
+    assert(crossCell.isEmpty)
+  }
+}
+
 class LshCosineSpec extends SparkSpec {
 
   test("lshCosinePairs output is a verified subset of brute-force pairs") {
