@@ -341,10 +341,10 @@ object QueriesScale {
     * fixpoint, then min per node.
     */
   val q51 = QueryDef("q51_neardup_clusters", (spark, dir) => {
-    // uncapped pairing here: q26 already pins cap-vs-uncapped equality,
-    // so q51 spends its budget on the clustering step it exists to verify
+    // CAPPED pairing — the production plan shape (q26 pins cap-vs-uncapped
+    // equality on this corpus, so the oracle's uncapped replay still holds)
     val pairs = Dedup.jaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
-      threshold = 0.6)
+      threshold = 0.6, maxShingleFreq = Some(50))
     Dedup.connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("comp"))
       .orderBy("doc_id")

@@ -101,20 +101,26 @@ object Dedup {
       case Some(f) =>
         // Heavy hitters first: the hot-key set is by definition tiny
         // (<= total shingle occurrences / f), so COLLECT it in the one
-        // probe job and reuse the local table for both downstream joins —
-        // re-deriving it lazily would rescan + re-aggregate the full
-        // shingle table once per use. When it's EMPTY — the common
+        // probe job and reuse the local table for the downstream anti/semi
+        // joins — re-deriving it lazily would rescan + re-aggregate the
+        // full shingle table once per use. When it's EMPTY — the common
         // case — the capped plan is byte-identical to the uncapped
         // single-pass plan, so the guard costs only this probe. (This
         // makes jaccardPairs-with-cap eagerly run one aggregation job at
-        // call time.)
+        // call time.) The collect is memory-bounded BY CONSTRUCTION:
+        // limit(B+1) puts at most ~25 MB of shingle strings on the driver
+        // before the require can fire — B is sized to what the broadcast
+        // anti-join can comfortably carry, not to what the driver heap
+        // happens to survive.
         val spark = docs.sparkSession
+        val hotBound = 250000
         val hotRows = shingleTable(docs, idCol, textCol, n)
           .groupBy("shingle").agg(count(lit(1)).as("_f"))
           .filter(col("_f") > f).select("shingle")
-          .limit(4000001).collect()
-        require(hotRows.length <= 4000000, s"maxShingleFreq=$f marks over " +
-          "4M shingles as hot — that is not a stop-shingle cap; raise f")
+          .limit(hotBound + 1).collect()
+        require(hotRows.length <= hotBound, s"maxShingleFreq=$f marks over " +
+          s"$hotBound shingles as hot — that is not a stop-shingle cap " +
+          "(and no longer broadcastable); raise f")
         if (hotRows.isEmpty) pairsFromSizedShingles(sized, threshold)
         else {
           import spark.implicits._
@@ -130,33 +136,32 @@ object Dedup {
           // Single-pass rare-shingle join with the same size-ratio prune
           // as the uncapped path (n_a/n_b are full sizes, so J <= min/max
           // still bounds).
-          // persisted: candCounts feeds both the output and the correction
-          // join, and the rare self-join is the expensive stage — the
-          // cache makes one materialization serve both branches.
-          // persist (recomputable on executor loss), NOT localCheckpoint
-          // (non-reliable storage that fails the job when an executor
-          // holding a block is decommissioned).
           val candCounts = a.hint("shuffle_hash").join(b.hint("shuffle_hash"),
               col("sh_a") === col("sh_b") && col("a_id") < col("b_id") &&
               col("n_a") >= lit(threshold) * col("n_b") &&
               col("n_b") >= lit(threshold) * col("n_a"))
             .groupBy("a_id", "b_id", "n_a", "n_b")
             .agg(count(lit(1)).as("n_rare"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           // Exact correction for intersections the rare join can't see:
-          // hot shingles shared by a candidate pair, joined per CANDIDATE
-          // on doc-id keys — never the quadratic hot-key self-join the
-          // cap exists to avoid.
-          val hot = sized.join(broadcast(hotKeys), Seq("shingle"), "left_semi")
-            .select("doc_id", "shingle")
-          val hotCounts = candCounts.select("a_id", "b_id")
-            .join(hot.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
-            .join(hot.select(col("doc_id").as("b_id"), col("shingle")),
-              Seq("b_id", "shingle"))
-            .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_hot"))
-          candCounts.join(hotCounts, Seq("a_id", "b_id"), "left")
-            .withColumn("n_inter",
-              col("n_rare") + coalesce(col("n_hot"), lit(0L)))
+          // each doc's (small, <= |hotKeys|) set of hot shingles is
+          // aggregated ONCE into an array, joined to the candidates on
+          // doc-id keys, and the shared-hot count is an array_intersect —
+          // never the quadratic hot-key self-join the cap exists to
+          // avoid. Keying the correction off per-doc arrays (instead of a
+          // second join against candCounts) means candCounts appears in
+          // the plan exactly once, so no persist/checkpoint is needed and
+          // nothing is left in the block-manager cache after the call.
+          val hotSets = sized.join(broadcast(hotKeys), Seq("shingle"), "left_semi")
+            .groupBy("doc_id").agg(collect_set(col("shingle")).as("hot_sh"))
+          candCounts
+            .join(hotSets.select(col("doc_id").as("a_id"), col("hot_sh").as("hot_a")),
+              Seq("a_id"), "left")
+            .join(hotSets.select(col("doc_id").as("b_id"), col("hot_sh").as("hot_b")),
+              Seq("b_id"), "left")
+            .withColumn("n_hot",
+              when(col("hot_a").isNull || col("hot_b").isNull, lit(0L))
+                .otherwise(size(array_intersect(col("hot_a"), col("hot_b"))).cast("long")))
+            .withColumn("n_inter", col("n_rare") + col("n_hot"))
             .withColumn("jaccard",
               col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
             .filter(col("jaccard") >= threshold)
@@ -238,30 +243,39 @@ object Dedup {
     * round is one join + one aggregation, and the round count is the
     * graph diameter — near-dup clusters are dense (quasi-cliques), so
     * 2-3 rounds in practice, with `maxIter` as the safety bound.
-    * Lineage is truncated per round (`localCheckpoint`) so the plan does
-    * not grow exponentially with iterations — the standard Spark
-    * iterative-graph pattern.
+    * Lineage is truncated per round so the plan does not grow
+    * exponentially with iterations — the standard Spark iterative-graph
+    * pattern. Truncation uses RELIABLE `checkpoint()` (checkpoint-dir
+    * storage, survives executor loss) whenever the session has a
+    * checkpoint dir configured — an iterative algorithm compounds the
+    * executor-decommission risk over every round, so non-reliable
+    * `localCheckpoint` block storage is only the fallback for
+    * local/test sessions that never set a dir. On a cluster, set
+    * `spark.sparkContext.setCheckpointDir(<shared fs path>)` first.
     *
     * Returns (id, comp) where comp = min doc id of the component.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+    // checkpoint() when a reliable dir is configured, else localCheckpoint.
+    val truncate: DataFrame => DataFrame = df =>
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val edges = truncate(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
+    var labels = truncate(edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("comp")), "dst")
         .groupBy(col("src").as("id")).agg(min("comp").as("nmin"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val updated = truncate(labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("old"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .localCheckpoint()
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp")))
       converged = updated.filter(col("comp") =!= col("old")).isEmpty
-      labels = updated.select("id", "comp").localCheckpoint()
+      labels = updated.select("id", "comp")
       iter += 1
     }
     // Partial labels are WORSE than no labels — one logical cluster split

@@ -239,7 +239,9 @@ object Similarity {
     * precision stays exact, recall becomes the LSH collision probability;
     * the switch is logged because it changes the exactness contract.
     * The size gate runs one count() over the delta; at scale that's a
-    * metadata-cheap scan of the small side, not the corpus.
+    * metadata-cheap scan of the small side, not the corpus — and a caller
+    * that already knows the delta size (an ingest manifest, a previous
+    * count) can pass it as `deltaRows` and the gate runs NO job at all.
     *
     * `deltaInCorpus = true` (the modulo-sample / re-scan case) pairs on
     * `a_id < b_id`: a pair is reported iff its DELTA member has the lower
@@ -256,10 +258,11 @@ object Similarity {
                         maxBroadcastDelta: Long = DefaultMaxBroadcastDelta,
                         bits: Int = 0, tables: Int = 16, seed: Long = 42L,
                         deltaInCorpus: Boolean = true,
-                        dim: Option[Int] = None): DataFrame = {
+                        dim: Option[Int] = None,
+                        deltaRows: Option[Long] = None): DataFrame = {
     val pairCond =
       if (deltaInCorpus) col("a_id") < col("b_id") else col("a_id") =!= col("b_id")
-    if (delta.count() <= maxBroadcastDelta) {
+    if (deltaRows.getOrElse(delta.count()) <= maxBroadcastDelta) {
       val a = withNorm(delta, "a")
       val b = withNorm(corpus, "b")
       b.join(broadcast(a), pairCond)

@@ -132,6 +132,34 @@ class DedupSpec extends SparkSpec {
     assert(capped == Set((1L, 201L, 1.0), (6L, 202L, 1.0)))
   }
 
+  test("capped jaccardPairs leaves nothing in the block-manager cache") {
+    // hot keys present -> the correction-join branch runs; the whole plan
+    // must consume its candidate table once, with no persist left behind
+    val base = (1 to 100).map(i =>
+      (i.toLong, s"alpha beta gamma unique$i token$i word$i filler$i"))
+    val corpus = (base ++ Seq((201L, base(0)._2))).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.6,
+      maxShingleFreq = Some(10)).collect()
+    assert(out.nonEmpty)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+  }
+
+  test("connectedComponents writes reliable checkpoints when a dir is set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // checkpoint FILES (not just the uuid subdir) landed under the dir
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(dir).iterator().asScala
+      .count(p => java.nio.file.Files.isRegularFile(p))
+    assert(files > 0, "no reliable checkpoint files were written")
+  }
+
   test("connectedComponents clusters pairs into min-labeled components") {
     // chain 1-2-3 (transitive, never a direct 1-3 pair), clique 10-11-12,
     // isolated pair 20-21 — all must resolve to their min id

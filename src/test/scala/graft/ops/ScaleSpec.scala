@@ -120,6 +120,28 @@ class LshCosineSpec extends SparkSpec {
     assert(got.forall { case (a, b) => a > b })
   }
 
+  test("deltaRows hint skips the size-gate count job entirely") {
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // poison pill: any job touching this delta throws — so constructing the
+    // hinted plan succeeding PROVES the gate ran no count job
+    val boom = udf((_: Long) =>
+      { throw new RuntimeException("size gate ran a job"); true })
+    val poisoned = emb.filter(boom(col("vec_id")))
+    Similarity.deltaNearDupPairs(emb, poisoned, threshold = 0.35,
+      dim = Some(64), deltaRows = Some(500L)) // must not throw
+    intercept[Exception] { // unhinted gate counts the delta -> poison fires
+      Similarity.deltaNearDupPairs(emb, poisoned, threshold = 0.35,
+        dim = Some(64))
+    }
+    // and the hinted gate picks the same exact broadcast plan
+    val got = Similarity.deltaNearDupPairs(emb, emb, threshold = 0.35,
+        dim = Some(64), deltaRows = Some(500L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unhinted = Similarity.deltaNearDupPairs(emb, emb, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == unhinted)
+  }
+
   test("hyperplanes are deterministic per seed") {
     val a = Similarity.hyperplanes(8, 4, 2, seed = 7L)
     val b = Similarity.hyperplanes(8, 4, 2, seed = 7L)
