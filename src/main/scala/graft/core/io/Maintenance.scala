@@ -42,6 +42,17 @@ object Maintenance {
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val after = fs.listStatus(tmp)
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    // Sidecars (_schema.json, _git_info.json, ...) live NEXT TO the data:
+    // carry every non-parquet file into the compacted dir so the swap
+    // replaces data files only, not the dataset's metadata.
+    fs.listStatus(path)
+      .filter(st => st.isFile && !st.getPath.getName.endsWith(".parquet")
+        && st.getPath.getName != "_SUCCESS")
+      .foreach { st =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath,
+          fs, new Path(tmp, st.getPath.getName), false, true,
+          spark.sparkContext.hadoopConfiguration)
+      }
     // swap: two renames, then drop the old data
     require(fs.rename(path, old), s"could not move $path aside")
     if (!fs.rename(tmp, path)) {

@@ -102,7 +102,16 @@ object Notify {
         if (startTls) {
           cmd("STARTTLS", 220)
           val ctx = javax.net.ssl.SSLContext.getDefault
-          socket = ctx.getSocketFactory.createSocket(socket, host, port, true)
+          val tls = ctx.getSocketFactory.createSocket(socket, host, port, true)
+            .asInstanceOf[javax.net.ssl.SSLSocket]
+          // Hostname verification: chain validation alone lets an active
+          // MITM with ANY valid certificate read the AUTH credentials —
+          // the cert must also MATCH `host` (same rule HTTPS uses).
+          val params = tls.getSSLParameters
+          params.setEndpointIdentificationAlgorithm("HTTPS")
+          tls.setSSLParameters(params)
+          tls.startHandshake()
+          socket = tls
           in = new BufferedReader(new InputStreamReader(
             socket.getInputStream, StandardCharsets.UTF_8))
           out = new OutputStreamWriter(socket.getOutputStream, StandardCharsets.UTF_8)

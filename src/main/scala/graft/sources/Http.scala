@@ -118,7 +118,11 @@ object Http {
     * `Link: <...>; rel="next"` header (the reference's
     * `resp.links['next']`), collecting raw page bodies. `maxPages` bounds
     * the walk — the reference loops unbounded, which is a footgun against
-    * a misbehaving API.
+    * a misbehaving API. Hitting the bound with a `next` link still
+    * pending FAILS (same reasoning as the non-2xx require below): a
+    * silently truncated extraction looks complete and poisons every
+    * downstream increment built on it. A caller that truly wants a
+    * prefix passes a larger `maxPages` or walks manually with [[get]].
     */
   def pullAllPages(url: String, headers: Map[String, String] = Map.empty,
                    maxPages: Int = 1000): Seq[Array[Byte]] = {
@@ -133,6 +137,9 @@ object Http {
       next = nextLink(resp)
       n += 1
     }
+    require(next.isEmpty, s"pagination truncated: $url still had a next " +
+      s"link after maxPages=$maxPages pages — the extraction is INCOMPLETE; " +
+      "raise maxPages (or fix the API's cursor loop)")
     pages.result()
   }
 

@@ -146,6 +146,9 @@ class EtlIoSpec extends SparkSpec {
     val df = spark.range(0, 10000).toDF("id")
       .withColumn("v", col("id") % 7)
     df.repartition(40).write.parquet(s"$dir/data")
+    // sidecar metadata next to the data must survive the swap
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$dir/data/_schema.json"), """{"fields":[]}""")
     val before = new java.io.File(s"$dir/data").listFiles()
       .count(_.getName.endsWith(".parquet"))
     assert(before == 40)
@@ -159,6 +162,8 @@ class EtlIoSpec extends SparkSpec {
     // no stray temp/old dirs left behind
     val siblings = new java.io.File(dir).listFiles().map(_.getName).toSet
     assert(!siblings.exists(_.contains("_compact")))
+    // the sidecar rode along into the compacted directory
+    assert(new java.io.File(s"$dir/data/_schema.json").exists())
   }
 
   test("bucketed tables join with no exchange on the bucket key") {

@@ -95,9 +95,13 @@ class HttpSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(10L, 20L, 30L))
   }
 
-  test("maxPages bounds a runaway pagination walk") {
-    val pages = Http.pullAllPages(s"$base/api?page=1", maxPages = 2)
-    assert(pages.length == 2)
+  test("maxPages truncation FAILS loudly instead of looking complete") {
+    val e = intercept[IllegalArgumentException] {
+      Http.pullAllPages(s"$base/api?page=1", maxPages = 2)
+    }
+    assert(e.getMessage.contains("INCOMPLETE"))
+    // exactly at the page count, the walk completes cleanly
+    assert(Http.pullAllPages(s"$base/api?page=1", maxPages = 3).length == 3)
   }
 
   test("readJson sniffs layout: JSONL keeps every line, arrays parse whole-file") {
