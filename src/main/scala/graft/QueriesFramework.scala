@@ -221,5 +221,105 @@ object QueriesFramework {
       |  count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q36, q37, q38, q39, q48, q49, q50, q54)
+  /** ORC sink + scan round-trip (K1/S-formats): same lifecycle as q36 but
+    * through the ORC dispatch — a column-type or value change through the
+    * round-trip breaks the hash against the parquet-source oracle.
+    */
+  val q59 = QueryDef("q59_orc_roundtrip", (spark, dir) => {
+    val out = tmp("graft_q59")
+    val job = JobSpec(name = "orc_copy",
+      inputs = Map("lineitem" -> DatasetSpec(path = s"$dir/lineitem.parquet")),
+      output = Some(DatasetSpec(path = s"$out/li_orc", format = "orc")),
+      sql = Some("""SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice
+                   |FROM lineitem""".stripMargin))
+    Etl.runJob(spark, job, now = "r1")
+    Reader.read(spark, DatasetSpec(path = s"$out/li_orc", format = "orc"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("total"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }, Some(
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS total
+      |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** Multi-path template scan with `_source` provenance (S12) — the
+    * reference's bread-and-butter multi-folder concat
+    * (`ex15_copy_job_multi_path.py`). The corpus is split into two
+    * PID-keyed side folders (so the DuckDB oracle can read the very same
+    * files with `filename=true`), re-read through the `{part}` template,
+    * and the output groups on a tag derived from `input_file_name()`.
+    * `n_src_agree` counts rows whose `_source` column names the same part
+    * as the physical file path — the oracle pins it to count(*), so any
+    * provenance mismatch breaks the hash.
+    */
+  private val q60SidePath =
+    s"/tmp/graft_oracle_side/q60_multipath_${ProcessHandle.current().pid()}"
+
+  val q60 = QueryDef("q60_multipath_source", (spark, dir) => {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$q60SidePath/part_a")
+    orders.filter(col("o_orderkey") % 2 =!= 0)
+      .write.mode("overwrite").parquet(s"$q60SidePath/part_b")
+    val multi = Reader.readMultiPath(spark,
+      DatasetSpec(path = s"$q60SidePath/{part}"),
+      Seq(Map("part" -> "part_a"), Map("part" -> "part_b")))
+    multi
+      .withColumn("part", regexp_extract(input_file_name(), "part_[ab]", 0))
+      .withColumn("src_agree",
+        (regexp_extract(col("_source"), "part_[ab]", 0) === col("part")).cast("long"))
+      .groupBy("part")
+      .agg(count(lit(1)).as("n"), sum("src_agree").as("n_src_agree"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("part")
+  }, Some(
+    s"""SELECT regexp_extract(filename, 'part_[ab]', 0) AS part,
+       |  count(*) AS n, count(*) AS n_src_agree,
+       |  round(sum(o_totalprice), 2) AS total
+       |FROM read_parquet('$q60SidePath/part_*/*.parquet', filename=true)
+       |GROUP BY 1 ORDER BY part""".stripMargin))
+
+  /** Event-time streaming sessionization held to the BATCH oracle (q47's
+    * gaps-and-islands SQL): events replay through a file stream into
+    * `flatMapGroupsWithState` with event-time timeouts, and the resulting
+    * sessions must aggregate to exactly what DuckDB computes from the
+    * table at rest. Timestamps are pre-floored to whole seconds (matching
+    * the batch operator's `unix_timestamp` truncation) so gap decisions
+    * agree bit-for-bit. A far-future sentinel event for a dummy key
+    * pushes the global watermark past every real session's end+gap, so
+    * event-time timeouts flush ALL sessions deterministically — the
+    * sentinel's own (still-open) session is excluded by key.
+    */
+  val q61 = QueryDef("q61_stream_sessionize", (spark, dir) => {
+    import spark.implicits._
+    val out = tmp("graft_q61")
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), (unix_timestamp(col("ts")) * 1000).as("ts_ms"),
+        col("value"))
+    val maxMs = ev.agg(max("ts_ms")).head().getLong(0)
+    ev.write.parquet(s"$out/ev")
+    Seq((-1L, maxMs + 10L * 3600 * 1000, 0.0)).toDF("user_id", "ts_ms", "value")
+      .write.mode("append").parquet(s"$out/ev")
+    val stream = graft.streaming.Streams.readFileStream(spark,
+        DatasetSpec(path = s"$out/ev", format = "parquet"),
+        "user_id BIGINT, ts_ms BIGINT, value DOUBLE")
+      .as[graft.streaming.Sessionize.Event]
+    val sess = graft.streaming.Sessionize.sessionsEventTime(stream,
+      gapMs = 1800L * 1000, watermarkDelay = "1 second")
+    val sink = s"q61_sink_${System.nanoTime}"
+    val q = sess.toDF.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sink).filter(col("user_id") >= 0)
+      .withColumn("duration_sec", (col("end_ms") - col("start_ms")) / 1000)
+      .groupBy("n_events")
+      .agg(count(lit(1)).as("n_sessions"),
+        round(avg("duration_sec"), 4).as("avg_duration_sec"))
+      .orderBy("n_events")
+  }, QueriesExtra.q47.oracle)
+
+  val all: Seq[QueryDef] = Seq(q36, q37, q38, q39, q48, q49, q50, q54, q59,
+    q60, q61)
 }

@@ -120,14 +120,14 @@ object QueriesScale {
   // between a Verify run and the driver's DuckDB compare, and concurrent
   // users never collide; the oracle string below is built in the SAME JVM
   // as the query run, so both sides agree on the path.
-  private val q28FpPath =
-    s"/tmp/graft_oracle_side/q28_simhash_fp_${ProcessHandle.current().pid()}"
+  private def sidePath(prefix: String): String =
+    s"/tmp/graft_oracle_side/${prefix}_${ProcessHandle.current().pid()}"
 
-  val q28 = QueryDef("q28_simhash_pairs", (spark, dir) => {
-    // best-effort reap of siblings older than a day (dead JVMs' tables)
+  /** Best-effort reap of stale side tables from dead JVMs (> 1 day old). */
+  private def reapStaleSideTables(prefix: String): Unit = {
     val parent = new java.io.File("/tmp/graft_oracle_side")
     Option(parent.listFiles()).foreach(_.foreach { f =>
-      if (f.getName.startsWith("q28_simhash_fp_") &&
+      if (f.getName.startsWith(prefix + "_") &&
           f.lastModified() < System.currentTimeMillis() - 86400000L) {
         def rm(x: java.io.File): Unit = {
           if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
@@ -136,6 +136,12 @@ object QueriesScale {
         rm(f)
       }
     })
+  }
+
+  private val q28FpPath = sidePath("q28_simhash_fp")
+
+  val q28 = QueryDef("q28_simhash_pairs", (spark, dir) => {
+    reapStaleSideTables("q28_simhash_fp")
     Dedup.simhash(t(spark, dir, "documents"), "doc_id", "text")
       .write.mode("overwrite").parquet(q28FpPath)
     Dedup.simhashPairsFrom(spark.read.parquet(q28FpPath), maxDist = 3)
@@ -178,6 +184,43 @@ object QueriesScale {
        |scored AS (
        |  SELECT probe_id, cand_id, ${duckCos("pe", "ce")} AS cos
        |  FROM p JOIN c ON p.label = c.label AND probe_id <> cand_id),
+       |ranked AS (SELECT probe_id, cand_id, cos,
+       |    row_number() OVER (PARTITION BY probe_id
+       |                       ORDER BY round(cos, 6) DESC, cand_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, cand_id, round(cos, 4) AS cos, rank
+       |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin))
+
+  /** Trained k-means IVF top-k (the production ANN path: real fitted
+    * cells, not the data's label column). The model's cell assignment is
+    * engine-specific (MLlib k-means), so — exactly like q28's simhash
+    * fingerprints — the Spark-computed (vec_id, cell) table materializes
+    * to a side path and the oracle replays what the operator ADDS on top
+    * of the model: cell-pruned scoring + ranking. The Spark query reads
+    * the SAME materialized assignment back, so both engines rank from
+    * identical cells and the hash pins the pruned-search semantics.
+    */
+  private val q58CellPath = sidePath("q58_kmeans_cells")
+
+  val q58 = QueryDef("q58_kmeans_ivf", (spark, dir) => {
+    reapStaleSideTables("q58_kmeans_cells")
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val (clustered, _) = Similarity.kmeansCells(emb, cells = 16, seed = 42L)
+    clustered.select("vec_id", "cell").write.mode("overwrite").parquet(q58CellPath)
+    val corpus = emb.join(spark.read.parquet(q58CellPath), "vec_id")
+    Similarity.ivfTopK(corpus, corpus.filter(col("vec_id") % 100 === 0),
+      "cell", k = 5)
+  }, Some(
+    s"""WITH cells AS (SELECT vec_id, cell
+       |               FROM read_parquet('$q58CellPath/*.parquet')),
+       |e AS (SELECT e0.vec_id, embedding, cell
+       |      FROM embeddings e0 JOIN cells USING (vec_id)),
+       |p AS (SELECT vec_id AS probe_id, embedding AS pe, cell FROM e
+       |      WHERE vec_id % 100 = 0),
+       |c AS (SELECT vec_id AS cand_id, embedding AS ce, cell FROM e),
+       |scored AS (
+       |  SELECT probe_id, cand_id, ${duckCos("pe", "ce")} AS cos
+       |  FROM p JOIN c ON p.cell = c.cell AND probe_id <> cand_id),
        |ranked AS (SELECT probe_id, cand_id, cos,
        |    row_number() OVER (PARTITION BY probe_id
        |                       ORDER BY round(cos, 6) DESC, cand_id) AS rank
@@ -514,5 +557,5 @@ object QueriesScale {
       |FROM red ORDER BY doc_id""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32,
-    q33, q34, q35, q40, q51, q52, q53, q55, q56, q57)
+    q33, q34, q35, q40, q51, q52, q53, q55, q56, q57, q58)
 }
