@@ -19,6 +19,80 @@ object Jdbc {
   val defaultFetchSize = "10000"
   val defaultNumPartitions = "3"
 
+  /** Per-database dialect preset: driver class + URL shape + default port,
+    * so a caller (or manifest) supplies only host/database/credentials.
+    * These pin exactly what the reference hardcodes per connector:
+    * mysql `com.mysql.cj.jdbc.Driver` + `jdbc:mysql://host:port/db`
+    * (etl_utils.py:509-517), ClickHouse spoken over its PostgreSQL-wire
+    * port with the postgres driver (etl_utils.py:545-552), Redshift's
+    * `jdbc:redshift:` scheme (redshift_spark.py:13), Oracle thin
+    * (ex5_input_from_oracle_job.py). The reference's Redshift push also
+    * stages through an S3 `tempdir` via the spark-redshift connector —
+    * on the generic JDBC fallback that option is simply carried through
+    * in `extra` when the connector jar is on the cluster classpath.
+    */
+  final case class DbPreset(driver: String, defaultPort: Int,
+                            mkUrl: (String, Int, String) => String) {
+    def url(host: String, database: String, port: Int = 0): String =
+      mkUrl(host, if (port > 0) port else defaultPort, database)
+    /** Connection options for Spark's JDBC source — merge as `extra` into
+      * [[fullTableOptions]]/[[incrementalOptions]]/[[partitionedOptions]].
+      */
+    def connOptions(host: String, database: String, user: String,
+                    password: String, port: Int = 0): Map[String, String] =
+      Map("url" -> url(host, database, port), "driver" -> driver,
+        "user" -> user, "password" -> password)
+  }
+
+  val mysql: DbPreset = DbPreset("com.mysql.cj.jdbc.Driver", 3306,
+    (h, p, d) => s"jdbc:mysql://$h:$p/$d")
+  // ClickHouse over its PostgreSQL-compatibility port (9005), like the
+  // reference — a native clickhouse-jdbc driver can override via `driver`
+  // in extra
+  val clickhouse: DbPreset = DbPreset("org.postgresql.Driver", 9005,
+    (h, p, d) => s"jdbc:postgresql://$h:$p/$d")
+  val redshift: DbPreset = DbPreset("com.amazon.redshift.jdbc42.Driver", 5439,
+    (h, p, d) => s"jdbc:redshift://$h:$p/$d")
+  val oracle: DbPreset = DbPreset("oracle.jdbc.OracleDriver", 1521,
+    (h, p, d) => s"jdbc:oracle:thin:@//$h:$p/$d")
+  val postgres: DbPreset = DbPreset("org.postgresql.Driver", 5432,
+    (h, p, d) => s"jdbc:postgresql://$h:$p/$d")
+
+  val presets: Map[String, DbPreset] = Map("mysql" -> mysql,
+    "clickhouse" -> clickhouse, "redshift" -> redshift, "oracle" -> oracle,
+    "postgres" -> postgres)
+
+  /** Preset connection options from a creds section (reference shape:
+    * `host`/`port`/`service`/`user`/`password` — etl_utils.py:506-509).
+    */
+  def optionsFromCreds(preset: DbPreset, creds: graft.core.Secrets.Creds,
+                       section: String): Map[String, String] =
+    preset.connOptions(
+      graft.core.Secrets.get(creds, section, "host"),
+      graft.core.Secrets.get(creds, section, "service"),
+      graft.core.Secrets.get(creds, section, "user"),
+      graft.core.Secrets.get(creds, section, "password"),
+      creds(section).get("port").map(_.toInt).getOrElse(0))
+
+  /** Expand manifest shorthand: a `preset` key plus `host`/`port`/
+    * `database` collapses into the concrete `url`+`driver` options; maps
+    * without `preset` pass through untouched. Explicit `url`/`driver` in
+    * the input win over the preset's.
+    */
+  def expandPreset(options: Map[String, String]): Map[String, String] =
+    options.get("preset") match {
+      case None => options
+      case Some(p) =>
+        val preset = presets.getOrElse(p, sys.error(
+          s"unknown jdbc preset '$p' (have: ${presets.keys.mkString(", ")})"))
+        val host = options.getOrElse("host",
+          sys.error(s"jdbc preset '$p' needs a 'host' option"))
+        val port = options.get("port").map(_.toInt).getOrElse(0)
+        Map("url" -> preset.url(host, options.getOrElse("database", ""), port),
+          "driver" -> preset.driver) ++
+          (options -- Seq("preset", "host", "port", "database"))
+    }
+
   /** ANSI-quoted identifier (Derby/Postgres/Redshift/Oracle): each
     * dot-separated part quoted, embedded quotes doubled. Required — not
     * just hygiene — because Spark's JDBC writer quotes column names at
@@ -98,15 +172,16 @@ object Jdbc {
     */
   def fromSpec(spark: SparkSession, ds: DatasetSpec,
                period: Option[(String, String)] = None): DataFrame = {
+    val ro = expandPreset(ds.readOptions)
     val opts = (ds.incField, period) match {
       case (Some(f), Some((p, pNext))) =>
         // manifests opt out of identifier quoting (legacy unquoted-DDL
         // tables) via read_kwargs: {quote_inc_field: "false"}
-        incrementalOptions(ds.readOptions("url"), ds.readOptions("dbtable"),
+        incrementalOptions(ro("url"), ro("dbtable"),
           f, p, pNext,
-          ds.readOptions -- Seq("url", "dbtable", "quote_inc_field"),
-          quoteField = ds.readOptions.get("quote_inc_field").forall(_.toBoolean))
-      case _ => ds.readOptions
+          ro -- Seq("url", "dbtable", "quote_inc_field"),
+          quoteField = ro.get("quote_inc_field").forall(_.toBoolean))
+      case _ => ro
     }
     read(spark, opts)
   }
