@@ -3,18 +3,35 @@ package graft
 import graft.core.{GraftSession, Tables}
 import graft.ops.Dedup
 
-/** Scratch: dump the physical plan of the capped jaccard path (exchange
-  * reuse + skew-guard shape audit). Not part of the library API.
+/** Scratch: dump physical plans for shape audits (exchange reuse, skew
+  * guard, broadcast/pruning checks). Not part of the library API.
+  * Usage: runMain graft.ProbeExplain [sfDir] [what]
+  *   what = jaccard (default) | q58 | q60 | q26cache
   */
 object ProbeExplain {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val what = args.drop(1).headOption.getOrElse("jaccard")
     val spark = GraftSession.local(cores = 8, shufflePartitions = 8)
-    val docs = Tables.load(spark, dir, "documents")
-    val q = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.6,
-      maxShingleFreq = Some(50))
+    val q = what match {
+      case "jaccard" =>
+        Dedup.jaccardPairs(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", threshold = 0.6, maxShingleFreq = Some(50))
+      case "q58" => Queries.queryMap("q58_kmeans_ivf")(spark, dir)
+      case "q60" => Queries.queryMap("q60_multipath_source")(spark, dir)
+      case "q26cache" =>
+        val out = Dedup.jaccardPairs(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", threshold = 0.6, maxShingleFreq = Some(2))
+        println("persisted RDDs after capped call: " +
+          spark.sparkContext.getPersistentRDDs.size)
+        out
+      case other => sys.error(s"unknown probe: $other")
+    }
     q.explain("formatted")
     println("rows: " + q.count())
+    if (what == "q26cache")
+      println("persisted RDDs after action: " +
+        spark.sparkContext.getPersistentRDDs.size)
     spark.stop()
   }
 }

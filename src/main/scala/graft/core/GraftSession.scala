@@ -23,6 +23,13 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Reading a glob path (incremental inc_* sinks) makes FileStreamSink's
+    // metadata probe WARN-log a full FileNotFoundException stack before
+    // batch resolution proceeds normally — pure noise on every incremental
+    // read, silenced to ERROR.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
     graft.functions.NativeFunctions.register(spark)
     spark
   }

@@ -86,10 +86,13 @@ object NativeFunctions {
   def register(spark: SparkSession): SparkSession = {
     val registry = spark.sessionState.functionRegistry
     fns.foreach { case (name, builder) =>
-      registry.registerFunction(
-        FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions.NativeFunctions", name),
-        builder)
+      // idempotent: re-registering identical builders is a no-op semantically
+      // but WARN-logs "function replaced" on every tune() call
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.registerFunction(
+          FunctionIdentifier(name),
+          new ExpressionInfo("graft.functions.NativeFunctions", name),
+          builder)
     }
     spark
   }
