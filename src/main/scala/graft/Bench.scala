@@ -36,9 +36,14 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
         }
       }
-      // failures report -1 so they can't masquerade as a fast run
+      // failures report -1 so they can't masquerade as a fast run; a
+      // retry that fails must NOT discard a valid first pass (that would
+      // drop the query from the total and flatter the cross-round ratio)
       val first = once()
-      name -> (if (first < 0) first else math.min(first, once()))
+      val second = if (first < 0) first else once()
+      name -> (if (first < 0) -1.0
+               else if (second < 0) first
+               else math.min(first, second))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -258,6 +258,7 @@ object QueriesFramework {
     s"/tmp/graft_oracle_side/q60_multipath_${ProcessHandle.current().pid()}"
 
   val q60 = QueryDef("q60_multipath_source", (spark, dir) => {
+    QueriesScale.reapStaleSideTables("q60_multipath")
     val orders = spark.read.parquet(s"$dir/orders.parquet")
     orders.filter(col("o_orderkey") % 2 === 0)
       .write.mode("overwrite").parquet(s"$q60SidePath/part_a")

@@ -124,7 +124,7 @@ object QueriesScale {
     s"/tmp/graft_oracle_side/${prefix}_${ProcessHandle.current().pid()}"
 
   /** Best-effort reap of stale side tables from dead JVMs (> 1 day old). */
-  private def reapStaleSideTables(prefix: String): Unit = {
+  private[graft] def reapStaleSideTables(prefix: String): Unit = {
     val parent = new java.io.File("/tmp/graft_oracle_side")
     Option(parent.listFiles()).foreach(_.foreach { f =>
       if (f.getName.startsWith(prefix + "_") &&

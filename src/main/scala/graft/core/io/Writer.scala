@@ -49,8 +49,9 @@ object Writer {
       case "orc" => w.orc(path)
       case "json" => w.json(path)
       case "text" => w.text(path)
-      case "jdbc" => repartitioned.write.format("jdbc").options(out.saveOptions).mode(
-        if (incremental) SaveMode.Append else SaveMode.Overwrite).save()
+      case "jdbc" => repartitioned.write.format("jdbc")
+        .options(graft.sources.Jdbc.expandPreset(out.saveOptions)).mode(
+          if (incremental) SaveMode.Append else SaveMode.Overwrite).save()
       case other => sys.error(s"unsupported output format: $other")
     }
     Written(path, mode.toString)

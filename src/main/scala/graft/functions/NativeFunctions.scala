@@ -82,17 +82,27 @@ object NativeFunctions {
       DotProductF(args(0), args(1))
     })
 
+  // weak keys: sessions must stay collectible after stop()
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   /** Idempotently register the native functions on a session. */
   def register(spark: SparkSession): SparkSession = {
-    val registry = spark.sessionState.functionRegistry
-    fns.foreach { case (name, builder) =>
-      // idempotent: re-registering identical builders is a no-op semantically
-      // but WARN-logs "function replaced" on every tune() call
-      if (!registry.functionExists(FunctionIdentifier(name)))
+    // Once-per-session guard: the FIRST tune() of a session always
+    // registers (replacing any foreign same-name function, so graft's
+    // semantics are guaranteed), later tune() calls skip — avoiding the
+    // per-query "function replaced" WARN without ever silently deferring
+    // to an unknown pre-existing implementation the way a bare
+    // functionExists check would.
+    if (registered.add(spark)) {
+      val registry = spark.sessionState.functionRegistry
+      fns.foreach { case (name, builder) =>
         registry.registerFunction(
           FunctionIdentifier(name),
           new ExpressionInfo("graft.functions.NativeFunctions", name),
           builder)
+      }
     }
     spark
   }

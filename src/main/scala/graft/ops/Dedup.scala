@@ -256,15 +256,34 @@ object Dedup {
     * Returns (id, comp) where comp = min doc id of the component.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
     // checkpoint() when a reliable dir is configured, else localCheckpoint.
     val truncate: DataFrame => DataFrame = df =>
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    // Reliable checkpoints write a full dataset copy per round; without
+    // cleanup a call leaks (2 + rounds) copies into the shared checkpoint
+    // dir forever (Spark only reclaims them with cleanCheckpoints=true,
+    // GC-driven). Once round N is materialized, round N-1's files back
+    // nothing — delete them as we go (the PeriodicCheckpointer pattern),
+    // and drop the loop-scoped edges table at the end, so a call leaves
+    // only the RETURNED labels' files behind.
+    def checkpointPathOf(df: DataFrame): Option[org.apache.hadoop.fs.Path] =
+      if (!reliable) None
+      else df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.flatMap(_.getCheckpointFile).map(new org.apache.hadoop.fs.Path(_))
+    def deleteCheckpoint(p: Option[org.apache.hadoop.fs.Path]): Unit =
+      p.foreach { path => // best-effort: a missed delete is a leak, not a fault
+        try { path.getFileSystem(sc.hadoopConfiguration).delete(path, true); () }
+        catch { case _: java.io.IOException => () }
+      }
     val edges = truncate(
       pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
     var labels = truncate(edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")))
+    var prevCp = checkpointPathOf(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -275,9 +294,13 @@ object Dedup {
         .select(col("id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp")))
       converged = updated.filter(col("comp") =!= col("old")).isEmpty
+      deleteCheckpoint(prevCp) // superseded: updated is materialized
+      prevCp = checkpointPathOf(updated)
       labels = updated.select("id", "comp")
       iter += 1
     }
+    deleteCheckpoint(checkpointPathOf(edges)) // loop-scoped
+    if (!converged) deleteCheckpoint(prevCp) // about to throw — don't leak
     // Partial labels are WORSE than no labels — one logical cluster split
     // in two means dedup keeps extra copies silently. Min-label moves the
     // minimum one hop per round, so a miss here means the graph has a

@@ -85,10 +85,14 @@ object Jdbc {
       case Some(p) =>
         val preset = presets.getOrElse(p, sys.error(
           s"unknown jdbc preset '$p' (have: ${presets.keys.mkString(", ")})"))
+        // fail here, with names — a missing piece otherwise surfaces later
+        // as an opaque driver-level connect error on a malformed URL
         val host = options.getOrElse("host",
           sys.error(s"jdbc preset '$p' needs a 'host' option"))
+        val database = options.getOrElse("database",
+          sys.error(s"jdbc preset '$p' needs a 'database' option"))
         val port = options.get("port").map(_.toInt).getOrElse(0)
-        Map("url" -> preset.url(host, options.getOrElse("database", ""), port),
+        Map("url" -> preset.url(host, database, port),
           "driver" -> preset.driver) ++
           (options -- Seq("preset", "host", "port", "database"))
     }

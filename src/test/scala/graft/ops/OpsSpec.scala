@@ -153,11 +153,20 @@ class DedupSpec extends SparkSpec {
     val comp = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
-    // checkpoint FILES (not just the uuid subdir) landed under the dir
+    // checkpoint FILES (not just the uuid subdir) landed under the dir...
     import scala.jdk.CollectionConverters._
-    val files = java.nio.file.Files.walk(dir).iterator().asScala
-      .count(p => java.nio.file.Files.isRegularFile(p))
-    assert(files > 0, "no reliable checkpoint files were written")
+    def walk[A](f: Iterator[java.nio.file.Path] => A): A = {
+      val s = java.nio.file.Files.walk(dir)
+      try f(s.iterator().asScala) finally s.close()
+    }
+    assert(walk(_.count(java.nio.file.Files.isRegularFile(_))) > 0,
+      "no reliable checkpoint files were written")
+    // ...and superseded rounds + the edges table were CLEANED: only the
+    // returned labels' single rdd-* dir survives the call
+    val rddDirs = walk(_.filter(p => java.nio.file.Files.isDirectory(p) &&
+      p.getFileName.toString.startsWith("rdd-")).toSeq)
+    assert(rddDirs.size == 1, s"expected exactly the final labels' " +
+      s"checkpoint to remain, found: $rddDirs")
   }
 
   test("connectedComponents clusters pairs into min-labeled components") {

@@ -83,6 +83,7 @@ class JdbcDerbySpec extends SparkSpec {
       "driver" -> "com.mysql.cj.jdbc.Driver", "dbtable" -> "t", "user" -> "u"))
     // explicit driver override beats the preset's
     assert(Jdbc.expandPreset(Map("preset" -> "clickhouse", "host" -> "h",
+      "database" -> "d",
       "driver" -> "com.clickhouse.jdbc.ClickHouseDriver"))("driver") ==
       "com.clickhouse.jdbc.ClickHouseDriver")
     // non-preset maps pass through untouched; unknown presets fail loudly
@@ -103,14 +104,34 @@ class JdbcDerbySpec extends SparkSpec {
     assert(opts("user") == "svc" && opts("password") == "s3cret")
   }
 
-  test("preset shorthand drives a real Derby read through fromSpec") {
+  test("non-preset jdbc specs flow through fromSpec against real Derby") {
     Jdbc.write(orders, url, "ORDERS_PRESET", incremental = false,
       extra = driverOpt ++ createTypes)
-    // derby isn't a named preset — this pins that non-preset specs still
-    // flow; then check a preset-expanded spec produces the same plan shape
     val back = Jdbc.fromSpec(spark, DatasetSpec(format = "jdbc",
       readOptions = Jdbc.fullTableOptions(url, "ORDERS_PRESET", driverOpt)))
     assert(back.count() == orders.count())
+  }
+
+  test("preset shorthand is expanded by the production Reader/Writer paths") {
+    // no mysql server exists here, so the proof of wiring is the FAILURE
+    // MODE: Reader.read must die resolving the preset's driver class —
+    // which only happens if expandPreset ran inside the production path
+    // (unexpanded options would fail earlier with 'url' missing instead)
+    val e = intercept[Throwable] {
+      Reader.read(spark, DatasetSpec(format = "jdbc",
+        readOptions = Map("preset" -> "mysql", "host" -> "nowhere",
+          "database" -> "d", "dbtable" -> "t"))).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    val msgs = chain(e).map(c => c.getClass.getName + " " + c.getMessage).mkString("; ")
+    assert(msgs.contains("com.mysql.cj.jdbc.Driver"), s"unexpected failure: $msgs")
+    // and a missing database fails loudly AT EXPANSION, naming the key
+    val miss = intercept[RuntimeException] {
+      Reader.read(spark, DatasetSpec(format = "jdbc",
+        readOptions = Map("preset" -> "mysql", "host" -> "h", "dbtable" -> "t")))
+    }
+    assert(miss.getMessage.contains("'database'"))
   }
 
   test("incremental write appends instead of overwriting") {
