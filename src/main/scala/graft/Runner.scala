@@ -29,6 +29,11 @@ object Runner {
     val loaded = Manifest.loadFile(manifestPath, modes, cmdParams)
     val job = loaded.jobs.getOrElse(jobName, sys.error(s"job not in manifest: $jobName"))
     val spark = GraftSession.local(appName = s"graft-$jobName")
+    // Reliable-checkpoint opt-in (iterative ops like connectedComponents
+    // upgrade from localCheckpoint when a dir is configured): a job param
+    // or --param.checkpoint_dir=<shared fs path> on the CLI.
+    job.params.get("checkpoint_dir")
+      .foreach(spark.sparkContext.setCheckpointDir)
     val save = !kv.contains("no_save")
     // Failure notification (reference send_job_failure_email,
     // yaetos/etl_utils.py:754-755): fires only when the job declares
