@@ -39,18 +39,23 @@ object Bench {
       // failures report -1 so they can't masquerade as a fast run; a
       // retry that fails must NOT discard a valid first pass (that would
       // drop the query from the total and flatter the cross-round ratio)
+      // — instead the query keeps its honest first-pass time AND lands in
+      // the "flaky" list so the failure stays visible in the artifact
       val first = once()
       val second = if (first < 0) first else once()
-      name -> (if (first < 0) -1.0
-               else if (second < 0) first
-               else math.min(first, second))
+      (name, if (first < 0) -1.0
+             else if (second < 0) first
+             else math.min(first, second),
+        first >= 0 && second < 0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val flaky = results.collect { case (k, _, true) => s"\"$k\"" }
+      .mkString("[", ",", "]")
     // failures carry a -1 sentinel per query; excluding them from total
     // stops a failing run from reporting a better-looking sum
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"flaky":$flaky,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -347,6 +347,11 @@ object QueriesScale {
     * engines compute identically in double.
     */
   val q40 = {
+    // bits pinned at 4 (not the ~6 the autoBits occupancy rule would pick
+    // for 5000 vecs): at 16 tables the wider buckets buy ~0.94 recall at
+    // cos 0.4 vs ~0.79 with 6 bits, and occupancy ~300 is nowhere near
+    // quadratic danger at this corpus size — the auto rule is for scale,
+    // the gate query demonstrates recall
     val (bits, tables, seed, threshold) = (4, 16, 42L, 0.4)
     val dim = 64 // embeddings are 64-dim (TESTDATA corpus)
     val planes = Similarity.hyperplanes(dim, bits, tables, seed)

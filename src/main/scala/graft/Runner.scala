@@ -31,8 +31,15 @@ object Runner {
     val spark = GraftSession.local(appName = s"graft-$jobName")
     // Reliable-checkpoint opt-in (iterative ops like connectedComponents
     // upgrade from localCheckpoint when a dir is configured): a job param
-    // or --param.checkpoint_dir=<shared fs path> on the CLI.
+    // or --param.checkpoint_dir=<shared fs path> on the CLI. The target
+    // job's param wins; in --dependencies mode an upstream job's
+    // declaration also counts (its operators run in this session too) —
+    // ties broken by job-name order so the pick is deterministic.
     job.params.get("checkpoint_dir")
+      .orElse(if (kv.contains("dependencies"))
+        loaded.jobs.toSeq.sortBy(_._1)
+          .flatMap(_._2.params.get("checkpoint_dir")).headOption
+      else None)
       .foreach(spark.sparkContext.setCheckpointDir)
     val save = !kv.contains("no_save")
     // Failure notification (reference send_job_failure_email,

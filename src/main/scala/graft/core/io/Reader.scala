@@ -42,10 +42,9 @@ object Reader {
         require(ds.glob.isEmpty, "glob is not supported for excel inputs " +
           "(driver-side single-file parse); list files and union explicitly")
         graft.sources.Excel.read(spark, ds.path, headerRow)
-      // expandPreset first so manifest `preset`/`host`/`database` shorthand
-      // works through the production read path, not just Jdbc.fromSpec
-      case "jdbc" => spark.read.format("jdbc")
-        .options(graft.sources.Jdbc.expandPreset(ds.readOptions)).load()
+      // fromSpec expands preset shorthand and owns all jdbc option
+      // handling — one code path for manifest reads and direct calls
+      case "jdbc" => graft.sources.Jdbc.fromSpec(spark, ds)
       // HTTP extraction (S11): `path` is the URL; driver-side fetch, then
       // spark.read over the landed bytes. Gzip auto-detected.
       case "http_csv" => graft.sources.Http.readCsv(spark, ds.path,

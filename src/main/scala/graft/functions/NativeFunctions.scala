@@ -82,10 +82,13 @@ object NativeFunctions {
       DotProductF(args(0), args(1))
     })
 
-  // weak keys: sessions must stay collectible after stop()
+  // weak keys: sessions must stay collectible after stop(); synchronized:
+  // Spark supports multi-threaded job submission on one session, and an
+  // unsynchronized WeakHashMap corrupts under concurrent add
   private val registered =
-    java.util.Collections.newSetFromMap(
-      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Idempotently register the native functions on a session. */
   def register(spark: SparkSession): SparkSession = {
@@ -94,9 +97,13 @@ object NativeFunctions {
     // semantics are guaranteed), later tune() calls skip — avoiding the
     // per-query "function replaced" WARN without ever silently deferring
     // to an unknown pre-existing implementation the way a bare
-    // functionExists check would.
-    if (registered.add(spark)) {
-      val registry = spark.sessionState.functionRegistry
+    // functionExists check would. A dropped function (user ran DROP
+    // TEMPORARY FUNCTION) still self-heals: absence re-triggers
+    // registration on the next tune().
+    val registry = spark.sessionState.functionRegistry
+    val missing = fns.exists { case (name, _) =>
+      !registry.functionExists(FunctionIdentifier(name)) }
+    if (registered.add(spark) || missing) {
       fns.foreach { case (name, builder) =>
         registry.registerFunction(
           FunctionIdentifier(name),

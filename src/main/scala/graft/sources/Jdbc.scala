@@ -32,7 +32,8 @@ object Jdbc {
     * in `extra` when the connector jar is on the cluster classpath.
     */
   final case class DbPreset(driver: String, defaultPort: Int,
-                            mkUrl: (String, Int, String) => String) {
+                            mkUrl: (String, Int, String) => String,
+                            databaseRequired: Boolean = false) {
     def url(host: String, database: String, port: Int = 0): String =
       mkUrl(host, if (port > 0) port else defaultPort, database)
     /** Connection options for Spark's JDBC source — merge as `extra` into
@@ -51,10 +52,14 @@ object Jdbc {
   // in extra
   val clickhouse: DbPreset = DbPreset("org.postgresql.Driver", 9005,
     (h, p, d) => s"jdbc:postgresql://$h:$p/$d")
+  // Redshift requires the database in the URL; Oracle thin needs a
+  // service name — both fail at expansion when it's missing. The others
+  // tolerate an empty path (mysql/postgres default the database
+  // driver/server-side), so omitting `database` stays valid there.
   val redshift: DbPreset = DbPreset("com.amazon.redshift.jdbc42.Driver", 5439,
-    (h, p, d) => s"jdbc:redshift://$h:$p/$d")
+    (h, p, d) => s"jdbc:redshift://$h:$p/$d", databaseRequired = true)
   val oracle: DbPreset = DbPreset("oracle.jdbc.OracleDriver", 1521,
-    (h, p, d) => s"jdbc:oracle:thin:@//$h:$p/$d")
+    (h, p, d) => s"jdbc:oracle:thin:@//$h:$p/$d", databaseRequired = true)
   val postgres: DbPreset = DbPreset("org.postgresql.Driver", 5432,
     (h, p, d) => s"jdbc:postgresql://$h:$p/$d")
 
@@ -90,7 +95,9 @@ object Jdbc {
         val host = options.getOrElse("host",
           sys.error(s"jdbc preset '$p' needs a 'host' option"))
         val database = options.getOrElse("database",
-          sys.error(s"jdbc preset '$p' needs a 'database' option"))
+          if (preset.databaseRequired)
+            sys.error(s"jdbc preset '$p' needs a 'database' option")
+          else "")
         val port = options.get("port").map(_.toInt).getOrElse(0)
         Map("url" -> preset.url(host, database, port),
           "driver" -> preset.driver) ++

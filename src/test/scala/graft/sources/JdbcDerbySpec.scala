@@ -126,12 +126,15 @@ class JdbcDerbySpec extends SparkSpec {
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
     val msgs = chain(e).map(c => c.getClass.getName + " " + c.getMessage).mkString("; ")
     assert(msgs.contains("com.mysql.cj.jdbc.Driver"), s"unexpected failure: $msgs")
-    // and a missing database fails loudly AT EXPANSION, naming the key
+    // presets whose URL NEEDS the database fail loudly AT EXPANSION...
     val miss = intercept[RuntimeException] {
       Reader.read(spark, DatasetSpec(format = "jdbc",
-        readOptions = Map("preset" -> "mysql", "host" -> "h", "dbtable" -> "t")))
+        readOptions = Map("preset" -> "oracle", "host" -> "h", "dbtable" -> "t")))
     }
     assert(miss.getMessage.contains("'database'"))
+    // ...while mysql/postgres tolerate omission (driver/server-side default)
+    assert(Jdbc.expandPreset(Map("preset" -> "postgres", "host" -> "h"))("url") ==
+      "jdbc:postgresql://h:5432/")
   }
 
   test("incremental write appends instead of overwriting") {
