@@ -1,0 +1,68 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.EtlJob
+import graft.functions.TextFunctions
+import graft.ops.{Dedup, Sampling, TextAnalysis}
+
+/** Manifest-loadable job classes for the training-data pipeline — the
+  * `class:` twin of the reference's frameworked jobs
+  * (`jobs/examples/ex1_frameworked_job.py`), each a thin adapter from
+  * manifest params onto a library operator so the whole dedup → quality
+  * → split flow runs from YAML alone (see `conf/llm_pipeline.yml`).
+  *
+  * Params every job shares: `id_col` (default `doc_id`), `text_col`
+  * (default `text`).
+  */
+private object P {
+  def id(params: Map[String, String]): String = params.getOrElse("id_col", "doc_id")
+  def text(params: Map[String, String]): String = params.getOrElse("text_col", "text")
+}
+
+/** Exact near-copy removal: keep the lowest-id document per content
+  * fingerprint (whitespace-normalized md5). Runs FIRST in the pipeline —
+  * the recall contract of the pair-based near-dup operators assumes
+  * unbounded exact-copy groups are already collapsed.
+  */
+class DedupExactJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val df = inputs.values.head
+    Dedup.exactKeepFirst(
+      df.withColumn("_fp", TextFunctions.fingerprint(col(P.text(params)))),
+      Seq("_fp"), Seq(col(P.id(params)))).drop("_fp")
+  }
+}
+
+/** Quality gate: score each document (length/punct/digit/stopword mix)
+  * and keep rows at/above `min_quality` (default 0.3).
+  */
+class QualityFilterJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val df = inputs.values.head
+    val minQ = params.getOrElse("min_quality", "0.3").toDouble
+    val scored = TextAnalysis.qualityScore(df, P.id(params), P.text(params))
+      .select(col(P.id(params)), col("quality"))
+    df.join(scored, P.id(params)).filter(col("quality") >= minQ)
+  }
+}
+
+/** Deterministic train/val/test assignment: a pure function of
+  * (`salt`, id) — `fractions` like "train:0.9,val:0.05,test:0.05" —
+  * so membership never shifts across reruns, partitionings, or engines.
+  */
+class HashSplitJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val df = inputs.values.head
+    val fractions = params.getOrElse("fractions", "train:0.9,val:0.05,test:0.05")
+      .split(",").toSeq.map { part =>
+        val Array(name, frac) = part.split(":")
+        name.trim -> frac.trim.toDouble
+      }
+    Sampling.hashSplit(df, P.id(params), params.getOrElse("salt", "graft"),
+      fractions)
+  }
+}

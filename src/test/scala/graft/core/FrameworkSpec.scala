@@ -118,6 +118,26 @@ class FlowSpec extends SparkSpec {
     val outs = Flow.runPipeline(spark, jobs, "final", save = false)
     assert(outs("final").head().getLong(0) == 60L)
   }
+
+  test("llm_pipeline.yml runs dedup -> quality gate -> split from the manifest") {
+    val loaded = Manifest.loadFile("conf/llm_pipeline.yml", Seq("dev"), Map.empty)
+    def run() = Flow.runPipeline(spark, loaded.jobs, "split_corpus",
+      save = false)("split_corpus")
+    val out = run()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = out.count()
+    assert(n > 0 && n <= docs.count(), s"pipeline kept $n docs")
+    // every surviving doc carries a quality score and a split assignment
+    assert(out.columns.contains("quality") && out.columns.contains("split"))
+    val splits = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet.subsetOf(Set("train", "val", "test")))
+    assert(splits.values.sum == n)
+    // split membership is a pure function of (salt, id): rerun identical
+    val again = run()
+    assert(out.select("doc_id", "split")
+      .except(again.select("doc_id", "split")).isEmpty)
+  }
 }
 
 class EtlIoSpec extends SparkSpec {
