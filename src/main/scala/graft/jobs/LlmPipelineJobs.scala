@@ -35,6 +35,29 @@ class DedupExactJob extends EtlJob {
   }
 }
 
+/** Near-duplicate removal: MinHash+LSH candidate pairs (verified with
+  * exact Jaccard at `threshold`, default 0.8) clustered by connected
+  * components; one document — the minimum id — survives per cluster.
+  * Runs AFTER [[DedupExactJob]] per the operator's recall contract
+  * (unbounded exact-copy groups must already be collapsed). Params:
+  * `threshold`, `ngram` (shingle width, default 3).
+  */
+class NearDupJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val df = inputs.values.head
+    val pairs = Dedup.minhashLshPairs(df, P.id(params), P.text(params),
+      threshold = params.getOrElse("threshold", "0.8").toDouble,
+      n = params.getOrElse("ngram", "3").toInt)
+    // non-representative cluster members (id != comp) drop; docs with no
+    // near-dup never appear in the pair graph and survive untouched
+    val drop = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(P.id(params)))
+    df.join(drop, Seq(P.id(params)), "left_anti")
+  }
+}
+
 /** Quality gate: score each document (length/punct/digit/stopword mix)
   * and keep rows at/above `min_quality` (default 0.3).
   */

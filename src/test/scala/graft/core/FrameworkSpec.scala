@@ -119,6 +119,18 @@ class FlowSpec extends SparkSpec {
     assert(outs("final").head().getLong(0) == 60L)
   }
 
+  test("NearDupJob keeps one representative per near-dup cluster") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog today"), // near-dup of 1
+      (3L, "completely different content entirely here now with words")
+    ).toDF("doc_id", "text")
+    val out = new graft.jobs.NearDupJob()
+      .transform(Map("d" -> docs), spark, Map("threshold" -> "0.5"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+
   test("llm_pipeline.yml runs dedup -> quality gate -> split from the manifest") {
     val loaded = Manifest.loadFile("conf/llm_pipeline.yml", Seq("dev"), Map.empty)
     def run() = Flow.runPipeline(spark, loaded.jobs, "split_corpus",
