@@ -238,19 +238,26 @@ object Dedup {
 
   /** Connected components over an undirected pair list (a_id, b_id) —
     * turns near-duplicate PAIRS into duplicate CLUSTERS (keep one doc per
-    * component). Iterative min-label propagation: every node adopts the
-    * minimum label among itself and its neighbors until fixpoint; each
-    * round is one join + one aggregation, and the round count is the
-    * graph diameter — near-dup clusters are dense (quasi-cliques), so
-    * 2-3 rounds in practice, with `maxIter` as the safety bound.
-    * Lineage is truncated per round so the plan does not grow
-    * exponentially with iterations — the standard Spark iterative-graph
-    * pattern. Truncation uses RELIABLE `checkpoint()` (checkpoint-dir
-    * storage, survives executor loss) whenever the session has a
-    * checkpoint dir configured — an iterative algorithm compounds the
-    * executor-decommission risk over every round, so non-reliable
-    * `localCheckpoint` block storage is only the fallback for
-    * local/test sessions that never set a dir. On a cluster, set
+    * component). Alternating large-star / small-star contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    * each round, every node hooks its larger neighbors (large-star), then
+    * its smaller ones (small-star), onto the minimum of its neighborhood.
+    * The component's minimum pulls nodes in at geometrically increasing
+    * distance, so a PATH of length n converges in O(log n) rounds — where
+    * one-hop min-label propagation needs diameter-many rounds and a
+    * chain-shaped near-dup graph (templated pages with drifting content)
+    * would trip any practical `maxIter`. The fixpoint is a star per
+    * component, centered on the component's minimum id.
+    *
+    * Each round is two (join + aggregation) steps on an edge table that
+    * never exceeds the undirected input size. Lineage is truncated per
+    * round so the plan does not grow with iterations — the standard Spark
+    * iterative-graph pattern. Truncation uses RELIABLE `checkpoint()`
+    * (checkpoint-dir storage, survives executor loss) whenever the
+    * session has a checkpoint dir configured — an iterative algorithm
+    * compounds the executor-decommission risk over every round, so
+    * non-reliable `localCheckpoint` block storage is only the fallback
+    * for local/test sessions that never set a dir. On a cluster, set
     * `spark.sparkContext.setCheckpointDir(<shared fs path>)` first.
     *
     * Returns (id, comp) where comp = min doc id of the component.
@@ -262,12 +269,12 @@ object Dedup {
     val truncate: DataFrame => DataFrame = df =>
       if (reliable) df.checkpoint() else df.localCheckpoint()
     // Reliable checkpoints write a full dataset copy per round; without
-    // cleanup a call leaks (2 + rounds) copies into the shared checkpoint
+    // cleanup a call leaks (1 + rounds) copies into the shared checkpoint
     // dir forever (Spark only reclaims them with cleanCheckpoints=true,
     // GC-driven). Once round N is materialized, round N-1's files back
     // nothing — delete them as we go (the PeriodicCheckpointer pattern),
-    // and drop the loop-scoped edges table at the end, so a call leaves
-    // only the RETURNED labels' files behind.
+    // so a call leaves only the final star edges' files behind (the
+    // RETURNED labels project straight off them).
     def checkpointPathOf(df: DataFrame): Option[org.apache.hadoop.fs.Path] =
       if (!reliable) None
       else df.queryExecution.analyzed.collectFirst {
@@ -278,36 +285,59 @@ object Dedup {
         try { path.getFileSystem(sc.hadoopConfiguration).delete(path, true); () }
         catch { case _: java.io.IOException => () }
       }
-    val edges = truncate(
-      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
-    var labels = truncate(edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")))
-    var prevCp = checkpointPathOf(labels)
+    // Canonical parent edges (src, dst) with src > dst throughout.
+    var edges = truncate(pairs
+      .select(greatest(col("a_id"), col("b_id")).as("src"),
+        least(col("a_id"), col("b_id")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    var prevCp = checkpointPathOf(edges)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
-        .groupBy(col("src").as("id")).agg(min("comp").as("nmin"))
-      val updated = truncate(labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("comp").as("old"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp")))
-      converged = updated.filter(col("comp") =!= col("old")).isEmpty
-      deleteCheckpoint(prevCp) // superseded: updated is materialized
-      prevCp = checkpointPathOf(updated)
-      labels = updated.select("id", "comp")
+      // Large-star: over the SYMMETRIC neighborhood of u, every neighbor
+      // v > u hooks onto m = min(Γ(u) ∪ {u}). Each undirected edge is
+      // emitted exactly once (from its smaller endpoint's group), so the
+      // edge count never grows; connectivity is preserved (SoCC'14 Lem. 1).
+      val sym = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val lsMin = sym.groupBy("src").agg(min("dst").as("nmin"))
+        .select(col("src"), least(col("src"), col("nmin")).as("m"))
+      val large = sym.join(lsMin, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+      // Small-star: u and all its (now strictly smaller) neighbors hook
+      // onto m = min of those neighbors — flattening two-level trees.
+      val ssMin = large.groupBy("src").agg(min("dst").as("m"))
+      val small = large.join(ssMin, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(ssMin.select(col("src"), col("m").as("dst")))
+        .distinct()
+      val next = truncate(small)
+      // Fixpoint = the edge set is stable (a star per component). Both
+      // sides are distinct sets, so equal counts + empty one-way except
+      // is set equality; both run on checkpointed (lineage-free) data.
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      deleteCheckpoint(prevCp) // superseded: next is materialized
+      prevCp = checkpointPathOf(next)
+      edges = next
       iter += 1
     }
-    deleteCheckpoint(checkpointPathOf(edges)) // loop-scoped
     if (!converged) deleteCheckpoint(prevCp) // about to throw — don't leak
     // Partial labels are WORSE than no labels — one logical cluster split
-    // in two means dedup keeps extra copies silently. Min-label moves the
-    // minimum one hop per round, so a miss here means the graph has a
-    // path longer than maxIter: fail loudly, the caller raises the bound.
+    // in two means dedup keeps extra copies silently. Star contraction
+    // halves the remaining depth each round, so a miss here means maxIter
+    // was set below ~log2 of the graph diameter: fail loudly.
     require(converged, s"connectedComponents did not converge in $maxIter " +
-      s"rounds — the pair graph has a path longer than that; raise maxIter")
-    labels
+      s"large-star/small-star rounds — raise maxIter (rounds needed grow " +
+      "with log2 of the pair-graph diameter)")
+    // Star graph: leaves point at their component min; centers label
+    // themselves. Every input node is covered (a node is either some
+    // star's leaf or its own component's min).
+    edges.select(col("src").as("id"), col("dst").as("comp"))
+      .unionByName(edges.select(col("dst")).distinct()
+        .select(col("dst").as("id"), col("dst").as("comp")))
   }
 
   /** 64-bit SimHash fingerprint per document: per-bit majority vote over

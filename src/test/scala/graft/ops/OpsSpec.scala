@@ -180,12 +180,27 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
-  test("connectedComponents converges on a long path within maxIter") {
-    // path 0-1-2-...-9: min-label needs several rounds to reach the tail
-    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val comp = Dedup.connectedComponents(pairs).collect()
+  test("connectedComponents converges on a 100-node path in O(log n) rounds") {
+    // Path 0-1-2-...-99 — diameter 99. One-hop min-label propagation would
+    // need 99 rounds; large-star/small-star contracts the remaining depth
+    // geometrically, so maxIter = 10 suffices (and pins the O(log n) bound:
+    // a diameter-many algorithm fails this test loudly).
+    val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs, maxIter = 10).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comp.values.toSet == Set(0L) && comp.size == 10)
+    assert(comp.values.toSet == Set(0L) && comp.size == 100)
+  }
+
+  test("connectedComponents handles interleaved chains and high-id minima") {
+    // Two chains whose ids interleave (7-5-3-1 and 2-4-6-8 linked as
+    // given pairs in arbitrary a/b order) — exercises the greatest/least
+    // canonicalization and min-id labeling with non-contiguous ids.
+    val pairs = Seq((7L, 5L), (3L, 5L), (1L, 3L), (4L, 2L), (4L, 6L), (8L, 6L))
+      .toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs, maxIter = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 7L -> 1L,
+      2L -> 2L, 4L -> 2L, 6L -> 2L, 8L -> 2L))
   }
 
   test("maxShingleFreq cap-vs-uncapped equality on the testdata corpus") {
