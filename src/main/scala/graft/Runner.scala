@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.GraftSession
-import graft.core.model.Manifest
+import graft.core.model.{JobSpec, Manifest}
 import graft.engine.{Etl, Flow, MultiPass}
 import java.time.LocalDate
 
@@ -16,6 +16,27 @@ import java.time.LocalDate
   * }}}
   */
 object Runner {
+
+  /** Reliable-checkpoint opt-in (iterative ops like connectedComponents
+    * upgrade from localCheckpoint when a dir is configured): a job param
+    * or --param.checkpoint_dir=<shared fs path> on the CLI. The target
+    * job's param wins; in --dependencies mode an upstream job's
+    * declaration also counts (its operators run in this session too) —
+    * ties broken by job-name order so the pick is deterministic.
+    */
+  def resolveCheckpointDir(job: JobSpec, jobs: Map[String, JobSpec],
+                           withDependencies: Boolean): Option[String] = {
+    // param VALUES may reference other params ({{out_root}}/_ckpt) —
+    // resolve against the declaring job's merged param map
+    def dirOf(j: JobSpec): Option[String] =
+      j.params.get("checkpoint_dir")
+        .map(graft.core.model.Params.interpolate(_, j.params))
+    dirOf(job).orElse(
+      if (withDependencies)
+        jobs.toSeq.sortBy(_._1).flatMap(j => dirOf(j._2)).headOption
+      else None)
+  }
+
   def main(args: Array[String]): Unit = {
     val kv = args.collect {
       case a if a.startsWith("--") && a.contains("=") =>
@@ -29,17 +50,7 @@ object Runner {
     val loaded = Manifest.loadFile(manifestPath, modes, cmdParams)
     val job = loaded.jobs.getOrElse(jobName, sys.error(s"job not in manifest: $jobName"))
     val spark = GraftSession.local(appName = s"graft-$jobName")
-    // Reliable-checkpoint opt-in (iterative ops like connectedComponents
-    // upgrade from localCheckpoint when a dir is configured): a job param
-    // or --param.checkpoint_dir=<shared fs path> on the CLI. The target
-    // job's param wins; in --dependencies mode an upstream job's
-    // declaration also counts (its operators run in this session too) —
-    // ties broken by job-name order so the pick is deterministic.
-    job.params.get("checkpoint_dir")
-      .orElse(if (kv.contains("dependencies"))
-        loaded.jobs.toSeq.sortBy(_._1)
-          .flatMap(_._2.params.get("checkpoint_dir")).headOption
-      else None)
+    resolveCheckpointDir(job, loaded.jobs, kv.contains("dependencies"))
       .foreach(spark.sparkContext.setCheckpointDir)
     val save = !kv.contains("no_save")
     // Failure notification (reference send_job_failure_email,

@@ -59,16 +59,19 @@ class NearDupJob extends EtlJob {
 }
 
 /** Quality gate: score each document (length/punct/digit/stopword mix)
-  * and keep rows at/above `min_quality` (default 0.3).
+  * and keep rows at/above `min_quality` (default 0.3). The score is a
+  * pure function of the text column already on the row
+  * ([[TextAnalysis.qualityExpr]]), so the gate is an in-place
+  * withColumn + filter — no join, no shuffle; at corpus scale the stage
+  * is a single narrow pass.
   */
 class QualityFilterJob extends EtlJob {
   def transform(inputs: Map[String, DataFrame], spark: SparkSession,
                 params: Map[String, String]): DataFrame = {
     val df = inputs.values.head
     val minQ = params.getOrElse("min_quality", "0.3").toDouble
-    val scored = TextAnalysis.qualityScore(df, P.id(params), P.text(params))
-      .select(col(P.id(params)), col("quality"))
-    df.join(scored, P.id(params)).filter(col("quality") >= minQ)
+    df.withColumn("quality", TextAnalysis.qualityExpr(col(P.text(params))))
+      .filter(col("quality") >= minQ)
   }
 }
 

@@ -46,27 +46,50 @@ object TextAnalysis {
     * stopword ratio sits well above machine-generated or boilerplate text,
     * so the composite rewards it up to a 0.2 cap.
     */
+  private def punctRatio(text: Column): Column = {
+    val txt = lower(text)
+    round(length(regexp_replace(txt, "[a-z0-9\\s]", "")).cast("double") /
+      length(txt).cast("long"), 4)
+  }
+
+  private def digitRatio(text: Column): Column = {
+    val txt = lower(text)
+    round(length(regexp_replace(txt, "[^0-9]", "")).cast("double") /
+      length(txt).cast("long"), 4)
+  }
+
+  private def stopwordRatio(text: Column): Column = {
+    val enStops = stopwords.head._2
+    round(size(filter(tokens(text),
+      t => enStops.map(w => t === w).reduce(_ || _))).cast("double") /
+      tokenCount(text).cast("long"), 4)
+  }
+
+  /** The composite quality score as a single Column — a pure function of
+    * the text column already on the row, so a quality GATE is an in-place
+    * `df.filter(qualityExpr(col("text")) >= minQ)`: zero joins, zero
+    * shuffles, pushdown-eligible. [[qualityScore]] reuses this exact
+    * expression for its `quality` column, so gate and report can never
+    * disagree.
+    */
+  def qualityExpr(text: Column): Column =
+    round(least(lit(1.0), tokenCount(text).cast("long").cast("double") / 100) *
+      (lit(1.0) - punctRatio(text)) * (lit(1.0) - digitRatio(text)) *
+      (lit(0.8) + least(lit(0.2), stopwordRatio(text))), 4)
+
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val txt = lower(col(textCol))
     val nChars = length(txt).cast("long")
     val nToks = tokenCount(col(textCol)).cast("long")
-    val punct = length(regexp_replace(txt, "[a-z0-9\\s]", ""))
-    val digits = length(regexp_replace(txt, "[^0-9]", ""))
-    val enStops = stopwords.head._2
-    val stopHits = size(filter(tokens(col(textCol)),
-      t => enStops.map(w => t === w).reduce(_ || _))).cast("long")
     docs.select(
       col(idCol).as("doc_id"),
       nChars.as("n_chars"),
       nToks.as("n_tokens"),
       round((nChars - (nToks - 1)).cast("double") / nToks, 4).as("mean_tok_len"),
-      round(punct.cast("double") / nChars, 4).as("punct_ratio"),
-      round(digits.cast("double") / nChars, 4).as("digit_ratio"),
-      round(stopHits.cast("double") / nToks, 4).as("stopword_ratio"))
-      .withColumn("quality",
-        round(least(lit(1.0), col("n_tokens").cast("double") / 100) *
-          (lit(1.0) - col("punct_ratio")) * (lit(1.0) - col("digit_ratio")) *
-          (lit(0.8) + least(lit(0.2), col("stopword_ratio"))), 4))
+      punctRatio(col(textCol)).as("punct_ratio"),
+      digitRatio(col(textCol)).as("digit_ratio"),
+      stopwordRatio(col(textCol)).as("stopword_ratio"),
+      qualityExpr(col(textCol)).as("quality"))
   }
 
   /** Intra-document repetition ratio (the Gopher/RefinedWeb-style quality

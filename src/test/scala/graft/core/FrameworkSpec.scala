@@ -131,6 +131,40 @@ class FlowSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 3L))
   }
 
+  test("QualityFilterJob is a narrow in-place pass: no join, no exchange") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = new graft.jobs.QualityFilterJob()
+      .transform(Map("d" -> docs), spark, Map("min_quality" -> "0.3"))
+    // quality is a pure function of text, so the gate must compile to
+    // scan -> project -> filter — any Exchange or Join here would be a
+    // corpus-wide shuffle at 100 TB
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"unexpected join in:\n$plan")
+    assert(out.columns.contains("quality"))
+    // the in-place score is the same expression qualityScore reports
+    val viaScore = graft.ops.TextAnalysis
+      .qualityScore(docs, "doc_id", "text").select("doc_id", "quality")
+    val viaExpr = docs.select(col("doc_id"),
+      graft.ops.TextAnalysis.qualityExpr(col("text")).as("quality"))
+    assert(viaScore.except(viaExpr).isEmpty && viaExpr.except(viaScore).isEmpty)
+  }
+
+  test("llm_pipeline.yml declares a checkpoint_dir the Runner applies in --dependencies mode") {
+    val loaded = Manifest.loadFile("conf/llm_pipeline.yml", Seq("dev"), Map.empty)
+    // neardup_docs (the CC consumer) declares it directly...
+    assert(graft.Runner.resolveCheckpointDir(
+      loaded.jobs("neardup_docs"), loaded.jobs, withDependencies = false)
+      .contains("/tmp/graft_llm_demo/_ckpt"))
+    // ...and a --dependencies run targeting the downstream job inherits it
+    assert(graft.Runner.resolveCheckpointDir(
+      loaded.jobs("split_corpus"), loaded.jobs, withDependencies = true)
+      .contains("/tmp/graft_llm_demo/_ckpt"))
+    // a plain single-job run of the downstream job does NOT set one
+    assert(graft.Runner.resolveCheckpointDir(
+      loaded.jobs("split_corpus"), loaded.jobs, withDependencies = false).isEmpty)
+  }
+
   test("llm_pipeline.yml runs dedup -> quality gate -> split from the manifest") {
     val loaded = Manifest.loadFile("conf/llm_pipeline.yml", Seq("dev"), Map.empty)
     def run() = Flow.runPipeline(spark, loaded.jobs, "split_corpus",
