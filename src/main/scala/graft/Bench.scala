@@ -11,7 +11,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val queries = SparkEntry.queries
+    // optional args = query-name subset, for timing one operator while
+    // iterating; the driver passes none and benches everything
+    val queries =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.contains).toMap
     // Untimed warmup: JIT + whole-stage-codegen compilation is ~4-5s per
     // new plan family and would otherwise be charged to whichever query
     // first exercises the shape. Warm each family on the tiny sf0.001

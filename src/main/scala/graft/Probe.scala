@@ -43,6 +43,10 @@ object Probe {
         + " / " + docs.count())
     val jp = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.6)
     println("jaccard>=0.6 pairs: " + jp.count())
+    val jpCapped = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.6,
+      maxShingleFreq = Some(50))
+    println("capped jaccard pairs: " + jpCapped.count())
+    jpCapped.explain("formatted")
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.6)
     println("minhash-LSH verified pairs: " + lsh.count())
     println("simhash pairs dist<=3: " +

@@ -99,74 +99,61 @@ object Dedup {
     maxShingleFreq match {
       case None => pairsFromSizedShingles(sized, threshold)
       case Some(f) =>
-        // Heavy hitters first: the hot-key set is by definition tiny
-        // (<= total shingle occurrences / f), so COLLECT it in the one
-        // probe job and reuse the local table for the downstream anti/semi
-        // joins — re-deriving it lazily would rescan + re-aggregate the
-        // full shingle table once per use. When it's EMPTY — the common
-        // case — the capped plan is byte-identical to the uncapped
-        // single-pass plan, so the guard costs only this probe. (This
-        // makes jaccardPairs-with-cap eagerly run one aggregation job at
-        // call time.) The collect is memory-bounded BY CONSTRUCTION:
-        // limit(B+1) puts at most ~25 MB of shingle strings on the driver
-        // before the require can fire — B is sized to what the broadcast
-        // anti-join can comfortably carry, not to what the driver heap
-        // happens to survive.
-        val spark = docs.sparkSession
-        val hotBound = 250000
-        val hotRows = shingleTable(docs, idCol, textCol, n)
-          .groupBy("shingle").agg(count(lit(1)).as("_f"))
-          .filter(col("_f") > f).select("shingle")
-          .limit(hotBound + 1).collect()
-        require(hotRows.length <= hotBound, s"maxShingleFreq=$f marks over " +
-          s"$hotBound shingles as hot — that is not a stop-shingle cap " +
-          "(and no longer broadcastable); raise f")
-        if (hotRows.isEmpty) pairsFromSizedShingles(sized, threshold)
-        else {
-          import spark.implicits._
-          val hotKeys = hotRows.map(_.getString(0)).toSeq.toDF("shingle")
-          // Broadcast anti-join strips stop-shingle rows from candidate
-          // generation; n_sh stays the FULL per-doc count so jaccard
-          // denominators are exact under the cap.
-          val rare = sized.join(broadcast(hotKeys), Seq("shingle"), "left_anti")
-          val a = rare.select(col("doc_id").as("a_id"), col("shingle").as("sh_a"),
-            col("n_sh").as("n_a"))
-          val b = rare.select(col("doc_id").as("b_id"), col("shingle").as("sh_b"),
-            col("n_sh").as("n_b"))
-          // Single-pass rare-shingle join with the same size-ratio prune
-          // as the uncapped path (n_a/n_b are full sizes, so J <= min/max
-          // still bounds).
-          val candCounts = a.hint("shuffle_hash").join(b.hint("shuffle_hash"),
-              col("sh_a") === col("sh_b") && col("a_id") < col("b_id") &&
-              col("n_a") >= lit(threshold) * col("n_b") &&
-              col("n_b") >= lit(threshold) * col("n_a"))
-            .groupBy("a_id", "b_id", "n_a", "n_b")
-            .agg(count(lit(1)).as("n_rare"))
-          // Exact correction for intersections the rare join can't see:
-          // each doc's (small, <= |hotKeys|) set of hot shingles is
-          // aggregated ONCE into an array, joined to the candidates on
-          // doc-id keys, and the shared-hot count is an array_intersect —
-          // never the quadratic hot-key self-join the cap exists to
-          // avoid. Keying the correction off per-doc arrays (instead of a
-          // second join against candCounts) means candCounts appears in
-          // the plan exactly once, so no persist/checkpoint is needed and
-          // nothing is left in the block-manager cache after the call.
-          val hotSets = sized.join(broadcast(hotKeys), Seq("shingle"), "left_semi")
-            .groupBy("doc_id").agg(collect_set(col("shingle")).as("hot_sh"))
-          candCounts
-            .join(hotSets.select(col("doc_id").as("a_id"), col("hot_sh").as("hot_a")),
-              Seq("a_id"), "left")
-            .join(hotSets.select(col("doc_id").as("b_id"), col("hot_sh").as("hot_b")),
-              Seq("b_id"), "left")
-            .withColumn("n_hot",
-              when(col("hot_a").isNull || col("hot_b").isNull, lit(0L))
-                .otherwise(size(array_intersect(col("hot_a"), col("hot_b"))).cast("long")))
-            .withColumn("n_inter", col("n_rare") + col("n_hot"))
-            .withColumn("jaccard",
-              col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-            .filter(col("jaccard") >= threshold)
-            .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
-        }
+        // ONE shared scan: annotate every (doc_id, shingle, n_sh) row with
+        // the shingle's corpus document frequency. The frequency comes
+        // from groupBy (partial aggregation — skew-safe: a stop-shingle's
+        // millions of occurrences combine map-side, where a window over
+        // the shingle would pile them onto one task) over the SAME
+        // windowed subtree the join sides use, so the expensive
+        // scan+shingle+window exchange is computed once and reused
+        // (ReusedExchange) by the frequency agg, both self-join sides,
+        // and the hot-set correction. Everything below is a filter on
+        // this one table: no separate eager probe job, no driver
+        // collect, no broadcast — and no driver-side bound on how many
+        // shingles may be hot.
+        val freq = sized.groupBy("shingle").agg(count(lit(1)).as("_df"))
+        val annotated = sized.join(freq, "shingle")
+        // Rare rows drive candidate generation; n_sh stays the FULL
+        // per-doc count so jaccard denominators are exact under the cap.
+        val rare = annotated.filter(col("_df") <= f)
+        val a = rare.select(col("doc_id").as("a_id"), col("shingle").as("sh_a"),
+          col("n_sh").as("n_a"))
+        val b = rare.select(col("doc_id").as("b_id"), col("shingle").as("sh_b"),
+          col("n_sh").as("n_b"))
+        // Single-pass rare-shingle join with the same size-ratio prune
+        // as the uncapped path (n_a/n_b are full sizes, so J <= min/max
+        // still bounds).
+        val candCounts = a.hint("shuffle_hash").join(b.hint("shuffle_hash"),
+            col("sh_a") === col("sh_b") && col("a_id") < col("b_id") &&
+            col("n_a") >= lit(threshold) * col("n_b") &&
+            col("n_b") >= lit(threshold) * col("n_a"))
+          .groupBy("a_id", "b_id", "n_a", "n_b")
+          .agg(count(lit(1)).as("n_rare"))
+        // Exact correction for intersections the rare join can't see:
+        // each doc's (small — a doc holds few stop-shingles) set of hot
+        // shingles is aggregated ONCE into an array, joined to the
+        // candidates on doc-id keys, and the shared-hot count is an
+        // array_intersect — never the quadratic hot-key self-join the
+        // cap exists to avoid. Keying the correction off per-doc arrays
+        // (instead of a second join against candCounts) means candCounts
+        // appears in the plan exactly once, so no persist/checkpoint is
+        // needed and nothing is left in the block-manager cache after
+        // the call.
+        val hotSets = annotated.filter(col("_df") > f)
+          .groupBy("doc_id").agg(collect_set(col("shingle")).as("hot_sh"))
+        candCounts
+          .join(hotSets.select(col("doc_id").as("a_id"), col("hot_sh").as("hot_a")),
+            Seq("a_id"), "left")
+          .join(hotSets.select(col("doc_id").as("b_id"), col("hot_sh").as("hot_b")),
+            Seq("b_id"), "left")
+          .withColumn("n_hot",
+            when(col("hot_a").isNull || col("hot_b").isNull, lit(0L))
+              .otherwise(size(array_intersect(col("hot_a"), col("hot_b"))).cast("long")))
+          .withColumn("n_inter", col("n_rare") + col("n_hot"))
+          .withColumn("jaccard",
+            col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
     }
   }
 
