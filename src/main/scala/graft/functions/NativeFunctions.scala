@@ -1,11 +1,12 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 
@@ -71,6 +72,101 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All-tables sign-bit LSH bucket ids for one embedding: element `t` of
+  * the returned `array<int>` is the `bits`-bit bucket of hash table `t`,
+  * bit `i` set iff dot(embedding, planes(t)(i)) >= 0 — the same
+  * left-to-right double-accumulated dot as [[DotProductF]], so buckets
+  * are bit-identical to composing `dot_f` per plane.
+  *
+  * The planes ride a Spark BROADCAST (torrent-distributed once per
+  * executor, cached across stages) instead of being inlined as `lit()`
+  * plan literals: at production embedding dims, 1024 floats × 13 bits ×
+  * 16 tables is ~200k literals — plan-size, canonicalization, and
+  * codegen blowup before any data is read. One expression evaluation
+  * hashes ALL tables in a single pass over the vector (the embedding
+  * bytes are read once, not once per table).
+  */
+case class LshBuckets(child: Expression,
+                      planes: Broadcast[Array[Array[Array[Float]]]])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_buckets expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+
+  @transient private lazy val pl: Array[Array[Array[Float]]] = planes.value
+
+  override def nullSafeEval(input: Any): Any = {
+    val emb = input.asInstanceOf[ArrayData]
+    val out = new Array[Int](pl.length)
+    var t = 0
+    while (t < pl.length) {
+      val tbl = pl(t)
+      var bucket = 0
+      var i = 0
+      while (i < tbl.length) {
+        val plane = tbl(i)
+        val n = math.min(emb.numElements(), plane.length)
+        var acc = 0.0
+        var j = 0
+        while (j < n) {
+          acc += emb.getFloat(j).toDouble * plane(j).toDouble
+          j += 1
+        }
+        if (acc >= 0) bucket |= (1 << i)
+        i += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("lshPlanesBc", planes,
+      "org.apache.spark.broadcast.Broadcast")
+    // deserialize the broadcast once per task, not once per row
+    val planesVar = ctx.addMutableState("float[][][]", "lshPlanes",
+      v => s"$v = (float[][][]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, emb => {
+      val t = ctx.freshName("t")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val tbl = ctx.freshName("tbl")
+      val plane = ctx.freshName("plane")
+      val acc = ctx.freshName("acc")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |int[] $out = new int[$planesVar.length];
+         |for (int $t = 0; $t < $planesVar.length; $t++) {
+         |  float[][] $tbl = $planesVar[$t];
+         |  int $bucket = 0;
+         |  for (int $i = 0; $i < $tbl.length; $i++) {
+         |    float[] $plane = $tbl[$i];
+         |    int $n = java.lang.Math.min($emb.numElements(), $plane.length);
+         |    double $acc = 0.0;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $acc += (double) $emb.getFloat($j) * (double) $plane[$j];
+         |    }
+         |    if ($acc >= 0) $bucket |= (1 << $i);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NativeFunctions {
 
   /** Registry of native functions, shared by per-session registration
@@ -119,4 +215,13 @@ object NativeFunctions {
     * `register`).
     */
   def dotF(a: Column, b: Column): Column = call_function("dot_f", a, b)
+
+  /** Column API for [[LshBuckets]]. Built directly (not via the function
+    * registry — the broadcast handle is not an Expression argument).
+    */
+  def lshBuckets(emb: Column,
+                 planes: Broadcast[Array[Array[Array[Float]]]]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(LshBuckets(GraftSqlBridge.expression(emb), planes))
+  }
 }

@@ -1,9 +1,10 @@
 package graft.ops
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.NativeFunctions.dotF
+import graft.functions.NativeFunctions.{dotF, lshBuckets}
 
 /** Approximate / exact nearest-neighbor search over an embedding column
   * (`array<float>`).
@@ -50,10 +51,33 @@ object Similarity {
       .otherwise(dotF(col(s"${prefix1}_emb"), col(s"${prefix2}_emb")) / nn)
   }
 
-  /** Exact brute-force cosine top-k: every probe row scored against every
-    * corpus row; corpus never shuffles (probes broadcast).
+  /** The top-k entry points broadcast the probe side — a mistakenly
+    * corpus-sized probe set would OOM every executor, so the broadcast is
+    * gated the same way [[deltaNearDupPairs]] gates its delta: one cheap
+    * count of the SMALL side (skipped when the caller passes `probeRows`
+    * from an ingest manifest / prior count), failing loudly over
+    * `maxBroadcastProbes`. Top-k against a huge probe set is a different
+    * algorithm (bucketed candidates, e.g. [[lshCosinePairs]] /
+    * [[deltaNearDupPairs]]'s LSH route), not a bigger broadcast.
     */
-  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+  val DefaultMaxBroadcastProbes: Long = 1000000L
+
+  private def gateProbes(probes: DataFrame, probeRows: Option[Long],
+                         max: Long, caller: String): Unit = {
+    val n = probeRows.getOrElse(probes.count())
+    require(n <= max, s"$caller: probe side has $n rows > maxBroadcastProbes " +
+      s"$max — broadcasting it would OOM executors; use an LSH/bucketed " +
+      "pairing (deltaNearDupPairs, lshCosinePairs) for corpus-sized sides " +
+      "or raise the gate deliberately")
+  }
+
+  /** Exact brute-force cosine top-k: every probe row scored against every
+    * corpus row; corpus never shuffles (probes broadcast, size-gated).
+    */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                     maxBroadcastProbes: Long = DefaultMaxBroadcastProbes,
+                     probeRows: Option[Long] = None): DataFrame = {
+    gateProbes(probes, probeRows, maxBroadcastProbes, "bruteForceTopK")
     val p = withNorm(probes, "probe")
     val c = withNorm(corpus, "cand")
     val scored = c.join(broadcast(p), col("probe_id") =!= col("cand_id"))
@@ -65,7 +89,10 @@ object Similarity {
     * scored. `clusterCol` is a precomputed assignment (here the corpus'
     * `label`; in production, a k-means cell id the table is partitioned by).
     */
-  def ivfTopK(corpus: DataFrame, probes: DataFrame, clusterCol: String, k: Int): DataFrame = {
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, clusterCol: String, k: Int,
+              maxBroadcastProbes: Long = DefaultMaxBroadcastProbes,
+              probeRows: Option[Long] = None): DataFrame = {
+    gateProbes(probes, probeRows, maxBroadcastProbes, "ivfTopK")
     val p = withNorm(probes, "probe", Seq(clusterCol -> "p_cluster"))
     val c = withNorm(corpus, "cand", Seq(clusterCol -> "c_cluster"))
     val scored = c.join(broadcast(p),
@@ -154,20 +181,18 @@ object Similarity {
     * quadratic blowup.
     */
   /** (vec_id, t, bucket) sign-bit LSH bucket table — ids only, embeddings
-    * are not replicated per hash table.
+    * are not replicated per hash table. The planes ride a BROADCAST into
+    * the native [[graft.functions.LshBuckets]] expression (all tables
+    * hashed in one pass per row) rather than being inlined as `lit()`
+    * arrays — at production dims (1024 × 13 bits × 16 tables ≈ 200k
+    * literals) the literal plan blows up analysis and codegen before any
+    * data is read.
     */
-  private def bucketTable(df: DataFrame, planes: Array[Array[Array[Float]]],
-                          bits: Int): DataFrame = {
-    val buckets = planes.indices.map { t =>
-      val bucket = (0 until bits).map { i =>
-        val plane = array(planes(t)(i).map(v => lit(v)): _*)
-        when(dotF(col("embedding"), plane) >= 0, lit(1 << i)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(t).as("t"), bucket.as("bucket"))
-    }
-    df.select(col("vec_id"), explode(array(buckets: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-  }
+  private def bucketTable(df: DataFrame,
+                          planes: Broadcast[Array[Array[Array[Float]]]]): DataFrame =
+    df.select(col("vec_id"),
+        posexplode(lshBuckets(col("embedding"), planes)))
+      .toDF("vec_id", "t", "bucket")
 
   /** Exact-cosine verification of an (a_id, b_id) candidate set: vectors
     * join back in once per candidate; every reported pair is a true
@@ -203,8 +228,9 @@ object Similarity {
                      bits: Int = 0, tables: Int = 16, seed: Long = 42L,
                      dim: Option[Int] = None): DataFrame = {
     val b = bitsOf(corpus, bits)
-    val hashed = bucketTable(corpus,
-      hyperplanes(dimOf(corpus, dim), b, tables, seed), b)
+    val planes = corpus.sparkSession.sparkContext.broadcast(
+      hyperplanes(dimOf(corpus, dim), b, tables, seed))
+    val hashed = bucketTable(corpus, planes)
     val cand = hashed.as("x").join(hashed.as("y"), Seq("t", "bucket"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
@@ -275,9 +301,10 @@ object Similarity {
         s"$maxBroadcastDelta rows; switching from exact broadcast scoring to " +
         s"LSH-bucketed candidates (exact precision, approximate recall)")
       val b = bitsOf(corpus, bits)
-      val planes = hyperplanes(dimOf(corpus, dim), b, tables, seed)
-      val hp = bucketTable(delta, planes, b).withColumnRenamed("vec_id", "a_id")
-      val hc = bucketTable(corpus, planes, b).withColumnRenamed("vec_id", "b_id")
+      val planes = corpus.sparkSession.sparkContext.broadcast(
+        hyperplanes(dimOf(corpus, dim), b, tables, seed))
+      val hp = bucketTable(delta, planes).withColumnRenamed("vec_id", "a_id")
+      val hc = bucketTable(corpus, planes).withColumnRenamed("vec_id", "b_id")
       val cand = hp.join(hc, Seq("t", "bucket"))
         .filter(pairCond)
         .select("a_id", "b_id").distinct()

@@ -1,0 +1,17 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made the classic converters
+  * (`org.apache.spark.sql.classic.ExpressionUtils`) `private[sql]`, and
+  * the function registry can only build expressions whose constructor
+  * args are all Expressions — so a custom expression carrying a
+  * non-Expression payload (e.g. [[graft.functions.LshBuckets]]'s
+  * broadcast planes) needs this one-hop bridge to become a Column.
+  * Deliberately the ONLY file outside the `graft` namespace.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -38,6 +38,33 @@ class SimilarityIndexSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") &&
       (plan.contains("dynamicpruning") || plan.contains("isnotnull(label")))
   }
+
+  test("top-k probe broadcast is size-gated; probeRows hint skips the count") {
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // a corpus-sized probe side fails loudly instead of OOMing executors
+    intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(emb, emb, k = 3, maxBroadcastProbes = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(emb, emb, "label", k = 3, maxBroadcastProbes = 10)
+    }
+    // poison pill: any job touching this probe side throws — constructing
+    // the hinted plan proves the gate ran no count job
+    val boom = udf((_: Long) =>
+      { throw new RuntimeException("probe gate ran a job"); true })
+    val poisoned = emb.filter(boom(col("vec_id")))
+    Similarity.bruteForceTopK(emb, poisoned, k = 3, probeRows = Some(5L))
+    intercept[Exception] { // unhinted gate counts -> poison fires
+      Similarity.bruteForceTopK(emb, poisoned, k = 3)
+    }
+    // hinted and unhinted agree on real probes
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+    val unhinted = Similarity.bruteForceTopK(emb, probes, k = 3)
+      .collect().map(_.toSeq).toSeq
+    val hinted = Similarity.bruteForceTopK(emb, probes, k = 3,
+      probeRows = Some(5L)).collect().map(_.toSeq).toSeq
+    assert(hinted == unhinted && hinted.nonEmpty)
+  }
 }
 
 class KmeansIvfSpec extends SparkSpec {
@@ -140,6 +167,41 @@ class LshCosineSpec extends SparkSpec {
     val unhinted = Similarity.deltaNearDupPairs(emb, emb, threshold = 0.35)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == unhinted)
+  }
+
+  test("broadcast LshBuckets equals the literal sign-bit path at dim 64") {
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val planes = Similarity.hyperplanes(64, 13, 16, seed = 42L)
+    val bc = spark.sparkContext.broadcast(planes)
+    val native = emb.select(col("vec_id"),
+        posexplode(graft.functions.NativeFunctions.lshBuckets(col("embedding"), bc)))
+      .toDF("vec_id", "t", "bucket")
+    // the lit()-array shape this expression replaced — must bucket
+    // identically bit for bit
+    import graft.functions.NativeFunctions.dotF
+    val literal = emb.select(col("vec_id"), explode(array(planes.indices.map { t =>
+        val bucket = planes(t).indices.map { i =>
+          when(dotF(col("embedding"),
+            array(planes(t)(i).map(v => lit(v)): _*)) >= 0, lit(1 << i))
+            .otherwise(lit(0))
+        }.reduce(_ + _)
+        struct(lit(t).as("t"), bucket.as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    assert(native.except(literal).isEmpty && literal.except(native).isEmpty)
+  }
+
+  test("lshCosinePairs runs at dim 1024 without plan blowup") {
+    // 200 synthetic 1024-dim vectors; ids i and i+100 are identical, so
+    // every (i, i+100) pair MUST surface (identical vectors always share
+    // every bucket) and nothing else reaches cos >= 0.99
+    val corpus = spark.range(0, 200).toDF("vec_id")
+      .withColumn("embedding", expr(
+        "transform(sequence(1, 1024), j -> cast(sin((vec_id % 100 + 1) * j) AS float))"))
+    val got = Similarity.lshCosinePairs(corpus, threshold = 0.99,
+        bits = 8, tables = 4, dim = Some(1024))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L until 100L).map(i => (i, i + 100)).toSet)
   }
 
   test("hyperplanes are deterministic per seed") {
