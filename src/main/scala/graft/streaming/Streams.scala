@@ -210,12 +210,59 @@ object Sessionize {
 
 /** Kafka-sink payload semantics (reference yaetos/kafka_utils.py:14-73):
   * one JSON document per record with required-field validation before
-  * send. The actual Kafka transport needs the spark-sql-kafka connector
-  * (not present in this zero-egress image) — `payload` produces exactly
-  * the (key, value) frame `.format("kafka")` consumes, so wiring the
-  * transport is one `.writeStream.format("kafka")` away.
+  * send. The actual transport rides the spark-sql-kafka connector WHEN
+  * its jar is on the classpath ([[push]] probes for it) — in this
+  * zero-egress image it is absent, so `push` degrades to building and
+  * validating the exact (key, value) frame `.format("kafka")` consumes,
+  * reporting `sent = false`.
   */
 object KafkaSink {
+
+  /** Whether the spark-sql-kafka connector is loadable. Probed by CLASS
+    * (not by format-name resolution) so the check is cheap and
+    * side-effect-free.
+    */
+  def transportAvailable: Boolean =
+    try {
+      Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
+      true
+    } catch { case _: ClassNotFoundException => false }
+
+  /** Outcome of a [[push]]: whether the transport ran, the (key, value)
+    * frame that was (or would have been) produced, and the rows dropped
+    * by required-field validation — the caller decides whether a
+    * non-empty `invalid` is an error (the reference logs and drops).
+    */
+  final case class PushResult(sent: Boolean, payload: DataFrame, invalid: DataFrame)
+
+  /** Validate, serialize, and produce `df` to a Kafka topic. With the
+    * connector jar present this is a real batch produce via
+    * `.write.format("kafka")`; without it (this image) the validated
+    * payload is still built — same plan, same validation errors — and
+    * `sent = false` is returned with a loud stderr note, so pipelines
+    * are testable end-to-end up to the network boundary. (The present-jar
+    * branch is environment-gated: it cannot be exercised in a zero-egress
+    * image and is covered by the connector's own contract.)
+    */
+  def push(df: DataFrame, bootstrapServers: String, topic: String,
+           required: Seq[String] = Nil, keyCol: Option[String] = None): PushResult = {
+    val (valid, invalid) =
+      if (required.nonEmpty) validateRequired(df, required)
+      else (df, df.limit(0))
+    val frame = payload(valid, keyCol)
+    if (transportAvailable) {
+      frame.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("topic", topic)
+        .save()
+      PushResult(sent = true, payload = frame, invalid = invalid)
+    } else {
+      System.err.println(s"[graft] KafkaSink.push: spark-sql-kafka connector " +
+        s"not on the classpath; payload for topic '$topic' validated and " +
+        "built but NOT sent")
+      PushResult(sent = false, payload = frame, invalid = invalid)
+    }
+  }
 
   /** (key, value) frame: value = to_json(struct(*)), key optional. */
   def payload(df: DataFrame, keyCol: Option[String] = None): DataFrame = {

@@ -145,6 +145,24 @@ class StreamsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       KafkaSink.validateRequired(df, Seq("missing_col")))
   }
+
+  test("KafkaSink.push degrades cleanly when the connector jar is absent") {
+    import spark.implicits._
+    // this image has no spark-sql-kafka jar — the probe must say so
+    assert(!KafkaSink.transportAvailable)
+    val df = Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("id", "s")
+    val res = KafkaSink.push(df, "localhost:9092", "t",
+      required = Seq("id", "s"), keyCol = Some("id"))
+    // nothing was sent, but the payload is the exact frame format("kafka")
+    // consumes and validation still split the bad row
+    assert(!res.sent)
+    assert(res.payload.columns.toSeq == Seq("key", "value"))
+    assert(res.payload.count() == 1 && res.invalid.count() == 1)
+    assert(res.payload.head().getString(1) == """{"id":1,"s":"a"}""")
+    // no required fields -> everything valid, invalid side empty
+    val all = KafkaSink.push(df, "localhost:9092", "t")
+    assert(all.invalid.isEmpty && all.payload.count() == 2)
+  }
 }
 
 class TypedAndJdbcSpec extends SparkSpec {
