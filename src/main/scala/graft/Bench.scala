@@ -12,7 +12,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional args = query-name subset, for timing one operator while
-    // iterating; the driver passes none and benches everything
+    // iterating; the driver passes none and benches everything. Unknown
+    // names fail loudly — a typo'd subset would otherwise bench nothing
+    // and read as "no regression"
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown bench queries: ${unknown.mkString(", ")}")
     val queries =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.contains).toMap

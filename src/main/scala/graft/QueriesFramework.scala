@@ -331,71 +331,53 @@ object QueriesFramework {
     * quality formula gated at 0.3, and the q52 md5 bucket split with the
     * manifest's salt and 0.9/0.05/0.05 fractions.
     */
-  val q62 = {
-    val enStops = graft.ops.TextAnalysis.stopwords.head._2
-      .map(w => s"'$w'").mkString(", ")
-    QueryDef("q62_llm_pipeline", (spark, dir) => {
-      val loaded = graft.core.model.Manifest.loadFile("conf/llm_pipeline.yml",
-        Seq("dev"), Map("data" -> dir))
-      Flow.runPipeline(spark, loaded.jobs, "split_corpus", save = false)("split_corpus")
-        .select(col("doc_id"), col("quality"), col("split"))
-        .orderBy("doc_id")
-    }, Some(
-      s"""WITH RECURSIVE
-         |corpus AS (
-         |  SELECT doc_id, text FROM (
-         |    SELECT doc_id, text, row_number() OVER (
-         |        PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-         |        ORDER BY doc_id) AS rn
-         |    FROM documents) WHERE rn = 1),
-         |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM corpus),
-         |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
-         |        FROM toks WHERE len(l) >= 3),
-         |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
-         |       FROM pos),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
-         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2),
-         |pairs AS (SELECT a_id, b_id FROM inter
-         |          JOIN sizes sa ON sa.doc_id = inter.a_id
-         |          JOIN sizes sb ON sb.doc_id = inter.b_id
-         |          WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.8),
-         |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
-         |          UNION ALL SELECT b_id, a_id FROM pairs),
-         |walk(id, lbl) AS (
-         |  SELECT s, s FROM edges GROUP BY s
-         |  UNION
-         |  SELECT e.s, walk.lbl FROM edges e JOIN walk ON walk.id = e.d),
-         |drops AS (SELECT id FROM walk GROUP BY id HAVING id <> min(lbl)),
-         |kept AS (SELECT doc_id, text FROM corpus
-         |         WHERE doc_id NOT IN (SELECT id FROM drops)),
-         |scored AS (
-         |  SELECT doc_id,
-         |    round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio)
-         |      * (1.0 - digit_ratio) * (0.8 + least(0.2, stopword_ratio)), 4) AS quality
-         |  FROM (
-         |    SELECT doc_id,
-         |      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
-         |      round(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::DOUBLE
-         |        / length(lower(text)), 4) AS punct_ratio,
-         |      round(length(regexp_replace(lower(text), '[^0-9]', '', 'g'))::DOUBLE
-         |        / length(lower(text)), 4) AS digit_ratio,
-         |      round(len(list_filter(string_split(lower(text), ' '),
-         |          x -> list_contains([$enStops], x)))::DOUBLE
-         |        / len(string_split(lower(text), ' ')), 4) AS stopword_ratio
-         |    FROM kept))
-         |SELECT doc_id, quality,
-         |  CASE WHEN bucket < 9000 THEN 'train'
-         |       WHEN bucket < 9500 THEN 'val'
-         |       ELSE 'test' END AS split
-         |FROM (
-         |  SELECT doc_id, quality,
-         |    CAST(('0x' || substr(md5('demo1' || CAST(doc_id AS VARCHAR)), 1, 15))
-         |      AS BIGINT) % 10000 AS bucket
-         |  FROM scored WHERE quality >= 0.3)
-         |ORDER BY doc_id""".stripMargin))
-  }
+  val q62 = QueryDef("q62_llm_pipeline", (spark, dir) => {
+    val loaded = graft.core.model.Manifest.loadFile("conf/llm_pipeline.yml",
+      Seq("dev"), Map("data" -> dir))
+    Flow.runPipeline(spark, loaded.jobs, "split_corpus", save = false)("split_corpus")
+      .select(col("doc_id"), col("quality"), col("split"))
+      .orderBy("doc_id")
+  }, Some(
+    // shingle + quality SQL come from the same shared fragments as
+    // q26/q51/q33 — the pipeline gate and the per-operator gates cannot
+    // silently diverge
+    s"""WITH RECURSIVE
+       |corpus AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text, row_number() OVER (
+       |        PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+       |        ORDER BY doc_id) AS rn
+       |    FROM documents) WHERE rn = 1),
+       |${QueriesScale.duckShingles("corpus")},
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT a_id, b_id FROM inter
+       |          JOIN sizes sa ON sa.doc_id = inter.a_id
+       |          JOIN sizes sb ON sb.doc_id = inter.b_id
+       |          WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.8),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |walk(id, lbl) AS (
+       |  SELECT s, s FROM edges GROUP BY s
+       |  UNION
+       |  SELECT e.s, walk.lbl FROM edges e JOIN walk ON walk.id = e.d),
+       |drops AS (SELECT id FROM walk GROUP BY id HAVING id <> min(lbl)),
+       |kept AS (SELECT doc_id, text FROM corpus
+       |         WHERE doc_id NOT IN (SELECT id FROM drops)),
+       |scored AS (SELECT doc_id, quality
+       |           FROM (${QueriesScale.duckQualityScored("kept")}))
+       |SELECT doc_id, quality,
+       |  CASE WHEN bucket < 9000 THEN 'train'
+       |       WHEN bucket < 9500 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id, quality,
+       |    CAST(('0x' || substr(md5('demo1' || CAST(doc_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 10000 AS bucket
+       |  FROM scored WHERE quality >= 0.3)
+       |ORDER BY doc_id""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(q36, q37, q38, q39, q48, q49, q50, q54, q59,
     q60, q61, q62)

@@ -24,16 +24,47 @@ object QueriesScale {
        |    (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) *
        |     sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE))))""".stripMargin
 
-  /** DuckDB word-3-gram distinct shingle table over `documents`. */
-  private val duckShingles =
-    """toks AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
-      |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
-      |        FROM toks WHERE len(l) >= 3),
-      |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
-      |       FROM pos)""".stripMargin
+  /** DuckDB word-3-gram distinct shingle table over `src(doc_id, text)` —
+    * shared by every Jaccard-family oracle (q26/q27/q51/q62) so the
+    * shingle SQL can never diverge between them.
+    */
+  private[graft] def duckShingles(src: String = "documents"): String =
+    s"""toks AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM $src),
+       |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+       |        FROM toks WHERE len(l) >= 3),
+       |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+       |       FROM pos)""".stripMargin
+
+  /** The TextAnalysis.stopwords English head as a DuckDB list literal. */
+  private[graft] val enStopsSql: String =
+    TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB replay of the full quality-metric row over `src(doc_id,
+    * text)` — the SAME SQL backs q33 and the q62 pipeline gate, so the
+    * quality formula cannot silently diverge between them.
+    */
+  private[graft] def duckQualityScored(src: String = "documents"): String =
+    s"""SELECT doc_id, n_chars, n_tokens,
+       |  round((n_chars - (n_tokens - 1))::DOUBLE / n_tokens, 4) AS mean_tok_len,
+       |  punct_ratio, digit_ratio, stopword_ratio,
+       |  round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio)
+       |    * (1.0 - digit_ratio)
+       |    * (0.8 + least(0.2, stopword_ratio)), 4) AS quality
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(length(lower(text)) AS BIGINT) AS n_chars,
+       |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+       |    round(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::DOUBLE
+       |      / length(lower(text)), 4) AS punct_ratio,
+       |    round(length(regexp_replace(lower(text), '[^0-9]', '', 'g'))::DOUBLE
+       |      / length(lower(text)), 4) AS digit_ratio,
+       |    round(len(list_filter(string_split(lower(text), ' '),
+       |        x -> list_contains([$enStopsSql], x)))::DOUBLE
+       |      / len(string_split(lower(text), ' ')), 4) AS stopword_ratio
+       |  FROM $src)""".stripMargin
 
   private val jaccardOracle =
-    s"""WITH $duckShingles,
+    s"""WITH ${duckShingles()},
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -266,31 +297,10 @@ object QueriesScale {
   /** Text quality metrics + composite score (oracle embeds the same
     * stopword list as TextAnalysis.stopwords head).
     */
-  val q33 = {
-    val enStops = TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString(", ")
-    QueryDef("q33_quality_score", (spark, dir) =>
-      TextAnalysis.qualityScore(t(spark, dir, "documents"), "doc_id", "text").orderBy("doc_id"),
-      Some(
-        s"""SELECT doc_id, n_chars, n_tokens,
-           |  round((n_chars - (n_tokens - 1))::DOUBLE / n_tokens, 4) AS mean_tok_len,
-           |  punct_ratio, digit_ratio, stopword_ratio,
-           |  round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio)
-           |    * (1.0 - digit_ratio)
-           |    * (0.8 + least(0.2, stopword_ratio)), 4) AS quality
-           |FROM (
-           |  SELECT doc_id,
-           |    CAST(length(lower(text)) AS BIGINT) AS n_chars,
-           |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
-           |    round(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::DOUBLE
-           |      / length(lower(text)), 4) AS punct_ratio,
-           |    round(length(regexp_replace(lower(text), '[^0-9]', '', 'g'))::DOUBLE
-           |      / length(lower(text)), 4) AS digit_ratio,
-           |    round(len(list_filter(string_split(lower(text), ' '),
-           |        x -> list_contains([$enStops], x)))::DOUBLE
-           |      / len(string_split(lower(text), ' ')), 4) AS stopword_ratio
-           |  FROM documents)
-           |ORDER BY doc_id""".stripMargin))
-  }
+  val q33 = QueryDef("q33_quality_score", (spark, dir) =>
+    TextAnalysis.qualityScore(t(spark, dir, "documents"), "doc_id", "text").orderBy("doc_id"),
+    Some(s"""${duckQualityScored()}
+            |ORDER BY doc_id""".stripMargin))
 
   /** Token statistics per language group (whitespace + BPE-ish subwords). */
   val q34 = QueryDef("q34_token_stats", (spark, dir) =>
@@ -397,7 +407,7 @@ object QueriesScale {
       .select(col("id").as("doc_id"), col("comp"))
       .orderBy("doc_id")
   }, Some(
-    s"""WITH RECURSIVE $duckShingles,
+    s"""WITH RECURSIVE ${duckShingles()},
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -20,9 +20,11 @@ object Runner {
   /** Reliable-checkpoint opt-in (iterative ops like connectedComponents
     * upgrade from localCheckpoint when a dir is configured): a job param
     * or --param.checkpoint_dir=<shared fs path> on the CLI. The target
-    * job's param wins; in --dependencies mode an upstream job's
-    * declaration also counts (its operators run in this session too) —
-    * ties broken by job-name order so the pick is deterministic.
+    * job's param wins; in --dependencies mode a job in the target's
+    * UPSTREAM CLOSURE also counts (exactly the jobs `Flow.runPipeline`
+    * executes in this session — an unrelated pipeline sharing the
+    * manifest must not redirect this run's checkpoints) — ties broken by
+    * job-name order so the pick is deterministic.
     */
   def resolveCheckpointDir(job: JobSpec, jobs: Map[String, JobSpec],
                            withDependencies: Boolean): Option[String] = {
@@ -33,7 +35,8 @@ object Runner {
         .map(graft.core.model.Params.interpolate(_, j.params))
     dirOf(job).orElse(
       if (withDependencies)
-        jobs.toSeq.sortBy(_._1).flatMap(j => dirOf(j._2)).headOption
+        Flow.upstream(jobs, job.name).toSeq.sortBy(_._1)
+          .flatMap(j => dirOf(j._2)).headOption
       else None)
   }
 

@@ -59,8 +59,11 @@ object Similarity {
     * `maxBroadcastProbes`. Top-k against a huge probe set is a different
     * algorithm (bucketed candidates, e.g. [[lshCosinePairs]] /
     * [[deltaNearDupPairs]]'s LSH route), not a bigger broadcast.
+    * Default matches [[DefaultMaxBroadcastDelta]] — it is the same
+    * vectors-plus-norm broadcast shape, and at production dims (1024
+    * floats) even 100k rows is already ~400 MB.
     */
-  val DefaultMaxBroadcastProbes: Long = 1000000L
+  val DefaultMaxBroadcastProbes: Long = 100000L
 
   private def gateProbes(probes: DataFrame, probeRows: Option[Long],
                          max: Long, caller: String): Unit = {

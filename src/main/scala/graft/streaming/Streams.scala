@@ -220,13 +220,26 @@ object KafkaSink {
 
   /** Whether the spark-sql-kafka connector is loadable. Probed by CLASS
     * (not by format-name resolution) so the check is cheap and
-    * side-effect-free.
+    * side-effect-free — through the CONTEXT classloader, because jars
+    * supplied via `--jars`/`--packages` live in Spark's mutable
+    * classloader, not the application loader that defined this class
+    * (a bare `Class.forName` would miss them and silently skip the
+    * send). `initialize = false` plus the LinkageError catch keep a
+    * half-present connector (jar without its kafka-clients dependency)
+    * reporting unavailable instead of crashing the probe.
     */
-  def transportAvailable: Boolean =
+  def transportAvailable: Boolean = {
+    val loader = Option(Thread.currentThread().getContextClassLoader)
+      .getOrElse(getClass.getClassLoader)
     try {
-      Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
+      Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider",
+        false, loader)
       true
-    } catch { case _: ClassNotFoundException => false }
+    } catch {
+      case _: ClassNotFoundException => false
+      case _: LinkageError => false
+    }
+  }
 
   /** Outcome of a [[push]]: whether the transport ran, the (key, value)
     * frame that was (or would have been) produced, and the rows dropped

@@ -163,6 +163,14 @@ class FlowSpec extends SparkSpec {
     // a plain single-job run of the downstream job does NOT set one
     assert(graft.Runner.resolveCheckpointDir(
       loaded.jobs("split_corpus"), loaded.jobs, withDependencies = false).isEmpty)
+    // a job OUTSIDE the target's upstream closure (an unrelated pipeline
+    // sharing the manifest) must not redirect this run's checkpoints,
+    // even when it sorts first
+    val foreign = loaded.jobs("dedup_docs").copy(name = "aaa_foreign",
+      dependencies = Nil, params = Map("checkpoint_dir" -> "/tmp/elsewhere"))
+    assert(graft.Runner.resolveCheckpointDir(
+      loaded.jobs("split_corpus"), loaded.jobs + ("aaa_foreign" -> foreign),
+      withDependencies = true).contains("/tmp/graft_llm_demo/_ckpt"))
   }
 
   test("llm_pipeline.yml runs dedup -> quality gate -> split from the manifest") {
