@@ -278,6 +278,7 @@ object Dedup {
         least(col("a_id"), col("b_id")).as("dst"))
       .filter(col("src") =!= col("dst")).distinct())
     var prevCp = checkpointPathOf(edges)
+    var edgeCount = edges.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -305,10 +306,14 @@ object Dedup {
       // Fixpoint = the edge set is stable (a star per component). Both
       // sides are distinct sets, so equal counts + empty one-way except
       // is set equality; both run on checkpointed (lineage-free) data.
-      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      // The previous round's count is carried, so a non-final round costs
+      // one count job (the except only runs when counts already agree).
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
       deleteCheckpoint(prevCp) // superseded: next is materialized
       prevCp = checkpointPathOf(next)
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     if (!converged) deleteCheckpoint(prevCp) // about to throw — don't leak
