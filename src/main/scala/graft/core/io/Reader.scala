@@ -16,7 +16,13 @@ import graft.core.model.DatasetSpec
   */
 object Reader {
 
-  def read(spark: SparkSession, ds: DatasetSpec): DataFrame = {
+  /** `period` (as a `[from, until)` day pair) reaches the JDBC source as a
+    * database-side WHERE — only one period's rows cross the wire on an
+    * incremental pass. File formats ignore it (their period restriction
+    * is the pushdown-eligible [[graft.ops.Incremental.periodFilter]]).
+    */
+  def read(spark: SparkSession, ds: DatasetSpec,
+           period: Option[(String, String)] = None): DataFrame = {
     val path = ds.glob.map(g => s"${ds.path.stripSuffix("/")}/$g").getOrElse(ds.path)
     ds.format match {
       case "csv" =>
@@ -44,7 +50,7 @@ object Reader {
         graft.sources.Excel.read(spark, ds.path, headerRow)
       // fromSpec expands preset shorthand and owns all jdbc option
       // handling — one code path for manifest reads and direct calls
-      case "jdbc" => graft.sources.Jdbc.fromSpec(spark, ds)
+      case "jdbc" => graft.sources.Jdbc.fromSpec(spark, ds, period)
       // HTTP extraction (S11): `path` is the URL; driver-side fetch, then
       // spark.read over the landed bytes. Gzip auto-detected.
       case "http_csv" => graft.sources.Http.readCsv(spark, ds.path,

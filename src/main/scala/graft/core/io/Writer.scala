@@ -49,9 +49,13 @@ object Writer {
       case "orc" => w.orc(path)
       case "json" => w.json(path)
       case "text" => w.text(path)
+      // same mode policy as the file sinks: append only for incremental/
+      // partitioned jobs, error-if-exists otherwise — a re-run of a
+      // completed job must not silently drop + recreate the target table
+      // (and Written.mode reports what actually ran)
       case "jdbc" => repartitioned.write.format("jdbc")
-        .options(graft.sources.Jdbc.expandPreset(out.saveOptions)).mode(
-          if (incremental) SaveMode.Append else SaveMode.Overwrite).save()
+        .options(graft.sources.Jdbc.expandPreset(out.saveOptions))
+        .mode(mode).save()
       case other => sys.error(s"unsupported output format: $other")
     }
     Written(path, mode.toString)

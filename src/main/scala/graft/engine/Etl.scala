@@ -66,8 +66,20 @@ object Etl {
           sys.error(s"job ${job.name}: in-memory input '$src' not available"))
         case None if chainsByName => loadedInputs(name)
         case None =>
-          Reader.read(spark, ds.copy(path = PathTemplating.expand(ds.path, spark, now)))
+          // JDBC incremental inputs push the period range into the
+          // database query — a 1 TB source table must not cross the wire
+          // in full once per period just to be filtered Spark-side
+          val jdbcPeriod = (ds.format, ds.incField, period) match {
+            case ("jdbc", Some(_), Some(p)) =>
+              Some((p, java.time.LocalDate.parse(p).plusDays(1).toString))
+            case _ => None
+          }
+          Reader.read(spark,
+            ds.copy(path = PathTemplating.expand(ds.path, spark, now)), jdbcPeriod)
       }
+      // file formats restrict Spark-side (pushdown-eligible range filter);
+      // for the jdbc path this re-filter of already-restricted rows is a
+      // cheap invariant, not a second transfer
       val filtered = (ds.incField, period) match {
         case (Some(f), Some(p)) => Incremental.periodFilter(base, f, p)
         case _ => base

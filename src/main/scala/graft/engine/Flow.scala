@@ -189,18 +189,40 @@ object MultiPass {
       val matches = fs.globStatus(new org.apache.hadoop.fs.Path(priorPath))
       matches != null && matches.nonEmpty
     })
+    // Listing fast path (no_schema): inc_<now>_<period> dir names encode
+    // the period, so the max-done probe is ONE metadata listing — a year
+    // of accumulated 100 TB increments must not be read back to learn
+    // "resume from Tuesday". Any non-day increment name (period "all",
+    // streaming batch ids, foreign dirs) falls back to the data probe;
+    // partitioned sinks always data-probe (partition values may be full
+    // timestamps, URL-encoded in dir names).
+    val incDayRe = "^inc_.+_(\\d{4}-\\d{2}-\\d{2})$".r
+    val listedDays: Option[Seq[LocalDate]] =
+      if (!hasPrior || job.incrementalMode == "partitioned") None
+      else {
+        val names = Option(fs.globStatus(new org.apache.hadoop.fs.Path(priorPath)))
+          .map(_.toSeq.map(_.getPath.getName)).getOrElse(Seq.empty)
+        val parsed = names.map {
+          case incDayRe(d) => scala.util.Try(LocalDate.parse(d)).toOption
+          case _ => None
+        }
+        if (parsed.nonEmpty && parsed.forall(_.isDefined)) Some(parsed.flatten)
+        else None
+      }
     val lastDone: Option[LocalDate] =
       if (!hasPrior) None
-      else {
-        // read the sink back with the options it was WRITTEN with (e.g. a
-        // csv separator) layered over any read options
-        val prior = graft.core.io.Reader.read(spark,
-          out.copy(path = priorPath, glob = None,
-            readOptions = out.readOptions ++ out.saveOptions))
-        val m = prior.agg(org.apache.spark.sql.functions.max(
-          org.apache.spark.sql.functions.to_date(
-            org.apache.spark.sql.functions.col(incField)))).head()
-        if (m.isNullAt(0)) None else Some(m.getDate(0).toLocalDate)
+      else listedDays match {
+        case Some(days) => days.maxOption
+        case None =>
+          // read the sink back with the options it was WRITTEN with (e.g. a
+          // csv separator) layered over any read options
+          val prior = graft.core.io.Reader.read(spark,
+            out.copy(path = priorPath, glob = None,
+              readOptions = out.readOptions ++ out.saveOptions))
+          val m = prior.agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.to_date(
+              org.apache.spark.sql.functions.col(incField)))).head()
+          if (m.isNullAt(0)) None else Some(m.getDate(0).toLocalDate)
       }
     val first = lastDone.map(_.plusDays(1)).getOrElse(defaultFirst)
     if (first.isAfter(until)) Seq.empty

@@ -22,10 +22,28 @@ object Dedup {
 
   /** Exact dedup, deterministic keep-first: one row per distinct value of
     * `keys`, keeping the first row by `order`.
+    *
+    * Implemented as `min_by(struct(row), struct(order))` — an aggregation
+    * with MAP-SIDE partial combine — not a row_number window: this
+    * operator's contract is to absorb unbounded-copy-count duplicate
+    * groups (see [[jaccardPairs]]), and a window would pile every row of
+    * a 500M-copy hot key onto one task to sort, while the aggregate
+    * reduces each partition to one candidate row per key locally. Orders
+    * with explicit sort direction (`col.desc`) can't nest in a struct, so
+    * they fall back to the window form.
     */
   def exactKeepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    val plainAsc = order.forall(c =>
+      !org.apache.spark.sql.GraftSqlBridge.isSortOrder(c))
+    if (plainAsc) {
+      val rowS = struct(df.columns.map(col): _*)
+      val ordS = struct(order: _*)
+      df.groupBy(keys.map(col): _*).agg(min_by(rowS, ordS).as("_kf_row"))
+        .select(df.columns.map(c => col("_kf_row").getField(c).as(c)): _*)
+    } else {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    }
   }
 
   /** Long-format distinct (id, shingle) pairs for a document table. */
@@ -355,24 +373,44 @@ object Dedup {
     * self-join never goes O(n²).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame =
-    simhashPairsFrom(simhash(docs, idCol, textCol), maxDist)
+                   maxDist: Int = 3,
+                   maxBandFreq: Option[Int] = None): DataFrame =
+    simhashPairsFrom(simhash(docs, idCol, textCol), maxDist, maxBandFreq)
 
   /** Banding + hamming pairing over an existing (doc_id, simhash) table —
     * split out from [[simhashPairs]] so the fingerprint table can be
     * materialized (and independently verified) between the two stages.
+    *
+    * `maxBandFreq` is the skew guard for template-heavy corpora (the
+    * [[jaccardPairs]] `maxShingleFreq` analog): a 16-bit band value
+    * shared by millions of near-identical docs lands them all on one join
+    * key with a quadratic within-key candidate blowup. With a cap of f,
+    * bands present in > f docs are pruned from candidate generation
+    * (worst-case f² candidates per band key). The recall trade is
+    * explicit: a pair is missed only if EVERY band it shares is hot —
+    * which is the unbounded-exact-copy shape; per the same contract as
+    * jaccard's cap, run [[exactKeepFirst]] before pairing.
     */
-  def simhashPairsFrom(fp: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashPairsFrom(fp: DataFrame, maxDist: Int = 3,
+                       maxBandFreq: Option[Int] = None): DataFrame = {
     // 4 disjoint 16-bit bands guarantee (pigeonhole) that any pair within
     // hamming distance 3 shares at least one identical band; at maxDist 4+
     // the blocking would silently drop qualifying pairs
     require(maxDist <= 3, s"simhashPairs with 4 bands guarantees recall only " +
       s"for maxDist <= 3 (got $maxDist)")
-    val banded = fp.select(col("doc_id"), col("simhash"),
+    val allBands = fp.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(q =>
         struct(lit(q).as("q"),
           shiftright(col("simhash"), q * 16).bitwiseAND(0xFFFFL).as("qh"))): _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.q").as("q"), col("b.qh").as("qh"))
+    val banded = maxBandFreq match {
+      case None => allBands
+      case Some(f) =>
+        // partial-agg frequency + semi-join (skew-safe, same shape as the
+        // capped-jaccard frequency annotation)
+        val freq = allBands.groupBy("q", "qh").agg(count(lit(1)).as("_bf"))
+        allBands.join(freq.filter(col("_bf") <= f), Seq("q", "qh"), "left_semi")
+    }
     val cand = banded.as("x").join(banded.as("y"),
         col("x.q") === col("y.q") && col("x.qh") === col("y.qh") &&
         col("x.doc_id") < col("y.doc_id"))

@@ -10,9 +10,30 @@ import org.apache.spark.sql.functions._
   */
 object Incremental {
 
-  /** Keep rows of one day-granularity period: `date(incCol) == period`. */
-  def periodFilter(df: DataFrame, incCol: String, period: String): DataFrame =
-    df.filter(to_date(col(incCol)) === lit(period).cast("date"))
+  /** Keep rows of one day-granularity period: `date(incCol) == period`.
+    *
+    * For date/timestamp columns the predicate is a half-open RANGE on the
+    * raw column (`incCol >= p AND incCol < p+1d`) — equivalent under the
+    * session's UTC zone, but pushdown-eligible: parquet row-group min/max
+    * pruning and JDBC predicate pushdown both work, where
+    * `to_date(incCol) = p` is an expression on the column and forces every
+    * period's pass to scan the full input. Opaque (string) columns keep
+    * the to_date form.
+    */
+  def periodFilter(df: DataFrame, incCol: String, period: String): DataFrame = {
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    val p = lit(period).cast("date")
+    df.schema(incCol).dataType match {
+      case TimestampType => df.filter(
+        col(incCol) >= p.cast("timestamp") &&
+          col(incCol) < date_add(p, 1).cast("timestamp"))
+      case TimestampNTZType => df.filter(
+        col(incCol) >= p.cast("timestamp_ntz") &&
+          col(incCol) < date_add(p, 1).cast("timestamp_ntz"))
+      case DateType => df.filter(col(incCol) === p)
+      case _ => df.filter(to_date(col(incCol)) === p)
+    }
+  }
 
   /** Max of the increment column as a 1-row frame (for plan-side bounds). */
   def maxOf(df: DataFrame, incCol: String): DataFrame =

@@ -271,6 +271,10 @@ object Similarity {
     * metadata-cheap scan of the small side, not the corpus — and a caller
     * that already knows the delta size (an ingest manifest, a previous
     * count) can pass it as `deltaRows` and the gate runs NO job at all.
+    * The LSH branch additionally needs the CORPUS row count (to size the
+    * bucket bits) and the vector width when `bits`/`dim` are left to
+    * auto-size — pass `corpusRows`/`dim` to keep that branch free of
+    * corpus-wide driver actions too.
     *
     * `deltaInCorpus = true` (the modulo-sample / re-scan case) pairs on
     * `a_id < b_id`: a pair is reported iff its DELTA member has the lower
@@ -288,7 +292,8 @@ object Similarity {
                         bits: Int = 0, tables: Int = 16, seed: Long = 42L,
                         deltaInCorpus: Boolean = true,
                         dim: Option[Int] = None,
-                        deltaRows: Option[Long] = None): DataFrame = {
+                        deltaRows: Option[Long] = None,
+                        corpusRows: Option[Long] = None): DataFrame = {
     val pairCond =
       if (deltaInCorpus) col("a_id") < col("b_id") else col("a_id") =!= col("b_id")
     if (deltaRows.getOrElse(delta.count()) <= maxBroadcastDelta) {
@@ -303,7 +308,9 @@ object Similarity {
       System.err.println(s"[graft] deltaNearDupPairs: delta exceeds " +
         s"$maxBroadcastDelta rows; switching from exact broadcast scoring to " +
         s"LSH-bucketed candidates (exact precision, approximate recall)")
-      val b = bitsOf(corpus, bits)
+      val b =
+        if (bits > 0) bits
+        else autoBits(corpusRows.getOrElse(corpus.count()))
       val planes = corpus.sparkSession.sparkContext.broadcast(
         hyperplanes(dimOf(corpus, dim), b, tables, seed))
       val hp = bucketTable(delta, planes).withColumnRenamed("vec_id", "a_id")

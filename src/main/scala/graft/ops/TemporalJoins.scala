@@ -77,10 +77,17 @@ object TemporalJoins {
     require(clash.isEmpty, s"rangeJoin working column $cBucket collides with input")
     val lb = left.withColumn(cBucket,
       floor(unix_timestamp(col(leftTs)) / bucketSeconds))
-    val rb = right.withColumn(cBucket,
-      explode(sequence(
-        floor(unix_timestamp(col(rightStart)) / bucketSeconds),
-        floor(unix_timestamp(col(rightEnd)) / bucketSeconds))))
+    // An inverted interval (end < start) would make sequence() step
+    // BACKWARD — one corrupt row explodes into millions of descending
+    // buckets that the residual filter then silently discards. Fail on
+    // the row instead.
+    val startB = floor(unix_timestamp(col(rightStart)) / bucketSeconds)
+    val endB = floor(unix_timestamp(col(rightEnd)) / bucketSeconds)
+    val rb = right.withColumn(cBucket, explode(
+      when(endB >= startB, sequence(startB, endB)).otherwise(raise_error(
+        concat(lit("rangeJoin: inverted interval, start "),
+          col(rightStart).cast("string"), lit(" > end "),
+          col(rightEnd).cast("string"))))))
     val joinCols = cBucket +: key.toSeq
     lb.join(rb, joinCols)
       .filter(col(leftTs) >= col(rightStart) && col(leftTs) <= col(rightEnd))

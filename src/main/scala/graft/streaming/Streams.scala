@@ -83,6 +83,18 @@ object Streams {
     * suffixing, partitioning). Requires an incremental job — otherwise
     * the Writer's error-if-exists mode would kill the stream on the
     * second batch.
+    *
+    * Replay safety: Spark re-runs a micro-batch when the query fails (or
+    * restarts) after the write but before the checkpoint commit. For
+    * `no_schema` increments the target `inc_<now>_batch<id>` dir is a
+    * pure function of the batch id, so the bridge DELETES it before
+    * writing — a replay rewrites the same increment instead of appending
+    * a duplicate copy (pass the SAME `now` when restarting against the
+    * same checkpoint, or stale-now increments survive as duplicates).
+    * `partitioned` mode appends into shared partition dirs, where no
+    * per-batch scope exists to delete — that mode is at-least-once on
+    * replay; downstream consumers needing exactly-once should dedup on a
+    * key or consume `no_schema` increments.
     */
   def writeIncrements(stream: DataFrame, job: JobSpec, out: DatasetSpec,
                       checkpoint: String, now: String): StreamingQuery = {
@@ -93,9 +105,26 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        Writer.write(batch, job, out, now, period = Some(s"batch$id")): Unit
+        writeIncrement(batch.toDF(), job, out, now, id): Unit
       }
       .start()
+  }
+
+  /** One micro-batch's write — the foreachBatch body, separated so the
+    * replay contract is directly testable: calling it twice with the same
+    * batch id leaves exactly one copy of a `no_schema` increment.
+    */
+  def writeIncrement(batch: DataFrame, job: JobSpec, out: DatasetSpec,
+                     now: String, id: Long): Writer.Written = {
+    if (job.isIncremental && job.incrementalMode == "no_schema") {
+      val base = graft.core.io.PathTemplating.expandNow(out.path, now)
+        .stripSuffix("/")
+      val p = new org.apache.hadoop.fs.Path(s"$base/inc_${now}_batch$id")
+      val fs = p.getFileSystem(
+        batch.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
+    Writer.write(batch, job, out, now, period = Some(s"batch$id"))
   }
 }
 
@@ -103,6 +132,15 @@ object Streams {
   * `flatMapGroupsWithState` pattern: one state entry per key, emitted and
   * cleared when the gap elapses (processing-time timeout keeps the example
   * test-drivable; event-time gap logic is in `fold`).
+  *
+  * Skew scope note: within one micro-batch, a key's events are drained
+  * and sorted on one task (`fold` needs event order) — state across
+  * batches stays one summary per key, but a single key emitting tens of
+  * millions of events in ONE batch is a straggler/OOM risk. That is a
+  * data-quality signal (bot/default-id traffic): bound micro-batch size
+  * (`maxFilesPerTrigger`/`maxOffsetsPerTrigger`) and filter known
+  * degenerate keys upstream; the watermarked `windowedAgg`/`dedupStream`
+  * operators are the right tool when per-event ordering is not needed.
   */
 object Sessionize {
 

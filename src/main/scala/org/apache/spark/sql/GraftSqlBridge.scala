@@ -14,4 +14,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Whether the column is a sort expression (`col.desc` / `.asc_nulls_…`)
+    * rather than a value — sort nodes can't nest inside value expressions
+    * (struct, min_by), so callers pick a sort-based plan instead.
+    */
+  def isSortOrder(c: Column): Boolean =
+    c.node.isInstanceOf[org.apache.spark.sql.internal.SortOrder]
 }

@@ -381,6 +381,30 @@ class EtlIoSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out/inc_*").count() == 3)
   }
 
+  test("resume probes day-named increments by LISTING, not by reading data") {
+    val dir = tmp()
+    Seq(("2024-01-01 01:00:00", 1.0), ("2024-01-02 01:00:00", 2.0),
+        ("2024-01-03 01:00:00", 3.0))
+      .toDF("ts", "v").select(col("ts").cast("timestamp").as("ts"), col("v"))
+      .write.parquet(s"$dir/ev")
+    val job = JobSpec(name = "lres",
+      inputs = Map("ev" -> DatasetSpec(path = s"$dir/ev", incField = Some("ts"))),
+      output = Some(DatasetSpec(path = s"$dir/out", incField = Some("ts"))),
+      sql = Some("SELECT ts, v FROM ev"))
+    MultiPass.resume(spark, job, java.time.LocalDate.parse("2024-01-01"),
+      java.time.LocalDate.parse("2024-01-02"), now = "n1")
+    // corrupt every written increment's data files: if the probe read the
+    // sink back (the full-history scan this fast path removes), resume
+    // would fail — the directory NAMES alone must answer "resume from 03"
+    java.nio.file.Files.walk(java.nio.file.Path.of(s"$dir/out")).forEach { p =>
+      if (p.toString.endsWith(".parquet"))
+        java.nio.file.Files.write(p, "garbage".getBytes): Unit
+    }
+    val r2 = MultiPass.resume(spark, job, java.time.LocalDate.parse("2024-01-01"),
+      java.time.LocalDate.parse("2024-01-03"), now = "n2")
+    assert(r2.map(_.period) == Seq("2024-01-03"))
+  }
+
   test("resume works against a csv sink (format-aware probe and counts)") {
     val dir = tmp()
     Seq(("2024-01-01 01:00:00", 1.0), ("2024-01-02 01:00:00", 2.0),

@@ -146,6 +146,20 @@ class DedupSpec extends SparkSpec {
     assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
   }
 
+  test("exactKeepFirst is a partial-combining aggregate; desc orders fall back") {
+    val df = Seq((1L, "a", 3L), (1L, "b", 1L), (1L, "c", 2L), (2L, "d", 9L))
+      .toDF("k", "v", "o")
+    val kept = Dedup.exactKeepFirst(df, Seq("k"), Seq(col("o")))
+    assert(kept.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "b"), (2L, "d")))
+    // the hot-key-safe plan: aggregation (map-side combine), no Window sort
+    assert(!kept.queryExecution.executedPlan.toString.contains("Window"))
+    // explicit sort direction can't nest in the aggregate -> window path
+    val last = Dedup.exactKeepFirst(df, Seq("k"), Seq(col("o").desc))
+    assert(last.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "d")))
+  }
+
   test("connectedComponents writes reliable checkpoints when a dir is set") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
     spark.sparkContext.setCheckpointDir(dir.toString)
@@ -201,6 +215,23 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp == Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 7L -> 1L,
       2L -> 2L, 4L -> 2L, 6L -> 2L, 8L -> 2L))
+  }
+
+  test("simhash maxBandFreq prunes hot bands; rare-band pairs survive") {
+    // 6 identical boilerplate docs (every band hot) + one isolated
+    // near-dup pair with rare bands
+    val docs = ((1L to 6L).map(i => (i, "identical boilerplate text repeated "
+      + "across the whole template corpus")) ++ Seq(
+      (10L, "unique snowflake content entirely its own here"),
+      (11L, "unique snowflake content entirely its own here")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.simhashPairs(docs, "doc_id", "text")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((10L, 11L)) && uncapped.size > 1)
+    val capped = Dedup.simhashPairs(docs, "doc_id", "text", maxBandFreq = Some(3))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // boilerplate cluster (band freq 6 > 3) pruned; rare pair kept
+    assert(capped == Set((10L, 11L)))
   }
 
   test("maxShingleFreq cap-vs-uncapped equality on the testdata corpus") {

@@ -46,6 +46,29 @@ class JdbcDerbySpec extends SparkSpec {
     assert(math.abs(a - b) < 1e-6)
   }
 
+  test("Etl.runJob pushes an incremental jdbc input's period into the database") {
+    Jdbc.write(orders, url, "ORDERS_ETL", incremental = false,
+      extra = driverOpt ++ createTypes)
+    val period = orders.select("day").orderBy("day").head().getString(0)
+    val job = JobSpec(name = "inc_pull",
+      inputs = Map("src" -> DatasetSpec(format = "jdbc",
+        incField = Some("day"),
+        readOptions = Jdbc.fullTableOptions(url, "ORDERS_ETL", driverOpt))),
+      sql = Some("SELECT day, count(*) AS n FROM src GROUP BY day"))
+    val res = graft.engine.Etl.runJob(spark, job, period = Some(period),
+      save = false)
+    val rows = res.df.collect()
+    assert(rows.length == 1 && rows(0).getString(0) == period)
+    // the restriction ran IN the database: the scan's relation is built
+    // from the pushed range query, not the full dbtable
+    val scans = res.df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.toString
+    }
+    assert(scans.exists(s => s.contains("WHERE") && s.contains("day")),
+      s"expected a pushed range query in the JDBC relation, got: $scans")
+  }
+
   test("incremental read pushes the period range into the database query") {
     Jdbc.write(orders, url, "ORDERS_INC", incremental = false,
       extra = driverOpt ++ createTypes)

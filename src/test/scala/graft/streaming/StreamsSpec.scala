@@ -146,6 +146,21 @@ class StreamsSpec extends SparkSpec {
       KafkaSink.validateRequired(df, Seq("missing_col")))
   }
 
+  test("writeIncrement replay with the same batch id leaves exactly one copy") {
+    import spark.implicits._
+    import graft.core.model.{DatasetSpec, JobSpec}
+    val dir = java.nio.file.Files.createTempDirectory("graft_winc").toString
+    val out = DatasetSpec(path = s"$dir/sink", format = "parquet",
+      incField = Some("d"))
+    val job = JobSpec(name = "j", output = Some(out))
+    val batch = Seq((1L, "2024-01-01"), (2L, "2024-01-01")).toDF("id", "d")
+    Streams.writeIncrement(batch, job, out, now = "n1", id = 7L)
+    // failure-before-checkpoint-commit replays the SAME batch id: the
+    // increment must be rewritten, not appended a second time
+    Streams.writeIncrement(batch, job, out, now = "n1", id = 7L)
+    assert(spark.read.parquet(s"$dir/sink/inc_n1_batch7").count() == 2)
+  }
+
   test("KafkaSink.push degrades cleanly when the connector jar is absent") {
     import spark.implicits._
     // this image has no spark-sql-kafka jar — the probe must say so
