@@ -24,15 +24,27 @@ object Writer {
 
   final case class Written(path: String, mode: String)
 
-  def write(df: DataFrame, job: JobSpec, out: DatasetSpec,
-            now: String, period: Option[String] = None): Written = {
-    val incremental = job.isIncremental
+  /** The single definition of a write's target path — `inc_<now>_<period>`
+    * subfolder for `no_schema` incremental jobs, the expanded base
+    * otherwise. Streams.writeIncrement relies on this to delete a
+    * replayed micro-batch's increment before rewriting it; deriving the
+    * name anywhere else would silently break that replay dedup if the
+    * layout ever changed.
+    */
+  def targetPath(job: JobSpec, out: DatasetSpec, now: String,
+                 period: Option[String]): String = {
     val basePath = PathTemplating.expandNow(out.path, now)
-    val path = (incremental, job.incrementalMode) match {
+    (job.isIncremental, job.incrementalMode) match {
       case (true, "no_schema") =>
         s"${basePath.stripSuffix("/")}/inc_${now}_${period.getOrElse("all")}"
       case _ => basePath
     }
+  }
+
+  def write(df: DataFrame, job: JobSpec, out: DatasetSpec,
+            now: String, period: Option[String] = None): Written = {
+    val incremental = job.isIncremental
+    val path = targetPath(job, out, now, period)
     val partitionCols =
       if (incremental && job.incrementalMode == "partitioned")
         out.incField.toSeq ++ job.partitionBy
@@ -43,22 +55,27 @@ object Writer {
     val repartitioned = job.repartition.map(df.repartition(_)).getOrElse(df)
     var w = repartitioned.write.mode(mode).options(out.saveOptions)
     if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+    var actualMode = mode
     out.format match {
       case "csv" => w.option("header", "true").csv(path)
       case "parquet" => w.parquet(path)
       case "orc" => w.orc(path)
       case "json" => w.json(path)
       case "text" => w.text(path)
-      // same mode policy as the file sinks: append only for incremental/
-      // partitioned jobs, error-if-exists otherwise — a re-run of a
-      // completed job must not silently drop + recreate the target table
-      // (and Written.mode reports what actually ran)
-      case "jdbc" => repartitioned.write.format("jdbc")
-        .options(graft.sources.Jdbc.expandPreset(out.saveOptions))
-        .mode(mode).save()
+      // append only for genuinely incremental jobs, error-if-exists
+      // otherwise — a re-run of a completed job must not silently drop +
+      // recreate the target table, and a non-incremental PARTITIONED job
+      // must not inherit the file-sink append rule (jdbc ignores
+      // partitionBy: appending here would duplicate the full table on
+      // every re-run instead of landing in distinct partition dirs)
+      case "jdbc" =>
+        actualMode = if (incremental) SaveMode.Append else SaveMode.ErrorIfExists
+        repartitioned.write.format("jdbc")
+          .options(graft.sources.Jdbc.expandPreset(out.saveOptions))
+          .mode(actualMode).save()
       case other => sys.error(s"unsupported output format: $other")
     }
-    Written(path, mode.toString)
+    Written(path, actualMode.toString)
   }
 
   /** Schema sidecar: dump the output schema as JSON next to the data

@@ -200,13 +200,27 @@ object MultiPass {
     val listedDays: Option[Seq[LocalDate]] =
       if (!hasPrior || job.incrementalMode == "partitioned") None
       else {
-        val names = Option(fs.globStatus(new org.apache.hadoop.fs.Path(priorPath)))
-          .map(_.toSeq.map(_.getPath.getName)).getOrElse(Seq.empty)
-        val parsed = names.map {
-          case incDayRe(d) => scala.util.Try(LocalDate.parse(d)).toOption
-          case _ => None
-        }
-        if (parsed.nonEmpty && parsed.forall(_.isDefined)) Some(parsed.flatten)
+        val stats = Option(fs.globStatus(new org.apache.hadoop.fs.Path(priorPath)))
+          .map(_.toSeq).getOrElse(Seq.empty)
+        // A crashed mid-write increment dir exists but holds only
+        // uncommitted metadata (_temporary/_SUCCESS/dotfiles — the
+        // committer renames real part files in only at job commit).
+        // Counting it as done would silently skip the period forever;
+        // dirs without a committed data file are treated as not written,
+        // exactly like the data probe would.
+        def committed(st: org.apache.hadoop.fs.FileStatus): Boolean =
+          scala.util.Try(fs.listStatus(st.getPath).exists { f =>
+            val n = f.getPath.getName
+            f.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }).getOrElse(false)
+        val parsed = stats.map(st => st.getPath.getName match {
+          case incDayRe(d) if committed(st) =>
+            scala.util.Try(LocalDate.parse(d)).toOption.map(Some(_))
+          case incDayRe(_) => Some(None) // named but uncommitted: skip it
+          case _ => None                 // foreign name: fall back to probe
+        })
+        if (parsed.nonEmpty && parsed.forall(_.isDefined))
+          Some(parsed.flatten.flatten)
         else None
       }
     val lastDone: Option[LocalDate] =

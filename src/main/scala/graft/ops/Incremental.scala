@@ -23,14 +23,18 @@ object Incremental {
   def periodFilter(df: DataFrame, incCol: String, period: String): DataFrame = {
     import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
     val p = lit(period).cast("date")
-    df.schema(incCol).dataType match {
-      case TimestampType => df.filter(
+    // case-INSENSITIVE column lookup, matching the analyzer's default
+    // resolution (a manifest's inc_field: "TS" must keep resolving
+    // against a "ts" column); unknown/ambiguous falls to the to_date form
+    val dtype = df.schema.find(_.name.equalsIgnoreCase(incCol)).map(_.dataType)
+    dtype match {
+      case Some(TimestampType) => df.filter(
         col(incCol) >= p.cast("timestamp") &&
           col(incCol) < date_add(p, 1).cast("timestamp"))
-      case TimestampNTZType => df.filter(
+      case Some(TimestampNTZType) => df.filter(
         col(incCol) >= p.cast("timestamp_ntz") &&
           col(incCol) < date_add(p, 1).cast("timestamp_ntz"))
-      case DateType => df.filter(col(incCol) === p)
+      case Some(DateType) => df.filter(col(incCol) === p)
       case _ => df.filter(to_date(col(incCol)) === p)
     }
   }

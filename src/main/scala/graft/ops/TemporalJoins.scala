@@ -80,14 +80,18 @@ object TemporalJoins {
     // An inverted interval (end < start) would make sequence() step
     // BACKWARD — one corrupt row explodes into millions of descending
     // buckets that the residual filter then silently discards. Fail on
-    // the row instead.
+    // the row instead. NULL bounds keep their pre-existing drop semantics
+    // (explode of a null array emits nothing — the residual filter could
+    // never match them anyway).
     val startB = floor(unix_timestamp(col(rightStart)) / bucketSeconds)
     val endB = floor(unix_timestamp(col(rightEnd)) / bucketSeconds)
     val rb = right.withColumn(cBucket, explode(
-      when(endB >= startB, sequence(startB, endB)).otherwise(raise_error(
-        concat(lit("rangeJoin: inverted interval, start "),
-          col(rightStart).cast("string"), lit(" > end "),
-          col(rightEnd).cast("string"))))))
+      when(startB.isNull || endB.isNull, lit(null).cast("array<bigint>"))
+        .when(endB >= startB, sequence(startB, endB))
+        .otherwise(raise_error(
+          concat(lit("rangeJoin: inverted interval, start "),
+            col(rightStart).cast("string"), lit(" > end "),
+            col(rightEnd).cast("string"))))))
     val joinCols = cBucket +: key.toSeq
     lb.join(rb, joinCols)
       .filter(col(leftTs) >= col(rightStart) && col(leftTs) <= col(rightEnd))

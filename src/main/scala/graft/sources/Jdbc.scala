@@ -184,8 +184,17 @@ object Jdbc {
   def fromSpec(spark: SparkSession, ds: DatasetSpec,
                period: Option[(String, String)] = None): DataFrame = {
     val ro = expandPreset(ds.readOptions)
+    // The database-side period pushdown needs a plain `dbtable` to wrap;
+    // specs built on Spark's `query` option or a partitioned read
+    // (`partitionColumn` conflicts with a generated query) fall back to
+    // the full read — the engine's Spark-side period filter still
+    // restricts rows, just without the wire savings. Note the pushed
+    // predicate compares as a string literal: for a TIMESTAMP-typed
+    // increment column on a strict database, declare the column as a
+    // date/char type or cast via a `query` spec.
     val opts = (ds.incField, period) match {
-      case (Some(f), Some((p, pNext))) =>
+      case (Some(f), Some((p, pNext)))
+          if ro.contains("dbtable") && !ro.contains("partitionColumn") =>
         // manifests opt out of identifier quoting (legacy unquoted-DDL
         // tables) via read_kwargs: {quote_inc_field: "false"}
         incrementalOptions(ro("url"), ro("dbtable"),

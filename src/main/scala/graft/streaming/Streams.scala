@@ -116,15 +116,18 @@ object Streams {
     */
   def writeIncrement(batch: DataFrame, job: JobSpec, out: DatasetSpec,
                      now: String, id: Long): Writer.Written = {
+    val period = Some(s"batch$id")
     if (job.isIncremental && job.incrementalMode == "no_schema") {
-      val base = graft.core.io.PathTemplating.expandNow(out.path, now)
-        .stripSuffix("/")
-      val p = new org.apache.hadoop.fs.Path(s"$base/inc_${now}_batch$id")
+      // Writer.targetPath is the ONE definition of the increment layout —
+      // deleting a hand-derived name here would silently stop matching if
+      // the layout changed, and replays would duplicate again
+      val p = new org.apache.hadoop.fs.Path(
+        Writer.targetPath(job, out, now, period))
       val fs = p.getFileSystem(
         batch.sparkSession.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) { fs.delete(p, true); () }
     }
-    Writer.write(batch, job, out, now, period = Some(s"batch$id"))
+    Writer.write(batch, job, out, now, period)
   }
 }
 

@@ -400,6 +400,11 @@ class EtlIoSpec extends SparkSpec {
       if (p.toString.endsWith(".parquet"))
         java.nio.file.Files.write(p, "garbage".getBytes): Unit
     }
+    // a crashed mid-write increment (dir exists, only uncommitted
+    // _temporary inside) must NOT count as done — else its period would
+    // silently never re-run
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Path.of(s"$dir/out/inc_nX_2024-01-09/_temporary"))
     val r2 = MultiPass.resume(spark, job, java.time.LocalDate.parse("2024-01-01"),
       java.time.LocalDate.parse("2024-01-03"), now = "n2")
     assert(r2.map(_.period) == Seq("2024-01-03"))
