@@ -199,9 +199,17 @@ object Dedup {
     * 1-(1-0.8^4)^16 ≈ 0.9998 — and verification removes all false
     * positives, so output ⊆ exact jaccardPairs output.
     */
+  /** `maxBandFreq`: optional skew guard — an LSH bucket (band, bandhash)
+    * shared by > f docs is pruned from candidate generation, bounding the
+    * within-bucket self-join at f² candidates per key (the
+    * [[simhashPairsFrom]] cap, same recall contract: only pairs whose
+    * EVERY shared bucket is hot are missed — run [[exactKeepFirst]]
+    * first so that shape cannot occur).
+    */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, n: Int = 3,
-                      numHashes: Int = 64, numBands: Int = 16): DataFrame = {
+                      numHashes: Int = 64, numBands: Int = 16,
+                      maxBandFreq: Option[Int] = None): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rowsPerBand = numHashes / numBands
     val sh = sizedShingles(docs, idCol, textCol, n)
@@ -210,9 +218,17 @@ object Dedup {
       val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bandhash"))
     }
-    val buckets = sig.select(col("doc_id"),
+    val allBuckets = sig.select(col("doc_id"),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bandhash").as("bandhash"))
+    val buckets = maxBandFreq match {
+      case None => allBuckets
+      case Some(f) =>
+        val freq = allBuckets.groupBy("band", "bandhash")
+          .agg(count(lit(1)).as("_bf"))
+        allBuckets.join(freq.filter(col("_bf") <= f),
+          Seq("band", "bandhash"), "left_semi")
+    }
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bandhash") === col("y.bandhash") &&

@@ -234,6 +234,21 @@ class DedupSpec extends SparkSpec {
     assert(capped == Set((10L, 11L)))
   }
 
+  test("minhash maxBandFreq prunes hot buckets; rare-bucket pairs survive") {
+    val docs = ((1L to 6L).map(i => (i, "identical boilerplate text repeated "
+      + "across the whole template corpus")) ++ Seq(
+      (10L, "unique snowflake content entirely its own here today"),
+      (11L, "unique snowflake content entirely its own here today")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.6)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((10L, 11L)) && uncapped.size > 1)
+    val capped = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.6,
+        maxBandFreq = Some(3))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((10L, 11L)))
+  }
+
   test("maxShingleFreq cap-vs-uncapped equality on the testdata corpus") {
     val corpus = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     def run(cap: Option[Int]) =
