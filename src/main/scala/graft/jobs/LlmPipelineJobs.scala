@@ -40,7 +40,8 @@ class DedupExactJob extends EtlJob {
   * components; one document — the minimum id — survives per cluster.
   * Runs AFTER [[DedupExactJob]] per the operator's recall contract
   * (unbounded exact-copy groups must already be collapsed). Params:
-  * `threshold`, `ngram` (shingle width, default 3).
+  * `threshold`, `ngram` (shingle width, default 3), `max_band_freq`
+  * (optional hot-bucket skew cap — see `Dedup.minhashLshPairs`).
   */
 class NearDupJob extends EtlJob {
   def transform(inputs: Map[String, DataFrame], spark: SparkSession,
@@ -48,7 +49,8 @@ class NearDupJob extends EtlJob {
     val df = inputs.values.head
     val pairs = Dedup.minhashLshPairs(df, P.id(params), P.text(params),
       threshold = params.getOrElse("threshold", "0.8").toDouble,
-      n = params.getOrElse("ngram", "3").toInt)
+      n = params.getOrElse("ngram", "3").toInt,
+      maxBandFreq = params.get("max_band_freq").map(_.toInt))
     // non-representative cluster members (id != comp) drop; docs with no
     // near-dup never appear in the pair graph and survive untouched
     val drop = Dedup.connectedComponents(pairs)
