@@ -217,6 +217,22 @@ class DedupSpec extends SparkSpec {
       2L -> 2L, 4L -> 2L, 6L -> 2L, 8L -> 2L))
   }
 
+  test("exactKeepFirst null order values sort first, matching the window path") {
+    // struct-wrapped ordering compares fields nulls-first — identical to
+    // the window's default asc_nulls_first, so the aggregate and window
+    // implementations can never disagree on null handling
+    val df = Seq((1L, Option.empty[String], "kept"), (1L, Some("a"), "dropped"),
+      (2L, Some("z"), "only")).toDF("k", "ord", "tag")
+    val agg = Dedup.exactKeepFirst(df, Seq("k"), Seq(col("ord")))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(agg == Set((1L, "kept"), (2L, "only")))
+    // and the window fallback (desc => nulls LAST by default) stays the
+    // mirror image
+    val desc = Dedup.exactKeepFirst(df, Seq("k"), Seq(col("ord").desc))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(desc == Set((1L, "dropped"), (2L, "only")))
+  }
+
   test("simhash maxBandFreq prunes hot bands; rare-band pairs survive") {
     // 6 identical boilerplate docs (every band hot) + one isolated
     // near-dup pair with rare bands
