@@ -571,6 +571,19 @@ object QueriesScale {
       |  CAST((length(r) - length(replace(r, '<PHONE>', ''))) / 7 AS BIGINT) AS n_phone
       |FROM red ORDER BY doc_id""".stripMargin))
 
+  /** MinHash+LSH with the hot-bucket skew cap ON — the production plan
+    * shape for template-heavy corpora. Held to the same exact-Jaccard
+    * oracle as the uncapped q27: the green hash is itself the proof that
+    * the cap costs no recall on this corpus (no LSH bucket exceeds 50
+    * docs), the identical contract q26 pins for the shingle-frequency
+    * cap.
+    */
+  val q63 = QueryDef("q63_minhash_capped", (spark, dir) =>
+    Dedup.minhashLshPairs(t(spark, dir, "documents"), "doc_id", "text",
+        threshold = 0.6, maxBandFreq = Some(50))
+      .orderBy("a_id", "b_id"),
+    Some(jaccardOracle))
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32,
-    q33, q34, q35, q40, q51, q52, q53, q55, q56, q57, q58)
+    q33, q34, q35, q40, q51, q52, q53, q55, q56, q57, q58, q63)
 }

@@ -140,12 +140,33 @@ object Streams {
   * and sorted on one task (`fold` needs event order) — state across
   * batches stays one summary per key, but a single key emitting tens of
   * millions of events in ONE batch is a straggler/OOM risk. That is a
-  * data-quality signal (bot/default-id traffic): bound micro-batch size
-  * (`maxFilesPerTrigger`/`maxOffsetsPerTrigger`) and filter known
-  * degenerate keys upstream; the watermarked `windowedAgg`/`dedupStream`
-  * operators are the right tool when per-event ordering is not needed.
+  * data-quality signal (bot/default-id traffic), so the drain is BOUNDED
+  * (`maxBatchEventsPerKey`): past the bound the query fails loudly with
+  * the key named, instead of OOMing an executor — bound the trigger
+  * (`maxFilesPerTrigger`/`maxOffsetsPerTrigger`) or filter the key
+  * upstream; the watermarked `windowedAgg`/`dedupStream` operators are
+  * the right tool when per-event ordering is not needed.
   */
 object Sessionize {
+
+  /** Default per-key per-micro-batch event bound (~a few hundred MB of
+    * buffered Event objects — survivable once, named loudly instead of a
+    * silent OOM).
+    */
+  val DefaultMaxBatchEventsPerKey: Int = 5000000
+
+  private def boundedDrain[T](uid: Long, it: Iterator[T], max: Int): Seq[T] = {
+    val buf = collection.mutable.ArrayBuffer.empty[T]
+    it.foreach { e =>
+      require(buf.size < max,
+        s"sessionize: key $uid has >= $max events in one micro-batch — a " +
+          "degenerate hot key (bot/default-id traffic) would OOM the " +
+          "executor; bound the trigger (maxFilesPerTrigger/" +
+          "maxOffsetsPerTrigger) or filter the key upstream")
+      buf += e
+    }
+    buf.toSeq
+  }
 
   final case class Event(user_id: Long, ts_ms: Long, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
@@ -184,7 +205,9 @@ object Sessionize {
     * advances, so the flush needs no new same-key data.
     */
   def sessionsEventTime(events: Dataset[Event], gapMs: Long,
-                        watermarkDelay: String): Dataset[Session] = {
+                        watermarkDelay: String,
+                        maxBatchEventsPerKey: Int = DefaultMaxBatchEventsPerKey):
+      Dataset[Session] = {
     import events.sparkSession.implicits._
     val timed = events
       .withColumn("ts", timestamp_millis(col("ts_ms")))
@@ -200,7 +223,8 @@ object Sessionize {
             Iterator(Session(uid, s.start, s.end, s.n, s.sum))
           } else {
             val (next, closed) = fold(state.getOption,
-              it.map(t => Event(t.user_id, t.ts_ms, t.value)).toSeq, gapMs)
+              boundedDrain(uid, it.map(t => Event(t.user_id, t.ts_ms, t.value)),
+                maxBatchEventsPerKey), gapMs)
             next.foreach { s =>
               state.update(s)
               // flush when the watermark passes end+gap; a timeout in the
@@ -224,7 +248,9 @@ object Sessionize {
     * micro-batches stay purely data-driven.
     */
   def sessions(events: Dataset[Event], gapMs: Long,
-               idleTimeout: Boolean = true): Dataset[Session] = {
+               idleTimeout: Boolean = true,
+               maxBatchEventsPerKey: Int = DefaultMaxBatchEventsPerKey):
+      Dataset[Session] = {
     import events.sparkSession.implicits._
     val timeoutConf =
       if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout
@@ -238,7 +264,8 @@ object Sessionize {
             state.remove()
             Iterator(Session(uid, s.start, s.end, s.n, s.sum))
           } else {
-            val (next, closed) = fold(state.getOption, it.toSeq, gapMs)
+            val (next, closed) = fold(state.getOption,
+              boundedDrain(uid, it, maxBatchEventsPerKey), gapMs)
             next.foreach { s =>
               state.update(s)
               if (idleTimeout) state.setTimeoutDuration(gapMs)

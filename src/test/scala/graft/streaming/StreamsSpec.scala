@@ -146,6 +146,24 @@ class StreamsSpec extends SparkSpec {
       KafkaSink.validateRequired(df, Seq("missing_col")))
   }
 
+  test("sessionize fails loudly when one key floods a micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Sessionize.Event]
+    val sess = Sessionize.sessions(mem.toDS(), gapMs = 1000,
+      idleTimeout = false, maxBatchEventsPerKey = 2)
+    val q = sess.toDF.writeStream.format("memory").queryName("flood_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(Sessionize.Event(7L, 1000L, 1.0),
+        Sessionize.Event(7L, 1100L, 1.0), Sessionize.Event(7L, 1200L, 1.0))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(String.valueOf(e.getCause).contains("key 7"))
+    } finally q.stop()
+  }
+
   test("writeIncrement replay with the same batch id leaves exactly one copy") {
     import spark.implicits._
     import graft.core.model.{DatasetSpec, JobSpec}
