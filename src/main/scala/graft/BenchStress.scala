@@ -44,6 +44,13 @@ object BenchStress {
     time("minhashLshPairs") {
       Dedup.minhashLshPairs(stressed, "doc_id", "text", threshold = 0.6).count()
     }
+    // hot-bucket cap engaged: every planted near-dup family (copies+1 docs)
+    // shares buckets, so cap=copies prunes them — measures the guard's
+    // frequency-annotation overhead AND its candidate savings under load
+    time(s"minhashLshPairs(cap=$copies)") {
+      Dedup.minhashLshPairs(stressed, "doc_id", "text", threshold = 0.6,
+        maxBandFreq = Some(copies)).count()
+    }
     time("simhashPairs") {
       Dedup.simhashPairs(stressed, "doc_id", "text", maxDist = 3).count()
     }
