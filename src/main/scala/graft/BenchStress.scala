@@ -44,12 +44,13 @@ object BenchStress {
     time("minhashLshPairs") {
       Dedup.minhashLshPairs(stressed, "doc_id", "text", threshold = 0.6).count()
     }
-    // hot-bucket cap engaged: every planted near-dup family (copies+1 docs)
-    // shares buckets, so cap=copies prunes them — measures the guard's
-    // frequency-annotation overhead AND its candidate savings under load
-    time(s"minhashLshPairs(cap=$copies)") {
+    // hot-bucket cap engaged: every planted near-dup family holds exactly
+    // `copies` docs sharing buckets, so cap = copies - 1 prunes family
+    // buckets — measures the guard's frequency-annotation overhead AND
+    // its candidate savings under load
+    time(s"minhashLshPairs(cap=${copies - 1})") {
       Dedup.minhashLshPairs(stressed, "doc_id", "text", threshold = 0.6,
-        maxBandFreq = Some(copies)).count()
+        maxBandFreq = Some(copies - 1)).count()
     }
     time("simhashPairs") {
       Dedup.simhashPairs(stressed, "doc_id", "text", maxDist = 3).count()

@@ -198,8 +198,8 @@ object Dedup {
     * With 64 hashes / 16 bands, detection probability at jaccard 0.8 is
     * 1-(1-0.8^4)^16 ≈ 0.9998 — and verification removes all false
     * positives, so output ⊆ exact jaccardPairs output.
-    */
-  /** `maxBandFreq`: optional skew guard — an LSH bucket (band, bandhash)
+    *
+    * `maxBandFreq`: optional skew guard — an LSH bucket (band, bandhash)
     * shared by > f docs is pruned from candidate generation, bounding the
     * within-bucket self-join at f² candidates per key (the
     * [[simhashPairsFrom]] cap, same recall contract: only pairs whose

@@ -155,7 +155,8 @@ object Sessionize {
     */
   val DefaultMaxBatchEventsPerKey: Int = 5000000
 
-  private def boundedDrain[T](uid: Long, it: Iterator[T], max: Int): Seq[T] = {
+  private def boundedDrain[T](uid: Long, it: Iterator[T],
+                              max: Int): collection.Seq[T] = {
     val buf = collection.mutable.ArrayBuffer.empty[T]
     it.foreach { e =>
       require(buf.size < max,
@@ -165,7 +166,9 @@ object Sessionize {
           "maxOffsetsPerTrigger) or filter the key upstream")
       buf += e
     }
-    buf.toSeq
+    // no defensive copy: this buffer is at the exact memory-pressure
+    // point the bound protects — fold only reads it
+    buf
   }
 
   final case class Event(user_id: Long, ts_ms: Long, value: Double)
@@ -176,7 +179,8 @@ object Sessionize {
   /** Pure state fold: feed sorted events; emit a session whenever the gap
     * between consecutive events exceeds `gapMs`.
     */
-  def fold(state: Option[SessionState], events: Seq[Event], gapMs: Long):
+  def fold(state: Option[SessionState], events: collection.Seq[Event],
+           gapMs: Long):
       (Option[SessionState], Seq[(SessionState, Long)]) = {
     var cur = state
     val out = collection.mutable.ArrayBuffer.empty[(SessionState, Long)]
