@@ -356,42 +356,80 @@ object QueriesScale {
     * verification in SQL — bucket bits come from sign(dot), which both
     * engines compute identically in double.
     */
-  val q40 = {
-    // bits pinned at 4 (not the ~6 the autoBits occupancy rule would pick
-    // for 5000 vecs): at 16 tables the wider buckets buy ~0.94 recall at
-    // cos 0.4 vs ~0.79 with 6 bits, and occupancy ~300 is nowhere near
-    // quadratic danger at this corpus size — the auto rule is for scale,
-    // the gate query demonstrates recall
-    val (bits, tables, seed, threshold) = (4, 16, 42L, 0.4)
-    val dim = 64 // embeddings are 64-dim (TESTDATA corpus)
-    val planes = Similarity.hyperplanes(dim, bits, tables, seed)
+  // bits pinned at 4 (not the ~6 the autoBits occupancy rule would pick
+  // for 5000 vecs): at 16 tables the wider buckets buy ~0.94 recall at
+  // cos 0.4 vs ~0.79 with 6 bits, and occupancy ~300 is nowhere near
+  // quadratic danger at this corpus size — the auto rule is for scale,
+  // the gate queries demonstrate recall. ONE definition of the replayed
+  // LSH pipeline (planes, bucketing SQL, scored-pair CTEs) backs both the
+  // pair gate (q40) and the cluster gate (q64), so they cannot diverge.
+  private val lshGateBits = 4
+  private val lshGateTables = 16
+  private val lshGateSeed = 42L
+  private val lshGateThreshold = 0.4
+  private val lshGateDim = 64 // embeddings are 64-dim (TESTDATA corpus)
+
+  /** hashed/cand/av/bv/scored CTE chain replaying the sign-bit LSH
+    * bucketing + exact-cosine scoring in DuckDB (plane literals from the
+    * same seeded generator the Spark side broadcasts).
+    */
+  private lazy val lshGateCtes: String = {
+    val planes = Similarity.hyperplanes(lshGateDim, lshGateBits,
+      lshGateTables, lshGateSeed)
     def planeSql(p: Array[Float]): String =
       p.map(_.toString).mkString("[", ", ", "]::FLOAT[]")
     def dotPlane(p: Array[Float]): String =
       s"list_sum(list_transform(list_zip(embedding, ${planeSql(p)}), x -> x[1]::DOUBLE * x[2]::DOUBLE))"
-    val bucketRows = (0 until tables).map { t =>
-      val bucket = (0 until bits).map { i =>
+    val bucketRows = (0 until lshGateTables).map { t =>
+      val bucket = (0 until lshGateBits).map { i =>
         s"(CASE WHEN ${dotPlane(planes(t)(i))} >= 0 THEN ${1 << i} ELSE 0 END)"
       }.mkString(" + ")
       s"SELECT vec_id, $t AS t, $bucket AS bucket FROM embeddings"
     }.mkString("\nUNION ALL ")
-    QueryDef("q40_lsh_cosine_pairs",
-      (spark, dir) => Similarity.lshCosinePairs(
-        t(spark, dir, "embeddings"), threshold, bits, tables, seed,
-        dim = Some(dim)),
-      Some(
-        s"""WITH hashed AS ($bucketRows),
-           |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
-           |         FROM hashed x JOIN hashed y
-           |           ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
-           |av AS (SELECT vec_id, embedding AS ae FROM embeddings),
-           |bv AS (SELECT vec_id, embedding AS be FROM embeddings),
-           |scored AS (SELECT a_id, b_id, ${duckCos("ae", "be")} AS cos
-           |           FROM cand JOIN av ON a_id = av.vec_id
-           |           JOIN bv ON b_id = bv.vec_id)
-           |SELECT a_id, b_id, round(cos, 4) AS cos FROM scored
-           |WHERE cos >= $threshold ORDER BY a_id, b_id""".stripMargin))
+    s"""hashed AS ($bucketRows),
+       |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+       |         FROM hashed x JOIN hashed y
+       |           ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |av AS (SELECT vec_id, embedding AS ae FROM embeddings),
+       |bv AS (SELECT vec_id, embedding AS be FROM embeddings),
+       |scored AS (SELECT a_id, b_id, ${duckCos("ae", "be")} AS cos
+       |           FROM cand JOIN av ON a_id = av.vec_id
+       |           JOIN bv ON b_id = bv.vec_id)""".stripMargin
   }
+
+  val q40 = QueryDef("q40_lsh_cosine_pairs",
+    (spark, dir) => Similarity.lshCosinePairs(
+      t(spark, dir, "embeddings"), lshGateThreshold, lshGateBits,
+      lshGateTables, lshGateSeed, dim = Some(lshGateDim)),
+    Some(
+      s"""WITH $lshGateCtes
+         |SELECT a_id, b_id, round(cos, 4) AS cos FROM scored
+         |WHERE cos >= $lshGateThreshold ORDER BY a_id, b_id""".stripMargin))
+
+  /** Embedding-modality near-dup CLUSTERS — the [[q51]] twin for vectors:
+    * q40's LSH cosine pairs fed through connected components, keep-min-id
+    * semantics. The oracle replays the identical LSH pipeline (shared
+    * CTE fragment) and clusters with the same recursive CTE as q51.
+    */
+  val q64 = QueryDef("q64_embedding_neardup_clusters", (spark, dir) => {
+    val pairs = Similarity.lshCosinePairs(
+        t(spark, dir, "embeddings"), lshGateThreshold, lshGateBits,
+        lshGateTables, lshGateSeed, dim = Some(lshGateDim))
+      .select(col("a_id"), col("b_id"))
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("vec_id"), col("comp"))
+      .orderBy("vec_id")
+  }, Some(
+    s"""WITH RECURSIVE $lshGateCtes,
+       |pairs AS (SELECT a_id, b_id FROM scored WHERE cos >= $lshGateThreshold),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |walk(id, lbl) AS (
+       |  SELECT s, s FROM edges GROUP BY s
+       |  UNION
+       |  SELECT e.s, walk.lbl FROM edges e JOIN walk ON walk.id = e.d)
+       |SELECT id AS vec_id, min(lbl) AS comp FROM walk
+       |GROUP BY id ORDER BY vec_id""".stripMargin))
 
   /** Near-dup CLUSTERS: q26's pair output fed through connected
     * components (min-label propagation). The oracle replays the pairing
@@ -585,5 +623,5 @@ object QueriesScale {
     Some(jaccardOracle))
 
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32,
-    q33, q34, q35, q40, q51, q52, q53, q55, q56, q57, q58, q63)
+    q33, q34, q35, q40, q51, q52, q53, q55, q56, q57, q58, q63, q64)
 }
