@@ -205,6 +205,49 @@ class DedupSpec extends SparkSpec {
     assert(comp.values.toSet == Set(0L) && comp.size == 100)
   }
 
+  test("connectedComponents matches brute-force union-find on random graphs") {
+    // randomized cross-check of the star-contraction rewrite: any shape
+    // (chains, cliques, isolated pairs, self-loop-free random mix) must
+    // agree with a driver-side union-find
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 4) {
+      val n = 40
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      val parent = collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map { v =>
+        v -> nodes.filter(u => find(u) == find(v)).min
+      }.toMap
+      val got = Dedup.connectedComponents(edges.toDF("a_id", "b_id"),
+          maxIter = 12).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+    }
+  }
+
+  test("exactKeepFirst matches a driver-side reference on random data") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(120)((rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong,
+      rnd.nextInt(100)))
+      // unique (k, o) keeps the declared order total — ties would make
+      // both the operator and the reference legitimately arbitrary
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val df = rows.toDF("k", "o", "v")
+    val expected = rows.groupBy(_._1).map { case (_, g) => g.minBy(_._2) }.toSet
+    val got = Dedup.exactKeepFirst(df, Seq("k"), Seq(col("o"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+  }
+
   test("connectedComponents handles interleaved chains and high-id minima") {
     // Two chains whose ids interleave (7-5-3-1 and 2-4-6-8 linked as
     // given pairs in arbitrary a/b order) — exercises the greatest/least
