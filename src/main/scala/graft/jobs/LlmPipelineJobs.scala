@@ -45,19 +45,11 @@ class DedupExactJob extends EtlJob {
   */
 class NearDupJob extends EtlJob {
   def transform(inputs: Map[String, DataFrame], spark: SparkSession,
-                params: Map[String, String]): DataFrame = {
-    val df = inputs.values.head
-    val pairs = Dedup.minhashLshPairs(df, P.id(params), P.text(params),
+                params: Map[String, String]): DataFrame =
+    Dedup.dropNearDuplicates(inputs.values.head, P.id(params), P.text(params),
       threshold = params.getOrElse("threshold", "0.8").toDouble,
       n = params.getOrElse("ngram", "3").toInt,
       maxBandFreq = params.get("max_band_freq").map(_.toInt))
-    // non-representative cluster members (id != comp) drop; docs with no
-    // near-dup never appear in the pair graph and survive untouched
-    val drop = Dedup.connectedComponents(pairs)
-      .filter(col("id") =!= col("comp"))
-      .select(col("id").as(P.id(params)))
-    df.join(drop, Seq(P.id(params)), "left_anti")
-  }
 }
 
 /** Quality gate: score each document (length/punct/digit/stopword mix)

@@ -366,6 +366,24 @@ object Dedup {
         .select(col("dst").as("id"), col("dst").as("comp")))
   }
 
+  /** End-to-end near-duplicate REMOVAL: MinHash+LSH pairs (exact-Jaccard
+    * verified) → connected components → keep the minimum id per cluster;
+    * documents in no near-dup pair survive untouched. This is the
+    * composition `graft.jobs.NearDupJob` runs from YAML, exposed as one
+    * library call. Run [[exactKeepFirst]] first per the pairing recall
+    * contract (unbounded exact-copy groups must already be collapsed).
+    */
+  def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                         threshold: Double = 0.8, n: Int = 3,
+                         maxBandFreq: Option[Int] = None): DataFrame = {
+    val pairs = minhashLshPairs(docs, idCol, textCol, threshold, n,
+      maxBandFreq = maxBandFreq)
+    val drop = connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash fingerprint per document: per-bit majority vote over
     * xxhash64(token) — expressed as 64 codegen'd aggregate columns (sum of
     * ±1 per bit), then packed into one long. One shuffle on doc_id.
