@@ -345,7 +345,8 @@ object Queries {
     q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23)
 
   val all: Seq[QueryDef] =
-    relational ++ QueriesScale.all ++ QueriesFramework.all ++ QueriesExtra.all
+    relational ++ QueriesScale.all ++ QueriesFramework.all ++
+      QueriesExtra.all ++ QueriesText.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

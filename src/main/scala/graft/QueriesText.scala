@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Queries.QueryDef
+import graft.core.Tables
+import graft.functions.NativeFunctions
+import graft.ops.{Dedup, Sampling, TextAnalysis, WebText}
+
+/** Round-4 training-data operators behind the hash gate: line-grain
+  * corpus dedup, Unicode normalization, domain capping, TF-IDF keywords,
+  * stratified mix sampling. Oracles replay the identical arithmetic in
+  * DuckDB (see QueriesScale's conventions: deterministic ORDER BY,
+  * rounded doubles, BIGINT counts, tie-broken rankings).
+  */
+object QueriesText {
+
+  private def t(spark: org.apache.spark.sql.SparkSession, dir: String, name: String) =
+    Tables.load(spark, dir, name)
+
+  /** Corpus-wide line-level dedup (C4-style boilerplate removal): three
+    * boilerplate lines are planted across overlapping doc subsets (every
+    * 3rd/4th/5th doc), each must survive only at its first corpus
+    * position, and documents must reassemble in original line order.
+    */
+  val q65 = QueryDef("q65_line_dedup", (spark, dir) => {
+    val corpus = t(spark, dir, "documents").select(col("doc_id"),
+      concat_ws("\n",
+        when(col("doc_id") % 3 === 0, lit("accept cookies to continue")),
+        substring(col("text"), 1, 150),
+        when(col("doc_id") % 4 === 0, lit("subscribe to our newsletter now")),
+        when(col("doc_id") % 5 === 0, lit("all rights reserved worldwide"))
+      ).as("text"))
+    Dedup.dedupLines(corpus, "doc_id", "text").orderBy("doc_id")
+  }, Some(
+    """WITH corpus AS (
+      |  SELECT doc_id, concat_ws(chr(10),
+      |    CASE WHEN doc_id % 3 = 0 THEN 'accept cookies to continue' END,
+      |    substr(text, 1, 150),
+      |    CASE WHEN doc_id % 4 = 0 THEN 'subscribe to our newsletter now' END,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'all rights reserved worldwide' END) AS text
+      |  FROM documents),
+      |spl AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM corpus),
+      |ln AS (SELECT doc_id, i - 1 AS idx, l[i] AS line
+      |       FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+      |             FROM spl)),
+      |ranked AS (SELECT doc_id, idx, line,
+      |             row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+      |           FROM ln),
+      |kept AS (SELECT doc_id, idx, line FROM ranked WHERE rn = 1),
+      |tot AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY doc_id),
+      |reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text,
+      |               count(*) AS n_kept
+      |        FROM kept GROUP BY doc_id)
+      |SELECT reb.doc_id, text, n_kept, n_lines - n_kept AS n_dropped
+      |FROM reb JOIN tot ON reb.doc_id = tot.doc_id
+      |ORDER BY reb.doc_id""".stripMargin))
+
+  /** Unicode NFC normalization via the native [[NormalizeUtf8]] codegen
+    * expression: decomposed sequences (e + combining acute, u + combining
+    * diaeresis) are planted next to precomposed characters; the hash pins
+    * the normalized bytes (md5) and the code-point shrink.
+    */
+  val q66 = QueryDef("q66_nfc_normalize", (spark, dir) => {
+    val planted = t(spark, dir, "documents").select(col("doc_id"),
+      concat(substring(col("text"), 1, 80),
+        lit(" café éclair über straße")).as("text"))
+    val norm = NativeFunctions.normNfc(col("text"))
+    planted.select(col("doc_id"),
+        length(col("text")).cast("long").as("len_raw"),
+        length(norm).cast("long").as("len_nfc"),
+        md5(norm).as("nfc_md5"),
+        (length(col("text")) =!= length(norm)).as("changed"))
+      .orderBy("doc_id")
+  }, Some(
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    substr(text, 1, 80) || ' cafe' || chr(769) || ' ' || chr(233) ||
+      |    'clair u' || chr(776) || 'ber stra' || chr(223) || 'e' AS text
+      |  FROM documents),
+      |n AS (SELECT doc_id, text, nfc_normalize(text) AS nfc FROM planted)
+      |SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS len_raw,
+      |  CAST(length(nfc) AS BIGINT) AS len_nfc,
+      |  md5(nfc) AS nfc_md5,
+      |  length(text) <> length(nfc) AS changed
+      |FROM n ORDER BY doc_id""".stripMargin))
+
+  /** Domain extraction + per-domain document cap: synthetic URLs spread
+    * docs over 37 domains; at most 5 docs per domain survive, first-by-id,
+    * with tracking query/fragment stripped from the canonical URL.
+    */
+  val q67 = QueryDef("q67_domain_cap", (spark, dir) => {
+    val urls = t(spark, dir, "documents").select(col("doc_id"),
+      concat(lit("https://www.site"), (col("doc_id") % 37).cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string"),
+        lit("?utm_source=feed&sid=abc#frag")).as("url"))
+    WebText.capPerDomain(urls, "url", cap = 5, order = Seq(col("doc_id")))
+      .select(col("doc_id"), col("domain"),
+        WebText.normalizeUrl(col("url")).as("url_norm"),
+        col("domain_rank").cast("long").as("domain_rank"))
+      .orderBy("doc_id")
+  }, Some(
+    """WITH urls AS (
+      |  SELECT doc_id,
+      |    'https://www.site' || (doc_id % 37) || '.example.com/p/' || doc_id ||
+      |      '?utm_source=feed&sid=abc#frag' AS url
+      |  FROM documents),
+      |d AS (SELECT doc_id, url,
+      |        regexp_extract(lower(url),
+      |          '^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?(?:www\.)?([^/:?#]+)', 1)
+      |          AS domain,
+      |        regexp_extract(url, '^([^?#]*)', 1) AS url_norm
+      |      FROM urls),
+      |ranked AS (SELECT doc_id, domain, url_norm,
+      |             row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+      |               AS domain_rank
+      |           FROM d)
+      |SELECT doc_id, domain, url_norm, CAST(domain_rank AS BIGINT) AS domain_rank
+      |FROM ranked WHERE domain_rank <= 5
+      |ORDER BY doc_id""".stripMargin))
+
+  /** Top-3 TF-IDF terms per document over the whole corpus vocabulary;
+    * ranking tie-broken on (rounded score, term) so both engines agree.
+    */
+  val q68 = QueryDef("q68_tfidf_terms", (spark, dir) =>
+    TextAnalysis.tfidfTopTerms(t(spark, dir, "documents"), "doc_id", "text", k = 3)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("doc_id", "rank"),
+    Some(
+      """WITH tr AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tr GROUP BY doc_id, term),
+        |dfx AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, term, tf, df_docs,
+        |    tf::DOUBLE * ln(n_docs::DOUBLE / df_docs) AS score
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |ranked AS (SELECT doc_id, term, tf, df_docs, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY round(score, 6) DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df_docs, round(score, 4) AS score,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin))
+
+  /** Stratified training-mix sampling: per-language keep fractions (en
+    * halved, de whole, es quartered, fr at 10%) with `zh` falling to the
+    * 5% default — membership a pure function of (salt, doc_id).
+    */
+  val q69 = QueryDef("q69_stratified_sample", (spark, dir) => {
+    val docs = t(spark, dir, "documents").select("doc_id", "lang")
+    Sampling.stratifiedHashSample(docs, "doc_id", "lang", salt = "mix1",
+        fractions = Seq("en" -> 0.5, "de" -> 1.0, "es" -> 0.25, "fr" -> 0.1),
+        defaultFraction = 0.05)
+      .withColumn("bucket", Sampling.hashBucket(col("doc_id"), "mix1", 10000))
+      .select("doc_id", "lang", "bucket")
+      .orderBy("doc_id")
+  }, Some(
+    """SELECT doc_id, lang, bucket FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 10000 AS bucket
+      |  FROM documents)
+      |WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
+      |                         WHEN 'es' THEN 2500 WHEN 'fr' THEN 1000
+      |                         ELSE 500 END
+      |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q65, q66, q67, q68, q69)
+}

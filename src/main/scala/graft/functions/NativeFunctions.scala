@@ -167,6 +167,49 @@ case class LshBuckets(child: Expression,
     copy(child = newChild)
 }
 
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) as a codegen'd expression —
+  * Spark ships no normalizer function, yet crawl corpora mix composed and
+  * decomposed forms of the same grapheme ("café" as 4 or 5 code points),
+  * which silently defeats exact/line/shingle dedup and stable hashing.
+  * Normalize before any fingerprint. `java.text.Normalizer` is the JDK's
+  * ICU-derived implementation; the same call runs in codegen and in the
+  * interpreted fallback, so results are identical on and off the
+  * whole-stage path (and match DuckDB's `nfc_normalize`).
+  */
+case class NormalizeUtf8(child: Expression, form: String = "NFC")
+  extends UnaryExpression {
+
+  require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(form),
+    s"normalize form must be NFC/NFD/NFKC/NFKD, got $form")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"norm_utf8 expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "norm_utf8"
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(input.toString,
+        java.text.Normalizer.Form.valueOf(form)))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      // `form` is constructor-validated against the enum, so inlining the
+      // qualified constant is safe and keeps the hot path allocation-free
+      // beyond the unavoidable String round-trip
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($s.toString(),
+         |    java.text.Normalizer.Form.$form));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NativeFunctions {
 
   /** Registry of native functions, shared by per-session registration
@@ -176,6 +219,10 @@ object NativeFunctions {
     "dot_f" -> { args =>
       require(args.length == 2, "dot_f takes 2 arguments")
       DotProductF(args(0), args(1))
+    },
+    "norm_nfc" -> { args =>
+      require(args.length == 1, "norm_nfc takes 1 argument")
+      NormalizeUtf8(args(0), "NFC")
     })
 
   // weak keys: sessions must stay collectible after stop(); synchronized:
@@ -215,6 +262,11 @@ object NativeFunctions {
     * `register`).
     */
   def dotF(a: Column, b: Column): Column = call_function("dot_f", a, b)
+
+  /** Column API for NFC Unicode normalization (via the registry, like
+    * [[dotF]]); other forms via `GraftSqlBridge`-built [[NormalizeUtf8]].
+    */
+  def normNfc(s: Column): Column = call_function("norm_nfc", s)
 
   /** Column API for [[LshBuckets]]. Built directly (not via the function
     * registry — the broadcast handle is not an Expression argument).

@@ -52,4 +52,28 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, salt: String,
                  fraction: Double): DataFrame =
     df.filter(hashBucket(col(idCol), salt, 10000) < math.round(fraction * 10000))
+
+  /** Stratified deterministic sample: a per-stratum keep fraction — the
+    * training-mix weighting step (downsample boilerplate-heavy languages /
+    * sources, keep scarce ones whole). Keep iff `bucket(salt, id) <
+    * fraction(stratum)·10k`; strata not listed get `defaultFraction`.
+    *
+    * Same purity contract as [[hashSplit]]: membership is a function of
+    * (salt, id, stratum fraction) alone — independent of partitioning,
+    * rerun, corpus growth, and of the other rows (no global sort, no
+    * count; the filter is a pure column predicate, fully pushdown-
+    * eligible, zero shuffle).
+    */
+  def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
+                           salt: String, fractions: Seq[(String, Double)],
+                           defaultFraction: Double = 1.0): DataFrame = {
+    (fractions.map(_._2) :+ defaultFraction).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fractions must be in [0,1], got $f"))
+    val bucket = hashBucket(col(idCol), salt, 10000)
+    val bound = fractions.foldRight(lit(math.round(defaultFraction * 10000)): Column) {
+      case ((stratum, f), elseCol) =>
+        when(col(strataCol) === stratum, math.round(f * 10000)).otherwise(elseCol)
+    }
+    df.filter(bucket < bound)
+  }
 }

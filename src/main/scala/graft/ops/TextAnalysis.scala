@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions._
 
 /** Text-analysis operators for training-data pipelines: language ID,
@@ -153,6 +154,47 @@ object TextAnalysis {
     // whitespace spelled out, not \s: Java's \s includes \x0B, RE2's does
     // not — the explicit class keeps Spark and the DuckDB oracle identical
     regexp_replace(email, "\\+?[0-9][0-9()\\- \\t\\n\\f\\r]{7,}[0-9]", "<PHONE>")
+  }
+
+  /** Top-`k` TF-IDF terms per document — the classic keyword/topic signal
+    * for corpus exploration and quality clustering. `score = tf ·
+    * ln(n_docs / df)`, ranked per document by `(round(score, 6) DESC,
+    * term ASC)` so ranking is deterministic cross-engine.
+    *
+    * 100 TB shape: term frequencies aggregate with map-side combine on
+    * (doc, term); document frequencies aggregate the already-distinct
+    * (doc, term) pairs on term (vocab-sized result). The DF table joins
+    * back BROADCAST while it fits `maxBroadcastTerms`, else it degrades
+    * to a shuffle join on term — never an error. The corpus doc count
+    * rides a broadcast-able single-row cross join (no driver collect).
+    * Top-k is a window over doc_id — per-doc state only.
+    *
+    * Returns `(doc_id, term, tf, df_docs, score, rank)`.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3,
+                    maxBroadcastTerms: Long = 10000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val termRows = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = termRows.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfTable = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfSide =
+      if (dfTable.limit(math.min(maxBroadcastTerms + 1, Int.MaxValue.toLong).toInt)
+            .count() <= maxBroadcastTerms)
+        broadcast(dfTable)
+      else dfTable
+    val scored = tf.join(dfSide, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df_docs")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(round(col("score"), 6).desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df_docs"),
+        round(col("score"), 4).as("score"), col("rank"))
   }
 
   /** Token statistics per group column. */

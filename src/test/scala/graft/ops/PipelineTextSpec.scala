@@ -1,0 +1,182 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.{NativeFunctions, NormalizeUtf8}
+import org.apache.spark.sql.functions._
+
+/** Round-4 pipeline-text operators: line dedup, NFC normalization, domain
+  * capping, TF-IDF, stratified sampling.
+  */
+class DedupLinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a line survives only at its first corpus position; docs reassemble in order") {
+    val docs = Seq(
+      (1L, "alpha\nboiler\nbeta"),
+      (2L, "boiler\ngamma"),
+      (3L, "boiler")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text").orderBy("doc_id").collect()
+    // doc 3 was pure boilerplate — dropped entirely
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out(0).getString(1) == "alpha\nboiler\nbeta")
+    assert(out(1).getString(1) == "gamma")
+    assert(out(1).getAs[Long]("n_kept") == 1L && out(1).getAs[Long]("n_dropped") == 1L)
+  }
+
+  test("repeats inside one document dedup too, and order keys on (id, idx)") {
+    val docs = Seq(
+      (5L, "x\ny\nx"),
+      (4L, "z\nx")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text").orderBy("doc_id").collect()
+    // x first occurs at (4, 1) — both copies in doc 5 drop
+    assert(out(0).getString(1) == "z\nx")
+    assert(out(1).getString(1) == "y")
+    assert(out(1).getAs[Long]("n_dropped") == 2L)
+  }
+
+  test("custom separator and id column name are honored") {
+    val docs = Seq((1L, "a|b"), (2L, "b|c")).toDF("k", "t")
+    val out = Dedup.dedupLines(docs, "k", "t", sep = "|").orderBy("k").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("a|b", "c"))
+    assert(out(0).schema.fieldNames.toSeq ==
+      Seq("k", "text", "n_kept", "n_dropped"))
+  }
+}
+
+class NormalizeUtf8Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("NFC composes decomposed sequences; codegen and SQL registry agree") {
+    val decomposed = "café über" // e+combining acute, u+combining diaeresis
+    val composed = "café über"
+    val df = Seq(decomposed).toDF("s")
+    val viaColumn = df.select(NativeFunctions.normNfc(col("s"))).as[String].head()
+    assert(viaColumn == composed)
+    val viaSql = df.createOrReplaceTempView("norm_in")
+    assert(spark.sql("SELECT norm_nfc(s) FROM norm_in").as[String].head() == composed)
+  }
+
+  test("interpreted eval matches codegen, nulls pass through, NFC is idempotent") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = NormalizeUtf8(Literal.create("café", org.apache.spark.sql.types.StringType))
+    assert(e.eval(null) == UTF8String.fromString("café"))
+    val df = Seq(Some("Å"), None).toDF("s") // A + combining ring
+    val out = df.select(NativeFunctions.normNfc(col("s"))).as[Option[String]].collect()
+    assert(out.toSet == Set(Some("Å"), None))
+    val twice = Seq("café").toDF("s")
+      .select(NativeFunctions.normNfc(NativeFunctions.normNfc(col("s"))))
+      .as[String].head()
+    assert(twice == "café")
+  }
+
+  test("invalid form and non-string input fail loudly") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    intercept[IllegalArgumentException] {
+      NormalizeUtf8(Literal.create("x", org.apache.spark.sql.types.StringType), "NFX")
+    }
+    val bad = NormalizeUtf8(Literal.create(1, org.apache.spark.sql.types.IntegerType))
+    assert(!bad.checkInputDataTypes().isSuccess)
+  }
+}
+
+class WebTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("domainOf handles userinfo, ports, case, and www stripping") {
+    val urls = Seq(
+      "https://user:pw@WWW.News.Example.com:8080/a?b#c",
+      "http://example.org/x",
+      "ftp://www.files.net",
+      "not a url").toDF("url")
+    val out = urls.select(WebText.domainOf(col("url"))).as[String].collect()
+    assert(out.toSeq == Seq("news.example.com", "example.org", "files.net", ""))
+  }
+
+  test("normalizeUrl drops query and fragment, keeps path") {
+    val out = Seq("https://a.com/p/1?utm=x#f", "https://a.com/p/2")
+      .toDF("url").select(WebText.normalizeUrl(col("url"))).as[String].collect()
+    assert(out.toSeq == Seq("https://a.com/p/1", "https://a.com/p/2"))
+  }
+
+  test("capPerDomain keeps first N by order, deterministic under reshuffle") {
+    val docs = (1L to 20L).map(i => (i, s"https://site${i % 2}.com/$i"))
+      .toDF("doc_id", "url")
+    val out = WebText.capPerDomain(docs.repartition(7), "url", cap = 3,
+        order = Seq(col("doc_id")))
+      .orderBy("doc_id").collect()
+    assert(out.length == 6)
+    // first three ids of each parity class
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(out.forall(r => r.getAs[Int]("domain_rank") <= 3))
+    intercept[IllegalArgumentException] {
+      WebText.capPerDomain(docs, "url", cap = 0, order = Seq(col("doc_id")))
+    }
+  }
+}
+
+class TfidfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tfidf ranks corpus-rare terms above common ones, tie-broken by term") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry durian cherry")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+    // doc 1: apple tf=2 df=1 → 2·ln3 ≈ 2.1972 beats banana 1·ln(1.5)
+    val top1 = out.filter(_.getLong(0) == 1L)
+    assert(top1.map(r => (r.getString(1), r.getInt(5))).toSeq ==
+      Seq(("apple", 1), ("banana", 2)))
+    assert(math.abs(top1(0).getDouble(4) - 2 * math.log(3.0)) < 1e-3)
+    // doc 2: banana and cherry both 1·ln(1.5) — tie breaks alphabetically
+    val top2 = out.filter(_.getLong(0) == 2L)
+    assert(top2.map(_.getString(1)).toSeq == Seq("banana", "cherry"))
+  }
+
+  test("oversized vocabulary degrades to a shuffle join instead of broadcasting") {
+    val docs = Seq((1L, "a b c"), (2L, "c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 1,
+      maxBroadcastTerms = 1L)
+    assert(out.count() == 2)
+  }
+}
+
+class StratifiedSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fraction 1 keeps the stratum whole, 0 empties it, default applies") {
+    val df = (1L to 400L).map(i =>
+      (i, if (i % 2 == 0) "en" else if (i % 3 == 0) "de" else "zh"))
+      .toDF("id", "lang")
+    val out = Sampling.stratifiedHashSample(df, "id", "lang", "s",
+      Seq("en" -> 1.0, "de" -> 0.0), defaultFraction = 0.5)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") == 200L)
+    assert(!byLang.contains("de"))
+    val zhTotal = df.filter(col("lang") === "zh").count()
+    assert(byLang("zh") > 0 && byLang("zh") < zhTotal)
+  }
+
+  test("membership is deterministic and independent of partitioning") {
+    val df = (1L to 300L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "lang")
+    val keep1 = Sampling.stratifiedHashSample(df, "id", "lang", "s",
+      Seq("a" -> 0.3, "b" -> 0.7)).select("id").as[Long].collect().toSet
+    val keep2 = Sampling.stratifiedHashSample(df.repartition(13), "id", "lang", "s",
+      Seq("a" -> 0.3, "b" -> 0.7)).select("id").as[Long].collect().toSet
+    assert(keep1 == keep2)
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedHashSample(df, "id", "lang", "s", Seq("a" -> 1.5))
+    }
+  }
+
+  test("the sample is a pure filter — no shuffle in the plan") {
+    val df = (1L to 50L).map(i => (i, "x")).toDF("id", "lang")
+    val plan = Sampling.stratifiedHashSample(df, "id", "lang", "s",
+      Seq("x" -> 0.5)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
