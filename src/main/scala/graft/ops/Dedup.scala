@@ -402,32 +402,34 @@ object Dedup {
     * 100 TB shape: three corpus shuffles, each on a key that spreads —
     * (1) groupBy line (partial-agg `min(struct(id, idx))` combines
     * map-side, so a line repeated 10M times reduces to one candidate per
-    * partition before the exchange — no hot-line skew); (2) the survivor
-    * join back on the line (broadcast-ineligible both sides, but both are
-    * already hash-partitioned on `line` from (1), so AQE reuses the
-    * layout); (3) reassembly groupBy id. No windows over corpus-wide
+    * partition before the exchange — no hot-line skew, and never the
+    * row_number-over-line window that would sort the hot line on one
+    * task); (2) the survivor join back on (id, idx, line); (3) reassembly
+    * groupBy id. The per-doc line total rides the exploded rows
+    * (`size(arr)` is a constant per doc), so no extra corpus scan or
+    * count-join is needed for `n_dropped`. No windows over corpus-wide
     * partitions, no driver materialization.
     */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
                  sep: String = "\n"): DataFrame = {
-    val lines = docs.select(col(idCol).as("id"),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-          .as(Seq("idx", "line")))
+    val arr = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val lines = docs
+      .select(col(idCol).as("id"), size(arr).as("n_lines"), arr.as("arr"))
+      .select(col("id"), col("n_lines"), posexplode(col("arr")).as(Seq("idx", "line")))
     val first = lines.groupBy("line")
       .agg(min(struct(col("id"), col("idx"))).as("keep"))
     val kept = lines.join(first, "line")
       .filter(col("id") === col("keep.id") && col("idx") === col("keep.idx"))
-      .select("id", "idx", "line")
-    val totals = lines.groupBy("id").agg(count(lit(1)).as("n_lines"))
+      .select("id", "n_lines", "idx", "line")
     kept.groupBy("id")
       .agg(
         array_join(
           transform(array_sort(collect_list(struct(col("idx"), col("line")))),
             x => x.getField("line")), sep).as("text"),
-        count(lit(1)).as("n_kept"))
-      .join(totals, "id")
+        count(lit(1)).as("n_kept"),
+        max(col("n_lines")).as("n_lines"))
       .select(col("id").as(idCol), col("text"), col("n_kept"),
-        (col("n_lines") - col("n_kept")).as("n_dropped"))
+        (col("n_lines").cast("long") - col("n_kept")).as("n_dropped"))
   }
 
   /** 64-bit SimHash fingerprint per document: per-bit majority vote over
