@@ -167,5 +167,101 @@ object QueriesText {
       |                         ELSE 500 END
       |ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q65, q66, q67, q68, q69)
+  /** Prefix-named word-3-gram shingle CTE chain over `src` — the
+    * QueriesScale.duckShingles shape, parametrized so one query can
+    * shingle two corpora (delta + history) without CTE name collisions.
+    */
+  private def duckShinglesP(p: String, src: String): String =
+    s"""${p}toks AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM $src),
+       |${p}pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+       |           FROM ${p}toks WHERE len(l) >= 3),
+       |${p}sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+       |          FROM ${p}pos),
+       |${p}sizes AS (SELECT doc_id, count(*) AS n_sh FROM ${p}sh GROUP BY doc_id)""".stripMargin
+
+  /** Incremental ingest dedup: even docs play the existing corpus, odd
+    * docs plus near-dup variants of every 20th even doc play today's
+    * delta. Within-delta clusters collapse keep-min-id, then any survivor
+    * near-duplicating the CORPUS drops — without re-pairing the corpus.
+    * The oracle replays both stages with exact Jaccard; minhash recall at
+    * 0.8 (64 hashes / 16 bands) makes the outputs identical, the same
+    * contract q27/q63 pin.
+    */
+  val q70 = QueryDef("q70_delta_neardup", (spark, dir) => {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val delta = docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" extra trailing words here")).as("text")))
+    Dedup.dropNearDuplicatesAgainst(corpus, delta, "doc_id", "text",
+        threshold = 0.8)
+      .orderBy("doc_id")
+  }, Some(
+    s"""WITH RECURSIVE
+       |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+       |delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+       |          UNION ALL
+       |          SELECT doc_id + 300000, text || ' extra trailing words here'
+       |          FROM documents WHERE doc_id % 20 = 0),
+       |${duckShinglesP("d", "delta")},
+       |dinter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+       |           FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       |dpairs AS (SELECT a_id, b_id FROM dinter
+       |           JOIN dsizes sa ON sa.doc_id = dinter.a_id
+       |           JOIN dsizes sb ON sb.doc_id = dinter.b_id
+       |           WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.8),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM dpairs
+       |          UNION ALL SELECT b_id, a_id FROM dpairs),
+       |walk(id, lbl) AS (
+       |  SELECT s, s FROM edges GROUP BY s
+       |  UNION
+       |  SELECT e.s, walk.lbl FROM edges e JOIN walk ON walk.id = e.d),
+       |comp AS (SELECT id, min(lbl) AS comp FROM walk GROUP BY id),
+       |dkeep AS (SELECT doc_id, text FROM delta
+       |          WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> comp)),
+       |${duckShinglesP("c", "corpus")},
+       |ksh AS (SELECT doc_id, shingle FROM dsh
+       |        WHERE doc_id IN (SELECT doc_id FROM dkeep)),
+       |xinter AS (SELECT c.doc_id AS c_id, k.doc_id AS d_id, count(*) AS n_inter
+       |           FROM csh c JOIN ksh k ON c.shingle = k.shingle GROUP BY 1, 2),
+       |xdrop AS (SELECT DISTINCT d_id FROM xinter
+       |          JOIN csizes cs ON cs.doc_id = xinter.c_id
+       |          JOIN dsizes ds ON ds.doc_id = xinter.d_id
+       |          WHERE n_inter::DOUBLE / (cs.n_sh + ds.n_sh - n_inter) >= 0.8)
+       |SELECT doc_id, text FROM dkeep
+       |WHERE doc_id NOT IN (SELECT d_id FROM xdrop)
+       |ORDER BY doc_id""".stripMargin))
+
+  /** Deterministic sequence packing: greedy fixed-budget bin layout per
+    * md5 shard — the pretraining batch-assembly step. The layout (shard,
+    * bin, offset) is a pure function of (salt, id, token counts), so both
+    * engines derive it independently and must agree bit-for-bit.
+    */
+  val q71 = QueryDef("q71_pack_sequences", (spark, dir) => {
+    val docs = t(spark, dir, "documents").select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+        .as("n_tokens"))
+    Sampling.packSequences(docs, "doc_id", "n_tokens", budget = 2048L,
+        shards = 8, salt = "pack")
+      .orderBy("doc_id")
+  }, Some(
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 8 AS shard
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens, shard,
+      |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS start
+      |  FROM d)
+      |SELECT doc_id, n_tokens, shard,
+      |  CAST(start // 2048 AS BIGINT) AS bin,
+      |  CAST(start % 2048 AS BIGINT) AS bin_offset
+      |FROM c ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q65, q66, q67, q68, q69, q70, q71)
 }

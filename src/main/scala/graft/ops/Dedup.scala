@@ -238,6 +238,79 @@ object Dedup {
     verifyJaccard(cand, sh, threshold)
   }
 
+  /** MinHash+LSH near-dup pairs ACROSS two corpora — the incremental-
+    * ingest primitive: a delta batch (today's crawl) is paired against the
+    * existing corpus without ever re-pairing corpus×corpus. Returns
+    * `(a_id, b_id, jaccard)` with `a_id` from `corpus`, `b_id` from
+    * `delta`, exact-Jaccard-verified at `threshold`.
+    *
+    * Ids must be unique ACROSS both inputs (they identify rows in the
+    * shared shingle space). The band-frequency cap, when set, counts
+    * bucket occupancy over the UNION of both sides — a hot template is
+    * hot no matter which side its copies sit on.
+    *
+    * 100 TB shape: both sides shuffle once on (band, bandhash) — the
+    * corpus side's signatures can be precomputed and stored by the
+    * ingest pipeline; candidates are corpus×delta within a bucket only,
+    * and verification touches only candidate pairs' shingles.
+    */
+  def minhashLshPairsAcross(corpus: DataFrame, delta: DataFrame,
+                            idCol: String, textCol: String,
+                            threshold: Double, n: Int = 3,
+                            numHashes: Int = 64, numBands: Int = 16,
+                            maxBandFreq: Option[Int] = None): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val rowsPerBand = numHashes / numBands
+    val cSh = sizedShingles(corpus, idCol, textCol, n)
+    val dSh = sizedShingles(delta, idCol, textCol, n)
+    def bucketsOf(sh: DataFrame): DataFrame = {
+      val sig = minhashSignatures(sh.select("doc_id", "shingle"), numHashes)
+      val bandStructs = (0 until numBands).map { b =>
+        val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+        struct(lit(b).as("band"), xxhash64(cols: _*).as("bandhash"))
+      }
+      sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"),
+          col("bb.bandhash").as("bandhash"))
+    }
+    val (cBuckets, dBuckets) = (bucketsOf(cSh), bucketsOf(dSh))
+    val (cB, dB) = maxBandFreq match {
+      case None => (cBuckets, dBuckets)
+      case Some(f) =>
+        val ok = cBuckets.unionByName(dBuckets)
+          .groupBy("band", "bandhash").agg(count(lit(1)).as("_bf"))
+          .filter(col("_bf") <= f)
+        (cBuckets.join(ok, Seq("band", "bandhash"), "left_semi"),
+          dBuckets.join(ok, Seq("band", "bandhash"), "left_semi"))
+    }
+    val cand = cB.as("x").join(dB.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bandhash") === col("y.bandhash"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    verifyJaccard(cand, cSh.unionByName(dSh), threshold)
+  }
+
+  /** Incremental near-duplicate REMOVAL for a delta batch: first collapse
+    * near-dups WITHIN the delta ([[dropNearDuplicates]] — CC clusters,
+    * keep-min-id), then drop every survivor that is a near-duplicate of
+    * ANY existing corpus document ([[minhashLshPairsAcross]]). Returns the
+    * delta rows that should be appended to the corpus. The corpus itself
+    * is never re-paired — cost scales with |delta| · bucket overlap, not
+    * |corpus|².
+    */
+  def dropNearDuplicatesAgainst(corpus: DataFrame, delta: DataFrame,
+                                idCol: String, textCol: String,
+                                threshold: Double = 0.8, n: Int = 3,
+                                maxBandFreq: Option[Int] = None): DataFrame = {
+    val deltaClean = dropNearDuplicates(delta, idCol, textCol, threshold, n,
+      maxBandFreq)
+    val hit = minhashLshPairsAcross(corpus, deltaClean, idCol, textCol,
+        threshold, n, maxBandFreq = maxBandFreq)
+      .select(col("b_id").as(idCol)).distinct()
+    deltaClean.join(hit, Seq(idCol), "left_anti")
+  }
+
   /** Exact Jaccard for an explicit candidate-pair set (a_id, b_id). `sh` is
     * a (doc_id, shingle[, n_sh]) table; the per-doc size is attached via a
     * window if not already present, so the shingle exchange is shared

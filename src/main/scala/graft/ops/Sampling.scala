@@ -76,4 +76,41 @@ object Sampling {
     }
     df.filter(bucket < bound)
   }
+
+  /** Deterministic sequence packing: assign each document a (shard, bin,
+    * offset) so training can concatenate documents into fixed
+    * `budget`-token bins — greedy fill in id order within a shard. The
+    * pretraining batch-assembly step, made reproducible: the layout is a
+    * pure function of (salt, ids, token counts), so a re-run (or another
+    * engine) packs identically.
+    *
+    * Sharding is the scale story: a single global greedy pack is a total
+    * order — one window, one task, no matter the cluster. Packing
+    * per-shard (deterministic md5 shard from the id) keeps every shard
+    * independent and parallel at the cost of at most one partially-filled
+    * bin per shard. Within a shard the window sorts by id — shard sizes
+    * are corpus/`shards`, so pick `shards` so a shard's rows fit an
+    * executor's sort spill comfortably.
+    *
+    * A document longer than `budget` starts at its greedy offset and
+    * implicitly spans bins (`offset + n_tokens > budget`); chunking it is
+    * the trainer's concern, the layout stays exact.
+    *
+    * Returns the input plus (shard, bin, bin_offset).
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    budget: Long, shards: Int = 1024,
+                    salt: String = "pack"): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("shard", hashBucket(col(idCol), salt, shards))
+      .withColumn("_start",
+        coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)))
+      .withColumn("bin", (col("_start") / budget).cast("long"))
+      .withColumn("bin_offset", col("_start") % budget)
+      .drop("_start")
+  }
 }

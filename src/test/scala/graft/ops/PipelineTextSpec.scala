@@ -143,6 +143,66 @@ class TfidfSpec extends SparkSpec {
   }
 }
 
+class DeltaDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+
+  test("cross pairs link corpus to delta only, never within a side") {
+    val corpus = Seq((10L, base)).toDF("doc_id", "text")
+    val delta = Seq(
+      (20L, base + " again"), // near-dup of 10
+      (21L, base + " again"), // exact text of 20 — but cross pairs ignore delta-delta
+      (22L, "completely different words about spark shuffles and parquet row groups here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairsAcross(corpus, delta, "doc_id", "text",
+      threshold = 0.8).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((10L, 20L), (10L, 21L)))
+    assert(pairs.forall(_.getDouble(2) >= 0.8))
+  }
+
+  test("delta survivors: within-delta clusters collapse, corpus near-dups drop") {
+    val corpus = Seq((10L, base)).toDF("doc_id", "text")
+    val fresh = "completely different words about spark shuffles and parquet row groups here"
+    val delta = Seq(
+      (20L, base + " again"),  // near-dup of corpus → drops
+      (21L, base + " again"),  // delta-cluster of 20 (non-min) → drops
+      (30L, fresh),            // fresh, min of its cluster → survives
+      (31L, fresh + " too")    // near-dup of 30, non-min → drops
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropNearDuplicatesAgainst(corpus, delta, "doc_id", "text",
+      threshold = 0.8).select("doc_id").as[Long].collect().toSet
+    assert(out == Set(30L))
+  }
+}
+
+class PackSequencesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("greedy fill in id order: bins and offsets are exact") {
+    val df = (1L to 6L).map(i => (i, 1000L)).toDF("id", "n_tok")
+    val out = Sampling.packSequences(df, "id", "n_tok", budget = 2048L, shards = 1)
+      .orderBy("id").collect()
+    assert(out.forall(_.getAs[Long]("shard") == 0L))
+    assert(out.map(_.getAs[Long]("bin")).toSeq == Seq(0L, 0L, 0L, 1L, 1L, 2L))
+    assert(out.map(_.getAs[Long]("bin_offset")).toSeq ==
+      Seq(0L, 1000L, 2000L, 952L, 1952L, 904L))
+  }
+
+  test("layout is deterministic and partitioning-independent") {
+    val df = (1L to 200L).map(i => (i, (i % 7) * 100 + 50)).toDF("id", "n_tok")
+    def layout(d: org.apache.spark.sql.DataFrame) =
+      Sampling.packSequences(d, "id", "n_tok", budget = 1024L, shards = 4)
+        .select("id", "shard", "bin", "bin_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(layout(df) == layout(df.repartition(17)))
+    intercept[IllegalArgumentException] {
+      Sampling.packSequences(df, "id", "n_tok", budget = 0L)
+    }
+  }
+}
+
 class StratifiedSampleSpec extends SparkSpec {
   import spark.implicits._
 
