@@ -263,5 +263,99 @@ object QueriesText {
       |  CAST(start % 2048 AS BIGINT) AS bin_offset
       |FROM c ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q65, q66, q67, q68, q69, q70, q71)
+  /** KMV distinct-count sketch per event type: unlike HLL, the estimate
+    * is a pure function of the value set (portable md5 hash, k-th order
+    * statistic), so BOTH engines compute the identical sketch AND the
+    * identical estimate — an approximate algorithm under an exact hash
+    * gate.
+    */
+  val q72 = QueryDef("q72_kmv_distinct", (spark, dir) =>
+    ops.Sketches.kmvDistinct(t(spark, dir, "events"), Seq("event_type"),
+        "user_id", k = 64)
+      .orderBy("event_type"),
+    Some(
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS hh
+        |  FROM events),
+        |ranked AS (SELECT event_type, hh,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rn
+        |  FROM h),
+        |mk AS (SELECT event_type, count(*) AS n_kept, max(hh) AS kth_hash
+        |       FROM ranked WHERE rn <= 64 GROUP BY event_type)
+        |SELECT event_type, n_kept, kth_hash,
+        |  round(CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+        |             ELSE 63.0 * 1152921504606846976 / kth_hash END, 2)
+        |    AS est_distinct
+        |FROM mk ORDER BY event_type""".stripMargin))
+
+  /** Z-order (Morton) clustering value over two bucketed event
+    * dimensions — the write-layout primitive behind multi-dimension file
+    * pruning. The bit interleave is pure integer math, replayed in SQL
+    * bit-for-bit.
+    */
+  val q73 = QueryDef("q73_zorder_value", (spark, dir) => {
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(1024L)).as("ux"),
+        pmod(col("event_id"), lit(1024L)).as("ey"))
+    ev.select(col("event_id"), col("ux"), col("ey"),
+        ops.Layout.zValue(Seq(col("ux"), col("ey")), bits = 10).as("z"))
+      .orderBy("event_id")
+  }, Some {
+    val interleave = (0 until 10).flatMap(i => Seq(
+      s"(((ux >> $i) & 1) << ${2 * i})",
+      s"(((ey >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+    s"""SELECT event_id, ux, ey, $interleave AS z
+       |FROM (SELECT event_id, user_id % 1024 AS ux, event_id % 1024 AS ey
+       |      FROM events)
+       |ORDER BY event_id""".stripMargin
+  })
+
+  private def tmp(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
+  /** STREAMING exact dedup held to the batch oracle: the q24 duplicated
+    * corpus (every 7th doc re-appears under a shifted id) replays through
+    * a file stream into `dropDuplicatesWithinWatermark` on the content
+    * fingerprint. Only the KEY column is compared — which duplicate row
+    * survives is arrival-order-dependent by design, but the emitted key
+    * SET must equal DuckDB's batch DISTINCT exactly: one row per distinct
+    * fingerprint, none lost, none emitted twice.
+    */
+  val q74 = QueryDef("q74_stream_dedup", (spark, dir) => {
+    val out = tmp("graft_q74")
+    val docs = t(spark, dir, "documents").select(col("doc_id"),
+      graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("fp")))
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      .write.parquet(s"$out/ev")
+    val stream = graft.streaming.Streams.readFileStream(spark,
+      graft.core.model.DatasetSpec(path = s"$out/ev", format = "parquet"),
+      "doc_id BIGINT, fp STRING, ts TIMESTAMP")
+    val dd = graft.streaming.Streams.dedupStream(stream, "ts", Seq("fp"),
+      watermarkDelay = "1 second")
+    val sink = s"q74_sink_${System.nanoTime}"
+    val q = dd.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sink).select("fp").orderBy("fp")
+  }, Some(
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0)
+      |SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |FROM corpus ORDER BY fp""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
 }

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators for scan efficiency at rest: multi-dimensional
+  * (Z-order) clustering of parquet output.
+  *
+  * At 100 TB the cheapest query is the one that never reads the bytes:
+  * parquet row-group and file pruning works off per-file min/max column
+  * stats, and min/max stats are only selective when the writer clustered
+  * the data. A single-column sort clusters one predicate dimension;
+  * interleaving the bits of several columns (the Morton / Z-order curve)
+  * keeps EVERY interleaved dimension locally clustered, so filters on any
+  * of them prune files.
+  */
+object Layout {
+
+  /** Morton (Z-order) value: interleave the low `bits` bits of each
+    * column — bit `i` of dimension `d` lands at position `i·ndims + d`.
+    * Columns are masked to `bits` (callers should range-bucket raw values
+    * first — e.g. `pmod`, division, or a rank — so truncation is a
+    * deliberate bucketing, not silent). Pure codegen'd integer math.
+    */
+  def zValue(cols: Seq[Column], bits: Int = 16): Column = {
+    require(cols.size >= 2, s"zValue needs >= 2 dimensions, got ${cols.size}")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"bits·dims must fit a long: got $bits × ${cols.size}")
+    val ndims = cols.size
+    val terms = for {
+      (c, d) <- cols.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
+      i * ndims + d)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Write `df` as parquet clustered on the Z-curve of `dims`:
+    * range-repartition on the z-value (contiguous curve segments per
+    * file — range, not hash, is what makes per-file min/max tight), sort
+    * within partitions, drop the helper column, write.
+    *
+    * `numFiles` targets the file count; size it at
+    * `expected_bytes / ~1 GB`. The range exchange samples the z
+    * distribution, so skewed dimensions still yield balanced files.
+    */
+  def zorderWrite(df: DataFrame, dims: Seq[Column], outPath: String,
+                  numFiles: Int, bits: Int = 16,
+                  mode: String = "overwrite"): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    df.withColumn("_z", zValue(dims, bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(mode).parquet(outPath)
+  }
+}

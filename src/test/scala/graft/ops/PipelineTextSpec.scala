@@ -203,6 +203,77 @@ class PackSequencesSpec extends SparkSpec {
   }
 }
 
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue interleaves bits exactly, ignoring bits beyond the mask") {
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (1023L, 511L),
+      (4096L + 7L, 13L)) // 4096 is beyond 10 bits — must be ignored
+    val df = cases.toDF("x", "y")
+    val out = df.select(Layout.zValue(Seq(col("x"), col("y")), bits = 10))
+      .as[Long].collect()
+    assert(out.toSeq == cases.map { case (x, y) => ref(x & 1023, y & 1023, 10) })
+    intercept[IllegalArgumentException] { Layout.zValue(Seq(col("x")), 10) }
+    intercept[IllegalArgumentException] {
+      Layout.zValue(Seq(col("x"), col("y")), 32)
+    }
+  }
+
+  test("z-ordered files carry tighter per-file min/max than an unsorted write") {
+    val n = 20000
+    // two independent dimensions, shuffled arrival order
+    val df = (0 until n).map { i =>
+      val r = new scala.util.Random(i).nextInt(1024)
+      (i.toLong, ((i * 2654435761L) % 1024 + 1024) % 1024, r.toLong)
+    }.toDF("id", "x", "y")
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    df.repartition(8).write.mode("overwrite").parquet(s"$base/plain")
+    Layout.zorderWrite(df, Seq(col("x"), col("y")), s"$base/zorder",
+      numFiles = 8, bits = 10)
+    def avgSpan(path: String, dim: String): Double =
+      spark.read.parquet(path)
+        .groupBy(input_file_name()).agg((max(dim) - min(dim)).as("span"))
+        .agg(avg("span")).as[Double].head()
+    // both dims should cluster; unsorted files span ~the full 0..1023 range
+    assert(avgSpan(s"$base/zorder", "x") < avgSpan(s"$base/plain", "x") * 0.7)
+    assert(avgSpan(s"$base/zorder", "y") < avgSpan(s"$base/plain", "y") * 0.7)
+  }
+}
+
+class KmvSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("below k the count is exact; above k the estimate lands near truth") {
+    val df = ((1 to 40).map(v => ("small", v)) ++
+      (1 to 5000).map(v => ("big", v))).toDF("grp", "v")
+    val out = Sketches.kmvDistinct(df, Seq("grp"), "v", k = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_kept"), r.getAs[Double]("est_distinct"))).toMap
+    assert(out("small") == ((40L, 40.0)))
+    val (kept, est) = out("big")
+    assert(kept == 64L)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.3, s"estimate $est too far from 5000")
+  }
+
+  test("the estimate is a pure function of the value set") {
+    val a = (1 to 500).map(v => ("g", v)).toDF("grp", "v")
+    // same values, duplicated rows, different partitioning
+    val b = ((1 to 500) ++ (1 to 500)).map(v => ("g", v)).toDF("grp", "v")
+      .repartition(11)
+    def est(d: org.apache.spark.sql.DataFrame) =
+      Sketches.kmvDistinct(d, Seq("grp"), "v", k = 16)
+        .select("est_distinct").as[Double].head()
+    assert(est(a) == est(b))
+    intercept[IllegalArgumentException] {
+      Sketches.kmvDistinct(a, Seq("grp"), "v", k = 2)
+    }
+  }
+}
+
 class StratifiedSampleSpec extends SparkSpec {
   import spark.implicits._
 
