@@ -305,7 +305,12 @@ object Dedup {
                                 maxBandFreq: Option[Int] = None): DataFrame = {
     val deltaClean = dropNearDuplicates(delta, idCol, textCol, threshold, n,
       maxBandFreq)
-    val hit = minhashLshPairsAcross(corpus, deltaClean, idCol, textCol,
+    // cross-pair the FULL delta, not the survivors: hits on already-
+    // dropped ids vanish in the anti-join anyway, and keeping the delta
+    // shingle/signature subtree IDENTICAL to the within-delta stage lets
+    // Spark reuse its exchanges instead of recomputing them on a
+    // filtered (and therefore different) plan
+    val hit = minhashLshPairsAcross(corpus, delta, idCol, textCol,
         threshold, n, maxBandFreq = maxBandFreq)
       .select(col("b_id").as(idCol)).distinct()
     deltaClean.join(hit, Seq(idCol), "left_anti")
