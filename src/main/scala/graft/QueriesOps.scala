@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Queries.QueryDef
+import graft.core.Tables
+import graft.ops.{Joins, Scd, Sketches}
+
+/** Warehouse/scale operators behind the hash gate: SCD2 dimension merge,
+  * bloom-pruned joins, exact heavy hitters via Misra-Gries candidates.
+  * Oracle conventions as elsewhere: deterministic ORDER BY, rounded
+  * doubles, BIGINT counts, dates as strings.
+  */
+object QueriesOps {
+
+  private def t(spark: org.apache.spark.sql.SparkSession, dir: String, name: String) =
+    Tables.load(spark, dir, name)
+
+  /** Type-2 SCD merge: the customer dimension (open rows for every key +
+    * pre-existing closed history for every 10th) folds in a snapshot that
+    * changes every 3rd segment, repeats every (3k+1)th unchanged, and
+    * introduces new keys — exercising all four merge outcomes (close+
+    * insert / unchanged / insert-new / absent-untouched) in one run. The
+    * oracle replays the merge relationally (FULL OUTER JOIN + UNION ALL).
+    */
+  val q75 = QueryDef("q75_scd2_merge", (spark, dir) => {
+    val c = t(spark, dir, "customer")
+    val open = c.select(col("c_custkey"), col("c_mktsegment").as("seg"),
+      lit("2023-01-01").as("valid_from"), lit(null).cast("string").as("valid_to"))
+    val hist = c.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), lit("OLD").as("seg"),
+        lit("2022-01-01").as("valid_from"), lit("2023-01-01").as("valid_to"))
+    val dim = open.unionByName(hist)
+    val snap = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), concat(col("c_mktsegment"), lit("_V2")).as("seg"))
+      .unionByName(c.filter(col("c_custkey") % 3 === 1)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg")))
+      .unionByName(c.filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"), lit("NEWSEG").as("seg")))
+    Scd.scd2Merge(dim, snap, Seq("c_custkey"), Seq("seg"), "2024-06-01")
+      .orderBy(col("c_custkey"), col("valid_from"),
+        coalesce(col("valid_to"), lit("9999-12-31")))
+  }, Some(
+    """WITH dim AS (
+      |  SELECT c_custkey, c_mktsegment AS seg, '2023-01-01' AS valid_from,
+      |         CAST(NULL AS VARCHAR) AS valid_to FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 'OLD', '2022-01-01', '2023-01-01'
+      |  FROM customer WHERE c_custkey % 10 = 0),
+      |snap AS (
+      |  SELECT c_custkey, c_mktsegment || '_V2' AS seg FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 1
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'NEWSEG' FROM customer WHERE c_custkey % 7 = 0),
+      |hist AS (SELECT * FROM dim WHERE valid_to IS NOT NULL),
+      |cur AS (SELECT * FROM dim WHERE valid_to IS NULL),
+      |j AS (SELECT cur.c_custkey AS ck, cur.seg AS cseg, cur.valid_from AS cvf,
+      |             snap.c_custkey AS sk, snap.seg AS sseg
+      |      FROM cur FULL OUTER JOIN snap ON cur.c_custkey = snap.c_custkey),
+      |merged AS (
+      |  SELECT ck AS c_custkey, cseg AS seg, cvf AS valid_from,
+      |         CAST(NULL AS VARCHAR) AS valid_to
+      |  FROM j WHERE ck IS NOT NULL AND (sk IS NULL OR cseg IS NOT DISTINCT FROM sseg)
+      |  UNION ALL
+      |  SELECT ck, cseg, cvf, '2024-06-01' FROM j
+      |  WHERE ck IS NOT NULL AND sk IS NOT NULL AND cseg IS DISTINCT FROM sseg
+      |  UNION ALL
+      |  SELECT sk, sseg, '2024-06-01', CAST(NULL AS VARCHAR) FROM j
+      |  WHERE sk IS NOT NULL AND (ck IS NULL OR cseg IS DISTINCT FROM sseg)
+      |  UNION ALL
+      |  SELECT * FROM hist)
+      |SELECT c_custkey, seg, valid_from, valid_to FROM merged
+      |ORDER BY c_custkey, valid_from, coalesce(valid_to, '9999-12-31')""".stripMargin))
+
+  /** Bloom-pruned fact→dim join: lineitem pruned through a bloom of the
+    * urgent/high order keys before joining. Blooms admit no false
+    * negatives and the join drops false positives, so the result must
+    * hash-match the plain relational join.
+    */
+  val q76 = QueryDef("q76_bloom_join", (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    val dim = t(spark, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select("o_orderkey", "o_orderpriority")
+    Joins.bloomPrunedJoin(li, dim, "l_orderkey", "o_orderkey",
+        expectedItems = 1000000L, fpp = 0.01)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("total"))
+      .orderBy("o_orderpriority")
+  }, Some(
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  round(sum(l_extendedprice), 2) AS total
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  /** Exact heavy hitters over the document token stream (q17's
+    * tokenization): Misra-Gries candidates + exact recount must equal the
+    * full GROUP BY ... HAVING answer exactly — the sketch only bounds the
+    * candidate set, never the counts.
+    */
+  val q77 = QueryDef("q77_heavy_hitters", (spark, dir) => {
+    val toks = t(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    Sketches.heavyHitters(toks, "tok", phi = 0.01).orderBy("tok")
+  }, Some(
+    """WITH toks AS (
+      |  SELECT tok FROM (
+      |    SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+      |  WHERE tok <> '')
+      |SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+      |HAVING count(*) >= (SELECT ceil(0.01 * count(*)) FROM toks)
+      |ORDER BY tok""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q75, q76, q77)
+}

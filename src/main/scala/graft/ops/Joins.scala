@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Bloom-pruned equi-join: when a selective dimension is too big to
+  * broadcast as a hash table but its KEY SET fits a few hundred MB of
+  * bloom bits, filter the fact side with the bloom BEFORE the shuffle so
+  * only rows that can possibly match pay the exchange. Blooms have no
+  * false negatives, so the result is exactly the plain join; false
+  * positives (rate `fpp`) just ride along and are dropped by the join
+  * itself.
+  *
+  * At 100 TB this is the difference between shuffling the whole fact
+  * table and shuffling the ~matching slice: a 1% -selectivity dim key set
+  * at fpp 1% cuts exchange volume ~50×. Spark's own runtime row-group
+  * bloom filtering covers simple cases; this operator makes the pattern
+  * explicit, composable with any downstream join type, and independent of
+  * scan format.
+  *
+  * The sketch is built distributed (partial blooms merged, one action),
+  * sized by `expectedItems`/`fpp`, and shipped to executors as a
+  * broadcast variable — never a plan literal.
+  */
+object Joins {
+
+  /** Inner-join `fact` to `dim` on `factKey === dimKey`, pruning fact
+    * rows through a bloom of `dim`'s key set first. Key must be an
+    * integral or string column (the portable bloom hash domain).
+    */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
+                      factKey: String, dimKey: String,
+                      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val pruned = bloomPrune(fact, dim, factKey, dimKey, expectedItems, fpp)
+    pruned.join(dim, pruned(factKey) === dim(dimKey))
+  }
+
+  /** Just the pruning half: `fact` filtered to rows whose `factKey`
+    * might be in `dim`'s `dimKey` set. Compose with any join type or
+    * reuse one bloom across several facts.
+    */
+  def bloomPrune(fact: DataFrame, dim: DataFrame,
+                 factKey: String, dimKey: String,
+                 expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0, "expectedItems must be positive")
+    require(fpp > 0 && fpp < 1, s"fpp out of (0,1): $fpp")
+    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bf)
+    val pred: Column = fact.schema(factKey).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val might = udf((k: java.lang.Long) =>
+          k != null && bc.value.mightContainLong(k))
+        might(col(factKey).cast(LongType))
+      case StringType =>
+        val might = udf((s: String) => s != null && bc.value.mightContainString(s))
+        might(col(factKey))
+      case dt => throw new IllegalArgumentException(
+        s"bloomPrune supports integral/string keys, got $dt for $factKey")
+    }
+    fact.filter(pred)
+  }
+}

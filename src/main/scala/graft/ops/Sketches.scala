@@ -63,4 +63,66 @@ object Sketches {
         round(when(col("n_kept") < k, col("n_kept").cast("double"))
           .otherwise(lit((k - 1).toDouble * m) / col("kth_hash")), 2))
   }
+
+  /** EXACT heavy hitters (frequency ≥ ceil(phi·n)) without shuffling the
+    * full distinct key space: per-partition Misra-Gries summaries bound
+    * the candidate set, then only candidates are recounted exactly.
+    *
+    * Why not `groupBy(value).count().filter(...)`? That shuffles one row
+    * per DISTINCT value — at 100 TB of tokens that is billions of groups
+    * exchanged to find the few thousand frequent ones. Here each task
+    * keeps ≤ k counters (k = ⌈2/phi⌉), ships ≤ k candidate rows per
+    * partition (a few MB total), and the exact recount streams the corpus
+    * once more against a broadcast candidate set — no wide shuffle ever.
+    *
+    * Correctness is not approximate: a partition's MG summary undercounts
+    * any value by at most n_p/(k+1), so summed estimates undercount by at
+    * most n/(k+1) < phi·n/2; every value with true count ≥ phi·n
+    * therefore survives the candidate cut, and the final counts are exact
+    * (Agarwal et al., "Mergeable Summaries", PODS 2012). Output:
+    * `(valueCol, cnt)` for values with `cnt >= ceil(phi*n)`, exact and
+    * deterministic — same rows in, same answer out, any partitioning.
+    *
+    * Three passes over the single value column: a footer-cheap `count()`,
+    * the sketch pass, the recount pass.
+    */
+  def heavyHitters(df: DataFrame, valueCol: String, phi: Double): DataFrame = {
+    require(phi > 0 && phi < 0.5, s"phi out of (0, 0.5): $phi")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(valueCol).cast("string").as("_v"))
+      .filter(col("_v").isNotNull)
+    val n = vals.count()
+    val threshold = math.ceil(phi * n).toLong
+    if (n == 0)
+      return spark.emptyDataFrame
+        .withColumn(valueCol, lit("").cast("string"))
+        .withColumn("cnt", lit(0L)).limit(0)
+    val k = math.max(math.ceil(2.0 / phi).toInt, 2)
+    val sketches = vals.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { v =>
+        m.get(v) match {
+          case Some(c) => m.update(v, c + 1)
+          case None if m.size < k => m.update(v, 1L)
+          case None => // decrement-all; drop zeros (classic MG step)
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            m.foreach { case (key, c) =>
+              if (c == 1L) dead += key else m.update(key, c - 1) }
+            dead.foreach(m.remove)
+        }
+      }
+      m.iterator
+    }.toDF("_v", "_est")
+    // Summed MG estimates undercount true frequency by < n/(k+1); keep
+    // every candidate whose estimate clears the threshold minus that
+    // slack (the extra -1 absorbs the integer-division floor).
+    val minEst = math.max(1L, threshold - n / (k + 1) - 1)
+    val cands = sketches.groupBy("_v").agg(sum("_est").as("_est"))
+      .filter(col("_est") >= minEst).select("_v")
+    vals.join(broadcast(cands), "_v")
+      .groupBy("_v").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+      .select(col("_v").as(valueCol), col("cnt"))
+  }
 }
