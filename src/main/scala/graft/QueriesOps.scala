@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.Queries.QueryDef
 import graft.core.Tables
-import graft.ops.{Joins, Scd, Sketches}
+import graft.ops.{Joins, Scd, Sketches, TextAnalysis}
 
 /** Warehouse/scale operators behind the hash gate: SCD2 dimension merge,
   * bloom-pruned joins, exact heavy hitters via Misra-Gries candidates.
@@ -114,5 +114,28 @@ object QueriesOps {
       |HAVING count(*) >= (SELECT ceil(0.01 * count(*)) FROM toks)
       |ORDER BY tok""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q75, q76, q77)
+  /** Unigram-LM document scoring (the cheap CCNet perplexity filter):
+    * corpus-trained add-one unigram probabilities, mean token
+    * log-probability and perplexity per document. The oracle retrains the
+    * identical model in SQL — same vocabulary counts, same smoothing,
+    * same natural log.
+    */
+  val q78 = QueryDef("q78_unigram_lm", (spark, dir) =>
+    TextAnalysis.unigramLmScore(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some(
+      """WITH toks AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> ''),
+        |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(c) AS n, count(*) AS v FROM vocab),
+        |lp AS (SELECT doc_id, ln((c + 1.0) / (n + 1.0 * v)) AS lp
+        |       FROM toks JOIN vocab USING (tok) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 4) AS avg_logprob,
+        |  round(exp(-avg(lp)), 2) AS ppl
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q75, q76, q77, q78)
 }

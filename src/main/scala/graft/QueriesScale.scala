@@ -239,8 +239,11 @@ object QueriesScale {
     val (clustered, _) = Similarity.kmeansCells(emb, cells = 16, seed = 42L)
     clustered.select("vec_id", "cell").write.mode("overwrite").parquet(q58CellPath)
     val corpus = emb.join(spark.read.parquet(q58CellPath), "vec_id")
+    // Gate hint: count the probe sample on the column-pruned base scan
+    // instead of letting the gate count through the cell join.
+    val probeN = emb.filter(col("vec_id") % 100 === 0).count()
     Similarity.ivfTopK(corpus, corpus.filter(col("vec_id") % 100 === 0),
-      "cell", k = 5)
+      "cell", k = 5, probeRows = Some(probeN))
   }, Some(
     s"""WITH cells AS (SELECT vec_id, cell
        |               FROM read_parquet('$q58CellPath/*.parquet')),

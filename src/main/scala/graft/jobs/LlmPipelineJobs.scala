@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.EtlJob
 import graft.functions.TextFunctions
-import graft.ops.{Dedup, Sampling, TextAnalysis}
+import graft.ops.{Dedup, Sampling, Scd, TextAnalysis}
 
 /** Manifest-loadable job classes for the training-data pipeline — the
   * `class:` twin of the reference's frameworked jobs
@@ -66,6 +66,28 @@ class QualityFilterJob extends EtlJob {
     val minQ = params.getOrElse("min_quality", "0.3").toDouble
     df.withColumn("quality", TextAnalysis.qualityExpr(col(P.text(params))))
       .filter(col("quality") >= minQ)
+  }
+}
+
+/** Type-2 dimension maintenance from YAML: merges the input named by
+  * `snapshot_input` (default `snapshot`) into the dimension named by
+  * `dim_input` (default `dim`) via [[Scd.scd2Merge]]. Params: `keys` and
+  * `tracked` (comma-separated column lists), `snapshot_date` (required),
+  * `valid_from_col`/`valid_to_col` (default `valid_from`/`valid_to`).
+  */
+class Scd2MergeJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val dim = inputs(params.getOrElse("dim_input", "dim"))
+    val snap = inputs(params.getOrElse("snapshot_input", "snapshot"))
+    Scd.scd2Merge(dim, snap,
+      keys = params.getOrElse("keys", P.id(params)).split(",").map(_.trim).toSeq,
+      tracked = params.getOrElse("tracked",
+        sys.error("Scd2MergeJob needs param 'tracked'")).split(",").map(_.trim).toSeq,
+      snapshotDate = params.getOrElse("snapshot_date",
+        sys.error("Scd2MergeJob needs param 'snapshot_date'")),
+      validFrom = params.getOrElse("valid_from_col", "valid_from"),
+      validTo = params.getOrElse("valid_to_col", "valid_to"))
   }
 }
 

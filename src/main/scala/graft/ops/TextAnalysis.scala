@@ -197,6 +197,44 @@ object TextAnalysis {
         round(col("score"), 4).as("score"), col("rank"))
   }
 
+  /** Unigram language-model score per document — the cheap version of the
+    * CCNet/Wikipedia-LM perplexity filter (Wenzek et al. 2020): train
+    * add-`smoothing` unigram probabilities on the corpus itself, then
+    * score each document by its mean token log-probability and
+    * perplexity. Documents full of rare/garbage tokens score low
+    * `avg_logprob` (high `ppl`) and can be gated exactly like the
+    * heuristic [[qualityExpr]].
+    *
+    * Output: `(idCol, n_tokens, avg_logprob, ppl)`, rounded 4/2 decimals.
+    * Empty-token documents are absent from the output (no tokens = no
+    * score), mirroring the SQL GROUP BY.
+    *
+    * Scale shape: ONE corpus-wide token aggregation builds the vocabulary
+    * (map-side combined); the token→probability attach is an equi-join
+    * AQE broadcasts when the vocabulary is small and sort-merges when it
+    * is not (no driver-side vocab materialization either way); the scalar
+    * (N, V) totals ride along as a broadcast single-row cross join. The
+    * per-doc mean is one final doc-keyed aggregation.
+    */
+  def unigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                     smoothing: Double = 1.0): DataFrame = {
+    require(smoothing > 0, s"smoothing must be > 0: $smoothing")
+    val toks = docs.select(col(idCol).as("_id"),
+        explode(tokens(col(textCol))).as("_tok"))
+      .filter(col("_tok") =!= "")
+    val vocab = toks.groupBy("_tok").agg(count(lit(1)).as("_c"))
+    val tot = vocab.agg(sum("_c").as("_n"), count(lit(1)).as("_v"))
+    toks.join(vocab, "_tok").crossJoin(broadcast(tot))
+      .withColumn("_lp", log((col("_c") + lit(smoothing)) /
+        (col("_n") + lit(smoothing) * col("_v"))))
+      .groupBy("_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("_lp")), 4).as("avg_logprob"),
+        round(exp(-avg(col("_lp"))), 2).as("ppl"))
+      .select(col("_id").as(idCol), col("n_tokens"),
+        col("avg_logprob"), col("ppl"))
+  }
+
   /** Token statistics per group column. */
   def tokenStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
     docs.select(col(groupCol).as("grp"),

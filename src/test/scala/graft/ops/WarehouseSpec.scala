@@ -48,6 +48,20 @@ class ScdSpec extends SparkSpec {
       (2L, None, "2024-01-01", None)))
   }
 
+  test("Scd2MergeJob adapts manifest params onto the operator") {
+    val snap = Seq((2L, "X")).toDF("k", "attr")
+    val out = new graft.jobs.Scd2MergeJob().transform(
+      Map("dim" -> dim, "snapshot" -> snap), spark,
+      Map("keys" -> "k", "tracked" -> "attr", "snapshot_date" -> "2024-01-01"))
+    val rows = out.filter(col("k") === 2L).collect()
+      .map(r => (r.getString(1), Option(r.getString(3)))).toSet
+    assert(rows == Set(("B", Some("2024-01-01")), ("X", None)))
+    intercept[RuntimeException] {
+      new graft.jobs.Scd2MergeJob().transform(
+        Map("dim" -> dim, "snapshot" -> snap), spark, Map("keys" -> "k"))
+    }
+  }
+
   test("result is invariant to partitioning and a second merge is a no-op") {
     val snap = Seq((2L, "X"), (4L, "N")).toDF("k", "attr").repartition(7)
     val once = Scd.scd2Merge(dim.repartition(5), snap, Seq("k"), Seq("attr"), "2024-01-01")
@@ -95,6 +109,38 @@ class BloomJoinSpec extends SparkSpec {
     val binFact = Seq((Array[Byte](1), 1)).toDF("k", "v")
     intercept[IllegalArgumentException] {
       Joins.bloomPrune(binFact, dim, "k", "dk", expectedItems = 10)
+    }
+  }
+}
+
+class UnigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rare-token documents score lower avg_logprob and higher ppl") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat sat again"),
+      (2L, "the dog sat on the rug the dog sat there"),
+      (3L, "zyx qwv plk mnb vcx asd")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1)._1 == 10L)
+    assert(out(3)._2 < out(1)._2, "garbage doc must score lower log-prob")
+    assert(out(3)._3 > out(1)._3, "garbage doc must have higher perplexity")
+  }
+
+  test("scores are stable across partitioning; empty docs are absent") {
+    val docs = ((1L to 50L).map(i => (i, "alpha beta gamma delta")) :+
+      (99L, "")).toDF("doc_id", "text")
+    val a = TextAnalysis.unigramLmScore(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val b = TextAnalysis.unigramLmScore(docs.repartition(13), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    assert(!a.exists(_.head == 99L), "token-free docs have no score")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.unigramLmScore(docs, "doc_id", "text", smoothing = 0.0)
     }
   }
 }
