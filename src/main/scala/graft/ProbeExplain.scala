@@ -25,6 +25,10 @@ object ProbeExplain {
         println("persisted RDDs after capped call: " +
           spark.sparkContext.getPersistentRDDs.size)
         out
+      case "q75" => Queries.queryMap("q75_scd2_merge")(spark, dir)
+      case "q76" => Queries.queryMap("q76_bloom_join")(spark, dir)
+      case "q77" => Queries.queryMap("q77_heavy_hitters")(spark, dir)
+      case "q78" => Queries.queryMap("q78_unigram_lm")(spark, dir)
       case other => sys.error(s"unknown probe: $other")
     }
     q.explain("formatted")

@@ -45,6 +45,16 @@ object Joins {
                  expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     require(expectedItems > 0, "expectedItems must be positive")
     require(fpp > 0 && fpp < 1, s"fpp out of (0,1): $fpp")
+    def family(dt: DataType): String = dt match {
+      case ByteType | ShortType | IntegerType | LongType => "integral"
+      case StringType => "string"
+      case other => other.typeName
+    }
+    val (ff, df) = (family(fact.schema(factKey).dataType),
+      family(dim.schema(dimKey).dataType))
+    require(ff == df, s"bloomPrune key types must share a hash domain: " +
+      s"$factKey is $ff but $dimKey is $df — a mixed-type probe would " +
+      "silently drop every row")
     val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bf)
     val pred: Column = fact.schema(factKey).dataType match {

@@ -25,15 +25,17 @@ import org.apache.spark.sql.functions._
   * by pre-joining). Closed history rows pass through untouched.
   *
   * Scale shape: history rows never shuffle (a filter pass-through); the
-  * open-vs-snapshot reconciliation is ONE equi-join on the key (AQE
-  * broadcasts a small snapshot) and the 0/1/2 output rows per joined key
-  * are built with a row-local `explode` — no second pass, no window, no
-  * driver materialization. At 100 TB the cost is one shuffle of the open
-  * slice + snapshot, both far smaller than the full history.
+  * open-vs-snapshot reconciliation is ONE full-outer equi-join on the
+  * key (a sort-merge shuffle — Spark cannot broadcast full-outer joins,
+  * and both sides are far smaller than the full history) and the 0/1/2
+  * output rows per joined key are built with a row-local `explode` — no
+  * second pass, no window, no driver materialization.
   *
   * Requirements: snapshot must be unique per key (enforce upstream with
-  * [[Checks.pkIsUnique]]); `dim` must contain `keys ++ tracked ++
-  * Seq(validFrom, validTo)`; snapshot must contain `keys ++ tracked`.
+  * [[Checks.pkIsUnique]]); key columns must be non-null on both sides
+  * (a null key reads as "absent" in the outer join); `dim` must contain
+  * `keys ++ tracked ++ Seq(validFrom, validTo)`; snapshot must contain
+  * `keys ++ tracked`.
   */
 object Scd {
 

@@ -73,7 +73,8 @@ object Sketches {
     * exchanged to find the few thousand frequent ones. Here each task
     * keeps ≤ k counters (k = ⌈2/phi⌉), ships ≤ k candidate rows per
     * partition (a few MB total), and the exact recount streams the corpus
-    * once more against a broadcast candidate set — no wide shuffle ever.
+    * once more against the candidate set (AQE broadcasts it from its
+    * runtime size) — no wide shuffle of the full key space ever.
     *
     * Correctness is not approximate: a partition's MG summary undercounts
     * any value by at most n_p/(k+1), so summed estimates undercount by at
@@ -83,8 +84,10 @@ object Sketches {
     * `(valueCol, cnt)` for values with `cnt >= ceil(phi*n)`, exact and
     * deterministic — same rows in, same answer out, any partitioning.
     *
-    * Three passes over the single value column: a footer-cheap `count()`,
-    * the sketch pass, the recount pass.
+    * Three passes over the single value column: a `count()` (parquet
+    * footer-cheap when the input is a bare scan; one narrow pass when it
+    * is derived, e.g. exploded tokens), the sketch pass, the recount
+    * pass.
     */
   def heavyHitters(df: DataFrame, valueCol: String, phi: Double): DataFrame = {
     require(phi > 0 && phi < 0.5, s"phi out of (0, 0.5): $phi")
@@ -120,7 +123,11 @@ object Sketches {
     val minEst = math.max(1L, threshold - n / (k + 1) - 1)
     val cands = sketches.groupBy("_v").agg(sum("_est").as("_est"))
       .filter(col("_est") >= minEst).select("_v")
-    vals.join(broadcast(cands), "_v")
+    // No broadcast hint: candidates are usually tiny (≤ k rows/partition
+    // pre-agg) and AQE broadcasts them from their runtime size; but a
+    // pathological phi × partition-count can make them large, and then
+    // the shuffle fallback must stay available.
+    vals.join(cands, "_v")
       .groupBy("_v").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)
       .select(col("_v").as(valueCol), col("cnt"))

@@ -192,6 +192,23 @@ class FlowSpec extends SparkSpec {
     assert(out.select("doc_id", "split")
       .except(again.select("doc_id", "split")).isEmpty)
   }
+
+  test("jobs.yml runs the SCD2 dimension merge from the manifest") {
+    val loaded = Manifest.loadFile("conf/jobs.yml", Seq("dev"), Map.empty)
+    val out = Flow.runPipeline(spark, loaded.jobs, "customer_scd2",
+      save = false)("customer_scd2")
+    val customers = spark.read
+      .parquet("/root/testdata/sf0.001/customer.parquet")
+    val nCust = customers.count()
+    val nChanged = customers
+      .filter(org.apache.spark.sql.functions.col("c_custkey") % 3 === 0).count()
+    // every changed key contributes a closed row + a new open row;
+    // unchanged keys keep exactly their one open row
+    assert(out.count() == nCust + nChanged)
+    val closed = out.filter("valid_to = '2024-06-01'").count()
+    val fresh = out.filter("valid_from = '2024-06-01' AND valid_to IS NULL").count()
+    assert(closed == nChanged && fresh == nChanged)
+  }
 }
 
 class EtlIoSpec extends SparkSpec {
