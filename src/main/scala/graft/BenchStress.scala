@@ -55,6 +55,18 @@ object BenchStress {
     time("simhashPairs") {
       Dedup.simhashPairs(stressed, "doc_id", "text", maxDist = 3).count()
     }
+    // heavy hitters over the stressed token stream (10× tokens, same
+    // vocabulary): the MG candidate pass should scale with the row count,
+    // never with the distinct key space
+    time("heavyHitters(0.01)") {
+      val toks = stressed
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      graft.ops.Sketches.heavyHitters(toks, "tok", phi = 0.01).count()
+    }
+    time("unigramLmScore") {
+      graft.ops.TextAnalysis.unigramLmScore(stressed, "doc_id", "text").count()
+    }
 
     // similarity family on a duplicated embedding corpus: copy k scales
     // each vector by (1 + k·1e-4), which preserves cosine exactly — every
