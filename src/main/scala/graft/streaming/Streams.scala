@@ -129,6 +129,67 @@ object Streams {
     }
     Writer.write(batch, job, out, now, period)
   }
+
+  /** CDC-apply sink: maintain an SCD2 dimension at `dimPath` under a
+    * stream of snapshot batches — each micro-batch is merged with
+    * [[graft.ops.Scd.scd2Merge]] and the dimension atomically swapped
+    * (write-tmp → rename, the [[graft.core.io.Maintenance]] dance; the
+    * merged plan reads the old dim lazily, so overwriting in place would
+    * corrupt it mid-read).
+    *
+    * Replay safe WITHOUT per-batch bookkeeping: re-applying the same
+    * snapshot with the same date is a no-op by the merge's own semantics
+    * (tracked values now equal → every row "unchanged"), so a micro-batch
+    * re-run after a crash between swap and checkpoint-commit converges to
+    * the identical dimension. Requires each batch be unique per key —
+    * CDC upstreams that emit multiple updates per key per batch must
+    * pre-compact (keep-latest) upstream.
+    *
+    * `dateOf` maps the batch id to the snapshot date (deterministic —
+    * wall-clock here would break replay idempotency).
+    */
+  def scd2Sink(stream: DataFrame, dimPath: String, keys: Seq[String],
+               tracked: Seq[String], checkpoint: String,
+               dateOf: Long => String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyScd2Batch(batch.toDF(), dimPath, keys, tracked, dateOf(id)): Unit
+      }
+      .start()
+
+  /** One micro-batch's SCD2 apply — separated so the replay contract is
+    * directly testable: applying the same batch twice leaves the same
+    * dimension.
+    */
+  def applyScd2Batch(batch: DataFrame, dimPath: String, keys: Seq[String],
+                     tracked: Seq[String], snapshotDate: String): Unit = {
+    val spark = batch.sparkSession
+    val path = new org.apache.hadoop.fs.Path(dimPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapshot = batch.select((keys ++ tracked).map(col): _*)
+    val merged =
+      if (fs.exists(path))
+        graft.ops.Scd.scd2Merge(spark.read.parquet(dimPath), snapshot,
+          keys, tracked, snapshotDate)
+      else // first batch bootstraps the dimension: every key inserts
+        snapshot.withColumn("valid_from", lit(snapshotDate))
+          .withColumn("valid_to", lit(null).cast("string"))
+    val tmp = new org.apache.hadoop.fs.Path(path.getParent,
+      s".${path.getName}_scd2_tmp")
+    val old = new org.apache.hadoop.fs.Path(path.getParent,
+      s".${path.getName}_scd2_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    merged.write.parquet(tmp.toString)
+    if (fs.exists(path))
+      require(fs.rename(path, old), s"could not move $dimPath aside")
+    if (!fs.rename(tmp, path)) {
+      if (fs.exists(old)) fs.rename(old, path) // restore; dim intact
+      sys.error(s"could not swap SCD2 dimension into $dimPath; original restored")
+    }
+    fs.delete(old, true); ()
+  }
 }
 
 /** Gap-based sessionization with explicit state — the canonical

@@ -238,3 +238,35 @@ class TypedAndJdbcSpec extends SparkSpec {
     assert(m("count") == "3" && m("min") == "1.0" && m("max") == "3.0")
   }
 }
+
+class Scd2SinkSpec extends SparkSpec {
+
+  test("scd2Sink maintains a dimension across micro-batches; replay converges") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2_sink").toString
+    val dimPath = s"$dir/dim"
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.scd2Sink(mem.toDF().toDF("k", "attr"), dimPath,
+      Seq("k"), Seq("attr"), s"$dir/ckpt", id => s"2024-01-0${id + 1}")
+    try {
+      mem.addData((1L, "A"), (2L, "B")) // batch 0: bootstrap
+      q.processAllAvailable()
+      mem.addData((1L, "A"), (2L, "B2"), (3L, "C")) // batch 1: change + insert
+      q.processAllAvailable()
+    } finally q.stop()
+    def readDim() = spark.read.parquet(dimPath).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("attr"),
+        r.getAs[String]("valid_from"), Option(r.getAs[String]("valid_to")))).toSet
+    val dim = readDim()
+    assert(dim == Set(
+      (1L, "A", "2024-01-01", None),
+      (2L, "B", "2024-01-01", Some("2024-01-02")),
+      (2L, "B2", "2024-01-02", None),
+      (3L, "C", "2024-01-02", None)))
+    // crash-replay of batch 1 (same data, same date): dimension unchanged
+    Streams.applyScd2Batch(Seq((1L, "A"), (2L, "B2"), (3L, "C")).toDF("k", "attr"),
+      dimPath, Seq("k"), Seq("attr"), "2024-01-02")
+    assert(readDim() == dim, "replaying a micro-batch must be a no-op")
+  }
+}
