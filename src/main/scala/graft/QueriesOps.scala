@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.Queries.QueryDef
 import graft.core.Tables
-import graft.ops.{Joins, Scd, Sketches, TextAnalysis}
+import graft.ops.{Joins, Scd, Similarity, Sketches, TextAnalysis}
 
 /** Warehouse/scale operators behind the hash gate: SCD2 dimension merge,
   * bloom-pruned joins, exact heavy hitters via Misra-Gries candidates.
@@ -137,5 +137,42 @@ object QueriesOps {
         |  round(exp(-avg(lp)), 2) AS ppl
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q75, q76, q77, q78)
+  /** Int8 embedding quantization: per-vector scale, quantized values,
+    * and L2 reconstruction error. The hash gate compares the scale, the
+    * EXACT integer digests of the quantized vector (sum and sum of
+    * squares — integer arithmetic, no float tolerance), and the rounded
+    * reconstruction error; the oracle requantizes in SQL with the same
+    * round-half-up and ordered folds.
+    */
+  val q79 = QueryDef("q79_quantize_int8", (spark, dir) => {
+    val q = Similarity.quantizeInt8(t(spark, dir, "embeddings"),
+      "vec_id", "embedding")
+    q.select(col("vec_id"), col("scale"),
+        size(col("qvec")).cast("long").as("dim"),
+        aggregate(col("qvec"), lit(0L), (a, v) => a + v.cast("long")).as("qsum"),
+        aggregate(col("qvec"), lit(0L),
+          (a, v) => a + v.cast("long") * v.cast("long")).as("qssq"),
+        col("recon_err"))
+      .orderBy("vec_id")
+  }, Some(
+    """WITH q AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS s
+      |  FROM embeddings),
+      |qq AS (
+      |  SELECT vec_id, s,
+      |    CASE WHEN s = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |         ELSE list_transform(embedding,
+      |                x -> CAST(round(x::DOUBLE / s) AS BIGINT)) END AS qvec,
+      |    embedding
+      |  FROM q)
+      |SELECT vec_id, round(s, 8) AS scale, len(qvec) AS dim,
+      |  CAST(list_sum(qvec) AS BIGINT) AS qsum,
+      |  CAST(list_sum(list_transform(qvec, v -> v * v)) AS BIGINT) AS qssq,
+      |  round(sqrt(list_sum(list_transform(list_zip(embedding, qvec),
+      |    p -> (p[1]::DOUBLE - p[2] * s) * (p[1]::DOUBLE - p[2] * s)))), 6)
+      |    AS recon_err
+      |FROM qq ORDER BY vec_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q75, q76, q77, q78, q79)
 }

