@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.Queries.QueryDef
 import graft.core.Tables
-import graft.ops.{Joins, Scd, Similarity, Sketches, TextAnalysis}
+import graft.ops.{Joins, Multimodal, Scd, Similarity, Sketches, TextAnalysis}
 
 /** Warehouse/scale operators behind the hash gate: SCD2 dimension merge,
   * bloom-pruned joins, exact heavy hitters via Misra-Gries candidates.
@@ -174,5 +174,38 @@ object QueriesOps {
       |    AS recon_err
       |FROM qq ORDER BY vec_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q75, q76, q77, q78, q79)
+  /** Multimodal feature extraction: byte-block mean features from the
+    * binary payload (documents' UTF-8 bytes standing in for media), the
+    * partition-local decode→vector seam. The oracle re-derives every
+    * byte from `hex(payload)` in SQL and recomputes the identical block
+    * means — integer sums and counts, so the doubles agree exactly.
+    */
+  val q80 = QueryDef("q80_multimodal_features", (spark, dir) => {
+    val p = t(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    Multimodal.extractFeatures(p, "doc_id", "payload", dim = 8)
+      .select(col("doc_id"), col("n_bytes"),
+        round(element_at(col("features"), 1), 4).as("f0"),
+        round(element_at(col("features"), 4), 4).as("f3"),
+        round(element_at(col("features"), 8), 4).as("f7"))
+      .orderBy("doc_id")
+  }, Some(
+    """WITH p AS (SELECT doc_id, encode(text) AS b FROM documents),
+      |h AS (SELECT doc_id, hex(b) AS hx, octet_length(b) AS n FROM p),
+      |byte AS (
+      |  SELECT doc_id, n, i, CAST('0x' || substr(hx, 2 * i + 1, 2) AS INT) AS v
+      |  FROM (SELECT doc_id, hx, n, unnest(generate_series(0, n - 1)) AS i
+      |        FROM h)),
+      |blk AS (SELECT doc_id, n,
+      |          CAST(floor(i / CAST(ceil(n / 8.0) AS INT)) AS INT) AS j, v
+      |        FROM byte),
+      |feats AS (SELECT doc_id, n, j, sum(v)::DOUBLE / count(*) AS f
+      |          FROM blk GROUP BY 1, 2, 3)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+      |  round(coalesce(max(CASE WHEN j = 0 THEN f END), 0), 4) AS f0,
+      |  round(coalesce(max(CASE WHEN j = 3 THEN f END), 0), 4) AS f3,
+      |  round(coalesce(max(CASE WHEN j = 7 THEN f END), 0), 4) AS f7
+      |FROM feats GROUP BY doc_id, n ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q75, q76, q77, q78, q79, q80)
 }

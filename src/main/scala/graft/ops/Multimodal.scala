@@ -46,4 +46,45 @@ object Multimodal {
       }
       .toDF("doc_id", "frame_idx", "n_bytes", "frame_md5")
   }
+
+  /** Feature extraction over the binary payload: split the byte stream
+    * into `dim` equal blocks and emit each block's mean byte value as a
+    * `dim`-length double vector — the partition-local binary→vector seam
+    * a real image/audio featurizer (CLIP embedding, mel spectrogram)
+    * plugs into. The byte-moment features here are a deterministic
+    * stand-in, but downstream they are real embeddings: the output
+    * `features` column feeds [[Similarity.bruteForceTopK]] /
+    * [[Similarity.quantizeInt8]] unchanged.
+    *
+    * Output: `(idCol, n_bytes, features)`. Blocks past the end of a short
+    * payload are 0. No shuffle — one narrow pass, like a real decoder.
+    */
+  def extractFeatures(docs: DataFrame, idCol: String, payloadCol: String,
+                      dim: Int = 16): DataFrame = {
+    require(dim > 0, "feature dim must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol))
+      .filter(col(idCol).isNotNull && col(payloadCol).isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = bytes.length
+          val block = math.max(1, (n + dim - 1) / dim)
+          val feats = Array.tabulate(dim) { j =>
+            val from = j * block
+            val until = math.min(n, from + block)
+            if (from >= until) 0.0
+            else {
+              var s = 0L
+              var i = from
+              while (i < until) { s += bytes(i) & 0xff; i += 1 }
+              s.toDouble / (until - from)
+            }
+          }
+          (id, n.toLong, feats)
+        }
+      }
+      .toDF(idCol, "n_bytes", "features")
+  }
 }

@@ -185,6 +185,36 @@ class QuantizeSpec extends SparkSpec {
   }
 }
 
+class FeatureExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("byte-block means are exact, unsigned, and zero-padded") {
+    val df = Seq(
+      (1L, Array.tabulate(16)(_.toByte)),          // 0..15 -> 4 blocks of 4
+      (2L, Array[Byte](-1)),                       // 0xff must read as 255
+      (3L, Array.tabulate(6)(_.toByte))            // 6 bytes over dim 4: blocks of 2
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.extractFeatures(df, "doc_id", "payload", dim = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+    assert(out(1L) == ((16L, Seq(1.5, 5.5, 9.5, 13.5))))
+    assert(out(2L) == ((1L, Seq(255.0, 0.0, 0.0, 0.0))))
+    assert(out(3L) == ((6L, Seq(0.5, 2.5, 4.5, 0.0))))
+  }
+
+  test("extracted features feed the similarity/quantization path unchanged") {
+    val rnd = new scala.util.Random(41)
+    val docs = (1L to 20L).map(i =>
+      (i, Array.fill(256)(rnd.nextInt(256).toByte))).toDF("doc_id", "payload")
+    val emb = Multimodal.extractFeatures(docs, "doc_id", "payload", dim = 8)
+      .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding").collect()
+    assert(q.length == 20)
+    // byte means sit in [0, 255]; per-component quantization error ≤ scale/2
+    q.foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(1) / 2 * math.sqrt(8) + 1e-6) }
+  }
+}
+
 class UnigramLmSpec extends SparkSpec {
   import spark.implicits._
 
