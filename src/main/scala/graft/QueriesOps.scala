@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.Queries.QueryDef
 import graft.core.Tables
-import graft.ops.{Joins, Multimodal, Scd, Similarity, Sketches, TextAnalysis}
+import graft.ops.{Joins, Multimodal, Scd, Similarity, Sketches, Stats, TextAnalysis}
 
 /** Warehouse/scale operators behind the hash gate: SCD2 dimension merge,
   * bloom-pruned joins, exact heavy hitters via Misra-Gries candidates.
@@ -207,5 +207,61 @@ object QueriesOps {
       |  round(coalesce(max(CASE WHEN j = 7 THEN f END), 0), 4) AS f7
       |FROM feats GROUP BY doc_id, n ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q75, q76, q77, q78, q79, q80)
+  /** Dataset-card statistics (per-language doc/token/char totals + mean
+    * quality) via the YAML-reachable `CorpusStatsJob`. The quality SQL is
+    * the shared q33/q62 fragment, so the card can never diverge from the
+    * quality gate it summarizes.
+    */
+  val q81 = QueryDef("q81_corpus_stats", (spark, dir) =>
+    new graft.jobs.CorpusStatsJob().transform(
+      Map("documents" -> t(spark, dir, "documents")), spark, Map.empty),
+    Some(
+      s"""WITH q AS (${QueriesScale.duckQualityScored()})
+         |SELECT d.lang AS grp, count(*) AS n_docs,
+         |  CAST(sum(len(string_split(lower(d.text), ' '))) AS BIGINT)
+         |    AS total_tokens,
+         |  CAST(sum(length(d.text)) AS BIGINT) AS total_chars,
+         |  round(avg(q.quality), 4) AS mean_quality
+         |FROM documents d JOIN q USING (doc_id)
+         |GROUP BY d.lang ORDER BY grp""".stripMargin))
+
+  /** Exact equi-width histogram of lineitem prices: 16 × 5000-wide
+    * buckets with edge clamping — the one-pass distribution shape check
+    * run before gating on any score. Bucket math is pure double
+    * arithmetic with an exact width, replayed identically in SQL.
+    */
+  val q82 = QueryDef("q82_histogram", (spark, dir) =>
+    Stats.histogram(t(spark, dir, "lineitem"), "l_extendedprice",
+      lo = 0.0, hi = 80000.0, bins = 16).orderBy("bucket"),
+    Some(
+      """SELECT bucket, round(bucket * 5000.0, 6) AS lo_edge,
+        |  round((bucket + 1) * 5000.0, 6) AS hi_edge, count(*) AS cnt
+        |FROM (SELECT CAST(least(greatest(floor(l_extendedprice / 5000.0), 0),
+        |                        15) AS BIGINT) AS bucket
+        |      FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin))
+
+  /** Grouped numeric profile with scaled-integer-exact sums: mean and
+    * population stddev are pure functions of the value multiset (a
+    * double sum's order drift would flicker the rounded stddev at 1e8
+    * magnitudes). The oracle accumulates the same scaled integers.
+    */
+  val q83 = QueryDef("q83_profile", (spark, dir) =>
+    Stats.profile(t(spark, dir, "lineitem"), "l_returnflag",
+      "l_extendedprice").orderBy("grp"),
+    Some(
+      """WITH d AS (SELECT l_returnflag AS grp,
+        |             CAST(l_extendedprice AS DECIMAL(18,4)) AS v
+        |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |u AS (SELECT grp, v, CAST(v * 10000 AS BIGINT) AS uv FROM d)
+        |SELECT grp, count(*) AS cnt,
+        |  round(CAST(min(v) AS DOUBLE), 4) AS min_v,
+        |  round(CAST(max(v) AS DOUBLE), 4) AS max_v,
+        |  round(CAST(sum(uv) AS DOUBLE) / 1e4 / count(*), 4) AS mean_v,
+        |  round(sqrt(CAST(sum(CAST(uv AS HUGEINT) * uv) AS DOUBLE) / 1e8 / count(*)
+        |    - (CAST(sum(uv) AS DOUBLE) / 1e4 / count(*))
+        |      * (CAST(sum(uv) AS DOUBLE) / 1e4 / count(*))), 4) AS stddev_pop
+        |FROM u GROUP BY grp ORDER BY grp""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83)
 }

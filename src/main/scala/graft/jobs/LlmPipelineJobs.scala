@@ -69,6 +69,30 @@ class QualityFilterJob extends EtlJob {
   }
 }
 
+/** Dataset-card statistics from YAML: per-group (default `lang`) doc
+  * counts, token/char totals, and mean quality — the corpus summary a
+  * training-data pipeline publishes next to each snapshot. Pure column
+  * expressions + one bounded-key aggregation; no joins, no corpus-sized
+  * shuffle.
+  */
+class CorpusStatsJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val df = inputs.values.head
+    val text = col(P.text(params))
+    df.select(col(params.getOrElse("group_by", "lang")).as("grp"),
+        TextFunctions.tokenCount(text).cast("long").as("_nt"),
+        length(text).cast("long").as("_nc"),
+        TextAnalysis.qualityExpr(text).as("_q"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_nt").as("total_tokens"),
+        sum("_nc").as("total_chars"),
+        round(avg("_q"), 4).as("mean_quality"))
+      .orderBy("grp")
+  }
+}
+
 /** Type-2 dimension maintenance from YAML: merges the input named by
   * `snapshot_input` (default `snapshot`) into the dimension named by
   * `dim_input` (default `dim`) via [[Scd.scd2Merge]]. Params: `keys` and

@@ -185,6 +185,47 @@ class QuantizeSpec extends SparkSpec {
   }
 }
 
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histogram conserves totals and clamps out-of-range into edge buckets") {
+    val df = Seq(-5.0, 0.0, 1.0, 9.99, 10.0, 25.0, 99.0, 1000.0).toDF("v")
+    val out = Stats.histogram(df, "v", lo = 0.0, hi = 100.0, bins = 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getLong(3))).toMap
+    assert(out.values.map(_._3).sum == 8L, "every row lands in some bucket")
+    assert(out(0L) == ((0.0, 10.0, 4L)))   // -5 clamps down; [0,10) holds 3
+    assert(out(9L) == ((90.0, 100.0, 2L))) // 1000 clamps up; 99 in range
+    assert(out(2L)._3 == 1L && out(1L)._3 == 1L)
+    intercept[IllegalArgumentException](Stats.histogram(df, "v", 5, 5, 10))
+  }
+
+  test("profile is identical across partitionings (decimal-exact sums)") {
+    val rnd = new scala.util.Random(53)
+    val df = Seq.fill(5000)(("g" + rnd.nextInt(3),
+      rnd.nextDouble() * 1e8)).toDF("k", "v")
+    val a = Stats.profile(df, "k", "v").collect().map(_.toSeq).toSet
+    val b = Stats.profile(df.repartition(17), "k", "v")
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "sum-order drift leaked into the rounded profile")
+    a.foreach { row =>
+      val std = row(5).asInstanceOf[Double]
+      assert(std > 0 && std < 1e8) }
+  }
+
+  test("CorpusStatsJob summarizes per language with no join in the plan") {
+    val docs = Seq((1L, "the cat sat", "en"), (2L, "der hund", "de"),
+      (3L, "the dog ran far", "en")).toDF("doc_id", "text", "lang")
+    val out = new graft.jobs.CorpusStatsJob()
+      .transform(Map("d" -> docs), spark, Map.empty)
+    val rows = out.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    assert(rows("en") == ((2L, 7L)) && rows("de") == ((1L, 2L)))
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), "card must not join the corpus")
+  }
+}
+
 class FeatureExtractSpec extends SparkSpec {
   import spark.implicits._
 
