@@ -62,6 +62,21 @@ class ScdSpec extends SparkSpec {
     }
   }
 
+  test("composite keys merge on all key columns") {
+    val d = Seq((1L, "us", "A", "2023-01-01", null.asInstanceOf[String]),
+      (1L, "eu", "B", "2023-01-01", null.asInstanceOf[String]))
+      .toDF("k", "region", "attr", "valid_from", "valid_to")
+    val snap = Seq((1L, "us", "A2")).toDF("k", "region", "attr")
+    val out = Scd.scd2Merge(d, snap, Seq("k", "region"), Seq("attr"), "2024-01-01")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(4)))).toSet
+    // (1, us) closes + reopens; (1, eu) untouched despite the shared k
+    assert(out == Set(
+      (1L, "us", "A", Some("2024-01-01")),
+      (1L, "us", "A2", None),
+      (1L, "eu", "B", None)))
+  }
+
   test("scd2Merge matches a driver-side reference on random dims and snapshots") {
     val rnd = new scala.util.Random(23)
     for (round <- 1 to 3) {
@@ -339,5 +354,17 @@ class HeavyHittersSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sketches.heavyHitters(empty, "tok", 0.5)
     }
+  }
+
+  test("all-unique stream yields no hitters; int key types cast through") {
+    val unique = (1 to 500).map(i => s"u$i").toDF("tok").repartition(9)
+    assert(Sketches.heavyHitters(unique, "tok", 0.01).count() == 0)
+    // integer-typed fact key against a long-typed dim bloom: same
+    // integral hash domain, so matches survive
+    val fact = (1 to 100).map(i => (i, i)).toDF("fk", "v") // fk is Int
+    val dim = Seq((10L, "x"), (20L, "y")).toDF("dk", "t")  // dk is Long
+    val kept = Joins.bloomPrune(fact, dim, "fk", "dk", expectedItems = 10)
+      .select("fk").collect().map(_.getInt(0)).toSet
+    assert(Set(10, 20).subsetOf(kept))
   }
 }
