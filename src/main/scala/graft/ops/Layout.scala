@@ -54,4 +54,22 @@ object Layout {
       .drop("_z")
       .write.mode(mode).parquet(outPath)
   }
+
+  /** Write `df` clustered on ONE sort dimension: range-repartition (the
+    * sampled range exchange keeps files balanced under skew) + sort
+    * within partitions. The single-dimension complement of
+    * [[zorderWrite]]: when queries filter on one column — an event date,
+    * a tenant id — a plain range-cluster beats the Z-curve (no bit
+    * budget split across dimensions), and per-file min/max stats become
+    * disjoint, so a point/range predicate prunes all but ~one file.
+    */
+  def rangeSortedWrite(df: DataFrame, sortCol: Column, outPath: String,
+                       numFiles: Int, mode: String = "overwrite"): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    df.withColumn("_r", sortCol)
+      .repartitionByRange(numFiles, col("_r"))
+      .sortWithinPartitions("_r")
+      .drop("_r")
+      .write.mode(mode).parquet(outPath)
+  }
 }

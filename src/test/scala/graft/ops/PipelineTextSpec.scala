@@ -242,6 +242,28 @@ class LayoutSpec extends SparkSpec {
     assert(avgSpan(s"$base/zorder", "x") < avgSpan(s"$base/plain", "x") * 0.7)
     assert(avgSpan(s"$base/zorder", "y") < avgSpan(s"$base/plain", "y") * 0.7)
   }
+
+  test("range-sorted files have disjoint min/max on the sort dimension") {
+    val n = 20000
+    val df = (0 until n).map { i =>
+      (i.toLong, ((i * 2654435761L) % 4096 + 4096) % 4096)
+    }.toDF("id", "v")
+    val base = java.nio.file.Files.createTempDirectory("graft_range").toString
+    Layout.rangeSortedWrite(df, col("v"), s"$base/sorted", numFiles = 8)
+    val spans = spark.read.parquet(s"$base/sorted")
+      .groupBy(input_file_name())
+      .agg(min("v").as("lo"), max("v").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(spans.length > 1)
+    // contiguous, non-overlapping ranges: each file's lo exceeds the
+    // previous file's hi — a point predicate prunes all but one file
+    spans.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(lo2 > hi1, s"file ranges overlap: hi=$hi1 vs next lo=$lo2")
+    }
+    // every row survives the layout rewrite
+    assert(spark.read.parquet(s"$base/sorted").count() == n)
+  }
 }
 
 class KmvSketchSpec extends SparkSpec {
