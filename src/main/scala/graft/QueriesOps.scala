@@ -183,7 +183,11 @@ object QueriesOps {
   val q80 = QueryDef("q80_multimodal_features", (spark, dir) => {
     val p = t(spark, dir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    // Zero-byte payloads are excluded on BOTH sides: extractFeatures
+    // emits an all-zero row for them, but the oracle's generate_series
+    // over 0 bytes produces no rows — filtering keeps the hash aligned.
     Multimodal.extractFeatures(p, "doc_id", "payload", dim = 8)
+      .filter(col("n_bytes") > 0)
       .select(col("doc_id"), col("n_bytes"),
         round(element_at(col("features"), 1), 4).as("f0"),
         round(element_at(col("features"), 4), 4).as("f3"),
@@ -191,7 +195,8 @@ object QueriesOps {
       .orderBy("doc_id")
   }, Some(
     """WITH p AS (SELECT doc_id, encode(text) AS b FROM documents),
-      |h AS (SELECT doc_id, hex(b) AS hx, octet_length(b) AS n FROM p),
+      |h AS (SELECT doc_id, hex(b) AS hx, octet_length(b) AS n FROM p
+      |      WHERE octet_length(b) > 0),
       |byte AS (
       |  SELECT doc_id, n, i, CAST('0x' || substr(hx, 2 * i + 1, 2) AS INT) AS v
       |  FROM (SELECT doc_id, hx, n, unnest(generate_series(0, n - 1)) AS i

@@ -62,6 +62,11 @@ object Multimodal {
   def extractFeatures(docs: DataFrame, idCol: String, payloadCol: String,
                       dim: Int = 16): DataFrame = {
     require(dim > 0, "feature dim must be positive")
+    val idType = docs.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long")
+        .contains(idType.typeName),
+      s"extractFeatures needs an integral id column; '$idCol' is " +
+        s"${idType.typeName} — casting would drop rows silently")
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(payloadCol))

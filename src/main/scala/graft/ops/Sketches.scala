@@ -83,6 +83,9 @@ object Sketches {
     * (Agarwal et al., "Mergeable Summaries", PODS 2012). Output:
     * `(valueCol, cnt)` for values with `cnt >= ceil(phi*n)`, exact and
     * deterministic — same rows in, same answer out, any partitioning.
+    * The output value column is STRING regardless of the input type (the
+    * sketch keys on the string form); callers needing the original type
+    * join the result back against the source column.
     *
     * Three passes over the single value column: a `count()` (parquet
     * footer-cheap when the input is a bare scan; one narrow pass when it

@@ -168,6 +168,16 @@ object Streams {
     val spark = batch.sparkSession
     val path = new org.apache.hadoop.fs.Path(dimPath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path.getParent,
+      s".${path.getName}_scd2_tmp")
+    val old = new org.apache.hadoop.fs.Path(path.getParent,
+      s".${path.getName}_scd2_old")
+    // Crash recovery: a prior apply can die between moving the live
+    // dimension aside and swapping the new one in, leaving the ONLY copy
+    // at the hidden `old` path — restore it before deciding bootstrap vs
+    // merge, and treat `old` as garbage only when `path` itself exists.
+    if (!fs.exists(path) && fs.exists(old))
+      require(fs.rename(old, path), s"could not restore $dimPath from $old")
     val snapshot = batch.select((keys ++ tracked).map(col): _*)
     val merged =
       if (fs.exists(path))
@@ -176,10 +186,6 @@ object Streams {
       else // first batch bootstraps the dimension: every key inserts
         snapshot.withColumn("valid_from", lit(snapshotDate))
           .withColumn("valid_to", lit(null).cast("string"))
-    val tmp = new org.apache.hadoop.fs.Path(path.getParent,
-      s".${path.getName}_scd2_tmp")
-    val old = new org.apache.hadoop.fs.Path(path.getParent,
-      s".${path.getName}_scd2_old")
     fs.delete(tmp, true); fs.delete(old, true)
     merged.write.parquet(tmp.toString)
     if (fs.exists(path))

@@ -257,6 +257,14 @@ class FeatureExtractSpec extends SparkSpec {
     assert(out(3L) == ((6L, Seq(0.5, 2.5, 4.5, 0.0))))
   }
 
+  test("non-integral id column fails loudly instead of dropping rows") {
+    val df = Seq(("a", Array[Byte](1))).toDF("doc_id", "payload")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.extractFeatures(df, "doc_id", "payload", dim = 4)
+    }
+    assert(e.getMessage.contains("integral id"))
+  }
+
   test("extracted features feed the similarity/quantization path unchanged") {
     val rnd = new scala.util.Random(41)
     val docs = (1L to 20L).map(i =>

@@ -268,5 +268,16 @@ class Scd2SinkSpec extends SparkSpec {
     Streams.applyScd2Batch(Seq((1L, "A"), (2L, "B2"), (3L, "C")).toDF("k", "attr"),
       dimPath, Seq("k"), Seq("attr"), "2024-01-02")
     assert(readDim() == dim, "replaying a micro-batch must be a no-op")
+    // crash between the two swap renames: the dimension survives only at
+    // the hidden `_scd2_old` path — the next apply must restore it, not
+    // bootstrap from the batch and destroy the history.
+    val fs = new org.apache.hadoop.fs.Path(dimPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dimPath),
+      new org.apache.hadoop.fs.Path(s"$dir/.dim_scd2_old")))
+    Streams.applyScd2Batch(Seq((1L, "A"), (2L, "B2"), (3L, "C")).toDF("k", "attr"),
+      dimPath, Seq("k"), Seq("attr"), "2024-01-02")
+    assert(readDim() == dim,
+      "apply after a mid-swap crash must recover the moved-aside dimension")
   }
 }
