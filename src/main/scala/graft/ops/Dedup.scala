@@ -18,6 +18,19 @@ import graft.functions.TextFunctions
   *  - extremely frequent shingles (stop-shingles) can be frequency-pruned
   *    before the join to bound skew (`maxShingleFreq`).
   */
+/** Handle to a persisted MinHash/LSH near-duplicate index — three catalog
+  * tables prefixed by `name`: `_shingles` (doc_id, shingle, n_sh; bucketed
+  * on doc_id), `_buckets` (doc_id, band, bandhash; bucketed on the pairing
+  * join key), `_meta` (the parameters). Write with
+  * [[Dedup.writeNearDupIndex]], reopen with [[Dedup.loadNearDupIndex]].
+  */
+final case class NearDupIndex(name: String, n: Int, numHashes: Int,
+                              numBands: Int, numBuckets: Int) {
+  def shinglesTable: String = s"${name}_shingles"
+  def bucketsTable: String = s"${name}_buckets"
+  def metaTable: String = s"${name}_meta"
+}
+
 object Dedup {
 
   /** Exact dedup, deterministic keep-first: one row per distinct value of
@@ -190,6 +203,26 @@ object Dedup {
     withBase.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** (doc_id, band, bandhash) LSH bucket rows for a (doc_id, shingle[, …])
+    * table: MinHash signatures (one shuffle on doc_id), then each band's
+    * hash slice folded to a single xxhash64 and exploded to `numBands`
+    * rows per doc. The single definition shared by the in-memory pairing
+    * paths and the persisted index, so stored buckets are bit-identical
+    * to recomputed ones.
+    */
+  private def bandBuckets(sh: DataFrame, numHashes: Int,
+                          numBands: Int): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val sig = minhashSignatures(sh.select("doc_id", "shingle"), numHashes)
+    val bandStructs = (0 until numBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bandhash"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bandhash").as("bandhash"))
+  }
+
   /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
     *
     * Scale path: signatures (one shuffle), band buckets (explode to
@@ -211,16 +244,8 @@ object Dedup {
                       numHashes: Int = 64, numBands: Int = 16,
                       maxBandFreq: Option[Int] = None): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
-    val rowsPerBand = numHashes / numBands
     val sh = sizedShingles(docs, idCol, textCol, n)
-    val sig = minhashSignatures(sh.select("doc_id", "shingle"), numHashes)
-    val bandStructs = (0 until numBands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bandhash"))
-    }
-    val allBuckets = sig.select(col("doc_id"),
-        explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bandhash").as("bandhash"))
+    val allBuckets = bandBuckets(sh, numHashes, numBands)
     val buckets = maxBandFreq match {
       case None => allBuckets
       case Some(f) =>
@@ -260,20 +285,20 @@ object Dedup {
                             numHashes: Int = 64, numBands: Int = 16,
                             maxBandFreq: Option[Int] = None): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
-    val rowsPerBand = numHashes / numBands
     val cSh = sizedShingles(corpus, idCol, textCol, n)
     val dSh = sizedShingles(delta, idCol, textCol, n)
-    def bucketsOf(sh: DataFrame): DataFrame = {
-      val sig = minhashSignatures(sh.select("doc_id", "shingle"), numHashes)
-      val bandStructs = (0 until numBands).map { b =>
-        val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-        struct(lit(b).as("band"), xxhash64(cols: _*).as("bandhash"))
-      }
-      sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"),
-          col("bb.bandhash").as("bandhash"))
-    }
-    val (cBuckets, dBuckets) = (bucketsOf(cSh), bucketsOf(dSh))
+    crossPairs(bandBuckets(cSh, numHashes, numBands),
+      bandBuckets(dSh, numHashes, numBands), cSh, dSh, threshold, maxBandFreq)
+  }
+
+  /** Bucket-join + verify shared by the recompute and persisted-index
+    * cross-pairing paths: candidates are corpus×delta within a (band,
+    * bandhash) bucket only; the band-frequency cap counts occupancy over
+    * the UNION of both sides; verification touches candidate pairs only.
+    */
+  private def crossPairs(cBuckets: DataFrame, dBuckets: DataFrame,
+                         cSh: DataFrame, dSh: DataFrame, threshold: Double,
+                         maxBandFreq: Option[Int]): DataFrame = {
     val (cB, dB) = maxBandFreq match {
       case None => (cBuckets, dBuckets)
       case Some(f) =>
@@ -288,7 +313,20 @@ object Dedup {
         col("x.bandhash") === col("y.bandhash"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    verifyJaccard(cand, cSh.unionByName(dSh), threshold)
+    // a_ids come from the corpus side only and b_ids from the delta side
+    // only, so each verification join reads its own side's shingle table —
+    // in the index path the corpus side stays the bucketed stored scan
+    // instead of disappearing into a union with the delta.
+    val aSh = cSh.select(col("doc_id").as("a_id"), col("shingle"),
+      col("n_sh").as("n_a"))
+    val bSh = dSh.select(col("doc_id").as("b_id"), col("shingle"),
+      col("n_sh").as("n_b"))
+    cand.join(aSh, "a_id").join(bSh, Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id", "n_a", "n_b").agg(count(lit(1)).as("n_inter"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Incremental near-duplicate REMOVAL for a delta batch: first collapse
@@ -314,6 +352,118 @@ object Dedup {
         threshold, n, maxBandFreq = maxBandFreq)
       .select(col("b_id").as(idCol)).distinct()
     deltaClean.join(hit, Seq(idCol), "left_anti")
+  }
+
+  /** Materialize the near-dup index for `corpus`: the sized-shingle table
+    * (bucketed on doc_id) and the (doc_id, band, bandhash) LSH bucket
+    * table (bucketed on its join key), plus a one-row parameter table.
+    * This is the persisted form of exactly what [[minhashLshPairsAcross]]
+    * recomputes from raw text on every call — with the index, a delta
+    * ingest never re-shingles or re-hashes the corpus: the pairing join
+    * reads co-bucketed corpus files with NO exchange, and verification
+    * reads stored (doc_id, shingle, n_sh) rows for the candidate ids
+    * only. At 100 TB that converts the linear-in-corpus per-ingest
+    * shingle+MinHash cost into a one-time write.
+    *
+    * Catalog-backed ([[graft.core.io.Writer.writeBucketed]] — Spark
+    * bucketing metadata requires `saveAsTable`); `name` prefixes the
+    * three tables. Buckets are derived FROM the stored shingle table, so
+    * the two tables can never drift and the signature aggregation itself
+    * runs exchange-free on the bucketed-by-doc_id layout.
+    */
+  def writeNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        name: String, n: Int = 3, numHashes: Int = 64,
+                        numBands: Int = 16, numBuckets: Int = 32): NearDupIndex = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val spark = corpus.sparkSession
+    val idx = NearDupIndex(name, n, numHashes, numBands, numBuckets)
+    graft.core.io.Writer.writeBucketed(
+      sizedShingles(corpus, idCol, textCol, n),
+      idx.shinglesTable, Seq("doc_id"), numBuckets)
+    graft.core.io.Writer.writeBucketed(
+      bandBuckets(spark.table(idx.shinglesTable), numHashes, numBands),
+      idx.bucketsTable, Seq("band", "bandhash"), numBuckets)
+    import spark.implicits._
+    Seq((n, numHashes, numBands, numBuckets))
+      .toDF("n", "num_hashes", "num_bands", "num_buckets")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(idx.metaTable)
+    idx
+  }
+
+  /** Load an index handle written by [[writeNearDupIndex]] — parameters
+    * come from the stored meta table, so callers cannot pair a delta with
+    * mismatched shingle width or band layout.
+    */
+  def loadNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                       name: String): NearDupIndex = {
+    val m = spark.table(s"${name}_meta").head()
+    NearDupIndex(name, m.getAs[Int]("n"), m.getAs[Int]("num_hashes"),
+      m.getAs[Int]("num_bands"), m.getAs[Int]("num_buckets"))
+  }
+
+  /** Append `accepted` docs' shingle and bucket rows to the index — the
+    * ingest step after [[dropNearDuplicatesAgainst]] decides which delta
+    * rows join the corpus. Per-doc shingle counts are independent across
+    * docs, so batch-local derivation appends rows identical to a full
+    * rewrite. The input is eagerly materialized first: accepted rows
+    * usually derive from an anti-join that READS the index tables, and
+    * growing those tables under a live plan would re-evaluate it against
+    * the appended state (every accepted doc would suddenly match itself).
+    */
+  def appendToNearDupIndex(index: NearDupIndex, accepted: DataFrame,
+                           idCol: String, textCol: String): Unit = {
+    val docs = accepted.select(col(idCol), col(textCol)).localCheckpoint()
+    val sh = sizedShingles(docs, idCol, textCol, index.n)
+    graft.core.io.Writer.writeBucketed(sh, index.shinglesTable,
+      Seq("doc_id"), index.numBuckets,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    graft.core.io.Writer.writeBucketed(
+      bandBuckets(sh, index.numHashes, index.numBands), index.bucketsTable,
+      Seq("band", "bandhash"), index.numBuckets,
+      mode = org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** [[minhashLshPairsAcross]] against a PERSISTED corpus index: same
+    * pairs bit-for-bit, but the corpus side comes from the stored bucket
+    * and shingle tables — no corpus re-shingle, no corpus re-hash, and
+    * the pairing join's corpus side reads co-bucketed files with zero
+    * exchange (spec-asserted).
+    */
+  def minhashLshPairsAcross(index: NearDupIndex, delta: DataFrame,
+                            idCol: String, textCol: String,
+                            threshold: Double,
+                            maxBandFreq: Option[Int]): DataFrame = {
+    val spark = delta.sparkSession
+    val dSh = sizedShingles(delta, idCol, textCol, index.n)
+    crossPairs(spark.table(index.bucketsTable),
+      bandBuckets(dSh, index.numHashes, index.numBands),
+      spark.table(index.shinglesTable), dSh, threshold, maxBandFreq)
+  }
+
+  /** [[dropNearDuplicatesAgainst]] against a persisted index, optionally
+    * appending the accepted rows' index entries so the NEXT delta sees
+    * them — the complete steady-state ingest step: collapse within-delta
+    * clusters, drop corpus near-dups, grow the index. Returns the
+    * accepted rows (eagerly materialized when appending — see
+    * [[appendToNearDupIndex]]).
+    */
+  def dropNearDuplicatesAgainst(index: NearDupIndex, delta: DataFrame,
+                                idCol: String, textCol: String,
+                                threshold: Double, maxBandFreq: Option[Int],
+                                appendAccepted: Boolean): DataFrame = {
+    val deltaClean = dropNearDuplicates(delta, idCol, textCol, threshold,
+      index.n, maxBandFreq)
+    val hit = minhashLshPairsAcross(index, delta, idCol, textCol,
+        threshold, maxBandFreq)
+      .select(col("b_id").as(idCol)).distinct()
+    val accepted = deltaClean.join(hit, Seq(idCol), "left_anti")
+    if (!appendAccepted) accepted
+    else {
+      val materialized = accepted.localCheckpoint()
+      appendToNearDupIndex(index, materialized, idCol, textCol)
+      materialized
+    }
   }
 
   /** Exact Jaccard for an explicit candidate-pair set (a_id, b_id). `sh` is

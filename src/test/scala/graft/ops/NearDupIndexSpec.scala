@@ -1,0 +1,107 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+
+/** The persisted near-dup index: same pairs as the recompute path, zero
+  * exchange on the stored corpus side of the pairing join, and an append
+  * path that keeps the index equal to a full rewrite.
+  */
+class NearDupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+  private val fresh = "completely different words about spark shuffles and parquet row groups here"
+
+  private def dropIndex(name: String): Unit =
+    Seq("_shingles", "_buckets", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $name$s"))
+
+  private def physical(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("stored-index pairs are bit-identical to the recompute path") {
+    dropIndex("ndx1")
+    val corpus = Seq((10L, base), (11L, fresh),
+      (12L, base + " with a small drift at the end")).toDF("doc_id", "text")
+    val delta = Seq((20L, base + " again"), (21L, fresh + " too"),
+      (22L, "entirely unrelated text about catalyst plans and shuffle partitions today")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.writeNearDupIndex(corpus, "doc_id", "text", "ndx1")
+    try {
+      for (cap <- Seq(None, Some(3))) {
+        val direct = pairSet(Dedup.minhashLshPairsAcross(corpus, delta,
+          "doc_id", "text", threshold = 0.7, maxBandFreq = cap))
+        val stored = pairSet(Dedup.minhashLshPairsAcross(idx, delta,
+          "doc_id", "text", threshold = 0.7, cap))
+        assert(stored == direct, s"cap=$cap")
+        if (cap.isEmpty) assert(direct.map(p => (p._1, p._2)) ==
+          Set((10L, 20L), (11L, 21L)))
+      }
+      assert(Dedup.loadNearDupIndex(spark, "ndx1") == idx,
+        "parameters must survive the catalog round-trip")
+    } finally dropIndex("ndx1")
+  }
+
+  test("pairing and verification joins read co-bucketed corpus files with no exchange") {
+    dropIndex("ndx2")
+    val corpus = (1L to 40L).map(i =>
+      (i, s"$fresh unique token $i marks this document as number $i"))
+      .toDF("doc_id", "text")
+    val delta = Seq((100L, fresh + " unique token 7 marks this document as number 7 too"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.writeNearDupIndex(corpus, "doc_id", "text", "ndx2")
+    // disable broadcast so every join would OTHERWISE shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pairs = Dedup.minhashLshPairsAcross(idx, delta, "doc_id", "text",
+        threshold = 0.5, maxBandFreq = None)
+      val plan = physical(pairs)
+      val smjs = plan.collect { case j: SortMergeJoinExec => j }
+      // the stored table feeds its join directly: no shuffle between the
+      // bucketed scan and the sort-merge join consuming it
+      def shuffleFreeSide(table: String): Boolean = smjs.exists(j =>
+        Seq(j.left, j.right).exists(s => s.toString.contains(table) &&
+          s.collect { case e: ShuffleExchangeLike => e }.isEmpty))
+      assert(shuffleFreeSide(idx.bucketsTable),
+        s"corpus buckets shuffled before the pairing join:\n$plan")
+      assert(shuffleFreeSide(idx.shinglesTable),
+        s"corpus shingles shuffled before the verification join:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      dropIndex("ndx2")
+    }
+  }
+
+  test("append round-trip: the grown index equals a recompute over the grown corpus") {
+    dropIndex("ndx3")
+    val corpus = Seq((10L, base)).toDF("doc_id", "text")
+    val delta1 = Seq((20L, base + " again"), (30L, fresh)).toDF("doc_id", "text")
+    val idx = Dedup.writeNearDupIndex(corpus, "doc_id", "text", "ndx3")
+    try {
+      val accepted = Dedup.dropNearDuplicatesAgainst(idx, delta1, "doc_id",
+        "text", threshold = 0.8, maxBandFreq = None, appendAccepted = true)
+      assert(accepted.select("doc_id").as[Long].collect().toSet == Set(30L))
+      // the next delta pairs against corpus ∪ accepted with no recompute
+      val delta2 = Seq((40L, fresh + " as well"), (41L, base + " again"))
+        .toDF("doc_id", "text")
+      val viaIndex = pairSet(Dedup.minhashLshPairsAcross(idx, delta2,
+        "doc_id", "text", threshold = 0.8, None))
+      val grown = corpus.unionByName(Seq((30L, fresh)).toDF("doc_id", "text"))
+      val direct = pairSet(Dedup.minhashLshPairsAcross(grown, delta2,
+        "doc_id", "text", threshold = 0.8))
+      assert(viaIndex == direct)
+      assert(viaIndex.map(p => (p._1, p._2)) == Set((30L, 40L), (10L, 41L)))
+    } finally dropIndex("ndx3")
+  }
+}
