@@ -130,15 +130,50 @@ object Similarity {
       .drop("_features")
   }
 
+  /** Assign each row its `nprobe` nearest centroids, exploded to one row
+    * per (vector, cell), nearest first — the IVF recall repair: a probe
+    * near a Voronoi boundary misses true neighbors in the adjacent cell,
+    * and probing its `nprobe` nearest cells recovers them. Recall is
+    * monotone in `nprobe` BY CONSTRUCTION: the probed cell set is a
+    * prefix of the distance-sorted centroid list. Centroids are
+    * driver-resident in the fitted model, so the assignment is a pure
+    * codegen'd expression over centroid literals — per-centroid
+    * squared-Euclidean folds, sorted (distance, cell) structs, `nprobe`
+    * prefix, explode. No ML transform, no shuffle, corpus untouched.
+    */
+  def assignCellsMulti(df: DataFrame,
+                       model: org.apache.spark.ml.clustering.KMeansModel,
+                       nprobe: Int): DataFrame = {
+    val centers = model.clusterCenters
+    require(nprobe >= 1 && nprobe <= centers.length,
+      s"nprobe must be in [1, ${centers.length}], got $nprobe")
+    val dists = centers.zipWithIndex.map { case (c, i) =>
+      val diff2 = zip_with(col("embedding"), typedLit(c.toArray.toSeq),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y))
+      struct(aggregate(diff2, lit(0.0), (a, v) => a + v).as("d"),
+        lit(i).as("cell"))
+    }
+    df.withColumn("cell",
+      explode(transform(slice(array_sort(array(dists: _*)), 1, nprobe),
+        s => s.getField("cell"))))
+  }
+
   /** End-to-end trained-IVF top-k: fit cells on the corpus, assign both
     * sides with the same centroids, then cell-pruned scoring. Recall is
     * the IVF approximation (a true neighbor in a different cell is
-    * missed) — raise `cells` resolution or probe multiple cells for more.
+    * missed); `nprobe` scores each probe against its `nprobe` nearest
+    * cells — the standard recall knob, spec-measured against
+    * [[bruteForceTopK]]. A candidate holds ONE cell, so a (probe, cand)
+    * pair appears at most once however many cells the probe visits.
     */
   def kmeansIvfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-                    cells: Int = 16, seed: Long = 42L): DataFrame = {
+                    cells: Int = 16, seed: Long = 42L,
+                    nprobe: Int = 1): DataFrame = {
     val (clustered, model) = kmeansCells(corpus, cells, seed)
-    ivfTopK(clustered, assignCells(probes, model), "cell", k)
+    val assigned =
+      if (nprobe == 1) assignCells(probes, model)
+      else assignCellsMulti(probes, model, nprobe)
+    ivfTopK(clustered, assigned, "cell", k)
   }
 
   /** Persist the corpus partitioned by cluster id — the on-disk IVF

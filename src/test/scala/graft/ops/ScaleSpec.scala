@@ -93,6 +93,37 @@ class KmeansIvfSpec extends SparkSpec {
       .filter(col("pc") =!= col("cc"))
     assert(crossCell.isEmpty)
   }
+
+  test("nprobe repairs boundary recall: monotone in nprobe, exact at all cells") {
+    import spark.implicits._
+    // 4 well-separated gaussian clusters, trained with 8 cells — k-means
+    // must SPLIT clusters, so true neighbors straddle cell boundaries and
+    // single-cell probing measurably under-recalls.
+    val rnd = new scala.util.Random(11)
+    val centers = Array.tabulate(4, 8)((c, d) => if (d == c * 2) 10.0 else 0.0)
+    val corpus = (1L to 400L).map { i =>
+      val c = centers(((i - 1) % 4).toInt)
+      (i, c.map(v => (v + rnd.nextGaussian() * 1.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") % 10 === 0)
+    val bf = Similarity.bruteForceTopK(corpus, probes, k = 10).collect()
+      .groupBy(_.getLong(0))
+      .map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+    def recallAt(nprobe: Int): Double = {
+      val ivf = Similarity.kmeansIvfTopK(corpus, probes, k = 10, cells = 8,
+          seed = 7L, nprobe = nprobe).collect()
+        .groupBy(_.getLong(0))
+        .map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+      bf.map { case (p, s) =>
+        ivf.getOrElse(p, Set.empty[Long]).intersect(s).size.toDouble / s.size }
+        .sum / bf.size
+    }
+    val (r1, r2, rAll) = (recallAt(1), recallAt(2), recallAt(8))
+    assert(r1 < 1.0, s"fixture too easy: nprobe=1 already exact (r1=$r1)")
+    assert(r1 <= r2 && r2 <= rAll, s"recall not monotone: $r1, $r2, $rAll")
+    assert(r2 >= 0.95, s"nprobe=2 recall@10 below bar: $r2")
+    assert(rAll == 1.0, s"probing every cell must equal brute force: $rAll")
+  }
 }
 
 class LshCosineSpec extends SparkSpec {
