@@ -268,5 +268,58 @@ object QueriesOps {
         |      * (CAST(sum(uv) AS DOUBLE) / 1e4 / count(*))), 4) AS stddev_pop
         |FROM u GROUP BY grp ORDER BY grp""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83)
+  private def tmp(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
+  /** Watermarked STREAM-STREAM join held to the batch-join oracle: click
+    * events within the 4 hours before a purchase by the same user,
+    * replayed through two file streams into
+    * [[graft.streaming.Streams.streamJoin]]. An inner stream-stream join
+    * emits matches as they arrive (the watermark only bounds join
+    * state), and the whole fixture lands in one micro-batch, so the
+    * emitted pair set must equal DuckDB's batch join row for row.
+    */
+  val q84 = QueryDef("q84_stream_stream_join", (spark, dir) => {
+    val out = tmp("graft_q84")
+    val ev = t(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+    ev.filter(col("event_type") === "purchase").write.parquet(s"$out/purchase")
+    ev.filter(col("event_type") === "click").write.parquet(s"$out/click")
+    def stream(sub: String, idAs: String, tsAs: String) =
+      graft.streaming.Streams.readFileStream(spark,
+          graft.core.model.DatasetSpec(path = s"$out/$sub", format = "parquet"),
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
+        .select(col("event_id").as(idAs), col("ts").as(tsAs), col("user_id"))
+    val joined = graft.streaming.Streams.streamJoin(
+      stream("purchase", "purchase_id", "p_ts"),
+      stream("click", "click_id", "c_ts"),
+      key = "user_id", leftTs = "p_ts", rightTs = "c_ts",
+      watermarkDelay = "1 hour", within = "4 hours")
+    val sink = s"q84_sink_${System.nanoTime}"
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sink).select("purchase_id", "click_id", "user_id")
+      .orderBy("purchase_id", "click_id")
+  }, Some(
+    """WITH p AS (SELECT event_id AS purchase_id, ts AS p_ts, user_id
+      |          FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT event_id AS click_id, ts AS c_ts, user_id
+      |          FROM events WHERE event_type = 'click')
+      |SELECT p.purchase_id, c.click_id, p.user_id
+      |FROM p JOIN c ON p.user_id = c.user_id
+      |  AND c.c_ts >= p.p_ts - INTERVAL 4 HOUR AND c.c_ts <= p.p_ts
+      |ORDER BY purchase_id, click_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83,
+    q84)
 }
