@@ -111,7 +111,8 @@ class Scd2MergeJob extends EtlJob {
       snapshotDate = params.getOrElse("snapshot_date",
         sys.error("Scd2MergeJob needs param 'snapshot_date'")),
       validFrom = params.getOrElse("valid_from_col", "valid_from"),
-      validTo = params.getOrElse("valid_to_col", "valid_to"))
+      validTo = params.getOrElse("valid_to_col", "valid_to"),
+      closeMissing = params.getOrElse("close_missing", "false").toBoolean)
   }
 }
 

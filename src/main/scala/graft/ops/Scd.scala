@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   *    comparison)
   *  - open row exists, tracked columns differ  → close the open row
   *    (`valid_to = snapshotDate`) and insert a new open row
-  * Keys absent from the snapshot keep their open row (a partial snapshot
-  * is not a delete — close-on-missing is a policy knob callers can apply
-  * by pre-joining). Closed history rows pass through untouched.
+  * Keys absent from the snapshot keep their open row by default (a
+  * partial snapshot is not a delete); with `closeMissing = true` absence
+  * IS a delete — the open row closes at the snapshot date (full-snapshot
+  * feeds where a dropped key means the entity is gone). Closed history
+  * rows pass through untouched either way.
   *
   * Scale shape: history rows never shuffle (a filter pass-through); the
   * open-vs-snapshot reconciliation is ONE full-outer equi-join on the
@@ -42,7 +44,8 @@ object Scd {
   def scd2Merge(dim: DataFrame, snapshot: DataFrame, keys: Seq[String],
                 tracked: Seq[String], snapshotDate: String,
                 validFrom: String = "valid_from",
-                validTo: String = "valid_to"): DataFrame = {
+                validTo: String = "valid_to",
+                closeMissing: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "scd2Merge needs at least one key column")
     require(tracked.nonEmpty, "scd2Merge needs at least one tracked column")
     val outCols = keys ++ tracked ++ Seq(validFrom, validTo)
@@ -71,11 +74,43 @@ object Scd {
     val fresh = row("s", lit(snapshotDate), lit(null))
 
     val emitted = j.select(explode(
-      when(curPresent && (!snpPresent || !changed), array(keepOpen))
-        .when(curPresent && snpPresent && changed, array(closed, fresh))
+      when(curPresent && !snpPresent,
+          if (closeMissing) array(closed) else array(keepOpen))
+        .when(curPresent && !changed, array(keepOpen))
+        .when(curPresent && changed, array(closed, fresh))
         .otherwise(array(fresh))).as("_r"))
       .select("_r.*")
 
     emitted.unionByName(history)
+  }
+
+  /** Replay N dated snapshots into the dimension — real SCD2 maintenance
+    * is rarely one merge: a backfill or catch-up applies a SEQUENCE of
+    * dated full snapshots in order. A strict left fold of [[scd2Merge]],
+    * one merge per date, with dates required ascending (ISO strings, so
+    * lexicographic = chronological) — an out-of-order replay would close
+    * rows with a `valid_to` before their `valid_from`. Lineage is
+    * truncated per step (reliable `checkpoint()` when the session has a
+    * checkpoint dir, `localCheckpoint` otherwise — the
+    * [[Dedup.connectedComponents]] policy): without truncation the plan
+    * nests one full-outer join per snapshot and optimizer time blows up
+    * long before the data does.
+    */
+  def scd2FoldSnapshots(dim: DataFrame, snapshots: Seq[(String, DataFrame)],
+                        keys: Seq[String], tracked: Seq[String],
+                        validFrom: String = "valid_from",
+                        validTo: String = "valid_to",
+                        closeMissing: Boolean = false): DataFrame = {
+    require(snapshots.nonEmpty, "scd2FoldSnapshots needs at least one snapshot")
+    val dates = snapshots.map(_._1)
+    require(dates == dates.sorted && dates.distinct.size == dates.size,
+      s"snapshot dates must be strictly ascending, got: ${dates.mkString(", ")}")
+    val sc = dim.sparkSession.sparkContext
+    val truncate: DataFrame => DataFrame = df =>
+      if (sc.getCheckpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    snapshots.foldLeft(dim) { case (acc, (date, snap)) =>
+      truncate(scd2Merge(acc, snap, keys, tracked, date, validFrom, validTo,
+        closeMissing))
+    }
   }
 }

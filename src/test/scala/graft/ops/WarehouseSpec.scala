@@ -111,6 +111,62 @@ class ScdSpec extends SparkSpec {
     }
   }
 
+  test("closeMissing treats absence as deletion; default keeps the row open") {
+    val snap = Seq((1L, "A2")).toDF("k", "attr") // keys 2, 3 absent
+    val out = Scd.scd2Merge(dim, snap, Seq("k"), Seq("attr"), "2024-01-01",
+        closeMissing = true)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+    assert(out == Set(
+      (1L, "A", "2022-01-01", Some("2023-01-01")),
+      (1L, "A2", "2023-01-01", None),
+      (2L, "B", "2023-01-01", Some("2024-01-01")),
+      (3L, "C", "2023-01-01", Some("2024-01-01"))))
+  }
+
+  test("scd2FoldSnapshots replays dated snapshots; matches a driver-side reference") {
+    val rnd = new scala.util.Random(31)
+    for (closeMissing <- Seq(false, true)) {
+      val n = 25
+      val dim0rows = (0 until n).filter(_ => rnd.nextBoolean())
+        .map(k => (k.toLong, s"v${rnd.nextInt(3)}", "2023-01-01",
+          null.asInstanceOf[String]))
+      val dim0 = dim0rows.toDF("k", "attr", "valid_from", "valid_to")
+      val dates = Seq("2024-01-01", "2024-02-01", "2024-03-01")
+      val snaps = dates.map(d => d -> (0 until n + 5)
+        .filter(_ => rnd.nextBoolean()).map(k => (k.toLong, s"v${rnd.nextInt(3)}")))
+      // driver-side reference fold over (open-rows map, closed history)
+      var open = dim0rows.map(r => r._1 -> (r._2, r._3)).toMap
+      val hist = scala.collection.mutable
+        .ArrayBuffer.empty[(Long, String, String, Option[String])]
+      for ((d, rows) <- snaps) {
+        val snapMap = rows.toMap
+        for ((k, a) <- rows) open.get(k) match {
+          case None => open += k -> (a, d)
+          case Some((ca, _)) if ca == a => ()
+          case Some((ca, cf)) => hist += ((k, ca, cf, Some(d))); open += k -> (a, d)
+        }
+        if (closeMissing)
+          for ((k, (ca, cf)) <- open if !snapMap.contains(k)) {
+            hist += ((k, ca, cf, Some(d))); open -= k
+          }
+      }
+      val expected = (hist ++ open.map { case (k, (a, f)) => (k, a, f, None) }).toSet
+      val got = Scd.scd2FoldSnapshots(dim0,
+          snaps.map { case (d, rows) => d -> rows.toDF("k", "attr") },
+          Seq("k"), Seq("attr"), closeMissing = closeMissing)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          Option(r.getString(3)))).toSet
+      assert(got == expected, s"closeMissing=$closeMissing diverged")
+    }
+    // out-of-order replay is refused, not silently merged
+    intercept[IllegalArgumentException] {
+      Scd.scd2FoldSnapshots(dim,
+        Seq("2024-02-01" -> dim.select("k", "attr"),
+          "2024-01-01" -> dim.select("k", "attr")), Seq("k"), Seq("attr"))
+    }
+  }
+
   test("result is invariant to partitioning and a second merge is a no-op") {
     val snap = Seq((2L, "X"), (4L, "N")).toDF("k", "attr").repartition(7)
     val once = Scd.scd2Merge(dim.repartition(5), snap, Seq("k"), Seq("attr"), "2024-01-01")
