@@ -122,17 +122,21 @@ object TextAnalysis {
   def contaminationFlags(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String,
                          n: Int = 8, minShared: Int = 1,
-                         maxBroadcastGrams: Long = 10000000L): DataFrame = {
+                         maxBroadcastGrams: Long = 10000000L,
+                         benchGramRows: Option[Long] = None): DataFrame = {
     val benchGrams = benchmark
       .select(explode(shingles(col(textCol), n)).as("gram"))
       .distinct()
     val corpusGrams = corpus.select(col(idCol).as("doc_id"),
       explode(shingles(col(textCol), n)).as("gram"))
     // eval sets are small by definition, so the gram set broadcasts; gate
-    // it anyway (one count over the SMALL side) so an oversized benchmark
-    // degrades to a shuffle join instead of an 8GB-broadcast failure
+    // it anyway (one count over the SMALL side — skipped when the caller
+    // passes `benchGramRows` from a prior count, the probeRows/deltaRows
+    // convention) so an oversized benchmark degrades to a shuffle join
+    // instead of an 8GB-broadcast failure
     val benchSide =
-      if (benchGrams.count() <= maxBroadcastGrams) broadcast(benchGrams)
+      if (benchGramRows.getOrElse(benchGrams.count()) <= maxBroadcastGrams)
+        broadcast(benchGrams)
       else benchGrams
     val shared = corpusGrams.join(benchSide, "gram")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
@@ -173,17 +177,21 @@ object TextAnalysis {
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3,
-                    maxBroadcastTerms: Long = 10000000L): DataFrame = {
+                    maxBroadcastTerms: Long = 10000000L,
+                    vocabTerms: Option[Long] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val termRows = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
     val tf = termRows.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfTable = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // distinct-term count gate, skipped when the caller passes
+    // `vocabTerms` from a prior count (the probeRows/deltaRows convention)
+    val vocabN = vocabTerms.getOrElse(
+      dfTable.limit(math.min(maxBroadcastTerms + 1, Int.MaxValue.toLong).toInt)
+        .count())
     val dfSide =
-      if (dfTable.limit(math.min(maxBroadcastTerms + 1, Int.MaxValue.toLong).toInt)
-            .count() <= maxBroadcastTerms)
-        broadcast(dfTable)
+      if (vocabN <= maxBroadcastTerms) broadcast(dfTable)
       else dfTable
     val scored = tf.join(dfSide, "term").crossJoin(broadcast(nDocs))
       .withColumn("score",

@@ -143,6 +143,66 @@ class TfidfSpec extends SparkSpec {
   }
 }
 
+class HintEscapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Count Dataset actions over plans mentioning `marker` while `body`
+    * runs, via a QueryExecutionListener. Events arrive async but FIFO,
+    * so a sentinel action posted last proves body's events (if any) were
+    * delivered; marker-filtering keeps concurrently-running suites from
+    * polluting the count.
+    */
+  private def markedActionsDuring(marker: String)(body: => Unit): Int = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    @volatile var sentinelSeen = false
+    val sentinelCol = s"${marker}_sentinel"
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        val p = qe.analyzed.toString
+        if (p.contains(sentinelCol)) sentinelSeen = true
+        else if (p.contains(marker)) counter.incrementAndGet(): Unit
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          error: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      body
+      Seq(1).toDF(sentinelCol).count()
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      while (!sentinelSeen && System.nanoTime < deadline) Thread.sleep(10)
+      assert(sentinelSeen, "listener never delivered the sentinel action")
+      counter.get
+    } finally spark.listenerManager.unregister(l)
+  }
+
+  test("vocabTerms / benchGramRows hints skip the plan-build gate count") {
+    val docs = Seq((1L, "alpha beta gamma delta"),
+      (2L, "beta gamma epsilon zeta")).toDF("doc_id", "hintesc_text")
+    val bench = Seq((1L, "gamma delta epsilon")).toDF("doc_id", "hintesc_text")
+    // without the hint, each builder runs one eager gate count
+    assert(markedActionsDuring("hintesc_text") {
+      TextAnalysis.tfidfTopTerms(docs, "doc_id", "hintesc_text"): Unit
+    } >= 1)
+    assert(markedActionsDuring("hintesc_text") {
+      TextAnalysis.contaminationFlags(docs, bench, "doc_id", "hintesc_text",
+        n = 2): Unit
+    } >= 1)
+    // with the hint, building the plan runs NO job at all
+    assert(markedActionsDuring("hintesc_text") {
+      TextAnalysis.tfidfTopTerms(docs, "doc_id", "hintesc_text",
+        vocabTerms = Some(6L)): Unit
+    } == 0)
+    assert(markedActionsDuring("hintesc_text") {
+      TextAnalysis.contaminationFlags(docs, bench, "doc_id", "hintesc_text",
+        n = 2, benchGramRows = Some(2L)): Unit
+    } == 0)
+  }
+}
+
 class DeltaDedupSpec extends SparkSpec {
   import spark.implicits._
 
