@@ -326,6 +326,78 @@ class LayoutSpec extends SparkSpec {
   }
 }
 
+class ZorderCompactionSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.core.io.Maintenance
+
+  private def fixture(n: Int, seed: Int) = (0 until n).map { i =>
+    val r = new scala.util.Random(seed * 7919 + i)
+    (seed * 1000000L + i, r.nextInt(1024).toLong, r.nextInt(1024).toLong)
+  }.toDF("id", "x", "y")
+
+  private def maxOverlap(path: String): Int = {
+    val spans = spark.read.parquet(path)
+      .select(input_file_name().as("f"),
+        Layout.zValue(Seq(col("x"), col("y")), 10).as("z"))
+      .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    if (spans.length < 2) 0
+    else spans.indices.map { i =>
+      spans.indices.count(j => j != i &&
+        spans(j)._1 <= spans(i)._2 && spans(j)._2 >= spans(i)._1)
+    }.max
+  }
+
+  private def parquetBytes(dir: String): Long =
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+
+  test("appends decay clustering; compactZorder restores tight disjoint files") {
+    val base = java.nio.file.Files.createTempDirectory("graft_zcompact").toString
+    val dir = s"$base/data"
+    val df = fixture(8000, 0)
+    Layout.zorderWrite(df, Seq(col("x"), col("y")), dir, numFiles = 4, bits = 10)
+    assert(maxOverlap(dir) == 0, "fresh z-order write must be disjoint")
+    val appended = fixture(2000, 1)
+    appended.coalesce(1).write.mode("append").parquet(dir)
+    assert(maxOverlap(dir) > 0, "an unsorted append must decay the clustering")
+    val target = math.max(1L, parquetBytes(dir) / 4)
+    val res = Maintenance.compactZorder(spark, dir, Seq("x", "y"), bits = 10,
+      targetFileBytes = target)
+    assert(res.length == 1 && res.head.reclustered && res.head.maxOverlapBefore > 0)
+    assert(maxOverlap(dir) == 0, "recluster must restore disjoint per-file z ranges")
+    val expect = df.unionByName(appended).collect().map(_.toSeq).toSet
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet == expect,
+      "compaction must preserve every row")
+    // the layout is clean now: a second call must not rewrite anything
+    val again = Maintenance.compactZorder(spark, dir, Seq("x", "y"), bits = 10,
+      targetFileBytes = target)
+    assert(!again.head.reclustered && again.head.maxOverlapBefore == 0)
+  }
+
+  test("partitioned layout: only the degraded partition is rewritten") {
+    val base = java.nio.file.Files.createTempDirectory("graft_zcompact_p").toString
+    val dir = s"$base/part"
+    Layout.zorderWrite(fixture(4000, 2), Seq(col("x"), col("y")),
+      s"$dir/p=a", numFiles = 3, bits = 10)
+    Layout.zorderWrite(fixture(4000, 3), Seq(col("x"), col("y")),
+      s"$dir/p=b", numFiles = 3, bits = 10)
+    def listing(p: String) = new java.io.File(s"$dir/p=$p").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toSet
+    val bBefore = listing("b")
+    fixture(1000, 4).coalesce(1).write.mode("append").parquet(s"$dir/p=a")
+    val target = math.max(1L, parquetBytes(s"$dir/p=b") / 3)
+    val res = Maintenance.compactZorder(spark, dir, Seq("x", "y"), bits = 10,
+      targetFileBytes = target)
+    val byPart = res.map(r => r.partition.split("/").last -> r).toMap
+    assert(byPart("p=a").reclustered, "appended-to partition must recluster")
+    assert(!byPart("p=b").reclustered, "clean partition must be left alone")
+    assert(listing("b") == bBefore, "clean partition's files must be untouched")
+    assert(maxOverlap(s"$dir/p=a") == 0)
+  }
+}
+
 class KmvSketchSpec extends SparkSpec {
   import spark.implicits._
 
