@@ -320,6 +320,42 @@ object QueriesOps {
       |  AND c.c_ts >= p.p_ts - INTERVAL 4 HOUR AND c.c_ts <= p.p_ts
       |ORDER BY purchase_id, click_id""".stripMargin))
 
+  /** Dataset-card distribution section via the YAML-reachable
+    * `CorpusCardJob`: the quality histogram and per-language quality
+    * profile in one long-format frame, replayed by the oracle from the
+    * SAME shared quality fragment as q33/q62/q81 plus the q82/q83
+    * scaled-integer conventions.
+    */
+  val q85 = QueryDef("q85_corpus_card", (spark, dir) =>
+    new graft.jobs.CorpusCardJob().transform(
+      Map("documents" -> t(spark, dir, "documents")), spark, Map.empty),
+    Some(
+      s"""WITH q AS (${QueriesScale.duckQualityScored()}),
+         |b AS (SELECT CAST(least(greatest(floor(quality / 0.1), 0), 9)
+         |        AS BIGINT) AS bucket
+         |      FROM q WHERE quality IS NOT NULL),
+         |hist AS (SELECT 'quality_hist' AS section,
+         |    CAST(bucket AS VARCHAR) AS k, count(*) AS cnt,
+         |    round(bucket * 0.1, 6) AS v1, round((bucket + 1) * 0.1, 6) AS v2,
+         |    CAST(NULL AS DOUBLE) AS v3, CAST(NULL AS DOUBLE) AS v4
+         |  FROM b GROUP BY bucket),
+         |d AS (SELECT dd.lang AS grp, CAST(q.quality AS DECIMAL(18,4)) AS v
+         |      FROM documents dd JOIN q USING (doc_id)
+         |      WHERE q.quality IS NOT NULL),
+         |u AS (SELECT grp, v, CAST(v * 10000 AS BIGINT) AS uv FROM d),
+         |prof AS (SELECT 'quality_profile' AS section,
+         |    CAST(grp AS VARCHAR) AS k, count(*) AS cnt,
+         |    round(CAST(min(v) AS DOUBLE), 4) AS v1,
+         |    round(CAST(max(v) AS DOUBLE), 4) AS v2,
+         |    round(CAST(sum(uv) AS DOUBLE) / 1e4 / count(*), 4) AS v3,
+         |    round(sqrt(CAST(sum(CAST(uv AS HUGEINT) * uv) AS DOUBLE) / 1e8
+         |        / count(*)
+         |      - (CAST(sum(uv) AS DOUBLE) / 1e4 / count(*))
+         |        * (CAST(sum(uv) AS DOUBLE) / 1e4 / count(*))), 4) AS v4
+         |  FROM u GROUP BY grp)
+         |SELECT * FROM hist UNION ALL SELECT * FROM prof
+         |ORDER BY section, k""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84)
+    q84, q85)
 }

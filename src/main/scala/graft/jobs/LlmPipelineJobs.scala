@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.EtlJob
 import graft.functions.TextFunctions
-import graft.ops.{Dedup, Sampling, Scd, TextAnalysis}
+import graft.ops.{Dedup, Sampling, Scd, Stats, TextAnalysis}
 
 /** Manifest-loadable job classes for the training-data pipeline — the
   * `class:` twin of the reference's frameworked jobs
@@ -90,6 +90,41 @@ class CorpusStatsJob extends EtlJob {
         sum("_nc").as("total_chars"),
         round(avg("_q"), 4).as("mean_quality"))
       .orderBy("grp")
+  }
+}
+
+/** Dataset-card DISTRIBUTION section from the same one-manifest run as
+  * [[CorpusStatsJob]]'s totals: the quality score's exact equi-width
+  * histogram ([[Stats.histogram]]) plus its per-group numeric profile
+  * ([[Stats.profile]]), long-format in one frame — `(section, k, cnt,
+  * v1..v4)`, histogram rows carrying (lo_edge, hi_edge) and profile rows
+  * (min, max, mean, stddev). The quality column is the SAME
+  * [[TextAnalysis.qualityExpr]] the gate uses, so the published card can
+  * never diverge from the filter it documents. Params: `group_by`
+  * (default `lang`), `bins`/`lo`/`hi` (default 10 over [0, 1]).
+  */
+class CorpusCardJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val df = inputs.values.head
+    val text = col(P.text(params))
+    val bins = params.getOrElse("bins", "10").toInt
+    val lo = params.getOrElse("lo", "0.0").toDouble
+    val hi = params.getOrElse("hi", "1.0").toDouble
+    val scored = df.select(
+      col(params.getOrElse("group_by", "lang")).as("_g"),
+      TextAnalysis.qualityExpr(text).as("_q"))
+    val hist = Stats.histogram(scored, "_q", lo, hi, bins)
+      .select(lit("quality_hist").as("section"),
+        col("bucket").cast("string").as("k"), col("cnt"),
+        col("lo_edge").as("v1"), col("hi_edge").as("v2"),
+        lit(null).cast("double").as("v3"), lit(null).cast("double").as("v4"))
+    val prof = Stats.profile(scored, "_g", "_q")
+      .select(lit("quality_profile").as("section"),
+        col("grp").cast("string").as("k"), col("cnt"),
+        col("min_v").as("v1"), col("max_v").as("v2"),
+        col("mean_v").as("v3"), col("stddev_pop").as("v4"))
+    hist.unionByName(prof).orderBy("section", "k")
   }
 }
 
