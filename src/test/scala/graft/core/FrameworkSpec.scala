@@ -191,6 +191,14 @@ class FlowSpec extends SparkSpec {
     val again = run()
     assert(out.select("doc_id", "split")
       .except(again.select("doc_id", "split")).isEmpty)
+    // the dataset card publishes from the same manifest, over the SAME
+    // gated corpus: both sections present, profile counts = gated docs
+    val card = Flow.runPipeline(spark, loaded.jobs, "corpus_card",
+      save = false)("corpus_card")
+    assert(card.filter("section = 'quality_hist'").count() > 0)
+    val profiled = card.filter("section = 'quality_profile'")
+      .agg(org.apache.spark.sql.functions.sum("cnt")).collect()(0).getLong(0)
+    assert(profiled == n, s"profile covers $profiled of $n gated docs")
   }
 
   test("jobs.yml runs the SCD2 dimension merge from the manifest") {
