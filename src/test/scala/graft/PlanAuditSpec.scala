@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.{LocalTableScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Plan-shape regression guard: the zero-exchange / broadcast / reuse
+  * properties individual specs assert are per-operator — this suite
+  * sweeps the gate's top-cost query plans for the global anti-patterns
+  * that creep in silently on refactors:
+  *   - CartesianProduct (an unconditioned join of two big sides);
+  *   - BroadcastNestedLoopJoin whose build side is NOT a provably tiny
+  *     frame (a single-row no-grouping aggregate or ≤1-row local scan) —
+  *     the gated 1-row bound frames the operators deliberately use stay
+  *     allowed;
+  *   - duplicate UNREUSED shuffle exchanges over the same canonical
+  *     subtree in the post-execution adaptive plan (the shared-scan
+  *     rewrites depend on runtime exchange reuse; losing it doubles the
+  *     heaviest scans).
+  * Audits run POST-execution at sf0.001 so AQE's final shape — the one
+  * production gets — is what is checked.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Top-cost + representative BATCH gate queries. Streaming and
+    * file-roundtrip queries execute side effects at build time and have
+    * their plans audited in their own specs.
+    */
+  private val audited = Seq(
+    "q01_pricing_summary", "q04_top_customers", "q09_cte_distribution",
+    "q12_case_when", "q16_rollup", "q24_dedup_exact", "q26_jaccard_pairs",
+    "q27_minhash_lsh", "q28_simhash_pairs", "q29_ann_topk",
+    "q40_lsh_cosine_pairs", "q45_asof_join", "q46_range_join",
+    "q47_sessionize", "q51_neardup_clusters", "q55_decontamination",
+    "q63_minhash_capped", "q64_embedding_neardup_clusters",
+    "q68_tfidf_terms", "q70_delta_neardup", "q76_bloom_join",
+    "q77_heavy_hitters", "q78_unigram_lm", "q85_corpus_card")
+
+  /** Queries whose BroadcastNestedLoopJoin is RUNTIME-gated rather than
+    * plan-visible: brute-force cosine top-k broadcasts the probe side
+    * behind `Similarity.gateProbes` (a require() on the probe row count,
+    * spec-covered in SimilarityIndexSpec) — the non-equi scoring join is
+    * the documented design, not a regression.
+    */
+  private val runtimeGatedBnlj = Set("q29_ann_topk")
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _ => p.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+
+  /** Anti-pattern findings for an EXECUTED DataFrame's final plan. */
+  private def violations(name: String, df: DataFrame): Seq[String] = {
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val cart = nodes.collect { case _: CartesianProductExec =>
+      s"$name: CartesianProduct" }
+    def tinyBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
+      val build = j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }
+      flatten(build).exists {
+        case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+        case l: LocalTableScanExec => l.rows.lengthCompare(1) <= 0
+        case _ => false
+      }
+    }
+    val bnlj =
+      if (runtimeGatedBnlj(name)) Nil
+      else nodes.collect { case j: BroadcastNestedLoopJoinExec => j }
+        .filterNot(tinyBuild)
+        .map(_ => s"$name: ungated BroadcastNestedLoopJoin")
+    val dup = nodes.collect { case e: ShuffleExchangeExec => e }
+      .groupBy(_.canonicalized)
+      .collect { case (_, es) if es.lengthCompare(1) > 0 =>
+        s"$name: ${es.length} unreused duplicate exchanges over one subtree" }
+    cart ++ bnlj ++ dup.toSeq
+  }
+
+  test("top-cost gate queries carry none of the named anti-patterns") {
+    val found = audited.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      // collect() drives THIS DataFrame's own QueryExecution, so its
+      // AdaptiveSparkPlanExec mutates to the final reuse-resolved plan
+      // (count() would execute a derived plan and leave this one initial)
+      df.collect()
+      violations(name, df)
+    }
+    assert(found.isEmpty, s"plan anti-patterns:\n${found.mkString("\n")}")
+  }
+
+  test("the audit actually fires on seeded anti-patterns") {
+    import spark.implicits._
+    val left = (1L to 200L).map(i => (i, i % 7)).toDF("a", "ga")
+    val right = (1L to 200L).map(i => (i, i % 5)).toDF("b", "gb")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cart = left.crossJoin(right)
+      cart.collect()
+      assert(violations("seed", cart).exists(_.contains("CartesianProduct")))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // non-equi join with a multi-row broadcast side → ungated BNLJ
+    val bnlj = left.join(broadcast(right), col("a") < col("b"))
+    bnlj.collect()
+    assert(violations("seed", bnlj)
+      .exists(_.contains("ungated BroadcastNestedLoopJoin")))
+    // the deliberate 1-row bound frame shape stays allowed
+    val gated = left.crossJoin(broadcast(right.agg(count(lit(1)).as("n"))))
+    gated.collect()
+    assert(violations("seed", gated).isEmpty)
+    // identical twin aggregates: reused by default, flagged when reuse is off
+    val agg = left.groupBy("ga").agg(sum("a").as("s"))
+    val reusedTwin = agg.unionByName(agg)
+    reusedTwin.collect()
+    assert(violations("seed", reusedTwin).isEmpty,
+      "runtime-reused twin exchanges must not be flagged")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val twin = agg.unionByName(agg)
+      twin.collect()
+      assert(violations("seed", twin).exists(_.contains("duplicate exchanges")))
+    } finally spark.conf.unset("spark.sql.exchange.reuse")
+  }
+}
