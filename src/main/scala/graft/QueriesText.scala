@@ -187,13 +187,19 @@ object QueriesText {
     * 0.8 (64 hashes / 16 bands) makes the outputs identical, the same
     * contract q27/q63 pin.
     */
-  val q70 = QueryDef("q70_delta_neardup", (spark, dir) => {
+  private def q70Corpus(spark: org.apache.spark.sql.SparkSession,
+                        dir: String) = {
     val docs = t(spark, dir, "documents").select("doc_id", "text")
     val corpus = docs.filter(col("doc_id") % 2 === 0)
     val delta = docs.filter(col("doc_id") % 2 === 1)
       .unionByName(docs.filter(col("doc_id") % 20 === 0)
         .select((col("doc_id") + 300000).as("doc_id"),
           concat(col("text"), lit(" extra trailing words here")).as("text")))
+    (corpus, delta)
+  }
+
+  val q70 = QueryDef("q70_delta_neardup", (spark, dir) => {
+    val (corpus, delta) = q70Corpus(spark, dir)
     Dedup.dropNearDuplicatesAgainst(corpus, delta, "doc_id", "text",
         threshold = 0.8)
       .orderBy("doc_id")
@@ -357,5 +363,24 @@ object QueriesText {
       |SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
       |FROM corpus ORDER BY fp""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
+  /** The q70 ingest through the PERSISTED near-dup index: write the
+    * corpus index (three bucketed catalog tables), ingest the delta
+    * against it with `appendAccepted = true`, and hold the accepted rows
+    * to the SAME DuckDB oracle as the recompute path — the bit-identical
+    * claim of `Dedup.writeNearDupIndex`, behind the hash gate. The
+    * re-ingest-drops-everything property of the grown index is pinned in
+    * NearDupIndexSpec.
+    */
+  val q86 = QueryDef("q86_neardup_index", (spark, dir) => {
+    val (corpus, delta) = q70Corpus(spark, dir)
+    Seq("_shingles", "_buckets", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS q86idx$s"))
+    val idx = Dedup.writeNearDupIndex(corpus, "doc_id", "text", "q86idx")
+    Dedup.dropNearDuplicatesAgainst(idx, delta, "doc_id", "text",
+        threshold = 0.8, maxBandFreq = None, appendAccepted = true)
+      .orderBy("doc_id")
+  }, q70.oracle)
+
+  val all: Seq[QueryDef] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73,
+    q74, q86)
 }

@@ -102,6 +102,12 @@ class NearDupIndexSpec extends SparkSpec {
         "doc_id", "text", threshold = 0.8))
       assert(viaIndex == direct)
       assert(viaIndex.map(p => (p._1, p._2)) == Set((30L, 40L), (10L, 41L)))
+      // replaying the SAME delta against the grown index drops everything:
+      // every accepted doc now matches its own index entry
+      val reingest = Dedup.dropNearDuplicatesAgainst(idx, delta1, "doc_id",
+        "text", threshold = 0.8, maxBandFreq = None, appendAccepted = false)
+      assert(reingest.isEmpty,
+        "a replayed delta must be fully dropped by the grown index")
     } finally dropIndex("ndx3")
   }
 }
