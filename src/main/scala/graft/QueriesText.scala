@@ -381,6 +381,52 @@ object QueriesText {
       .orderBy("doc_id")
   }, q70.oracle)
 
+  /** Incremental EXACT dedup through the PERSISTED fingerprint index
+    * (`Dedup.writeFingerprintIndex` + `dropExactDuplicatesAgainst`): the
+    * corpus is the even docs, the delta is the odd docs plus two dup
+    * families — every %10 doc re-appears with trailing whitespace (drops
+    * against the corpus: the fingerprint normalizes whitespace) and every
+    * odd %7 doc re-appears verbatim under a shifted id (drops within the
+    * delta, keep-first by id). The oracle replays both stages in SQL; the
+    * append path runs (`appendAccepted = true`), its grown-index semantics
+    * pinned in FingerprintIndexSpec.
+    */
+  val q87 = QueryDef("q87_fingerprint_index", (spark, dir) => {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val delta = docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit("   ")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 14 === 7)
+        .select((col("doc_id") + 700000).as("doc_id"), col("text")))
+    spark.sql("DROP TABLE IF EXISTS q87idx_fps")
+    val idx = Dedup.writeFingerprintIndex(corpus, "text", "q87idx")
+    Dedup.dropExactDuplicatesAgainst(idx, delta, "doc_id", "text",
+        appendAccepted = true)
+      .orderBy("doc_id")
+  }, Some(
+    """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      |delta AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 500000, text || '   ' FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 700000, text FROM documents WHERE doc_id % 14 = 7),
+      |fps AS (SELECT doc_id, text,
+      |        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |        FROM delta),
+      |keepfirst AS (
+      |  SELECT doc_id, text, fp FROM (
+      |    SELECT doc_id, text, fp,
+      |           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |    FROM fps) WHERE rn = 1)
+      |SELECT doc_id, text FROM keepfirst
+      |WHERE fp NOT IN (
+      |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      |  FROM corpus)
+      |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q86)
+    q74, q86, q87)
 }

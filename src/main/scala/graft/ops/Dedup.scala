@@ -31,6 +31,15 @@ final case class NearDupIndex(name: String, n: Int, numHashes: Int,
   def metaTable: String = s"${name}_meta"
 }
 
+/** Handle to a persisted EXACT-dedup fingerprint index — one catalog
+  * table `<name>_fps` of distinct content fingerprints, bucketed on the
+  * fingerprint so the delta anti-join reads co-bucketed corpus files with
+  * no corpus-side exchange. Write with [[Dedup.writeFingerprintIndex]].
+  */
+final case class FingerprintIndex(name: String, numBuckets: Int) {
+  def fpsTable: String = s"${name}_fps"
+}
+
 object Dedup {
 
   /** Exact dedup, deterministic keep-first: one row per distinct value of
@@ -352,6 +361,54 @@ object Dedup {
         threshold, n, maxBandFreq = maxBandFreq)
       .select(col("b_id").as(idCol)).distinct()
     deltaClean.join(hit, Seq(idCol), "left_anti")
+  }
+
+  /** Materialize the EXACT-dedup fingerprint index for `corpus`: the
+    * distinct [[TextFunctions.fingerprint]] set, bucketed on the
+    * fingerprint. The exact-dup complement of [[writeNearDupIndex]] for
+    * incremental ingest — per the pairing recall contract, exact dedup
+    * runs BEFORE near-dup pairing, and with both indexes persisted a
+    * delta batch touches the corpus text zero times.
+    */
+  def writeFingerprintIndex(corpus: DataFrame, textCol: String,
+                            name: String, numBuckets: Int = 32): FingerprintIndex = {
+    val idx = FingerprintIndex(name, numBuckets)
+    graft.core.io.Writer.writeBucketed(
+      corpus.select(TextFunctions.fingerprint(col(textCol)).as("fp")).distinct(),
+      idx.fpsTable, Seq("fp"), numBuckets)
+    idx
+  }
+
+  /** Incremental EXACT dedup against a persisted fingerprint index:
+    * collapse exact duplicates WITHIN the delta (deterministic keep-first
+    * by `order`, [[exactKeepFirst]] on the fingerprint), drop every
+    * survivor whose fingerprint already exists in the corpus index
+    * (anti-join on the bucketed fingerprint table — the corpus side
+    * plans with no exchange), and optionally append the accepted rows'
+    * fingerprints so the NEXT delta sees them. Eager materialization
+    * before the append, as in [[appendToNearDupIndex]].
+    */
+  def dropExactDuplicatesAgainst(index: FingerprintIndex, delta: DataFrame,
+                                 idCol: String, textCol: String,
+                                 appendAccepted: Boolean = false): DataFrame = {
+    val spark = delta.sparkSession
+    val withFp = delta.withColumn("_fp",
+      TextFunctions.fingerprint(col(textCol)))
+    val deltaClean = exactKeepFirst(withFp, Seq("_fp"), Seq(col(idCol)))
+    val accepted = deltaClean
+      .join(spark.table(index.fpsTable)
+        .select(col("fp").as("_fp")), Seq("_fp"), "left_anti")
+      .drop("_fp")
+    if (!appendAccepted) accepted
+    else {
+      val materialized = accepted.localCheckpoint()
+      graft.core.io.Writer.writeBucketed(
+        materialized.select(
+          TextFunctions.fingerprint(col(textCol)).as("fp")).distinct(),
+        index.fpsTable, Seq("fp"), index.numBuckets,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      materialized
+    }
   }
 
   /** Materialize the near-dup index for `corpus`: the sized-shingle table

@@ -111,3 +111,49 @@ class NearDupIndexSpec extends SparkSpec {
     } finally dropIndex("ndx3")
   }
 }
+
+/** The exact-dup complement: persisted fingerprint index for incremental
+  * exact dedup — reference equivalence, zero-exchange anti-join on the
+  * bucketed corpus side, append round-trip.
+  */
+class FingerprintIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dropIdx(name: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_fps"): Unit
+
+  test("incremental exact dedup: keep-first, corpus drop, append, plan shape") {
+    dropIdx("fpx1")
+    val corpus = Seq((2L, "alpha beta"), (4L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (11L, "alpha  beta"),  // normalizes to corpus doc 2 → drops
+      (13L, "epsilon zeta"), // fresh → survives
+      (15L, "epsilon zeta"), // exact copy of 13 within delta → drops
+      (17L, "eta theta")     // fresh → survives
+    ).toDF("doc_id", "text")
+    val idx = Dedup.writeFingerprintIndex(corpus, "text", "fpx1")
+    try {
+      val accepted = Dedup.dropExactDuplicatesAgainst(idx, delta, "doc_id",
+        "text", appendAccepted = true)
+      assert(accepted.select("doc_id").as[Long].collect().toSet == Set(13L, 17L))
+      // grown index: a replay of the same delta drops every row
+      val replay = Dedup.dropExactDuplicatesAgainst(idx, delta, "doc_id", "text")
+      assert(replay.isEmpty, "replayed delta must be fully dropped")
+      // plan shape: the bucketed corpus side feeds the anti-join unshuffled
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val df = Dedup.dropExactDuplicatesAgainst(idx, delta, "doc_id", "text")
+        val plan = df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        val smjs = plan.collect { case j: SortMergeJoinExec => j }
+        assert(smjs.exists(j => Seq(j.left, j.right).exists(s =>
+            s.toString.contains("fpx1_fps") &&
+            s.collect { case e: ShuffleExchangeLike => e }.isEmpty)),
+          s"corpus fingerprints shuffled before the anti-join:\n$plan")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally dropIdx("fpx1")
+  }
+}
