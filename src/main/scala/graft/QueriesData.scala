@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Queries.QueryDef
+import graft.core.Tables
+import graft.ops.{Chunking, Sketches, TextAnalysis, WebText}
+
+/** Round-5 training-data operators behind the hash gate: C4 line-grain
+  * cleanup, Gopher rule flags, context-window chunking, count-min
+  * point-frequency sketch. Oracles replay the identical arithmetic in
+  * DuckDB (QueriesScale's conventions: deterministic ORDER BY, rounded
+  * doubles, BIGINT counts, md5-derived portable hashes).
+  */
+object QueriesData {
+
+  private def t(spark: org.apache.spark.sql.SparkSession, dir: String, name: String) =
+    Tables.load(spark, dir, name)
+
+  /** C4-style line filtering ([[WebText.c4CleanDocs]]): lines are planted
+    * so every rule fires somewhere — a good sentence line, a too-short
+    * unpunctuated line, javascript / lorem-ipsum / cookie-policy
+    * boilerplate on different doc subsets, and a short-suffix line whose
+    * word count depends on the doc's length. The oracle replays the
+    * predicate with a `list_filter` lambda.
+    */
+  val q88 = QueryDef("q88_c4_line_filter", (spark, dir) => {
+    val corpus = t(spark, dir, "documents").select(col("doc_id"),
+      concat_ws("\n",
+        concat(substring(col("text"), 1, 100), lit(".")),
+        lit("click here"),
+        when(col("doc_id") % 3 === 0,
+          lit("please enable javascript to view this page.")),
+        when(col("doc_id") % 4 === 0,
+          lit("lorem ipsum dolor sit amet consectetur adipiscing elit.")),
+        concat(substring(col("text"), 101, 80),
+          lit(" closing words for this paragraph!")),
+        when(col("doc_id") % 5 === 0,
+          lit("see our cookie policy for details on tracking."))
+      ).as("text"))
+    WebText.c4CleanDocs(corpus, "doc_id", "text").orderBy("doc_id")
+  }, Some(
+    """WITH corpus AS (
+      |  SELECT doc_id, concat_ws(chr(10),
+      |    substr(text, 1, 100) || '.',
+      |    'click here',
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN 'please enable javascript to view this page.' END,
+      |    CASE WHEN doc_id % 4 = 0
+      |         THEN 'lorem ipsum dolor sit amet consectetur adipiscing elit.' END,
+      |    substr(text, 101, 80) || ' closing words for this paragraph!',
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN 'see our cookie policy for details on tracking.' END) AS text
+      |  FROM documents),
+      |m AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM corpus),
+      |k AS (SELECT doc_id, l, list_filter(l, x ->
+      |        regexp_matches(rtrim(x), '[.!?"]$')
+      |        AND len(regexp_extract_all(rtrim(x), '[^ ]+')) >= 5
+      |        AND NOT contains(lower(rtrim(x)), 'lorem ipsum')
+      |        AND NOT contains(lower(rtrim(x)), 'javascript')
+      |        AND NOT contains(lower(rtrim(x)), 'cookie policy')) AS kept
+      |      FROM m)
+      |SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,
+      |       CAST(len(kept) AS BIGINT) AS n_kept,
+      |       array_to_string(kept, chr(10)) AS clean_text
+      |FROM k ORDER BY doc_id""".stripMargin))
+
+  /** Gopher rule flags ([[TextAnalysis.gopherFlags]]): the raw doc text
+    * (word counts straddle the 50-word floor, so `keep` splits the
+    * corpus) plus planted bullet lines, an ellipsis line, and a
+    * symbol-spam line on different doc subsets.
+    */
+  val q89 = QueryDef("q89_gopher_rules", (spark, dir) => {
+    val corpus = t(spark, dir, "documents").select(col("doc_id"),
+      concat_ws("\n",
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit("- first bullet item")),
+        when(col("doc_id") % 4 === 0, lit("- second bullet item")),
+        when(col("doc_id") % 5 === 0, lit("to be continued...")),
+        when(col("doc_id") % 6 === 0, lit("### ### ### ### ### ### ### ###"))
+      ).as("text"))
+    TextAnalysis.gopherFlags(corpus, "doc_id", "text").orderBy("doc_id")
+  }, Some(
+    """WITH corpus AS (
+      |  SELECT doc_id, concat_ws(chr(10),
+      |    text,
+      |    CASE WHEN doc_id % 4 = 0 THEN '- first bullet item' END,
+      |    CASE WHEN doc_id % 4 = 0 THEN '- second bullet item' END,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'to be continued...' END,
+      |    CASE WHEN doc_id % 6 = 0 THEN '### ### ### ### ### ### ### ###' END
+      |  ) AS text
+      |  FROM documents),
+      |m AS (SELECT doc_id,
+      |        regexp_extract_all(text,
+      |          '[^ ' || chr(9) || chr(10) || chr(12) || chr(13) || ']+') AS w,
+      |        string_split(text, chr(10)) AS l
+      |      FROM corpus),
+      |x AS (SELECT doc_id,
+      |        CAST(len(w) AS BIGINT) AS n_words,
+      |        CAST(len(l) AS BIGINT) AS n_lines,
+      |        CAST(list_aggregate(list_transform(w, t -> length(t)), 'sum')
+      |          AS BIGINT) AS char_sum,
+      |        CAST(len(list_filter(w, t -> starts_with(t, '#')
+      |          OR contains(t, '...'))) AS BIGINT) AS sym_w,
+      |        CAST(len(list_filter(w, t -> regexp_matches(t, '[a-zA-Z]')))
+      |          AS BIGINT) AS alpha_w,
+      |        CAST(len(list_filter(l, t -> starts_with(ltrim(t), '- ')
+      |          OR starts_with(ltrim(t), '* ')
+      |          OR starts_with(ltrim(t), '• '))) AS BIGINT) AS bullet_l,
+      |        CAST(len(list_filter(l, t -> rtrim(t) LIKE '%...'
+      |          OR rtrim(t) LIKE '%…')) AS BIGINT) AS ell_l,
+      |        CAST(CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END
+      |           + CASE WHEN list_contains(w, 'a') THEN 1 ELSE 0 END
+      |           + CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END
+      |           + CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END
+      |           + CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END
+      |           + CASE WHEN list_contains(w, 'in') THEN 1 ELSE 0 END
+      |           + CASE WHEN list_contains(w, 'is') THEN 1 ELSE 0 END
+      |          AS BIGINT) AS stop_hits
+      |      FROM m),
+      |r AS (SELECT doc_id, n_words, n_lines,
+      |        CASE WHEN n_words = 0 THEN 0.0
+      |             ELSE round(char_sum / CAST(n_words AS DOUBLE), 4)
+      |        END AS mean_word_len,
+      |        CASE WHEN n_words = 0 THEN 0.0
+      |             ELSE round(sym_w / CAST(n_words AS DOUBLE), 4)
+      |        END AS symbol_ratio,
+      |        CASE WHEN n_words = 0 THEN 0.0
+      |             ELSE round(alpha_w / CAST(n_words AS DOUBLE), 4)
+      |        END AS alpha_ratio,
+      |        CASE WHEN n_lines = 0 THEN 0.0
+      |             ELSE round(bullet_l / CAST(n_lines AS DOUBLE), 4)
+      |        END AS bullet_frac,
+      |        CASE WHEN n_lines = 0 THEN 0.0
+      |             ELSE round(ell_l / CAST(n_lines AS DOUBLE), 4)
+      |        END AS ellipsis_frac,
+      |        stop_hits
+      |      FROM x)
+      |SELECT doc_id, n_words, n_lines, mean_word_len, symbol_ratio,
+      |       alpha_ratio, bullet_frac, ellipsis_frac, stop_hits,
+      |       (n_words >= 50 AND n_words <= 100000
+      |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      |        AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8
+      |        AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+      |        AND stop_hits >= 2) AS keep
+      |FROM r ORDER BY doc_id""".stripMargin))
+
+  /** Context-window chunking ([[Chunking.chunkTokens]]) at size 32 /
+    * stride 24: docs over 32 tokens fan out into overlapping windows,
+    * only the final window runs short. The oracle replays the window
+    * arithmetic with `generate_series` + `list_slice`.
+    */
+  val q90 = QueryDef("q90_token_chunks", (spark, dir) => {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    Chunking.chunkTokens(docs, "doc_id", "text", chunkSize = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id")
+  }, Some(
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |n AS (SELECT doc_id, toks,
+      |        CASE WHEN len(toks) <= 32 THEN 1
+      |             ELSE CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1
+      |        END AS nc
+      |      FROM d),
+      |c AS (SELECT doc_id, toks,
+      |        unnest(generate_series(0, nc - 1)) AS chunk_id
+      |      FROM n),
+      |s AS (SELECT doc_id, chunk_id,
+      |        list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32) AS chunk
+      |      FROM c)
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |       CAST(len(chunk) AS BIGINT) AS n_tokens,
+      |       array_to_string(chunk, ' ') AS chunk_text
+      |FROM s ORDER BY doc_id, chunk_id""".stripMargin))
+
+  /** Count-min sketch ([[Sketches.countMinTable]] + [[cmsEstimate]]) over
+    * a deliberately narrow 4×64 table so collisions actually inflate some
+    * estimates: point-frequency estimates for keys 0–49 of `user_id %
+    * 200`. The oracle rebuilds the identical sketch — same md5 bucket
+    * hashes, same min-over-rows — so the estimates (collisions included)
+    * must match bit for bit.
+    */
+  val q91 = QueryDef("q91_countmin_sketch", (spark, dir) => {
+    val ev = t(spark, dir, "events")
+      .select(pmod(col("user_id"), lit(200L)).as("uid"))
+    val tbl = Sketches.countMinTable(ev, "uid", depth = 4, width = 64)
+    val keys = spark.range(50).select(col("id").as("uid"))
+    Sketches.cmsEstimate(tbl, keys, "uid", depth = 4, width = 64)
+      .select(col("key").cast("long").as("uid"), col("est"))
+      .orderBy("uid")
+  }, Some(
+    """WITH ev AS (SELECT user_id % 200 AS uid FROM events),
+      |js AS (SELECT unnest(generate_series(0, 3)) AS j),
+      |cnt AS (SELECT j,
+      |          CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+      |            || CAST(uid AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS bucket,
+      |          CAST(count(*) AS BIGINT) AS cnt
+      |        FROM ev CROSS JOIN js GROUP BY 1, 2),
+      |keys AS (SELECT unnest(generate_series(0, 49)) AS uid),
+      |kb AS (SELECT uid, j,
+      |          CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+      |            || CAST(uid AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS bucket
+      |       FROM keys CROSS JOIN js)
+      |SELECT kb.uid, CAST(min(coalesce(cnt.cnt, 0)) AS BIGINT) AS est
+      |FROM kb LEFT JOIN cnt ON kb.j = cnt.j AND kb.bucket = cnt.bucket
+      |GROUP BY kb.uid ORDER BY kb.uid""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q88, q89, q90, q91)
+}

@@ -243,6 +243,61 @@ object TextAnalysis {
         col("avg_logprob"), col("ppl"))
   }
 
+  /** Gopher-style rule-based quality flags (Rae et al. 2021, Table A1 —
+    * the deterministic subset): per-document word/line structure metrics
+    * and the conjunction `keep` every rule passes. All pure Column
+    * expressions over the row's own text — no shuffle, no join; the gate
+    * is an in-place `filter(col("keep"))` exactly like [[qualityExpr]].
+    *
+    * Words are `[^ \t\n\f\r]+` runs (explicit class: RE2-portable, unlike
+    * Java's `\s`); lines split on `\n`. Metrics: word count bounds, mean
+    * word length bounds, symbol-word ratio (`#`-prefixed or `...`-bearing
+    * words), alphabetic-word ratio, bullet-line and ellipsis-line
+    * fractions, and distinct-stopword hits (the [[stopwords]] `en` list).
+    * Ratios round to 4 decimals; zero-word docs report 0 ratios and fail
+    * the word-count rule.
+    */
+  def gopherFlags(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
+                  maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+                  minStopHits: Int = 2): DataFrame = {
+    val words = regexp_extract_all(col(textCol), lit("[^ \\t\\n\\f\\r]+"), lit(0))
+    val lines = split(col(textCol), "\n")
+    val nW = size(words).cast("long")
+    val nL = size(lines).cast("long")
+    val charSum = aggregate(transform(words, w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val symbolW = size(filter(words,
+      w => w.startsWith("#") || w.contains("...")))
+    val alphaW = size(filter(words, w => w.rlike("[a-zA-Z]")))
+    val bulletL = size(filter(lines, l => ltrim(l).startsWith("- ") ||
+      ltrim(l).startsWith("* ") || ltrim(l).startsWith("• ")))
+    val ellipsisL = size(filter(lines,
+      l => rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+    val stopHits = stopwords.head._2
+      .map(w => when(array_contains(words, w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0, 0.0).otherwise(round(num.cast("double") / den, 4))
+    val meanLen = ratio(charSum, nW)
+    val symR = ratio(symbolW, nW)
+    val alphaR = ratio(alphaW, nW)
+    val bulletF = ratio(bulletL, nL)
+    val ellipsisF = ratio(ellipsisL, nL)
+    docs.select(col(idCol).as("doc_id"),
+      nW.as("n_words"), nL.as("n_lines"),
+      meanLen.as("mean_word_len"), symR.as("symbol_ratio"),
+      alphaR.as("alpha_ratio"), bulletF.as("bullet_frac"),
+      ellipsisF.as("ellipsis_frac"), stopHits.as("stop_hits"),
+      (nW >= minWords && nW <= maxWords &&
+        meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+        symR <= maxSymbolRatio && alphaR >= minAlphaRatio &&
+        bulletF <= maxBulletFrac && ellipsisF <= maxEllipsisFrac &&
+        stopHits >= minStopHits).as("keep"))
+  }
+
   /** Token statistics per group column. */
   def tokenStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
     docs.select(col(groupCol).as("grp"),

@@ -49,4 +49,46 @@ object WebText {
       .withColumn("domain_rank", row_number().over(w))
       .filter(col("domain_rank") <= cap)
   }
+
+  /** C4-style sentence-line predicate (Raffel et al. 2020 §2.2's rule
+    * set, the RE2-portable subset): the line — right-trimmed — must end
+    * in terminal punctuation, carry at least `minWords` space-separated
+    * words, and contain no blocklisted boilerplate phrase. Default
+    * blocklist = the C4 paper's "lorem ipsum" / javascript / cookie
+    * triggers. A pure Column predicate usable inside a `filter` lambda
+    * over the split-lines array.
+    */
+  def c4KeepLine(line: Column, minWords: Int = 5,
+                 blocklist: Seq[String] = defaultBlocklist): Column = {
+    val l = rtrim(line)
+    val base = l.rlike("[.!?\"]$") &&
+      size(regexp_extract_all(l, lit("[^ ]+"), lit(0))) >= minWords
+    blocklist.foldLeft(base)((acc, b) =>
+      acc && !lower(l).contains(lit(b)))
+  }
+
+  val defaultBlocklist: Seq[String] =
+    Seq("lorem ipsum", "javascript", "cookie policy")
+
+  /** C4-style line-grain cleanup of a document table: split on newlines,
+    * keep only lines passing [[c4KeepLine]], reassemble in original order.
+    * Returns `(doc_id, n_lines, n_kept, clean_text)` — docs whose every
+    * line drops stay in the output with `n_kept = 0` and empty
+    * `clean_text`, so callers choose the document-level policy (C4 itself
+    * then drops pages with < 3 surviving sentences).
+    *
+    * 100 TB shape: entirely row-local Column expressions (split → filter
+    * lambda → array_join) — no explode, no shuffle, pushdown-eligible,
+    * whole-stage codegen'd.
+    */
+  def c4CleanDocs(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 5,
+                  blocklist: Seq[String] = defaultBlocklist): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l => c4KeepLine(l, minWords, blocklist))
+    docs.select(col(idCol).as("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, "\n").as("clean_text"))
+  }
 }

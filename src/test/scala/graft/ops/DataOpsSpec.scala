@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-5 data-pipeline operators: C4 line cleanup, Gopher rule flags,
+  * context-window chunking, count-min sketch. Fixtures pin the rule
+  * semantics; the randomized checks hold the distributed plans to plain
+  * driver-side reference implementations (the q75/q77 cross-check
+  * pattern).
+  */
+class DataOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("c4CleanDocs keeps sentence lines, drops short/blocklisted ones") {
+    val docs = Seq(
+      (1L, "this line has enough words to keep.\nclick here\nwe use javascript heavily here today.\nanother good sentence line right here!"),
+      (2L, "short.\nall of these lines drop\nno terminal punct here at all")
+    ).toDF("doc_id", "text")
+    val out = WebText.c4CleanDocs(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 4L, 2L,
+      "this line has enough words to keep.\nanother good sentence line right here!")))
+    // doc 2: every line fails (2 words / no punct / no punct) but the doc
+    // row itself survives with n_kept = 0 — the caller owns doc policy
+    assert(out(1) == ((2L, 3L, 0L, "")))
+  }
+
+  test("gopherFlags metrics and keep conjunction") {
+    val good = (1 to 20).map(_ => "the quick brown fox jumps in a box").mkString(" ")
+    val docs = Seq(
+      (1L, good),                                   // 150 words, all rules pass
+      (2L, "the a of and to in is"),                // 7 words -> too short
+      (3L, good + "\n- b one\n- b two\n- b three"), // bullets but under 0.9 frac
+      (4L, ("xx " * 60).trim)                       // no stopwords, mean len 2
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFlags(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_words") == 160L)
+    assert(out(0).getAs[Boolean]("keep"))
+    assert(!out(1).getAs[Boolean]("keep"))          // word floor
+    assert(out(2).getAs[Double]("bullet_frac") == 0.75)
+    assert(out(2).getAs[Boolean]("keep"))
+    assert(!out(3).getAs[Boolean]("keep"))          // stopwords + mean len
+    assert(out(3).getAs[Double]("mean_word_len") == 2.0)
+    assert(out(3).getAs[Long]("stop_hits") == 0L)
+  }
+
+  test("chunkTokens matches a driver-side reference across lengths") {
+    val cs = 8; val st = 5
+    val docs = (1 to 40).map(n => (n.toLong,
+      (1 to n).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Chunking.chunkTokens(docs, "doc_id", "text", cs, st)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, String)].collect()
+    val want = (1 to 40).flatMap { n =>
+      val toks = (1 to n).map(i => s"t$i")
+      val nc = if (n <= cs) 1 else math.ceil((n - cs).toDouble / st).toInt + 1
+      (0 until nc).map { c =>
+        val chunk = toks.slice(c * st, c * st + cs)
+        (n.toLong, c.toLong, chunk.size.toLong, chunk.mkString(" "))
+      }
+    }
+    assert(got.toSeq == want)
+    // every token covered; only the final chunk may run short
+    assert(got.groupBy(_._1).forall { case (_, cs0) =>
+      cs0.init.forall(_._3 == cs) })
+  }
+
+  test("countMin estimates: upper bound, exact without collisions, zero for absent") {
+    val n = 2000
+    val vals = (1 to n).map(i => (i % 37).toString)
+    val df = vals.toDF("v")
+    val exact = vals.groupBy(identity).map { case (k, g) => (k, g.size.toLong) }
+    // wide sketch: 37 keys in 4x1024 — collisions vanishingly unlikely
+    val wide = Sketches.countMinTable(df, "v", depth = 4, width = 1024)
+    val keys = (0 until 37).map(_.toString).toDF("v")
+    val estWide = Sketches.cmsEstimate(wide, keys, "v", 4, 1024)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, c) => assert(estWide(k) == c, s"key $k") }
+    // narrow sketch: still an upper bound on every key
+    val narrow = Sketches.countMinTable(df, "v", depth = 4, width = 16)
+    val estNarrow = Sketches.cmsEstimate(narrow, keys, "v", 4, 16)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, c) => assert(estNarrow(k) >= c, s"key $k") }
+    // absent key estimates 0 on the wide sketch
+    val absent = Sketches.cmsEstimate(wide, Seq("999").toDF("v"), "v", 4, 1024)
+      .as[(String, Long)].collect().head
+    assert(absent == (("999", 0L)))
+    // sketch table never exceeds depth x width rows
+    assert(narrow.count() <= 4L * 16)
+  }
+}
