@@ -37,7 +37,9 @@ object QueriesData {
         when(col("doc_id") % 5 === 0,
           lit("see our cookie policy for details on tracking."))
       ).as("text"))
-    WebText.c4CleanDocs(corpus, "doc_id", "text").orderBy("doc_id")
+    WebText.c4CleanDocs(corpus, "text")
+      .select("doc_id", "n_lines", "n_kept", "clean_text")
+      .orderBy("doc_id")
   }, Some(
     """WITH corpus AS (
       |  SELECT doc_id, concat_ws(chr(10),
@@ -78,7 +80,9 @@ object QueriesData {
         when(col("doc_id") % 5 === 0, lit("to be continued...")),
         when(col("doc_id") % 6 === 0, lit("### ### ### ### ### ### ### ###"))
       ).as("text"))
-    TextAnalysis.gopherFlags(corpus, "doc_id", "text").orderBy("doc_id")
+    TextAnalysis.gopherFlags(corpus, "text")
+      .select(("doc_id" +: TextAnalysis.gopherCols).map(col): _*)
+      .orderBy("doc_id")
   }, Some(
     """WITH corpus AS (
       |  SELECT doc_id, concat_ws(chr(10),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.EtlJob
 import graft.functions.TextFunctions
-import graft.ops.{Dedup, Sampling, Scd, Stats, TextAnalysis}
+import graft.ops.{Chunking, Dedup, Sampling, Scd, Stats, TextAnalysis, WebText}
 
 /** Manifest-loadable job classes for the training-data pipeline — the
   * `class:` twin of the reference's frameworked jobs
@@ -148,6 +148,68 @@ class Scd2MergeJob extends EtlJob {
       validFrom = params.getOrElse("valid_from_col", "valid_from"),
       validTo = params.getOrElse("valid_to_col", "valid_to"),
       closeMissing = params.getOrElse("close_missing", "false").toBoolean)
+  }
+}
+
+/** C4-style line cleanup from YAML ([[WebText.c4CleanDocs]]): drop
+  * boilerplate lines (short, unpunctuated, or blocklisted), replace the
+  * text column with the reassembled clean text, and drop documents with
+  * fewer than `min_kept` surviving lines (C4 uses 3). Params:
+  * `min_words` (per line, default 5), `min_kept` (default 1),
+  * `blocklist` (comma-separated, default lorem-ipsum/javascript/cookie).
+  */
+class C4CleanJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val df = inputs.values.head
+    val blocklist = params.get("blocklist")
+      .map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(WebText.defaultBlocklist)
+    WebText.c4CleanDocs(df, P.text(params),
+        minWords = params.getOrElse("min_words", "5").toInt,
+        blocklist = blocklist)
+      .filter(col("n_kept") >= params.getOrElse("min_kept", "1").toInt)
+      .withColumn(P.text(params), col("clean_text"))
+      .drop("n_lines", "n_kept", "clean_text")
+  }
+}
+
+/** Gopher rule gate from YAML ([[TextAnalysis.gopherFlags]]): keep rows
+  * passing every deterministic Gopher rule, in place (no join, no
+  * shuffle). Thresholds via params (`min_words`, `max_words`,
+  * `min_mean_len`, `max_mean_len`, `max_symbol_ratio`,
+  * `min_alpha_ratio`, `max_bullet_frac`, `max_ellipsis_frac`,
+  * `min_stop_hits`); `keep_metrics: "true"` retains the metric columns.
+  */
+class GopherFilterJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    def d(k: String, v: Double) = params.get(k).map(_.toDouble).getOrElse(v)
+    def i(k: String, v: Int) = params.get(k).map(_.toInt).getOrElse(v)
+    val flagged = TextAnalysis.gopherFlags(inputs.values.head, P.text(params),
+      minWords = i("min_words", 50), maxWords = i("max_words", 100000),
+      minMeanLen = d("min_mean_len", 3.0), maxMeanLen = d("max_mean_len", 10.0),
+      maxSymbolRatio = d("max_symbol_ratio", 0.1),
+      minAlphaRatio = d("min_alpha_ratio", 0.8),
+      maxBulletFrac = d("max_bullet_frac", 0.9),
+      maxEllipsisFrac = d("max_ellipsis_frac", 0.3),
+      minStopHits = i("min_stop_hits", 2)).filter(col("keep"))
+    if (params.getOrElse("keep_metrics", "false").toBoolean) flagged
+    else flagged.drop(TextAnalysis.gopherCols: _*)
+  }
+}
+
+/** Context-window chunking from YAML ([[Chunking.chunkTokens]]): one row
+  * per `chunk_size`-token window every `stride` tokens (default
+  * non-overlapping). Params: `chunk_size` (default 1024), `stride`
+  * (default = chunk_size).
+  */
+class ChunkJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val size = params.getOrElse("chunk_size", "1024").toInt
+    Chunking.chunkTokens(inputs.values.head, P.id(params), P.text(params),
+      chunkSize = size, stride = params.getOrElse("stride", size.toString).toInt)
   }
 }
 

@@ -246,8 +246,9 @@ object TextAnalysis {
   /** Gopher-style rule-based quality flags (Rae et al. 2021, Table A1 —
     * the deterministic subset): per-document word/line structure metrics
     * and the conjunction `keep` every rule passes. All pure Column
-    * expressions over the row's own text — no shuffle, no join; the gate
-    * is an in-place `filter(col("keep"))` exactly like [[qualityExpr]].
+    * expressions over the row's own text, APPENDED to the input row — no
+    * shuffle, no join; the gate is an in-place `filter(col("keep"))`
+    * exactly like [[qualityExpr]].
     *
     * Words are `[^ \t\n\f\r]+` runs (explicit class: RE2-portable, unlike
     * Java's `\s`); lines split on `\n`. Metrics: word count bounds, mean
@@ -257,7 +258,7 @@ object TextAnalysis {
     * Ratios round to 4 decimals; zero-word docs report 0 ratios and fail
     * the word-count rule.
     */
-  def gopherFlags(docs: DataFrame, idCol: String, textCol: String,
+  def gopherFlags(docs: DataFrame, textCol: String,
                   minWords: Int = 50, maxWords: Int = 100000,
                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
                   maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
@@ -286,17 +287,27 @@ object TextAnalysis {
     val alphaR = ratio(alphaW, nW)
     val bulletF = ratio(bulletL, nL)
     val ellipsisF = ratio(ellipsisL, nL)
-    docs.select(col(idCol).as("doc_id"),
-      nW.as("n_words"), nL.as("n_lines"),
-      meanLen.as("mean_word_len"), symR.as("symbol_ratio"),
-      alphaR.as("alpha_ratio"), bulletF.as("bullet_frac"),
-      ellipsisF.as("ellipsis_frac"), stopHits.as("stop_hits"),
-      (nW >= minWords && nW <= maxWords &&
-        meanLen >= minMeanLen && meanLen <= maxMeanLen &&
-        symR <= maxSymbolRatio && alphaR >= minAlphaRatio &&
-        bulletF <= maxBulletFrac && ellipsisF <= maxEllipsisFrac &&
-        stopHits >= minStopHits).as("keep"))
+    docs.withColumn("n_words", nW).withColumn("n_lines", nL)
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("symbol_ratio", symR)
+      .withColumn("alpha_ratio", alphaR)
+      .withColumn("bullet_frac", bulletF)
+      .withColumn("ellipsis_frac", ellipsisF)
+      .withColumn("stop_hits", stopHits)
+      .withColumn("keep",
+        nW >= minWords && nW <= maxWords &&
+          meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+          symR <= maxSymbolRatio && alphaR >= minAlphaRatio &&
+          bulletF <= maxBulletFrac && ellipsisF <= maxEllipsisFrac &&
+          stopHits >= minStopHits)
   }
+
+  /** The metric columns [[gopherFlags]] appends — `drop(gopherCols: _*)`
+    * restores the input schema after an in-place gate.
+    */
+  val gopherCols: Seq[String] = Seq("n_words", "n_lines", "mean_word_len",
+    "symbol_ratio", "alpha_ratio", "bullet_frac", "ellipsis_frac",
+    "stop_hits", "keep")
 
   /** Token statistics per group column. */
   def tokenStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame =

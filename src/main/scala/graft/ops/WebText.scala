@@ -72,23 +72,23 @@ object WebText {
 
   /** C4-style line-grain cleanup of a document table: split on newlines,
     * keep only lines passing [[c4KeepLine]], reassemble in original order.
-    * Returns `(doc_id, n_lines, n_kept, clean_text)` — docs whose every
-    * line drops stay in the output with `n_kept = 0` and empty
+    * APPENDS `(n_lines, n_kept, clean_text)` to the input row (the
+    * in-place-gate convention of `TextAnalysis.qualityExpr`) — docs whose
+    * every line drops stay in the output with `n_kept = 0` and empty
     * `clean_text`, so callers choose the document-level policy (C4 itself
     * then drops pages with < 3 surviving sentences).
     *
     * 100 TB shape: entirely row-local Column expressions (split → filter
-    * lambda → array_join) — no explode, no shuffle, pushdown-eligible,
+    * lambda → array_join) — no explode, no shuffle, no join,
     * whole-stage codegen'd.
     */
-  def c4CleanDocs(docs: DataFrame, idCol: String, textCol: String,
+  def c4CleanDocs(docs: DataFrame, textCol: String,
                   minWords: Int = 5,
                   blocklist: Seq[String] = defaultBlocklist): DataFrame = {
     val lines = split(col(textCol), "\n")
     val kept = filter(lines, l => c4KeepLine(l, minWords, blocklist))
-    docs.select(col(idCol).as("doc_id"),
-      size(lines).cast("long").as("n_lines"),
-      size(kept).cast("long").as("n_kept"),
-      array_join(kept, "\n").as("clean_text"))
+    docs.withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_kept", size(kept).cast("long"))
+      .withColumn("clean_text", array_join(kept, "\n"))
   }
 }

@@ -201,6 +201,26 @@ class FlowSpec extends SparkSpec {
     assert(profiled == n, s"profile covers $profiled of $n gated docs")
   }
 
+  test("llm_pipeline.yml runs the C4 -> Gopher -> chunk pre-clean branch") {
+    val loaded = Manifest.loadFile("conf/llm_pipeline.yml", Seq("dev"), Map.empty)
+    val chunks = Flow.runPipeline(spark, loaded.jobs, "chunk_docs",
+      save = false)("chunk_docs")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(chunks.columns.toSeq ==
+      Seq("doc_id", "chunk_id", "n_tokens", "chunk_text"))
+    val n = chunks.count()
+    assert(n > 0, "pre-clean branch produced no chunks")
+    // chunking invariants: window cap respected, every doc starts at 0
+    import org.apache.spark.sql.functions._
+    assert(chunks.agg(max("n_tokens")).collect()(0).getLong(0) <= 64L)
+    assert(chunks.filter(col("chunk_id") === 0).count() ==
+      chunks.select("doc_id").distinct().count())
+    // the C4 stage dropped the planted 'click here' boilerplate line and
+    // the gopher stage only ever removes whole docs
+    assert(chunks.filter(col("chunk_text").contains("click here")).count() == 0)
+    assert(chunks.select("doc_id").distinct().count() <= docs.count())
+  }
+
   test("jobs.yml runs the SCD2 dimension merge from the manifest") {
     val loaded = Manifest.loadFile("conf/jobs.yml", Seq("dev"), Map.empty)
     val out = Flow.runPipeline(spark, loaded.jobs, "customer_scd2",

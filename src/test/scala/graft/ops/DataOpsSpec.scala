@@ -17,7 +17,8 @@ class DataOpsSpec extends SparkSpec {
       (1L, "this line has enough words to keep.\nclick here\nwe use javascript heavily here today.\nanother good sentence line right here!"),
       (2L, "short.\nall of these lines drop\nno terminal punct here at all")
     ).toDF("doc_id", "text")
-    val out = WebText.c4CleanDocs(docs, "doc_id", "text")
+    val out = WebText.c4CleanDocs(docs, "text")
+      .select("doc_id", "n_lines", "n_kept", "clean_text")
       .orderBy("doc_id")
       .as[(Long, Long, Long, String)].collect()
     assert(out(0) == ((1L, 4L, 2L,
@@ -35,7 +36,7 @@ class DataOpsSpec extends SparkSpec {
       (3L, good + "\n- b one\n- b two\n- b three"), // bullets but under 0.9 frac
       (4L, ("xx " * 60).trim)                       // no stopwords, mean len 2
     ).toDF("doc_id", "text")
-    val out = TextAnalysis.gopherFlags(docs, "doc_id", "text")
+    val out = TextAnalysis.gopherFlags(docs, "text")
       .orderBy("doc_id").collect()
     assert(out(0).getAs[Long]("n_words") == 160L)
     assert(out(0).getAs[Boolean]("keep"))
