@@ -110,11 +110,34 @@ object Writer {
                     numBuckets: Int, format: String = "parquet",
                     mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(bucketCols.nonEmpty, "bucketed write needs at least one column")
+    clearOrphanedLocation(df.sparkSession, table, mode)
     df.write.mode(mode).format(format)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
   }
+
+  /** Plain (unbucketed) managed-table write with the same
+    * orphan-location recovery as [[writeBucketed]].
+    */
+  def writeTable(df: DataFrame, table: String, format: String = "parquet",
+                 mode: SaveMode = SaveMode.Overwrite): Unit = {
+    clearOrphanedLocation(df.sparkSession, table, mode)
+    df.write.mode(mode).format(format).saveAsTable(table)
+  }
+
+  /** Overwrite must also replace a location ORPHANED by an earlier
+    * session (managed-table files outlive an in-memory catalog);
+    * saveAsTable alone fails LOCATION_ALREADY_EXISTS on it.
+    */
+  private def clearOrphanedLocation(spark: org.apache.spark.sql.SparkSession,
+                                    table: String, mode: SaveMode): Unit =
+    if (mode == SaveMode.Overwrite && !spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        org.apache.spark.sql.GraftSqlBridge.defaultTablePath(spark, table))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true): Unit
+    }
 
   /** Catalog registration of a written location (reference Athena/Glue
     * CREATE EXTERNAL TABLE, yaetos/athena.py:9-59) against the session

@@ -441,10 +441,10 @@ object Dedup {
       bandBuckets(spark.table(idx.shinglesTable), numHashes, numBands),
       idx.bucketsTable, Seq("band", "bandhash"), numBuckets)
     import spark.implicits._
-    Seq((n, numHashes, numBands, numBuckets))
-      .toDF("n", "num_hashes", "num_bands", "num_buckets")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(idx.metaTable)
+    graft.core.io.Writer.writeTable(
+      Seq((n, numHashes, numBands, numBuckets))
+        .toDF("n", "num_hashes", "num_bands", "num_buckets"),
+      idx.metaTable)
     idx
   }
 

@@ -21,4 +21,17 @@ object GraftSqlBridge {
     */
   def isSortOrder(c: Column): Boolean =
     c.node.isInstanceOf[org.apache.spark.sql.internal.SortOrder]
+
+  /** Where the catalog would place managed table `table` — used by
+    * `Writer.writeBucketed` to clear an orphaned location (left by an
+    * earlier session whose in-memory catalog died with it) before an
+    * Overwrite `saveAsTable`, which otherwise fails
+    * LOCATION_ALREADY_EXISTS. `sessionState` is `private[sql]` in
+    * Spark 4, hence the bridge hop.
+    */
+  def defaultTablePath(spark: SparkSession, table: String): java.net.URI = {
+    val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    s.sessionState.catalog.defaultTablePath(
+      s.sessionState.sqlParser.parseTableIdentifier(table))
+  }
 }

@@ -112,6 +112,30 @@ class NearDupIndexSpec extends SparkSpec {
   }
 }
 
+/** A fresh session's in-memory catalog forgets managed tables but their
+  * warehouse files survive — writeBucketed(Overwrite) must replace such
+  * an orphaned location instead of failing LOCATION_ALREADY_EXISTS
+  * (exactly what a re-run of Verify in the same workspace hits).
+  */
+class OrphanedWarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("writeBucketed Overwrite replaces an orphaned warehouse location") {
+    val name = "orphan_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new org.apache.hadoop.fs.Path(
+      org.apache.spark.sql.GraftSqlBridge.defaultTablePath(spark, name))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(loc)
+    fs.create(new org.apache.hadoop.fs.Path(loc, "junk.parquet")).close()
+    try {
+      graft.core.io.Writer.writeBucketed(
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v"), name, Seq("id"), 4)
+      assert(spark.table(name).count() == 2)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name"): Unit
+  }
+}
+
 /** The exact-dup complement: persisted fingerprint index for incremental
   * exact dedup — reference equivalence, zero-exchange anti-join on the
   * bucketed corpus side, append round-trip.
