@@ -41,7 +41,9 @@ class PlanAuditSpec extends SparkSpec {
     "q47_sessionize", "q51_neardup_clusters", "q55_decontamination",
     "q63_minhash_capped", "q64_embedding_neardup_clusters",
     "q68_tfidf_terms", "q70_delta_neardup", "q76_bloom_join",
-    "q77_heavy_hitters", "q78_unigram_lm", "q85_corpus_card")
+    "q77_heavy_hitters", "q78_unigram_lm", "q85_corpus_card",
+    "q88_c4_line_filter", "q89_gopher_rules", "q90_token_chunks",
+    "q91_countmin_sketch")
 
   /** Queries whose BroadcastNestedLoopJoin is RUNTIME-gated rather than
     * plan-visible: brute-force cosine top-k broadcasts the probe side
