@@ -209,9 +209,11 @@ object QueriesFramework {
     val agg = graft.streaming.Streams.windowedAgg(stream, "ts", "event_type",
       watermarkDelay = "1 hour", windowDur = "1 day")
     val sink = s"q54_sink_${System.nanoTime}"
-    val q = agg.writeStream.format("memory").queryName(sink)
-      .outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.Streams.withStatePartitions(spark, 8) {
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(sink)
       .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), round(col("sum_value"), 2).as("sum_value"))
@@ -310,9 +312,11 @@ object QueriesFramework {
     val sess = graft.streaming.Sessionize.sessionsEventTime(stream,
       gapMs = 1800L * 1000, watermarkDelay = "1 second")
     val sink = s"q61_sink_${System.nanoTime}"
-    val q = sess.toDF.writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.Streams.withStatePartitions(spark, 8) {
+      val q = sess.toDF.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(sink).filter(col("user_id") >= 0)
       .withColumn("duration_sec", (col("end_ms") - col("start_ms")) / 1000)
       .groupBy("n_events")

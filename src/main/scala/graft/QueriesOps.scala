@@ -305,9 +305,12 @@ object QueriesOps {
       key = "user_id", leftTs = "p_ts", rightTs = "c_ts",
       watermarkDelay = "1 hour", within = "4 hours")
     val sink = s"q84_sink_${System.nanoTime}"
-    val q = joined.writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    // state keyed by ~150 user_ids — 8 state partitions, not the batch 32
+    graft.streaming.Streams.withStatePartitions(spark, 8) {
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(sink).select("purchase_id", "click_id", "user_id")
       .orderBy("purchase_id", "click_id")
   }, Some(

@@ -352,9 +352,11 @@ object QueriesText {
     val dd = graft.streaming.Streams.dedupStream(stream, "ts", Seq("fp"),
       watermarkDelay = "1 second")
     val sink = s"q74_sink_${System.nanoTime}"
-    val q = dd.writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.Streams.withStatePartitions(spark, 8) {
+      val q = dd.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(sink).select("fp").orderBy("fp")
   }, Some(
     """WITH corpus AS (
@@ -375,7 +377,10 @@ object QueriesText {
     val (corpus, delta) = q70Corpus(spark, dir)
     Seq("_shingles", "_buckets", "_meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS q86idx$s"))
-    val idx = Dedup.writeNearDupIndex(corpus, "doc_id", "text", "q86idx")
+    // 8 bucket files per table at this fixture scale (the 100 TB knob
+    // stays `numBuckets` — size it to executor count × target file size)
+    val idx = Dedup.writeNearDupIndex(corpus, "doc_id", "text", "q86idx",
+      numBuckets = 8)
     Dedup.dropNearDuplicatesAgainst(idx, delta, "doc_id", "text",
         threshold = 0.8, maxBandFreq = None, appendAccepted = true)
       .orderBy("doc_id")
@@ -401,7 +406,8 @@ object QueriesText {
       .unionByName(docs.filter(col("doc_id") % 14 === 7)
         .select((col("doc_id") + 700000).as("doc_id"), col("text")))
     spark.sql("DROP TABLE IF EXISTS q87idx_fps")
-    val idx = Dedup.writeFingerprintIndex(corpus, "text", "q87idx")
+    val idx = Dedup.writeFingerprintIndex(corpus, "text", "q87idx",
+      numBuckets = 8)
     Dedup.dropExactDuplicatesAgainst(idx, delta, "doc_id", "text",
         appendAccepted = true)
       .orderBy("doc_id")
