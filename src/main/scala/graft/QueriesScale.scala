@@ -262,6 +262,51 @@ object QueriesScale {
        |SELECT probe_id, cand_id, round(cos, 4) AS cos, rank
        |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin))
 
+  /** Multi-cell (`nprobe = 2`) trained-IVF top-5 behind the hash gate —
+    * the recall-repair path of [[Similarity.assignCellsMulti]]: each
+    * probe scores against its TWO nearest cells. Same side-path pattern
+    * as q58 for the model-specific parts (the corpus cell table AND the
+    * probe→{cell₁, cell₂} assignment both materialize), so the oracle
+    * replays exactly what the operator adds: multi-cell-pruned scoring +
+    * ranking. A candidate holds one cell, so (probe, cand) pairs stay
+    * unique across the probe's cells with no dedup step.
+    */
+  private val q92CellPath = sidePath("q92_nprobe_cells")
+  private val q92ProbePath = sidePath("q92_nprobe_probes")
+
+  val q92 = QueryDef("q92_ivf_nprobe", (spark, dir) => {
+    reapStaleSideTables("q92_nprobe_cells")
+    reapStaleSideTables("q92_nprobe_probes")
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val (clustered, model) = Similarity.kmeansCells(emb, cells = 16, seed = 42L)
+    clustered.select("vec_id", "cell").write.mode("overwrite").parquet(q92CellPath)
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+    Similarity.assignCellsMulti(probes, model, nprobe = 2)
+      .select("vec_id", "cell").write.mode("overwrite").parquet(q92ProbePath)
+    val corpus = emb.join(spark.read.parquet(q92CellPath), "vec_id")
+    val probeSide = probes.join(spark.read.parquet(q92ProbePath), "vec_id")
+    val probeN = probes.count() * 2 // one probe row per probed cell
+    Similarity.ivfTopK(corpus, probeSide, "cell", k = 5,
+      probeRows = Some(probeN))
+  }, Some(
+    s"""WITH cells AS (SELECT vec_id, cell
+       |               FROM read_parquet('$q92CellPath/*.parquet')),
+       |pcells AS (SELECT vec_id, cell
+       |           FROM read_parquet('$q92ProbePath/*.parquet')),
+       |p AS (SELECT e0.vec_id AS probe_id, embedding AS pe, pcells.cell
+       |      FROM embeddings e0 JOIN pcells USING (vec_id)),
+       |c AS (SELECT e0.vec_id AS cand_id, embedding AS ce, cells.cell
+       |      FROM embeddings e0 JOIN cells USING (vec_id)),
+       |scored AS (
+       |  SELECT probe_id, cand_id, ${duckCos("pe", "ce")} AS cos
+       |  FROM p JOIN c ON p.cell = c.cell AND probe_id <> cand_id),
+       |ranked AS (SELECT probe_id, cand_id, cos,
+       |    row_number() OVER (PARTITION BY probe_id
+       |                       ORDER BY round(cos, 6) DESC, cand_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, cand_id, round(cos, 4) AS cos, rank
+       |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin))
+
   /** Embedding-cosine near-duplicate pairs above 0.4 for a delta sample. */
   val q31 = QueryDef("q31_cosine_neardup", (spark, dir) =>
     Similarity.cosineNearDupPairs(t(spark, dir, "embeddings"), probeModulo = 10,
@@ -626,5 +671,5 @@ object QueriesScale {
     Some(jaccardOracle))
 
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32,
-    q33, q34, q35, q40, q51, q52, q53, q55, q56, q57, q58, q63, q64)
+    q33, q34, q35, q40, q51, q52, q53, q55, q56, q57, q58, q63, q64, q92)
 }
