@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.Queries.QueryDef
 import graft.core.Tables
-import graft.ops.{Chunking, Sketches, TextAnalysis, WebText}
+import graft.ops.{Chunking, Sampling, Sketches, TextAnalysis, WebText}
 
 /** Round-5 training-data operators behind the hash gate: C4 line-grain
   * cleanup, Gopher rule flags, context-window chunking, count-min
@@ -207,5 +207,35 @@ object QueriesData {
       |FROM kb LEFT JOIN cnt ON kb.j = cnt.j AND kb.bucket = cnt.bucket
       |GROUP BY kb.uid ORDER BY kb.uid""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q88, q89, q90, q91)
+  /** Temperature mix sampling ([[Sampling.temperatureSample]]) at
+    * α = 0.5 / target 0.5 over the language column: scarce languages keep
+    * (rate caps at 1), dominant ones downsample, membership by the
+    * portable (salt, id) hash. The oracle replays the rate formula in
+    * the SAME operation order (the 6-decimal rounding before the
+    * comparison absorbs cross-engine `pow` ulps).
+    */
+  val q93 = QueryDef("q93_temperature_mix", (spark, dir) => {
+    val docs = t(spark, dir, "documents").select("doc_id", "lang")
+    Sampling.temperatureSample(docs, "doc_id", "lang",
+        salt = "mix", alpha = 0.5, targetFrac = 0.5)
+      .select("doc_id", "lang", "mix_rate")
+      .orderBy("doc_id")
+  }, Some(
+    """WITH counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+      |                FROM documents GROUP BY lang),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+      |               sum(power(CAST(n AS DOUBLE), 0.5)) AS z
+      |        FROM counts),
+      |rates AS (SELECT lang,
+      |            round(least(1.0,
+      |              0.5 * nn * power(CAST(n AS DOUBLE), 0.5) / z / n),
+      |              6) AS mix_rate
+      |          FROM counts, tot)
+      |SELECT doc_id, d.lang, mix_rate
+      |FROM documents d JOIN rates USING (lang)
+      |WHERE CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15)
+      |        AS BIGINT) % 1000000 < floor(mix_rate * 1000000)
+      |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q88, q89, q90, q91, q93)
 }

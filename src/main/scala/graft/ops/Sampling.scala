@@ -77,6 +77,47 @@ object Sampling {
     df.filter(bucket < bound)
   }
 
+  /** Temperature-based mix re-balancing (the multilingual-mix step of
+    * XLM-R/mT5, Conneau et al. 2020: source sampling probability
+    * `p_g ∝ n_g^alpha`): each group's keep rate is
+    * `rate_g = min(1, targetFrac · N · n_g^alpha / Z / n_g)` with
+    * `Z = Σ n_h^alpha`, so the kept corpus is ~`targetFrac` of the input
+    * drawn at temperature `alpha`. `alpha = 1` keeps every group at
+    * `targetFrac`; `alpha < 1` flattens the mix toward scarce groups
+    * (their rate caps at 1 — this op keeps whole groups rather than
+    * duplicating rows); `alpha > 1` sharpens toward big ones.
+    *
+    * Membership is the same pure-hash contract as [[hashSplit]]: keep iff
+    * `bucket(salt, id) < floor(rate_g · 10⁶)` — a rerun, another engine,
+    * or a repartition keeps exactly the same rows. Rates round to 6
+    * decimals BEFORE the comparison so a last-ulp `pow` difference
+    * between engines cannot flip a row.
+    *
+    * 100 TB shape: one bounded-key count aggregation (map-side combined),
+    * rates broadcast back, then a pure filter — the corpus itself never
+    * shuffles. Returns the kept rows plus their `mix_rate`.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+                        salt: String, alpha: Double,
+                        targetFrac: Double): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    require(targetFrac > 0 && targetFrac <= 1,
+      s"targetFrac must be in (0, 1], got $targetFrac")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_cnt"))
+    val tot = counts.agg(sum("_cnt").as("_total"),
+      sum(pow(col("_cnt").cast("double"), alpha)).as("_zsum"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("mix_rate", round(
+        least(lit(1.0),
+          lit(targetFrac) * col("_total") *
+            pow(col("_cnt").cast("double"), alpha) /
+            col("_zsum") / col("_cnt")), 6))
+      .select(col(groupCol), col("mix_rate"))
+    df.join(broadcast(rates), groupCol)
+      .filter(hashBucket(col(idCol), salt, 1000000) <
+        floor(col("mix_rate") * 1000000))
+  }
+
   /** Deterministic sequence packing: assign each document a (shard, bin,
     * offset) so training can concatenate documents into fixed
     * `budget`-token bins — greedy fill in id order within a shard. The

@@ -69,6 +69,37 @@ class DataOpsSpec extends SparkSpec {
       cs0.init.forall(_._3 == cs) })
   }
 
+  test("temperatureSample matches a driver-side reference; scarce groups cap at 1") {
+    val rows = (1 to 900).map(i => (i.toLong,
+      if (i <= 600) "big" else if (i <= 850) "mid" else "small"))
+    val out = Sampling.temperatureSample(rows.toDF("id", "grp"), "id", "grp",
+      salt = "s1", alpha = 0.5, targetFrac = 0.5)
+    val kept = out.select("id").as[Long].collect().toSet
+    // plain-Scala replay of the contract: md5 bucket + rounded rate
+    val counts = rows.groupBy(_._2).map { case (g, r) => g -> r.size.toLong }
+    val n = rows.size.toLong
+    val z = counts.values.map(c => math.pow(c.toDouble, 0.5)).sum
+    def rate(g: String): Double = {
+      val c = counts(g)
+      val raw = math.min(1.0, 0.5 * n * math.pow(c.toDouble, 0.5) / z / c)
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s1$id".getBytes("UTF-8"))
+      val hex = md.map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1000000L
+    }
+    val expect = rows.collect { case (id, g)
+      if bucket(id) < math.floor(rate(g) * 1000000).toLong => id }.toSet
+    assert(kept == expect)
+    // alpha < 1 upweights the scarce group past targetFrac — capped at
+    // rate 1.0, i.e. kept whole, never duplicated
+    assert(rate("small") == 1.0)
+    assert(out.filter(col("grp") === "small").count() == 50L)
+    assert(out.count() < 900L)
+  }
+
   test("countMin estimates: upper bound, exact without collisions, zero for absent") {
     val n = 2000
     val vals = (1 to n).map(i => (i % 37).toString)
