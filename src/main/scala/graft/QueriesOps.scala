@@ -268,6 +268,21 @@ object QueriesOps {
         |      * (CAST(sum(uv) AS DOUBLE) / 1e4 / count(*))), 4) AS stddev_pop
         |FROM u GROUP BY grp ORDER BY grp""".stripMargin))
 
+  /** Incremental dataset-card maintenance behind the hash gate: the
+    * corpus split into two disjoint ingest batches, each reduced to its
+    * MERGEABLE partial ([[Stats.profilePartial]]), merged
+    * ([[Stats.profileMerge]]) — and held to the SAME DuckDB oracle as
+    * q83's full-corpus profile. The decimal-exact accumulators are what
+    * make this a hash-level (not approximate) equality.
+    */
+  val q94 = QueryDef("q94_profile_merge", (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    val parts = Seq(0, 1).map(i =>
+      Stats.profilePartial(li.filter(col("l_orderkey") % 2 === i),
+        "l_returnflag", "l_extendedprice"))
+    Stats.profileMerge(parts.reduce(_ unionByName _)).orderBy("grp")
+  }, q83.oracle)
+
   private def tmp(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -360,5 +375,5 @@ object QueriesOps {
          |ORDER BY section, k""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85)
+    q84, q85, q94)
 }

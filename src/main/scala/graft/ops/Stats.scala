@@ -64,4 +64,44 @@ object Stats {
         round(s / n, 4).as("mean_v"),
         round(sqrt(s2 / n - (s / n) * (s / n)), 4).as("stddev_pop"))
   }
+
+  /** MERGEABLE per-batch partial of [[profile]]: the exact accumulators,
+    * one row per group — `(grp, cnt, sum_u, sum_u2, min_v, max_v)` with
+    * the sums as scaled decimals and min/max still decimal(18,4).
+    * Partials from disjoint batches (today's ingest, yesterday's card)
+    * combine through [[profileMerge]] into BIT-IDENTICAL output to
+    * [[profile]] over the union: integer/decimal accumulators merge with
+    * no float drift, and the finalization applies the same IEEE ops in
+    * the same order. The incremental dataset-card step — a corpus is
+    * never rescanned to refresh its card.
+    */
+  def profilePartial(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val d: Column = col(valueCol).cast("decimal(18,4)")
+    val u: Column = (d * lit(10000)).cast("long")
+    val uDec: Column = u.cast("decimal(19,0)")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(u.cast("decimal(38,0)")).as("sum_u"),
+        sum(uDec * uDec).as("sum_u2"),
+        min(d).as("min_v"), max(d).as("max_v"))
+  }
+
+  /** Merge [[profilePartial]] frames (union them first) and finalize to
+    * exactly [[profile]]'s schema and values.
+    */
+  def profileMerge(partials: DataFrame): DataFrame = {
+    val merged = partials.groupBy("grp")
+      .agg(sum("cnt").as("cnt"), sum("sum_u").as("sum_u"),
+        sum("sum_u2").as("sum_u2"),
+        min("min_v").as("min_v"), max("max_v").as("max_v"))
+    val n = col("cnt")
+    val s = col("sum_u").cast("double") / lit(1e4)
+    val s2 = col("sum_u2").cast("double") / lit(1e8)
+    merged.select(col("grp"), n.as("cnt"),
+      round(col("min_v").cast("double"), 4).as("min_v"),
+      round(col("max_v").cast("double"), 4).as("max_v"),
+      round(s / n, 4).as("mean_v"),
+      round(sqrt(s2 / n - (s / n) * (s / n)), 4).as("stddev_pop"))
+  }
 }

@@ -284,6 +284,26 @@ class StatsSpec extends SparkSpec {
       assert(std > 0 && std < 1e8) }
   }
 
+  test("merged batch partials are bit-identical to a full-corpus profile") {
+    val rnd = new scala.util.Random(71)
+    val rows = Seq.fill(4000)((rnd.nextInt(100).toLong,
+      "g" + rnd.nextInt(4), rnd.nextDouble() * 1e7 - 5e6))
+    val df = rows.toDF("id", "k", "v")
+    val direct = Stats.profile(df, "k", "v").collect().map(_.toSeq).toSet
+    // three disjoint ingest batches, profiled independently, merged later
+    val parts = (0 until 3).map(i =>
+      Stats.profilePartial(df.filter(col("id") % 3 === i), "k", "v"))
+    val merged = Stats.profileMerge(parts.reduce(_ unionByName _))
+      .collect().map(_.toSeq).toSet
+    assert(merged == direct,
+      "incremental card drifted from the full-corpus profile")
+    // merging a single batch's partial is profile of that batch
+    val one = Stats.profileMerge(parts(1)).collect().map(_.toSeq).toSet
+    val oneDirect = Stats.profile(df.filter(col("id") % 3 === 1), "k", "v")
+      .collect().map(_.toSeq).toSet
+    assert(one == oneDirect)
+  }
+
   test("CorpusStatsJob summarizes per language with no join in the plan") {
     val docs = Seq((1L, "the cat sat", "en"), (2L, "der hund", "de"),
       (3L, "the dog ran far", "en")).toDF("doc_id", "text", "lang")
