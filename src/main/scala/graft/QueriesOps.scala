@@ -268,6 +268,27 @@ object QueriesOps {
         |      * (CAST(sum(uv) AS DOUBLE) / 1e4 / count(*))), 4) AS stddev_pop
         |FROM u GROUP BY grp ORDER BY grp""".stripMargin))
 
+  /** Skew-relief salted join behind the hash gate: lineitem→supplier
+    * through [[Joins.saltedJoin]] (big side salted by a deterministic
+    * row hash, small side exploded `salts`×), aggregated per nation —
+    * must equal the plain join the oracle runs. Only the shuffle
+    * distribution may differ from an unsalted join, never the rows.
+    */
+  val q95 = QueryDef("q95_salted_join", (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+    val sup = t(spark, dir, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    Joins.saltedJoin(li, sup, Seq("suppkey"), salts = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("s_nationkey")
+  }, Some(
+    """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
+
   /** Incremental dataset-card maintenance behind the hash gate: the
     * corpus split into two disjoint ingest batches, each reduced to its
     * MERGEABLE partial ([[Stats.profilePartial]]), merged
@@ -375,5 +396,5 @@ object QueriesOps {
          |ORDER BY section, k""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q94)
+    q84, q85, q94, q95)
 }
