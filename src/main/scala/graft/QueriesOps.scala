@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.Queries.QueryDef
 import graft.core.Tables
-import graft.ops.{Joins, Multimodal, Scd, Similarity, Sketches, Stats, TextAnalysis}
+import graft.ops.{Joins, Multimodal, Scd, Similarity, Skew, Sketches, Stats, TextAnalysis}
 
 /** Warehouse/scale operators behind the hash gate: SCD2 dimension merge,
   * bloom-pruned joins, exact heavy hitters via Misra-Gries candidates.
@@ -269,8 +269,8 @@ object QueriesOps {
         |FROM u GROUP BY grp ORDER BY grp""".stripMargin))
 
   /** Skew-relief salted join behind the hash gate: lineitem→supplier
-    * through [[Joins.saltedJoin]] (big side salted by a deterministic
-    * row hash, small side exploded `salts`×), aggregated per nation —
+    * through [[Skew.saltedJoin]] (big side salted by a deterministic
+    * row hash, small side replicated `factor`×), aggregated per nation —
     * must equal the plain join the oracle runs. Only the shuffle
     * distribution may differ from an unsalted join, never the rows.
     */
@@ -279,7 +279,7 @@ object QueriesOps {
       .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
     val sup = t(spark, dir, "supplier")
       .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
-    Joins.saltedJoin(li, sup, Seq("suppkey"), salts = 8)
+    Skew.saltedJoin(li, sup, Seq("suppkey"), factor = 8)
       .groupBy("s_nationkey")
       .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
       .orderBy("s_nationkey")

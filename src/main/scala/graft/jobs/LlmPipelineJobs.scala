@@ -213,6 +213,23 @@ class ChunkJob extends EtlJob {
   }
 }
 
+/** Sequence packing from YAML ([[Sampling.packSequences]]): assign each
+  * row a (shard, bin, bin_offset) so training concatenates rows into
+  * fixed `budget`-token bins, reproducibly. Params: `budget` (required),
+  * `token_col` (default `n_tokens` — [[ChunkJob]]'s output feeds this
+  * directly), `shards` (default 1024), `salt`.
+  */
+class PackSequencesJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame =
+    Sampling.packSequences(inputs.values.head, P.id(params),
+      params.getOrElse("token_col", "n_tokens"),
+      budget = params.getOrElse("budget",
+        sys.error("PackSequencesJob needs param 'budget'")).toLong,
+      shards = params.getOrElse("shards", "1024").toInt,
+      salt = params.getOrElse("salt", "pack"))
+}
+
 /** Deterministic train/val/test assignment: a pure function of
   * (`salt`, id) — `fractions` like "train:0.9,val:0.05,test:0.05" —
   * so membership never shifts across reruns, partitionings, or engines.

@@ -70,35 +70,4 @@ object Joins {
     }
     fact.filter(pred)
   }
-
-  /** Salted equi-join for skewed keys: the classic relief when ONE join
-    * key holds a corpus-scale share of the big side (the null-ish
-    * default id, the bot user, the empty-string domain) and AQE's
-    * skew-join split cannot help because a single key is indivisible by
-    * range. The big side gets a deterministic salt in `[0, salts)`
-    * (xxhash64 of the whole row — no RNG, so task retries are safe);
-    * the small side is exploded `salts`× so every (key, salt) bucket
-    * finds its match. The result set is EXACTLY the plain join's; only
-    * the shuffle distribution changes — the hot key's rows now spread
-    * over `salts` reducers instead of one.
-    *
-    * Join types: `inner` and `left` (the shapes where the small side is
-    * the lookup). The small side's replication factor is `salts`, so
-    * size it to the skew you are breaking (tens, not thousands) — cost
-    * grows linearly in `salts` on the small side only.
-    */
-  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
-                 salts: Int, joinType: String = "inner"): DataFrame = {
-    require(keys.nonEmpty, "saltedJoin needs at least one key column")
-    require(salts >= 1, s"salts must be >= 1, got $salts")
-    require(Seq("inner", "left", "left_outer", "leftouter").contains(joinType),
-      s"saltedJoin supports inner/left joins, got $joinType")
-    require(!(big.columns ++ small.columns).contains("_salt"),
-      "input already carries a _salt column")
-    val bigS = big.withColumn("_salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salts.toLong)))
-    val smallS = small.withColumn("_salt",
-      explode(sequence(lit(0L), lit(salts - 1L))))
-    bigS.join(smallS, keys :+ "_salt", joinType).drop("_salt")
-  }
 }

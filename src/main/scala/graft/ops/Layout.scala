@@ -72,4 +72,21 @@ object Layout {
       .drop("_r")
       .write.mode(mode).parquet(outPath)
   }
+
+  /** Write `df` globally SHUFFLED, deterministically: the training-export
+    * step — a model must not see the corpus in crawl/ingest order, but a
+    * `rand()` shuffle is unreproducible and breaks task-retry semantics.
+    * The sort key is the portable md5 hash of (salt, id)
+    * ([[Sampling.hashBucket]]'s domain), range-partitioned and sorted
+    * within files, so the SAME rows land in the SAME files in the SAME
+    * order on every rerun and every engine — and a different `salt` is a
+    * fresh, independent shuffle (epoch reshuffles without rewriting
+    * logic). Cost: one sampled range exchange, same as any sorted write.
+    */
+  def shuffledWrite(df: DataFrame, idCol: String, salt: String,
+                    outPath: String, numFiles: Int,
+                    mode: String = "overwrite"): Unit =
+    rangeSortedWrite(df,
+      Sampling.hashBucket(col(idCol), salt, buckets = 1 << 30),
+      outPath, numFiles, mode)
 }

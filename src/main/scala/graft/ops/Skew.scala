@@ -16,13 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Inner equi-join on `keys` with the LEFT side salted and the RIGHT
-    * side replicated `factor`×. Result columns = left ++ right (join keys
-    * once, from the left).
+  /** Equi-join on `keys` with the LEFT (big) side salted and the RIGHT
+    * (small) side replicated `factor`×. Result columns = left ++ right
+    * (join keys once, from the left); result SET is exactly the plain
+    * join's — only the shuffle distribution changes, the one relief for
+    * a single indivisible hot key that AQE's range-split cannot divide.
+    * Join types: `inner` and `left` (the shapes where the right side is
+    * the lookup; the replicated side must not drive an outer edge).
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-                 factor: Int): DataFrame = {
+                 factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor > 1, "salt factor must be > 1")
+    require(Seq("inner", "left", "left_outer", "leftouter").contains(joinType),
+      s"saltedJoin supports inner/left joins, got $joinType")
+    require(!(left.columns ++ right.columns).contains("_salt"),
+      "input already carries a _salt column")
     // Deterministic salt: hash of all left columns mod factor — stable
     // across retries (rand() would break task retry idempotency).
     val salted = left.withColumn("_salt",
@@ -31,7 +39,7 @@ object Skew {
       explode(array((0 until factor).map(lit): _*)))
     val cond: Column = (keys.map(k => salted(k) === replicated(k)) :+
       (salted("_salt") === replicated("_salt"))).reduce(_ && _)
-    val joined = salted.join(replicated, cond)
+    val joined = salted.join(replicated, cond, joinType)
       .drop(salted("_salt")).drop(replicated("_salt"))
     keys.foldLeft(joined)((df, k) => df.drop(replicated(k)))
   }

@@ -219,6 +219,16 @@ class FlowSpec extends SparkSpec {
     // the gopher stage only ever removes whole docs
     assert(chunks.filter(col("chunk_text").contains("click here")).count() == 0)
     assert(chunks.select("doc_id").distinct().count() <= docs.count())
+    // ...and the chunks pack into 64-token bins, deterministically
+    val packed = Flow.runPipeline(spark, loaded.jobs, "pack_chunks",
+      save = false)("pack_chunks")
+    assert(packed.count() == n)
+    assert(Seq("shard", "bin", "bin_offset").forall(packed.columns.contains))
+    assert(packed.agg(max(col("bin_offset"))).collect()(0).getLong(0) < 64L)
+    val again = Flow.runPipeline(spark, loaded.jobs, "pack_chunks",
+      save = false)("pack_chunks")
+    assert(packed.select("seq_id", "shard", "bin", "bin_offset")
+      .except(again.select("seq_id", "shard", "bin", "bin_offset")).isEmpty)
   }
 
   test("jobs.yml runs the SCD2 dimension merge from the manifest") {

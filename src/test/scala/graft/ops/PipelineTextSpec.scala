@@ -324,6 +324,27 @@ class LayoutSpec extends SparkSpec {
     // every row survives the layout rewrite
     assert(spark.read.parquet(s"$base/sorted").count() == n)
   }
+
+  test("shuffledWrite is a deterministic global shuffle; salt changes it") {
+    val df = (0 until 5000).map(i => (i.toLong, s"doc$i")).toDF("id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_shuffle").toString
+    Layout.shuffledWrite(df, "id", salt = "ep0", s"$base/a", numFiles = 4)
+    Layout.shuffledWrite(df, "id", salt = "ep0", s"$base/b", numFiles = 4)
+    Layout.shuffledWrite(df, "id", salt = "ep1", s"$base/c", numFiles = 4)
+    def order(path: String): Seq[Long] = {
+      // read per file in stored order, files sorted by name — the exact
+      // byte layout a training loader would stream
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+      files.toSeq.flatMap(f =>
+        spark.read.parquet(f).select("id").as[Long].collect().toSeq)
+    }
+    val a = order(s"$base/a")
+    assert(a.toSet == (0 until 5000).map(_.toLong).toSet, "rows lost")
+    assert(a == order(s"$base/b"), "same salt must reproduce the layout")
+    assert(a != order(s"$base/c"), "a new salt must reshuffle")
+    assert(a != a.sorted, "output must not be in ingest order")
+  }
 }
 
 class ZorderCompactionSpec extends SparkSpec {

@@ -221,35 +221,35 @@ class BloomJoinSpec extends SparkSpec {
 class SaltedJoinSpec extends SparkSpec {
   import spark.implicits._
 
-  test("salted join equals the plain join on a skewed fixture") {
+  test("salted join equals the plain join on a heavily skewed fixture") {
     // one hot key holds 90% of the big side — the shape AQE can't split
     val big = ((1L to 9000L).map(i => (7L, s"hot$i")) ++
       (1L to 1000L).map(i => (i % 50, s"cold$i"))).toDF("k", "payload")
     val small = (0L to 49L).map(i => (i, s"dim$i")).toDF("k", "name")
-    val got = Joins.saltedJoin(big, small, Seq("k"), salts = 8)
+    val got = Skew.saltedJoin(big, small, Seq("k"), factor = 8)
       .collect().map(_.toSeq).toSet
     val want = big.join(small, Seq("k")).collect().map(_.toSeq).toSet
     assert(got == want)
-    // the hot key's rows really spread: >1 distinct salt in the build
+    // the hot key's rows really spread: >1 distinct salt value
     val salts = big.withColumn("_salt",
-        pmod(xxhash64(col("k"), col("payload")), lit(8L)))
+        pmod(hash(col("k"), col("payload")), lit(8)))
       .filter($"k" === 7L).select("_salt").distinct().count()
     assert(salts > 1, "salting must spread the hot key over reducers")
   }
 
-  test("left join keeps unmatched rows exactly once; bad types rejected") {
+  test("left join keeps unmatched rows exactly once; bad args rejected") {
     val big = Seq((1L, "a"), (99L, "nomatch"), (99L, "nomatch2"))
       .toDF("k", "payload")
     val small = Seq((1L, "dim1")).toDF("k", "name")
-    val got = Joins.saltedJoin(big, small, Seq("k"), salts = 4, "left")
+    val got = Skew.saltedJoin(big, small, Seq("k"), factor = 4, "left")
       .collect().map(_.toSeq).toSet
     val want = big.join(small, Seq("k"), "left").collect().map(_.toSeq).toSet
     assert(got == want)
     intercept[IllegalArgumentException] {
-      Joins.saltedJoin(big, small, Seq("k"), salts = 4, "full")
+      Skew.saltedJoin(big, small, Seq("k"), factor = 4, "full")
     }
     intercept[IllegalArgumentException] {
-      Joins.saltedJoin(big.withColumn("_salt", lit(1)), small, Seq("k"), 4)
+      Skew.saltedJoin(big.withColumn("_salt", lit(1)), small, Seq("k"), 4)
     }
   }
 }
