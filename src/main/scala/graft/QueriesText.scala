@@ -269,6 +269,38 @@ object QueriesText {
       |  CAST(start % 2048 AS BIGINT) AS bin_offset
       |FROM c ORDER BY doc_id""".stripMargin))
 
+  /** The pack layout MATERIALIZED into training rows
+    * ([[Sampling.packedText]]): q71's exact (shard, bin) assignment, but
+    * each bin's documents concatenated `<eos>`-joined in id order. The
+    * oracle replays the same layout CTE and aggregates with
+    * `string_agg(... ORDER BY doc_id)` — byte-identical packed text.
+    */
+  val q96 = QueryDef("q96_packed_text", (spark, dir) => {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+        .as("n_tokens"))
+    Sampling.packedText(docs, "doc_id", "text", "n_tokens", budget = 2048L,
+        shards = 8, salt = "pack")
+      .orderBy("shard", "bin")
+  }, Some(
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 8 AS shard
+      |  FROM documents),
+      |c AS (SELECT doc_id, text, n_tokens, shard,
+      |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS start
+      |  FROM d)
+      |SELECT shard, CAST(start // 2048 AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  string_agg(text, '<eos>' ORDER BY doc_id) AS packed_text
+      |FROM c GROUP BY shard, CAST(start // 2048 AS BIGINT)
+      |ORDER BY shard, bin""".stripMargin))
+
   /** KMV distinct-count sketch per event type: unlike HLL, the estimate
     * is a pure function of the value set (portable md5 hash, k-th order
     * statistic), so BOTH engines compute the identical sketch AND the
@@ -434,5 +466,5 @@ object QueriesText {
       |ORDER BY doc_id""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q86, q87)
+    q74, q86, q87, q96)
 }

@@ -139,6 +139,28 @@ object Sampling {
     *
     * Returns the input plus (shard, bin, bin_offset).
     */
+  /** Materialize [[packSequences]]'s layout into actual training rows:
+    * one row per (shard, bin) with the member documents' text
+    * concatenated in id order, `sep`-joined (the trainer's EOS token),
+    * plus doc and token counts. The groupBy shuffles once on
+    * (shard, bin); a bin holds at most ~`budget`/min-doc-tokens
+    * documents by construction, so the per-group collect is bin-local
+    * and bounded — never corpus-scale state.
+    */
+  def packedText(df: DataFrame, idCol: String, textCol: String,
+                 tokenCol: String, budget: Long, shards: Int = 1024,
+                 salt: String = "pack", sep: String = "<eos>"): DataFrame =
+    packSequences(df, idCol, tokenCol, budget, shards, salt)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol).cast("long")).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol).as("i"),
+              col(textCol).as("t")))),
+            s => s.getField("t")),
+          sep).as("packed_text"))
+
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
                     budget: Long, shards: Int = 1024,
                     salt: String = "pack"): DataFrame = {

@@ -100,6 +100,19 @@ class DataOpsSpec extends SparkSpec {
     assert(out.count() < 900L)
   }
 
+  test("packedText concatenates each bin's docs in id order with the separator") {
+    val docs = Seq((3L, "cc", 2L), (1L, "aa", 2L), (2L, "bb", 2L),
+      (4L, "dd", 2L), (5L, "ee", 2L)).toDF("id", "text", "n_tok")
+    // one shard, budget 4 -> bins of two docs in id order
+    val out = Sampling.packedText(docs, "id", "text", "n_tok", budget = 4L,
+        shards = 1, salt = "x")
+      .orderBy("bin").collect()
+    assert(out.map(_.getAs[String]("packed_text")).toSeq ==
+      Seq("aa<eos>bb", "cc<eos>dd", "ee"))
+    assert(out.map(_.getAs[Long]("n_docs")).toSeq == Seq(2L, 2L, 1L))
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq == Seq(4L, 4L, 2L))
+  }
+
   test("countMin estimates: upper bound, exact without collisions, zero for absent") {
     val n = 2000
     val vals = (1 to n).map(i => (i % 37).toString)
