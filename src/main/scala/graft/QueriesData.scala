@@ -237,5 +237,35 @@ object QueriesData {
       |        AS BIGINT) % 1000000 < floor(mix_rate * 1000000)
       |ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q88, q89, q90, q91, q93)
+  /** Vocabulary induction + token-id encoding
+    * ([[TextAnalysis.buildVocab]] at maxSize 20 — small enough that real
+    * OOV occurs — then [[TextAnalysis.encodeDocs]]): ids are dense ranks
+    * by (count DESC, term ASC), OOV encodes 0, and the full id sequence
+    * of every document must match byte for byte as a CSV string.
+    */
+  val q97 = QueryDef("q97_vocab_encode", (spark, dir) => {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val vocab = TextAnalysis.buildVocab(docs, "text", maxSize = 20)
+    TextAnalysis.encodeDocs(docs, "doc_id", "text", vocab).orderBy("doc_id")
+  }, Some(
+    """WITH spl AS (SELECT doc_id, string_split(lower(text), ' ') AS l
+      |             FROM documents),
+      |tk AS (SELECT doc_id, i AS pos, l[i] AS term
+      |       FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+      |             FROM spl)
+      |       WHERE l[i] <> ''),
+      |counts AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term),
+      |vocab AS (SELECT term, token_id FROM (
+      |            SELECT term, row_number() OVER (ORDER BY cnt DESC, term)
+      |                     AS token_id
+      |            FROM counts) WHERE token_id <= 20),
+      |e AS (SELECT doc_id, pos, coalesce(vocab.token_id, 0) AS tid,
+      |             vocab.token_id AS vid
+      |      FROM tk LEFT JOIN vocab USING (term))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN vid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+      |  string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+      |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q88, q89, q90, q91, q93, q97)
 }

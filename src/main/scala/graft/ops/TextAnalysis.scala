@@ -309,6 +309,61 @@ object TextAnalysis {
     "symbol_ratio", "alpha_ratio", "bullet_frac", "ellipsis_frac",
     "stop_hits", "keep")
 
+  /** Deterministic vocabulary induction: the `maxSize` most frequent
+    * tokens, ids dense 1..maxSize by `(count DESC, term ASC)` — a pure
+    * function of the corpus, so two runs (or two engines) assign
+    * identical ids. Id 0 is reserved for out-of-vocabulary
+    * ([[encodeDocs]]'s unk). Returns `(term, token_id, cnt)`.
+    *
+    * Scale shape: one map-side-combined token count (the corpus-sized
+    * shuffle), `minCount` pre-filter bounds the ranked set, and the
+    * global rank-limit plans as `TakeOrderedAndProject` (per-partition
+    * top-k, then a merge of k-row heads) — the full vocabulary is never
+    * sorted on one task. Plan-audited via q97.
+    */
+  def buildVocab(docs: DataFrame, textCol: String, maxSize: Int,
+                 minCount: Long = 1L): DataFrame = {
+    require(maxSize >= 1, s"maxSize must be >= 1, got $maxSize")
+    val counts = docs.select(explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val w = Window.orderBy(col("cnt").desc, col("term"))
+    counts.withColumn("token_id", row_number().over(w).cast("long"))
+      .filter(col("token_id") <= maxSize)
+      .select("term", "token_id", "cnt")
+  }
+
+  /** Encode each document as its token-id sequence under a
+    * [[buildVocab]] vocabulary: out-of-vocabulary tokens map to 0.
+    * Returns `(doc_id, n_tokens, n_unk, ids_csv)` with the ids
+    * comma-joined in document order (string-typed for engine-portable
+    * comparison; split on ',' to consume).
+    *
+    * Scale shape: positions ride `posexplode`; the vocab join is a
+    * broadcast while the vocabulary is small (AQE decides from runtime
+    * size) and degrades to a shuffle join on term; reassembly is one
+    * doc-keyed aggregation whose per-group state is the doc's own
+    * length.
+    */
+  def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
+                 vocab: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+    toks.join(vocab.select("term", "token_id"), Seq("term"), "left")
+      .withColumn("_tid", coalesce(col("token_id"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("token_id").isNull, 1L).otherwise(0L)).as("n_unk"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("_tid")))),
+            s => s.getField("_tid").cast("string")),
+          ",").as("ids_csv"))
+  }
+
   /** Token statistics per group column. */
   def tokenStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
     docs.select(col(groupCol).as("grp"),

@@ -100,6 +100,22 @@ class DataOpsSpec extends SparkSpec {
     assert(out.count() < 900L)
   }
 
+  test("buildVocab ranks by (count desc, term); encodeDocs maps OOV to 0") {
+    val docs = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a b rare")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.buildVocab(docs, "text", maxSize = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // b:4 -> 1, a:3 -> 2, c/rare tie at 1 -> 'c' wins alphabetically -> 3
+    assert(vocab == Map("b" -> 1L, "a" -> 2L, "c" -> 3L))
+    val enc = TextAnalysis.encodeDocs(docs, "doc_id", "text",
+        TextAnalysis.buildVocab(docs, "text", maxSize = 3))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(enc(0) == ((1L, 6L, 0L, "1,1,1,2,2,3")))
+    assert(enc(1) == ((2L, 3L, 1L, "2,1,0"))) // 'rare' is OOV -> 0
+  }
+
   test("packedText concatenates each bin's docs in id order with the separator") {
     val docs = Seq((3L, "cc", 2L), (1L, "aa", 2L), (2L, "bb", 2L),
       (4L, "dd", 2L), (5L, "ee", 2L)).toDF("id", "text", "n_tok")
