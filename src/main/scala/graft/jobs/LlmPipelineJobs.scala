@@ -230,6 +230,22 @@ class PackSequencesJob extends EtlJob {
       salt = params.getOrElse("salt", "pack"))
 }
 
+/** Vocabulary induction + token-id encoding from YAML
+  * ([[TextAnalysis.buildVocab]] + [[encodeDocs]]): self-trained on the
+  * input corpus, OOV → 0. Params: `vocab_size` (default 65536),
+  * `min_count` (default 1).
+  */
+class VocabEncodeJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val df = inputs.values.head
+    val vocab = TextAnalysis.buildVocab(df, P.text(params),
+      maxSize = params.getOrElse("vocab_size", "65536").toInt,
+      minCount = params.getOrElse("min_count", "1").toLong)
+    TextAnalysis.encodeDocs(df, P.id(params), P.text(params), vocab)
+  }
+}
+
 /** Deterministic train/val/test assignment: a pure function of
   * (`salt`, id) — `fractions` like "train:0.9,val:0.05,test:0.05" —
   * so membership never shifts across reruns, partitionings, or engines.

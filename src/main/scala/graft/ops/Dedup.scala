@@ -379,6 +379,25 @@ object Dedup {
     idx
   }
 
+  /** Re-open a [[writeFingerprintIndex]] handle in another session: the
+    * bucket count is read back from the CATALOG (not trusted from the
+    * caller) — an append with a mismatched bucket spec would otherwise
+    * corrupt the co-bucketing contract the exchange-free anti-join
+    * relies on.
+    */
+  def loadFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+                           name: String): FingerprintIndex = {
+    val idx = FingerprintIndex(name, 0)
+    require(spark.catalog.tableExists(idx.fpsTable),
+      s"no fingerprint index at ${idx.fpsTable}")
+    val nb = spark.sql(s"DESCRIBE EXTENDED ${idx.fpsTable}").collect()
+      .find(_.getString(0) == "Num Buckets")
+      .map(_.getString(1).trim.toInt)
+      .getOrElse(sys.error(s"${idx.fpsTable} exists but is not bucketed — " +
+        "not a writeFingerprintIndex table"))
+    FingerprintIndex(name, nb)
+  }
+
   /** Incremental EXACT dedup against a persisted fingerprint index:
     * collapse exact duplicates WITHIN the delta (deterministic keep-first
     * by `order`, [[exactKeepFirst]] on the fingerprint), drop every

@@ -114,6 +114,11 @@ class DataOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect()
     assert(enc(0) == ((1L, 6L, 0L, "1,1,1,2,2,3")))
     assert(enc(1) == ((2L, 3L, 1L, "2,1,0"))) // 'rare' is OOV -> 0
+    // the YAML wrapper self-trains and encodes in one transform
+    val viaJob = new graft.jobs.VocabEncodeJob().transform(
+      Map("d" -> docs), spark, Map("vocab_size" -> "3"))
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(viaJob.toSeq == enc.toSeq)
   }
 
   test("packedText concatenates each bin's docs in id order with the separator") {

@@ -164,6 +164,12 @@ class FingerprintIndexSpec extends SparkSpec {
       // grown index: a replay of the same delta drops every row
       val replay = Dedup.dropExactDuplicatesAgainst(idx, delta, "doc_id", "text")
       assert(replay.isEmpty, "replayed delta must be fully dropped")
+      // a re-opened handle reads the true bucket count from the catalog
+      val loaded = Dedup.loadFingerprintIndex(spark, "fpx1")
+      assert(loaded == idx, s"catalog round-trip drifted: $loaded vs $idx")
+      intercept[IllegalArgumentException] {
+        Dedup.loadFingerprintIndex(spark, "no_such_index")
+      }
       // plan shape: the bucketed corpus side feeds the anti-join unshuffled
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
