@@ -175,19 +175,19 @@ object QueriesData {
       |       array_to_string(chunk, ' ') AS chunk_text
       |FROM s ORDER BY doc_id, chunk_id""".stripMargin))
 
-  /** Count-min sketch ([[Sketches.countMinTable]] + [[cmsEstimate]]) over
-    * a deliberately narrow 4×64 table so collisions actually inflate some
-    * estimates: point-frequency estimates for keys 0–49 of `user_id %
-    * 200`. The oracle rebuilds the identical sketch — same md5 bucket
+  /** Count-min sketch ([[Sketches.countMinSketch]] + [[cmsEstimate]])
+    * over a deliberately narrow 4×64 table so collisions actually inflate
+    * some estimates: point-frequency estimates for keys 0–49 of `user_id
+    * % 200`. The oracle rebuilds the identical sketch — same md5 bucket
     * hashes, same min-over-rows — so the estimates (collisions included)
     * must match bit for bit.
     */
   val q91 = QueryDef("q91_countmin_sketch", (spark, dir) => {
     val ev = t(spark, dir, "events")
       .select(pmod(col("user_id"), lit(200L)).as("uid"))
-    val tbl = Sketches.countMinTable(ev, "uid", depth = 4, width = 64)
+    val sketch = Sketches.countMinSketch(ev, "uid", depth = 4, width = 64)
     val keys = spark.range(50).select(col("id").as("uid"))
-    Sketches.cmsEstimate(tbl, keys, "uid", depth = 4, width = 64)
+    Sketches.cmsEstimate(sketch, keys, "uid")
       .select(col("key").cast("long").as("uid"), col("est"))
       .orderBy("uid")
   }, Some(
@@ -222,9 +222,10 @@ object QueriesData {
       .orderBy("doc_id")
   }, Some(
     """WITH counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
-      |                FROM documents GROUP BY lang),
+      |                FROM documents WHERE lang IS NOT NULL GROUP BY lang),
       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
-      |               sum(power(CAST(n AS DOUBLE), 0.5)) AS z
+      |               CAST(sum(CAST(power(CAST(n AS DOUBLE), 0.5) * 1e12
+      |                 AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS z
       |        FROM counts),
       |rates AS (SELECT lang,
       |            round(least(1.0,

@@ -417,16 +417,16 @@ object Dedup {
     val accepted = deltaClean
       .join(spark.table(index.fpsTable)
         .select(col("fp").as("_fp")), Seq("_fp"), "left_anti")
-      .drop("_fp")
-    if (!appendAccepted) accepted
+    if (!appendAccepted) accepted.drop("_fp")
     else {
+      // checkpoint WITH the computed fingerprint so the append reuses it
+      // instead of re-normalizing + re-hashing the accepted text
       val materialized = accepted.localCheckpoint()
       graft.core.io.Writer.writeBucketed(
-        materialized.select(
-          TextFunctions.fingerprint(col(textCol)).as("fp")).distinct(),
+        materialized.select(col("_fp").as("fp")).distinct(),
         index.fpsTable, Seq("fp"), index.numBuckets,
         mode = org.apache.spark.sql.SaveMode.Append)
-      materialized
+      materialized.drop("_fp")
     }
   }
 

@@ -89,9 +89,18 @@ object Sampling {
     *
     * Membership is the same pure-hash contract as [[hashSplit]]: keep iff
     * `bucket(salt, id) < floor(rate_g · 10⁶)` — a rerun, another engine,
-    * or a repartition keeps exactly the same rows. Rates round to 6
-    * decimals BEFORE the comparison so a last-ulp `pow` difference
-    * between engines cannot flip a row.
+    * or a repartition keeps exactly the same rows. Determinism holds at
+    * both float seams: each group's `n^α` quantizes to a 1e-12-scaled
+    * decimal before the `Z` normalizer sums (exact integer addition —
+    * order-independent, unlike a raw double sum whose partition-arrival
+    * order could shift the last ulp), and rates round to 6 decimals
+    * BEFORE the comparison so a last-ulp `pow` difference between
+    * engines cannot flip a row.
+    *
+    * Rows whose group is NULL are excluded throughout — from the counts,
+    * the normalizer, and the output (an inner join on a null key can
+    * never match; counting them while never sampling them would skew
+    * every other group's rate).
     *
     * 100 TB shape: one bounded-key count aggregation (map-side combined),
     * rates broadcast back, then a pure filter — the corpus itself never
@@ -103,9 +112,12 @@ object Sampling {
     require(alpha > 0, s"alpha must be > 0, got $alpha")
     require(targetFrac > 0 && targetFrac <= 1,
       s"targetFrac must be in (0, 1], got $targetFrac")
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_cnt"))
+    val grouped = df.filter(col(groupCol).isNotNull)
+    val counts = grouped.groupBy(col(groupCol)).agg(count(lit(1)).as("_cnt"))
+    val zTerm = (pow(col("_cnt").cast("double"), alpha) * lit(1e12))
+      .cast("decimal(38,0)")
     val tot = counts.agg(sum("_cnt").as("_total"),
-      sum(pow(col("_cnt").cast("double"), alpha)).as("_zsum"))
+      (sum(zTerm).cast("double") / lit(1e12)).as("_zsum"))
     val rates = counts.crossJoin(broadcast(tot))
       .withColumn("mix_rate", round(
         least(lit(1.0),
@@ -113,7 +125,7 @@ object Sampling {
             pow(col("_cnt").cast("double"), alpha) /
             col("_zsum") / col("_cnt")), 6))
       .select(col(groupCol), col("mix_rate"))
-    df.join(broadcast(rates), groupCol)
+    grouped.join(broadcast(rates), groupCol)
       .filter(hashBucket(col(idCol), salt, 1000000) <
         floor(col("mix_rate") * 1000000))
   }

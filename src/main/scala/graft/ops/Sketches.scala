@@ -22,8 +22,14 @@ object Sketches {
     * `CAST('0x' || substr(md5(v), 1, 15) AS BIGINT)`).
     */
   def hash60(v: Column, salt: String = ""): Column =
-    conv(substring(md5(concat(lit(salt), v.cast("string"))), 1, 15), 16, 10)
-      .cast("long")
+    hash60Salted(v, lit(salt))
+
+  /** [[hash60]] with a per-row Column salt (e.g. the CMS hash-row index):
+    * the single home of the portable md5-conv construction.
+    */
+  def hash60Salted(v: Column, salt: Column): Column =
+    conv(substring(md5(concat(salt.cast("string"), v.cast("string"))), 1, 15),
+      16, 10).cast("long")
 
   /** KMV distinct-count estimate per group: keep the `k` smallest
     * distinct hashes of `valueCol`; if a group has fewer than `k`
@@ -64,11 +70,26 @@ object Sketches {
           .otherwise(lit((k - 1).toDouble * m) / col("kth_hash")), 2))
   }
 
-  /** Count-min sketch counter table (Cormode & Muthukrishnan 2005):
-    * `depth` independent md5-derived hash rows of `width` counters each,
-    * as a `(j, bucket, cnt)` frame of at most depth·width rows. The same
-    * portable-hash contract as [[kmvDistinct]]: the sketch is a pure
-    * function of the value multiset, reproducible on any engine.
+  /** Row `j`'s counter bucket for value `v`: the portable [[hash60]]
+    * construction salted with `j` (`md5(j || ':' || v)`), mod `width` —
+    * `depth` pairwise-independent-enough hash rows from one md5.
+    */
+  private def cmsBucket(j: Column, v: Column, width: Int): Column =
+    pmod(hash60Salted(v, concat(j.cast("string"), lit(":"))),
+      lit(width.toLong))
+
+  /** A count-min sketch handle: the `(j, bucket, cnt)` counter table
+    * WITH the dimensions it was built under — [[cmsEstimate]] takes the
+    * handle, so probing with mismatched depth/width (which would
+    * silently invert the never-underestimate guarantee) cannot happen.
+    */
+  final case class CmsSketch(depth: Int, width: Int, table: DataFrame)
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005): `depth`
+    * independent md5-derived hash rows of `width` counters each, the
+    * counter table at most depth·width rows. The same portable-hash
+    * contract as [[kmvDistinct]]: the sketch is a pure function of the
+    * value multiset, reproducible on any engine.
     *
     * 100 TB shape: the explode multiplies rows by `depth`, but map-side
     * combine collapses each task's output to ≤ depth·width rows before
@@ -76,25 +97,18 @@ object Sketches {
     * distinct key space is never exchanged (the same motivation as
     * [[heavyHitters]], for point-frequency queries instead of a top set).
     */
-  /** Row `j`'s counter bucket for value `v`: the portable [[hash60]]
-    * construction salted with `j` (`md5(j || ':' || v)`), mod `width` —
-    * `depth` pairwise-independent-enough hash rows from one md5.
-    */
-  private def cmsBucket(j: Column, v: Column, width: Int): Column =
-    pmod(conv(substring(md5(concat(j.cast("string"), lit(":"), v)), 1, 15),
-      16, 10).cast("long"), lit(width.toLong))
-
-  def countMinTable(df: DataFrame, valueCol: String,
-                    depth: Int = 4, width: Int = 256): DataFrame = {
+  def countMinSketch(df: DataFrame, valueCol: String,
+                     depth: Int = 4, width: Int = 256): CmsSketch = {
     require(depth >= 1 && width >= 1, s"bad sketch dims: $depth x $width")
-    df.select(col(valueCol).cast("string").as("_v"))
+    val table = df.select(col(valueCol).cast("string").as("_v"))
       .filter(col("_v").isNotNull)
       .select(explode(sequence(lit(0), lit(depth - 1))).as("j"), col("_v"))
       .select(col("j"), cmsBucket(col("j"), col("_v"), width).as("bucket"))
       .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+    CmsSketch(depth, width, table)
   }
 
-  /** Point-frequency estimates from a [[countMinTable]]: for each
+  /** Point-frequency estimates from a [[countMinSketch]]: for each
     * distinct key, `min` over the `depth` counters it hashes to — an
     * upper bound on the true count (collisions only inflate), within
     * `e·n/width` with probability `1 - exp(-depth)`. Keys absent from
@@ -103,16 +117,14 @@ object Sketches {
     * The counter table is ≤ depth·width rows, so it broadcasts; the keys
     * side can be arbitrarily large and never shuffles.
     */
-  def cmsEstimate(table: DataFrame, keys: DataFrame, keyCol: String,
-                  depth: Int, width: Int): DataFrame = {
-    require(depth >= 1 && width >= 1, s"bad sketch dims: $depth x $width")
+  def cmsEstimate(sketch: CmsSketch, keys: DataFrame, keyCol: String): DataFrame =
     keys.select(col(keyCol).cast("string").as("key")).distinct()
-      .select(col("key"), explode(sequence(lit(0), lit(depth - 1))).as("j"))
-      .withColumn("bucket", cmsBucket(col("j"), col("key"), width))
-      .join(broadcast(table), Seq("j", "bucket"), "left")
+      .select(col("key"),
+        explode(sequence(lit(0), lit(sketch.depth - 1))).as("j"))
+      .withColumn("bucket", cmsBucket(col("j"), col("key"), sketch.width))
+      .join(broadcast(sketch.table), Seq("j", "bucket"), "left")
       .groupBy("key")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
-  }
 
   /** EXACT heavy hitters (frequency ≥ ceil(phi·n)) without shuffling the
     * full distinct key space: per-partition Misra-Gries summaries bound

@@ -23,6 +23,11 @@ object Skew {
     * a single indivisible hot key that AQE's range-split cannot divide.
     * Join types: `inner` and `left` (the shapes where the right side is
     * the lookup; the replicated side must not drive an outer edge).
+    *
+    * The salt hashes the WHOLE left row, so rows identical in every
+    * column share a salt and still land on one reducer — run exact dedup
+    * first (the pipeline's own first step) or project in a
+    * distinguishing column before salting a frame of duplicates.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  factor: Int, joinType: String = "inner"): DataFrame = {

@@ -78,7 +78,12 @@ class DataOpsSpec extends SparkSpec {
     // plain-Scala replay of the contract: md5 bucket + rounded rate
     val counts = rows.groupBy(_._2).map { case (g, r) => g -> r.size.toLong }
     val n = rows.size.toLong
-    val z = counts.values.map(c => math.pow(c.toDouble, 0.5)).sum
+    // Z sums 1e-12-quantized terms exactly, mirroring the decimal
+    // accumulator (order-independent by construction)
+    val z = counts.values.map(c =>
+        BigDecimal.valueOf(math.pow(c.toDouble, 0.5) * 1e12)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble / 1e12
     def rate(g: String): Double = {
       val c = counts(g)
       val raw = math.min(1.0, 0.5 * n * math.pow(c.toDouble, 0.5) / z / c)
@@ -140,21 +145,21 @@ class DataOpsSpec extends SparkSpec {
     val df = vals.toDF("v")
     val exact = vals.groupBy(identity).map { case (k, g) => (k, g.size.toLong) }
     // wide sketch: 37 keys in 4x1024 — collisions vanishingly unlikely
-    val wide = Sketches.countMinTable(df, "v", depth = 4, width = 1024)
+    val wide = Sketches.countMinSketch(df, "v", depth = 4, width = 1024)
     val keys = (0 until 37).map(_.toString).toDF("v")
-    val estWide = Sketches.cmsEstimate(wide, keys, "v", 4, 1024)
+    val estWide = Sketches.cmsEstimate(wide, keys, "v")
       .as[(String, Long)].collect().toMap
     exact.foreach { case (k, c) => assert(estWide(k) == c, s"key $k") }
     // narrow sketch: still an upper bound on every key
-    val narrow = Sketches.countMinTable(df, "v", depth = 4, width = 16)
-    val estNarrow = Sketches.cmsEstimate(narrow, keys, "v", 4, 16)
+    val narrow = Sketches.countMinSketch(df, "v", depth = 4, width = 16)
+    val estNarrow = Sketches.cmsEstimate(narrow, keys, "v")
       .as[(String, Long)].collect().toMap
     exact.foreach { case (k, c) => assert(estNarrow(k) >= c, s"key $k") }
     // absent key estimates 0 on the wide sketch
-    val absent = Sketches.cmsEstimate(wide, Seq("999").toDF("v"), "v", 4, 1024)
+    val absent = Sketches.cmsEstimate(wide, Seq("999").toDF("v"), "v")
       .as[(String, Long)].collect().head
     assert(absent == (("999", 0L)))
     // sketch table never exceeds depth x width rows
-    assert(narrow.count() <= 4L * 16)
+    assert(narrow.table.count() <= 4L * 16)
   }
 }
