@@ -12,7 +12,7 @@ import java.time.LocalDate
   * {{{
   * runMain graft.Runner --manifest=conf/jobs.yml --job_name=my_job \
   *   [--mode=dev[,prod]] [--dependencies] [--period_first=YYYY-MM-DD] \
-  *   [--period_until=YYYY-MM-DD] [--no_save] [--param.k=v ...]
+  *   [--period_until=YYYY-MM-DD] [--no_save] [--dry_run] [--param.k=v ...]
   * }}}
   */
 object Runner {
@@ -40,6 +40,39 @@ object Runner {
       else None)
   }
 
+  /** `--dry_run`: the resolved execution plan as printable lines — job
+    * order (the target's upstream closure under `--dependencies`), each
+    * job's inputs (path/format or in-memory df), transform kind, output,
+    * and the checkpoint dir a real run would set. Pure manifest
+    * resolution: no SparkSession, no filesystem access — validate a
+    * manifest edit without paying a cluster.
+    */
+  def dryRunPlan(jobs: Map[String, JobSpec], jobName: String,
+                 withDependencies: Boolean): Seq[String] = {
+    val job = jobs.getOrElse(jobName, sys.error(s"job not in manifest: $jobName"))
+    val order =
+      if (withDependencies) Flow.topoOrder(Flow.upstream(jobs, jobName))
+      else Seq(jobName)
+    val ckpt = resolveCheckpointDir(job, jobs, withDependencies)
+      .map(d => s"checkpoint_dir: $d").toSeq
+    ckpt ++ order.zipWithIndex.flatMap { case (name, i) =>
+      val j = jobs(name)
+      // resolve {{param}}s; runtime tokens ({{now}}, {{latest}}) stay
+      def p(path: String): String =
+        graft.core.model.Params.interpolate(path, j.params)
+      val kind =
+        if (j.sql.isDefined) "sql"
+        else if (j.sqlFile.isDefined) s"sql_file ${j.sqlFile.get}"
+        else j.className.map(c => s"class $c").getOrElse("copy")
+      val ins = j.inputs.map { case (n, ds) =>
+        if (ds.format == "df") s"$n=<in-memory>"
+        else s"$n=${p(ds.path)} (${ds.format})"
+      }.mkString(", ")
+      val out = j.output.map(o => s" -> ${p(o.path)} (${o.format})").getOrElse("")
+      Seq(f"${i + 1}%2d. $name [$kind] inputs: $ins$out")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val kv = args.collect {
       case a if a.startsWith("--") && a.contains("=") =>
@@ -52,6 +85,11 @@ object Runner {
     val cmdParams = kv.collect { case (k, v) if k.startsWith("param.") => k.drop(6) -> v }
     val loaded = Manifest.loadFile(manifestPath, modes, cmdParams)
     val job = loaded.jobs.getOrElse(jobName, sys.error(s"job not in manifest: $jobName"))
+    if (kv.contains("dry_run")) {
+      dryRunPlan(loaded.jobs, jobName, kv.contains("dependencies"))
+        .foreach(println)
+      return
+    }
     val spark = GraftSession.local(appName = s"graft-$jobName")
     resolveCheckpointDir(job, loaded.jobs, kv.contains("dependencies"))
       .foreach(spark.sparkContext.setCheckpointDir)

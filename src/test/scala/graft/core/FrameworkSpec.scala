@@ -231,6 +231,27 @@ class FlowSpec extends SparkSpec {
       .except(again.select("seq_id", "shard", "bin", "bin_offset")).isEmpty)
   }
 
+  test("dry-run plan resolves the upstream closure without a SparkSession") {
+    val loaded = Manifest.loadFile("conf/llm_pipeline.yml", Seq("dev"), Map.empty)
+    val plan = graft.Runner.dryRunPlan(loaded.jobs, "split_corpus",
+      withDependencies = true)
+    // checkpoint dir first, then topo order over the four-job chain
+    assert(plan.head == "checkpoint_dir: /tmp/graft_llm_demo/_ckpt")
+    val names = Seq("dedup_docs", "neardup_docs", "quality_gate", "split_corpus")
+    val idx = names.map(n => plan.indexWhere(_.contains(s" $n ")))
+    assert(idx.forall(_ >= 0) && idx == idx.sorted,
+      s"jobs missing or out of order in:\n${plan.mkString("\n")}")
+    assert(plan.exists(l => l.contains("dedup_docs") &&
+      l.contains("class graft.jobs.DedupExactJob") &&
+      l.contains("documents.parquet (parquet)")))
+    assert(plan.exists(l => l.contains("split_corpus") &&
+      l.contains("<in-memory>") && l.contains("-> /tmp/graft_llm_demo/corpus/")))
+    // single-job dry run has no inherited checkpoint line
+    val single = graft.Runner.dryRunPlan(loaded.jobs, "split_corpus",
+      withDependencies = false)
+    assert(single.size == 1 && !single.head.startsWith("checkpoint_dir"))
+  }
+
   test("jobs.yml runs the SCD2 dimension merge from the manifest") {
     val loaded = Manifest.loadFile("conf/jobs.yml", Seq("dev"), Map.empty)
     val out = Flow.runPipeline(spark, loaded.jobs, "customer_scd2",
