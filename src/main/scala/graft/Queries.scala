@@ -24,6 +24,22 @@ object Queries {
                             run: (SparkSession, String) => DataFrame,
                             oracle: Option[String])
 
+  /** Self-cleaning temp dir for round-trip/side-effect queries — one
+    * shared helper (shutdown-hook recursive delete) for every Queries*
+    * module.
+    */
+  private[graft] def tmpDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 

@@ -6,7 +6,6 @@ import graft.core.Tables
 import graft.core.io.Reader
 import graft.core.model.{DatasetSpec, JobSpec}
 import graft.engine.{Etl, Flow, MultiPass}
-import java.nio.file.Files
 
 /** Framework-lifecycle operators (SURVEY §2.1/§2.2/§2.6) as verifiable
   * queries: each runs the real manifest-level machinery — Reader/Writer
@@ -17,26 +16,12 @@ import java.nio.file.Files
   */
 object QueriesFramework {
 
-  private def tmp(prefix: String): String = {
-    val dir = Files.createTempDirectory(prefix)
-    // these hold full table copies — reclaim them when the JVM exits so
-    // repeated Bench/Verify cycles don't accumulate unbounded /tmp usage
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(dir.toFile)
-    }))
-    dir.toString
-  }
-
   /** CSV sink + scan round-trip (S1/K1): write orders as CSV via the job
     * lifecycle, read back (header-only, all strings — the reference's CSV
     * semantics), cast and aggregate.
     */
   val q36 = QueryDef("q36_csv_roundtrip", (spark, dir) => {
-    val out = tmp("graft_q36")
+    val out = Queries.tmpDir("graft_q36")
     val job = JobSpec(name = "csv_copy",
       inputs = Map("orders" -> DatasetSpec(path = s"$dir/orders.parquet")),
       output = Some(DatasetSpec(path = s"$out/orders_csv", format = "csv")),
@@ -55,7 +40,7 @@ object QueriesFramework {
     * micros.
     */
   val q37 = QueryDef("q37_json_roundtrip", (spark, dir) => {
-    val out = tmp("graft_q37")
+    val out = Queries.tmpDir("graft_q37")
     val job = JobSpec(name = "json_copy",
       inputs = Map("orders" -> DatasetSpec(path = s"$dir/orders.parquet")),
       output = Some(DatasetSpec(path = s"$out/orders_json", format = "json")),
@@ -113,7 +98,7 @@ object QueriesFramework {
     * the increments must equal a direct slice of the source.
     */
   val q39 = QueryDef("q39_incremental_multipass", (spark, dir) => {
-    val out = tmp("graft_q39")
+    val out = Queries.tmpDir("graft_q39")
     // Pre-convert events' nanosecond ts once (Tables.load handles it) so
     // the incremental job reads a plain-micros parquet copy.
     Tables.load(spark, dir, "events").write.parquet(s"$out/events")
@@ -160,7 +145,7 @@ object QueriesFramework {
     * or wrong registration would change the aggregate.
     */
   val q49 = QueryDef("q49_catalog_table", (spark, dir) => {
-    val out = tmp("graft_q49")
+    val out = Queries.tmpDir("graft_q49")
     val cust = Tables.load(spark, dir, "customer")
     cust.write.mode("overwrite").parquet(s"$out/cust")
     spark.sql("DROP TABLE IF EXISTS graft_q49_cust")
@@ -177,7 +162,7 @@ object QueriesFramework {
     * pandas read_excel twin) → cast + aggregate.
     */
   val q50 = QueryDef("q50_excel_roundtrip", (spark, dir) => {
-    val out = tmp("graft_q50")
+    val out = Queries.tmpDir("graft_q50")
     val nation = Tables.load(spark, dir, "nation")
       .select("n_nationkey", "n_name", "n_regionkey")
     graft.sources.Excel.write(nation, s"$out/nation.xlsx")
@@ -198,7 +183,7 @@ object QueriesFramework {
     * the same hash gate as every batch operator.
     */
   val q54 = QueryDef("q54_stream_windowed", (spark, dir) => {
-    val out = tmp("graft_q54")
+    val out = Queries.tmpDir("graft_q54")
     // land a plain-micros copy (events.parquet is TIMESTAMP(NANOS), which
     // a schema'd file stream can't read directly)
     Tables.load(spark, dir, "events").select("ts", "event_type", "value")
@@ -228,7 +213,7 @@ object QueriesFramework {
     * round-trip breaks the hash against the parquet-source oracle.
     */
   val q59 = QueryDef("q59_orc_roundtrip", (spark, dir) => {
-    val out = tmp("graft_q59")
+    val out = Queries.tmpDir("graft_q59")
     val job = JobSpec(name = "orc_copy",
       inputs = Map("lineitem" -> DatasetSpec(path = s"$dir/lineitem.parquet")),
       output = Some(DatasetSpec(path = s"$out/li_orc", format = "orc")),
@@ -297,7 +282,7 @@ object QueriesFramework {
     */
   val q61 = QueryDef("q61_stream_sessionize", (spark, dir) => {
     import spark.implicits._
-    val out = tmp("graft_q61")
+    val out = Queries.tmpDir("graft_q61")
     val ev = Tables.load(spark, dir, "events")
       .select(col("user_id"), (unix_timestamp(col("ts")) * 1000).as("ts_ms"),
         col("value"))

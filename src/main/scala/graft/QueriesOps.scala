@@ -304,17 +304,6 @@ object QueriesOps {
     Stats.profileMerge(parts.reduce(_ unionByName _)).orderBy("grp")
   }, q83.oracle)
 
-  private def tmp(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(dir.toFile)
-    }))
-    dir.toString
-  }
 
   /** Watermarked STREAM-STREAM join held to the batch-join oracle: click
     * events within the 4 hours before a purchase by the same user,
@@ -325,7 +314,7 @@ object QueriesOps {
     * emitted pair set must equal DuckDB's batch join row for row.
     */
   val q84 = QueryDef("q84_stream_stream_join", (spark, dir) => {
-    val out = tmp("graft_q84")
+    val out = Queries.tmpDir("graft_q84")
     val ev = t(spark, dir, "events")
       .select("event_id", "ts", "user_id", "event_type")
     ev.filter(col("event_type") === "purchase").write.parquet(s"$out/purchase")

@@ -350,17 +350,6 @@ object QueriesText {
        |ORDER BY event_id""".stripMargin
   })
 
-  private def tmp(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(dir.toFile)
-    }))
-    dir.toString
-  }
 
   /** STREAMING exact dedup held to the batch oracle: the q24 duplicated
     * corpus (every 7th doc re-appears under a shifted id) replays through
@@ -371,7 +360,7 @@ object QueriesText {
     * fingerprint, none lost, none emitted twice.
     */
   val q74 = QueryDef("q74_stream_dedup", (spark, dir) => {
-    val out = tmp("graft_q74")
+    val out = Queries.tmpDir("graft_q74")
     val docs = t(spark, dir, "documents").select(col("doc_id"),
       graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
     docs.unionByName(docs.filter(col("doc_id") % 7 === 0)

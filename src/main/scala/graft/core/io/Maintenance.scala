@@ -26,6 +26,8 @@ object Maintenance {
                      targetFileBytes: Long = 128L * 1024 * 1024): Compacted = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverOrphanedSwap(fs, path,
+      new Path(path.getParent, s".${path.getName}_compact_old"))
     require(fs.exists(path), s"no dataset at $dir")
     val files = fs.listStatus(path)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -72,6 +74,16 @@ object Maintenance {
     after
   }
 
+  /** Crash recovery for the swap: a previous run may have died between
+    * [[carrySidecarsAndSwap]]'s two renames, leaving the ONLY surviving
+    * copy at the hidden `old` path — which dataset reads silently skip
+    * (dot-prefixed). Restore it before touching `path`.
+    */
+  private def recoverOrphanedSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                  path: Path, old: Path): Unit =
+    if (!fs.exists(path) && fs.exists(old))
+      require(fs.rename(old, path), s"could not restore $path from $old")
+
   final case class ZorderCompacted(partition: String, filesBefore: Int,
                                    filesAfter: Int, maxOverlapBefore: Int,
                                    reclustered: Boolean)
@@ -110,9 +122,25 @@ object Maintenance {
     require(dims.nonEmpty, "compactZorder needs at least one dim column")
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverOrphanedSwap(fs, root,
+      new Path(root.getParent, s".${root.getName}_zcompact_old"))
     require(fs.exists(root), s"no dataset at $dir")
+    // restore any PARTITION orphaned by a crashed swap first — its
+    // visible dir is gone, so the listing below would never find it
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".") &&
+        st.getPath.getName.endsWith("_zcompact_old"))
+      .foreach { st =>
+        val visible = new Path(root, st.getPath.getName
+          .stripPrefix(".").stripSuffix("_zcompact_old"))
+        recoverOrphanedSwap(fs, visible, st.getPath)
+      }
+    // hidden swap leftovers (.p=a_zcompact_tmp/_old) also contain '=' —
+    // only visible dirs are data partitions
     val partDirs = fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .filter(st => st.isDirectory && st.getPath.getName.contains("=") &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
       .map(_.getPath).sortBy(_.getName)
     val targets = if (partDirs.nonEmpty) partDirs.toSeq else Seq(root)
     targets.map(p =>
@@ -126,6 +154,8 @@ object Maintenance {
                                targetFileBytes: Long,
                                maxOverlapPerFile: Int): ZorderCompacted = {
     import org.apache.spark.sql.functions.{col, input_file_name, min, max}
+    recoverOrphanedSwap(fs, path,
+      new Path(path.getParent, s".${path.getName}_zcompact_old"))
     val files = fs.listStatus(path)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     if (files.isEmpty)

@@ -482,21 +482,34 @@ object Dedup {
     * ingest step after [[dropNearDuplicatesAgainst]] decides which delta
     * rows join the corpus. Per-doc shingle counts are independent across
     * docs, so batch-local derivation appends rows identical to a full
-    * rewrite. The input is eagerly materialized first: accepted rows
-    * usually derive from an anti-join that READS the index tables, and
-    * growing those tables under a live plan would re-evaluate it against
-    * the appended state (every accepted doc would suddenly match itself).
+    * rewrite. `accepted` must already be materialized (the index-path
+    * callers localCheckpoint it): the rows derive from an anti-join that
+    * READS the index tables, and growing those tables under a live plan
+    * would re-evaluate it against the appended state.
+    *
+    * IDEMPOTENT per table: each append first anti-joins the batch's doc
+    * ids against that table's existing ids, so a crash between the two
+    * appends (or a whole-batch replay) never duplicates a doc's rows —
+    * duplicated shingle rows would double-count `n_inter` in every later
+    * verification involving that doc. Cost: one ids-only scan of each
+    * index table per ingest batch.
     */
   def appendToNearDupIndex(index: NearDupIndex, accepted: DataFrame,
                            idCol: String, textCol: String): Unit = {
-    val docs = accepted.select(col(idCol), col(textCol)).localCheckpoint()
+    val spark = accepted.sparkSession
+    val docs = accepted.select(col(idCol), col(textCol))
     val sh = sizedShingles(docs, idCol, textCol, index.n)
-    graft.core.io.Writer.writeBucketed(sh, index.shinglesTable,
+    def freshOnly(rows: DataFrame, table: String): DataFrame =
+      rows.join(spark.table(table).select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+    graft.core.io.Writer.writeBucketed(
+      freshOnly(sh, index.shinglesTable), index.shinglesTable,
       Seq("doc_id"), index.numBuckets,
       mode = org.apache.spark.sql.SaveMode.Append)
     graft.core.io.Writer.writeBucketed(
-      bandBuckets(sh, index.numHashes, index.numBands), index.bucketsTable,
-      Seq("band", "bandhash"), index.numBuckets,
+      freshOnly(bandBuckets(sh, index.numHashes, index.numBands),
+        index.bucketsTable),
+      index.bucketsTable, Seq("band", "bandhash"), index.numBuckets,
       mode = org.apache.spark.sql.SaveMode.Append)
   }
 
@@ -528,8 +541,10 @@ object Dedup {
                                 idCol: String, textCol: String,
                                 threshold: Double, maxBandFreq: Option[Int],
                                 appendAccepted: Boolean): DataFrame = {
+    // within-delta collapse at the INDEX's operating point — a different
+    // numHashes/numBands would silently run a different LSH S-curve
     val deltaClean = dropNearDuplicates(delta, idCol, textCol, threshold,
-      index.n, maxBandFreq)
+      index.n, maxBandFreq, index.numHashes, index.numBands)
     val hit = minhashLshPairsAcross(index, delta, idCol, textCol,
         threshold, maxBandFreq)
       .select(col("b_id").as(idCol)).distinct()
@@ -589,27 +604,14 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
-    val reliable = sc.getCheckpointDir.isDefined
-    // checkpoint() when a reliable dir is configured, else localCheckpoint.
-    val truncate: DataFrame => DataFrame = df =>
-      if (reliable) df.checkpoint() else df.localCheckpoint()
-    // Reliable checkpoints write a full dataset copy per round; without
-    // cleanup a call leaks (1 + rounds) copies into the shared checkpoint
-    // dir forever (Spark only reclaims them with cleanCheckpoints=true,
-    // GC-driven). Once round N is materialized, round N-1's files back
-    // nothing — delete them as we go (the PeriodicCheckpointer pattern),
-    // so a call leaves only the final star edges' files behind (the
-    // RETURNED labels project straight off them).
-    def checkpointPathOf(df: DataFrame): Option[org.apache.hadoop.fs.Path] =
-      if (!reliable) None
-      else df.queryExecution.analyzed.collectFirst {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }.flatMap(_.getCheckpointFile).map(new org.apache.hadoop.fs.Path(_))
+    // Lineage hygiene via graft.core.Checkpoints: reliable checkpoint()
+    // when a dir is configured (else localCheckpoint), and each round's
+    // superseded checkpoint deleted once its successor is materialized
+    // (the PeriodicCheckpointer pattern) — a call leaves only the final
+    // star edges' files behind (the RETURNED labels project off them).
+    import graft.core.Checkpoints.{truncate, pathOf => checkpointPathOf}
     def deleteCheckpoint(p: Option[org.apache.hadoop.fs.Path]): Unit =
-      p.foreach { path => // best-effort: a missed delete is a leak, not a fault
-        try { path.getFileSystem(sc.hadoopConfiguration).delete(path, true); () }
-        catch { case _: java.io.IOException => () }
-      }
+      graft.core.Checkpoints.delete(sc, p)
     // Canonical parent edges (src, dst) with src > dst throughout.
     var edges = truncate(pairs
       .select(greatest(col("a_id"), col("b_id")).as("src"),
@@ -679,9 +681,10 @@ object Dedup {
     */
   def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                          threshold: Double = 0.8, n: Int = 3,
-                         maxBandFreq: Option[Int] = None): DataFrame = {
+                         maxBandFreq: Option[Int] = None,
+                         numHashes: Int = 64, numBands: Int = 16): DataFrame = {
     val pairs = minhashLshPairs(docs, idCol, textCol, threshold, n,
-      maxBandFreq = maxBandFreq)
+      numHashes, numBands, maxBandFreq = maxBandFreq)
     val drop = connectedComponents(pairs)
       .filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))

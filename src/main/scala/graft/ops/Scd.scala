@@ -106,11 +106,17 @@ object Scd {
     require(dates == dates.sorted && dates.distinct.size == dates.size,
       s"snapshot dates must be strictly ascending, got: ${dates.mkString(", ")}")
     val sc = dim.sparkSession.sparkContext
-    val truncate: DataFrame => DataFrame = df =>
-      if (sc.getCheckpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    // delete each superseded reliable checkpoint once its successor is
+    // materialized (graft.core.Checkpoints) — a 300-snapshot backfill
+    // must not leave 300 full dimension copies in the checkpoint dir
+    var prevCp: Option[org.apache.hadoop.fs.Path] = None
     snapshots.foldLeft(dim) { case (acc, (date, snap)) =>
-      truncate(scd2Merge(acc, snap, keys, tracked, date, validFrom, validTo,
-        closeMissing))
+      val next = graft.core.Checkpoints.truncate(
+        scd2Merge(acc, snap, keys, tracked, date, validFrom, validTo,
+          closeMissing))
+      graft.core.Checkpoints.delete(sc, prevCp)
+      prevCp = graft.core.Checkpoints.pathOf(next)
+      next
     }
   }
 }

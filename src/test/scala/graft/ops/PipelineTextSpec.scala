@@ -417,6 +417,30 @@ class ZorderCompactionSpec extends SparkSpec {
     assert(listing("b") == bBefore, "clean partition's files must be untouched")
     assert(maxOverlap(s"$dir/p=a") == 0)
   }
+
+  test("a crashed swap's orphaned partition is restored, not compacted as data") {
+    val base = java.nio.file.Files.createTempDirectory("graft_zcrash").toString
+    val dir = s"$base/part"
+    val a = fixture(3000, 5); val b = fixture(3000, 6)
+    Layout.zorderWrite(a, Seq(col("x"), col("y")), s"$dir/p=a", 2, bits = 10)
+    Layout.zorderWrite(b, Seq(col("x"), col("y")), s"$dir/p=b", 2, bits = 10)
+    // simulate dying between the swap's two renames: the visible dir is
+    // gone and the ONLY copy sits at the hidden _zcompact_old path, next
+    // to a half-written tmp dir
+    val fsRoot = new java.io.File(dir)
+    assert(new java.io.File(fsRoot, "p=a")
+      .renameTo(new java.io.File(fsRoot, ".p=a_zcompact_old")))
+    new java.io.File(fsRoot, ".p=a_zcompact_tmp").mkdirs()
+    val res = Maintenance.compactZorder(spark, dir, Seq("x", "y"), bits = 10)
+    // both real partitions are back in the report; the hidden leftovers
+    // were never treated as partitions of their own
+    assert(res.map(_.partition.split("/").last).toSet == Set("p=a", "p=b"),
+      s"hidden swap dirs leaked into the partition listing: $res")
+    val expect = a.unionByName(b).collect().map(_.toSeq).toSet
+    assert(spark.read.parquet(dir).select("id", "x", "y")
+        .collect().map(_.toSeq).toSet == expect,
+      "restored partition lost rows")
+  }
 }
 
 class KmvSketchSpec extends SparkSpec {
