@@ -129,6 +129,14 @@ object Writer {
   /** Overwrite must also replace a location ORPHANED by an earlier
     * session (managed-table files outlive an in-memory catalog);
     * saveAsTable alone fails LOCATION_ALREADY_EXISTS on it.
+    *
+    * RACE (shared-warehouse deployments): "absent from MY catalog" is
+    * how an orphan looks, but it is also how another session's
+    * freshly-written, not-yet-registered table looks — two sessions
+    * overwriting the same table name in one warehouse can have one
+    * delete the other's files. Safe for the single-session Verify/Runner
+    * workflow this targets; on a shared metastore, serialize writers per
+    * table name or pre-create the table.
     */
   private def clearOrphanedLocation(spark: org.apache.spark.sql.SparkSession,
                                     table: String, mode: SaveMode): Unit =

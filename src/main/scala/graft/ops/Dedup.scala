@@ -420,8 +420,11 @@ object Dedup {
     if (!appendAccepted) accepted.drop("_fp")
     else {
       // checkpoint WITH the computed fingerprint so the append reuses it
-      // instead of re-normalizing + re-hashing the accepted text
-      val materialized = accepted.localCheckpoint()
+      // instead of re-normalizing + re-hashing the accepted text.
+      // Reliable checkpoint when a dir is configured (executor loss on a
+      // cluster would drop localCheckpoint blocks mid-ingest); callers
+      // reclaim it with Checkpoints.pathOf/delete once consumed.
+      val materialized = graft.core.Checkpoints.truncate(accepted)
       graft.core.io.Writer.writeBucketed(
         materialized.select(col("_fp").as("fp")).distinct(),
         index.fpsTable, Seq("fp"), index.numBuckets,
@@ -469,13 +472,30 @@ object Dedup {
 
   /** Load an index handle written by [[writeNearDupIndex]] — parameters
     * come from the stored meta table, so callers cannot pair a delta with
-    * mismatched shingle width or band layout.
+    * mismatched shingle width or band layout. The bucket count is
+    * additionally cross-checked against the CATALOG's actual bucket spec
+    * (same probe as [[loadFingerprintIndex]]): if meta and the physical
+    * tables ever drifted, an append at the meta count would silently
+    * corrupt the co-bucketing contract behind the exchange-free pairing
+    * join — fail loudly instead.
     */
   def loadNearDupIndex(spark: org.apache.spark.sql.SparkSession,
                        name: String): NearDupIndex = {
     val m = spark.table(s"${name}_meta").head()
-    NearDupIndex(name, m.getAs[Int]("n"), m.getAs[Int]("num_hashes"),
+    val idx = NearDupIndex(name, m.getAs[Int]("n"), m.getAs[Int]("num_hashes"),
       m.getAs[Int]("num_bands"), m.getAs[Int]("num_buckets"))
+    Seq(idx.shinglesTable, idx.bucketsTable).foreach { t =>
+      val catalogNb = spark.sql(s"DESCRIBE EXTENDED $t").collect()
+        .find(_.getString(0) == "Num Buckets")
+        .map(_.getString(1).trim.toInt)
+        .getOrElse(sys.error(s"$t exists but is not bucketed — " +
+          "not a writeNearDupIndex table"))
+      require(catalogNb == idx.numBuckets,
+        s"$t is bucketed $catalogNb-way but ${name}_meta says " +
+          s"${idx.numBuckets} — the index is corrupt; rebuild with " +
+          "writeNearDupIndex before appending")
+    }
+    idx
   }
 
   /** Append `accepted` docs' shingle and bucket rows to the index — the
@@ -483,7 +503,8 @@ object Dedup {
     * rows join the corpus. Per-doc shingle counts are independent across
     * docs, so batch-local derivation appends rows identical to a full
     * rewrite. `accepted` must already be materialized (the index-path
-    * callers localCheckpoint it): the rows derive from an anti-join that
+    * callers checkpoint it via `Checkpoints.truncate`): the rows derive
+    * from an anti-join that
     * READS the index tables, and growing those tables under a live plan
     * would re-evaluate it against the appended state.
     *
@@ -551,7 +572,8 @@ object Dedup {
     val accepted = deltaClean.join(hit, Seq(idCol), "left_anti")
     if (!appendAccepted) accepted
     else {
-      val materialized = accepted.localCheckpoint()
+      // reliable when a checkpoint dir is set — see dropExactDuplicatesAgainst
+      val materialized = graft.core.Checkpoints.truncate(accepted)
       appendToNearDupIndex(index, materialized, idCol, textCol)
       materialized
     }

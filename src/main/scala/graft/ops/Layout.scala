@@ -63,12 +63,18 @@ object Layout {
     * budget split across dimensions), and per-file min/max stats become
     * disjoint, so a point/range predicate prunes all but ~one file.
     */
+  /** `tiebreak`: extra sort (and range-key) columns pinning the order of
+    * equal-`sortCol` rows — without one, tie order is shuffle arrival
+    * order and reruns are not byte-identical.
+    */
   def rangeSortedWrite(df: DataFrame, sortCol: Column, outPath: String,
-                       numFiles: Int, mode: String = "overwrite"): Unit = {
+                       numFiles: Int, mode: String = "overwrite",
+                       tiebreak: Seq[Column] = Nil): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val keys = col("_r") +: tiebreak
     df.withColumn("_r", sortCol)
-      .repartitionByRange(numFiles, col("_r"))
-      .sortWithinPartitions("_r")
+      .repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
       .drop("_r")
       .write.mode(mode).parquet(outPath)
   }
@@ -82,11 +88,16 @@ object Layout {
     * order on every rerun and every engine — and a different `salt` is a
     * fresh, independent shuffle (epoch reshuffles without rewriting
     * logic). Cost: one sampled range exchange, same as any sorted write.
+    *
+    * `idCol` rides along as the tiebreaker: the hash is mod 2^30, so
+    * birthday collisions are EXPECTED past ~10^5 rows (certain at target
+    * scale), and without a pinned tie order colliding rows would land in
+    * shuffle-arrival order — silently different layouts per rerun.
     */
   def shuffledWrite(df: DataFrame, idCol: String, salt: String,
                     outPath: String, numFiles: Int,
                     mode: String = "overwrite"): Unit =
     rangeSortedWrite(df,
       Sampling.hashBucket(col(idCol), salt, buckets = 1 << 30),
-      outPath, numFiles, mode)
+      outPath, numFiles, mode, tiebreak = Seq(col(idCol)))
 }

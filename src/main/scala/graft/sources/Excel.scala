@@ -200,10 +200,18 @@ object Excel {
       schema)
   }
 
+  /** Hard ceiling for [[write]]: the xlsx format caps a sheet at 1,048,576
+    * rows; we reserve one for the header. Also the driver-OOM guard — the
+    * writer collects, so anything bigger must fail loudly, not OOM.
+    */
+  val MaxWriteRows: Int = 1048575
+
   /** Write a (small) DataFrame as a single-sheet .xlsx with inline
     * strings — collect-to-driver by design, lookup-table sized.
+    * Fails loudly (before materializing past the limit) on frames larger
+    * than `maxRows`.
     */
-  def write(df: DataFrame, path: String): Unit = {
+  def write(df: DataFrame, path: String, maxRows: Int = MaxWriteRows): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       df.sparkSession.sparkContext.hadoopConfiguration)
     val out: OutputStream = fs.create(new org.apache.hadoop.fs.Path(path), true)
@@ -228,7 +236,14 @@ object Excel {
         s"""<c r="${colRef(ci)}$row" t="inlineStr"><is><t>${esc(v.toString)}</t></is></c>"""
     }
     val header = df.columns.zipWithIndex.map { case (c, i) => cell(c, 1, i) }.mkString
-    val body = df.collect().zipWithIndex.map { case (r, ri) =>
+    // take(maxRows + 1) bounds driver memory: one extra row proves overflow
+    // without ever pulling the whole oversized frame onto the driver.
+    val collected = df.take(maxRows + 1)
+    require(collected.length <= maxRows,
+      s"Excel.write: frame exceeds $maxRows rows (xlsx sheet limit is " +
+        s"${MaxWriteRows + 1} incl. header); write parquet/csv instead or " +
+        "pre-aggregate — the xlsx writer materializes on the driver.")
+    val body = collected.zipWithIndex.map { case (r, ri) =>
       s"""<row r="${ri + 2}">${r.toSeq.zipWithIndex.map { case (v, ci) =>
         cell(v, ri + 2, ci) }.mkString}</row>"""
     }.mkString

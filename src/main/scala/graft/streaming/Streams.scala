@@ -24,6 +24,12 @@ object Streams {
     * state-store open/commit overhead per micro-batch by oversizing
     * (measured 2.2× end-to-end on the stream-stream join fixture going
     * 32 → 8).
+    *
+    * NOT thread-safe: the conf is session-global, so any query started
+    * concurrently on the same SparkSession inside the block (or a nested
+    * use with a different `n`) picks up or clobbers the wrong value.
+    * Start streams from one thread, or give concurrent workloads their
+    * own `spark.newSession()` (per-session conf, shared catalog/state).
     */
   def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     require(n >= 1, s"state partitions must be >= 1, got $n")

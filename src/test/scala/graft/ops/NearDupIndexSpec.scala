@@ -83,6 +83,23 @@ class NearDupIndexSpec extends SparkSpec {
     }
   }
 
+  test("loadNearDupIndex fails loudly when meta and catalog bucket specs drift") {
+    dropIndex("ndx4")
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", "ndx4", numBuckets = 8)
+    try {
+      // simulate drift: meta claims a different bucket count than the tables
+      import spark.implicits._
+      graft.core.io.Writer.writeTable(
+        Seq((3, 64, 16, 16)).toDF("n", "num_hashes", "num_bands", "num_buckets"),
+        "ndx4_meta")
+      val e = intercept[IllegalArgumentException] {
+        Dedup.loadNearDupIndex(spark, "ndx4")
+      }
+      assert(e.getMessage.contains("bucketed 8-way"))
+    } finally dropIndex("ndx4")
+  }
+
   test("append round-trip: the grown index equals a recompute over the grown corpus") {
     dropIndex("ndx3")
     val corpus = Seq((10L, base)).toDF("doc_id", "text")
@@ -133,6 +150,40 @@ class OrphanedWarehouseSpec extends SparkSpec {
         Seq((1L, "a"), (2L, "b")).toDF("id", "v"), name, Seq("id"), 4)
       assert(spark.table(name).count() == 2)
     } finally spark.sql(s"DROP TABLE IF EXISTS $name"): Unit
+  }
+}
+
+/** The index append paths materialize via Checkpoints.truncate: RELIABLE
+  * checkpoints when a dir is configured (executor loss on a cluster drops
+  * localCheckpoint blocks mid-ingest), reclaimable by the caller once the
+  * accepted batch is consumed.
+  */
+class IndexAppendCheckpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("index-append materialization is a reliable, caller-cleanable checkpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    spark.sql("DROP TABLE IF EXISTS ckfx_fps")
+    val corpus = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val delta = Seq((2L, "gamma delta")).toDF("doc_id", "text")
+    val idx = Dedup.writeFingerprintIndex(corpus, "text", "ckfx")
+    try {
+      val accepted = Dedup.dropExactDuplicatesAgainst(idx, delta, "doc_id",
+        "text", appendAccepted = true)
+      assert(accepted.select("doc_id").as[Long].collect().toSet == Set(2L))
+      // a reliable checkpoint backs the returned frame...
+      val ckpt = graft.core.Checkpoints.pathOf(accepted)
+      assert(ckpt.isDefined, "expected a reliable checkpoint under the " +
+        "configured dir, found none (localCheckpoint used?)")
+      val fs = ckpt.get.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(ckpt.get))
+      // ...and the caller can reclaim it once the batch is consumed
+      graft.core.Checkpoints.delete(spark.sparkContext, ckpt)
+      assert(!fs.exists(ckpt.get), "superseded checkpoint not cleaned")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ckfx_fps"): Unit
+    }
   }
 }
 

@@ -345,6 +345,26 @@ class LayoutSpec extends SparkSpec {
     assert(a != order(s"$base/c"), "a new salt must reshuffle")
     assert(a != a.sorted, "output must not be in ingest order")
   }
+
+  test("tiebreak pins equal-sort-key row order (hash-collision determinism)") {
+    // a low-cardinality sort key makes every key a collision: without the
+    // tiebreak, order within a key is shuffle arrival order — the exact
+    // failure mode shuffledWrite hits past ~1e5 rows on its 2^30 hash
+    val df = (0 until 2000).map(i => (i.toLong, i % 7)).toDF("id", "k")
+      // scramble input order so "pinned" can't mean "incidental input order"
+      .orderBy(org.apache.spark.sql.functions.expr("hash(id)"))
+    val base = java.nio.file.Files.createTempDirectory("graft_tiebrk").toString
+    Layout.rangeSortedWrite(df, col("k"), s"$base/t", numFiles = 3,
+      tiebreak = Seq(col("id")))
+    val files = new java.io.File(s"$base/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    val rows = files.toSeq.flatMap(f =>
+      spark.read.parquet(f).select("k", "id").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq)
+    assert(rows == rows.sortBy(identity),
+      "equal-key rows must stream in (k, id) order")
+    assert(rows.size == 2000)
+  }
 }
 
 class ZorderCompactionSpec extends SparkSpec {

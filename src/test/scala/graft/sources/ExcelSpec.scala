@@ -107,6 +107,18 @@ class ExcelSpec extends SparkSpec {
     assert(df.head().getString(0) == "Hello World")
   }
 
+  test("write fails loudly past maxRows instead of collecting the frame") {
+    val dir = Files.createTempDirectory("graft_xlsx6").toString
+    val df = Seq.tabulate(10)(i => (i.toString, s"v$i")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Excel.write(df, s"$dir/big.xlsx", maxRows = 5)
+    }
+    assert(e.getMessage.contains("exceeds 5 rows"))
+    // at the boundary it still writes
+    Excel.write(df.limit(5), s"$dir/ok.xlsx", maxRows = 5)
+    assert(Excel.read(spark, s"$dir/ok.xlsx").count() == 5) // header row excluded
+  }
+
   test("colIndex decodes multi-letter refs") {
     assert(Excel.colIndex("A1") == 0)
     assert(Excel.colIndex("Z9") == 25)
