@@ -167,6 +167,140 @@ case class LshBuckets(child: Expression,
     copy(child = newChild)
 }
 
+/** The `nprobe` nearest k-means centroids for one embedding, nearest
+  * first — the IVF cell-assignment hot path. Element `p` of the returned
+  * `array<int>` is the index of the (p+1)-th closest centroid by squared
+  * Euclidean distance, ties broken by LOWER centroid index (and NaN
+  * distances last, also by index) — exactly the order
+  * `array_sort(struct(d, cell))` produces, so results are bit-identical
+  * to the literal-fold plan this replaces.
+  *
+  * The centroids ride a Spark BROADCAST instead of being inlined as
+  * per-centroid `typedLit` folds: at a production nlist (4k–65k cells ×
+  * 1k dims) the literal plan is O(cells × dim) constants — constant-pool
+  * and analysis blowup before any data is read, the same failure mode
+  * [[LshBuckets]] removed for hyperplanes. One evaluation computes every
+  * centroid distance in a single pass (the embedding bytes are read once)
+  * then partial-selects the `nprobe` smallest — O(cells·(dim + nprobe))
+  * per row, allocation-free beyond the two scratch arrays.
+  *
+  * Distances accumulate left-to-right in doubles (`(emb[j]-c[j])²`
+  * summed in element order), matching the `aggregate(zip_with(...))`
+  * fold bit-for-bit.
+  */
+case class NearestCells(child: Expression,
+                        centroids: Broadcast[Array[Array[Double]]],
+                        nprobe: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  @transient private lazy val cs: Array[Array[Double]] = centroids.value
+
+  override def nullSafeEval(input: Any): Any = {
+    val emb = input.asInstanceOf[ArrayData]
+    val k = cs.length
+    val d = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cen = cs(c)
+      val n = math.min(emb.numElements(), cen.length)
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val diff = emb.getFloat(j).toDouble - cen(j)
+        acc += diff * diff
+        j += 1
+      }
+      d(c) = acc
+      c += 1
+    }
+    val out = new Array[Int](nprobe)
+    val used = new Array[Boolean](k)
+    var p = 0
+    while (p < nprobe) {
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      var i = 0
+      while (i < k) {
+        if (!used(i) && d(i) < bestD) { bestD = d(i); best = i }
+        i += 1
+      }
+      if (best < 0) { // remaining distances are all NaN → lowest index
+        var i2 = 0
+        while (best < 0) { if (!used(i2)) best = i2; i2 += 1 }
+      }
+      used(best) = true
+      out(p) = best
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("ivfCentroidsBc", centroids,
+      "org.apache.spark.broadcast.Broadcast")
+    // deserialize the broadcast once per task, not once per row
+    val centersVar = ctx.addMutableState("double[][]", "ivfCentroids",
+      v => s"$v = (double[][]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, emb => {
+      val k = ctx.freshName("k")
+      val d = ctx.freshName("d")
+      val c = ctx.freshName("c")
+      val cen = ctx.freshName("cen")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
+      val diff = ctx.freshName("diff")
+      val out = ctx.freshName("out")
+      val used = ctx.freshName("used")
+      val p = ctx.freshName("p")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val i = ctx.freshName("i")
+      val i2 = ctx.freshName("i2")
+      s"""
+         |int $k = $centersVar.length;
+         |double[] $d = new double[$k];
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double[] $cen = $centersVar[$c];
+         |  int $n = java.lang.Math.min($emb.numElements(), $cen.length);
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    double $diff = (double) $emb.getFloat($j) - $cen[$j];
+         |    $acc += $diff * $diff;
+         |  }
+         |  $d[$c] = $acc;
+         |}
+         |int[] $out = new int[$nprobe];
+         |boolean[] $used = new boolean[$k];
+         |for (int $p = 0; $p < $nprobe; $p++) {
+         |  int $best = -1;
+         |  double $bestD = Double.POSITIVE_INFINITY;
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    if (!$used[$i] && $d[$i] < $bestD) { $bestD = $d[$i]; $best = $i; }
+         |  }
+         |  if ($best < 0) {
+         |    for (int $i2 = 0; $best < 0; $i2++) { if (!$used[$i2]) $best = $i2; }
+         |  }
+         |  $used[$best] = true;
+         |  $out[$p] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Unicode normalization (NFC/NFD/NFKC/NFKD) as a codegen'd expression —
   * Spark ships no normalizer function, yet crawl corpora mix composed and
   * decomposed forms of the same grapheme ("café" as 4 or 5 code points),
@@ -275,5 +409,18 @@ object NativeFunctions {
                  planes: Broadcast[Array[Array[Array[Float]]]]): Column = {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(LshBuckets(GraftSqlBridge.expression(emb), planes))
+  }
+
+  /** Column API for [[NearestCells]] (direct construction, like
+    * [[lshBuckets]] — the broadcast handle is not an Expression argument).
+    */
+  def nearestCells(emb: Column, centroids: Broadcast[Array[Array[Double]]],
+                   nprobe: Int): Column = {
+    require(centroids.value.nonEmpty, "nearestCells: no centroids")
+    require(nprobe >= 1 && nprobe <= centroids.value.length,
+      s"nprobe must be in [1, ${centroids.value.length}], got $nprobe")
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      NearestCells(GraftSqlBridge.expression(emb), centroids, nprobe))
   }
 }

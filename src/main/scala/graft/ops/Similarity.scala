@@ -4,7 +4,7 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.NativeFunctions.{dotF, lshBuckets}
+import graft.functions.NativeFunctions.{dotF, lshBuckets, nearestCells}
 
 /** Approximate / exact nearest-neighbor search over an embedding column
   * (`array<float>`).
@@ -110,6 +110,12 @@ object Similarity {
     * is the trained version of the label-based IVF above; write the
     * result with [[writeClusteredIndex]](clusterCol = "cell") for
     * file-level pruning.
+    *
+    * Training fits via MLlib; the ASSIGNMENT pass goes through the
+    * broadcast-fed native [[graft.functions.NearestCells]] expression
+    * (same path as [[assignCells]]/[[assignCellsMulti]]) — whole-stage
+    * codegen instead of MLlib's per-row predict UDF, and corpus/probe
+    * assignments are mutually consistent by construction, ties included.
     */
   def kmeansCells(corpus: DataFrame, cells: Int, seed: Long = 42L,
                   maxIter: Int = 20):
@@ -119,36 +125,57 @@ object Similarity {
     val vecs = corpus.withColumn("_features", array_to_vector(col("embedding")))
     val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("_features").setPredictionCol("cell").fit(vecs)
-    (model.transform(vecs).drop("_features"), model)
+    (assignCells(corpus, model), model)
   }
 
-  /** Assign `df` rows to an already-trained cell model. */
+  /** The fitted model's centroids as a broadcast for [[nearestCells]] —
+    * torrent-distributed once per executor instead of inlined into the
+    * plan as O(cells × dim) literals (the [[lshBuckets]] hyperplane
+    * pattern; at production nlist the literal plan blows up constant
+    * pools and analysis time before any data is read).
+    */
+  private def centroidsBc(df: DataFrame,
+                          model: org.apache.spark.ml.clustering.KMeansModel) =
+    df.sparkSession.sparkContext.broadcast(model.clusterCenters.map(_.toArray))
+
+  /** Assign `df` rows to an already-trained cell model — exact
+    * squared-Euclidean argmin over the broadcast centroids, ties to the
+    * lower cell id, in one codegen'd pass.
+    */
   def assignCells(df: DataFrame,
-                  model: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    model.transform(df.withColumn("_features", array_to_vector(col("embedding"))))
-      .drop("_features")
-  }
+                  model: org.apache.spark.ml.clustering.KMeansModel): DataFrame =
+    df.withColumn("cell",
+      element_at(nearestCells(col("embedding"), centroidsBc(df, model), 1), 1))
 
   /** Assign each row its `nprobe` nearest centroids, exploded to one row
     * per (vector, cell), nearest first — the IVF recall repair: a probe
     * near a Voronoi boundary misses true neighbors in the adjacent cell,
     * and probing its `nprobe` nearest cells recovers them. Recall is
     * monotone in `nprobe` BY CONSTRUCTION: the probed cell set is a
-    * prefix of the distance-sorted centroid list. Centroids are
-    * driver-resident in the fitted model, so the assignment is a pure
-    * codegen'd expression over centroid literals — per-centroid
-    * squared-Euclidean folds, sorted (distance, cell) structs, `nprobe`
-    * prefix, explode. No ML transform, no shuffle, corpus untouched.
+    * prefix of the distance-sorted centroid list. Centroids ride a
+    * broadcast into the native [[graft.functions.NearestCells]]
+    * expression — no ML transform, no shuffle, corpus untouched, and the
+    * plan stays O(1) in cell count.
     */
   def assignCellsMulti(df: DataFrame,
                        model: org.apache.spark.ml.clustering.KMeansModel,
-                       nprobe: Int): DataFrame = {
-    val centers = model.clusterCenters
+                       nprobe: Int): DataFrame =
+    df.withColumn("cell",
+      explode(nearestCells(col("embedding"), centroidsBc(df, model), nprobe)))
+
+  /** The literal-fold plan [[assignCellsMulti]] replaced, kept as the
+    * bit-for-bit equality witness for the native expression: per-centroid
+    * `typedLit` squared-Euclidean folds, `array_sort` on (distance, cell)
+    * structs, `nprobe` prefix. O(cells × dim) plan literals — correct at
+    * toy cell counts, constant-pool/analysis blowup at production nlist.
+    */
+  private[graft] def assignCellsMultiLiteral(df: DataFrame,
+                                             centers: Array[Array[Double]],
+                                             nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= centers.length,
       s"nprobe must be in [1, ${centers.length}], got $nprobe")
     val dists = centers.zipWithIndex.map { case (c, i) =>
-      val diff2 = zip_with(col("embedding"), typedLit(c.toArray.toSeq),
+      val diff2 = zip_with(col("embedding"), typedLit(c.toSeq),
         (x, y) => (x.cast("double") - y) * (x.cast("double") - y))
       struct(aggregate(diff2, lit(0.0), (a, v) => a + v).as("d"),
         lit(i).as("cell"))

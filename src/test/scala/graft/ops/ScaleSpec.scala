@@ -244,6 +244,83 @@ class LshCosineSpec extends SparkSpec {
   }
 }
 
+/** The broadcast-fed native IVF cell assignment: bit-identical to the
+  * literal-fold plan it replaced, deterministic under ties and NaN, and
+  * runs at production cell counts where the literal plan would blow up
+  * constant pools (O(cells × dim) literals).
+  */
+class NearestCellsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.functions.NativeFunctions.nearestCells
+
+  private def syntheticCenters(cells: Int, dim: Int, seed: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(cells, dim)(rnd.nextGaussian())
+  }
+
+  test("native assignment equals the literal-fold path bit for bit") {
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val centers = syntheticCenters(cells = 64, dim = 64, seed = 3)
+    val bc = spark.sparkContext.broadcast(centers)
+    for (nprobe <- Seq(1, 3)) {
+      val native = emb.withColumn("cell",
+          explode(nearestCells(col("embedding"), bc, nprobe)))
+        .select("vec_id", "cell")
+      val literal = Similarity.assignCellsMultiLiteral(emb, centers, nprobe)
+        .select("vec_id", "cell")
+      assert(native.except(literal).isEmpty && literal.except(native).isEmpty,
+        s"nprobe=$nprobe diverged from the literal path")
+    }
+  }
+
+  test("equidistant centroids tie to the lower cell id; NaN rows fall back to index order") {
+    import spark.implicits._
+    // centroid 1 duplicates centroid 0 → every row is equidistant to both
+    val centers = Array(Array(1.0, 0.0), Array(1.0, 0.0), Array(9.0, 9.0))
+    val bc = spark.sparkContext.broadcast(centers)
+    val df = Seq((1L, Array(1.1f, 0.1f)), (2L, Array(Float.NaN, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        nearestCells(col("embedding"), bc, 3).as("cells"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got(1L) == Seq(0, 1, 2), "tie must resolve to the lower cell id")
+    assert(got(2L) == Seq(0, 1, 2), "all-NaN distances must fall back to index order")
+    // and the literal path agrees on the tie row
+    val lit1 = Similarity.assignCellsMultiLiteral(
+      df.filter(col("vec_id") === 1L), centers, 3)
+      .select("cell").as[Int].collect().toSeq
+    assert(lit1 == Seq(0, 1, 2))
+  }
+
+  test("assignment runs e2e at 4096 cells and matches a driver-side reference") {
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val centers = syntheticCenters(cells = 4096, dim = 64, seed = 11)
+    val bc = spark.sparkContext.broadcast(centers)
+    val got = emb.select(col("vec_id"),
+        element_at(nearestCells(col("embedding"), bc, 1), 1).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // independent reference: plain Scala argmin over the same centroids
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray)
+    vecs.foreach { case (id, v) =>
+      var best = -1; var bestD = Double.MaxValue
+      for (c <- centers.indices) {
+        var acc = 0.0
+        for (j <- 0 until math.min(v.length, centers(c).length)) {
+          val d = v(j).toDouble - centers(c)(j); acc += d * d
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+      }
+      assert(got(id) == best, s"vec $id: native ${got(id)} vs reference $best")
+    }
+    // spread is data-dependent (real embeddings concentrate); >1 proves
+    // the assignment isn't constant — exactness is the per-row check above
+    assert(got.values.toSet.size > 1, "4096-cell assignment collapsed")
+  }
+}
+
 class ApproxAggSpec extends SparkSpec {
 
   test("HLL distinct estimate lands within rsd of exact on real data") {
