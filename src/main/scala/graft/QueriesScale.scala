@@ -307,6 +307,46 @@ object QueriesScale {
        |SELECT probe_id, cand_id, round(cos, 4) AS cos, rank
        |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin))
 
+  /** SemDeDup-style semantic dedup behind the hash gate: k-means cells
+    * (engine-specific → side-path materialized, the q58 pattern), exact
+    * within-cell cosine pairs, connected components, keep-min-id. The
+    * oracle replays everything the operator ADDS on top of the model —
+    * within-cell pairing, the recursive-CTE component contraction (q51's
+    * fragment), and the survivor anti-join — from the SAME materialized
+    * cell table both engines read.
+    */
+  private val q98CellPath = sidePath("q98_semdedup_cells")
+  private val semDedupThreshold = 0.4
+
+  val q98 = QueryDef("q98_semantic_dedup", (spark, dir) => {
+    reapStaleSideTables("q98_semdedup_cells")
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val (clustered, _) = Similarity.kmeansCells(emb, cells = 16, seed = 42L)
+    clustered.select("vec_id", "cell").write.mode("overwrite").parquet(q98CellPath)
+    Dedup.semanticDedupWithCells(emb, spark.read.parquet(q98CellPath),
+        "vec_id", "embedding", "cell", threshold = semDedupThreshold)
+      .select("vec_id").orderBy("vec_id")
+  }, Some(
+    s"""WITH RECURSIVE cells AS (SELECT vec_id, cell
+       |               FROM read_parquet('$q98CellPath/*.parquet')),
+       |e AS (SELECT e0.vec_id, embedding, cell
+       |      FROM embeddings e0 JOIN cells USING (vec_id)),
+       |pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${duckCos("a.embedding", "b.embedding")} >= $semDedupThreshold),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |walk(id, lbl) AS (
+       |  SELECT s, s FROM edges GROUP BY s
+       |  UNION
+       |  SELECT e2.s, walk.lbl FROM edges e2 JOIN walk ON walk.id = e2.d),
+       |dropped AS (SELECT id FROM (SELECT id, min(lbl) AS comp FROM walk
+       |                            GROUP BY id) WHERE comp <> id)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id FROM dropped)
+       |ORDER BY vec_id""".stripMargin))
+
   /** Embedding-cosine near-duplicate pairs above 0.4 for a delta sample. */
   val q31 = QueryDef("q31_cosine_neardup", (spark, dir) =>
     Similarity.cosineNearDupPairs(t(spark, dir, "embeddings"), probeModulo = 10,
@@ -671,5 +711,6 @@ object QueriesScale {
     Some(jaccardOracle))
 
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32,
-    q33, q34, q35, q40, q51, q52, q53, q55, q56, q57, q58, q63, q64, q92)
+    q33, q34, q35, q40, q51, q52, q53, q55, q56, q57, q58, q63, q64, q92,
+    q98)
 }

@@ -52,6 +52,24 @@ class NearDupJob extends EtlJob {
       maxBandFreq = params.get("max_band_freq").map(_.toInt))
 }
 
+/** SemDeDup-style semantic dedup from YAML: k-means the embedding column
+  * into `cells`, pair within cells at exact cosine ≥ `threshold`, contract
+  * with connected components, keep the minimum id per semantic cluster
+  * ([[Dedup.semanticDedup]]). Catches paraphrases/re-renderings lexical
+  * dedup misses; run it AFTER the lexical stages so cheap exact/LSH passes
+  * shrink the corpus first. Params: `emb_col` (default `embedding`),
+  * `threshold` (default 0.9), `cells` (default 256), `seed`.
+  */
+class SemanticDedupJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame =
+    Dedup.semanticDedup(inputs.values.head, P.id(params),
+      params.getOrElse("emb_col", "embedding"),
+      threshold = params.getOrElse("threshold", "0.9").toDouble,
+      cells = params.getOrElse("cells", "256").toInt,
+      seed = params.getOrElse("seed", "42").toLong)
+}
+
 /** Quality gate: score each document (length/punct/digit/stopword mix)
   * and keep rows at/above `min_quality` (default 0.3). The score is a
   * pure function of the text column already on the row

@@ -713,6 +713,50 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): paraphrases and
+    * re-renderings that no lexical dedup catches share an embedding
+    * neighborhood, so (1) k-means the embedding column into `cells`, (2)
+    * pair rows WITHIN a cell at exact cosine ≥ `threshold`
+    * ([[Similarity.cellCosinePairs]] — the cell structure bounds the
+    * quadratic term to cell occupancy; a dup pair split across cells is
+    * the recall trade), (3) contract pairs with [[connectedComponents]]
+    * and keep the minimum id per semantic cluster. Returns survivors with
+    * their original columns.
+    *
+    * 100 TB shape: training samples via MLlib, assignment is the
+    * broadcast-centroid native expression (no per-row UDF, plan O(1) in
+    * `cells`); the only corpus shuffles are the cell self-join and the
+    * log-round CC. Size `cells` ≈ corpus/target-occupancy exactly as for
+    * IVF (the SemDeDup paper runs 50k cells at web scale).
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, embCol: String,
+                    threshold: Double, cells: Int, seed: Long = 42L,
+                    maxIter: Int = 20): DataFrame = {
+    val emb = corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+    val (clustered, _) = Similarity.kmeansCells(emb, cells, seed, maxIter)
+    semanticDedupWithCells(corpus, clustered, idCol, embCol, "cell", threshold)
+  }
+
+  /** [[semanticDedup]] with a PRECOMPUTED cell assignment (`cellTable`
+    * holds `vec_id`/`cell` — e.g. read back from a persisted
+    * [[Similarity.writeClusteredIndex]] layout, or any partitioning that
+    * groups semantic neighbors). Split out so the clustering can be
+    * materialized once and reused across thresholds/reruns.
+    */
+  def semanticDedupWithCells(corpus: DataFrame, cellTable: DataFrame,
+                             idCol: String, embCol: String, cellCol: String,
+                             threshold: Double): DataFrame = {
+    val clustered = corpus
+      .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+      .join(cellTable.select(col("vec_id"), col(cellCol).as("_sd_cell")), "vec_id")
+    val pairs = Similarity.cellCosinePairs(clustered, "vec_id", "embedding",
+      "_sd_cell", threshold)
+    val drop = connectedComponents(pairs.select("a_id", "b_id"))
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    corpus.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Corpus-wide LINE-level exact dedup with document reassembly — the
     * C4/RefinedWeb boilerplate-removal step: cookie banners, nav bars, and
     * license footers repeat verbatim across millions of crawled pages, and

@@ -203,6 +203,30 @@ object Similarity {
     ivfTopK(clustered, assigned, "cell", k)
   }
 
+  /** Exact cosine pairs WITHIN a cluster cell: the candidate-generation
+    * step of SemDeDup-style semantic dedup ([[Dedup.semanticDedup]]).
+    * Self-join on the cell id (one shuffle on `cellCol`, never all-pairs
+    * across cells), `a_id < b_id`, exact cosine ≥ `threshold` — so the
+    * within-cell pair space is the ONLY quadratic term, and it is bounded
+    * by cell occupancy: size `cells` so occupancy stays O(corpus/cells)
+    * rows (SemDeDup's trade — a dup pair split across cells is missed;
+    * recall is bought with k-means locality, precision is exact).
+    * A skewed giant cell re-inflates the quadratic term — at scale,
+    * raise `cells` (occupancy is corpus/cells on k-means-balanced data)
+    * rather than capping here, since a cap would silently drop dups.
+    */
+  def cellCosinePairs(df: DataFrame, idCol: String, embCol: String,
+                      cellCol: String, threshold: Double): DataFrame = {
+    val base = df.select(col(idCol).as("vec_id"), col(embCol).as("embedding"),
+      col(cellCol).as("_cell"))
+    val a = withNorm(base, "a", Seq("_cell" -> "_ca"))
+    val b = withNorm(base, "b", Seq("_cell" -> "_cb"))
+    a.join(b, col("_ca") === col("_cb") && col("a_id") < col("b_id"))
+      .withColumn("cos", cosFromNorms("a", "b"))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Persist the corpus partitioned by cluster id — the on-disk IVF
     * layout. With this layout, `ivfTopK` over the read-back frame prunes
     * at the FILE level: the broadcast probe side's clusters drive dynamic

@@ -321,6 +321,60 @@ class NearestCellsSpec extends SparkSpec {
   }
 }
 
+/** SemDeDup-style semantic dedup: planted paraphrase clusters collapse to
+  * their min id, unrelated rows survive, and the precomputed-cells variant
+  * agrees with the end-to-end path.
+  */
+class SemanticDedupSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  // three tight "paraphrase" groups on orthogonal axes + unrelated
+  // singletons far from every group (cos to any group ≈ 0)
+  private def planted: org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(5)
+    val dim = 16
+    def base(axis: Int): Array[Float] =
+      Array.tabulate(dim)(j => if (j == axis) 10.0f else 0.0f)
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + rnd.nextGaussian().toFloat * 0.05f)
+    val groups = for {
+      (axis, ids) <- Seq(0 -> Seq(10L, 11L, 12L), 3 -> Seq(20L, 21L, 22L),
+        6 -> Seq(30L, 31L))
+      id <- ids
+    } yield (id, jitter(base(axis)))
+    val singletons = Seq(40L, 41L, 42L).zipWithIndex.map { case (id, i) =>
+      // each singleton on its OWN axis, orthogonal to groups and each other
+      (id, jitter(base(9 + 2 * i)))
+    }
+    (groups ++ singletons).toDF("vec_id", "embedding")
+  }
+
+  test("paraphrase clusters collapse to min id; singletons survive") {
+    val survivors = Dedup.semanticDedup(planted, "vec_id", "embedding",
+        threshold = 0.9, cells = 4, seed = 7L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors == Set(10L, 20L, 30L, 40L, 41L, 42L))
+  }
+
+  test("precomputed-cells variant matches the end-to-end path") {
+    val df = planted
+    val (clustered, _) = Similarity.kmeansCells(
+      df.select("vec_id", "embedding"), cells = 4, seed = 7L)
+    val viaCells = Dedup.semanticDedupWithCells(df, clustered.select("vec_id", "cell"),
+        "vec_id", "embedding", "cell", threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    val e2e = Dedup.semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.9, cells = 4, seed = 7L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(viaCells == e2e)
+    // survivors keep their full original row (columns pass through)
+    val cols = Dedup.semanticDedup(df.withColumn("extra", lit("x")),
+      "vec_id", "embedding", threshold = 0.9, cells = 4, seed = 7L).columns.toSeq
+    assert(cols == Seq("vec_id", "embedding", "extra"))
+  }
+}
+
 class ApproxAggSpec extends SparkSpec {
 
   test("HLL distinct estimate lands within rsd of exact on real data") {
