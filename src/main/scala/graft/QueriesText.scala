@@ -454,6 +454,66 @@ object QueriesText {
       |  FROM corpus)
       |ORDER BY doc_id""".stripMargin))
 
+  /** Cross-document SUBSTRING-level dedup (ExactSubstr at k-token chunk
+    * grain): a 10-token boilerplate phrase is planted MID-document in
+    * every 3rd doc and a second phrase in every 4th — inside the token
+    * stream, not on line boundaries, so line/whole-doc dedup can't see
+    * them. Each phrase must survive only in its first host doc; every
+    * later host loses exactly the covered tokens. The oracle replays the
+    * identical window fingerprinting, first-occurrence ranking, coverage
+    * union, and token-level reassembly.
+    */
+  val q99 = QueryDef("q99_span_dedup", (spark, dir) => {
+    val phrase1 = "this website uses cookies to improve your experience please accept"
+    val phrase2 = "subscribe to our weekly newsletter for updates and exclusive offers"
+    val corpus = t(spark, dir, "documents").select(col("doc_id"),
+      concat_ws(" ",
+        substring(col("text"), 1, 100),
+        when(col("doc_id") % 3 === 0, lit(phrase1)),
+        substring(col("text"), 101, 80),
+        when(col("doc_id") % 4 === 0, lit(phrase2)),
+        substring(col("text"), 181, 60)
+      ).as("text"))
+    Dedup.dedupSpans(corpus, "doc_id", "text", k = 8).orderBy("doc_id")
+  }, Some(
+    """WITH corpus AS (
+      |  SELECT doc_id, concat_ws(' ',
+      |    substr(text, 1, 100),
+      |    CASE WHEN doc_id % 3 = 0 THEN 'this website uses cookies to improve your experience please accept' END,
+      |    substr(text, 101, 80),
+      |    CASE WHEN doc_id % 4 = 0 THEN 'subscribe to our weekly newsletter for updates and exclusive offers' END,
+      |    substr(text, 181, 60)) AS text
+      |  FROM documents),
+      |spl AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+      |wins AS (SELECT doc_id, i AS start,
+      |           md5(array_to_string(l[i : i + 7], ' ')) AS wkey
+      |         FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 7)) AS i
+      |               FROM spl WHERE len(l) >= 8)),
+      |grp AS (SELECT wkey, count(DISTINCT doc_id) AS n_docs
+      |        FROM wins GROUP BY wkey),
+      |ranked AS (SELECT doc_id, start, wkey,
+      |             row_number() OVER (PARTITION BY wkey
+      |                                ORDER BY doc_id, start) AS rn
+      |           FROM wins),
+      |cut AS (SELECT doc_id, start FROM ranked JOIN grp USING (wkey)
+      |        WHERE n_docs >= 2 AND rn > 1),
+      |cov AS (SELECT DISTINCT doc_id, pos FROM
+      |        (SELECT doc_id, unnest(generate_series(start, start + 7)) AS pos
+      |         FROM cut)),
+      |tok AS (SELECT doc_id, i AS pos, l[i] AS tok
+      |        FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+      |              FROM spl)),
+      |kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+      |         LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+      |         WHERE cov.doc_id IS NULL),
+      |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+      |               count(*) AS n_kept
+      |        FROM kept GROUP BY doc_id),
+      |tot AS (SELECT doc_id, len(l) AS n_toks FROM spl)
+      |SELECT reb.doc_id, text, n_kept, n_toks - n_kept AS n_removed
+      |FROM reb JOIN tot ON reb.doc_id = tot.doc_id
+      |ORDER BY reb.doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q86, q87, q96)
+    q74, q86, q87, q96, q99)
 }

@@ -805,6 +805,70 @@ object Dedup {
         (col("n_lines").cast("long") - col("n_kept")).as("n_dropped"))
   }
 
+  /** Cross-document SUBSTRING-level exact dedup (the Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better"
+    * ExactSubstr operation, approximated at token grain): crawl corpora
+    * repeat long boilerplate spans MID-document (terms-of-service
+    * paragraphs, navigation text, quoted passages) that neither whole-doc
+    * nor line-grain dedup sees. Instead of a suffix array, every k-token
+    * sliding window is fingerprinted (md5 of the window text — the
+    * exchange carries 32-byte keys, not k-token strings); a window
+    * repeated across ≥2 DISTINCT documents survives only at its first
+    * corpus occurrence (minimum `(id, start)` — deterministic across
+    * partitionings), and every token covered by a non-first occurrence of
+    * a repeated window is removed. A repeated span of length L ≥ k is
+    * covered by its L−k+1 repeated windows, so the whole span is cut —
+    * token-exact for spans ≥ k, which is the suffix-array op's contract
+    * at chunk resolution. Within-doc-only repetition is left alone
+    * (that's [[dedupLines]]/repetition-ratio territory).
+    *
+    * Documents rebuild from surviving tokens in original order; documents
+    * whose every token was covered disappear (pure boilerplate), as in
+    * [[dedupLines]]. Returns `(id, text, n_kept, n_removed)`.
+    *
+    * 100 TB shape: window fingerprints combine map-side into the
+    * (key)-grouped min/distinct-count aggregation — no all-pairs, no
+    * window-over-corpus sort; the cut join reuses the wins subtree's
+    * exchange; coverage explode is bounded by k × cut occurrences, not
+    * corpus size. Shuffles carry md5 keys and (id, start) ints only.
+    */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 8, sep: String = " "): DataFrame = {
+    require(k >= 2, s"span width k must be >= 2 tokens, got $k")
+    val arr = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val toks = docs.select(col(idCol).as("id"), arr.as("toks"),
+      size(arr).as("n_toks"))
+    // (id, start[1-based], wkey): all k-token windows, fingerprinted
+    val wins = toks.filter(col("n_toks") >= k)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), col("n_toks") - (k - 1)),
+        s => struct(s.cast("int").as("start"),
+          md5(array_join(slice(col("toks"), s, lit(k)), sep)).as("wkey")))).as("w"))
+      .select(col("id"), col("w.start").as("start"), col("w.wkey").as("wkey"))
+    val grp = wins.groupBy("wkey").agg(
+      min(struct(col("id"), col("start"))).as("keep"),
+      countDistinct(col("id")).as("n_docs"))
+    val cut = wins.join(grp.filter(col("n_docs") >= 2), "wkey")
+      .filter(!(col("id") === col("keep.id") && col("start") === col("keep.start")))
+      .select(col("id"), col("start"))
+    val covered = cut.select(col("id"),
+        explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
+      .distinct()
+    val tok = toks
+      .select(col("id"), col("n_toks"), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .withColumn("pos", col("p0") + 1)
+    val kept = tok.join(covered, Seq("id", "pos"), "left_anti")
+    kept.groupBy("id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), sep).as("text"),
+        count(lit(1)).as("n_kept"),
+        max(col("n_toks")).as("n_toks"))
+      .select(col("id").as(idCol), col("text"), col("n_kept"),
+        (col("n_toks").cast("long") - col("n_kept")).as("n_removed"))
+  }
+
   /** 64-bit SimHash fingerprint per document: per-bit majority vote over
     * xxhash64(token) — expressed as 64 codegen'd aggregate columns (sum of
     * ±1 per bit), then packed into one long. One shuffle on doc_id.

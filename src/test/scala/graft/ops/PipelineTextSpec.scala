@@ -43,6 +43,59 @@ class DedupLinesSpec extends SparkSpec {
   }
 }
 
+/** Cross-document substring-level dedup: planted mid-document boilerplate
+  * spans are cut at every occurrence but the first; within-doc-only
+  * repetition and unique text pass through.
+  */
+class DedupSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val boiler = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10" // 10 tokens
+
+  test("a repeated >=k-token span survives only in its first host document") {
+    val docs = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),
+      (2L, s"one two three $boiler four"),
+      (3L, "unrelated text with no repeated content at all in this row"),
+      (4L, boiler) // pure boilerplate — must disappear
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), "doc 4 must vanish")
+    assert(out(0).getString(1) == s"alpha beta $boiler gamma delta")
+    assert(out(0).getAs[Long]("n_removed") == 0L)
+    assert(out(1).getString(1) == "one two three four")
+    assert(out(1).getAs[Long]("n_removed") == 10L)
+    assert(out(2).getAs[Long]("n_removed") == 0L)
+  }
+
+  test("within-doc-only repetition is untouched; short docs pass through") {
+    val docs = Seq(
+      (7L, s"$boiler middle words here $boiler"), // repeats only within doc 7
+      (8L, "tiny doc")                            // fewer than k tokens
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == s"$boiler middle words here $boiler")
+    assert(out(0).getAs[Long]("n_removed") == 0L)
+    assert(out(1).getString(1) == "tiny doc")
+    assert(out(1).getAs[Long]("n_removed") == 0L)
+  }
+
+  test("a span longer than k is cut in full (window coverage union)") {
+    val long = (1 to 20).map(i => s"w$i").mkString(" ") // 20-token span
+    val docs = Seq(
+      (1L, s"intro $long outro"),
+      (2L, s"different opening here $long and a different close")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_removed") == 0L)
+    assert(out(1).getString(1) == "different opening here and a different close")
+    assert(out(1).getAs[Long]("n_removed") == 20L)
+  }
+}
+
 class NormalizeUtf8Spec extends SparkSpec {
   import spark.implicits._
 
