@@ -268,5 +268,56 @@ object QueriesData {
       |  string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids_csv
       |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q88, q89, q90, q91, q93, q97)
+  /** BPE subword vocabulary induction + encoding ([[graft.ops.Bpe]]):
+    * merges learned over the corpus (deterministic `(cnt DESC, lhs, rhs)`
+    * choice), every document encoded as its piece sequence. Learning is
+    * iterative (one aggregation per merge round), so — like q58's k-means
+    * model — the MERGE TABLE materializes to a side path and the oracle
+    * replays what encoding ADDS on top: greedy rank-ordered merge
+    * application (a recursive CTE over framed symbol strings, where
+    * `replace`'s left-to-right non-overlapping scan is exactly
+    * [[graft.functions.BpeRuntime]]'s contract), then per-document
+    * reassembly. Both engines read the same merges, and the CSV hash
+    * pins every piece boundary of every document.
+    */
+  private val q100MergePath = QueriesScale.sidePath("q100_bpe_merges")
+
+  val q100 = QueryDef("q100_bpe_encode", (spark, dir) => {
+    QueriesScale.reapStaleSideTables("q100_bpe_merges")
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val mergeTable = graft.ops.Bpe.learn(docs, "text", numMerges = 20)
+    mergeTable.write.mode("overwrite").parquet(q100MergePath)
+    val merges = graft.ops.Bpe.mergesOf(spark.read.parquet(q100MergePath))
+    graft.ops.Bpe.encode(docs, "doc_id", "text", merges).orderBy("doc_id")
+  }, Some(
+    s"""WITH RECURSIVE m AS (SELECT rank, lhs, rhs
+       |           FROM read_parquet('$q100MergePath/*.parquet')),
+       |nm AS (SELECT max(rank) AS top FROM m),
+       |spl AS (SELECT doc_id, string_split(lower(text), ' ') AS l
+       |        FROM documents),
+       |tk AS (SELECT doc_id, i AS pos, l[i] AS term
+       |       FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+       |             FROM spl)
+       |       WHERE l[i] <> ''),
+       |enc(doc_id, pos, s, step) AS (
+       |  SELECT doc_id, pos,
+       |    array_to_string(list_transform(string_split(term, ''),
+       |      c -> chr(17) || c || chr(18)), ''), 0
+       |  FROM tk
+       |  UNION ALL
+       |  SELECT e.doc_id, e.pos,
+       |    replace(e.s, chr(17) || m.lhs || chr(18) || chr(17) || m.rhs || chr(18),
+       |      chr(17) || m.lhs || m.rhs || chr(18)),
+       |    e.step + 1
+       |  FROM enc e JOIN m ON m.rank = e.step + 1),
+       |fin AS (SELECT doc_id, pos,
+       |          replace(replace(replace(s, chr(18) || chr(17), ','),
+       |            chr(17), ''), chr(18), '') AS word_csv
+       |        FROM enc WHERE step = (SELECT top FROM nm))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(len(string_split(word_csv, ','))) AS BIGINT) AS n_pieces,
+       |  string_agg(word_csv, ',' ORDER BY pos) AS pieces_csv
+       |FROM fin GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q88, q89, q90, q91, q93, q97, q100)
 }

@@ -151,7 +151,7 @@ object QueriesScale {
   // between a Verify run and the driver's DuckDB compare, and concurrent
   // users never collide; the oracle string below is built in the SAME JVM
   // as the query run, so both sides agree on the path.
-  private def sidePath(prefix: String): String =
+  private[graft] def sidePath(prefix: String): String =
     s"/tmp/graft_oracle_side/${prefix}_${ProcessHandle.current().pid()}"
 
   /** Best-effort reap of stale side tables from dead JVMs (> 1 day old). */

@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BPE learning and encoding vs an independent driver-side reference
+  * implementation, plus the greedy-scan semantics of the native
+  * expression.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- plain-Scala reference (no Spark) ------------------------------
+  private def scanMerge(syms: Vector[String], lhs: String, rhs: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == lhs && syms(i + 1) == rhs) {
+        out += (lhs + rhs); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def refLearn(words: Map[String, Long], numMerges: Int,
+                       minPair: Long): Seq[(String, String)] = {
+    var table = words.toSeq.map { case (w, f) =>
+      (w.split("").filter(_.nonEmpty).toVector, f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, f) <- table; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      val ranked = counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }
+      if (ranked.isEmpty || ranked.head._2 < minPair) done = true
+      else {
+        val (l, r) = ranked.head._1
+        merges += ((l, r))
+        table = table.map { case (s, f) => (scanMerge(s, l, r), f) }
+      }
+    }
+    merges.toSeq
+  }
+
+  private def refEncode(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word.split("").filter(_.nonEmpty).toVector) {
+      case (syms, (l, r)) => scanMerge(syms, l, r) }
+
+  private val corpus = Seq(
+    (1L, "low lower lowest low low"),
+    (2L, "newer newest new new newer"),
+    (3L, "wider wide widest lower low"),
+    (4L, "the newest and the widest and the lowest"))
+
+  test("learned merge table matches the reference bit for bit") {
+    val docs = corpus.toDF("doc_id", "text")
+    val got = Bpe.learn(docs, "text", numMerges = 12)
+      .collect().sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+    val words = corpus.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val want = refLearn(words, numMerges = 12, minPair = 2L)
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.nonEmpty && got.length <= 12)
+  }
+
+  test("encoding matches the reference on every document") {
+    val docs = corpus.toDF("doc_id", "text")
+    val mergeTable = Bpe.learn(docs, "text", numMerges = 10)
+    val merges = Bpe.mergesOf(mergeTable)
+    val got = Bpe.encode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+      .select("doc_id", "pieces_csv", "n_tokens", "n_pieces")
+      .collect()
+    val mseq = merges.map(a => (a(0), a(1))).toSeq
+    corpus.zip(got).foreach { case ((id, text), row) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val pieces = toks.flatMap(w => refEncode(w, mseq))
+      assert(row.getLong(0) == id)
+      assert(row.getString(1) == pieces.mkString(","),
+        s"doc $id: ${row.getString(1)} vs ${pieces.mkString(",")}")
+      assert(row.getAs[Long]("n_tokens") == toks.length.toLong)
+      assert(row.getAs[Long]("n_pieces") == pieces.length.toLong)
+    }
+  }
+
+  test("native merge scan is greedy left-to-right non-overlapping") {
+    val bc = spark.sparkContext.broadcast(Array(Array("a", "a")))
+    val got = Seq(Tuple1(Seq("a", "a", "a")), Tuple1(Seq("a", "a", "a", "a")),
+        Tuple1(Seq("b", "a", "a")))
+      .toDF("syms")
+      .select(graft.functions.BpeFunctions.bpeApply(col("syms"), bc).as("out"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("aa", "a"), Seq("aa", "aa"), Seq("b", "aa")))
+  }
+
+  test("early stop: no pair at minPairCount ends learning") {
+    val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
+    // every pair count is 1 < minPairCount=2 -> zero merges
+    assert(Bpe.learn(docs, "text", numMerges = 5).count() == 0L)
+  }
+}
