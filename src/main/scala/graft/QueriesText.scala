@@ -454,6 +454,43 @@ object QueriesText {
       |  FROM corpus)
       |ORDER BY doc_id""".stripMargin))
 
+  /** STREAMING near-dup ingest held to the batch oracle: the q70 delta
+    * replays through a file stream (one file per micro-batch, odd docs
+    * before the near-dup variants so cross-batch cluster minima arrive
+    * first) into [[graft.streaming.Streams.nearDupSink]] against the q86
+    * corpus index. The union of per-batch accepted increments must equal
+    * the batch recompute's survivor set — the SAME DuckDB oracle as
+    * q70/q86. Replay idempotency (crash between index append and
+    * checkpoint commit) is pinned in StreamsSpec.
+    */
+  val q101 = QueryDef("q101_stream_neardup", (spark, dir) => {
+    val (corpus, delta) = q70Corpus(spark, dir)
+    Seq("_shingles", "_buckets", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS q101idx$s"))
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", "q101idx",
+      numBuckets = 8)
+    val out = Queries.tmpDir("graft_q101")
+    // two single-file micro-batches in id order: all odd docs, then the
+    // +300000 variants (file-source order = modification time, oldest
+    // first; coalesce(1) keeps each write one file so the batch split is
+    // exactly the intended one)
+    delta.filter(col("doc_id") < 300000).coalesce(1)
+      .write.mode("append").parquet(s"$out/in")
+    delta.filter(col("doc_id") >= 300000).coalesce(1)
+      .write.mode("append").parquet(s"$out/in")
+    val stream = graft.streaming.Streams.readFileStream(spark,
+      graft.core.model.DatasetSpec(path = s"$out/in", format = "parquet",
+        readOptions = Map("maxFilesPerTrigger" -> "1")),
+      "doc_id BIGINT, text STRING")
+    graft.streaming.Streams.withStatePartitions(spark, 8) {
+      val q = graft.streaming.Streams.nearDupSink(stream, "q101idx",
+        "doc_id", "text", threshold = 0.8, maxBandFreq = None,
+        acceptedPath = s"$out/acc", checkpoint = s"$out/ckpt")
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(s"$out/acc/batch*").orderBy("doc_id")
+  }, q70.oracle)
+
   /** Cross-document SUBSTRING-level dedup (ExactSubstr at k-token chunk
     * grain): a 10-token boilerplate phrase is planted MID-document in
     * every 3rd doc and a second phrase in every 4th — inside the token
@@ -515,5 +552,5 @@ object QueriesText {
       |ORDER BY reb.doc_id""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q86, q87, q96, q99)
+    q74, q86, q87, q96, q99, q101)
 }

@@ -557,18 +557,45 @@ object Dedup {
     * clusters, drop corpus near-dups, grow the index. Returns the
     * accepted rows (eagerly materialized when appending — see
     * [[appendToNearDupIndex]]).
+    *
+    * `excludeSelfIds = true` ignores corpus index entries whose doc id is
+    * IN the delta: the replay-idempotency switch for exactly-once sinks
+    * ([[graft.streaming.Streams.nearDupSink]]). A batch replayed after a
+    * crash between the index append and the sink's checkpoint commit
+    * would otherwise find its OWN first-run entries in the index and drop
+    * every row — with self-exclusion the recomputed accepted set is
+    * identical to the first run (ids must be unique across the stream,
+    * the standard ingest contract). Off by default: a batch path that
+    * legitimately re-ingests an id expects the drop. (No default — the
+    * corpus-variant overload above owns the default-argument slot.)
     */
   def dropNearDuplicatesAgainst(index: NearDupIndex, delta: DataFrame,
                                 idCol: String, textCol: String,
                                 threshold: Double, maxBandFreq: Option[Int],
-                                appendAccepted: Boolean): DataFrame = {
+                                appendAccepted: Boolean): DataFrame =
+    dropNearDuplicatesAgainst(index, delta, idCol, textCol, threshold,
+      maxBandFreq, appendAccepted, excludeSelfIds = false)
+
+  def dropNearDuplicatesAgainst(index: NearDupIndex, delta: DataFrame,
+                                idCol: String, textCol: String,
+                                threshold: Double, maxBandFreq: Option[Int],
+                                appendAccepted: Boolean,
+                                excludeSelfIds: Boolean): DataFrame = {
     // within-delta collapse at the INDEX's operating point — a different
     // numHashes/numBands would silently run a different LSH S-curve
     val deltaClean = dropNearDuplicates(delta, idCol, textCol, threshold,
       index.n, maxBandFreq, index.numHashes, index.numBands)
-    val hit = minhashLshPairsAcross(index, delta, idCol, textCol,
-        threshold, maxBandFreq)
-      .select(col("b_id").as(idCol)).distinct()
+    val pairs = minhashLshPairsAcross(index, delta, idCol, textCol,
+      threshold, maxBandFreq)
+    // distinct column name + expression join: the exclusion side projects
+    // from the SAME delta plan that feeds the pairs, and a USING-join on a
+    // shared name can silently resolve both sides to one attribute in a
+    // self-join (dropping every pair instead of the self ones)
+    val pairsKept =
+      if (!excludeSelfIds) pairs
+      else pairs.join(delta.select(col(idCol).as("_self_a_id")),
+        col("a_id") === col("_self_a_id"), "left_anti")
+    val hit = pairsKept.select(col("b_id").as(idCol)).distinct()
     val accepted = deltaClean.join(hit, Seq(idCol), "left_anti")
     if (!appendAccepted) accepted
     else {

@@ -155,6 +155,61 @@ object Streams {
     Writer.write(batch, job, out, now, period)
   }
 
+  /** Continuous near-dup ingest through a PERSISTED index
+    * ([[graft.ops.Dedup.writeNearDupIndex]]): each micro-batch collapses
+    * its own near-dup clusters, drops rows near-duplicating the corpus,
+    * appends the survivors' index entries (so the NEXT batch sees them),
+    * and lands the accepted rows as one parquet increment per batch id —
+    * the q86 steady-state ingest, applied continuously.
+    *
+    * Replay safe end to end: (1) the index append is idempotent per table
+    * (anti-join vs existing ids, `appendToNearDupIndex`); (2) pairing
+    * runs with `excludeSelfIds = true`, so a batch replayed after a crash
+    * between append and checkpoint commit does NOT drop against its own
+    * first-run index entries — the recomputed accepted set is identical;
+    * (3) the per-batch increment dir is a pure function of the batch id
+    * and is deleted before write, so a replay rewrites the same rows
+    * instead of duplicating them. Requires ids unique across the stream
+    * (the standard ingest contract).
+    */
+  def nearDupSink(stream: DataFrame, indexName: String, idCol: String,
+                  textCol: String, threshold: Double,
+                  maxBandFreq: Option[Int], acceptedPath: String,
+                  checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyNearDupBatch(batch.toDF(), indexName, idCol, textCol,
+          threshold, maxBandFreq, acceptedPath, id)
+      }
+      .start()
+
+  /** One micro-batch's near-dup ingest — separated so the replay contract
+    * is directly testable: applying the same batch twice leaves the same
+    * accepted increment and the same index.
+    */
+  def applyNearDupBatch(batch: DataFrame, indexName: String, idCol: String,
+                        textCol: String, threshold: Double,
+                        maxBandFreq: Option[Int], acceptedPath: String,
+                        id: Long): Unit = {
+    val spark = batch.sparkSession
+    val idx = graft.ops.Dedup.loadNearDupIndex(spark, indexName)
+    // another session (a prior stream's micro-batch clone, a different
+    // driver) may have appended since THIS session last listed the index
+    // tables — a stale cached file listing would silently pair against a
+    // smaller corpus. Refresh is metadata-cheap next to the pairing join.
+    Seq(idx.shinglesTable, idx.bucketsTable)
+      .foreach(spark.catalog.refreshTable)
+    val accepted = graft.ops.Dedup.dropNearDuplicatesAgainst(idx, batch,
+      idCol, textCol, threshold, maxBandFreq,
+      appendAccepted = true, excludeSelfIds = true)
+    val dir = new org.apache.hadoop.fs.Path(s"$acceptedPath/batch$id")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) { fs.delete(dir, true); () }
+    accepted.write.parquet(dir.toString)
+  }
+
   /** CDC-apply sink: maintain an SCD2 dimension at `dimPath` under a
     * stream of snapshot batches — each micro-batch is merged with
     * [[graft.ops.Scd.scd2Merge]] and the dimension atomically swapped

@@ -239,6 +239,61 @@ class TypedAndJdbcSpec extends SparkSpec {
   }
 }
 
+class NearDupSinkSpec extends SparkSpec {
+
+  private val base = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+  private val fresh = "completely different words about spark shuffles and parquet row groups here"
+
+  test("nearDupSink ingests micro-batches against the index; replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nd_sink").toString
+    Seq("_shingles", "_buckets", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS sink_ndx$s"))
+    val corpus = Seq((10L, base)).toDF("doc_id", "text")
+    graft.ops.Dedup.writeNearDupIndex(corpus, "doc_id", "text", "sink_ndx",
+      numBuckets = 4)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.nearDupSink(mem.toDF().toDF("doc_id", "text"), "sink_ndx",
+      "doc_id", "text", threshold = 0.8, maxBandFreq = None,
+      acceptedPath = s"$dir/acc", checkpoint = s"$dir/ckpt")
+    try {
+      // batch 0: one corpus near-dup (drops), one fresh (accepted+appended)
+      mem.addData((20L, base + " again"), (21L, fresh))
+      q.processAllAvailable()
+      // batch 1: near-dup of batch 0's accepted doc — must drop against
+      // the GROWN index; one genuinely new doc survives
+      mem.addData((30L, fresh + " too"),
+        (31L, "entirely unrelated text about catalyst plans and shuffle partitions today"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def acceptedIds(batch: Int): Set[Long] =
+      spark.read.parquet(s"$dir/acc/batch$batch")
+        .select("doc_id").as[Long].collect().toSet
+    assert(acceptedIds(0) == Set(21L))
+    assert(acceptedIds(1) == Set(31L))
+    // crash-replay of batch 1 (same data, same id): identical increment,
+    // no index duplication — the batch must NOT drop against its own
+    // first-run index entries
+    // the stream's micro-batch session appended files; refresh this
+    // session's cached listing before counting
+    spark.catalog.refreshTable("sink_ndx_shingles")
+    val shinglesBefore = spark.table("sink_ndx_shingles").count()
+    Streams.applyNearDupBatch(
+      Seq((30L, fresh + " too"),
+        (31L, "entirely unrelated text about catalyst plans and shuffle partitions today"))
+        .toDF("doc_id", "text"),
+      "sink_ndx", "doc_id", "text", threshold = 0.8, maxBandFreq = None,
+      acceptedPath = s"$dir/acc", id = 1L)
+    assert(acceptedIds(1) == Set(31L),
+      "replayed batch must rewrite the identical increment")
+    assert(spark.table("sink_ndx_shingles").count() == shinglesBefore,
+      "replayed batch must not duplicate index rows")
+    Seq("_shingles", "_buckets", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS sink_ndx$s"))
+  }
+}
+
 class Scd2SinkSpec extends SparkSpec {
 
   test("scd2Sink maintains a dimension across micro-batches; replay converges") {
