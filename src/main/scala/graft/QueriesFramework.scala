@@ -368,6 +368,75 @@ object QueriesFramework {
        |  FROM scored WHERE quality >= 0.3)
        |ORDER BY doc_id""".stripMargin))
 
+  /** The mixed-modality branch of the SAME manifest behind the hash gate:
+    * opaque payload → byte-block features (q80's seam) → int8 quantize
+    * (q79) → dequantized embedding → SemDeDup (q98), entirely from
+    * `conf/llm_pipeline.yml` via `Flow.runPipeline` — the document-level
+    * dedup path for media shards with no text. The oracle replays the
+    * block means, quantization at the published (rounded) scale,
+    * within-cell cosine pairing against the SAME materialized cell table
+    * (q58/q98 side-path pattern — k-means itself is engine-specific), and
+    * the recursive component contraction in SQL.
+    */
+  private val q102CellPath = QueriesScale.sidePath("q102_media_cells")
+  private val q102Threshold = 0.9999
+
+  val q102 = QueryDef("q102_media_pipeline", (spark, dir) => {
+    QueriesScale.reapStaleSideTables("q102_media_cells")
+    val loaded = graft.core.model.Manifest.loadFile("conf/llm_pipeline.yml",
+      Seq("dev"), Map("data" -> dir, "media_cells" -> q102CellPath))
+    Flow.runPipeline(spark, loaded.jobs, "media_dedup", save = false)("media_dedup")
+      .select(col("doc_id"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("f0"))
+      .orderBy("doc_id")
+  }, Some(
+    s"""WITH RECURSIVE
+       |p AS (SELECT doc_id, encode(text) AS b FROM documents
+       |      WHERE length(text) > 0),
+       |h AS (SELECT doc_id, hex(b) AS hx, octet_length(b) AS n FROM p
+       |      WHERE octet_length(b) > 0),
+       |byte AS (
+       |  SELECT doc_id, n, i, CAST('0x' || substr(hx, 2 * i + 1, 2) AS INT) AS v
+       |  FROM (SELECT doc_id, hx, n, unnest(generate_series(0, n - 1)) AS i
+       |        FROM h)),
+       |blk AS (SELECT doc_id,
+       |          CAST(floor(i / CAST(ceil(n / 8.0) AS INT)) AS INT) AS j, v
+       |        FROM byte),
+       |feats AS (SELECT doc_id, j, sum(v)::DOUBLE / count(*) AS f
+       |          FROM blk GROUP BY 1, 2),
+       |grid AS (SELECT doc_id, unnest(generate_series(0, 7)) AS j FROM h),
+       |vecs AS (SELECT g.doc_id, list(coalesce(f.f, 0.0) ORDER BY g.j) AS emb
+       |         FROM grid g LEFT JOIN feats f
+       |           ON f.doc_id = g.doc_id AND f.j = g.j
+       |         GROUP BY g.doc_id),
+       |qz AS (SELECT doc_id, emb,
+       |         list_max(list_transform(emb, x -> abs(x))) / 127.0 AS sr
+       |       FROM vecs),
+       |dq AS (SELECT doc_id,
+       |         CASE WHEN sr = 0 THEN list_transform(emb, x -> CAST(0.0 AS REAL))
+       |              ELSE list_transform(emb,
+       |                     x -> CAST(round(x / sr) * round(sr, 8) AS REAL))
+       |         END AS demb
+       |       FROM qz),
+       |cells AS (SELECT vec_id, cell
+       |          FROM read_parquet('$q102CellPath/*.parquet')),
+       |e AS (SELECT d.doc_id, demb, cell
+       |      FROM dq d JOIN cells c ON c.vec_id = d.doc_id),
+       |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |          FROM e a JOIN e b ON a.cell = b.cell AND a.doc_id < b.doc_id
+       |          WHERE ${QueriesScale.duckCos("a.demb", "b.demb")} >= $q102Threshold),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |walk(id, lbl) AS (
+       |  SELECT s, s FROM edges GROUP BY s
+       |  UNION
+       |  SELECT e2.s, walk.lbl FROM edges e2 JOIN walk ON walk.id = e2.d),
+       |dropped AS (SELECT id FROM (SELECT id, min(lbl) AS comp FROM walk
+       |                            GROUP BY id) WHERE comp <> id)
+       |SELECT doc_id, round(CAST(demb[1] AS DOUBLE), 4) AS f0 FROM dq
+       |WHERE doc_id NOT IN (SELECT id FROM dropped)
+       |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q36, q37, q38, q39, q48, q49, q50, q54, q59,
-    q60, q61, q62)
+    q60, q61, q62, q102)
 }

@@ -19,7 +19,7 @@ object QueriesScale {
     * (DuckDB's built-in list_cosine_similarity computes in float32 and
     * diverges in the 6th decimal — not usable as an oracle.)
     */
-  private def duckCos(a: String, b: String): String =
+  private[graft] def duckCos(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
        |    (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) *
        |     sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE))))""".stripMargin

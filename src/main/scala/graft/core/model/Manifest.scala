@@ -94,11 +94,17 @@ object Manifest {
           case l: JList[_] => l.asScala.map(String.valueOf).toSeq
           case s => Seq(String.valueOf(s))
         }.getOrElse(Nil),
-        // layered: base < job-level < cmd args
-        params = baseParams ++ jobParams ++ cmdArgs)
+        // layered: base < job-level < cmd args; then self-interpolated so
+        // a param can reference another ({{out_root}}-style composition,
+        // reference replace_placeholders) — unknown keys stay intact for
+        // the later path-templating pass ({{latest}}/{{now}})
+        params = selfInterpolate(baseParams ++ jobParams ++ cmdArgs))
     }
-    Loaded(jobs, baseParams ++ cmdArgs)
+    Loaded(jobs, selfInterpolate(baseParams ++ cmdArgs))
   }
+
+  private def selfInterpolate(m: Map[String, String]): Map[String, String] =
+    m.map { case (k, v) => k -> Params.interpolate(v, m) }
 
   def loadFile(path: String, modes: Seq[String] = Seq("dev"),
                cmdArgs: Map[String, String] = Map.empty): Loaded =

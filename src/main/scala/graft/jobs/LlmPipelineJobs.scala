@@ -58,16 +58,60 @@ class NearDupJob extends EtlJob {
   * ([[Dedup.semanticDedup]]). Catches paraphrases/re-renderings lexical
   * dedup misses; run it AFTER the lexical stages so cheap exact/LSH passes
   * shrink the corpus first. Params: `emb_col` (default `embedding`),
-  * `threshold` (default 0.9), `cells` (default 256), `seed`.
+  * `threshold` (default 0.9), `cells` (default 256), `seed`, and
+  * optionally `cell_path`: when set, the k-means cell assignment is
+  * materialized there as parquet (`vec_id`, `cell`) and the dedup reads
+  * it back — so the clustering can be audited and reused across
+  * thresholds/reruns ([[Dedup.semanticDedupWithCells]]) instead of
+  * re-trained per run.
   */
 class SemanticDedupJob extends EtlJob {
   def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val df = inputs.values.head
+    val embCol = params.getOrElse("emb_col", "embedding")
+    val threshold = params.getOrElse("threshold", "0.9").toDouble
+    val cells = params.getOrElse("cells", "256").toInt
+    val seed = params.getOrElse("seed", "42").toLong
+    params.get("cell_path") match {
+      case None =>
+        Dedup.semanticDedup(df, P.id(params), embCol, threshold, cells, seed)
+      case Some(path) =>
+        val emb = df.select(col(P.id(params)).as("vec_id"),
+          col(embCol).as("embedding"))
+        val (clustered, _) = graft.ops.Similarity.kmeansCells(emb, cells, seed)
+        clustered.select("vec_id", "cell")
+          .write.mode("overwrite").parquet(path)
+        Dedup.semanticDedupWithCells(df, spark.read.parquet(path),
+          P.id(params), embCol, "cell", threshold)
+    }
+  }
+}
+
+/** Multimodal feature extraction from YAML: byte-block mean features over
+  * an opaque binary payload column ([[graft.ops.Multimodal.extractFeatures]]
+  * — the partition-local decode→vector seam; swap the block means for a
+  * real decoder on a cluster with media libs). Params: `payload_col`
+  * (default `payload`), `dim` (default 16).
+  */
+class FeatureExtractJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
                 params: Map[String, String]): DataFrame =
-    Dedup.semanticDedup(inputs.values.head, P.id(params),
-      params.getOrElse("emb_col", "embedding"),
-      threshold = params.getOrElse("threshold", "0.9").toDouble,
-      cells = params.getOrElse("cells", "256").toInt,
-      seed = params.getOrElse("seed", "42").toLong)
+    graft.ops.Multimodal.extractFeatures(inputs.values.head, P.id(params),
+      params.getOrElse("payload_col", "payload"),
+      dim = params.getOrElse("dim", "16").toInt)
+}
+
+/** Int8 vector quantization from YAML ([[graft.ops.Similarity.quantizeInt8]]):
+  * per-row symmetric scale, quantized `qvec`, reconstruction error — the
+  * storage/bandwidth reduction step between feature extraction and any
+  * similarity stage. Params: `vec_col` (default `embedding`).
+  */
+class QuantizeInt8Job extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame =
+    graft.ops.Similarity.quantizeInt8(inputs.values.head, P.id(params),
+      params.getOrElse("vec_col", "embedding"))
 }
 
 /** Quality gate: score each document (length/punct/digit/stopword mix)

@@ -231,6 +231,34 @@ class FlowSpec extends SparkSpec {
       .except(again.select("seq_id", "shard", "bin", "bin_offset")).isEmpty)
   }
 
+  test("llm_pipeline.yml runs the mixed-modality payload -> quantize -> semdedup branch") {
+    import org.apache.spark.sql.functions._
+    val cellPath = java.nio.file.Files
+      .createTempDirectory("graft_media_cells").toString + "/cells"
+    val loaded = Manifest.loadFile("conf/llm_pipeline.yml", Seq("dev"),
+      Map("media_cells" -> cellPath))
+    val kept = Flow.runPipeline(spark, loaded.jobs, "media_dedup",
+      save = false)("media_dedup")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(length(col("text")) > 0)
+    val n = kept.count()
+    assert(n > 0 && n <= docs.count(), s"media branch kept $n docs")
+    // the cell assignment was materialized: one cell per corpus doc
+    val cells = spark.read.parquet(cellPath)
+    assert(cells.columns.toSeq == Seq("vec_id", "cell"))
+    assert(cells.count() == docs.count())
+    // the job's composition IS the library op: replaying
+    // semanticDedupWithCells over the same materialized cells and the
+    // same dequantized embeddings reproduces the survivor set exactly
+    val emb = Flow.runPipeline(spark, loaded.jobs, "media_emb",
+      save = false)("media_emb")
+    val direct = graft.ops.Dedup.semanticDedupWithCells(emb,
+      spark.read.parquet(cellPath), "doc_id", "embedding", "cell",
+      threshold = 0.9999)
+    assert(kept.select("doc_id").except(direct.select("doc_id")).isEmpty &&
+      direct.select("doc_id").except(kept.select("doc_id")).isEmpty)
+  }
+
   test("dry-run plan resolves the upstream closure without a SparkSession") {
     val loaded = Manifest.loadFile("conf/llm_pipeline.yml", Seq("dev"), Map.empty)
     val plan = graft.Runner.dryRunPlan(loaded.jobs, "split_corpus",
