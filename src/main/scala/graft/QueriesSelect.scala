@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Queries.QueryDef
+import graft.core.Tables
+import graft.ops.{Dedup, Dsir}
+
+/** Round-6 data-selection operators behind the hash gate: dedup-grain
+  * text canonicalization and DSIR importance resampling. Oracles replay
+  * the identical arithmetic in DuckDB (QueriesScale conventions:
+  * deterministic ORDER BY, BIGINT counts, md5-derived portable hashes,
+  * micro-unit quantized log terms for order-free sums).
+  */
+object QueriesSelect {
+
+  private def t(spark: org.apache.spark.sql.SparkSession, dir: String, name: String) =
+    Tables.load(spark, dir, name)
+
+  /** Normalized exact dedup ([[Dedup.dedupExactNormalized]]): every 3rd
+    * doc gets a re-rendered copy — upper-cased, re-punctuated, different
+    * numeric run, extra whitespace — that raw-byte dedup would keep and
+    * the canonical form collapses. Survivors must be the original ids
+    * with copy counts; `norm_len` pins the canonical form itself.
+    */
+  val q103 = QueryDef("q103_normalized_dedup", (spark, dir) => {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val base = docs.select(col("doc_id"),
+      concat(col("text"), lit(" 7 items.")).as("text"))
+    val copies = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(upper(col("text")), lit("   777 ITEMS !!")).as("text"))
+    Dedup.dedupExactNormalized(base.unionByName(copies), "doc_id", "text")
+      .select(col("doc_id"), col("n_copies"),
+        length(graft.functions.TextFunctions.normalizeForDedup(col("text")))
+          .cast("long").as("norm_len"))
+      .orderBy("doc_id")
+  }, Some(
+    """WITH corpus AS (
+      |  SELECT doc_id, text || ' 7 items.' AS text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, upper(text) || '   777 ITEMS !!'
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |n AS (SELECT doc_id,
+      |        trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      |          '[^a-z0-9\s]', ' ', 'g'), '[0-9]+', '0', 'g'),
+      |          '\s+', ' ', 'g')) AS nt
+      |      FROM corpus),
+      |g AS (SELECT md5(nt) AS fp, min(doc_id) AS doc_id,
+      |        count(*) AS n_copies
+      |      FROM n GROUP BY fp)
+      |SELECT g.doc_id, g.n_copies,
+      |  CAST(length(n.nt) AS BIGINT) AS norm_len
+      |FROM g JOIN n ON n.doc_id = g.doc_id
+      |ORDER BY g.doc_id""".stripMargin))
+
+  /** DSIR importance resampling ([[Dsir]]): target = the `doc_id % 37`
+    * slice (a stand-in domain corpus), raw = all documents; hashed-bigram
+    * LMs at 512 buckets, Gumbel-top-100 selection. Everything — the
+    * portable bucket hash, the micro-quantized smoothed log-probs, the
+    * exact integer weight sums, the hash-derived Gumbel keys, the ranked
+    * selection — replays in SQL, so the hash gate pins the SELECTED SET,
+    * not just the scores.
+    */
+  val q104 = QueryDef("q104_dsir_select", (spark, dir) => {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val target = docs.filter(col("doc_id") % 37 === 0)
+    val targetLm = Dsir.fitHashedLm(target, "text", n = 2, buckets = 512)
+    val rawLm = Dsir.fitHashedLm(docs, "text", n = 2, buckets = 512)
+    val w = Dsir.importanceWeights(docs, "doc_id", "text",
+      targetLm, rawLm, n = 2, buckets = 512)
+    Dsir.gumbelTopK(w, "doc_id", k = 100)
+      .select(col("doc_id"), col("n_grams"), col("key_micro"),
+        round(col("log_w"), 6).as("log_w"), col("rank"))
+      .orderBy("rank")
+  }, Some(
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS l
+      |              FROM documents),
+      |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+      |        FROM toks WHERE len(l) >= 2),
+      |g AS (SELECT doc_id,
+      |        CAST('0x' || substr(md5('dsir' || l[i] || ' ' || l[i+1]), 1, 15)
+      |             AS BIGINT) % 512 AS bucket
+      |      FROM pos),
+      |tc AS (SELECT bucket, count(*) AS cnt FROM g
+      |       WHERE doc_id % 37 = 0 GROUP BY bucket),
+      |rc AS (SELECT bucket, count(*) AS cnt FROM g GROUP BY bucket),
+      |tt AS (SELECT coalesce(sum(cnt), 0) AS total FROM tc),
+      |rt AS (SELECT coalesce(sum(cnt), 0) AS total FROM rc),
+      |buckets AS (SELECT unnest(generate_series(0, 511)) AS bucket),
+      |tlm AS (SELECT b.bucket,
+      |          CAST(round(round(ln((coalesce(tc.cnt, 0) + 1.0) /
+      |            (tt.total + 512.0)), 6) * 1e6, 0) AS BIGINT) AS lp
+      |        FROM buckets b LEFT JOIN tc USING (bucket), tt),
+      |rlm AS (SELECT b.bucket,
+      |          CAST(round(round(ln((coalesce(rc.cnt, 0) + 1.0) /
+      |            (rt.total + 512.0)), 6) * 1e6, 0) AS BIGINT) AS lp
+      |        FROM buckets b LEFT JOIN rc USING (bucket), rt),
+      |sums AS (SELECT g.doc_id, count(*) AS n_grams,
+      |           sum(tlm.lp - rlm.lp) AS logw_micro
+      |         FROM g JOIN tlm USING (bucket) JOIN rlm
+      |           ON rlm.bucket = g.bucket
+      |         GROUP BY g.doc_id),
+      |w AS (SELECT d.doc_id,
+      |        coalesce(sums.n_grams, 0) AS n_grams,
+      |        coalesce(sums.logw_micro, 0) AS logw_micro
+      |      FROM documents d LEFT JOIN sums ON d.doc_id = sums.doc_id),
+      |keyed AS (SELECT doc_id, n_grams,
+      |            logw_micro + CAST(round(round(-ln(-ln(
+      |              (CAST('0x' || substr(md5('dsir_gumbel' ||
+      |                 CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 0.5)
+      |              / 1152921504606846976.0)), 6) * 1e6, 0) AS BIGINT)
+      |              AS key_micro,
+      |            logw_micro
+      |          FROM w),
+      |ranked AS (SELECT doc_id, n_grams, key_micro,
+      |             round(logw_micro / 1e6, 6) AS log_w,
+      |             CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id)
+      |                  AS INT) AS rank
+      |           FROM keyed)
+      |SELECT doc_id, n_grams, key_micro, log_w, rank
+      |FROM ranked WHERE rank <= 100 ORDER BY rank""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q103, q104)
+}

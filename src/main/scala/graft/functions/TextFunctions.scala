@@ -31,6 +31,20 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
+  /** Aggressive dedup-grain canonicalization — the standard pre-dedup
+    * normalization in web-corpus pipelines (RefinedWeb/FineWeb MinHash
+    * prep; reference exposes only raw-text dedup, `yaetos/libs` has no
+    * normalizer): lowercase, punctuation/symbols to spaces, digit runs
+    * collapsed to `0`, whitespace runs collapsed, trimmed. Re-renderings
+    * that differ only in casing, punctuation, numeric ids, or spacing
+    * map to one canonical form. Pure regex + lower — engine-portable
+    * (RE2 and java.util.regex agree on these classes), so an external
+    * oracle reproduces the form byte-for-byte.
+    */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      "[^a-z0-9\\s]", " "), "[0-9]+", "0"), "\\s+", " "))
+
   /** Order-insensitive bag-of-words fingerprint: md5 over sorted tokens.
     * Detects token-reorder near-duplicates exactly.
     */

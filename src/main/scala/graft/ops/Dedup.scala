@@ -68,6 +68,32 @@ object Dedup {
     }
   }
 
+  /** Exact dedup at the NORMALIZED-text grain: collapse documents whose
+    * [[TextFunctions.normalizeForDedup]] canonical forms are identical,
+    * keeping the smallest `idCol` of each group, with the group's copy
+    * count attached as `n_copies`. The canonicalization catches the
+    * re-rendered exact duplicates (casing, punctuation, numeric ids,
+    * spacing) that raw-byte dedup misses while staying one hash-groupBy —
+    * run it BEFORE MinHash so the near-dup stages never pay for trivially
+    * collapsible copies.
+    *
+    * Same scale shape as [[exactKeepFirst]]: one shuffle on the md5 of
+    * the canonical form, `min_by` + `count` with MAP-SIDE partial
+    * combine, so a 500M-copy hot group reduces to one candidate per
+    * partition instead of piling onto one sort task.
+    */
+  def dedupExactNormalized(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val withFp = docs.withColumn("_norm_fp",
+      md5(TextFunctions.normalizeForDedup(col(textCol))))
+    val rowS = struct(docs.columns.map(col): _*)
+    withFp.groupBy("_norm_fp")
+      .agg(min_by(rowS, col(idCol)).as("_kf_row"),
+        count(lit(1)).as("n_copies"))
+      .select(docs.columns.map(c =>
+        col("_kf_row").getField(c).as(c)) :+ col("n_copies"): _*)
+  }
+
   /** Long-format distinct (id, shingle) pairs for a document table. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     docs.select(col(idCol).as("doc_id"),
