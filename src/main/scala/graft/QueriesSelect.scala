@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.Queries.QueryDef
 import graft.core.Tables
-import graft.ops.{Dedup, Dsir}
+import graft.ops.{Dedup, Dsir, QualityClassifier}
 
 /** Round-6 data-selection operators behind the hash gate: dedup-grain
   * text canonicalization and DSIR importance resampling. Oracles replay
@@ -120,5 +120,63 @@ object QueriesSelect {
       |SELECT doc_id, n_grams, key_micro, log_w, rank
       |FROM ranked WHERE rank <= 100 ORDER BY rank""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q103, q104)
+  /** Model-based quality filter ([[graft.ops.QualityClassifier]]): a
+    * spam twin of every 5th doc joins the corpus; the classifier is
+    * trained on the labeled split (engine-specific MLlib fit → weights
+    * MATERIALIZE to a side table, the q58 model pattern), then the
+    * corpus-scale scoring pass — portable token hashing, exact integer
+    * logit sums from the shared weight table, sigmoid, threshold —
+    * replays fully in SQL. The hash gate pins scores AND the kept set.
+    */
+  private val q105WeightsPath = QueriesScale.sidePath("q105_qcls_weights")
+  private val q105Junk =
+    "click here buy now best price free offer limited deal 999 !!! "
+
+  val q105 = QueryDef("q105_quality_classifier", (spark, dir) => {
+    QueriesScale.reapStaleSideTables("q105_qcls_weights")
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val junk = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(lit(q105Junk), substring(col("text"), 1, 40)).as("text"))
+    val corpus = docs.unionByName(junk)
+    val labeled = docs.withColumn("label", lit(1.0))
+      .unionByName(junk.withColumn("label", lit(0.0)))
+    QualityClassifier.fitQualityModel(labeled, "text", "label",
+        buckets = 256)
+      .write.mode("overwrite").parquet(q105WeightsPath)
+    QualityClassifier.filterByQuality(corpus, "doc_id", "text",
+        spark.read.parquet(q105WeightsPath), buckets = 256, tau = 0.5)
+      .select(col("doc_id"), col("n_tokens"), col("z_micro"),
+        round(col("score"), 6).as("score"), col("kept"))
+      .orderBy("doc_id")
+  }, Some(
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 200000, '$q105Junk' || substr(text, 1, 40)
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+       |         FROM corpus),
+       |bux AS (SELECT doc_id,
+       |          CAST('0x' || substr(md5('qcls' || tok), 1, 15) AS BIGINT)
+       |            % 256 AS bucket
+       |        FROM toks),
+       |w AS (SELECT bucket, w_micro
+       |      FROM read_parquet('$q105WeightsPath/*.parquet')
+       |      WHERE bucket >= 0),
+       |b0 AS (SELECT w_micro AS b0
+       |       FROM read_parquet('$q105WeightsPath/*.parquet')
+       |       WHERE bucket = -1),
+       |sums AS (SELECT doc_id, count(*) AS n_tokens, sum(w_micro) AS zsum
+       |         FROM bux JOIN w USING (bucket) GROUP BY doc_id),
+       |scored AS (SELECT c.doc_id,
+       |             coalesce(sums.n_tokens, 0) AS n_tokens,
+       |             coalesce(sums.zsum, 0) + b0.b0 AS z_micro
+       |           FROM corpus c LEFT JOIN sums ON c.doc_id = sums.doc_id, b0)
+       |SELECT doc_id, n_tokens, z_micro,
+       |  round(1.0 / (1.0 + exp(-z_micro / 1e6)), 6) AS score,
+       |  round(1.0 / (1.0 + exp(-z_micro / 1e6)), 6) >= 0.5 AS kept
+       |FROM scored ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q103, q104, q105)
 }

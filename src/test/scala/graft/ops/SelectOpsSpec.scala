@@ -89,6 +89,44 @@ class SelectOpsSpec extends SparkSpec {
     assert(byId(3L) == 0L, "sub-n-gram doc carries zero weight")
   }
 
+  test("quality classifier separates classes; scoring matches the weight table exactly") {
+    val buckets = 128
+    val good = Seq.tabulate(40)(i =>
+      (i.toLong, s"the committee published a detailed report on regional trade policy item $i", 1.0))
+    val spam = Seq.tabulate(40)(i =>
+      (1000L + i, s"click here buy now free offer best price deal $i !!!", 0.0))
+    val labeled = (good ++ spam).toDF("doc_id", "text", "label")
+    val weights = QualityClassifier.fitQualityModel(labeled, "text", "label",
+      buckets = buckets)
+    assert(weights.count() == buckets + 1) // full table + intercept row
+
+    val scored = QualityClassifier.scoreDocs(labeled, "doc_id", "text",
+      weights, buckets).select("doc_id", "n_tokens", "z_micro", "score")
+      .as[(Long, Long, Long, Double)].collect()
+    val byId = scored.map(r => r._1 -> r._4).toMap
+    assert(good.forall(g => byId(g._1) > 0.9), "good docs must score high")
+    assert(spam.forall(s => byId(s._1) < 0.1), "spam docs must score low")
+
+    // the distributed logit is the exact integer sum over the weight table
+    val wMap = weights.select("bucket", "w_micro").as[(Long, Long)]
+      .collect().toMap
+    val bux = labeled.select(col("doc_id"),
+        QualityClassifier.tokenBuckets(col("text"), buckets).as("b"))
+      .as[(Long, Seq[Long])].collect()
+    for ((id, bs) <- bux) {
+      val refZ = bs.map(wMap).sum + wMap(-1L)
+      val got = scored.find(_._1 == id).get
+      assert(got._3 == refZ && got._2 == bs.length,
+        s"doc $id: z ${got._3} vs ref $refZ")
+    }
+
+    // threshold pass keeps exactly the high scorers
+    val kept = QualityClassifier.filterByQuality(labeled, "doc_id", "text",
+        weights, buckets, tau = 0.5)
+      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    assert(kept == good.map(_._1).toSet)
+  }
+
   test("gumbelTopK is deterministic, ranked, and id-tie-broken") {
     val w = Seq.tabulate(50)(i => (i.toLong, 10L, i.toLong * 1000, i / 1e3))
       .toDF("doc_id", "n_grams", "logw_micro", "log_w")
