@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.Queries.QueryDef
 import graft.core.Tables
-import graft.ops.{Dedup, Dsir, QualityClassifier}
+import graft.ops.{Dedup, Dsir, Pq, QualityClassifier, Similarity}
 
 /** Round-6 data-selection operators behind the hash gate: dedup-grain
   * text canonicalization and DSIR importance resampling. Oracles replay
@@ -178,5 +178,68 @@ object QueriesSelect {
        |  round(1.0 / (1.0 + exp(-z_micro / 1e6)), 6) >= 0.5 AS kept
        |FROM scored ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q103, q104, q105)
+  /** IVF-PQ asymmetric-distance search ([[graft.ops.Pq]]): cells,
+    * codebook, and codes materialize to side tables (the q58/q98 model
+    * pattern — training and encoding are engine-specific argmins, each
+    * spec-held to reference implementations), and the oracle replays the
+    * SEARCH: per-probe distance tables against the shared codebook,
+    * code-lookup aggregation in exact micro-units, cell-pruned ranking.
+    * Every probe's full quantized top-5, pinned to the integer.
+    */
+  private val q106Dir = QueriesScale.sidePath("q106_pq")
+
+  val q106 = QueryDef("q106_pq_adc", (spark, dir) => {
+    QueriesScale.reapStaleSideTables("q106_pq")
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val (clustered, model) = Similarity.kmeansCells(emb, cells = 16, seed = 42L)
+    clustered.select("vec_id", "cell")
+      .write.mode("overwrite").parquet(s"$q106Dir/cells")
+    Pq.trainPqCodebooks(emb, "embedding", m = 4, k = 16, seed = 7L)
+      .write.mode("overwrite").parquet(s"$q106Dir/codebook")
+    val codebook = spark.read.parquet(s"$q106Dir/codebook")
+    val cb = Pq.codebookArrays(codebook)
+    Pq.encodePq(clustered, "embedding", cb)
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .write.mode("overwrite").parquet(s"$q106Dir/codes")
+    val candCodes = spark.read.parquet(s"$q106Dir/codes")
+      .select(col("vec_id").as("cand_id"), col("cell"), col("codes"))
+    val probes = spark.read.parquet(s"$q106Dir/cells")
+      .filter(col("vec_id") % 25 === 0)
+      .join(emb, "vec_id")
+      .select(col("vec_id").as("probe_id"), col("cell"), col("embedding"))
+    Pq.adcTopK(candCodes, probes, codebook, topk = 5)
+      .select("probe_id", "cand_id", "adc_micro", "rank")
+  }, Some(
+    s"""WITH cells AS (SELECT vec_id, cell
+       |               FROM read_parquet('$q106Dir/cells/*.parquet')),
+       |cb AS (SELECT sub, code, centroid
+       |       FROM read_parquet('$q106Dir/codebook/*.parquet')),
+       |codes AS (SELECT vec_id, cell, codes
+       |          FROM read_parquet('$q106Dir/codes/*.parquet')),
+       |p AS (SELECT c.vec_id AS probe_id, c.cell, e.embedding
+       |      FROM cells c JOIN embeddings e ON e.vec_id = c.vec_id
+       |      WHERE c.vec_id % 25 = 0),
+       |t AS (SELECT probe_id, p.cell, sub, code,
+       |        CAST(round(round(list_sum(list_transform(
+       |          list_zip(embedding[(sub * 16 + 1):(sub * 16 + 16)], centroid),
+       |          x -> (x[1]::DOUBLE - x[2]::DOUBLE) *
+       |               (x[1]::DOUBLE - x[2]::DOUBLE))), 6) * 1e6, 0)
+       |          AS BIGINT) AS d_micro
+       |      FROM p, cb),
+       |cl AS (SELECT vec_id AS cand_id, cell, codes,
+       |         unnest(generate_series(1, len(codes))) AS i
+       |       FROM codes),
+       |cl2 AS (SELECT cand_id, cell, i - 1 AS sub, codes[i] AS code FROM cl),
+       |s AS (SELECT probe_id, cand_id, sum(d_micro) AS adc_micro
+       |      FROM cl2 JOIN t USING (cell, sub, code)
+       |      WHERE probe_id <> cand_id
+       |      GROUP BY probe_id, cand_id),
+       |r AS (SELECT probe_id, cand_id, adc_micro,
+       |        CAST(row_number() OVER (PARTITION BY probe_id
+       |             ORDER BY adc_micro, cand_id) AS BIGINT) AS rank
+       |      FROM s)
+       |SELECT probe_id, cand_id, adc_micro, rank FROM r WHERE rank <= 5
+       |ORDER BY probe_id, rank""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q103, q104, q105, q106)
 }

@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.NativeFunctions.nearestCells
+
+/** Product quantization for billion-scale ANN (Jégou et al. 2011,
+  * "Product Quantization for Nearest Neighbor Search"): the embedding is
+  * split into `m` subvectors, each quantized to one of `k` per-subspace
+  * centroids, so a vector stores as `m` small codes (m bytes at k=256 —
+  * a 256× compression of a 1024-float embedding) and approximate
+  * distance needs only table lookups, never the original floats.
+  *
+  * Scale design mirrors the IVF split in [[Similarity]]:
+  *  - TRAINING (`trainPqCodebooks`) is m seeded MLlib k-means fits — run
+  *    once, on a sample; the codebook is m·k tiny rows.
+  *  - ENCODING (`encodePq`) is one codegen'd pass: per subspace, the
+  *    broadcast-fed native [[graft.functions.NearestCells]] expression
+  *    over the sliced embedding — no MLlib transform, no shuffle, plan
+  *    size O(m), not O(m·k·dim).
+  *  - SEARCH (`adcTopK`) is asymmetric distance computation: each
+  *    probe's m·k-entry distance-to-centroid table rides a broadcast
+  *    join against the candidates' exploded codes; the corpus' floats
+  *    are never read. Per-subspace distances are micro-unit quantized
+  *    longs (the [[Dsir]] convention), so the summed ADC distance is
+  *    exact integer arithmetic — reproducible across engines, and rank
+  *    ties break on candidate id.
+  *
+  * The reference has no vector ops at all; this extends the SURVEY §2
+  * similarity-search family (q29/q58/q92) with the quantized tier a
+  * 100 TB corpus actually serves from.
+  */
+object Pq {
+
+  /** Train the m per-subspace codebooks: seeded k-means on each
+    * `dim/m`-wide slice. Returns `(sub, code, centroid)` with
+    * `array<float>` centroids — m·k rows, a model table. Train on a
+    * corpus SAMPLE at scale (the codebook needs distribution coverage,
+    * not the full corpus).
+    */
+  def trainPqCodebooks(corpus: DataFrame, embCol: String = "embedding",
+                       m: Int = 8, k: Int = 16, seed: Long = 42L,
+                       maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = corpus.select(size(col(embCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val perSub = (0 until m).map { s =>
+      val slices = corpus.select(
+        array_to_vector(slice(col(embCol), s * subDim + 1, subDim))
+          .as("_features"))
+      val model = new KMeans().setK(k).setSeed(seed + s).setMaxIter(maxIter)
+        .setFeaturesCol("_features").setPredictionCol("_c").fit(slices)
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (s, i, c.toArray.map(_.toFloat).toSeq)
+      }.toSeq
+    }
+    perSub.flatten.toDF("sub", "code", "centroid")
+  }
+
+  /** The codebook as driver arrays `[sub][code][subDim]` for the encode
+    * broadcasts — m·k rows, a model-sized collect like
+    * [[Similarity.kmeansCells]]' centroid broadcast.
+    */
+  def codebookArrays(codebook: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = codebook.select("sub", "code", "centroid").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val arr = Array.ofDim[Array[Array[Double]]](m)
+    rows.groupBy(_.getInt(0)).foreach { case (s, rs) =>
+      arr(s) = rs.sortBy(_.getInt(1))
+        .map(_.getSeq[Float](2).map(_.toDouble).toArray).toArray
+    }
+    arr
+  }
+
+  /** Encode each row's embedding as its `m` nearest-centroid codes
+    * (`codes: array<int>`): per subspace one broadcast-fed
+    * [[graft.functions.NearestCells]] over the slice — exact
+    * squared-Euclidean argmin, ties to the lower code, all codegen'd.
+    */
+  def encodePq(df: DataFrame, embCol: String,
+               cb: Array[Array[Array[Double]]]): DataFrame = {
+    val m = cb.length
+    val subDim = cb(0)(0).length
+    val sc = df.sparkSession.sparkContext
+    val codeCols = (0 until m).map { s =>
+      val bc = sc.broadcast(cb(s))
+      element_at(
+        nearestCells(slice(col(embCol), s * subDim + 1, subDim), bc, 1), 1)
+    }
+    df.withColumn("codes", array(codeCols: _*))
+  }
+
+  /** Micro-unit quantized squared-L2 between a float-array slice and a
+    * float-array centroid (exact long; fold order is fixed left-to-right
+    * in both Spark's `aggregate` and DuckDB's `list_sum`).
+    */
+  private def sliceDistMicro(emb: Column, centroid: Column): Column =
+    round(round(aggregate(zip_with(emb, centroid,
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (a, v) => a + v), 6) * lit(1e6), 0).cast("long")
+
+  /** Asymmetric-distance top-k: probes carry their full embedding,
+    * candidates only their codes (and a `cell` for IVF pruning). Each
+    * probe's (sub, code) distance table is built once against the
+    * broadcast codebook; candidates join it on (cell, sub, code) and
+    * aggregate the m exact per-subspace terms. The corpus embedding
+    * column is never touched — the point of PQ.
+    */
+  def adcTopK(candCodes: DataFrame, probes: DataFrame, codebook: DataFrame,
+              topk: Int): DataFrame = {
+    val subDim = codebook.select(size(col("centroid"))).head().getInt(0)
+    val tables = probes.crossJoin(broadcast(codebook))
+      .select(col("probe_id"), col("cell"), col("sub"), col("code"),
+        sliceDistMicro(
+          slice(col("embedding"), col("sub") * subDim + 1, lit(subDim)),
+          col("centroid")).as("d_micro"))
+    val candLong = candCodes.select(col("cand_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    val scored = candLong.join(broadcast(tables), Seq("cell", "sub", "code"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .groupBy("probe_id", "cand_id")
+      .agg(sum("d_micro").as("adc_micro"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("adc_micro").asc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topk)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** End-to-end IVF-PQ: k-means cells prune the candidate set, PQ codes
+    * compress it, ADC ranks it, and an optional exact re-rank pass
+    * (`rerank` > topk) rescores the ADC shortlist with true cosine —
+    * the standard two-stage recall repair, touching only shortlist·probe
+    * embeddings.
+    */
+  def pqIvfTopK(corpus: DataFrame, probes: DataFrame, topk: Int,
+                m: Int = 8, k: Int = 16, cells: Int = 16, seed: Long = 42L,
+                rerank: Int = 0): DataFrame = {
+    // cells <= 1: pure PQ, no IVF pruning — every candidate in one cell
+    val (clustered, assignedRaw) =
+      if (cells <= 1) (corpus.withColumn("cell", lit(0)),
+        probes.withColumn("cell", lit(0)))
+      else {
+        val (cl, model) = Similarity.kmeansCells(corpus, cells, seed)
+        (cl, Similarity.assignCells(probes, model))
+      }
+    val codebook = trainPqCodebooks(corpus, "embedding", m, k, seed)
+    val cb = codebookArrays(codebook)
+    val candCodes = encodePq(clustered, "embedding", cb)
+      .select(col("vec_id").as("cand_id"), col("cell"), col("codes"))
+    val assigned = assignedRaw
+      .select(col("vec_id").as("probe_id"), col("cell"), col("embedding"))
+    if (rerank <= topk) adcTopK(candCodes, assigned, codebook, topk)
+    else {
+      val shortlist = adcTopK(candCodes, assigned, codebook, rerank)
+        .select("probe_id", "cand_id")
+      val pe = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("p_emb"))
+      val ce = corpus.select(col("vec_id").as("cand_id"),
+        col("embedding").as("c_emb"))
+      val exact = shortlist.join(broadcast(pe), "probe_id").join(ce, "cand_id")
+        .withColumn("cos",
+          graft.functions.NativeFunctions.dotF(col("p_emb"), col("c_emb")) /
+            (sqrt(graft.functions.NativeFunctions.dotF(col("p_emb"), col("p_emb"))) *
+             sqrt(graft.functions.NativeFunctions.dotF(col("c_emb"), col("c_emb")))))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(round(col("cos"), 6).desc, col("cand_id").asc)
+      exact.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= topk)
+        .select(col("probe_id"), col("cand_id"),
+          round(col("cos"), 4).as("cos"), col("rank"))
+        .orderBy("probe_id", "rank")
+    }
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Product quantization: codebook shape, encode-vs-reference argmin, ADC
+  * distance fidelity, and the recall repair of the exact re-rank stage.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16; private val m = 4; private val k = 8
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(7)
+    // a smooth 1-D manifold in R^16: neighbor distances grow with index
+    // gap, so near-neighbor structure is COARSER than quantization error
+    // (PQ cannot rank pure-noise neighbors, by design)
+    Seq.tabulate(80) { i =>
+      (i.toLong, Array.tabulate(dim)(j =>
+        (5.0 * math.sin(2 * math.Pi * (i / 40.0 + j / 16.0))).toFloat +
+          rnd.nextGaussian().toFloat * 0.05f).toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+  }
+
+  test("trainPqCodebooks: full m x k codebook with subDim centroids; seeded-deterministic") {
+    val cb = Pq.trainPqCodebooks(corpus, "embedding", m, k, seed = 11L)
+    val rows = cb.select("sub", "code").as[(Int, Int)].collect()
+    assert(rows.length == m * k)
+    assert(rows.toSet == (for (s <- 0 until m; c <- 0 until k) yield (s, c)).toSet)
+    assert(cb.select(size(col("centroid"))).as[Int].collect().forall(_ == dim / m))
+    val again = Pq.trainPqCodebooks(corpus, "embedding", m, k, seed = 11L)
+    assert(cb.collect().map(_.toString).sorted
+      .sameElements(again.collect().map(_.toString).sorted))
+  }
+
+  test("encodePq matches the driver-side per-subspace argmin") {
+    val cb = Pq.codebookArrays(Pq.trainPqCodebooks(corpus, "embedding", m, k, seed = 11L))
+    val enc = Pq.encodePq(corpus, "embedding", cb)
+      .select("vec_id", "embedding", "codes")
+      .as[(Long, Seq[Float], Seq[Int])].collect()
+    for ((_, emb, codes) <- enc; s <- 0 until m) {
+      val slice = emb.slice(s * (dim / m), (s + 1) * (dim / m)).map(_.toDouble)
+      val dists = cb(s).map(c =>
+        slice.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+      val ref = dists.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+      assert(codes(s) == ref, s"sub $s: code ${codes(s)} vs argmin $ref")
+    }
+  }
+
+  test("ADC top-k tracks exact L2 neighbors; exact re-rank recovers cosine order") {
+    val probes = corpus.filter(col("vec_id") % 10 === 0)
+    val all = corpus.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().map { case (id, e) =>
+        id -> e.map(_.toDouble).toArray }.toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // exact L2 top-5 — ADC approximates L2 distance, so L2 (not cosine)
+    // is the right reference metric
+    val probeIds = all.keys.filter(_ % 10 == 0)
+    val exactL2 = probeIds.map { p =>
+      p -> all.keys.filter(_ != p).toSeq
+        .sortBy(c => (l2(all(p), all(c)), c)).take(5).toSet
+    }.toMap
+
+    // cells = 1: no IVF pruning, isolating pure ADC quantization error
+    val approx = Pq.pqIvfTopK(corpus, probes, topk = 5, m = m, k = k,
+        cells = 1, seed = 11L)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exactL2.map { case (p, s) =>
+      approx.getOrElse(p, Set.empty).intersect(s).size.toDouble / s.size }
+    assert(recall.sum / recall.size > 0.5,
+      s"ADC recall vs exact L2 ${recall.sum / recall.size} too low")
+
+    // two-stage: ADC shortlist of 20, exact cosine re-rank to 5 — held to
+    // the exact cosine brute force
+    val exactCos = Similarity.bruteForceTopK(corpus, probes, k = 5)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val reranked = Pq.pqIvfTopK(corpus, probes, topk = 5, m = m, k = k,
+        cells = 1, seed = 11L, rerank = 20)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall2 = exactCos.map { case (p, s) =>
+      reranked.getOrElse(p, Set.empty).intersect(s).size.toDouble / s.size }
+    assert(recall2.sum / recall2.size > 0.7,
+      s"re-ranked cosine recall ${recall2.sum / recall2.size} too low")
+  }
+}
