@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.EtlJob
 import graft.functions.TextFunctions
-import graft.ops.{Chunking, Dedup, Sampling, Scd, Stats, TextAnalysis, WebText}
+import graft.ops.{Chunking, Dedup, Dsir, QualityClassifier, Sampling, Scd,
+  Stats, TextAnalysis, WebText}
 
 /** Manifest-loadable job classes for the training-data pipeline — the
   * `class:` twin of the reference's frameworked jobs
@@ -32,6 +33,75 @@ class DedupExactJob extends EtlJob {
     Dedup.exactKeepFirst(
       df.withColumn("_fp", TextFunctions.fingerprint(col(P.text(params)))),
       Seq("_fp"), Seq(col(P.id(params)))).drop("_fp")
+  }
+}
+
+/** Exact dedup at the NORMALIZED-text grain from YAML
+  * ([[Dedup.dedupExactNormalized]]): collapses re-rendered copies
+  * (casing/punctuation/digit-run/whitespace variants) in one
+  * hash-groupBy, keeping the min id with a `n_copies` count — the
+  * aggressive-canonicalization complement of [[DedupExactJob]].
+  */
+class NormalizedDedupJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame =
+    Dedup.dedupExactNormalized(inputs.values.head, P.id(params), P.text(params))
+}
+
+/** DSIR importance-resampled selection from YAML ([[graft.ops.Dsir]]):
+  * fit hashed-n-gram LMs on the `target_input` frame and the raw corpus
+  * (the remaining input), score the raw corpus with importance
+  * log-weights, keep a deterministic Gumbel-top-`k`, and return the
+  * selected documents with their scores. Params: `target_input`
+  * (required — the input name holding the target corpus), `n` (2),
+  * `buckets` (4096), `alpha` (1.0), `k` (required), `salt`.
+  */
+class DsirSelectJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val targetName = params.getOrElse("target_input",
+      sys.error("DsirSelectJob: target_input param is required"))
+    require(inputs.contains(targetName),
+      s"DsirSelectJob: no input named '$targetName' (have ${inputs.keys.mkString(", ")})")
+    val target = inputs(targetName)
+    val raw = (inputs - targetName).values.headOption.getOrElse(
+      sys.error("DsirSelectJob: needs a raw-corpus input besides target_input"))
+    val textCol = P.text(params)
+    val n = params.getOrElse("n", "2").toInt
+    val buckets = params.getOrElse("buckets", "4096").toInt
+    val alpha = params.getOrElse("alpha", "1.0").toDouble
+    val k = params.getOrElse("k", sys.error("DsirSelectJob: k is required")).toInt
+    val salt = params.getOrElse("salt", "dsir")
+    val tLm = Dsir.fitHashedLm(target, textCol, n, buckets, alpha, salt)
+    val rLm = Dsir.fitHashedLm(raw, textCol, n, buckets, alpha, salt)
+    val w = Dsir.importanceWeights(raw, P.id(params), textCol, tLm, rLm,
+      n, buckets, salt)
+    Dsir.gumbelTopK(w, "doc_id", k, salt + "_gumbel")
+      .join(raw.withColumnRenamed(P.id(params), "doc_id"), "doc_id")
+  }
+}
+
+/** Model-based quality filter from YAML
+  * ([[graft.ops.QualityClassifier]]): train the hashed bag-of-words
+  * logistic model on the labeled input (`label_col`, default `label`),
+  * score the same rows with the exact integer-logit pass, and keep docs
+  * whose rounded score clears `tau`. Params: `buckets` (1024), `tau`
+  * (0.5), `label_col`. Separate score-only corpora plug in by training
+  * upstream and persisting the weight table ([[QualityClassifier]]'s
+  * scoreDocs works from any weights frame).
+  */
+class ClassifierFilterJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val df = inputs.values.head
+    val buckets = params.getOrElse("buckets", "1024").toInt
+    val tau = params.getOrElse("tau", "0.5").toDouble
+    val weights = QualityClassifier.fitQualityModel(df, P.text(params),
+      params.getOrElse("label_col", "label"), buckets)
+    QualityClassifier.filterByQuality(df, P.id(params), P.text(params),
+        weights, buckets, tau)
+      .filter(col("kept"))
+      .join(df.withColumnRenamed(P.id(params), "doc_id"), "doc_id")
   }
 }
 

@@ -56,6 +56,12 @@ object QualityClassifier {
     })
     val train = labeled.select(col(labelCol).cast("double").as("label"),
       toVec(tokenBuckets(col(textCol), buckets, salt)).as("features"))
+    // single-class input makes MLlib return an INFINITE intercept, which
+    // then poisons the quantized weight table — fail loudly instead (the
+    // labeled set is small by contract, so the check is cheap)
+    val nClasses = train.select("label").distinct().count()
+    require(nClasses == 2,
+      s"fitQualityModel: labeled set must contain both classes, got $nClasses")
     val model = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam).setStandardization(false)
       .fit(train)

@@ -259,6 +259,33 @@ class FlowSpec extends SparkSpec {
       direct.select("doc_id").except(kept.select("doc_id")).isEmpty)
   }
 
+  test("llm_pipeline.yml runs the DSIR-select and classifier-filter branch") {
+    import org.apache.spark.sql.functions._
+    val loaded = Manifest.loadFile("conf/llm_pipeline.yml", Seq("dev"), Map.empty)
+    val selected = Flow.runPipeline(spark, loaded.jobs, "dsir_select",
+      save = false)("dsir_select")
+    assert(selected.count() == 100) // k = 100 from the manifest
+    assert(Seq("doc_id", "log_w", "rank", "text")
+      .forall(selected.columns.contains))
+    // the YAML composition IS the library op chain
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val target = docs.filter(col("doc_id") % 37 === 0)
+    val tLm = graft.ops.Dsir.fitHashedLm(target, "text", 2, 512)
+    val rLm = graft.ops.Dsir.fitHashedLm(docs, "text", 2, 512)
+    val w = graft.ops.Dsir.importanceWeights(docs, "doc_id", "text",
+      tLm, rLm, 2, 512)
+    val direct = graft.ops.Dsir.gumbelTopK(w, "doc_id", 100)
+    assert(selected.select("doc_id").except(direct.select("doc_id")).isEmpty)
+
+    val kept = Flow.runPipeline(spark, loaded.jobs, "classifier_filter",
+      save = false)("classifier_filter")
+    val n = kept.count()
+    assert(n > 0 && n < docs.count(), s"classifier kept $n docs")
+    // every survivor is a positively-pseudo-labeled doc scored >= tau
+    assert(kept.filter(col("score") < 0.5).count() == 0)
+  }
+
   test("dry-run plan resolves the upstream closure without a SparkSession") {
     val loaded = Manifest.loadFile("conf/llm_pipeline.yml", Seq("dev"), Map.empty)
     val plan = graft.Runner.dryRunPlan(loaded.jobs, "split_corpus",
