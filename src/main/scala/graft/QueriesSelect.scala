@@ -139,8 +139,12 @@ object QueriesSelect {
       .select((col("doc_id") + 200000).as("doc_id"),
         concat(lit(q105Junk), substring(col("text"), 1, 40)).as("text"))
     val corpus = docs.unionByName(junk)
+    // train on the 25% labeled slice, score the FULL corpus — the
+    // production shape (labels are scarce; the corpus is not); junk ids
+    // are 200000 + 5k, and 200000 % 4 == 0, so both classes survive
     val labeled = docs.withColumn("label", lit(1.0))
       .unionByName(junk.withColumn("label", lit(0.0)))
+      .filter(pmod(col("doc_id"), lit(4)) === 0)
     QualityClassifier.fitQualityModel(labeled, "text", "label",
         buckets = 256)
       .write.mode("overwrite").parquet(q105WeightsPath)
@@ -191,10 +195,14 @@ object QueriesSelect {
   val q106 = QueryDef("q106_pq_adc", (spark, dir) => {
     QueriesScale.reapStaleSideTables("q106_pq")
     val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
-    val (clustered, model) = Similarity.kmeansCells(emb, cells = 16, seed = 42L)
+    // models train on a 25% sample (codebooks need distribution
+    // coverage, not the corpus); assignment/encoding runs on everything
+    val sample = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+    val (_, model) = Similarity.kmeansCells(sample, cells = 16, seed = 42L)
+    val clustered = Similarity.assignCells(emb, model)
     clustered.select("vec_id", "cell")
       .write.mode("overwrite").parquet(s"$q106Dir/cells")
-    Pq.trainPqCodebooks(emb, "embedding", m = 4, k = 16, seed = 7L)
+    Pq.trainPqCodebooks(sample, "embedding", m = 4, k = 16, seed = 7L)
       .write.mode("overwrite").parquet(s"$q106Dir/codebook")
     val codebook = spark.read.parquet(s"$q106Dir/codebook")
     val cb = Pq.codebookArrays(codebook)
