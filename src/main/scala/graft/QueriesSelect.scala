@@ -215,7 +215,7 @@ object QueriesSelect {
       .filter(col("vec_id") % 25 === 0)
       .join(emb, "vec_id")
       .select(col("vec_id").as("probe_id"), col("cell"), col("embedding"))
-    Pq.adcTopK(candCodes, probes, codebook, topk = 5)
+    Pq.adcTopKFused(candCodes, probes, cb, topk = 5)
       .select("probe_id", "cand_id", "adc_micro", "rank")
   }, Some(
     s"""WITH cells AS (SELECT vec_id, cell

@@ -301,6 +301,173 @@ case class NearestCells(child: Expression,
     copy(child = newChild)
 }
 
+/** Per-probe PQ distance tables ([[graft.ops.Pq]]): for a probe
+  * embedding and a broadcast codebook `[sub][code][subDim]`, emit the
+  * `m × k` table of squared-L2 distances from the probe's s-th slice to
+  * subspace s's code c — the asymmetric-distance lookup table, built
+  * ONCE per probe row in a single codegen'd loop instead of an m·k-row
+  * join. Raw doubles out; callers quantize with Catalyst `round` so the
+  * arithmetic is bit-identical to the relational ADC path and the SQL
+  * oracle. Slice s covers elements [s·subDim, (s+1)·subDim); a probe
+  * shorter than the codebook's dim treats missing elements as absent
+  * (the loop bounds to the overlap, matching `zip_with`'s null-free
+  * prefix semantics for equal-length inputs).
+  */
+case class PqDistTables(child: Expression,
+                        codebook: Broadcast[Array[Array[Array[Double]]]])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_dist_tables expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def prettyName: String = "pq_dist_tables"
+
+  @transient private lazy val cb: Array[Array[Array[Double]]] = codebook.value
+
+  override def nullSafeEval(input: Any): Any = {
+    val emb = input.asInstanceOf[ArrayData]
+    val m = cb.length
+    val rows = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val codes = cb(s)
+      val k = codes.length
+      val subDim = if (k > 0) codes(0).length else 0
+      val off = s * subDim
+      val row = new Array[Double](k)
+      var c = 0
+      while (c < k) {
+        val cen = codes(c)
+        val n = math.min(math.max(emb.numElements() - off, 0), subDim)
+        var acc = 0.0
+        var j = 0
+        while (j < n) {
+          val diff = emb.getFloat(off + j).toDouble - cen(j)
+          acc += diff * diff
+          j += 1
+        }
+        row(c) = acc
+        c += 1
+      }
+      rows(s) = new GenericArrayData(row)
+      s += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("pqCodebookBc", codebook,
+      "org.apache.spark.broadcast.Broadcast")
+    // deserialize the broadcast once per task, not once per row
+    val cbVar = ctx.addMutableState("double[][][]", "pqCodebook",
+      v => s"$v = (double[][][]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, emb => {
+      val m = ctx.freshName("m")
+      val rows = ctx.freshName("rows")
+      val s = ctx.freshName("s")
+      val codes = ctx.freshName("codes")
+      val k = ctx.freshName("k")
+      val subDim = ctx.freshName("subDim")
+      val off = ctx.freshName("off")
+      val row = ctx.freshName("row")
+      val c = ctx.freshName("c")
+      val cen = ctx.freshName("cen")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
+      val diff = ctx.freshName("diff")
+      s"""
+         |int $m = $cbVar.length;
+         |Object[] $rows = new Object[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  double[][] $codes = $cbVar[$s];
+         |  int $k = $codes.length;
+         |  int $subDim = $k > 0 ? $codes[0].length : 0;
+         |  int $off = $s * $subDim;
+         |  double[] $row = new double[$k];
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    double[] $cen = $codes[$c];
+         |    int $n = java.lang.Math.min(
+         |      java.lang.Math.max($emb.numElements() - $off, 0), $subDim);
+         |    double $acc = 0.0;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      double $diff = (double) $emb.getFloat($off + $j) - $cen[$j];
+         |      $acc += $diff * $diff;
+         |    }
+         |    $row[$c] = $acc;
+         |  }
+         |  $rows[$s] = new org.apache.spark.sql.catalyst.util.GenericArrayData($row);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($rows);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC lookup-sum ([[graft.ops.Pq]]): given a probe's quantized distance
+  * table `array<array<long>>` and a candidate's codes `array<int>`,
+  * return Σ_s table[s][codes[s]] — the per-pair asymmetric distance as
+  * one tight codegen'd loop. This runs once per (probe, candidate) pair,
+  * the hottest spot of PQ search; a `aggregate`/`element_at` lambda
+  * chain evaluates interpreted per element and measurably drags the
+  * whole scoring stage. Exact long arithmetic, identical to the lambda
+  * and relational forms (spec-pinned). Out-of-range codes throw — a
+  * mismatched codebook/codes pairing must fail loudly, not rank garbage.
+  */
+case class PqAdcScore(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ArrayType(LongType, _), _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_score expects (array<array<bigint>>, array<int>), " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc_score"
+
+  override def nullSafeEval(tables: Any, codes: Any): Any = {
+    val t = tables.asInstanceOf[ArrayData]
+    val c = codes.asInstanceOf[ArrayData]
+    val m = math.min(t.numElements(), c.numElements())
+    var acc = 0L
+    var s = 0
+    while (s < m) {
+      acc += t.getArray(s).getLong(c.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (tables, codes) => {
+      val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      val s = ctx.freshName("s")
+      s"""
+         |int $m = java.lang.Math.min($tables.numElements(), $codes.numElements());
+         |long $acc = 0L;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  $acc += $tables.getArray($s).getLong($codes.getInt($s));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Unicode normalization (NFC/NFD/NFKC/NFKD) as a codegen'd expression —
   * Spark ships no normalizer function, yet crawl corpora mix composed and
   * decomposed forms of the same grapheme ("café" as 4 or 5 code points),
@@ -357,6 +524,10 @@ object NativeFunctions {
     "norm_nfc" -> { args =>
       require(args.length == 1, "norm_nfc takes 1 argument")
       NormalizeUtf8(args(0), "NFC")
+    },
+    "pq_adc_score" -> { args =>
+      require(args.length == 2, "pq_adc_score takes 2 arguments")
+      PqAdcScore(args(0), args(1))
     })
 
   // weak keys: sessions must stay collectible after stop(); synchronized:
@@ -402,6 +573,10 @@ object NativeFunctions {
     */
   def normNfc(s: Column): Column = call_function("norm_nfc", s)
 
+  /** Column API for the ADC lookup-sum (via the registry, like [[dotF]]). */
+  def pqAdcScore(tables: Column, codes: Column): Column =
+    call_function("pq_adc_score", tables, codes)
+
   /** Column API for [[LshBuckets]]. Built directly (not via the function
     * registry — the broadcast handle is not an Expression argument).
     */
@@ -422,5 +597,17 @@ object NativeFunctions {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(
       NearestCells(GraftSqlBridge.expression(emb), centroids, nprobe))
+  }
+
+  /** Column API for [[PqDistTables]] (direct construction, like
+    * [[lshBuckets]] — the broadcast handle is not an Expression argument).
+    */
+  def pqDistTables(emb: Column,
+                   codebook: Broadcast[Array[Array[Array[Double]]]]): Column = {
+    require(codebook.value.nonEmpty && codebook.value(0).nonEmpty,
+      "pqDistTables: empty codebook")
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      PqDistTables(GraftSqlBridge.expression(emb), codebook))
   }
 }

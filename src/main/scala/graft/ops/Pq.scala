@@ -133,6 +133,36 @@ object Pq {
       .orderBy("probe_id", "rank")
   }
 
+  /** Fused ADC top-k — the scale path. Same semantics as [[adcTopK]],
+    * different plan: the per-probe distance table is built by the native
+    * [[graft.functions.PqDistTables]] expression as a COLUMN on the
+    * broadcast probe side (quantized with the same Catalyst `round`, so
+    * outputs are bit-identical — spec-pinned), and each (probe, cand)
+    * pair scores with m table lookups in one codegen'd `aggregate` —
+    * no (cell, sub, code) join, no m-row code explosion, no aggregation
+    * shuffle. Per pair the work is m array reads instead of m joined
+    * rows through a hash aggregate; the only shuffle left is the
+    * per-probe top-k window.
+    */
+  def adcTopKFused(candCodes: DataFrame, probes: DataFrame,
+                   cb: Array[Array[Array[Double]]], topk: Int): DataFrame = {
+    val bc = probes.sparkSession.sparkContext.broadcast(cb)
+    val tables = transform(
+      graft.functions.NativeFunctions.pqDistTables(col("embedding"), bc),
+      r => transform(r, d => round(round(d, 6) * lit(1e6), 0).cast("long")))
+    val p = probes.select(col("probe_id"), col("cell"), tables.as("_tables"))
+    val scored = candCodes.join(broadcast(p), "cell")
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("adc_micro",
+        graft.functions.NativeFunctions.pqAdcScore(col("_tables"), col("codes")))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("adc_micro").asc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topk)
+      .select("probe_id", "cand_id", "adc_micro", "rank")
+      .orderBy("probe_id", "rank")
+  }
+
   /** End-to-end IVF-PQ: k-means cells prune the candidate set, PQ codes
     * compress it, ADC ranks it, and an optional exact re-rank pass
     * (`rerank` > topk) rescores the ADC shortlist with true cosine —
@@ -156,9 +186,9 @@ object Pq {
       .select(col("vec_id").as("cand_id"), col("cell"), col("codes"))
     val assigned = assignedRaw
       .select(col("vec_id").as("probe_id"), col("cell"), col("embedding"))
-    if (rerank <= topk) adcTopK(candCodes, assigned, codebook, topk)
+    if (rerank <= topk) adcTopKFused(candCodes, assigned, cb, topk)
     else {
-      val shortlist = adcTopK(candCodes, assigned, codebook, rerank)
+      val shortlist = adcTopKFused(candCodes, assigned, cb, rerank)
         .select("probe_id", "cand_id")
       val pe = probes.select(col("vec_id").as("probe_id"),
         col("embedding").as("p_emb"))

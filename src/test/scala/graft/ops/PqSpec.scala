@@ -48,6 +48,23 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("fused ADC (native dist tables) is bit-identical to the relational ADC join") {
+    val codebook = Pq.trainPqCodebooks(corpus, "embedding", m, k, seed = 11L)
+    val cb = Pq.codebookArrays(codebook)
+    val (clustered, model) = Similarity.kmeansCells(corpus, cells = 4, seed = 11L)
+    val candCodes = Pq.encodePq(clustered, "embedding", cb)
+      .select(col("vec_id").as("cand_id"), col("cell"), col("codes"))
+    val probes = Similarity.assignCells(corpus.filter(col("vec_id") % 10 === 0), model)
+      .select(col("vec_id").as("probe_id"), col("cell"), col("embedding"))
+    val joinPath = Pq.adcTopK(candCodes, probes, codebook, topk = 7)
+      .select("probe_id", "cand_id", "adc_micro", "rank")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val fused = Pq.adcTopKFused(candCodes, probes, cb, topk = 7)
+      .select("probe_id", "cand_id", "adc_micro", "rank")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(joinPath.nonEmpty && joinPath == fused)
+  }
+
   test("ADC top-k tracks exact L2 neighbors; exact re-rank recovers cosine order") {
     val probes = corpus.filter(col("vec_id") % 10 === 0)
     val all = corpus.select("vec_id", "embedding")
