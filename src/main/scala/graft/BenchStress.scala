@@ -121,6 +121,32 @@ object BenchStress {
       graft.ops.Similarity.ivfTopK(stressedEmb,
         stressedEmb.filter(col("vec_id") % 1000 === 0), "label", k = 10).count()
     }
+
+    // PQ ADC at production-ish params (m=8, k=256): the fused native
+    // path's claim — no per-(sub,code) row explosion, no aggregation
+    // shuffle — must show up as wall-clock against the relational join
+    // form on the same codes/probes (outputs are spec-pinned identical).
+    // Cells here are a plain hash partition: the stress isolates ADC
+    // scoring, not IVF training.
+    val withCell = stressedEmb
+      .withColumn("cell", pmod(col("vec_id"), lit(16L)))
+    val pqCodebook = graft.ops.Pq.trainPqCodebooks(
+      stressedEmb.filter(pmod(col("vec_id"), lit(7L)) === 0),
+      "embedding", m = 8, k = 256, seed = 3L).localCheckpoint()
+    val pqCb = graft.ops.Pq.codebookArrays(pqCodebook)
+    val pqCodes = graft.ops.Pq.encodePq(withCell, "embedding", pqCb)
+      .select(col("vec_id").as("cand_id"), col("cell"), col("codes"))
+      .localCheckpoint()
+    val pqProbes = withCell.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("probe_id"), col("cell"), col("embedding"))
+      .localCheckpoint()
+    println(s"pq: ${pqCodes.count()} codes, ${pqProbes.count()} probes, m=8 k=256")
+    time("pq ADC (relational)") {
+      graft.ops.Pq.adcTopK(pqCodes, pqProbes, pqCodebook, 10).count()
+    }
+    time("pq ADC (fused native)") {
+      graft.ops.Pq.adcTopKFused(pqCodes, pqProbes, pqCb, 10).count()
+    }
     spark.stop()
   }
 }
