@@ -551,6 +551,65 @@ object QueriesText {
       |FROM reb JOIN tot ON reb.doc_id = tot.doc_id
       |ORDER BY reb.doc_id""".stripMargin))
 
+  /** Span-level decontamination ([[Dedup.dedupSpansAgainst]]): the
+    * reference set is the `doc_id % 50` eval slice plus a fixed QA
+    * phrase; every 7th corpus doc carries the phrase mid-document, and
+    * the eval docs' own leading tokens appear verbatim in the corpus
+    * rendering. Only the contaminated spans go — surrounding text
+    * survives token-exact. The oracle replays window fingerprints, the
+    * reference window-set join, coverage union, and reassembly.
+    */
+  val q107 = QueryDef("q107_span_decontaminate", (spark, dir) => {
+    val phrase = "the quick benchmark question answer pairs appear here verbatim today"
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val corpus = docs.select(col("doc_id"),
+      concat_ws(" ",
+        substring(col("text"), 1, 100),
+        when(col("doc_id") % 7 === 0, lit(phrase)),
+        substring(col("text"), 101, 100)
+      ).as("text"))
+    val ref = docs.filter(col("doc_id") % 50 === 0)
+      .unionByName(spark.range(1).select(lit(999999L).as("doc_id"),
+        lit(phrase).as("text")))
+    Dedup.dedupSpansAgainst(corpus, ref, "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+  }, Some(
+    """WITH corpus AS (
+      |  SELECT doc_id, concat_ws(' ',
+      |    substr(text, 1, 100),
+      |    CASE WHEN doc_id % 7 = 0 THEN 'the quick benchmark question answer pairs appear here verbatim today' END,
+      |    substr(text, 101, 100)) AS text
+      |  FROM documents),
+      |ref AS (SELECT text FROM documents WHERE doc_id % 50 = 0
+      |        UNION ALL
+      |        SELECT 'the quick benchmark question answer pairs appear here verbatim today'),
+      |rspl AS (SELECT string_split(text, ' ') AS l FROM ref),
+      |refw AS (SELECT DISTINCT md5(array_to_string(l[i : i + 7], ' ')) AS wkey
+      |         FROM (SELECT l, unnest(generate_series(1, len(l) - 7)) AS i
+      |               FROM rspl WHERE len(l) >= 8)),
+      |spl AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+      |wins AS (SELECT doc_id, i AS start,
+      |           md5(array_to_string(l[i : i + 7], ' ')) AS wkey
+      |         FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 7)) AS i
+      |               FROM spl WHERE len(l) >= 8)),
+      |cut AS (SELECT doc_id, start FROM wins JOIN refw USING (wkey)),
+      |cov AS (SELECT DISTINCT doc_id, pos FROM
+      |        (SELECT doc_id, unnest(generate_series(start, start + 7)) AS pos
+      |         FROM cut)),
+      |tok AS (SELECT doc_id, i AS pos, l[i] AS tok
+      |        FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+      |              FROM spl)),
+      |kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+      |         LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+      |         WHERE cov.doc_id IS NULL),
+      |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+      |               count(*) AS n_kept
+      |        FROM kept GROUP BY doc_id),
+      |tot AS (SELECT doc_id, len(l) AS n_toks FROM spl)
+      |SELECT reb.doc_id, text, n_kept, n_toks - n_kept AS n_removed
+      |FROM reb JOIN tot ON reb.doc_id = tot.doc_id
+      |ORDER BY reb.doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q86, q87, q96, q99, q101)
+    q74, q86, q87, q96, q99, q101, q107)
 }

@@ -888,22 +888,40 @@ object Dedup {
   def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 8, sep: String = " "): DataFrame = {
     require(k >= 2, s"span width k must be >= 2 tokens, got $k")
-    val arr = split(col(textCol), java.util.regex.Pattern.quote(sep))
-    val toks = docs.select(col(idCol).as("id"), arr.as("toks"),
-      size(arr).as("n_toks"))
-    // (id, start[1-based], wkey): all k-token windows, fingerprinted
-    val wins = toks.filter(col("n_toks") >= k)
-      .select(col("id"), explode(transform(
-        sequence(lit(1), col("n_toks") - (k - 1)),
-        s => struct(s.cast("int").as("start"),
-          md5(array_join(slice(col("toks"), s, lit(k)), sep)).as("wkey")))).as("w"))
-      .select(col("id"), col("w.start").as("start"), col("w.wkey").as("wkey"))
+    val toks = spanToks(docs, idCol, textCol, sep)
+    val wins = spanWindows(toks, k, sep)
     val grp = wins.groupBy("wkey").agg(
       min(struct(col("id"), col("start"))).as("keep"),
       countDistinct(col("id")).as("n_docs"))
     val cut = wins.join(grp.filter(col("n_docs") >= 2), "wkey")
       .filter(!(col("id") === col("keep.id") && col("start") === col("keep.start")))
       .select(col("id"), col("start"))
+    reassembleUncovered(toks, cut, idCol, k, sep)
+  }
+
+  /** `(id, toks, n_toks)` token frame for the span family. */
+  private def spanToks(docs: DataFrame, idCol: String,
+                       textCol: String, sep: String): DataFrame = {
+    val arr = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    docs.select(col(idCol).as("id"), arr.as("toks"), size(arr).as("n_toks"))
+  }
+
+  /** (id, start[1-based], wkey): all k-token windows, fingerprinted. */
+  private def spanWindows(toks: DataFrame, k: Int, sep: String): DataFrame =
+    toks.filter(col("n_toks") >= k)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), col("n_toks") - (k - 1)),
+        s => struct(s.cast("int").as("start"),
+          md5(array_join(slice(col("toks"), s, lit(k)), sep)).as("wkey")))).as("w"))
+      .select(col("id"), col("w.start").as("start"), col("w.wkey").as("wkey"))
+
+  /** Drop every token position covered by a cut window and reassemble
+    * each doc's surviving tokens in order → `(id, text, n_kept,
+    * n_removed)`. Docs with no cuts pass through byte-identical.
+    */
+  private def reassembleUncovered(toks: DataFrame, cut: DataFrame,
+                                  idCol: String, k: Int,
+                                  sep: String): DataFrame = {
     val covered = cut.select(col("id"),
         explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
       .distinct()
@@ -920,6 +938,40 @@ object Dedup {
         max(col("n_toks")).as("n_toks"))
       .select(col("id").as(idCol), col("text"), col("n_kept"),
         (col("n_toks").cast("long") - col("n_kept")).as("n_removed"))
+  }
+
+  /** Span-level DECONTAMINATION: remove every ≥`k`-token span of a
+    * corpus document that appears verbatim in a reference corpus
+    * (benchmark/eval set), keeping the rest of the document — the
+    * Llama-style decontamination that doc-level flagging
+    * ([[TextAnalysis.contaminationFlags]]) can't express: there the doc
+    * is kept or dropped whole; here only the contaminated tokens go.
+    * Same window-fingerprint machinery as [[dedupSpans]], but matched
+    * against the reference's window set instead of first-occurrence
+    * ranking.
+    *
+    * Scale shape: the reference window set is distinct-reduced and
+    * broadcast when small (eval sets are, by definition), gated like
+    * [[TextAnalysis.contaminationFlags]] with a shuffle-join fallback —
+    * pass `refWinRows` from a prior count to skip the gate's count. The
+    * corpus is never shuffled before the window join; the reassembly
+    * aggregates by doc id.
+    */
+  def dedupSpansAgainst(docs: DataFrame, ref: DataFrame, idCol: String,
+                        textCol: String, k: Int = 8, sep: String = " ",
+                        maxBroadcastWins: Long = 10000000L,
+                        refWinRows: Option[Long] = None): DataFrame = {
+    require(k >= 2, s"span width k must be >= 2 tokens, got $k")
+    val toks = spanToks(docs, idCol, textCol, sep)
+    val wins = spanWindows(toks, k, sep)
+    val refWins = spanWindows(spanToks(ref, idCol, textCol, sep), k, sep)
+      .select("wkey").distinct()
+    val refSide =
+      if (refWinRows.getOrElse(refWins.count()) <= maxBroadcastWins)
+        broadcast(refWins)
+      else refWins
+    val cut = wins.join(refSide, "wkey").select(col("id"), col("start"))
+    reassembleUncovered(toks, cut, idCol, k, sep)
   }
 
   /** 64-bit SimHash fingerprint per document: per-bit majority vote over

@@ -96,6 +96,62 @@ class DedupSpansSpec extends SparkSpec {
   }
 }
 
+/** Span-level decontamination: corpus spans matching a reference (eval)
+  * corpus are cut wherever they occur; everything else — including text
+  * repeated across corpus docs but absent from the reference — survives.
+  */
+class DedupSpansAgainstSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val evalSpan = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10" // 10 tokens
+
+  test("only reference-matching spans are cut; corpus-internal dups survive") {
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = Seq(
+      (1L, s"alpha beta $evalSpan gamma delta"),
+      (2L, s"$boiler one two"),
+      (3L, s"three four $boiler"), // boiler repeats in corpus, not in ref
+      (4L, evalSpan)               // pure contamination — must vanish
+    ).toDF("doc_id", "text")
+    val ref = Seq((100L, s"prompt says $evalSpan answer")).toDF("doc_id", "text")
+    val out = Dedup.dedupSpansAgainst(docs, ref, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), "doc 4 must vanish")
+    assert(out(0).getString(1) == "alpha beta gamma delta")
+    assert(out(0).getAs[Long]("n_removed") == 10L)
+    // corpus-internal duplication is NOT decontamination — both copies stay
+    assert(out(1).getString(1) == s"$boiler one two")
+    assert(out(2).getString(1) == s"three four $boiler")
+    assert(out(1).getAs[Long]("n_removed") == 0L)
+  }
+
+  test("sub-k overlap passes through; shuffle fallback matches broadcast path") {
+    val docs = Seq(
+      (1L, "q1 q2 q3 q4 q5 other words entirely different here now"),
+      (2L, s"intro $evalSpan outro")
+    ).toDF("doc_id", "text")
+    val ref = Seq((9L, evalSpan)).toDF("doc_id", "text")
+    val bc = Dedup.dedupSpansAgainst(docs, ref, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+    // 7-token overlap (< k=8) is not a contaminated span
+    assert(bc(0).getString(1).startsWith("q1 q2 q3 q4 q5"))
+    assert(bc(0).getAs[Long]("n_removed") == 0L)
+    assert(bc(1).getString(1) == "intro outro")
+    val shuf = Dedup.dedupSpansAgainst(docs, ref, "doc_id", "text", k = 8,
+      maxBroadcastWins = 0L).orderBy("doc_id").collect()
+    assert(bc.map(_.toSeq).toSeq == shuf.map(_.toSeq).toSeq)
+  }
+
+  test("refWinRows hint skips the gate count and picks the broadcast path") {
+    val docs = Seq((1L, s"pre $evalSpan post")).toDF("doc_id", "text")
+    val ref = Seq((9L, evalSpan)).toDF("doc_id", "text")
+    val out = Dedup.dedupSpansAgainst(docs, ref, "doc_id", "text", k = 8,
+      refWinRows = Some(3L))
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(out.collect().head.getString(1) == "pre post")
+  }
+}
+
 class NormalizeUtf8Spec extends SparkSpec {
   import spark.implicits._
 
