@@ -381,5 +381,50 @@ object QueriesData {
       |SELECT doc_id, s AS text, CAST(length(s) AS BIGINT) AS n_chars
       |FROM s6 ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q88, q89, q90, q91, q93, q97, q100, q108)
+  /** Host-graph PageRank ([[graft.ops.Graph.pageRank]]): a 50-host link
+    * graph synthesized from documents (two hash-derived links per doc
+    * plus a hub edge to h0), ranked for 5 exact-integer rounds. The
+    * oracle unrolls the same 5 rounds as chained CTEs with DuckDB's `//`
+    * floor division — identical to Spark's `div` for the non-negative
+    * ranks — so the hash gate pins every micro-unit of every round.
+    */
+  val q109 = QueryDef("q109_host_pagerank", (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    def host(e: org.apache.spark.sql.Column) = concat(lit("h"), e.cast("string"))
+    val edges = d.select(host(col("doc_id") % 50).as("src"),
+        host((col("doc_id") * 7 + 3) % 50).as("dst"))
+      .unionByName(d.select(host(col("doc_id") % 50).as("src"),
+        host((col("doc_id") * 13 + 1) % 50).as("dst")))
+      .unionByName(d.filter(col("doc_id") % 50 =!= 0)
+        .select(host(col("doc_id") % 50).as("src"), lit("h0").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 5)
+      .orderBy(desc("rank_micro"), col("id"))
+  }, Some {
+    val rounds = (1 to 5).map { i =>
+      s"""c$i AS (SELECT e.dst, CAST(SUM(((p${i - 1}.rank_micro * 850000) // 1000000) // e.outdeg) AS BIGINT) AS in_mass
+         |        FROM e JOIN p${i - 1} ON p${i - 1}.id = e.src GROUP BY e.dst),
+         |p$i AS (SELECT v.id, (SELECT base FROM k) + COALESCE(c$i.in_mass, 0) AS rank_micro
+         |        FROM v LEFT JOIN c$i ON c$i.dst = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT 'h' || (doc_id % 50) AS src, 'h' || ((doc_id * 7 + 3) % 50) AS dst FROM documents
+       |    UNION ALL
+       |    SELECT 'h' || (doc_id % 50), 'h' || ((doc_id * 13 + 1) % 50) FROM documents
+       |    UNION ALL
+       |    SELECT 'h' || (doc_id % 50), 'h0' FROM documents WHERE doc_id % 50 <> 0)
+       |  WHERE src <> dst),
+       |v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed)),
+       |od AS (SELECT src, COUNT(*) AS outdeg FROM ed GROUP BY src),
+       |e AS (SELECT ed.src, ed.dst, od.outdeg FROM ed JOIN od ON od.src = ed.src),
+       |k AS (SELECT 1000000000000 // COUNT(*) AS init,
+       |             (150000 * (1000000000000 // COUNT(*))) // 1000000 AS base
+       |      FROM v),
+       |p0 AS (SELECT id, (SELECT init FROM k) AS rank_micro FROM v),
+       |$rounds
+       |SELECT id, rank_micro FROM p5 ORDER BY rank_micro DESC, id""".stripMargin
+  })
+
+  val all: Seq[QueryDef] = Seq(q88, q89, q90, q91, q93, q97, q100, q108, q109)
 }

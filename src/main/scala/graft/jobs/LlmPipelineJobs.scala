@@ -301,6 +301,22 @@ class HtmlExtractJob extends EtlJob {
   }
 }
 
+/** Host-graph PageRank from YAML ([[graft.ops.Graph.pageRank]]): turn a
+  * link table into `(id, rank_micro)` host quality priors. Params:
+  * `src_col`/`dst_col` (defaults `src`/`dst`), `iterations` (default 5),
+  * `damping_ppm` (default 850000), `checkpoint_every` (default 5).
+  */
+class PageRankJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame =
+    graft.ops.Graph.pageRank(inputs.values.head,
+      params.getOrElse("src_col", "src"),
+      params.getOrElse("dst_col", "dst"),
+      iterations = params.getOrElse("iterations", "5").toInt,
+      dampingPpm = params.getOrElse("damping_ppm", "850000").toLong,
+      checkpointEvery = params.getOrElse("checkpoint_every", "5").toInt)
+}
+
 /** C4-style line cleanup from YAML ([[WebText.c4CleanDocs]]): drop
   * boilerplate lines (short, unpunctuated, or blocklisted), replace the
   * text column with the reassembled clean text, and drop documents with

@@ -45,7 +45,8 @@ class PlanAuditSpec extends SparkSpec {
     "q88_c4_line_filter", "q89_gopher_rules", "q90_token_chunks",
     "q91_countmin_sketch", "q93_temperature_mix", "q94_profile_merge",
     "q95_salted_join", "q96_packed_text", "q97_vocab_encode",
-    "q99_span_dedup", "q103_normalized_dedup", "q104_dsir_select")
+    "q99_span_dedup", "q103_normalized_dedup", "q104_dsir_select",
+    "q107_span_decontaminate", "q108_html_extract")
 
   /** Queries whose BroadcastNestedLoopJoin is RUNTIME-gated rather than
     * plan-visible: brute-force cosine top-k broadcasts the probe side

@@ -231,6 +231,22 @@ class FlowSpec extends SparkSpec {
       .except(again.select("seq_id", "shard", "bin", "bin_offset")).isEmpty)
   }
 
+  test("llm_pipeline.yml runs the link-graph host-rank branch") {
+    import org.apache.spark.sql.functions._
+    val loaded = Manifest.loadFile("conf/llm_pipeline.yml", Seq("dev"), Map.empty)
+    val prior = Flow.runPipeline(spark, loaded.jobs, "doc_host_prior",
+      save = false)("doc_host_prior")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // every document carries a positive host prior (the host graph covers
+    // all 20 synthesized hosts, and ranks are integer micro-units > 0)
+    assert(prior.count() == docs.count())
+    assert(prior.filter(col("host_rank_micro") <= 0L).count() == 0)
+    // same host => same prior; distinct priors stay within host count
+    val perHost = prior.withColumn("h", pmod(col("doc_id"), lit(20)))
+      .groupBy("h").agg(countDistinct("host_rank_micro").as("n"))
+    assert(perHost.filter(col("n") =!= 1L).count() == 0)
+  }
+
   test("llm_pipeline.yml runs the mixed-modality payload -> quantize -> semdedup branch") {
     import org.apache.spark.sql.functions._
     val cellPath = java.nio.file.Files
