@@ -437,6 +437,42 @@ object QueriesFramework {
        |WHERE doc_id NOT IN (SELECT id FROM dropped)
        |ORDER BY doc_id""".stripMargin))
 
+  /** WARC shard roundtrip ([[graft.sources.Warc]]): documents rendered
+    * as ISO 28500 conversion records, written as a multi-part shard set,
+    * re-read through the splittable `lineSep` reader. The oracle
+    * recomputes the expected records straight from `documents` —
+    * equality gates BOTH the renderer and the parser (promoted headers,
+    * payload fidelity, octet Content-Length validation all land in the
+    * hash; `strlen` is DuckDB's octet length, matching
+    * `octet_length`).
+    */
+  val q110 = QueryDef("q110_warc_roundtrip", (spark, dir) => {
+    val out = Queries.tmpDir("graft_q110")
+    val recs = Tables.load(spark, dir, "documents").select(
+      lit("conversion").as("warc_type"),
+      concat(lit("https://example.com/doc/"), col("doc_id").cast("string"))
+        .as("target_uri"),
+      concat(lit("<urn:uuid:"), md5(col("doc_id").cast("string")), lit(">"))
+        .as("record_id"),
+      lit("2026-01-01T00:00:00Z").as("warc_date"),
+      col("text").as("payload"))
+    graft.sources.Warc.write(recs, graft.sources.Warc.WarcCols(), s"$out/shard")
+    graft.sources.Warc.read(spark, s"$out/shard")
+      .select(col("target_uri"), col("warc_type"), col("record_id"),
+        col("warc_date"), col("payload"),
+        octet_length(col("payload")).cast("long").as("n_octets"),
+        col("length_ok"))
+      .orderBy("target_uri")
+  }, Some(
+    """SELECT 'https://example.com/doc/' || doc_id AS target_uri,
+      |  'conversion' AS warc_type,
+      |  '<urn:uuid:' || md5(CAST(doc_id AS VARCHAR)) || '>' AS record_id,
+      |  '2026-01-01T00:00:00Z' AS warc_date,
+      |  text AS payload,
+      |  CAST(strlen(text) AS BIGINT) AS n_octets,
+      |  TRUE AS length_ok
+      |FROM documents ORDER BY target_uri""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q36, q37, q38, q39, q48, q49, q50, q54, q59,
-    q60, q61, q62, q102)
+    q60, q61, q62, q102, q110)
 }

@@ -37,6 +37,10 @@ object Reader {
         spark.read.option("multiLine", "true").options(ds.readOptions).json(path)
           .select(explode(col("records")).as("r")).select("r.*")
       case "text" => spark.read.options(ds.readOptions).text(path)
+      // crawl-native shards (ISO 28500): one row per record, headers
+      // parsed to columns + map; see graft.sources.Warc for the scale
+      // notes (uncompressed shards split; .warc.gz is per-file parallel)
+      case "warc" => graft.sources.Warc.read(spark, path)
       case "excel" =>
         // `header` here is the 0-based header ROW INDEX (pandas read_excel
         // semantics), not csv's has-header boolean; "true" maps to row 0.

@@ -62,6 +62,10 @@ object Writer {
       case "orc" => w.orc(path)
       case "json" => w.json(path)
       case "text" => w.text(path)
+      case "warc" =>
+        require(partitionCols.isEmpty, "warc sink does not support partitionBy")
+        graft.sources.Warc.write(repartitioned, graft.sources.Warc.WarcCols(),
+          path, mode = if (mode == SaveMode.Append) "append" else "errorifexists")
       // append only for genuinely incremental jobs, error-if-exists
       // otherwise — a re-run of a completed job must not silently drop +
       // recreate the target table, and a non-incremental PARTITIONED job
