@@ -147,6 +147,27 @@ object BenchStress {
     time("pq ADC (fused native)") {
       graft.ops.Pq.adcTopKFused(pqCodes, pqProbes, pqCb, 10).count()
     }
+
+    // link graph at host scale: ~2M directed edges over 100k hosts with a
+    // skewed hub tier (10% of links land on 100 hosts). The claim under
+    // measurement: per-round cost is joins/aggregations of the RANK table
+    // (one row per host) against a ONCE-materialized edge side — rounds
+    // don't rescan or reshuffle raw edges, so wall time stays flat per
+    // iteration even with hot in-degree keys (integer sums tolerate any
+    // aggregation order, so AQE can split skewed partitions freely).
+    val hosts = 100000L
+    val eg = spark.range(2000000).select(
+        concat(lit("h"), col("id") % hosts).as("src"),
+        concat(lit("h"), when(col("id") % 10 === 0, col("id") % 100)
+          .otherwise((col("id") * 131 + 7) % hosts)).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    println(s"graph: ${eg.count()} edges over <= $hosts hosts")
+    time("pageRank(5 rounds)") {
+      graft.ops.Graph.pageRank(eg, "src", "dst", iterations = 5).count()
+    }
+    time("pageRank(10 rounds)") {
+      graft.ops.Graph.pageRank(eg, "src", "dst", iterations = 10).count()
+    }
     spark.stop()
   }
 }

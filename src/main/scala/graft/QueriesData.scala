@@ -426,5 +426,52 @@ object QueriesData {
        |SELECT id, rank_micro FROM p5 ORDER BY rank_micro DESC, id""".stripMargin
   })
 
-  val all: Seq[QueryDef] = Seq(q88, q89, q90, q91, q93, q97, q100, q108, q109)
+  /** robots.txt politeness filter ([[graft.ops.Robots.filterAllowed]]):
+    * 20 synthesized domains with a decoy non-`*` group, a `/private`
+    * disallow, a longer `/private/ok` allow, an empty (allow-all)
+    * disallow, and a per-domain-conditional `/blog` disallow; every 5th
+    * domain has NO robots row. The oracle derives the allowed set
+    * INDEPENDENTLY (case analysis on the synthesized structure, not a
+    * parser replay) — parser or precedence bugs on either side break the
+    * hash.
+    */
+  val q111 = QueryDef("q111_robots_filter", (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val dom = col("doc_id") % 20
+    val pages = d.select(col("doc_id"),
+      concat(lit("https://d"), dom.cast("string"), lit(".example"),
+        when(col("doc_id") % 5 === 0, lit("/"))
+          .when(col("doc_id") % 5 === 1, lit("/private/page"))
+          .when(col("doc_id") % 5 === 2, lit("/private/ok/page"))
+          .when(col("doc_id") % 5 === 3,
+            concat(lit("/blog/post"), col("doc_id").cast("string")))
+          .otherwise(concat(lit("/open/"), col("doc_id").cast("string"))))
+        .as("url"))
+    val robots = d.select(dom.as("dm")).distinct()
+      .filter(col("dm") % 5 =!= 4)
+      .select(concat(lit("d"), col("dm").cast("string"), lit(".example")).as("domain"),
+        concat(lit("# synthesized\nUser-agent: special\nDisallow: /\n\n" +
+            "User-agent: *\nDisallow: /private\nAllow: /private/ok\nDisallow:\n"),
+          when(col("dm") % 4 === 0, lit("Disallow: /blog\n")).otherwise(lit("")))
+          .as("robots_txt"))
+    graft.ops.Robots.filterAllowed(pages, robots).orderBy("doc_id")
+  }, Some(
+    """WITH pages AS (
+      |  SELECT doc_id, doc_id % 20 AS dom, doc_id % 5 AS pc,
+      |    'https://d' || (doc_id % 20) || '.example' ||
+      |    CASE doc_id % 5
+      |      WHEN 0 THEN '/'
+      |      WHEN 1 THEN '/private/page'
+      |      WHEN 2 THEN '/private/ok/page'
+      |      WHEN 3 THEN '/blog/post' || doc_id
+      |      ELSE '/open/' || doc_id END AS url
+      |  FROM documents)
+      |SELECT doc_id, url FROM pages
+      |WHERE dom % 5 = 4
+      |   OR pc IN (0, 2, 4)
+      |   OR (pc = 3 AND dom % 4 <> 0)
+      |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q88, q89, q90, q91, q93, q97, q100, q108,
+    q109, q111)
 }

@@ -231,6 +231,15 @@ class FlowSpec extends SparkSpec {
       .except(again.select("seq_id", "shard", "bin", "bin_offset")).isEmpty)
   }
 
+  test("llm_pipeline.yml shapes the WET export as WARC record columns") {
+    val loaded = Manifest.loadFile("conf/llm_pipeline.yml", Seq("dev"), Map.empty)
+    val wet = Flow.runPipeline(spark, loaded.jobs, "wet_export",
+      save = false)("wet_export")
+    assert(wet.columns.toSeq == Seq("warc_type", "target_uri", "record_id",
+      "warc_date", "payload"))
+    assert(wet.count() > 0)
+  }
+
   test("llm_pipeline.yml runs the link-graph host-rank branch") {
     import org.apache.spark.sql.functions._
     val loaded = Manifest.loadFile("conf/llm_pipeline.yml", Seq("dev"), Map.empty)

@@ -75,6 +75,39 @@ class WarcSpec extends SparkSpec {
     assert(df.select("payload").as[String].head() == "via the Reader")
   }
 
+  test("an Etl job with output type: warc lands a reread-able shard") {
+    import graft.core.model.{DatasetSpec, JobSpec}
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_job").toString
+    recs(Seq(("https://j.example/1", "job payload one"),
+        ("https://j.example/2", "job payload two")))
+      .write.parquet(s"$dir/in")
+    val job = JobSpec(name = "wet_export",
+      inputs = Map("recs" -> DatasetSpec(path = s"$dir/in", format = "parquet")),
+      output = Some(DatasetSpec(path = s"$dir/out", format = "warc")),
+      sql = Some("SELECT * FROM recs"))
+    val res = graft.engine.Etl.runJob(spark, job, now = "r1")
+    val back = Warc.read(spark, res.writtenPath.get).orderBy("target_uri")
+      .select("target_uri", "payload", "length_ok")
+      .as[(String, String, Boolean)].collect()
+    assert(back.map(_._2).toSeq == Seq("job payload one", "job payload two"))
+    assert(back.forall(_._3))
+  }
+
+  test(".warc.gz shards decompress transparently (per-file parallel read)") {
+    val rows = Seq(("https://gz.example/1", "compressed payload one"),
+      ("https://gz.example/2", "compressed payload two"))
+    val out = tmp()
+    recs(rows).select(Warc.render(col("warc_type"), col("target_uri"),
+        col("record_id"), col("warc_date"), col("payload")).as("value"))
+      .write.option("lineSep", "\r\n\r\n").option("compression", "gzip").text(out)
+    assert(new java.io.File(out).listFiles().exists(_.getName.endsWith(".txt.gz")))
+    val back = Warc.read(spark, out).orderBy("target_uri")
+      .select("target_uri", "payload", "length_ok")
+      .as[(String, String, Boolean)].collect()
+    assert(back.map(r => (r._1, r._2)).toSeq == rows)
+    assert(back.forall(_._3))
+  }
+
   test("multi-partition shards reread completely") {
     val rows = (1 to 200).map(i => (f"https://m.example/$i%03d", s"payload number $i"))
     val out = tmp()
