@@ -156,10 +156,13 @@ object BenchStress {
     // iteration even with hot in-degree keys (integer sums tolerate any
     // aggregation order, so AQE can split skewed partitions freely).
     val hosts = 100000L
+    // dst mixes in the copy index (id div hosts) so each src fans out to
+    // ~20 distinct destinations instead of collapsing under distinct()
     val eg = spark.range(2000000).select(
         concat(lit("h"), col("id") % hosts).as("src"),
         concat(lit("h"), when(col("id") % 10 === 0, col("id") % 100)
-          .otherwise((col("id") * 131 + 7) % hosts)).as("dst"))
+          .otherwise(((col("id") % hosts) * 131 + 7 +
+            (col("id") / hosts).cast("long") * 9973L) % hosts)).as("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
     println(s"graph: ${eg.count()} edges over <= $hosts hosts")
     time("pageRank(5 rounds)") {
