@@ -472,6 +472,77 @@ object QueriesData {
       |   OR (pc = 3 AND dom % 4 <> 0)
       |ORDER BY doc_id""".stripMargin))
 
+  /** Raw-crawl curation END-TO-END from `conf/crawl_pipeline.yml`: a
+    * fixture WARC shard (HTML pages with nav/script boilerplate, URLs
+    * across robots path classes, every 9th doc duplicated under a new
+    * id) is written to disk, then the manifest chain — warc read +
+    * `length_ok` gate → robots filter → HTML extract → C4 line cleanup →
+    * exact keep-first dedup — runs purely from YAML. The oracle rederives
+    * each stage independently: robots by case analysis (q111's
+    * derivation), extraction+C4 reduced to the one surviving sentence
+    * line, dedup via the q24 fingerprint window.
+    */
+  val q112 = QueryDef("q112_crawl_pipeline", (spark, dir) => {
+    val out = graft.Queries.tmpDir("graft_q112")
+    val d = t(spark, dir, "documents")
+    val corpus = d.select(col("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+    val dom = col("doc_id") % 20
+    val idStr = col("doc_id").cast("string")
+    val url = concat(lit("https://d"), dom.cast("string"), lit(".example"),
+      when(col("doc_id") % 4 === 0, concat(lit("/doc/"), idStr))
+        .when(col("doc_id") % 4 === 1, concat(lit("/private/doc"), idStr))
+        .when(col("doc_id") % 4 === 2, concat(lit("/private/ok/doc"), idStr))
+        .otherwise(concat(lit("/blog/doc"), idStr)))
+    val html = concat(
+      lit("<html><body><nav><a href=\"/\">Home</a></nav>" +
+        "<script>var x = 1 < 2;</script><p>"),
+      col("text"), lit(".</p><p>click here</p></body></html>"))
+    val recs = corpus.select(lit("response").as("warc_type"),
+      url.as("target_uri"),
+      concat(lit("<urn:doc:"), idStr, lit(">")).as("record_id"),
+      lit("2026-01-01T00:00:00Z").as("warc_date"), html.as("payload"))
+    graft.sources.Warc.write(recs, graft.sources.Warc.WarcCols(), s"$out/shard")
+    val loaded = graft.core.model.Manifest.loadFile("conf/crawl_pipeline.yml",
+      Seq("dev"), Map("warc_in" -> s"$out/shard", "data" -> dir))
+    graft.engine.Flow.runPipeline(spark, loaded.jobs, "final_corpus",
+      save = false)("final_corpus").orderBy("doc_id")
+  }, Some(
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 500000, text FROM documents WHERE doc_id % 9 = 0),
+      |pages AS (
+      |  SELECT doc_id, doc_id % 20 AS dom, doc_id % 4 AS pc, text,
+      |    'https://d' || (doc_id % 20) || '.example' ||
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN '/doc/' || doc_id
+      |      WHEN 1 THEN '/private/doc' || doc_id
+      |      WHEN 2 THEN '/private/ok/doc' || doc_id
+      |      ELSE '/blog/doc' || doc_id END AS url
+      |  FROM corpus),
+      |allowed AS (
+      |  SELECT doc_id, url, text FROM pages
+      |  WHERE dom % 5 = 4 OR pc IN (0, 2) OR (pc = 3 AND dom % 4 <> 0)),
+      |lines AS (
+      |  SELECT doc_id, url,
+      |    trim(regexp_replace(text, '[ \t\r]+', ' ', 'g')) || '.' AS line
+      |  FROM allowed),
+      |kept AS (
+      |  SELECT doc_id, url, line AS text FROM lines
+      |  WHERE len(regexp_extract_all(line, '[^ ]+')) >= 3
+      |    AND NOT contains(lower(line), 'lorem ipsum')
+      |    AND NOT contains(lower(line), 'javascript')
+      |    AND NOT contains(lower(line), 'cookie policy')),
+      |fp AS (
+      |  SELECT doc_id, url, text,
+      |    row_number() OVER (
+      |      PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      |      ORDER BY doc_id) AS rn
+      |  FROM kept)
+      |SELECT doc_id, url, text FROM fp WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q88, q89, q90, q91, q93, q97, q100, q108,
-    q109, q111)
+    q109, q111, q112)
 }

@@ -283,6 +283,27 @@ class Scd2MergeJob extends EtlJob {
   }
 }
 
+/** robots.txt politeness gate from YAML
+  * ([[graft.ops.Robots.filterAllowed]]): the input named by
+  * `robots_input` (default `robots`) supplies `(domain, robots_txt)`;
+  * the remaining input is the page table, filtered in place. Params:
+  * `url_col` (default `url`), `domain_col`, `txt_col`.
+  */
+class RobotsFilterJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val robotsInput = params.getOrElse("robots_input", "robots")
+    require(inputs.contains(robotsInput),
+      s"RobotsFilterJob needs an input named '$robotsInput' " +
+        s"(have: ${inputs.keys.mkString(", ")})")
+    graft.ops.Robots.filterAllowed((inputs - robotsInput).values.head,
+      inputs(robotsInput),
+      urlCol = params.getOrElse("url_col", "url"),
+      domainCol = params.getOrElse("domain_col", "domain"),
+      txtCol = params.getOrElse("txt_col", "robots_txt"))
+  }
+}
+
 /** HTML → visible-text extraction from YAML ([[WebText.htmlToText]]):
   * the head of a raw-crawl branch. Reads `html_col` (default `html`),
   * appends the extracted `text_col` + `n_chars`, and drops the raw HTML

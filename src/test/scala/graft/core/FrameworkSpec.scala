@@ -311,6 +311,20 @@ class FlowSpec extends SparkSpec {
     assert(kept.filter(col("score") < 0.5).count() == 0)
   }
 
+  test("crawl_pipeline.yml resolves its full warc -> robots -> clean chain") {
+    val loaded = Manifest.loadFile("conf/crawl_pipeline.yml", Seq("dev"),
+      Map("warc_in" -> "/tmp/does_not_matter_for_dry_run"))
+    val plan = graft.Runner.dryRunPlan(loaded.jobs, "final_corpus",
+      withDependencies = true)
+    val names = Seq("warc_pages", "robots_gate", "html_extract", "c4_clean",
+      "dedup_pages", "final_corpus")
+    val idx = names.map(n => plan.indexWhere(_.contains(s" $n ")))
+    assert(idx.forall(_ >= 0) && idx == idx.sorted,
+      s"jobs missing or out of order in:\n${plan.mkString("\n")}")
+    assert(plan.exists(l => l.contains("warc_pages") && l.contains("(warc)")))
+    assert(plan.exists(_.contains("class graft.jobs.RobotsFilterJob")))
+  }
+
   test("dry-run plan resolves the upstream closure without a SparkSession") {
     val loaded = Manifest.loadFile("conf/llm_pipeline.yml", Seq("dev"), Map.empty)
     val plan = graft.Runner.dryRunPlan(loaded.jobs, "split_corpus",
