@@ -112,8 +112,18 @@ object Runner {
       }
     try {
       if (kv.contains("dependencies")) {
-        val outs = Flow.runPipeline(spark, loaded.jobs, jobName, save = save)
-        outs(jobName).show(20, truncate = false)
+        if (kv.contains("metrics")) {
+          // --metrics: per-stage row/time accounting (counts are real
+          // work — see Flow.runPipelineMetered's caching policy)
+          val (outs, ms) = Flow.runPipelineMetered(spark, loaded.jobs,
+            jobName, save = save)
+          ms.foreach(m => println(
+            f"[metrics] ${m.job}%-24s ${m.rows}%12d rows ${m.seconds}%8.2f s"))
+          outs(jobName).show(20, truncate = false)
+        } else {
+          val outs = Flow.runPipeline(spark, loaded.jobs, jobName, save = save)
+          outs(jobName).show(20, truncate = false)
+        }
       } else (kv.get("period_first"), kv.get("period_until")) match {
         case (Some(f), Some(u)) =>
           val results =

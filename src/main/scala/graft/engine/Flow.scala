@@ -60,6 +60,37 @@ object Flow {
   def runPipeline(spark: SparkSession, jobs: Map[String, JobSpec], target: String,
                   save: Boolean = true, now: String = Etl.defaultNow(),
                   persistIntermediates: Boolean = false):
+      Map[String, DataFrame] =
+    runImpl(spark, jobs, target, save, now, persistIntermediates,
+      meter = None)
+
+  /** Per-stage accounting for a pipeline run: row count and wall seconds
+    * per job, in execution order — the drop-rate audit trail a curation
+    * pipeline publishes next to its output (how many documents each gate
+    * removed). OPT-IN because counting is real work at scale: each stage
+    * is persisted (MEMORY_AND_DISK) and materialized by its count, so
+    * the count is also the only full computation — downstream stages
+    * read the cache rather than recomputing lineage, and intermediates
+    * release as their last consumer finishes (the
+    * `persistIntermediates` policy, applied to every stage).
+    */
+  case class StageMetric(job: String, rows: Long, seconds: Double)
+
+  /** [[runPipeline]] with [[StageMetric]] accounting (see there). */
+  def runPipelineMetered(spark: SparkSession, jobs: Map[String, JobSpec],
+                         target: String, save: Boolean = true,
+                         now: String = Etl.defaultNow()):
+      (Map[String, DataFrame], Seq[StageMetric]) = {
+    val buf = collection.mutable.ArrayBuffer.empty[StageMetric]
+    val outs = runImpl(spark, jobs, target, save, now,
+      persistIntermediates = true, meter = Some(buf))
+    (outs, buf.toSeq)
+  }
+
+  private def runImpl(spark: SparkSession, jobs: Map[String, JobSpec],
+                      target: String, save: Boolean, now: String,
+                      persistIntermediates: Boolean,
+                      meter: Option[collection.mutable.ArrayBuffer[StageMetric]]):
       Map[String, DataFrame] = {
     val sub = upstream(jobs, target)
     val order = topoOrder(sub)
@@ -75,13 +106,21 @@ object Flow {
     val done = collection.mutable.Map.empty[String, DataFrame]
     order.foreach { name =>
       val job = sub(name)
+      val t0 = System.nanoTime()
       val res = Etl.runJob(spark, job, loadedInputs = done.toMap,
         now = now, save = save)
+      // metered runs persist every stage (the count below materializes
+      // it); unmetered runs persist only shared upstreams
       val df =
-        if (persistIntermediates && consumers.getOrElse(name, 0) > 1) {
+        if (meter.isDefined ||
+            (persistIntermediates && consumers.getOrElse(name, 0) > 1)) {
           persisted += name
           res.df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         } else res.df
+      meter.foreach { m =>
+        val rows = df.count()
+        m += StageMetric(name, rows, (System.nanoTime() - t0) / 1e9)
+      }
       done(name) = df
       // release upstreams whose last consumer just ran
       sub.keys.filter(up => up != name && chains(job, up))

@@ -311,6 +311,21 @@ class FlowSpec extends SparkSpec {
     assert(kept.filter(col("score") < 0.5).count() == 0)
   }
 
+  test("runPipelineMetered accounts rows per stage in execution order") {
+    val loaded = Manifest.loadFile("conf/llm_pipeline.yml", Seq("dev"), Map.empty)
+    val (outs, ms) = Flow.runPipelineMetered(spark, loaded.jobs,
+      "quality_gate", save = false)
+    val byJob = ms.map(m => m.job -> m).toMap
+    assert(ms.map(_.job) ==
+      Seq("dedup_docs", "neardup_docs", "quality_gate"))
+    // each metric is the stage's actual output cardinality, and the
+    // gates can only shrink the corpus
+    assert(byJob("quality_gate").rows == outs("quality_gate").count())
+    assert(byJob("dedup_docs").rows >= byJob("neardup_docs").rows)
+    assert(byJob("neardup_docs").rows >= byJob("quality_gate").rows)
+    assert(ms.forall(_.seconds > 0))
+  }
+
   test("crawl_pipeline.yml resolves its full warc -> robots -> clean chain") {
     val loaded = Manifest.loadFile("conf/crawl_pipeline.yml", Seq("dev"),
       Map("warc_in" -> "/tmp/does_not_matter_for_dry_run"))
