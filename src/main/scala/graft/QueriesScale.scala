@@ -710,7 +710,50 @@ object QueriesScale {
       .orderBy("a_id", "b_id"),
     Some(jaccardOracle))
 
+  /** Fuzzy decontamination ([[TextAnalysis.fuzzyContamination]]): the
+    * reference set is every 40th document re-rendered with a two-token
+    * suffix (a near- but not exact duplicate of its source), offset into
+    * a disjoint id space. The oracle computes EXACT Jaccard across the
+    * two shingle sets — with 2-row bands the LSH candidate stage has
+    * ~1e-9 miss probability above the 0.7 threshold, so the exact-pair
+    * oracle pins both the verification arithmetic and the recall claim.
+    */
+  val q113 = QueryDef("q113_fuzzy_decontamination", (spark, dir) => {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val ref = docs.filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 900000).as("doc_id"),
+        concat(col("text"), lit(" eval probe")).as("text"))
+    TextAnalysis.fuzzyContamination(docs, ref, "doc_id", "text",
+        threshold = 0.7)
+      .orderBy("doc_id", "ref_id")
+  }, Some(
+    """WITH refs AS (
+      |  SELECT doc_id + 900000 AS doc_id, text || ' eval probe' AS text
+      |  FROM documents WHERE doc_id % 40 = 0),
+      |ctoks AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+      |cpos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+      |         FROM ctoks WHERE len(l) >= 3),
+      |csh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+      |        FROM cpos),
+      |rtoks AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM refs),
+      |rpos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+      |         FROM rtoks WHERE len(l) >= 3),
+      |rsh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+      |        FROM rpos),
+      |cs AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
+      |rs AS (SELECT doc_id, count(*) AS n FROM rsh GROUP BY doc_id),
+      |inter AS (SELECT c.doc_id AS did, r.doc_id AS rid, count(*) AS n_inter
+      |          FROM csh c JOIN rsh r ON c.shingle = r.shingle
+      |          GROUP BY 1, 2)
+      |SELECT did AS doc_id, rid AS ref_id,
+      |  round(n_inter::DOUBLE / (cs.n + rs.n - n_inter), 4) AS jaccard
+      |FROM inter
+      |JOIN cs ON cs.doc_id = did
+      |JOIN rs ON rs.doc_id = rid
+      |WHERE n_inter::DOUBLE / (cs.n + rs.n - n_inter) >= 0.7
+      |ORDER BY doc_id, ref_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q35, q40, q51, q52, q53, q55, q56, q57, q58, q63, q64, q92,
-    q98)
+    q98, q113)
 }

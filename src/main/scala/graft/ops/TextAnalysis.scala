@@ -147,6 +147,47 @@ object TextAnalysis {
       .withColumn("contaminated", col("n_shared") >= minShared)
   }
 
+  /** FUZZY decontamination: corpus documents that are MinHash
+    * near-duplicates of a reference (benchmark/eval) document, with
+    * exact-Jaccard verification — catches lightly paraphrased or
+    * re-rendered eval material that exact n-gram overlap
+    * ([[contaminationFlags]]) and exact span matching
+    * (`Dedup.dedupSpansAgainst`) both miss. Returns one row per
+    * contaminated (doc, ref) pair: `(doc_id, ref_id, jaccard)`.
+    *
+    * Ids must be unique ACROSS both inputs (they share a shingle space
+    * — offset the reference ids). Banding defaults to 2-row bands
+    * (64/32), wider than the dedup default, because decontamination is
+    * recall-critical: at threshold 0.7 the per-pair miss probability is
+    * ~(1 - 0.49)^32 ≈ 1e-9, so a contaminated document effectively
+    * cannot slip through the candidate stage; the extra candidates cost
+    * only verification work, and verification is exact.
+    *
+    * 100 TB shape: inherited from `Dedup.minhashLshPairsAcross` — both
+    * sides shuffle once on (band, bandhash); candidates are ref×corpus
+    * within a bucket only; the eval set is tiny, so its side is noise.
+    */
+  def fuzzyContamination(corpus: DataFrame, ref: DataFrame,
+                         idCol: String, textCol: String,
+                         threshold: Double = 0.7, n: Int = 3,
+                         numHashes: Int = 64, numBands: Int = 32,
+                         maxBandFreq: Option[Int] = None): DataFrame =
+    Dedup.minhashLshPairsAcross(ref, corpus, idCol, textCol, threshold,
+        n, numHashes, numBands, maxBandFreq)
+      .select(col("b_id").as("doc_id"), col("a_id").as("ref_id"),
+        col("jaccard"))
+
+  /** [[fuzzyContamination]] as a filter: the corpus minus every document
+    * fuzzy-matching the reference set.
+    */
+  def dropFuzzyContaminated(corpus: DataFrame, ref: DataFrame,
+                            idCol: String, textCol: String,
+                            threshold: Double = 0.7): DataFrame =
+    corpus.join(
+      fuzzyContamination(corpus, ref, idCol, textCol, threshold)
+        .select(col("doc_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** PII-pattern redaction: replace email addresses and long digit
     * sequences (phone-like) with placeholder tags. Regex-only — the
     * honest scope of pattern scrubbing; entity-level PII needs a model,

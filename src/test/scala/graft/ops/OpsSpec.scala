@@ -402,6 +402,27 @@ class TextAnalysisSpec extends SparkSpec {
       Seq((1L, true), (2L, false), (3L, true)))
   }
 
+  test("fuzzyContamination catches near-matches exact n-grams miss") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")           // 30 tokens
+    val paraphrased = base.replace("w15", "swapped") + " extra"    // ~0.8 jacc
+    val corpus = Seq(
+      (1L, base),                                                  // exact-ish hit
+      (2L, paraphrased),                                           // fuzzy hit
+      (3L, "a wholly different document about something unrelated entirely today")
+    ).toDF("doc_id", "text")
+    val ref = Seq((900L, base + " tail")).toDF("doc_id", "text")
+    val pairs = TextAnalysis.fuzzyContamination(corpus, ref, "doc_id", "text",
+        threshold = 0.5)
+      .orderBy("doc_id").collect()
+    assert(pairs.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(pairs.forall(_.getLong(1) == 900L))
+    assert(pairs.forall(_.getDouble(2) >= 0.5))
+    // the filter form drops exactly the flagged docs
+    val kept = TextAnalysis.dropFuzzyContaminated(corpus, ref, "doc_id", "text",
+      threshold = 0.5).select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(3L))
+  }
+
   test("redactPii replaces emails and phone-like runs with tags") {
     val out = Seq("reach me at jane.doe+x@corp.example.org or +1 (555) 123-4567 ok")
       .toDF("t").select(TextAnalysis.redactPii(col("t"))).head().getString(0)
