@@ -283,6 +283,24 @@ class Scd2MergeJob extends EtlJob {
   }
 }
 
+/** Fuzzy decontamination from YAML
+  * ([[TextAnalysis.dropFuzzyContaminated]]): drop corpus documents that
+  * are MinHash near-duplicates of the reference input named by
+  * `ref_input` (default `eval_ref`). Params: `threshold` (default 0.7).
+  */
+class FuzzyDecontaminateJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val refInput = params.getOrElse("ref_input", "eval_ref")
+    require(inputs.contains(refInput),
+      s"FuzzyDecontaminateJob needs an input named '$refInput' " +
+        s"(have: ${inputs.keys.mkString(", ")})")
+    TextAnalysis.dropFuzzyContaminated((inputs - refInput).values.head,
+      inputs(refInput), P.id(params), P.text(params),
+      threshold = params.getOrElse("threshold", "0.7").toDouble)
+  }
+}
+
 /** robots.txt politeness gate from YAML
   * ([[graft.ops.Robots.filterAllowed]]): the input named by
   * `robots_input` (default `robots`) supplies `(domain, robots_txt)`;

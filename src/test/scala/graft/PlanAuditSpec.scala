@@ -46,7 +46,8 @@ class PlanAuditSpec extends SparkSpec {
     "q91_countmin_sketch", "q93_temperature_mix", "q94_profile_merge",
     "q95_salted_join", "q96_packed_text", "q97_vocab_encode",
     "q99_span_dedup", "q103_normalized_dedup", "q104_dsir_select",
-    "q107_span_decontaminate", "q108_html_extract", "q111_robots_filter")
+    "q107_span_decontaminate", "q108_html_extract", "q111_robots_filter",
+    "q113_fuzzy_decontamination")
 
   /** Queries whose BroadcastNestedLoopJoin is RUNTIME-gated rather than
     * plan-visible: brute-force cosine top-k broadcasts the probe side

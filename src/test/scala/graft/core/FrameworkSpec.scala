@@ -311,6 +311,21 @@ class FlowSpec extends SparkSpec {
     assert(kept.filter(col("score") < 0.5).count() == 0)
   }
 
+  test("llm_pipeline.yml runs the fuzzy-decontamination branch") {
+    import org.apache.spark.sql.functions._
+    val loaded = Manifest.loadFile("conf/llm_pipeline.yml", Seq("dev"), Map.empty)
+    val outs = Flow.runPipeline(spark, loaded.jobs, "decontam_corpus",
+      save = false)
+    val before = outs("neardup_docs").count()
+    val after = outs("decontam_corpus").count()
+    // every 40th raw doc has a planted eval twin: some survivors of the
+    // dedup chain must be flagged, and only flagged docs may drop
+    assert(after < before, "decontamination must drop the planted twins")
+    assert(outs("decontam_corpus")
+      .filter(pmod(col("doc_id"), lit(40)) === 0).count() == 0,
+      "all eval-slice source docs must be gone")
+  }
+
   test("runPipelineMetered accounts rows per stage in execution order") {
     val loaded = Manifest.loadFile("conf/llm_pipeline.yml", Seq("dev"), Map.empty)
     val (outs, ms) = Flow.runPipelineMetered(spark, loaded.jobs,
