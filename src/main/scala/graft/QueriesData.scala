@@ -543,6 +543,45 @@ object QueriesData {
       |  FROM kept)
       |SELECT doc_id, url, text FROM fp WHERE rn = 1 ORDER BY doc_id""".stripMargin))
 
+  /** URL canonicalization ([[WebText.canonicalizeUrl]]): URLs synthesized
+    * from doc_id exercise every rule — uppercase scheme/host (lowercased),
+    * `:80` on http (stripped) vs `:8080` (kept), empty path (→ `/`) with
+    * path CASE PRESERVED, tracking params dropped, the rest sorted, and a
+    * fragment dropped. The oracle derives each canonical form by
+    * INDEPENDENT case analysis on the synthesis arithmetic (q111's
+    * pattern), not by replaying the parser — so a rule misfiring on either
+    * side breaks the hash.
+    */
+  val q117 = QueryDef("q117_url_canonicalize", (spark, dir) => {
+    val id = col("doc_id")
+    val url = concat(
+      lit("HTTP://Example"), (id % 7).cast("string"), lit(".COM"),
+      when(id % 4 === 0, lit(":80"))
+        .when(id % 4 === 1, lit(":8080")).otherwise(lit("")),
+      when(id % 3 === 0, lit(""))
+        .otherwise(concat(lit("/Path/"), (id % 5).cast("string"))),
+      when(id % 6 === 0, lit("?utm_source=feed&b=2&a=1"))
+        .when(id % 6 === 1, lit("?b=2&a=1"))
+        .when(id % 6 === 2, lit("?a=1&b=2&fbclid=xyz"))
+        .when(id % 6 === 3, lit("?gclid=1"))
+        .otherwise(lit("")),
+      when(id % 2 === 0, lit("#Frag")).otherwise(lit("")))
+    t(spark, dir, "documents")
+      .select(WebText.canonicalizeUrl(url).as("canonical"))
+      .groupBy("canonical").agg(count(lit(1)).as("n"))
+      .orderBy("canonical")
+  }, Some(
+    """WITH c AS (
+      |  SELECT 'http://example' || (doc_id % 7) || '.com' ||
+      |    CASE WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '/'
+      |         ELSE '/Path/' || (doc_id % 5) END ||
+      |    CASE WHEN doc_id % 6 IN (0, 1, 2) THEN '?a=1&b=2' ELSE '' END
+      |    AS canonical
+      |  FROM documents)
+      |SELECT canonical, CAST(count(*) AS BIGINT) AS n FROM c
+      |GROUP BY canonical ORDER BY canonical""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q88, q89, q90, q91, q93, q97, q100, q108,
-    q109, q111, q112)
+    q109, q111, q112, q117)
 }

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch event-stream analytics: gap-based sessionization, ordered-step
+  * funnels, and cohort retention. The reference ships these as ad-hoc SQL
+  * jobs over event tables (reference `jobs/examples/ex2` wordcount/window
+  * shapes, `jobs/generic/sql_job` usage); here they are first-class
+  * operators with one deliberate plan shape each.
+  *
+  * Scale design (the part that matters at 100 TB of events):
+  *   - Every operator shuffles ONCE, on the user key. All window functions
+  *     share the same `partitionBy(user) orderBy(ts, id)` spec, and the
+  *     follow-up `groupBy(user, ...)` is clustering-compatible with
+  *     `HashPartitioning(user)` (a subset of the group keys), so Catalyst
+  *     inserts no second Exchange before the session/funnel aggregate.
+  *   - Window state is bounded per user: `lag` keeps one row, running
+  *     `min`/`sum` keep one value. No whole-partition buffering, no
+  *     driver-side collection.
+  *   - Time arithmetic is exact integer microseconds (`unix_micros`), never
+  *     float seconds: a 30-day span is ~2.6e12 us, far inside the 53-bit
+  *     double mantissa only AFTER the subtraction — subtracting raw epoch
+  *     doubles first would lose sub-second precision.
+  *   - Skew: a runaway key (bot user) serializes its own partition only.
+  *     Cap upstream with [[Skew]] salting or a per-user event limit if one
+  *     key dominates; sessionization itself cannot be salted without
+  *     splitting sessions.
+  */
+object Events {
+
+  /** Gap-based sessionization: a new session starts when the user's
+    * inter-event gap exceeds `gapSeconds` (strictly greater, so a gap of
+    * exactly `gapSeconds` stays in-session). Rows are ordered by
+    * `(tsCol, idCol)` — the id tie-break makes equal-timestamp runs
+    * deterministic.
+    *
+    * Returns one row per session: `(user, session_id, n_events,
+    * session_start, duration_s, sum_value)` where `session_id` is the
+    * 1-based session index within the user, `duration_s` is
+    * `(last - first)` in seconds rounded to 3 decimals, and `sum_value`
+    * sums `valueCol` rounded to 2.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 idCol: String, valueCol: String,
+                 gapSeconds: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = unix_micros(col(tsCol))
+    val gapUs = gapSeconds * 1000000L
+    events
+      .withColumn("_us", us)
+      .withColumn("_prev_us", lag(col("_us"), 1).over(w))
+      .withColumn("_brk",
+        when(col("_prev_us").isNull || col("_us") - col("_prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("_brk")).over(run))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        round((max(col("_us")) - min(col("_us"))) / lit(1000000.0), 3)
+          .as("duration_s"),
+        round(sum(col(valueCol)), 2).as("sum_value"))
+  }
+
+  /** Ordered-step funnel: for each user, the earliest completion of
+    * `steps` in order, where "order" is the canonical `(ts, id)` event
+    * order (a later step must come at-or-after the previous step's
+    * earliest occurrence in that order). Returns one row per step:
+    * `(step_idx, step, n_users)` — the count of users whose events reach
+    * that step in sequence.
+    *
+    * Implementation: chained running minima. `t1` is the running earliest
+    * step-1 time; an event qualifies for step k iff its type matches and
+    * the running `t(k-1)` is already set. Each chained min is a window
+    * over the SAME partition+ordering, so all of them evaluate in one
+    * Window stage run — one shuffle total, then a tiny per-user aggregate
+    * and a 3-row driver-side unpivot.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             idCol: String, typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = unix_micros(col(tsCol))
+    var df = events.withColumn("_us", us)
+    steps.zipWithIndex.foreach { case (step, i) =>
+      val qualifies =
+        if (i == 0) col(typeCol) === step
+        else col(typeCol) === step && col(s"_t${i - 1}").isNotNull
+      df = df.withColumn(s"_t$i",
+        min(when(qualifies, col("_us"))).over(run))
+    }
+    val userMins = steps.indices.map(i => min(col(s"_t$i")).as(s"_t$i"))
+    val perUser = df.groupBy(userCol).agg(userMins.head, userMins.tail: _*)
+    val counts = steps.indices.map(i =>
+      sum(when(col(s"_t$i").isNotNull, 1L).otherwise(0L)).as(s"_n$i"))
+    val totals = perUser.agg(counts.head, counts.tail: _*)
+    val stackExpr = steps.zipWithIndex
+      .map { case (step, i) => s"${i + 1}, '$step', _n$i" }
+      .mkString(s"stack(${steps.size}, ", ", ", ") AS (step_idx, step, n_users)")
+    totals.selectExpr(stackExpr)
+  }
+
+  /** Cohort retention: users are cohorted by their first active day;
+    * `n_users` counts distinct users of each cohort active `offset_days`
+    * after it. Output `(cohort, offset_days, n_users)` with `cohort` as a
+    * `yyyy-MM-dd` STRING (never DATE — engines disagree on date rendering).
+    *
+    * The first-day lookup is a whole-partition window `min`, not a
+    * self-join: one shuffle on user, then the (cohort, offset) aggregate —
+    * which must reshuffle, since its key is unrelated to user. At 100 TB
+    * the first stage's map-side is a plain scan; the second aggregates
+    * partial counts per (cohort, offset, user) before the exchange.
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol)
+    val day = to_date(col(tsCol))
+    events
+      .withColumn("_day", day)
+      .withColumn("_first_day", min(col("_day")).over(w))
+      .select(
+        date_format(col("_first_day"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("_day"), col("_first_day")).cast("int").as("offset_days"),
+        col(userCol))
+      .groupBy("cohort", "offset_days")
+      .agg(count_distinct(col(userCol)).as("n_users"))
+  }
+}

@@ -30,6 +30,42 @@ object WebText {
   def normalizeUrl(url: Column): Column =
     regexp_extract(url, "^([^?#]*)", 1)
 
+  /** Query parameters dropped by [[canonicalizeUrl]]: click/campaign
+    * trackers that vary per referral without changing the page.
+    */
+  val trackingParamPattern = "^(utm_[A-Za-z0-9]*|fbclid|gclid|ref)="
+
+  /** Full URL canonicalization for crawl dedup (RFC 3986 §6 subset):
+    * scheme and host lowercased; default port stripped (`:80` for http,
+    * `:443` for https — non-default ports kept); empty path → `/`; query
+    * params split, tracking params ([[trackingParamPattern]]) and empty
+    * segments dropped, the rest SORTED and rejoined (param order never
+    * distinguishes pages); fragment dropped. Path case is preserved —
+    * paths are case-sensitive, only scheme/host are not.
+    *
+    * Pure Column chain (regexp_extract / filter / array_sort /
+    * array_join), fully codegen'd, no shuffle — canonicalization cost is
+    * a per-row map over the crawl, and the dedup that follows
+    * (`groupBy(canonical)` or [[Dedup]] keep-first) is the only exchange.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val rawPath = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val query = regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(trackingParamPattern)))
+    concat(scheme, lit("://"), host, path,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+  }
+
   /** Keep at most `cap` documents per domain, deterministically — the
     * first `cap` by `order` (ascending id, a quality rank, ...). Adds
     * `domain` and `domain_rank` (1-based) columns.

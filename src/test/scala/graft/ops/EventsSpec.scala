@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Events]] — gap sessionization, ordered funnel, cohort retention on
+  * planted fixtures where every boundary case is hand-checkable.
+  */
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, Long, String, Double)*) =
+    rows.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+      .drop("ts_s")
+
+  test("sessionize splits on gap strictly greater than the threshold") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 10:30:00", 1L, "click", 2.0),   // gap == 1800s: same session
+      (3L, "2024-01-01 11:00:01", 1L, "view", 3.0),    // 1801s: new session
+      (4L, "2024-01-01 09:00:00", 2L, "view", 5.0))
+    val out = Events.sessionize(df, "user_id", "ts", "event_id", "value",
+        gapSeconds = 1800L)
+      .orderBy("user_id", "session_id")
+      .collect()
+    assert(out.length === 3)
+    val s1 = out(0)
+    assert(s1.getAs[Long]("user_id") === 1L)
+    assert(s1.getAs[Long]("session_id") === 1L)
+    assert(s1.getAs[Long]("n_events") === 2L)
+    assert(s1.getAs[Double]("duration_s") === 1800.0)
+    assert(s1.getAs[Double]("sum_value") === 3.0)
+    assert(out(1).getAs[Long]("session_id") === 2L)
+    assert(out(1).getAs[Long]("n_events") === 1L)
+    assert(out(2).getAs[Long]("user_id") === 2L)
+  }
+
+  test("sessionize breaks ties in ts by event id") {
+    val df = ev(
+      (2L, "2024-01-01 10:00:00", 1L, "view", 1.0),
+      (1L, "2024-01-01 10:00:00", 1L, "click", 2.0),
+      (3L, "2024-01-01 12:00:00", 1L, "view", 4.0))
+    val out = Events.sessionize(df, "user_id", "ts", "event_id", "value")
+      .orderBy("session_id").collect()
+    assert(out.map(_.getAs[Long]("n_events")).toSeq === Seq(2L, 1L))
+  }
+
+  test("funnel enforces step order, not mere presence") {
+    val df = ev(
+      // user 1: full ordered funnel
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:02:00", 1L, "purchase", 0.0),
+      // user 2: purchase BEFORE click — purchase must not count
+      (4L, "2024-01-01 10:00:00", 2L, "view", 0.0),
+      (5L, "2024-01-01 10:01:00", 2L, "purchase", 0.0),
+      (6L, "2024-01-01 10:02:00", 2L, "click", 0.0),
+      // user 3: click with no prior view — counts nowhere
+      (7L, "2024-01-01 10:00:00", 3L, "click", 0.0))
+    val out = Events.funnel(df, "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("step_idx").collect()
+    assert(out.map(r => (r.getAs[Int]("step_idx"), r.getAs[String]("step"),
+      r.getAs[Long]("n_users"))).toSeq ===
+      Seq((1, "view", 2L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("cohort retention offsets from each user's first day") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-03 10:00:00", 1L, "view", 0.0),
+      (3L, "2024-01-03 11:00:00", 1L, "click", 0.0), // same user+day: 1 distinct
+      (4L, "2024-01-03 10:00:00", 2L, "view", 0.0))
+    val out = Events.cohortRetention(df, "user_id", "ts")
+      .orderBy("cohort", "offset_days").collect()
+    assert(out.map(r => (r.getAs[String]("cohort"), r.getAs[Int]("offset_days"),
+      r.getAs[Long]("n_users"))).toSeq ===
+      Seq(("2024-01-01", 0, 1L), ("2024-01-01", 2, 1L), ("2024-01-03", 0, 1L)))
+  }
+
+  test("sessionize plan shuffles once on the user key") {
+    val df = ev((1L, "2024-01-01 10:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 10:05:00", 1L, "click", 2.0))
+    val plan = Events.sessionize(df, "user_id", "ts", "event_id", "value")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected a single user-key shuffle, plan:\n$plan")
+  }
+}

@@ -639,3 +639,37 @@ class StratifiedSampleSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 }
+
+/** [[WebText.canonicalizeUrl]] — every rule on hand-checkable URLs. */
+class UrlCanonSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url").select(WebText.canonicalizeUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+
+  test("scheme/host lowercase, default port stripped, path case preserved") {
+    assert(canon("HTTP://Example.COM:80/A/B") === Seq("http://example.com/A/B"))
+    assert(canon("https://X.org:443/") === Seq("https://x.org/"))
+    // non-default port and non-matching scheme keep the port
+    assert(canon("http://x.org:8080/a") === Seq("http://x.org:8080/a"))
+    assert(canon("https://x.org:80/a") === Seq("https://x.org:80/a"))
+  }
+
+  test("empty path becomes /; fragment always dropped") {
+    assert(canon("http://x.org") === Seq("http://x.org/"))
+    assert(canon("http://x.org#frag") === Seq("http://x.org/"))
+    assert(canon("http://x.org/p#a?notquery=1") === Seq("http://x.org/p"))
+  }
+
+  test("tracking params dropped, remainder sorted, empty query elided") {
+    assert(canon("http://x.org/p?b=2&utm_source=nl&a=1") ===
+      Seq("http://x.org/p?a=1&b=2"))
+    assert(canon("http://x.org/p?utm_campaign=x&gclid=1&fbclid=2") ===
+      Seq("http://x.org/p"))
+    assert(canon("http://x.org/p?&&a=1") === Seq("http://x.org/p?a=1"))
+    // identical canonical forms from different surface forms
+    assert(canon("http://x.org/p?a=1&b=2#f", "HTTP://X.ORG:80/p?b=2&a=1")
+      .distinct.size === 1)
+  }
+}
