@@ -551,6 +551,48 @@ object QueriesScale {
        |SELECT id AS doc_id, min(lbl) AS comp FROM walk
        |GROUP BY id ORDER BY doc_id""".stripMargin))
 
+  /** Quality-aware near-dup collapse ([[Dedup.keepBestPerCluster]]): the
+    * q51 cluster structure, but per cluster the LONGEST member (n_chars,
+    * ties → lowest id) is elected representative instead of the minimum
+    * id. The oracle extends q51's recursive-CTE contraction with the
+    * documents join and a `row_number() ... ORDER BY n_chars DESC, id`
+    * election — the same total order as Spark's `max(struct(q, -id))`.
+    */
+  val q119 = QueryDef("q119_neardup_keep_best", (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      threshold = 0.6, maxShingleFreq = Some(50))
+    Dedup.keepBestPerCluster(docs, pairs, "doc_id", col("n_chars"))
+      .orderBy("comp")
+  }, Some(
+    s"""WITH RECURSIVE ${duckShingles()},
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT a_id, b_id FROM inter
+       |          JOIN sizes sa ON sa.doc_id = inter.a_id
+       |          JOIN sizes sb ON sb.doc_id = inter.b_id
+       |          WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.6),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |walk(id, lbl) AS (
+       |  SELECT s, s FROM edges GROUP BY s
+       |  UNION
+       |  SELECT e.s, walk.lbl FROM edges e JOIN walk ON walk.id = e.d),
+       |comp AS (SELECT id, min(lbl) AS comp FROM walk GROUP BY id),
+       |m AS (SELECT c.comp, c.id, d.n_chars FROM comp c
+       |      JOIN documents d ON d.doc_id = c.id),
+       |r AS (SELECT comp, id, n_chars, row_number() OVER
+       |        (PARTITION BY comp ORDER BY n_chars DESC, id ASC) AS rn
+       |      FROM m),
+       |g AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_members
+       |      FROM m GROUP BY comp)
+       |SELECT g.comp AS comp, g.n_members, r.id AS kept_id,
+       |  r.n_chars AS kept_q
+       |FROM g JOIN r ON r.comp = g.comp AND r.rn = 1
+       |ORDER BY g.comp""".stripMargin))
+
   /** Multimodal frame sampling: the document's bytes stand in for an
     * opaque media container of fixed 64-byte frames; every 4th frame is
     * "decoded" (md5'd) partition-locally with one OUTPUT ROW PER FRAME —
@@ -755,5 +797,5 @@ object QueriesScale {
 
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q35, q40, q51, q52, q53, q55, q56, q57, q58, q63, q64, q92,
-    q98, q113)
+    q98, q113, q119)
 }

@@ -766,6 +766,57 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware cluster collapse: contract `pairs` to connected
+    * components, then per component pick the member with the HIGHEST
+    * `quality` (ties → lowest id, so the choice is total and rerun-stable).
+    * Returns one row per component: `(comp, n_members, kept_id, kept_q)`.
+    * This is the representative-selection step practitioners run instead
+    * of keep-min-id when members differ in quality (keep the longest /
+    * highest-scored rendering, drop the truncated mirrors).
+    *
+    * Scale: the component table covers only documents that appear in a
+    * pair — a small fraction of the corpus — and the winner is a
+    * map-side-combining `max(struct(quality, -id))`, so nothing here
+    * touches full-corpus text.
+    */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
+                         quality: Column): DataFrame =
+    bestOfComps(connectedComponents(pairs), docs, idCol, quality)
+
+  private def bestOfComps(comps: DataFrame, docs: DataFrame, idCol: String,
+                          quality: Column): DataFrame = {
+    val m = comps.join(
+      docs.select(col(idCol).as("id"), quality.as("_q")), Seq("id"))
+    val best = max(struct(col("_q"), (-col("id")).as("_nid"),
+      col("id").as("_id")))
+    m.groupBy("comp").agg(
+      count(lit(1)).as("n_members"),
+      best.getField("_id").as("kept_id"),
+      best.getField("_q").as("kept_q"))
+  }
+
+  /** [[dropNearDuplicates]] with quality-aware representative selection:
+    * per near-dup cluster the highest-`quality` member survives (ties →
+    * lowest id) instead of the minimum id. Documents in no pair survive
+    * untouched.
+    */
+  def dropNearDuplicatesKeepBest(docs: DataFrame, idCol: String,
+                                 textCol: String, quality: Column,
+                                 threshold: Double = 0.8, n: Int = 3,
+                                 maxBandFreq: Option[Int] = None,
+                                 numHashes: Int = 64,
+                                 numBands: Int = 16): DataFrame = {
+    val pairs = minhashLshPairs(docs, idCol, textCol, threshold, n,
+      numHashes, numBands, maxBandFreq = maxBandFreq)
+    val comps = connectedComponents(pairs) // checkpointed: reuse is cheap
+    val winners = bestOfComps(comps, docs, idCol, quality)
+    val drop = comps
+      .join(winners.select(col("comp"), col("kept_id")), Seq("comp"))
+      .filter(col("id") =!= col("kept_id"))
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): paraphrases and
     * re-renderings that no lexical dedup catches share an embedding
     * neighborhood, so (1) k-means the embedding column into `cells`, (2)

@@ -88,3 +88,40 @@ class EventsSpec extends SparkSpec {
     assert(exchanges === 1, s"expected a single user-key shuffle, plan:\n$plan")
   }
 }
+
+/** [[Dedup.keepBestPerCluster]] / [[Dedup.dropNearDuplicatesKeepBest]] —
+  * representative election on planted clusters.
+  */
+class KeepBestSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("highest quality wins; ties fall to the lowest id") {
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L), (9L, 7L))
+      .toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val out = graft.ops.Dedup
+      .keepBestPerCluster(docs, pairs, "doc_id", col("q"))
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("comp") === 1L)
+    assert(r.getAs[Long]("n_members") === 3L)
+    assert(r.getAs[Long]("kept_id") === 2L) // q=30 tie between 2 and 3
+    assert(r.getAs[Long]("kept_q") === 30L)
+  }
+
+  test("dropNearDuplicatesKeepBest keeps the best member and all singletons") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base, 10L),
+      (2L, base + " lambda", 99L),          // near-dup of 1, higher quality
+      (3L, "completely different text about other things entirely here", 1L))
+      .toDF("doc_id", "text", "q")
+    val kept = graft.ops.Dedup
+      .dropNearDuplicatesKeepBest(docs, "doc_id", "text", col("q"),
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L))
+  }
+}
