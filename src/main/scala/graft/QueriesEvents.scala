@@ -41,6 +41,7 @@ object QueriesEvents {
         |      FROM f)
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  CAST(count(*) AS BIGINT) AS n_events, min(ts) AS session_start,
+        |  CAST(max(us) - min(us) AS BIGINT) AS duration_us,
         |  round((max(us) - min(us)) / 1000000.0, 3) AS duration_s,
         |  round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, session_id
@@ -99,5 +100,43 @@ object QueriesEvents {
         |FROM f GROUP BY 1, 2
         |ORDER BY cohort, offset_days""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q114, q115, q116)
+  /** Events pipeline END-TO-END from `conf/events_pipeline.yml`: the
+    * micros-converted event table is written to a temp dir, then the
+    * manifest chain — SessionizeJob (`class:`) → per-user SQL rollup —
+    * runs purely from YAML via `Flow.runPipeline`. The oracle replays
+    * q114's sessionization CTE plus the rollup; rounding happens at the
+    * session grain on BOTH engines, so the replay is exact.
+    */
+  val q120 = QueryDef("q120_events_pipeline", (spark, dir) => {
+    val out = graft.Queries.tmpDir("graft_q120")
+    t(spark, dir, "events").write.mode("overwrite")
+      .parquet(s"$out/events_micros")
+    val loaded = graft.core.model.Manifest.loadFile("conf/events_pipeline.yml",
+      Seq("dev"), Map("events_in" -> s"$out/events_micros",
+        "out_root" -> out))
+    graft.engine.Flow.runPipeline(spark, loaded.jobs, "user_stats",
+      save = false)("user_stats").orderBy("user_id")
+  }, Some(
+    """WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us
+      |           FROM events),
+      |l AS (SELECT *, lag(us) OVER
+      |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |      FROM e),
+      |f AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+      |                     THEN 1 ELSE 0 END AS brk FROM l),
+      |s AS (SELECT *, sum(brk) OVER
+      |        (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |      FROM f),
+      |sess AS (
+      |  SELECT user_id, session_id,
+      |    CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+      |    round(sum(value), 2) AS sum_value
+      |  FROM s GROUP BY user_id, session_id)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+      |  round(sum(duration_us) / (count(*) * 1e6), 3) AS avg_duration_s,
+      |  round(sum(sum_value), 2) AS total_value
+      |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q114, q115, q116, q120)
 }

@@ -37,10 +37,14 @@ object Events {
     * deterministic.
     *
     * Returns one row per session: `(user, session_id, n_events,
-    * session_start, duration_s, sum_value)` where `session_id` is the
-    * 1-based session index within the user, `duration_s` is
-    * `(last - first)` in seconds rounded to 3 decimals, and `sum_value`
-    * sums `valueCol` rounded to 2.
+    * session_start, duration_us, duration_s, sum_value)` where
+    * `session_id` is the 1-based session index within the user,
+    * `duration_us` is the EXACT `(last - first)` microsecond span (the
+    * column downstream rollups should aggregate — summing exact integers
+    * is order-free, where averaging the rounded `duration_s` doubles
+    * drifts at rounding boundaries), `duration_s` is the same span in
+    * seconds rounded to 3 decimals, and `sum_value` sums `valueCol`
+    * rounded to 2.
     */
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
                  idCol: String, valueCol: String,
@@ -60,6 +64,7 @@ object Events {
       .agg(
         count(lit(1)).as("n_events"),
         min(col(tsCol)).as("session_start"),
+        (max(col("_us")) - min(col("_us"))).as("duration_us"),
         round((max(col("_us")) - min(col("_us"))) / lit(1000000.0), 3)
           .as("duration_s"),
         round(sum(col(valueCol)), 2).as("sum_value"))
