@@ -138,5 +138,34 @@ object QueriesEvents {
       |  round(sum(sum_value), 2) AS total_value
       |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q114, q115, q116, q120)
+  /** Rolling active users ([[Events.activeUsers]], DAU/WAU/MAU): the
+    * oracle explodes the same distinct (day, user) pairs across the
+    * 30-day contribution range with `unnest(generate_series)` and takes
+    * the same conditional distinct counts — restricted, like the
+    * operator, to days that actually have events.
+    */
+  val q121 = QueryDef("q121_active_users", (spark, dir) =>
+    Events.activeUsers(t(spark, dir, "events"), "user_id", "ts",
+        windows = Seq(1, 7, 30))
+      .orderBy("day"),
+    Some(
+      """WITH pairs AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM pairs),
+        |ex0 AS (SELECT day, user_id,
+        |          unnest(generate_series(0, 29)) AS i FROM pairs),
+        |ex AS (SELECT day + CAST(i AS INTEGER) AS tday, user_id, i
+        |       FROM ex0),
+        |agg AS (SELECT tday,
+        |    CAST(count(DISTINCT CASE WHEN i < 1 THEN user_id END) AS BIGINT)
+        |      AS au_1d,
+        |    CAST(count(DISTINCT CASE WHEN i < 7 THEN user_id END) AS BIGINT)
+        |      AS au_7d,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS au_30d
+        |  FROM ex GROUP BY tday)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, au_1d, au_7d, au_30d
+        |FROM agg JOIN days d ON d.day = agg.tday
+        |ORDER BY day""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q114, q115, q116, q120, q121)
 }

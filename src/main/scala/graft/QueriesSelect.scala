@@ -249,5 +249,33 @@ object QueriesSelect {
        |SELECT probe_id, cand_id, adc_micro, rank FROM r WHERE rank <= 5
        |ORDER BY probe_id, rank""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q103, q104, q105, q106)
+  /** Token-budget sampling ([[graft.ops.Sampling.tokenBudgetSample]]):
+    * 20k whitespace-tokens per language, priority = (md5, id) — the
+    * oracle replays the identical prefix arithmetic with DuckDB's
+    * `CAST('0x'||hex AS BIGINT)` (== Spark `conv(hex,16,10)`,
+    * [[graft.ops.Sampling.hashBucket]]'s pinned equivalence) and an
+    * exclusive running sum.
+    */
+  val q122 = QueryDef("q122_token_budget_sample", (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    graft.ops.Sampling
+      .tokenBudgetSample(docs, "doc_id", "lang", "n_tok", 20000L)
+      .select("doc_id", "lang", "n_tok")
+      .orderBy("lang", "doc_id")
+  }, Some(
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST('0x' || substring(md5('budget' || doc_id), 1, 15) AS BIGINT)
+      |      AS prio
+      |  FROM documents),
+      |c AS (SELECT *, coalesce(sum(n_tok) OVER (
+      |        PARTITION BY lang ORDER BY prio, doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+      |      FROM d)
+      |SELECT doc_id, lang, n_tok FROM c WHERE bef < 20000
+      |ORDER BY lang, doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q103, q104, q105, q106, q122)
 }

@@ -34,7 +34,10 @@ object Events {
     * inter-event gap exceeds `gapSeconds` (strictly greater, so a gap of
     * exactly `gapSeconds` stays in-session). Rows are ordered by
     * `(tsCol, idCol)` — the id tie-break makes equal-timestamp runs
-    * deterministic.
+    * deterministic. Gap decisions are MICROSECOND-exact, unlike
+    * [[Sessions.sessionize]] whose whole-second truncation is pinned by
+    * the streaming replay contract (q47/q61); this is the session-grain
+    * analytics twin, that is the event-grain labeller.
     *
     * Returns one row per session: `(user, session_id, n_events,
     * session_start, duration_us, duration_s, sum_value)` where
@@ -107,6 +110,40 @@ object Events {
       .map { case (step, i) => s"${i + 1}, '$step', _n$i" }
       .mkString(s"stack(${steps.size}, ", ", ", ") AS (step_idx, step, n_users)")
     totals.selectExpr(stackExpr)
+  }
+
+  /** Rolling active users (DAU/WAU/MAU generalized to `windows`): for
+    * each observed day, the count of distinct users active in the
+    * trailing 1 / 7 / 30 days. Output `(day, au_1d, au_7d, au_30d, ...)`
+    * with `day` a `yyyy-MM-dd` string, one `au_{w}d` column per window.
+    *
+    * Plan: events first collapse to DISTINCT (day, user) pairs — the
+    * only full-volume shuffle, and at 100 TB that table is users × days,
+    * orders of magnitude smaller than events. Each pair then explodes to
+    * the `max(windows)` target days it contributes to (a bounded ×30 map
+    * step on the SMALL table, never on raw events), and one aggregate
+    * computes every window via conditional distinct counts. No
+    * self-join, no per-window pass.
+    */
+  def activeUsers(events: DataFrame, userCol: String, tsCol: String,
+                  windows: Seq[Int] = Seq(1, 7, 30)): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ >= 1),
+      s"windows must be >= 1, got $windows")
+    val maxW = windows.max
+    val pairs = events
+      .select(to_date(col(tsCol)).as("_day"), col(userCol).as("_u"))
+      .distinct()
+    val days = pairs.select(col("_day")).distinct()
+    val ex = pairs
+      .withColumn("_i", explode(sequence(lit(0), lit(maxW - 1))))
+      .select(date_add(col("_day"), col("_i")).as("_tday"),
+        col("_u"), col("_i"))
+    val aggs = windows.map(w =>
+      count_distinct(when(col("_i") < w, col("_u"))).as(s"au_${w}d"))
+    val perDay = ex.groupBy("_tday").agg(aggs.head, aggs.tail: _*)
+    perDay.join(days, perDay("_tday") === days("_day"))
+      .select(date_format(col("_day"), "yyyy-MM-dd").as("day") +:
+        windows.map(w => col(s"au_${w}d")): _*)
   }
 
   /** Cohort retention: users are cohorted by their first active day;

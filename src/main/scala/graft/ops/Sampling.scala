@@ -130,6 +130,37 @@ object Sampling {
         floor(col("mix_rate") * 1000000))
   }
 
+  /** Token-budget sampling: per `groupCol` (source, language, domain...)
+    * keep a deterministic prefix of documents until `budgetPerGroup`
+    * tokens are consumed — the "mix N billion tokens per source" step of
+    * a training-mix recipe, made reproducible. Order within a group is
+    * (md5 priority, id) — a seeded uniform shuffle, identical across
+    * engines and reruns — and a document is kept iff the tokens consumed
+    * BEFORE it are still under budget, so the budget is met or slightly
+    * exceeded by at most one document (never undershot while documents
+    * remain).
+    *
+    * 100 TB shape: one shuffle on the group key; the running sum is O(1)
+    * window state. Groups are few (sources/languages), so partitions are
+    * large but the window never buffers — skew relief, if one source
+    * dominates, is the same salting ladder as any single-key window.
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, groupCol: String,
+                        tokensCol: String, budgetPerGroup: Long,
+                        salt: String = "budget"): DataFrame = {
+    require(budgetPerGroup > 0,
+      s"budgetPerGroup must be > 0, got $budgetPerGroup")
+    val prio = conv(substring(
+      md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(prio, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("_before", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .filter(col("_before") < budgetPerGroup)
+      .drop("_before")
+  }
+
   /** Deterministic sequence packing: assign each document a (shard, bin,
     * offset) so training can concatenate documents into fixed
     * `budget`-token bins — greedy fill in id order within a shard. The

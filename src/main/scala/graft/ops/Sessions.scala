@@ -8,6 +8,12 @@ import org.apache.spark.sql.expressions.Window
   * new-session flag → running sum), the batch twin of
   * streaming.Sessionize. One shuffle on the key; session ids are ordinals
   * within each key, deterministic given a unique (tsCol, tieCol) order.
+  *
+  * Gap decisions truncate to WHOLE SECONDS (`unix_timestamp`) — this is
+  * the contract streaming.Sessionize's event-time replay (q61) is held
+  * to, so it stays second-granular on purpose. For microsecond-exact
+  * session boundaries plus session-grain rollup columns (duration_us,
+  * value sums) use [[Events.sessionize]].
   */
 object Sessions {
 

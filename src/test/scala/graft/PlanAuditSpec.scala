@@ -47,7 +47,9 @@ class PlanAuditSpec extends SparkSpec {
     "q95_salted_join", "q96_packed_text", "q97_vocab_encode",
     "q99_span_dedup", "q103_normalized_dedup", "q104_dsir_select",
     "q107_span_decontaminate", "q108_html_extract", "q111_robots_filter",
-    "q113_fuzzy_decontamination")
+    "q113_fuzzy_decontamination", "q114_sessionize",
+    "q117_url_canonicalize", "q119_neardup_keep_best",
+    "q121_active_users", "q122_token_budget_sample")
 
   /** Queries whose BroadcastNestedLoopJoin is RUNTIME-gated rather than
     * plan-visible: brute-force cosine top-k broadcasts the probe side

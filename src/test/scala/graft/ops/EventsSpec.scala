@@ -125,3 +125,50 @@ class KeepBestSpec extends SparkSpec {
     assert(kept === Set(2L, 3L))
   }
 }
+
+/** [[Events.activeUsers]] and [[graft.ops.Sampling.tokenBudgetSample]]. */
+class ActiveUsersSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("rolling windows count trailing distinct users on observed days only") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 11:00:00"),
+      (1L, "2024-01-02 10:00:00"),
+      (3L, "2024-01-09 10:00:00")) // day 8 gap: u1/u2 out of the 7d window
+      .toDF("user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Events.activeUsers(df, "user_id", "ts", windows = Seq(1, 7))
+      .orderBy("day")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 2L, 2L),   // u1,u2 that day
+      ("2024-01-02", 1L, 2L),   // u1 active; u2 within 7d
+      ("2024-01-09", 1L, 1L)))  // only u3; Jan 1/2 outside 7d trailing
+    // ghost days (Jan 3..8) must not appear
+    assert(out.length === 3)
+  }
+
+  test("tokenBudgetSample keeps a deterministic prefix that reaches budget") {
+    val docs = (1L to 100L).map(i => (i, "g", 10L)).toDF("id", "grp", "n_tok")
+    val kept = graft.ops.Sampling
+      .tokenBudgetSample(docs, "id", "grp", "n_tok", 55L)
+      .select("id").as[Long].collect().toSet
+    // 10 tokens each: rows with <55 consumed before them = first 6 by hash
+    assert(kept.size === 6)
+    val kept2 = graft.ops.Sampling
+      .tokenBudgetSample(docs.repartition(7), "id", "grp", "n_tok", 55L)
+      .select("id").as[Long].collect().toSet
+    assert(kept === kept2) // rerun/partitioning stable
+  }
+
+  test("tokenBudgetSample budgets per group independently") {
+    val docs = Seq((1L, "a", 30L), (2L, "a", 30L), (3L, "b", 30L))
+      .toDF("id", "grp", "n_tok")
+    val kept = graft.ops.Sampling
+      .tokenBudgetSample(docs, "id", "grp", "n_tok", 31L)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(kept("a") === 2L) // 0 < 31 and 30 < 31: both kept
+    assert(kept("b") === 1L)
+  }
+}
