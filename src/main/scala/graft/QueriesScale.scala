@@ -593,6 +593,50 @@ object QueriesScale {
        |FROM g JOIN r ON r.comp = g.comp AND r.rn = 1
        |ORDER BY g.comp""".stripMargin))
 
+  /** Leakage-safe split ([[graft.ops.Sampling.clusterSafeSplit]]): the
+    * q51 near-dup cluster structure collapsed onto q52's hash split, so
+    * every cluster member lands in the same partition — the oracle
+    * rederives clusters with the recursive CTE, elects the min-id
+    * representative, and replays the bucket CASE on the representative.
+    */
+  val q123 = QueryDef("q123_cluster_safe_split", (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      threshold = 0.6, maxShingleFreq = Some(50))
+    graft.ops.Sampling.clusterSafeSplit(docs.select("doc_id"), pairs,
+        "doc_id", salt = "s1",
+        fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "rep", "split")
+      .orderBy("doc_id")
+  }, Some(
+    s"""WITH RECURSIVE ${duckShingles()},
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT a_id, b_id FROM inter
+       |          JOIN sizes sa ON sa.doc_id = inter.a_id
+       |          JOIN sizes sb ON sb.doc_id = inter.b_id
+       |          WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.6),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |walk(id, lbl) AS (
+       |  SELECT s, s FROM edges GROUP BY s
+       |  UNION
+       |  SELECT e.s, walk.lbl FROM edges e JOIN walk ON walk.id = e.d),
+       |comp AS (SELECT id, min(lbl) AS comp FROM walk GROUP BY id),
+       |j AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS rep
+       |      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+       |b AS (SELECT doc_id, rep,
+       |        CAST(('0x' || substr(md5('s1' || CAST(rep AS VARCHAR)), 1, 15))
+       |          AS BIGINT) % 10000 AS bucket
+       |      FROM j)
+       |SELECT doc_id, rep,
+       |  CASE WHEN bucket < 8000 THEN 'train'
+       |       WHEN bucket < 9000 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin))
+
   /** Multimodal frame sampling: the document's bytes stand in for an
     * opaque media container of fixed 64-byte frames; every 4th frame is
     * "decoded" (md5'd) partition-locally with one OUTPUT ROW PER FRAME —
@@ -797,5 +841,5 @@ object QueriesScale {
 
   val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q35, q40, q51, q52, q53, q55, q56, q57, q58, q63, q64, q92,
-    q98, q113, q119)
+    q98, q113, q119, q123)
 }

@@ -249,6 +249,36 @@ object QueriesSelect {
        |SELECT probe_id, cand_id, adc_micro, rank FROM r WHERE rank <= 5
        |ORDER BY probe_id, rank""".stripMargin))
 
+  /** Epoch-based source upsampling ([[graft.ops.Sampling.epochMix]]):
+    * src0 trains 2.45 epochs, src1 0.3, src2 is dropped, everything else
+    * one pass — the LLaMA-recipe mixing step. The oracle replays the
+    * replication with `unnest(range(n))` and the identical pure-hash
+    * fractional membership (floor/frac quantized driver-side, so both
+    * engines compare the same integers).
+    */
+  val q118 = QueryDef("q118_epoch_mix", (spark, dir) => {
+    val docs = t(spark, dir, "documents").select("doc_id", "source")
+    graft.ops.Sampling.epochMix(docs, "doc_id", "source",
+        epochs = Seq("src0" -> 2.45, "src1" -> 0.3, "src2" -> 0.0),
+        defaultEpochs = 1.0)
+      .select("doc_id", "source", "epoch")
+      .orderBy("doc_id", "epoch")
+  }, Some(
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST('0x' || substr(md5('epoch' || CAST(doc_id AS VARCHAR)), 1, 15)
+      |      AS BIGINT) % 1000000 AS b
+      |  FROM documents),
+      |n AS (SELECT doc_id, source,
+      |        (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+      |              WHEN 'src2' THEN 0 ELSE 1 END)
+      |        + (CASE WHEN b < (CASE source WHEN 'src0' THEN 450000
+      |                WHEN 'src1' THEN 300000 WHEN 'src2' THEN 0
+      |                ELSE 0 END) THEN 1 ELSE 0 END) AS n
+      |      FROM d)
+      |SELECT doc_id, source, unnest(range(n)) AS epoch FROM n
+      |ORDER BY doc_id, epoch""".stripMargin))
+
   /** Token-budget sampling ([[graft.ops.Sampling.tokenBudgetSample]]):
     * 20k whitespace-tokens per language, priority = (md5, id) — the
     * oracle replays the identical prefix arithmetic with DuckDB's
@@ -277,5 +307,5 @@ object QueriesSelect {
       |SELECT doc_id, lang, n_tok FROM c WHERE bef < 20000
       |ORDER BY lang, doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q103, q104, q105, q106, q122)
+  val all: Seq[QueryDef] = Seq(q103, q104, q105, q106, q118, q122)
 }

@@ -130,6 +130,49 @@ object Sampling {
         floor(col("mix_rate") * 1000000))
   }
 
+  /** Epoch-based source upsampling (the LLaMA data-recipe step, Touvron
+    * et al. 2023 Table 1: "Wikipedia 2.45 epochs, Books 2.23, CommonCrawl
+    * 0.64"): each group `g` is repeated `epochs(g)` times — every row
+    * replicated `floor(e)` times, plus one extra copy iff
+    * `bucket(salt, id) < frac(e)·10⁶`, so the FRACTIONAL epoch is the
+    * same pure-hash membership contract as [[hashSplit]] (deterministic
+    * across engines, reruns, partitionings; independent of other rows).
+    * `e < 1` degenerates to plain downsampling, `e = 0` drops the group.
+    *
+    * Output adds `epoch` — the 0-based copy index — so a downstream
+    * shuffled export ([[graft.ops.Layout]]) can spread a document's
+    * copies across the training order (same id, different epoch ⇒
+    * different shuffle key).
+    *
+    * 100 TB shape: zero shuffle — the epoch count is a pure column
+    * expression over the group label (groups are few: sources), and the
+    * replication is a row-local `explode` whose fan-out is bounded by
+    * `ceil(max epochs)`. Quantization: `floor(e)` and
+    * `round(frac·10⁶)` are computed driver-side in exact arithmetic, so
+    * no float seam reaches the plan.
+    */
+  def epochMix(df: DataFrame, idCol: String, groupCol: String,
+               epochs: Seq[(String, Double)], defaultEpochs: Double = 1.0,
+               salt: String = "epoch"): DataFrame = {
+    (epochs.map(_._2) :+ defaultEpochs).foreach(e =>
+      require(e >= 0.0 && e <= 1000.0, s"epochs must be in [0, 1000], got $e"))
+    def full(e: Double): Long = math.floor(e).toLong
+    def fracBound(e: Double): Long = math.round((e - math.floor(e)) * 1000000L)
+    val fullCol = epochs.foldRight(lit(full(defaultEpochs)): Column) {
+      case ((g, e), elseCol) => when(col(groupCol) === g, full(e)).otherwise(elseCol)
+    }
+    val boundCol = epochs.foldRight(lit(fracBound(defaultEpochs)): Column) {
+      case ((g, e), elseCol) =>
+        when(col(groupCol) === g, fracBound(e)).otherwise(elseCol)
+    }
+    val extra = when(
+      hashBucket(col(idCol), salt, 1000000) < boundCol, 1L).otherwise(0L)
+    val n = fullCol + extra
+    df.withColumn("epoch",
+        explode(when(n > lit(0L), sequence(lit(0L), n - 1))
+          .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** Token-budget sampling: per `groupCol` (source, language, domain...)
     * keep a deterministic prefix of documents until `budgetPerGroup`
     * tokens are consumed — the "mix N billion tokens per source" step of
@@ -159,6 +202,38 @@ object Sampling {
     df.withColumn("_before", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
       .filter(col("_before") < budgetPerGroup)
       .drop("_before")
+  }
+
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * never straddle the split boundary (a test doc with a train near-dup
+    * is contamination the doc-level [[hashSplit]] cannot see). Every
+    * member of a near-dup cluster gets the SAME assignment: the cluster
+    * collapses to its representative (the component's min id from
+    * [[Dedup.connectedComponents]]; singletons represent themselves) and
+    * the [[hashSplit]] hash runs on the representative instead of the
+    * row id. Pure-function contract is preserved at cluster grain —
+    * membership depends only on (salt, cluster structure).
+    *
+    * 100 TB shape: `pairs` is the near-dup pair list (already sub-linear
+    * from LSH/MinHash candidate generation), components contract in
+    * O(log n) rounds, and the final join keys the corpus once on id —
+    * the component table is orders of magnitude smaller than the corpus
+    * (only docs that HAVE a near-dup appear in it), so AQE broadcasts it
+    * in the common regime.
+    *
+    * Returns the input plus `(rep, outCol)`.
+    */
+  def clusterSafeSplit(df: DataFrame, pairs: DataFrame, idCol: String,
+                       salt: String, fractions: Seq[(String, Double)],
+                       outCol: String = "split"): DataFrame = {
+    val comps = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "_cs_id")
+    val rep = coalesce(col("comp"), col(idCol)).as("rep")
+    val split = hashSplit(
+      df.join(comps, df(idCol) === comps("_cs_id"), "left")
+        .select(df.columns.map(df(_)) :+ rep: _*),
+      "rep", salt, fractions, outCol)
+    split
   }
 
   /** Deterministic sequence packing: assign each document a (shard, bin,

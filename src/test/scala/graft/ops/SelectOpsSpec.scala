@@ -141,4 +141,51 @@ class SelectOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect()
     assert(a.map(_._1).toSet != c.toSet)
   }
+
+  test("epochMix replicates whole epochs and hash-selects the fraction") {
+    val docs = (1L to 1000L).map(i => (i, if (i <= 600) "big" else "rare"))
+      .toDF("id", "src")
+    val out = Sampling.epochMix(docs, "id", "src",
+      epochs = Seq("rare" -> 2.5, "big" -> 1.0), salt = "e1")
+    val counts = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(counts("big") === 600L) // exactly 1 epoch
+    // rare: 2 full copies each + ~50% get a third
+    assert(counts("rare") >= 2 * 400 && counts("rare") <= 3 * 400)
+    val frac = counts("rare") - 2 * 400
+    assert(frac > 100 && frac < 300, s"~50% of 400 expected, got $frac")
+    // epoch indexes are dense 0..n-1 per id
+    val perId = out.filter(col("src") === "rare")
+      .groupBy("id").agg(count(lit(1)).as("n"), max(col("epoch")).as("mx"))
+      .as[(Long, Long, Long)].collect()
+    assert(perId.forall { case (_, n, mx) => mx === n - 1 })
+    // deterministic across reruns and partitionings
+    val out2 = Sampling.epochMix(docs.repartition(7), "id", "src",
+      epochs = Seq("rare" -> 2.5, "big" -> 1.0), salt = "e1")
+      .select("id", "epoch").as[(Long, Long)].collect().toSet
+    assert(out.select("id", "epoch").as[(Long, Long)].collect().toSet === out2)
+  }
+
+  test("epochMix drops zero-epoch groups and downsamples e < 1") {
+    val docs = (1L to 400L).map(i => (i, if (i % 2 == 0) "drop" else "down"))
+      .toDF("id", "src")
+    val out = Sampling.epochMix(docs, "id", "src",
+      epochs = Seq("drop" -> 0.0, "down" -> 0.25), salt = "e2")
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(!out.contains("drop"))
+    assert(out("down") > 20 && out("down") < 80, s"~25% of 200, got $out")
+  }
+
+  test("clusterSafeSplit keeps near-dup cluster members in one split") {
+    // pairs chain 1-2-3 and 10-11; 20 is a singleton
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val out = Sampling.clusterSafeSplit(docs, pairs, "doc_id", "s",
+      Seq("train" -> 0.5, "test" -> 0.5))
+      .select("doc_id", "rep", "split")
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._2).toSeq === Seq(1L, 1L, 1L, 10L, 10L, 20L))
+    val splits = out.map(r => r._1 -> r._3).toMap
+    assert(splits(1L) === splits(2L) && splits(2L) === splits(3L))
+    assert(splits(10L) === splits(11L))
+  }
 }
