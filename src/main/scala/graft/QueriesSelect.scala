@@ -96,7 +96,7 @@ object QueriesSelect {
       |            (rt.total + 512.0)), 6) * 1e6, 0) AS BIGINT) AS lp
       |        FROM buckets b LEFT JOIN rc USING (bucket), rt),
       |sums AS (SELECT g.doc_id, count(*) AS n_grams,
-      |           sum(tlm.lp - rlm.lp) AS logw_micro
+      |           CAST(sum(tlm.lp - rlm.lp) AS BIGINT) AS logw_micro
       |         FROM g JOIN tlm USING (bucket) JOIN rlm
       |           ON rlm.bucket = g.bucket
       |         GROUP BY g.doc_id),
@@ -171,7 +171,8 @@ object QueriesSelect {
        |b0 AS (SELECT w_micro AS b0
        |       FROM read_parquet('$q105WeightsPath/*.parquet')
        |       WHERE bucket = -1),
-       |sums AS (SELECT doc_id, count(*) AS n_tokens, sum(w_micro) AS zsum
+       |sums AS (SELECT doc_id, count(*) AS n_tokens,
+       |           CAST(sum(w_micro) AS BIGINT) AS zsum
        |         FROM bux JOIN w USING (bucket) GROUP BY doc_id),
        |scored AS (SELECT c.doc_id,
        |             coalesce(sums.n_tokens, 0) AS n_tokens,
@@ -238,7 +239,8 @@ object QueriesSelect {
        |         unnest(generate_series(1, len(codes))) AS i
        |       FROM codes),
        |cl2 AS (SELECT cand_id, cell, i - 1 AS sub, codes[i] AS code FROM cl),
-       |s AS (SELECT probe_id, cand_id, sum(d_micro) AS adc_micro
+       |s AS (SELECT probe_id, cand_id,
+       |        CAST(sum(d_micro) AS BIGINT) AS adc_micro
        |      FROM cl2 JOIN t USING (cell, sub, code)
        |      WHERE probe_id <> cand_id
        |      GROUP BY probe_id, cand_id),

@@ -16,10 +16,14 @@ object GraftSession {
     * externally-created ones (Verify/Bench mains, tests).
     */
   def tune(spark: SparkSession): SparkSession = {
-    // The driver-generated `events` table stores nanosecond timestamps,
-    // which Spark's parquet reader rejects; read them as raw longs and let
-    // Tables.load convert to microsecond timestamps.
+    // Some generations of the driver's `events` table store nanosecond
+    // timestamps, which Spark's parquet reader rejects; read those as raw
+    // longs and let Tables.load convert to microsecond timestamps
+    // (micros-generation files are unaffected by this flag).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Tables.load's TIMESTAMP_NTZ -> TIMESTAMP cast (and every oracle
+    // comparison) is only value-preserving under a UTC session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -19,19 +19,33 @@ object Tables {
 
   /** Load one table from `dir` (a `/root/testdata/sf*` directory).
     *
-    * `events.ts` is nanosecond-precision in parquet, which Spark cannot
-    * read natively. We read it as a raw long (legacy.parquet.nanosAsLong)
-    * and convert with integer division to microseconds — the same
-    * truncation DuckDB applies when it reads TIMESTAMP(NANOS), so both
-    * engines see identical values. `ts DIV 1000` (integer div) is
-    * essential: float division of ~1.7e18 ns loses precision past the
-    * 53-bit double mantissa.
+    * `events.ts` has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    * parquet across testdata generations, so branch on the loaded schema:
+    *
+    *  - LongType: the nanos file read via legacy.parquet.nanosAsLong
+    *    (set in [[GraftSession.tune]]). Convert with integer division to
+    *    microseconds — the same truncation DuckDB applies to TIMESTAMP(NANOS),
+    *    so both engines see identical values. `ts DIV 1000` (integer div) is
+    *    essential: float division of ~1.7e18 ns loses precision past the
+    *    53-bit double mantissa.
+    *  - TimestampNTZ: a MICROS file with isAdjustedToUTC=false. Cast to
+    *    session-local timestamp; value-preserving because tune() pins the
+    *    session timezone to UTC, and identical to DuckDB's read of the
+    *    same file.
+    *  - Timestamp: a MICROS file already adjusted to UTC — use as-is.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       GraftSession.tune(spark)
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ =>
+          raw
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

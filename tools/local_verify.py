@@ -16,6 +16,12 @@ import hashlib
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        # pyarrow reads Spark parquet as ns, DuckDB returns us; values are
+        # micros everywhere and str() renders both the same, so the driver's
+        # hash treats them as equal — normalize so dtype compare agrees.
+        if df[c].dtype.kind == 'M':
+            df[c] = df[c].astype('datetime64[us]')
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
@@ -62,6 +68,12 @@ def main():
             print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}"); n_fail += 1; continue
         dt_mismatch = [(c, str(s[c].dtype), str(d[c].dtype)) for c in s.columns
                        if s[c].dtype != d[c].dtype]
+        if dt_mismatch:
+            # The driver's hash renders int64 `123` vs float64 `123.0`
+            # differently, so any dtype drift that survives to the driver is a
+            # hash-fail there even when %.9g hides it here (r6: q104-q106).
+            print(f"FAIL {name}: dtype drift {dt_mismatch}")
+            n_fail += 1; continue
         hs, hd = table_hash(s), table_hash(d)
         if hs != hd:
             print(f"FAIL {name}: hash mismatch ({len(s)} rows)"
@@ -75,8 +87,7 @@ def main():
                     print(f"       [{i}] {c}: spark={s[c][i]} duck={d[c][i]}")
             n_fail += 1
         else:
-            note = f" (dtype drift {dt_mismatch})" if dt_mismatch else ""
-            print(f"PASS {name}: {len(s)} rows{note}"); n_pass += 1
+            print(f"PASS {name}: {len(s)} rows"); n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total")
     sys.exit(1 if n_fail else 0)
 
