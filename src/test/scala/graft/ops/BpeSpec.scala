@@ -96,6 +96,54 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq(Seq("aa", "a"), Seq("aa", "aa"), Seq("b", "aa")))
   }
 
+  test("batched learning matches sequential and applies >1 merge per round") {
+    // a mix of symbol-disjoint frequent words (batchable) and the
+    // overlap-heavy originals (forces the prefix/disjoint/dominant guards)
+    val corpus2 = corpus ++ Seq(
+      (5L, Seq.fill(9)("ab").mkString(" ")),
+      (6L, Seq.fill(8)("cd").mkString(" ")),
+      (7L, Seq.fill(7)("ef").mkString(" ")),
+      (8L, Seq.fill(6)("gh").mkString(" ")),
+      (9L, Seq.fill(5)("ij").mkString(" ")))
+    val docs = corpus2.toDF("doc_id", "text")
+    val (table, rounds) = Bpe.learnWithRounds(docs, "text", numMerges = 16)
+    val got = table.collect().sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+    val words = corpus2.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val want = refLearn(words, numMerges = 16, minPair = 2L)
+    assert(got == want, s"got $got\nwant $want")
+    assert(rounds < got.length,
+      s"batching never compressed: $rounds rounds for ${got.length} merges")
+  }
+
+  test("selectBatch enforces prefix, disjoint, and dominant guards") {
+    // disjoint + dominant: all three batch together
+    assert(Bpe.selectBatch(
+      Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 8L)),
+      2L, Map.empty, Map.empty).map(_._1) == Seq("a", "c", "e"))
+    // shared symbol stops the batch at the overlap (prefix rule: nothing after)
+    assert(Bpe.selectBatch(
+      Seq(("a", "b", 10L), ("b", "c", 9L), ("e", "f", 8L)),
+      2L, Map.empty, Map.empty).map(_._1) == Seq("a"))
+    // created-symbol collision ("ab") stops the batch
+    assert(Bpe.selectBatch(
+      Seq(("a", "b", 10L), ("ab", "c", 9L)),
+      2L, Map.empty, Map.empty).map(_._1) == Seq("a"))
+    // dominant: a created pair bound of 9 blocks a count-9 candidate (tie
+    // could lex-win), but not a count-10 one
+    assert(Bpe.selectBatch(
+      Seq(("a", "b", 10L), ("c", "d", 9L)),
+      2L, Map("a" -> 9L), Map.empty).map(_._1) == Seq("a"))
+    assert(Bpe.selectBatch(
+      Seq(("a", "b", 10L), ("c", "d", 10L)),
+      2L, Map("a" -> 9L), Map.empty).map(_._1) == Seq("a", "c"))
+    // minPairCount truncates
+    assert(Bpe.selectBatch(
+      Seq(("a", "b", 10L), ("c", "d", 1L)),
+      2L, Map.empty, Map.empty).map(_._1) == Seq("a"))
+  }
+
   test("early stop: no pair at minPairCount ends learning") {
     val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
     // every pair count is 1 < minPairCount=2 -> zero merges
