@@ -8,8 +8,8 @@ import graft.ops.Events
 /** Batch event-analytics operators behind the hash gate ([[graft.ops.Events]]):
   * gap sessionization, ordered-step funnel, cohort retention. Oracles replay
   * the identical integer-microsecond arithmetic in DuckDB (`epoch_us` =
-  * Spark `unix_micros` after [[Tables.load]]'s shared nanos→micros
-  * truncation), with the usual conventions: deterministic ORDER BY,
+  * Spark `unix_micros` after [[Tables.load]]'s shared micros
+  * normalization), with the usual conventions: deterministic ORDER BY,
   * rounded doubles, BIGINT counts, day strings never DATE.
   */
 object QueriesEvents {

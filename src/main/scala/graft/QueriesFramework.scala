@@ -99,8 +99,8 @@ object QueriesFramework {
     */
   val q39 = QueryDef("q39_incremental_multipass", (spark, dir) => {
     val out = Queries.tmpDir("graft_q39")
-    // Pre-convert events' nanosecond ts once (Tables.load handles it) so
-    // the incremental job reads a plain-micros parquet copy.
+    // Normalize events' ts once (Tables.load branches on the stored
+    // precision) so the incremental job reads a plain-micros parquet copy.
     Tables.load(spark, dir, "events").write.parquet(s"$out/events")
     val job = JobSpec(name = "inc_events",
       inputs = Map("ev" -> DatasetSpec(path = s"$out/events", incField = Some("ts"))),
@@ -184,8 +184,8 @@ object QueriesFramework {
     */
   val q54 = QueryDef("q54_stream_windowed", (spark, dir) => {
     val out = Queries.tmpDir("graft_q54")
-    // land a plain-micros copy (events.parquet is TIMESTAMP(NANOS), which
-    // a schema'd file stream can't read directly)
+    // land a plain-micros copy (events.parquet precision varies by testdata
+    // generation; Tables.load normalizes it for the schema'd file stream)
     Tables.load(spark, dir, "events").select("ts", "event_type", "value")
       .write.parquet(s"$out/ev")
     val stream = graft.streaming.Streams.readFileStream(spark,

@@ -280,7 +280,16 @@ object Dedup {
                       maxBandFreq: Option[Int] = None): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val sh = sizedShingles(docs, idCol, textCol, n)
-    val allBuckets = bandBuckets(sh, numHashes, numBands)
+    selfPairs(bandBuckets(sh, numHashes, numBands), sh, threshold, maxBandFreq)
+  }
+
+  /** Within-one-corpus bucket self-join + verify over precomputed bucket
+    * and shingle tables — shared by [[minhashLshPairs]] and the staged
+    * delta-ingest path, which caches these tables across stages.
+    */
+  private def selfPairs(allBuckets: DataFrame, sh: DataFrame,
+                        threshold: Double,
+                        maxBandFreq: Option[Int]): DataFrame = {
     val buckets = maxBandFreq match {
       case None => allBuckets
       case Some(f) =>
@@ -376,17 +385,36 @@ object Dedup {
                                 idCol: String, textCol: String,
                                 threshold: Double = 0.8, n: Int = 3,
                                 maxBandFreq: Option[Int] = None): DataFrame = {
-    val deltaClean = dropNearDuplicates(delta, idCol, textCol, threshold, n,
-      maxBandFreq)
+    import org.apache.spark.storage.StorageLevel
+    // The delta's shingle and bucket tables feed BOTH stages (within-delta
+    // collapse, then cross-corpus pairing), but connectedComponents
+    // checkpoints eagerly, so the stages execute as separate jobs and
+    // plan-level exchange reuse can never span them — cache the shared
+    // subtrees explicitly instead of recomputing shingling + 64 minhashes
+    // per stage. Delta-sized, not corpus-sized: the designed-for ingest
+    // shape keeps the batch small relative to the corpus.
+    val dSh = sizedShingles(delta, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dB = bandBuckets(dSh, 64, 16).persist(StorageLevel.MEMORY_AND_DISK)
+    val drop = connectedComponents(selfPairs(dB, dSh, threshold, maxBandFreq))
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
     // cross-pair the FULL delta, not the survivors: hits on already-
-    // dropped ids vanish in the anti-join anyway, and keeping the delta
-    // shingle/signature subtree IDENTICAL to the within-delta stage lets
-    // Spark reuse its exchanges instead of recomputing them on a
-    // filtered (and therefore different) plan
-    val hit = minhashLshPairsAcross(corpus, delta, idCol, textCol,
-        threshold, n, maxBandFreq = maxBandFreq)
+    // dropped ids vanish in the anti-join anyway, and the full-delta
+    // tables are exactly the ones already cached
+    val cSh = sizedShingles(corpus, idCol, textCol, n)
+    val hit = crossPairs(bandBuckets(cSh, 64, 16), dB, cSh, dSh, threshold,
+        maxBandFreq)
       .select(col("b_id").as(idCol)).distinct()
-    deltaClean.join(hit, Seq(idCol), "left_anti")
+    // hit is a tiny id set but its plan hangs onto the cached delta
+    // tables; materialize it so they can be released before returning
+    // (callers may hold the lazy result arbitrarily long). `drop` already
+    // projects off connectedComponents' final checkpoint.
+    val hitIds = graft.core.Checkpoints.truncate(hit)
+    dSh.unpersist()
+    dB.unpersist()
+    delta.join(drop, Seq(idCol), "left_anti")
+      .join(hitIds, Seq(idCol), "left_anti")
   }
 
   /** Materialize the EXACT-dedup fingerprint index for `corpus`: the
