@@ -87,8 +87,12 @@ object QualityClassifier {
                 salt: String = "qcls"): DataFrame = {
     val w = broadcast(weights.filter(col("bucket") >= 0)
       .select(col("bucket"), col("w_micro")))
+    // a no-grouping aggregate, not a bare filter: the intercept row is
+    // unique by the fitQualityModel contract, and the aggregate makes the
+    // 1-row bound PLAN-provable (the bound-frame shape PlanAuditSpec
+    // allows) instead of a runtime accident of the weight table's content
     val intercept = broadcast(weights.filter(col("bucket") === -1L)
-      .select(col("w_micro").as("_b0")))
+      .agg(max(col("w_micro")).as("_b0")))
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokenBuckets(col(textCol), buckets, salt)).as("bucket"))
     val sums = toks.join(w, "bucket")

@@ -49,15 +49,28 @@ class PlanAuditSpec extends SparkSpec {
     "q107_span_decontaminate", "q108_html_extract", "q111_robots_filter",
     "q113_fuzzy_decontamination", "q114_sessionize",
     "q117_url_canonicalize", "q119_neardup_keep_best",
-    "q121_active_users", "q122_token_budget_sample")
+    "q121_active_users", "q122_token_budget_sample",
+    // round-7 widening: the previously unaudited batch families —
+    // similarity/selection side-table builders run their writes at
+    // sf0.001 (reaped per run), which is exactly how Verify drives them
+    "q31_cosine_neardup", "q52_hash_split", "q56_repetition_ratio",
+    "q57_pii_redaction", "q58_kmeans_ivf", "q65_line_dedup",
+    "q66_nfc_normalize", "q67_domain_cap", "q69_stratified_sample",
+    "q71_pack_sequences", "q79_quantize_int8", "q80_multimodal_features",
+    "q82_histogram", "q83_profile", "q92_ivf_nprobe", "q98_semantic_dedup",
+    "q105_quality_classifier", "q106_pq_adc", "q109_host_pagerank",
+    "q115_funnel", "q116_cohort_retention", "q118_epoch_mix",
+    "q123_cluster_safe_split")
 
   /** Queries whose BroadcastNestedLoopJoin is RUNTIME-gated rather than
     * plan-visible: brute-force cosine top-k broadcasts the probe side
     * behind `Similarity.gateProbes` (a require() on the probe row count,
-    * spec-covered in SimilarityIndexSpec) — the non-equi scoring join is
-    * the documented design, not a regression.
+    * spec-covered in SimilarityIndexSpec), and `deltaNearDupPairs`
+    * broadcasts the delta side only below `maxBroadcastDelta` rows
+    * (above it the plan routes through LSH buckets) — the non-equi
+    * scoring joins are the documented design, not regressions.
     */
-  private val runtimeGatedBnlj = Set("q29_ann_topk")
+  private val runtimeGatedBnlj = Set("q29_ann_topk", "q31_cosine_neardup")
 
   private def flatten(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
