@@ -635,12 +635,23 @@ object Dedup {
                                 threshold: Double, maxBandFreq: Option[Int],
                                 appendAccepted: Boolean,
                                 excludeSelfIds: Boolean): DataFrame = {
-    // within-delta collapse at the INDEX's operating point — a different
-    // numHashes/numBands would silently run a different LSH S-curve
-    val deltaClean = dropNearDuplicates(delta, idCol, textCol, threshold,
-      index.n, maxBandFreq, index.numHashes, index.numBands)
-    val pairs = minhashLshPairsAcross(index, delta, idCol, textCol,
-      threshold, maxBandFreq)
+    import org.apache.spark.storage.StorageLevel
+    val spark = delta.sparkSession
+    // same shared-subtree staging as the corpus-variant overload: the
+    // delta shingle/bucket tables feed the within-delta collapse AND the
+    // index cross-pairing, across an eager-checkpoint job boundary —
+    // cache them once. Built at the INDEX's operating point — a different
+    // numHashes/numBands would silently run a different LSH S-curve.
+    val dSh = sizedShingles(delta, idCol, textCol, index.n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dB = bandBuckets(dSh, index.numHashes, index.numBands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val drop = connectedComponents(selfPairs(dB, dSh, threshold, maxBandFreq))
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    val deltaClean = delta.join(drop, Seq(idCol), "left_anti")
+    val pairs = crossPairs(spark.table(index.bucketsTable), dB,
+      spark.table(index.shinglesTable), dSh, threshold, maxBandFreq)
     // distinct column name + expression join: the exclusion side projects
     // from the SAME delta plan that feeds the pairs, and a USING-join on a
     // shared name can silently resolve both sides to one attribute in a
@@ -650,7 +661,13 @@ object Dedup {
       else pairs.join(delta.select(col(idCol).as("_self_a_id")),
         col("a_id") === col("_self_a_id"), "left_anti")
     val hit = pairsKept.select(col("b_id").as(idCol)).distinct()
-    val accepted = deltaClean.join(hit, Seq(idCol), "left_anti")
+    // materialize the tiny hit-id set so the cached delta tables release
+    // before returning (the accepted plan then reads only the delta scan
+    // and two checkpointed id sets)
+    val hitIds = graft.core.Checkpoints.truncate(hit)
+    dSh.unpersist()
+    dB.unpersist()
+    val accepted = deltaClean.join(hitIds, Seq(idCol), "left_anti")
     if (!appendAccepted) accepted
     else {
       // reliable when a checkpoint dir is set — see dropExactDuplicatesAgainst
