@@ -363,7 +363,8 @@ object Queries {
   val all: Seq[QueryDef] =
     relational ++ QueriesScale.all ++ QueriesFramework.all ++
       QueriesExtra.all ++ QueriesText.all ++ QueriesOps.all ++
-      QueriesData.all ++ QueriesSelect.all ++ QueriesEvents.all
+      QueriesData.all ++ QueriesSelect.all ++ QueriesEvents.all ++
+      QueriesCurate.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

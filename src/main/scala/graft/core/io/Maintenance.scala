@@ -148,6 +148,143 @@ object Maintenance {
         maxOverlapPerFile))
   }
 
+  final case class DeleteResult(filesTotal: Int, filesAffected: Int,
+                                filesRewritten: Int, rowsDeleted: Long)
+
+  /** Targeted delete (the "right to be forgotten" maintenance op): remove
+    * every row whose `idCol` appears in `ids`, rewriting ONLY the files
+    * that actually contain a matching row. At 100 TB the delete list is
+    * tiny relative to the table, and a blanket rewrite is the cost this
+    * operator exists to avoid: untouched files are left byte-identical
+    * (same name, same mtime), so downstream caches and sync tools see
+    * exactly the changed subset.
+    *
+    * Shape: one column-pruned discovery scan (`idCol` +
+    * `input_file_name()`) semi-joined against the delete list finds the
+    * affected files — the join broadcasts when the list is small, and the
+    * scan reads one column. Each affected directory (the root, or one
+    * hive `key=value` partition dir) is then rewritten from ONLY its
+    * affected files: read → anti-join → write, so the rewrite cost is
+    * bounded by the affected bytes, never the table bytes.
+    *
+    * Swap protocol, per directory (no atomic multi-file rename exists on
+    * a plain filesystem, so the commit point is a manifest write):
+    *  1. replacement rows → hidden `.X_delete_tmp` (dot-dir: readers skip);
+    *  2. `_delete_plan.json` manifest (affected file names) written into
+    *     tmp LAST — its presence is the commit marker;
+    *  3. each affected original renamed to `.<name>_deleted` (atomic per
+    *     file; a concurrent reader sees rows vanish file-by-file);
+    *  4. tmp parquet files moved into the directory;
+    *  5. hidden originals and tmp deleted.
+    * Crash recovery (run before any new delete): tmp WITHOUT manifest →
+    * roll back (delete tmp; originals were never touched). Tmp WITH
+    * manifest → roll forward (re-hide any still-visible manifest names,
+    * move remaining tmp files in, clean up) — every step is idempotent.
+    *
+    * `idCol` must be a physical column of the files (not a hive partition
+    * column — partition-valued deletes are directory drops, not rewrites).
+    * `ids` needs a column named `idCol`; extra columns are ignored.
+    */
+  def deleteMatching(spark: SparkSession, dir: String, idCol: String,
+                     ids: org.apache.spark.sql.DataFrame): DeleteResult = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no dataset at $dir")
+    // finish or roll back any crashed delete before trusting the listing
+    val leafDirs = (Seq(root) ++ fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("=") &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
+      .map(_.getPath)).distinct
+    leafDirs.foreach(p => recoverDelete(fs, p))
+
+    val filesTotal = leafDirs.map(p => fs.listStatus(p)
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))).sum
+    val idList = ids.select(col(idCol)).distinct()
+    val affected = spark.read.parquet(dir)
+      .select(col(idCol), input_file_name().as("_f"))
+      .join(idList, Seq(idCol), "left_semi")
+      .select("_f").distinct().collect().map(_.getString(0))
+    if (affected.isEmpty) return DeleteResult(filesTotal, 0, 0, 0L)
+
+    val byDir = affected.groupBy(f => new Path(new java.net.URI(f)).getParent)
+    var rewritten = 0
+    var deleted = 0L
+    byDir.toSeq.sortBy(_._1.toString).foreach { case (pdir, files) =>
+      val paths = files.sorted.map(f => new Path(new java.net.URI(f)))
+      val before = spark.read.parquet(paths.map(_.toString): _*)
+      require(before.columns.contains(idCol),
+        s"$idCol is not a physical column of the files under $pdir " +
+          "(hive partition columns cannot be delete keys)")
+      val kept = before.join(idList, Seq(idCol), "left_anti")
+      val nMatched = before.join(idList, Seq(idCol), "left_semi").count()
+      val tmp = new Path(pdir, s".${pdir.getName}_delete_tmp")
+      fs.delete(tmp, true)
+      kept.repartition(paths.length)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      // commit marker: the manifest of original names goes in LAST
+      val manifest = new Path(tmp, "_delete_plan.json")
+      val outS = fs.create(manifest, true)
+      outS.write(paths.map(p => "\"" + p.getName + "\"")
+        .mkString("[", ",", "]").getBytes("UTF-8"))
+      outS.close()
+      rewritten += finishDelete(fs, pdir, tmp)
+      deleted += nMatched
+    }
+    DeleteResult(filesTotal, affected.length, rewritten, deleted)
+  }
+
+  /** Roll the committed swap forward: hide manifest-named originals, move
+    * tmp parquet in, drop hidden + tmp. Idempotent — safe to re-run from
+    * any crash point after the manifest exists.
+    */
+  private def finishDelete(fs: org.apache.hadoop.fs.FileSystem,
+                           pdir: Path, tmp: Path): Int = {
+    val manifest = new Path(tmp, "_delete_plan.json")
+    val names = {
+      val in = fs.open(manifest)
+      val raw = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](8192)
+        var n = in.read(b)
+        while (n > 0) { buf.write(b, 0, n); n = in.read(b) }
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+      raw.stripPrefix("[").stripSuffix("]").split(",").toSeq
+        .filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    }
+    names.foreach { n =>
+      val orig = new Path(pdir, n)
+      if (fs.exists(orig))
+        require(fs.rename(orig, new Path(pdir, s".${n}_deleted")),
+          s"could not hide $orig")
+    }
+    val moved = fs.listStatus(tmp)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    moved.foreach { st =>
+      require(fs.rename(st.getPath, new Path(pdir, st.getPath.getName)),
+        s"could not move ${st.getPath} into $pdir")
+    }
+    names.foreach(n => fs.delete(new Path(pdir, s".${n}_deleted"), false))
+    fs.delete(tmp, true)
+    moved.length
+  }
+
+  /** Crash recovery for [[deleteMatching]]: a tmp dir with the manifest is
+    * past the commit point — roll forward; without it, nothing visible was
+    * touched — roll back by dropping the tmp.
+    */
+  private def recoverDelete(fs: org.apache.hadoop.fs.FileSystem,
+                            pdir: Path): Unit = {
+    val tmp = new Path(pdir, s".${pdir.getName}_delete_tmp")
+    if (fs.exists(tmp)) {
+      if (fs.exists(new Path(tmp, "_delete_plan.json")))
+        finishDelete(fs, pdir, tmp): Unit
+      else fs.delete(tmp, true): Unit
+    }
+  }
+
   private def compactZorderOne(spark: SparkSession,
                                fs: org.apache.hadoop.fs.FileSystem,
                                path: Path, dims: Seq[String], bits: Int,
