@@ -40,5 +40,68 @@ object QueriesCurate {
       |FROM orders WHERE o_custkey % 19 <> 0
       |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q124)
+  /** Cross-source corpus-overlap cards ([[graft.ops.Sketches
+    * .kmvOverlapCards]]): every source pair gets its exact 3-shingle-set
+    * overlap AND the KMV bottom-k estimate of the same quantity, side by
+    * side — the validation-scale number next to the 100 TB-scale number,
+    * both bit-replayed by the oracle (portable md5 hash60).
+    */
+  val q125 = {
+    val k = 128
+    QueryDef("q125_corpus_overlap", (spark, dir) => {
+      val sh = t(spark, dir, "documents")
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.shingles(col("text"), 3))
+            .as("shingle"))
+      graft.ops.Sketches.kmvOverlapCards(sh, "source", "shingle", k = k)
+        .orderBy("grp_a", "grp_b")
+    }, Some(
+      s"""WITH toks AS (SELECT source, string_split(lower(text), ' ') AS l
+         |              FROM documents),
+         |pos AS (SELECT source, l, unnest(generate_series(1, len(l) - 2)) AS i
+         |        FROM toks WHERE len(l) >= 3),
+         |sh AS (SELECT DISTINCT source,
+         |         l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+         |       FROM pos),
+         |hv AS (SELECT DISTINCT source,
+         |         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h
+         |       FROM sh),
+         |mk AS (SELECT source, h FROM (
+         |         SELECT source, h,
+         |           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |         FROM hv) WHERE rn <= $k),
+         |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+         |pairs AS (SELECT a.source AS grp_a, a.n AS n_a,
+         |            b.source AS grp_b, b.n AS n_b
+         |          FROM sizes a JOIN sizes b ON a.source < b.source),
+         |exp AS (SELECT p.grp_a, p.grp_b, m.h,
+         |          max(CASE WHEN m.source = p.grp_a THEN 1 ELSE 0 END) AS in_a,
+         |          max(CASE WHEN m.source = p.grp_b THEN 1 ELSE 0 END) AS in_b
+         |        FROM pairs p JOIN mk m ON m.source IN (p.grp_a, p.grp_b)
+         |        GROUP BY 1, 2, 3),
+         |unk AS (SELECT grp_a, grp_b, in_a, in_b,
+         |          row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS rn
+         |        FROM exp),
+         |est AS (SELECT grp_a, grp_b, count(*) AS union_k,
+         |          CAST(sum(in_a * in_b) AS BIGINT) AS matched_k
+         |        FROM unk WHERE rn <= $k GROUP BY 1, 2),
+         |inter AS (SELECT a.source AS grp_a, b.source AS grp_b,
+         |            count(*) AS inter
+         |          FROM sh a JOIN sh b
+         |            ON a.shingle = b.shingle AND a.source < b.source
+         |          GROUP BY 1, 2)
+         |SELECT p.grp_a, p.grp_b, p.n_a, p.n_b,
+         |  coalesce(i.inter, 0) AS inter,
+         |  p.n_a + p.n_b - coalesce(i.inter, 0) AS uni,
+         |  round(coalesce(i.inter, 0)::DOUBLE
+         |    / (p.n_a + p.n_b - coalesce(i.inter, 0)), 4) AS jaccard,
+         |  e.union_k, e.matched_k,
+         |  round(e.matched_k::DOUBLE / e.union_k, 4) AS est_jaccard
+         |FROM pairs p
+         |LEFT JOIN inter i ON i.grp_a = p.grp_a AND i.grp_b = p.grp_b
+         |JOIN est e ON e.grp_a = p.grp_a AND e.grp_b = p.grp_b
+         |ORDER BY 1, 2""".stripMargin))
+  }
+
+  val all: Seq[QueryDef] = Seq(q124, q125)
 }

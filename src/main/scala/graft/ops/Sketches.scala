@@ -70,6 +70,94 @@ object Sketches {
           .otherwise(lit((k - 1).toDouble * m) / col("kth_hash")), 2))
   }
 
+  /** Pairwise corpus-overlap cards: for every pair of groups (sources,
+    * snapshots, shards) report the exact shingle-set overlap AND the KMV
+    * bottom-k estimate of it, side by side.
+    *
+    * The estimate is the classic KMV set-operation trick (Beyer et al.
+    * 2007): keep each group's k smallest distinct value hashes; for a
+    * pair, the k smallest of the merged sets are a uniform sample of the
+    * UNION, so the fraction of them present in both groups estimates
+    * Jaccard. With the portable md5 [[hash60]] the estimate is a pure
+    * function of the value sets — bit-replayable on any engine.
+    *
+    * 100 TB shape: the exact path self-joins the distinct (group, value)
+    * table on value — one corpus-sized shuffle, only affordable at
+    * validation scale; pass `withExact = false` in production and only
+    * the sketch path runs. That path aggregates (group, hash) with
+    * map-side combine, takes per-group min-k through the same two-stage
+    * sub-bucketed windows as [[kmvDistinct]] (no hot-group task ever
+    * sorts a full distinct set), and every pairwise stage after it works
+    * on ≤ groups·k rows — for 1000 sources × k=256 that is 256k rows of
+    * longs, a driver-free broadcast-grade relation, while the corpus is
+    * touched exactly once.
+    *
+    * Output per pair (grp_a < grp_b): exact `n_a, n_b, inter, uni,
+    * jaccard` (−1 sentinels when `withExact = false`) and `union_k,
+    * matched_k, est_jaccard`.
+    */
+  def kmvOverlapCards(df: DataFrame, groupCol: String, valueCol: String,
+                      k: Int = 128, withExact: Boolean = true): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    val g = col(groupCol)
+    val sh = df.select(g.as("_g"), col(valueCol).as("_v")).distinct()
+
+    // per-group bottom-k distinct hashes (two-stage window, skew-capped)
+    val hashed = sh.select(col("_g"), hash60(col("_v")).as("_h")).distinct()
+    val pre = Window.partitionBy(col("_g"), pmod(col("_h"), lit(64L)))
+      .orderBy(col("_h"))
+    val fin = Window.partitionBy(col("_g")).orderBy(col("_h"))
+    val mk = hashed
+      .withColumn("_rn0", row_number().over(pre)).filter(col("_rn0") <= k)
+      .withColumn("_rn", row_number().over(fin)).filter(col("_rn") <= k)
+      .select("_g", "_h")
+
+    val sizes = sh.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
+    val pairs = sizes.select(col("_g").as("grp_a"), col("_n").as("n_a"))
+      .join(sizes.select(col("_g").as("grp_b"), col("_n").as("n_b")),
+        col("grp_a") < col("grp_b"))
+
+    // expand each pair to its two members once -> equi-join with mk
+    val members = pairs.select(col("grp_a"), col("grp_b"),
+      explode(array(col("grp_a"), col("grp_b"))).as("_m"))
+    val exp = mk.join(broadcast(members), col("_g") === col("_m"))
+      .groupBy(col("grp_a"), col("grp_b"), col("_h"))
+      .agg(max(when(col("_g") === col("grp_a"), 1L).otherwise(0L)).as("in_a"),
+        max(when(col("_g") === col("grp_b"), 1L).otherwise(0L)).as("in_b"))
+    val unionWin = Window.partitionBy(col("grp_a"), col("grp_b"))
+      .orderBy(col("_h"))
+    val est = exp
+      .withColumn("_rn", row_number().over(unionWin)).filter(col("_rn") <= k)
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("union_k"),
+        sum(col("in_a") * col("in_b")).as("matched_k"))
+      .withColumn("est_jaccard",
+        round(col("matched_k").cast("double") / col("union_k"), 4))
+
+    val withEst = pairs.join(est, Seq("grp_a", "grp_b"), "left")
+      .na.fill(0L, Seq("union_k", "matched_k"))
+      .na.fill(0.0, Seq("est_jaccard"))
+    val full =
+      if (!withExact)
+        withEst.withColumn("inter", lit(-1L)).withColumn("uni", lit(-1L))
+          .withColumn("jaccard", lit(-1.0))
+      else {
+        val inter = sh.select(col("_g").as("_ga"), col("_v"))
+          .join(sh.select(col("_g").as("_gb"), col("_v")),
+            Seq("_v")).filter(col("_ga") < col("_gb"))
+          .groupBy(col("_ga").as("grp_a"), col("_gb").as("grp_b"))
+          .agg(count(lit(1)).as("inter"))
+        withEst.join(inter, Seq("grp_a", "grp_b"), "left")
+          .na.fill(0L, Seq("inter"))
+          .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+          .withColumn("jaccard",
+            round(col("inter").cast("double") / col("uni"), 4))
+      }
+    full.select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+      col("inter"), col("uni"), col("jaccard"),
+      col("union_k"), col("matched_k"), col("est_jaccard"))
+  }
+
   /** Row `j`'s counter bucket for value `v`: the portable [[hash60]]
     * construction salted with `j` (`md5(j || ':' || v)`), mod `width` —
     * `depth` pairwise-independent-enough hash rows from one md5.

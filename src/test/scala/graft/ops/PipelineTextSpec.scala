@@ -600,6 +600,39 @@ class KmvSketchSpec extends SparkSpec {
       Sketches.kmvDistinct(a, Seq("grp"), "v", k = 2)
     }
   }
+
+  test("overlap cards: exact matches set arithmetic, estimate lands near it") {
+    // A = 1..1000, B = 501..1500 (jaccard 1/3), C disjoint 9001..9500
+    val df = ((1 to 1000).map(v => ("a", v)) ++
+      (501 to 1500).map(v => ("b", v)) ++
+      (9001 to 9500).map(v => ("c", v))).toDF("grp", "v")
+    val out = Sketches.kmvOverlapCards(df, "grp", "v", k = 128)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Long]("inter") == 500L && ab.getAs[Long]("uni") == 1500L)
+    assert(ab.getAs[Double]("jaccard") == 0.3333)
+    // k=128 over a 1500-union: sampling error ~1/sqrt(k) — stay within 0.15
+    assert(math.abs(ab.getAs[Double]("est_jaccard") - 1.0 / 3) < 0.15)
+    val ac = out(("a", "c"))
+    assert(ac.getAs[Long]("inter") == 0L &&
+      ac.getAs[Double]("est_jaccard") == 0.0)
+  }
+
+  test("overlap cards: withExact=false runs only the sketch path") {
+    val df = ((1 to 300).map(v => ("a", v)) ++
+      (200 to 400).map(v => ("b", v))).toDF("grp", "v")
+    val plan = Sketches.kmvOverlapCards(df, "grp", "v", k = 64,
+      withExact = false)
+    val r = plan.collect().head
+    assert(r.getAs[Long]("inter") == -1L && r.getAs[Double]("jaccard") == -1.0)
+    assert(r.getAs[Long]("union_k") == 64L)
+    // the exact path's value-keyed self-join must be absent from the plan
+    val phys = plan.queryExecution.executedPlan.toString
+    assert(!phys.contains("_ga"), "exact self-join ran despite withExact=false")
+    // estimate still sane: true jaccard = 101/401 ~ 0.25
+    assert(math.abs(r.getAs[Double]("est_jaccard") - 101.0 / 401) < 0.2)
+  }
 }
 
 class StratifiedSampleSpec extends SparkSpec {
