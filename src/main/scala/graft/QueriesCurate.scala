@@ -103,5 +103,41 @@ object QueriesCurate {
          |ORDER BY 1, 2""".stripMargin))
   }
 
-  val all: Seq[QueryDef] = Seq(q124, q125)
+  /** CCNet head/middle/tail perplexity split ([[graft.ops.TextAnalysis
+    * .perplexityBuckets]]): corpus-trained unigram-LM perplexity,
+    * per-language terciles, one bucket tag per document. The oracle
+    * retrains the identical LM and recomputes the identical terciles
+    * (`percentile` == `quantile_cont`, both rounded to 4 before the
+    * comparison), so a single document flipping bucket breaks the hash.
+    */
+  val q126 = QueryDef("q126_perplexity_buckets", (spark, dir) =>
+    graft.ops.TextAnalysis.perplexityBuckets(
+      t(spark, dir, "documents"), "doc_id", "text", "lang")
+      .orderBy("doc_id"),
+    Some(
+      """WITH tk AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> ''),
+        |vocab AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+        |tot AS (SELECT sum(c) AS n, count(*) AS v FROM vocab),
+        |lp AS (SELECT doc_id, ln((c + 1.0) / (n + 1.0 * v)) AS lp
+        |       FROM tk JOIN vocab USING (tok) CROSS JOIN tot),
+        |scored AS (SELECT doc_id, round(exp(-avg(lp)), 2) AS ppl
+        |           FROM lp GROUP BY doc_id),
+        |sl AS (SELECT s.doc_id, d.lang, s.ppl
+        |       FROM scored s JOIN documents d USING (doc_id)),
+        |cuts AS (SELECT lang,
+        |           round(quantile_cont(ppl, 1.0/3), 4) AS t1,
+        |           round(quantile_cont(ppl, 2.0/3), 4) AS t2
+        |         FROM sl GROUP BY lang)
+        |SELECT sl.doc_id, sl.lang, sl.ppl, c.t1, c.t2,
+        |  CASE WHEN sl.ppl <= c.t1 THEN 'head'
+        |       WHEN sl.ppl <= c.t2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sl JOIN cuts c USING (lang)
+        |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q124, q125, q126)
 }

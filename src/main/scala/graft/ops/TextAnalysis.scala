@@ -284,6 +284,49 @@ object TextAnalysis {
         col("avg_logprob"), col("ppl"))
   }
 
+  /** CCNet-style head/middle/tail perplexity split (Wenzek et al. 2020
+    * §4.3): score every document with the corpus-trained unigram LM
+    * ([[unigramLmScore]]), take per-`langCol` terciles of the perplexity,
+    * and tag each document `head` (lowest ppl — most fluent), `middle`,
+    * or `tail`. CCNet keeps head+middle for training and drops (or
+    * down-weights) the tail; the bucket column makes that a one-line
+    * filter.
+    *
+    * Thresholds are interpolated terciles rounded to 4 decimals BEFORE
+    * the comparison — ppl carries 2 decimals, so the rounding absorbs
+    * last-ulp interpolation differences between engines and the bucket
+    * assignment replays exactly (the dual-engine contract).
+    *
+    * Scale shape: the LM scoring is [[unigramLmScore]]'s one-aggregation
+    * + one-join plan; the tercile aggregation with `exact = true` uses
+    * Spark's exact `percentile`, which materializes each language's ppl
+    * values in one aggregation buffer — fine up to ~10^8 docs per
+    * language, and per-LANGUAGE, never per-corpus. Past that, pass
+    * `exact = false` for `approx_percentile` (GK sketch, mergeable,
+    * bounded memory) and accept ±`accuracy` rank error at the two cut
+    * points; the cuts then stop being engine-replayable, which is why
+    * exact is the default at validation scale.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String, exact: Boolean = true,
+                        accuracy: Int = 10000): DataFrame = {
+    val scored = unigramLmScore(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    def cut(p: String) =
+      if (exact) expr(s"percentile(ppl, $p)")
+      else expr(s"approx_percentile(ppl, $p, $accuracy)")
+    val cuts = scored.groupBy(col(langCol))
+      .agg(round(cut("1.0D/3"), 4).as("t1"),
+        round(cut("2.0D/3"), 4).as("t2"))
+    scored.join(broadcast(cuts), Seq(langCol))
+      .withColumn("bucket",
+        when(col("ppl") <= col("t1"), lit("head"))
+          .when(col("ppl") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col(langCol), col("ppl"), col("t1"), col("t2"),
+        col("bucket"))
+  }
+
   /** Gopher-style rule-based quality flags (Rae et al. 2021, Table A1 —
     * the deterministic subset): per-document word/line structure metrics
     * and the conjunction `keep` every rule passes. All pure Column

@@ -635,6 +635,47 @@ class KmvSketchSpec extends SparkSpec {
   }
 }
 
+class PerplexityBucketSpec extends SparkSpec {
+  import spark.implicits._
+
+  // per lang: 30 docs of GRADED fluency (more "the" = lower ppl; one
+  // unique token each keeps every ppl distinct) + 15 pure-garbage docs
+  private def corpus = (0 until 90).map { i =>
+    val lang = if (i % 2 == 0) "en" else "de"
+    val text =
+      if (i < 60) ("the " * (i / 2 % 30 + 2)).trim + s" unq$i"
+      else s"zzq$i xvw$i qqj$i kkz$i"
+    (i.toLong, text, lang)
+  }.toDF("doc_id", "text", "lang")
+
+  test("terciles split each language into balanced head/middle/tail") {
+    val out = TextAnalysis.perplexityBuckets(corpus, "doc_id", "text", "lang")
+    val byLang = out.groupBy("lang", "bucket").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // 45 docs/lang, interpolated terciles: each bucket gets 15 +/- 1
+    Seq("en", "de").foreach { l =>
+      Seq("head", "middle", "tail").foreach { b =>
+        val n = byLang.getOrElse((l, b), 0L)
+        assert(n >= 14 && n <= 16, s"$l/$b got $n")
+      }
+    }
+    // every garbage doc lands in the tail (rare tokens => high ppl)
+    val garbageBuckets = out.filter(col("doc_id") >= 60)
+      .select("bucket").distinct().as[String].collect().toSet
+    assert(garbageBuckets == Set("tail"))
+  }
+
+  test("approx path buckets identically on a small corpus") {
+    val exact = TextAnalysis.perplexityBuckets(corpus, "doc_id", "text", "lang")
+      .select("doc_id", "bucket")
+    val approx = TextAnalysis.perplexityBuckets(corpus, "doc_id", "text",
+      "lang", exact = false)
+      .select("doc_id", "bucket")
+    assert(exact.exceptAll(approx).isEmpty && approx.exceptAll(exact).isEmpty)
+  }
+}
+
 class StratifiedSampleSpec extends SparkSpec {
   import spark.implicits._
 
