@@ -139,5 +139,24 @@ object QueriesCurate {
         |FROM sl JOIN cuts c USING (lang)
         |ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q124, q125, q126)
+  /** Weighted priority sampling ([[graft.ops.Sampling.prioritySample]],
+    * Efraimidis–Spirakis): 100 documents drawn without replacement with
+    * inclusion odds proportional to length. The oracle replays the md5
+    * uniform, the ln(u)/w key in integer micro-units, and the exact
+    * top-100 boundary.
+    */
+  val q127 = QueryDef("q127_priority_sample", (spark, dir) =>
+    graft.ops.Sampling.prioritySample(
+      t(spark, dir, "documents").select("doc_id", "n_chars"),
+      "doc_id", "n_chars", n = 100, salt = "es")
+      .select("doc_id", "n_chars", "key_micro"),
+    Some(
+      """SELECT doc_id, n_chars,
+        |  CAST(round(round(ln((CAST('0x' || substr(md5('es' || doc_id), 1, 15)
+        |                   AS BIGINT) + 0.5) / 1152921504606846976.0)
+        |             / n_chars, 6) * 1e6, 0) AS BIGINT) AS key_micro
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY key_micro DESC, doc_id LIMIT 100""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q124, q125, q126, q127)
 }

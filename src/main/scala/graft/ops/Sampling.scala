@@ -25,6 +25,36 @@ object Sampling {
         .cast("long"),
       lit(buckets.toLong))
 
+  /** Weighted sampling WITHOUT replacement, n items with inclusion odds
+    * proportional to `weightCol` — Efraimidis–Spirakis (2006) priority
+    * sampling: each row draws a deterministic uniform u from the md5
+    * hash of its id and competes on key = ln(u) / w (the log-monotone
+    * form of u^(1/w)); the n largest keys win. One pass, no global sort:
+    * the order-by + limit plans as TakeOrderedAndProject (per-partition
+    * top-n, merged on the driver — n rows per partition in flight, never
+    * the corpus).
+    *
+    * The key is kept in integer micro-units (round 6) so the selection
+    * boundary is engine-replayable: a last-ulp `ln` difference between
+    * engines cannot flip a rank, and ties (impossible in practice, but
+    * pinned anyway) break by id.
+    *
+    * Rows with weight <= 0 never qualify. Returns the input row plus
+    * `key_micro`, ordered best-first.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+                     n: Int, salt: String = "es"): DataFrame = {
+    val m = math.pow(2.0, 60)
+    val u = (conv(substring(md5(concat(lit(salt),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long") + 0.5) / m
+    df.filter(col(weightCol) > 0)
+      .withColumn("key_micro",
+        round(round(log(u) / col(weightCol).cast("double"), 6) * 1e6, 0)
+          .cast("long"))
+      .orderBy(col("key_micro").desc, col(idCol))
+      .limit(n)
+  }
+
   /** Assign a split label per row by cumulative fraction over 10k hash
     * buckets (0.01% granularity). `fractions` must sum to <= 1; rows
     * falling past the last bound get the final label (so (train 0.8,

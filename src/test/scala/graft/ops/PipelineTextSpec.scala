@@ -676,6 +676,39 @@ class PerplexityBucketSpec extends SparkSpec {
   }
 }
 
+class PrioritySampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("selection skews to heavy weights and is partitioning-invariant") {
+    // 500 light rows (w=1) vs 100 heavy rows (w=50): heavies should
+    // dominate a 100-row sample
+    val rows = ((1L to 500L).map(i => (i, 1L)) ++
+      (1001L to 1100L).map(i => (i, 50L)))
+    val df = rows.toDF("id", "w")
+    val out = Sampling.prioritySample(df, "id", "w", n = 100)
+    val ids = out.select("id").as[Long].collect()
+    assert(ids.length == 100)
+    val heavies = ids.count(_ >= 1001L)
+    assert(heavies > 60, s"only $heavies/100 heavy rows selected")
+    // pure function of (id, w): repartitioning changes nothing
+    val ids2 = Sampling.prioritySample(df.repartition(17), "id", "w", n = 100)
+      .select("id").as[Long].collect()
+    assert(ids.toSeq == ids2.toSeq)
+    // zero/negative weights never qualify
+    val withZero = df.union(Seq((9999L, 0L), (9998L, -5L)).toDF("id", "w"))
+    val ids3 = Sampling.prioritySample(withZero, "id", "w", n = 600)
+      .select("id").as[Long].collect()
+    assert(!ids3.contains(9999L) && !ids3.contains(9998L))
+  }
+
+  test("plans as TakeOrdered, not a global sort") {
+    val df = (1L to 1000L).map(i => (i, i % 7 + 1)).toDF("id", "w")
+    val plan = Sampling.prioritySample(df, "id", "w", n = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+}
+
 class StratifiedSampleSpec extends SparkSpec {
   import spark.implicits._
 
