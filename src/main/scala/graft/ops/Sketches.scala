@@ -113,9 +113,16 @@ object Sketches {
       .select("_g", "_h")
 
     val sizes = sh.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
-    val pairs = sizes.select(col("_g").as("grp_a"), col("_n").as("n_a"))
-      .join(sizes.select(col("_g").as("grp_b"), col("_n").as("n_b")),
-        col("grp_a") < col("grp_b"))
+    // group-pair frame built from ONE single-row aggregate (a group list
+    // is sketch-sized: even 10^5 groups is a few MB) — never a non-equi
+    // self-join the planner would run as a nested-loop over row pairs
+    val pairs = sizes
+      .agg(sort_array(collect_list(struct(col("_g"), col("_n")))).as("_gs"))
+      .select(explode(col("_gs")).as("_a"), col("_gs"))
+      .select(col("_a"), explode(col("_gs")).as("_b"))
+      .filter(col("_a._g") < col("_b._g"))
+      .select(col("_a._g").as("grp_a"), col("_a._n").as("n_a"),
+        col("_b._g").as("grp_b"), col("_b._n").as("n_b"))
 
     // expand each pair to its two members once -> equi-join with mk
     val members = pairs.select(col("grp_a"), col("grp_b"),

@@ -60,7 +60,11 @@ class PlanAuditSpec extends SparkSpec {
     "q82_histogram", "q83_profile", "q92_ivf_nprobe", "q98_semantic_dedup",
     "q105_quality_classifier", "q106_pq_adc", "q109_host_pagerank",
     "q115_funnel", "q116_cohort_retention", "q118_epoch_mix",
-    "q123_cluster_safe_split")
+    "q123_cluster_safe_split",
+    // round-7 curation additions (q124 targeted delete is a file
+    // side-effect query — audited in DeleteSpec instead)
+    "q125_corpus_overlap", "q126_perplexity_buckets",
+    "q127_priority_sample")
 
   /** Queries whose BroadcastNestedLoopJoin is RUNTIME-gated rather than
     * plan-visible: brute-force cosine top-k broadcasts the probe side
