@@ -1,0 +1,102 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.EtlJob
+import graft.functions.TextFunctions
+import graft.ops.{Sampling, Sketches, TextAnalysis}
+
+/** Manifest-loadable adapters onto the round-7 curation operators
+  * (`conf/curate_pipeline.yml`), same `class:` mechanism as
+  * [[LlmPipelineJobs]] / [[EventsJobs]].
+  */
+
+/** Pairwise corpus-overlap cards ([[Sketches.kmvOverlapCards]]).
+  * Params: `group_col` (required); either `value_col` (pre-exploded
+  * values) or `text_col` + optional `shingle_n` (default 3) to shingle
+  * here; `k` (default 128); `with_exact` (default true — set false for
+  * the corpus-shuffle-free production path).
+  */
+class CorpusOverlapJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val in = inputs.values.head
+    val group = params.getOrElse("group_col",
+      sys.error("CorpusOverlapJob needs a 'group_col' param"))
+    val values = params.get("value_col") match {
+      case Some(v) => in.select(col(group), col(v).as("value"))
+      case None =>
+        val textCol = params.getOrElse("text_col", "text")
+        val n = params.getOrElse("shingle_n", "3").toInt
+        in.select(col(group),
+          explode(TextFunctions.shingles(col(textCol), n)).as("value"))
+    }
+    Sketches.kmvOverlapCards(values, group, "value",
+      k = params.getOrElse("k", "128").toInt,
+      withExact = params.getOrElse("with_exact", "true").toBoolean)
+      .orderBy("grp_a", "grp_b")
+  }
+}
+
+/** CCNet head/middle/tail perplexity split
+  * ([[TextAnalysis.perplexityBuckets]]). Params: `id_col` (default
+  * `doc_id`), `text_col` (`text`), `lang_col` (`lang`), `exact`
+  * (default true), `keep` (optional comma-list, e.g. `head,middle` —
+  * when set, rows outside those buckets are dropped, the CCNet gate).
+  */
+class PerplexityBucketJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val out = TextAnalysis.perplexityBuckets(inputs.values.head,
+      params.getOrElse("id_col", "doc_id"),
+      params.getOrElse("text_col", "text"),
+      params.getOrElse("lang_col", "lang"),
+      exact = params.getOrElse("exact", "true").toBoolean)
+    params.get("keep") match {
+      case Some(ks) =>
+        val keep = ks.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        out.filter(col("bucket").isin(keep: _*))
+      case None => out
+    }
+  }
+}
+
+/** Weighted priority sampling ([[Sampling.prioritySample]]). Params:
+  * `id_col` (default `doc_id`), `weight_col` (required), `n` (required),
+  * `salt` (default `es`).
+  */
+class PrioritySampleJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame =
+    Sampling.prioritySample(inputs.values.head,
+      params.getOrElse("id_col", "doc_id"),
+      params.getOrElse("weight_col",
+        sys.error("PrioritySampleJob needs a 'weight_col' param")),
+      n = params.getOrElse("n",
+        sys.error("PrioritySampleJob needs an 'n' param")).toInt,
+      salt = params.getOrElse("salt", "es"))
+}
+
+/** Targeted delete ([[graft.core.io.Maintenance.deleteMatching]]): the
+  * input frame IS the delete list; `target_path` names the parquet
+  * dataset to rewrite in place. Returns the one-row deletion report
+  * (files_total/files_affected/files_rewritten/rows_deleted) — wire an
+  * `output:` to keep the audit trail.
+  * Params: `target_path` (required), `id_col` (required).
+  */
+class TargetedDeleteJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val target = params.getOrElse("target_path",
+      sys.error("TargetedDeleteJob needs a 'target_path' param"))
+    val idCol = params.getOrElse("id_col",
+      sys.error("TargetedDeleteJob needs an 'id_col' param"))
+    val r = graft.core.io.Maintenance.deleteMatching(
+      spark, target, idCol, inputs.values.head)
+    import spark.implicits._
+    Seq((target, r.filesTotal, r.filesAffected, r.filesRewritten,
+      r.rowsDeleted))
+      .toDF("target_path", "files_total", "files_affected",
+        "files_rewritten", "rows_deleted")
+  }
+}
