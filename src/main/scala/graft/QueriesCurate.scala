@@ -158,5 +158,56 @@ object QueriesCurate {
         |FROM documents WHERE n_chars > 0
         |ORDER BY key_micro DESC, doc_id LIMIT 100""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q124, q125, q126, q127)
+  /** Column-level PII inventory ([[graft.ops.Checks.piiProfile]]):
+    * emails/phones/IPs planted into a third/fifth/seventh of the docs,
+    * then every string column scanned in ONE single-row aggregate. The
+    * oracle is GENERATED from the same pattern list the operator uses,
+    * so the two can never drift.
+    */
+  val q128 = {
+    // single-line: this snippet is interpolated into a stripMargin
+    // template, which would eat a leading || as a margin marker
+    val plant =
+      "text || CASE WHEN doc_id % 3 = 0 THEN ' reach me at user' || doc_id" +
+        " || '@example.org' ELSE '' END" +
+        " || CASE WHEN doc_id % 5 = 0 THEN ' call +1 (555) 222-3333'" +
+        " ELSE '' END" +
+        " || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.0.1' ELSE '' END"
+    val cols = Seq("text", "lang", "source")
+    val pats = graft.ops.TextAnalysis.piiPatterns
+    val counters = (for { c <- cols; (k, re) <- pats } yield
+      s"    CAST(sum(CASE WHEN regexp_matches($c, '$re') THEN 1 ELSE 0 END) " +
+        s"AS BIGINT) AS ${c}_$k").mkString(",\n")
+    val branches = (for { c <- cols; (k, _) <- pats } yield
+      s"  SELECT '$c' AS column_name, '$k' AS kind, ${c}_$k AS n_hits, " +
+        s"n_rows, round(${c}_$k::DOUBLE / n_rows, 6) AS hit_rate FROM agg")
+      .mkString("\n  UNION ALL\n")
+    QueryDef("q128_pii_profile", (spark, dir) => {
+      val planted = t(spark, dir, "documents").select(
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" reach me at user"), col("doc_id"),
+              lit("@example.org"))).otherwise(""),
+          when(col("doc_id") % 5 === 0, lit(" call +1 (555) 222-3333"))
+            .otherwise(""),
+          when(col("doc_id") % 7 === 0, lit(" from 10.0.0.1")).otherwise(""))
+          .as("text"),
+        col("lang"), col("source"))
+      graft.ops.Checks.piiProfile(planted).orderBy("column_name", "kind")
+    }, Some(
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    $plant AS text,
+         |    lang, source
+         |  FROM documents),
+         |agg AS (
+         |  SELECT count(*) AS n_rows,
+         |$counters
+         |  FROM planted)
+         |SELECT * FROM (
+         |$branches)
+         |ORDER BY column_name, kind""".stripMargin))
+  }
+
+  val all: Seq[QueryDef] = Seq(q124, q125, q126, q127, q128)
 }

@@ -33,4 +33,38 @@ object Checks {
     val aggs = df.columns.map(c => sum(when(col(c).isNull, 1).otherwise(0)).as(c))
     df.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Column-level PII scan: for every string column, the row-hit count
+    * and rate of each PII pattern — the governance inventory that tells
+    * you WHERE the emails/phones/IPs live before [[TextAnalysis
+    * .redactPii]] scrubs them or [[graft.core.io.Maintenance
+    * .deleteMatching]] forgets them.
+    *
+    * One scan, one single-row aggregate (columns × patterns counters,
+    * map-side combined), then a row-local `stack` unpivot — no shuffle of
+    * the data itself at any width, which is what lets it run over a
+    * 100 TB table as a by-product of any other full read.
+    *
+    * Output: `(column_name, kind, n_hits, n_rows, hit_rate)`, one row per
+    * string column × pattern.
+    */
+  def piiProfile(df: DataFrame,
+                 patterns: Seq[(String, String)] = TextAnalysis.piiPatterns)
+      : DataFrame = {
+    val strCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name).toSeq
+    require(strCols.nonEmpty, "piiProfile: no string columns to scan")
+    val aggs = strCols.flatMap(c => patterns.map { case (k, re) =>
+      sum(when(col(c).rlike(re), 1L).otherwise(0L)).as(s"${c}__$k") })
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val cells = strCols.flatMap(c =>
+      patterns.map { case (k, _) => s"'$c', '$k', `${c}__$k`" })
+    one.select(
+        expr(s"stack(${cells.size}, ${cells.mkString(", ")}) " +
+          "AS (column_name, kind, n_hits)"),
+        col("n_rows"))
+      .withColumn("hit_rate", round(col("n_hits") / col("n_rows"), 6))
+      .select("column_name", "kind", "n_hits", "n_rows", "hit_rate")
+  }
 }

@@ -193,12 +193,19 @@ object TextAnalysis {
     * honest scope of pattern scrubbing; entity-level PII needs a model,
     * which plugs into the same column seam.
     */
+  /** The RE2-portable PII patterns shared by [[redactPii]] and
+    * [[Checks.piiProfile]] — whitespace spelled out, not \s: Java's \s
+    * includes \x0B, RE2's does not, and the explicit class keeps Spark
+    * and the DuckDB oracle identical.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\+?[0-9][0-9()\\- \\t\\n\\f\\r]{7,}[0-9]",
+    "ipv4" -> "([0-9]{1,3}\\.){3}[0-9]{1,3}")
+
   def redactPii(text: Column): Column = {
-    val email = regexp_replace(text,
-      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    // whitespace spelled out, not \s: Java's \s includes \x0B, RE2's does
-    // not — the explicit class keeps Spark and the DuckDB oracle identical
-    regexp_replace(email, "\\+?[0-9][0-9()\\- \\t\\n\\f\\r]{7,}[0-9]", "<PHONE>")
+    val email = regexp_replace(text, piiPatterns.head._2, "<EMAIL>")
+    regexp_replace(email, piiPatterns(1)._2, "<PHONE>")
   }
 
   /** Top-`k` TF-IDF terms per document — the classic keyword/topic signal

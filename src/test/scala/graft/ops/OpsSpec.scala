@@ -17,6 +17,28 @@ class ChecksSpec extends SparkSpec {
     val out = Checks.nonUniquePks(df, Seq("k")).collect()
     assert(out.length == 2 && out.forall(_.getAs[Long]("_count_pk") == 2L))
   }
+
+  test("piiProfile scans only string columns and counts per pattern") {
+    val df = Seq(
+      (1L, "mail me a@b.com", "clean"),
+      (2L, "call +1 555 010 9999 now", "x@y.org"),
+      (3L, "server 10.0.0.1 up", "clean"),
+      (4L, "nothing here", "clean")).toDF("id", "notes", "aux")
+    val out = Checks.piiProfile(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("n_rows"))).toMap
+    // 2 string cols x 3 patterns; the bigint id column is not scanned
+    assert(out.size == 6 && !out.keys.exists(_._1 == "id"))
+    assert(out(("notes", "email")) == ((1L, 4L)))
+    assert(out(("notes", "phone")) == ((1L, 4L)))
+    assert(out(("notes", "ipv4")) == ((1L, 4L)))
+    assert(out(("aux", "email")) == ((1L, 4L)))
+    assert(out(("aux", "phone")) == ((0L, 4L)))
+    // all-numeric frame fails loudly instead of returning nothing
+    intercept[IllegalArgumentException] {
+      Checks.piiProfile(Seq((1L, 2L)).toDF("a", "b"))
+    }
+  }
 }
 
 class CompareSpec extends SparkSpec {
