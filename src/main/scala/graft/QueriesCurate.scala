@@ -209,5 +209,54 @@ object QueriesCurate {
          |ORDER BY column_name, kind""".stripMargin))
   }
 
-  val all: Seq[QueryDef] = Seq(q124, q125, q126, q127, q128)
+  /** Stupid-Backoff bigram LM ([[graft.ops.TextAnalysis.bigramLmScore]]):
+    * tables trained on even doc_ids, odd doc_ids scored held-out — so
+    * the backoff and OOV branches actually fire and the oracle checks
+    * all three scoring paths (bigram hit, unigram backoff, α²/N floor).
+    */
+  val q129 = QueryDef("q129_bigram_lm", (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    graft.ops.TextAnalysis.bigramLmScore(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text")
+      .orderBy("doc_id")
+  }, Some(
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS l
+      |              FROM documents),
+      |ttk AS (SELECT tok FROM (
+      |          SELECT unnest(l) AS tok FROM toks WHERE doc_id % 2 = 0)
+      |        WHERE tok <> ''),
+      |uni AS (SELECT tok, count(*) AS uc FROM ttk GROUP BY tok),
+      |tot AS (SELECT sum(uc) AS n FROM uni),
+      |tbig AS (SELECT p, c FROM (
+      |           SELECT l[i] AS p, l[i+1] AS c FROM (
+      |             SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+      |             FROM toks WHERE doc_id % 2 = 0 AND len(l) >= 2))
+      |         WHERE p <> '' AND c <> ''),
+      |bcnt AS (SELECT p, c, count(*) AS bc FROM tbig GROUP BY p, c),
+      |sbig AS (SELECT doc_id, p, c FROM (
+      |           SELECT doc_id, l[i] AS p, l[i+1] AS c FROM (
+      |             SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+      |             FROM toks WHERE doc_id % 2 = 1 AND len(l) >= 2))
+      |         WHERE p <> '' AND c <> ''),
+      |lp AS (SELECT s.doc_id,
+      |         CASE WHEN b.bc IS NOT NULL THEN ln(b.bc::DOUBLE / up.uc)
+      |              WHEN uc2.uc IS NOT NULL THEN ln(0.4 * uc2.uc / n)
+      |              ELSE ln(0.16000000000000003 / n) END AS lp,
+      |         CASE WHEN b.bc IS NOT NULL THEN 0 ELSE 1 END AS backoff,
+      |         CASE WHEN uc2.uc IS NULL THEN 1 ELSE 0 END AS oov
+      |       FROM sbig s
+      |       LEFT JOIN bcnt b ON b.p = s.p AND b.c = s.c
+      |       LEFT JOIN uni up ON up.tok = s.p
+      |       LEFT JOIN uni uc2 ON uc2.tok = s.c
+      |       CROSS JOIN tot)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(avg(lp), 4) AS avg_logscore,
+      |  round(CAST(sum(backoff) AS BIGINT)::DOUBLE / count(*), 4)
+      |    AS backoff_rate,
+      |  round(CAST(sum(oov) AS BIGINT)::DOUBLE / count(*), 4) AS oov_rate
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q124, q125, q126, q127, q128, q129)
 }

@@ -291,6 +291,69 @@ object TextAnalysis {
         col("avg_logprob"), col("ppl"))
   }
 
+  /** Bigram LM scoring with Stupid Backoff (Brants et al. 2007 §4 — the
+    * smoothing built FOR distributed count tables: no normalization pass,
+    * just raw counts and a fixed backoff factor). Scores every `score`
+    * document against tables trained on `train`:
+    * `S(c|p) = bc/pc` when the bigram was seen, else `α·uc/N` (unigram
+    * backoff), else `α²/N` (out-of-vocabulary floor). Train ≠ score is
+    * the point — self-scoring never backs off (every bigram of the doc
+    * is in the corpus), so held-out scoring is where the model separates
+    * fluent from garbage.
+    *
+    * Output per doc: `n_bigrams`, `avg_logscore` (round 4),
+    * `backoff_rate`, `oov_rate` (round 4).
+    *
+    * 100 TB shape: bigrams are built ROW-LOCALLY (`transform` over the
+    * token array — no positional self-join), counts aggregate with
+    * map-side combine, and scoring is three equi-joins ((p,c), p, c)
+    * AQE broadcasts when the tables are small; the scalar N rides along
+    * as a broadcast single-row cross join. Nothing touches the driver.
+    */
+  def bigramLmScore(score: DataFrame, train: DataFrame, idCol: String,
+                    textCol: String, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    def toksArr(df: DataFrame) =
+      df.select(col(idCol).as("_id"), tokens(col(textCol)).as("_l"))
+    def bigrams(df: DataFrame) = toksArr(df)
+      .select(col("_id"), explode(when(size(col("_l")) >= 2,
+          transform(sequence(lit(0), size(col("_l")) - 2),
+            i => struct(element_at(col("_l"), i + 1).as("p"),
+              element_at(col("_l"), i + 2).as("c"))))
+        .otherwise(array().cast("array<struct<p:string,c:string>>")))
+        .as("_b"))
+      .select(col("_id"), col("_b.p").as("_p"), col("_b.c").as("_c"))
+      .filter(col("_p") =!= "" && col("_c") =!= "")
+    val trainToks = toksArr(train)
+      .select(explode(col("_l")).as("_tok")).filter(col("_tok") =!= "")
+    val uni = trainToks.groupBy("_tok").agg(count(lit(1)).as("_uc"))
+    val tot = uni.agg(sum("_uc").as("_n"))
+    val bigCounts = bigrams(train).groupBy("_p", "_c")
+      .agg(count(lit(1)).as("_bc"))
+    bigrams(score)
+      .join(bigCounts, Seq("_p", "_c"), "left")
+      .join(uni.select(col("_tok").as("_p"), col("_uc").as("_pc")),
+        Seq("_p"), "left")
+      .join(uni.select(col("_tok").as("_c"), col("_uc").as("_cc")),
+        Seq("_c"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("_lp",
+        when(col("_bc").isNotNull, log(col("_bc") / col("_pc")))
+          .when(col("_cc").isNotNull,
+            log(lit(alpha) * col("_cc") / col("_n")))
+          .otherwise(log(lit(alpha * alpha) / col("_n"))))
+      .withColumn("_backoff", when(col("_bc").isNotNull, 0L).otherwise(1L))
+      .withColumn("_oov", when(col("_cc").isNull, 1L).otherwise(0L))
+      .groupBy("_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg("_lp"), 4).as("avg_logscore"),
+        round(sum("_backoff").cast("double") / count(lit(1)), 4)
+          .as("backoff_rate"),
+        round(sum("_oov").cast("double") / count(lit(1)), 4).as("oov_rate"))
+      .select(col("_id").as(idCol), col("n_bigrams"), col("avg_logscore"),
+        col("backoff_rate"), col("oov_rate"))
+  }
+
   /** CCNet-style head/middle/tail perplexity split (Wenzek et al. 2020
     * §4.3): score every document with the corpus-trained unigram LM
     * ([[unigramLmScore]]), take per-`langCol` terciles of the perplexity,

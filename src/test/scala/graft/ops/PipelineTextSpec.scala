@@ -635,6 +635,36 @@ class KmvSketchSpec extends SparkSpec {
   }
 }
 
+class BigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("held-out scoring separates fluent from shuffled-garbage text") {
+    val train = (1L to 40L).map(i => (i, "the cat sat on the mat again"))
+      .toDF("doc_id", "text")
+    val score = Seq(
+      (101L, "the cat sat on the mat"), // all bigrams seen
+      (102L, "mat the on sat cat the"), // seen words, unseen order
+      (103L, "zorp blat quux frob")     // pure OOV
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(score, train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(101L).getAs[Double]("backoff_rate") == 0.0)
+    assert(out(101L).getAs[Double]("oov_rate") == 0.0)
+    // fluent >> scrambled >> OOV in log-score
+    val s1 = out(101L).getAs[Double]("avg_logscore")
+    val s2 = out(102L).getAs[Double]("avg_logscore")
+    val s3 = out(103L).getAs[Double]("avg_logscore")
+    assert(s1 > s2 && s2 > s3, s"$s1 / $s2 / $s3")
+    assert(out(103L).getAs[Double]("oov_rate") == 1.0)
+    assert(out(102L).getAs[Double]("backoff_rate") == 1.0)
+    // single-token and empty docs produce no bigram rows
+    val tiny = TextAnalysis.bigramLmScore(
+      Seq((201L, "hello"), (202L, "")).toDF("doc_id", "text"),
+      train, "doc_id", "text")
+    assert(tiny.count() == 0)
+  }
+}
+
 class PerplexityBucketSpec extends SparkSpec {
   import spark.implicits._
 
