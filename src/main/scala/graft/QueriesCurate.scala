@@ -258,5 +258,37 @@ object QueriesCurate {
       |  round(CAST(sum(oov) AS BIGINT)::DOUBLE / count(*), 4) AS oov_rate
       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q124, q125, q126, q127, q128, q129)
+  /** JSONL quarantine ingestion ([[graft.core.io.Reader
+    * .readJsonQuarantine]]): orders rendered to JSONL with every
+    * 97th-key line TRUNCATED mid-object; the load must route exactly
+    * those to the quarantine lane and lose nothing else. The oracle
+    * recomputes the survivors' aggregate and the corrupt count straight
+    * from the orders table.
+    */
+  val q130 = QueryDef("q130_json_quarantine", (spark, dir) => {
+    val out = Queries.tmpDir("graft_q130")
+    val orders = t(spark, dir, "orders")
+    val lines = orders.select(
+      when(col("o_orderkey") % 97 === 0,
+        concat(lit("{\"o_orderkey\": "), col("o_orderkey"), lit(", \"bro")))
+        .otherwise(to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")))).as("value"))
+    lines.write.mode("overwrite").text(s"$out/jsonl")
+    val q = graft.core.io.Reader.readJsonQuarantine(spark, s"$out/jsonl",
+      "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE",
+      quarantineDir = Some(s"$out/quarantine"))
+    val nBad = q.bad.agg(count(lit(1)).as("n_corrupt"))
+    q.good.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .crossJoin(broadcast(nBad))
+      .orderBy("o_orderstatus")
+  }, Some(
+    """SELECT o_orderstatus, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+      |   WHERE o_orderkey % 97 = 0) AS n_corrupt
+      |FROM orders WHERE o_orderkey % 97 <> 0
+      |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q124, q125, q126, q127, q128, q129, q130)
 }

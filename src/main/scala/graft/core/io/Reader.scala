@@ -67,6 +67,44 @@ object Reader {
     }
   }
 
+  final case class Quarantined(good: DataFrame, bad: DataFrame)
+
+  /** JSONL ingestion with a quarantine lane: parse every line against
+    * `schemaDdl`; lines that are not valid JSON go to `bad` (raw text +
+    * source file) instead of poisoning or silently vanishing from the
+    * load. At 100 TB some shard WILL be truncated — the quarantine lane
+    * is how a nightly load survives it with an audit trail instead of a
+    * 3 a.m. page.
+    *
+    * Built on a text scan + row-local `from_json` with a corrupt-record
+    * column in its TARGET schema — not the json file reader's PERMISSIVE
+    * `_corrupt_record`, which cannot be referenced without caching the
+    * whole frame first (a 100 TB non-starter). Malformed JSON lands with
+    * the raw line in the corrupt column; VALID json whose fields merely
+    * miss the schema parses to field-level nulls (schema evolution, not
+    * corruption) and stays in `good`. Blank lines are skipped. When
+    * `quarantineDir` is set, bad rows are also written there (text, one
+    * raw line per row) before returning.
+    */
+  def readJsonQuarantine(spark: SparkSession, path: String, schemaDdl: String,
+                         quarantineDir: Option[String] = None): Quarantined = {
+    require(!schemaDdl.contains("_corrupt_record"),
+      "schemaDdl must not declare _corrupt_record — the quarantine lane adds it")
+    val raw = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(col("value"), input_file_name().as("_file"),
+        from_json(col("value"), org.apache.spark.sql.types.StructType
+            .fromDDL(s"$schemaDdl, _corrupt_record STRING"),
+          Map("columnNameOfCorruptRecord" -> "_corrupt_record")).as("_j"))
+    val good = raw.filter(col("_j._corrupt_record").isNull)
+      .select("_j.*").drop("_corrupt_record")
+    val bad = raw.filter(col("_j._corrupt_record").isNotNull)
+      .select(col("value").as("raw_line"), col("_file").as("source_file"))
+    quarantineDir.foreach(d =>
+      bad.select("raw_line").write.mode("overwrite").text(d))
+    Quarantined(good, bad)
+  }
+
   /** Multi-path scan: expand a `{param}` template over given combos and
     * union with a `_source` column (reference ex15 multi-path copy +
     * the pandas multi-file `_source` concat, yaetos/pandas_utils.py:28-39).
