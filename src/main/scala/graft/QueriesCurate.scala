@@ -290,5 +290,87 @@ object QueriesCurate {
       |FROM orders WHERE o_orderkey % 97 <> 0
       |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q124, q125, q126, q127, q128, q129, q130)
+  /** Schema-evolution scan: three parquet generations of the same
+    * dataset (v1 without `o_orderpriority`, v2 with it, v3 with an extra
+    * `ingest_tag` column) read back as ONE frame via `mergeSchema`, with
+    * missing columns null-filled. The oracle replays the generation
+    * split + null semantics from the orders table; a lost column or a
+    * wrongly-defaulted value breaks the hash.
+    */
+  val q131 = QueryDef("q131_schema_evolution", (spark, dir) => {
+    val out = Queries.tmpDir("graft_q131")
+    val orders = t(spark, dir, "orders")
+    orders.filter(col("o_orderkey") % 3 === 0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.parquet(s"$out/ds/gen=1")
+    orders.filter(col("o_orderkey") % 3 === 1)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+      .write.parquet(s"$out/ds/gen=2")
+    orders.filter(col("o_orderkey") % 3 === 2)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"), lit("v3").as("ingest_tag"))
+      .write.parquet(s"$out/ds/gen=3")
+    spark.read.option("mergeSchema", "true").parquet(s"$out/ds")
+      .groupBy(col("gen").cast("long").as("gen"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L))
+          .as("null_priority"),
+        sum(when(col("ingest_tag").isNull, 1L).otherwise(0L)).as("null_tag"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("gen")
+  }, Some(
+    """SELECT (o_orderkey % 3) + 1 AS gen, count(*) AS n,
+      |  CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS null_priority,
+      |  CAST(sum(CASE WHEN o_orderkey % 3 <> 2 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS null_tag,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1 ORDER BY gen""".stripMargin))
+
+  /** Point-in-time join ([[graft.ops.TemporalJoins.pointInTimeJoin]]):
+    * customers' market segments are versioned (every 4th key re-labelled
+    * `_V2` from 1998-01-01) and each order joins the segment that was
+    * true ON ITS ORDER DATE. The oracle replays the interval join
+    * declaratively; the left-join row-count preservation (exactly one
+    * version per fact) is part of the hash.
+    */
+  val q132 = QueryDef("q132_point_in_time_join", (spark, dir) => {
+    val cust = t(spark, dir, "customer")
+    val dim = cust.select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        lit("1995-01-01").as("valid_from"),
+        when(col("c_custkey") % 4 === 0, lit("1998-01-01"))
+          .otherwise(lit(null).cast("string")).as("valid_to"))
+      .unionByName(cust.filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey"),
+          concat(col("c_mktsegment"), lit("_V2")).as("seg"),
+          lit("1998-01-01").as("valid_from"),
+          lit(null).cast("string").as("valid_to")))
+    val facts = t(spark, dir, "orders").select(col("o_orderkey"),
+      col("o_custkey").as("c_custkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+    graft.ops.TemporalJoins.pointInTimeJoin(facts, dim, "c_custkey", "day",
+        Seq("seg"))
+      .groupBy(coalesce(col("pit_seg"), lit("<none>")).as("seg"))
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+      .orderBy("seg")
+  }, Some(
+    """WITH dim AS (
+      |  SELECT c_custkey, c_mktsegment AS seg, '1995-01-01' AS vf,
+      |    CASE WHEN c_custkey % 4 = 0 THEN '1998-01-01' END AS vt
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment || '_V2', '1998-01-01', NULL
+      |  FROM customer WHERE c_custkey % 4 = 0),
+      |f AS (SELECT o_orderkey, o_custkey,
+      |        strftime(o_orderdate, '%Y-%m-%d') AS day FROM orders),
+      |j AS (SELECT f.o_orderkey, d.seg
+      |      FROM f LEFT JOIN dim d ON d.c_custkey = f.o_custkey
+      |        AND d.vf <= f.day AND (d.vt IS NULL OR f.day < d.vt))
+      |SELECT coalesce(seg, '<none>') AS seg, count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |FROM j GROUP BY 1 ORDER BY seg""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q124, q125, q126, q127, q128, q129, q130,
+    q131, q132)
 }

@@ -59,6 +59,40 @@ object TemporalJoins {
         rightVals.map(v => col(s"$cLast.$v").as(s"$prefix$v")): _*)
   }
 
+  /** Point-in-time join of facts onto an SCD2 dimension ([[Scd.scd2Merge]]
+    * history): each fact row picks up the dimension version whose
+    * `[validFrom, validTo)` interval contains the fact timestamp — the
+    * "what did we believe about this key WHEN the event happened" join
+    * every feature-store backfill needs (training-serving skew prevention:
+    * a plain join to the CURRENT version leaks the future into features).
+    *
+    * Versions of one key partition its timeline, so this is [[asofJoin]]
+    * on `validFrom` (latest version at-or-before the fact — ONE shuffle,
+    * no interval explosion) plus a residual validity check: a version
+    * closed BEFORE the fact (a gap from `closeMissing`) yields nulls,
+    * exactly like a fact before the key's first version.
+    *
+    * Timestamps and validity bounds must share an ordering — ISO date
+    * strings (the [[Scd]] convention, lexicographic = chronological) or
+    * both real timestamps. Open versions carry null `validTo`.
+    */
+  def pointInTimeJoin(fact: DataFrame, dim: DataFrame, key: String,
+                      factTs: String, dimVals: Seq[String],
+                      validFrom: String = "valid_from",
+                      validTo: String = "valid_to",
+                      prefix: String = "pit_"): DataFrame = {
+    require(dimVals.nonEmpty, "pointInTimeJoin needs at least one dim column")
+    val joined = asofJoin(fact, dim, key, factTs, validFrom,
+      dimVals :+ validTo, prefix)
+    val vt = col(s"$prefix$validTo")
+    val valid = vt.isNull || col(factTs) < vt
+    dimVals.foldLeft(joined)((d, v) =>
+        d.withColumn(s"$prefix$v",
+          when(valid, col(s"$prefix$v"))
+            .otherwise(lit(null).cast(dim.schema(v).dataType))))
+      .drop(s"$prefix$validTo")
+  }
+
   /** Interval/range join: left rows matched to right intervals containing
     * them (`left.ts` in `[right.start, right.end]`, same optional key).
     *

@@ -64,7 +64,8 @@ class PlanAuditSpec extends SparkSpec {
     // round-7 curation additions (q124 targeted delete is a file
     // side-effect query — audited in DeleteSpec instead)
     "q125_corpus_overlap", "q126_perplexity_buckets",
-    "q127_priority_sample", "q128_pii_profile", "q129_bigram_lm")
+    "q127_priority_sample", "q128_pii_profile", "q129_bigram_lm",
+    "q132_point_in_time_join")
 
   /** Queries whose BroadcastNestedLoopJoin is RUNTIME-gated rather than
     * plan-visible: brute-force cosine top-k broadcasts the probe side

@@ -72,4 +72,35 @@ class TemporalJoinsSpec extends SparkSpec {
       .select("p", "i").collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(out == Set(("p1", "i1"), ("p2", "i1"))) // p3 in no interval
   }
+
+  test("pointInTimeJoin resolves the version true at the fact date, " +
+      "with nulls before history and in closeMissing gaps") {
+    // build the dim with the REAL scd2 machinery: k=1 changes tier at
+    // 2024-03-01; k=2 disappears from the 2024-03-01 snapshot and is
+    // closed (closeMissing) -> a gap after that date
+    val dim0 = Seq(
+      ("1", "bronze", "2024-01-01", null.asInstanceOf[String]),
+      ("2", "gold", "2024-01-01", null.asInstanceOf[String])
+    ).toDF("k", "tier", "valid_from", "valid_to")
+    val snap = Seq(("1", "silver")).toDF("k", "tier")
+    val dim = Scd.scd2Merge(dim0, snap, Seq("k"), Seq("tier"),
+      snapshotDate = "2024-03-01", closeMissing = true)
+    val facts = Seq(
+      ("f1", "1", "2024-02-10"), // inside v1
+      ("f2", "1", "2024-03-01"), // boundary: v2 starts, v1 excluded
+      ("f3", "1", "2024-07-01"), // inside open v2
+      ("f4", "2", "2024-02-01"), // inside k=2's only version
+      ("f5", "2", "2024-04-01"), // in the closeMissing gap -> null
+      ("f6", "3", "2024-02-01"), // unknown key -> null
+      ("f7", "1", "2023-12-31")  // before any history -> null
+    ).toDF("f", "k", "day")
+    val out = TemporalJoins.pointInTimeJoin(facts, dim, "k", "day",
+        Seq("tier")).collect()
+      .map(r => r.getString(0) -> r.getAs[String]("pit_tier")).toMap
+    assert(out == Map("f1" -> "bronze", "f2" -> "silver", "f3" -> "silver",
+      "f4" -> "gold", "f5" -> null, "f6" -> null, "f7" -> null))
+    // row count preserved: PIT join never duplicates or drops facts
+    assert(TemporalJoins.pointInTimeJoin(facts, dim, "k", "day",
+      Seq("tier")).count() == facts.count())
+  }
 }
