@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Seeded randomized cross-checks: each operator is held to a brute-force
+  * reference on generated data (fixed seeds — failures reproduce). These
+  * catch the boundary interactions hand-picked fixtures miss: duplicate
+  * timestamps, empty groups, keys missing from one side, delete sets
+  * spanning every file.
+  */
+class RandomizedInvariantsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin equals the brute-force latest-at-or-before reference") {
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 3) {
+      val left = (1 to 120).map(i =>
+        (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(50).toLong))
+      val right = (1 to 60).map(_ =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, rnd.nextInt(1000)))
+      val l = left.toDF("lid", "k", "ts")
+      val r = right.toDF("k", "ts", "v")
+      val got = TemporalJoins.asofJoin(l, r, "k", "ts", "ts", Seq("v"))
+        .select("lid", "asof_v").collect()
+        .map(x => x.getLong(0) -> Option(x.get(1)).map(_.asInstanceOf[Int]))
+        .toMap
+      // brute force: per right key, max-ts row at-or-before; ties on ts
+      // resolve like the operator's window (last write in sort order) —
+      // make ties impossible instead: keep one right row per (k, ts)
+      val rDedup = right.groupBy(x => (x._1, x._2)).map(_._2.last).toSeq
+      val gotD = TemporalJoins.asofJoin(l, rDedup.toDF("k", "ts", "v"),
+          "k", "ts", "ts", Seq("v"))
+        .select("lid", "asof_v").collect()
+        .map(x => x.getLong(0) -> Option(x.get(1)).map(_.asInstanceOf[Int]))
+        .toMap
+      val expect = left.map { case (lid, k, ts) =>
+        lid -> rDedup.filter(x => x._1 == k && x._2 <= ts)
+          .sortBy(_._2).lastOption.map(_._3)
+      }.toMap
+      assert(gotD == expect, s"asof mismatch in round $round")
+      assert(got.keySet == expect.keySet) // row preservation either way
+    }
+  }
+
+  test("pointInTimeJoin equals a brute-force interval scan after a " +
+      "random snapshot fold") {
+    val rnd = new scala.util.Random(7)
+    val keys = (1 to 8).map(_.toString)
+    val dates = Seq("2024-01-01", "2024-02-01", "2024-03-01", "2024-04-01")
+    // random snapshots: each date, each key present with p=.8, random tier
+    val snaps = dates.map(d => d -> keys.flatMap(k =>
+      if (rnd.nextDouble() < 0.8) Some((k, s"t${rnd.nextInt(3)}")) else None)
+      .toDF("k", "tier"))
+    val dim0 = snaps.head._2
+      .select(col("k"), col("tier"), lit(dates.head).as("valid_from"),
+        lit(null).cast("string").as("valid_to"))
+    val dim = Scd.scd2FoldSnapshots(dim0, snaps.tail, Seq("k"), Seq("tier"),
+      closeMissing = true)
+    val hist = dim.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), Option(r.getString(3)))).toSeq
+    val facts = (1 to 150).map(i => (i.toLong,
+      (rnd.nextInt(10) + 1).toString,
+      f"2024-0${rnd.nextInt(6) + 1}%s-${rnd.nextInt(28) + 1}%02d"))
+    val got = TemporalJoins.pointInTimeJoin(
+        facts.toDF("f", "k", "day"), dim, "k", "day", Seq("tier"))
+      .select("f", "pit_tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val expect = facts.map { case (f, k, day) =>
+      f -> hist.find(h => h._1 == k && h._3 <= day &&
+        h._4.forall(day < _)).map(_._2)
+    }.toMap
+    assert(got == expect)
+  }
+
+  test("deleteMatching read-back equals the anti-join for random delete " +
+      "sets, and re-deleting is a no-op") {
+    val rnd = new scala.util.Random(11)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rdel").toString
+    val ds = s"$dir/data"
+    val rows = (1 to 3000).map(i => (i.toLong, rnd.nextInt(100).toLong))
+    rows.toDF("id", "v").repartition(6).write.parquet(ds)
+    val delIds = rnd.shuffle(rows.map(_._1)).take(400)
+    val ids = delIds.toDF("id")
+    val r1 = graft.core.io.Maintenance.deleteMatching(spark, ds, "id", ids)
+    assert(r1.rowsDeleted == 400)
+    val back = spark.read.parquet(ds).select("id").as[Long].collect().toSet
+    assert(back == rows.map(_._1).toSet -- delIds)
+    // idempotence: the ids are gone; a second pass touches nothing
+    val r2 = graft.core.io.Maintenance.deleteMatching(spark, ds, "id", ids)
+    assert(r2.rowsDeleted == 0 && r2.filesAffected == 0)
+  }
+
+  test("overlap cards: estimate is exact whenever the pair union fits in k") {
+    val rnd = new scala.util.Random(3)
+    val rows = for {
+      g <- Seq("a", "b", "c")
+      v <- rnd.shuffle((1 to 200).toList).take(40 + rnd.nextInt(20))
+    } yield (g, v)
+    val out = Sketches.kmvOverlapCards(rows.toDF("g", "v"), "g", "v",
+      k = 256).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("uni") <= 256,
+        "fixture must keep unions under k")
+      assert(r.getAs[Double]("est_jaccard") == r.getAs[Double]("jaccard"),
+        s"union<k must make the sketch exact: $r")
+    }
+  }
+}
