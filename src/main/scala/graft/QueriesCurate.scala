@@ -371,6 +371,41 @@ object QueriesCurate {
       |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
       |FROM j GROUP BY 1 ORDER BY seg""".stripMargin))
 
+  /** STREAMING quarantine ingestion ([[graft.streaming.Streams
+    * .quarantineJsonStream]]): the q130 corpus replayed through an
+    * unbounded text file source, both lanes drained to sinks, and the
+    * result held to the SAME oracle as the batch load — stream == batch
+    * behind the hash gate.
+    */
+  val q133 = QueryDef("q133_stream_quarantine", (spark, dir) => {
+    val out = Queries.tmpDir("graft_q133")
+    val orders = t(spark, dir, "orders")
+    orders.select(
+      when(col("o_orderkey") % 97 === 0,
+        concat(lit("{\"o_orderkey\": "), col("o_orderkey"), lit(", \"bro")))
+        .otherwise(to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")))).as("value"))
+      .write.mode("overwrite").text(s"$out/jsonl")
+    val q = graft.streaming.Streams.quarantineJsonStream(spark,
+      s"$out/jsonl",
+      "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+    val goodSink = s"q133_good_${System.nanoTime}"
+    val badSink = s"q133_bad_${System.nanoTime}"
+    graft.streaming.Streams.withStatePartitions(spark, 8) {
+      val g = q.good.writeStream.format("memory").queryName(goodSink)
+        .outputMode("append").start()
+      val b = q.bad.writeStream.format("memory").queryName(badSink)
+        .outputMode("append").start()
+      try { g.processAllAvailable(); b.processAllAvailable() }
+      finally { g.stop(); b.stop() }
+    }
+    val nBad = spark.table(badSink).agg(count(lit(1)).as("n_corrupt"))
+    spark.table(goodSink).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .crossJoin(broadcast(nBad))
+      .orderBy("o_orderstatus")
+  }, q130.oracle)
+
   val all: Seq[QueryDef] = Seq(q124, q125, q126, q127, q128, q129, q130,
-    q131, q132)
+    q131, q132, q133)
 }

@@ -88,20 +88,32 @@ object Reader {
     */
   def readJsonQuarantine(spark: SparkSession, path: String, schemaDdl: String,
                          quarantineDir: Option[String] = None): Quarantined = {
+    val q = quarantineSplit(spark.read.text(path), schemaDdl)
+    quarantineDir.foreach(d =>
+      q.bad.select("raw_line").write.mode("overwrite").text(d))
+    q
+  }
+
+  /** The row-local good/bad classification behind [[readJsonQuarantine]]
+    * — shared with the STREAMING lane ([[graft.streaming.Streams
+    * .quarantineJsonStream]]), which is the point: every transformation
+    * here is stateless, so the identical code classifies a bounded load
+    * and an unbounded one.
+    */
+  private[graft] def quarantineSplit(raw: DataFrame,
+                                     schemaDdl: String): Quarantined = {
     require(!schemaDdl.contains("_corrupt_record"),
       "schemaDdl must not declare _corrupt_record — the quarantine lane adds it")
-    val raw = spark.read.text(path)
+    val parsed = raw
       .filter(length(trim(col("value"))) > 0)
       .select(col("value"), input_file_name().as("_file"),
         from_json(col("value"), org.apache.spark.sql.types.StructType
             .fromDDL(s"$schemaDdl, _corrupt_record STRING"),
           Map("columnNameOfCorruptRecord" -> "_corrupt_record")).as("_j"))
-    val good = raw.filter(col("_j._corrupt_record").isNull)
+    val good = parsed.filter(col("_j._corrupt_record").isNull)
       .select("_j.*").drop("_corrupt_record")
-    val bad = raw.filter(col("_j._corrupt_record").isNotNull)
+    val bad = parsed.filter(col("_j._corrupt_record").isNotNull)
       .select(col("value").as("raw_line"), col("_file").as("source_file"))
-    quarantineDir.foreach(d =>
-      bad.select("raw_line").write.mode("overwrite").text(d))
     Quarantined(good, bad)
   }
 

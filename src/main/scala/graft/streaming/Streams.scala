@@ -55,6 +55,21 @@ object Streams {
     }
   }
 
+  /** Streaming JSONL ingestion with the quarantine lane: the EXACT
+    * row-local classification of [[graft.core.io.Reader
+    * .readJsonQuarantine]] over an unbounded text file source — corrupt
+    * lines flow to `bad` (raw line + source file) while parsed rows flow
+    * to `good`, each a streaming frame for its own sink. Stateless, so
+    * watermarks/state never enter the picture and batch == stream is a
+    * code identity, not a re-implementation (q133 pins it behind the
+    * hash gate anyway).
+    */
+  def quarantineJsonStream(spark: SparkSession, path: String,
+                           schemaDdl: String)
+      : graft.core.io.Reader.Quarantined =
+    graft.core.io.Reader.quarantineSplit(
+      spark.readStream.schema("value STRING").text(path), schemaDdl)
+
   /** Watermarked sliding-window aggregation: counts + sum per
     * (window, key). Late rows beyond `watermarkDelay` are dropped and
     * their state reclaimed — the property that keeps state bounded on an
