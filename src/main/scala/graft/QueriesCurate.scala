@@ -406,6 +406,24 @@ object QueriesCurate {
       .orderBy("o_orderstatus")
   }, q130.oracle)
 
+  /** Schema contract gate ([[graft.ops.Checks.schemaContract]]) held
+    * against a deliberately drifted contract over orders: one wrong
+    * type, one missing column, one uncovered actual column. Zero data
+    * scanned — the oracle is the literal expected report.
+    */
+  val q134 = QueryDef("q134_schema_contract", (spark, dir) => {
+    val orders = t(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    graft.ops.Checks.schemaContract(orders,
+      "o_orderkey BIGINT, o_orderstatus INT, o_comment STRING")
+  }, Some(
+    """SELECT * FROM (VALUES
+      |  ('o_comment', 'missing', 'string', NULL),
+      |  ('o_orderstatus', 'type_mismatch', 'int', 'string'),
+      |  ('o_totalprice', 'extra', NULL, 'double'))
+      |  AS t(column_name, issue, expected, actual)
+      |ORDER BY column_name, issue""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q124, q125, q126, q127, q128, q129, q130,
-    q131, q132, q133)
+    q131, q132, q133, q134)
 }

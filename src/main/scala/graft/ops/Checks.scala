@@ -34,6 +34,53 @@ object Checks {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Schema contract (dbt-style): compare a frame's actual schema to the
+    * expected DDL and report every violation — `missing` (contract column
+    * absent), `type_mismatch` (present at the wrong type), and `extra`
+    * (present but not in the contract; suppressed by `allowExtra` for
+    * additive-evolution pipelines). Purely schema-driven: zero data
+    * scanned, so the gate is free at any table size.
+    *
+    * Output: `(column_name, issue, expected, actual)` ordered by column —
+    * empty means the contract holds. [[enforceContract]] turns
+    * violations into a hard failure at the load boundary.
+    */
+  def schemaContract(df: DataFrame, expectedDdl: String,
+                     allowExtra: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = org.apache.spark.sql.types.StructType.fromDDL(expectedDdl)
+      .fields.map(f => f.name -> f.dataType.simpleString).toSeq
+    val actual = df.schema.fields.map(f => f.name -> f.dataType.simpleString)
+    val actualM = actual.toMap
+    val expectedM = expected.toMap
+    val missing = expected.collect { case (n, t) if !actualM.contains(n) =>
+      (n, "missing", t, null.asInstanceOf[String]) }
+    val mismatched = expected.collect {
+      case (n, t) if actualM.get(n).exists(_ != t) =>
+        (n, "type_mismatch", t, actualM(n)) }
+    val extra: Seq[(String, String, String, String)] =
+      if (allowExtra) Nil
+      else actual.collect { case (n, t) if !expectedM.contains(n) =>
+        (n, "extra", null.asInstanceOf[String], t) }.toSeq
+    (missing ++ mismatched ++ extra)
+      .toDF("column_name", "issue", "expected", "actual")
+      .orderBy("column_name", "issue")
+  }
+
+  /** [[schemaContract]] as a gate: returns `df` untouched when the
+    * contract holds, fails with the full violation list otherwise.
+    */
+  def enforceContract(df: DataFrame, expectedDdl: String,
+                      allowExtra: Boolean = false): DataFrame = {
+    val v = schemaContract(df, expectedDdl, allowExtra).collect()
+    require(v.isEmpty, "schema contract violated:\n" + v.map(r =>
+      s"  ${r.getString(0)}: ${r.getString(1)} " +
+        s"(expected ${r.getString(2)}, actual ${r.getString(3)})")
+      .mkString("\n"))
+    df
+  }
+
   /** Column-level PII scan: for every string column, the row-hit count
     * and rate of each PII pattern — the governance inventory that tells
     * you WHERE the emails/phones/IPs live before [[TextAnalysis

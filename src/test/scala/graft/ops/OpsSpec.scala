@@ -39,6 +39,28 @@ class ChecksSpec extends SparkSpec {
       Checks.piiProfile(Seq((1L, 2L)).toDF("a", "b"))
     }
   }
+
+  test("schemaContract reports drift; enforceContract gates on it") {
+    val df = Seq((1L, "x", 2.5)).toDF("id", "name", "score")
+    // clean contract: empty report, enforce passes df through
+    assert(Checks.schemaContract(df,
+      "id BIGINT, name STRING, score DOUBLE").count() == 0)
+    assert(Checks.enforceContract(df,
+      "id BIGINT, name STRING, score DOUBLE").collect().length == 1)
+    // allowExtra suppresses only the extra class
+    val r = Checks.schemaContract(df, "id BIGINT, name STRING",
+        allowExtra = true)
+    assert(r.count() == 0)
+    val strict = Checks.schemaContract(df, "id BIGINT, name STRING")
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(strict == Set(("score", "extra")))
+    val err = intercept[IllegalArgumentException] {
+      Checks.enforceContract(df, "id INT, missing_col STRING",
+        allowExtra = true)
+    }
+    assert(err.getMessage.contains("type_mismatch") &&
+      err.getMessage.contains("missing_col"))
+  }
 }
 
 class CompareSpec extends SparkSpec {
