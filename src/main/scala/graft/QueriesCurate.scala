@@ -424,6 +424,19 @@ object QueriesCurate {
       |  AS t(column_name, issue, expected, actual)
       |ORDER BY column_name, issue""".stripMargin))
 
+  /** Bloom-pruned decontamination ([[graft.ops.TextAnalysis
+    * .contaminationFlagsBloom]]): the SAME question as q55 answered
+    * through the bloom-candidate plan — held to q55's exact oracle,
+    * proving the bloom changes the shuffle volume, never the answer.
+    */
+  val q135 = QueryDef("q135_bloom_decontamination", (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    graft.ops.TextAnalysis.contaminationFlagsBloom(docs,
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+        n = 8, minShared = 1, expectedGrams = 100000L)
+      .orderBy("doc_id")
+  }, QueriesScale.q55.oracle)
+
   val all: Seq[QueryDef] = Seq(q124, q125, q126, q127, q128, q129, q130,
-    q131, q132, q133, q134)
+    q131, q132, q133, q134, q135)
 }

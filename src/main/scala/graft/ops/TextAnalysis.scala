@@ -147,6 +147,38 @@ object TextAnalysis {
       .withColumn("contaminated", col("n_shared") >= minShared)
   }
 
+  /** [[contaminationFlags]] with a BLOOM pre-prune — the middle regime:
+    * the benchmark gram set is too big to broadcast exactly (an exact
+    * set of 10^8 grams is GBs of strings) but its bloom is not (10^8
+    * items at 1% fpp ≈ 120 MB of bits; at the default 10^7 ≈ 12 MB).
+    * Corpus grams filter through the broadcast bloom FIRST, so only
+    * might-match candidates (true hits + fpp of everything else) reach
+    * the shuffle join; the exact join then removes every false positive,
+    * which is why this returns BIT-IDENTICAL output to
+    * [[contaminationFlags]] (q135 holds it to q55's oracle) — the bloom
+    * changes the plan, never the answer.
+    */
+  def contaminationFlagsBloom(corpus: DataFrame, benchmark: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int = 8, minShared: Int = 1,
+                              expectedGrams: Long = 10000000L,
+                              fpp: Double = 0.01): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(shingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val corpusGrams = corpus.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), n)).as("gram"))
+    val candidates = Joins.bloomPrune(corpusGrams, benchGrams,
+      "gram", "gram", expectedGrams, fpp)
+    val shared = candidates.join(benchGrams, "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+  }
+
   /** FUZZY decontamination: corpus documents that are MinHash
     * near-duplicates of a reference (benchmark/eval) document, with
     * exact-Jaccard verification — catches lightly paraphrased or

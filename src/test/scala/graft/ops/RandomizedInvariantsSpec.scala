@@ -91,6 +91,29 @@ class RandomizedInvariantsSpec extends SparkSpec {
     assert(r2.rowsDeleted == 0 && r2.filesAffected == 0)
   }
 
+  test("bloom decontamination equals the exact path, even with a " +
+      "saturated undersized bloom") {
+    val rnd = new scala.util.Random(5)
+    val words = (1 to 40).map(i => s"w$i")
+    val docs = (1 to 120).map { i =>
+      (i.toLong, (1 to 20).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val exact = TextAnalysis.contaminationFlags(docs, bench,
+      "doc_id", "text", n = 5)
+    val bloom = TextAnalysis.contaminationFlagsBloom(docs, bench,
+      "doc_id", "text", n = 5, expectedGrams = 100000L)
+    assert(norm(bloom) == norm(exact))
+    // a 10-slot bloom over thousands of grams is pure false positives —
+    // the confirm join must still strip every one
+    val saturated = TextAnalysis.contaminationFlagsBloom(docs, bench,
+      "doc_id", "text", n = 5, expectedGrams = 10L, fpp = 0.5)
+    assert(norm(saturated) == norm(exact))
+  }
+
   test("overlap cards: estimate is exact whenever the pair union fits in k") {
     val rnd = new scala.util.Random(3)
     val rows = for {
