@@ -437,6 +437,46 @@ object QueriesCurate {
       .orderBy("doc_id")
   }, QueriesScale.q55.oracle)
 
+  /** Conversion-window funnel ([[graft.ops.Events.funnelWithin]]): the
+    * q115 funnel with a 48 h bound between consecutive steps — the
+    * oracle replays the bounded chained-minima windows, so a single
+    * user converting outside the window breaks the hash.
+    */
+  val q136 = QueryDef("q136_funnel_within", (spark, dir) =>
+    graft.ops.Events.funnelWithin(t(spark, dir, "events"), "user_id",
+        "ts", "event_id", "event_type", Seq("view", "click", "purchase"),
+        withinSeconds = 48L * 3600)
+      .orderBy("step_idx"),
+    Some(
+      """WITH e AS (SELECT user_id, event_id, ts, event_type,
+        |             epoch_us(ts) AS us
+        |           FROM events),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+        |         OVER win AS t0 FROM e
+        |       WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND t0 IS NOT NULL
+        |                          AND us <= t0 + 172800000000
+        |                          THEN us END) OVER win AS t1 FROM w1
+        |       WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t1 IS NOT NULL
+        |                          AND us <= t1 + 172800000000
+        |                          THEN us END) OVER win AS t2 FROM w2
+        |       WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |u AS (SELECT user_id, min(t0) AS t0, min(t1) AS t1, min(t2) AS t2
+        |      FROM w3 GROUP BY user_id)
+        |SELECT * FROM (
+        |  SELECT 1 AS step_idx, 'view' AS step,
+        |    CAST(count(CASE WHEN t0 IS NOT NULL THEN 1 END) AS BIGINT) AS n_users
+        |  FROM u
+        |  UNION ALL SELECT 2, 'click',
+        |    CAST(count(CASE WHEN t1 IS NOT NULL THEN 1 END) AS BIGINT) FROM u
+        |  UNION ALL SELECT 3, 'purchase',
+        |    CAST(count(CASE WHEN t2 IS NOT NULL THEN 1 END) AS BIGINT) FROM u)
+        |ORDER BY step_idx""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q124, q125, q126, q127, q128, q129, q130,
-    q131, q132, q133, q134, q135)
+    q131, q132, q133, q134, q135, q136)
 }

@@ -30,7 +30,9 @@ class SessionizeJob extends EtlJob {
 }
 
 /** Ordered-step funnel ([[Events.funnel]]). Extra params: `type_col`
-  * (default `event_type`), `steps` (comma-separated, required).
+  * (default `event_type`), `steps` (comma-separated, required),
+  * `within_seconds` (optional — bounds each step to a conversion window
+  * after the previous one, [[Events.funnelWithin]]).
   */
 class FunnelJob extends EtlJob {
   def transform(inputs: Map[String, DataFrame], spark: SparkSession,
@@ -38,8 +40,14 @@ class FunnelJob extends EtlJob {
     val steps = params.getOrElse("steps",
       sys.error("FunnelJob needs a 'steps' param (comma-separated)"))
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    Events.funnel(inputs.values.head, EP.user(params), EP.ts(params),
-      EP.id(params), params.getOrElse("type_col", "event_type"), steps)
+    val typeCol = params.getOrElse("type_col", "event_type")
+    params.get("within_seconds") match {
+      case Some(w) => Events.funnelWithin(inputs.values.head,
+        EP.user(params), EP.ts(params), EP.id(params), typeCol, steps,
+        withinSeconds = w.toLong)
+      case None => Events.funnel(inputs.values.head, EP.user(params),
+        EP.ts(params), EP.id(params), typeCol, steps)
+    }
   }
 }
 

@@ -88,7 +88,30 @@ object Events {
     * and a 3-row driver-side unpivot.
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-             idCol: String, typeCol: String, steps: Seq[String]): DataFrame = {
+             idCol: String, typeCol: String, steps: Seq[String]): DataFrame =
+    funnelImpl(events, userCol, tsCol, idCol, typeCol, steps, None)
+
+  /** [[funnel]] with a CONVERSION WINDOW: step i counts only when it
+    * happens within `withinSeconds` of the (first-touch) completion of
+    * step i-1 — the product-analytics semantics where a purchase nine
+    * months after the click is not a conversion. First-touch: each
+    * step's time is the EARLIEST qualifying event given the earliest
+    * completion of the prefix; a user who misses the window from the
+    * first prefix completion is not re-tried from later ones (the
+    * standard, deterministic reading — and what keeps it one Window
+    * stage instead of a per-retry self-join).
+    */
+  def funnelWithin(events: DataFrame, userCol: String, tsCol: String,
+                   idCol: String, typeCol: String, steps: Seq[String],
+                   withinSeconds: Long): DataFrame = {
+    require(withinSeconds > 0, s"withinSeconds must be > 0: $withinSeconds")
+    funnelImpl(events, userCol, tsCol, idCol, typeCol, steps,
+      Some(withinSeconds * 1000000L))
+  }
+
+  private def funnelImpl(events: DataFrame, userCol: String, tsCol: String,
+                         idCol: String, typeCol: String, steps: Seq[String],
+                         withinUs: Option[Long]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -97,7 +120,14 @@ object Events {
     steps.zipWithIndex.foreach { case (step, i) =>
       val qualifies =
         if (i == 0) col(typeCol) === step
-        else col(typeCol) === step && col(s"_t${i - 1}").isNotNull
+        else {
+          val base = col(typeCol) === step && col(s"_t${i - 1}").isNotNull
+          withinUs match {
+            case Some(b) =>
+              base && col("_us") <= col(s"_t${i - 1}") + lit(b)
+            case None => base
+          }
+        }
       df = df.withColumn(s"_t$i",
         min(when(qualifies, col("_us"))).over(run))
     }

@@ -66,6 +66,35 @@ class EventsSpec extends SparkSpec {
       Seq((1, "view", 2L), (2, "click", 2L), (3, "purchase", 1L)))
   }
 
+  test("funnelWithin drops conversions outside the window, first-touch") {
+    val df = ev(
+      // user 1: click 30 min after view — inside a 1h window
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:30:00", 1L, "click", 0.0),
+      // user 2: click 2h after view — outside
+      (3L, "2024-01-01 10:00:00", 2L, "view", 0.0),
+      (4L, "2024-01-01 12:00:00", 2L, "click", 0.0),
+      // user 3: FIRST view at 10:00, second at 11:30; click at 12:00 is
+      // within 1h of the SECOND view but first-touch anchors at the
+      // first — no conversion
+      (5L, "2024-01-01 10:00:00", 3L, "view", 0.0),
+      (6L, "2024-01-01 11:30:00", 3L, "view", 0.0),
+      (7L, "2024-01-01 12:00:00", 3L, "click", 0.0))
+    val out = Events.funnelWithin(df, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click"), withinSeconds = 3600)
+      .orderBy("step_idx").collect()
+    assert(out.map(r => (r.getAs[Int]("step_idx"),
+      r.getAs[Long]("n_users"))).toSeq === Seq((1, 3L), (2, 1L)))
+    // boundary: exactly at the window edge still converts (inclusive)
+    val edge = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 11:00:00", 1L, "click", 0.0))
+    val eo = Events.funnelWithin(edge, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click"), withinSeconds = 3600)
+      .orderBy("step_idx").collect()
+    assert(eo.map(_.getAs[Long]("n_users")).toSeq === Seq(1L, 1L))
+  }
+
   test("cohort retention offsets from each user's first day") {
     val df = ev(
       (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
