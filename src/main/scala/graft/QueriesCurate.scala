@@ -477,6 +477,36 @@ object QueriesCurate {
         |    CAST(count(CASE WHEN t2 IS NOT NULL THEN 1 END) AS BIGINT) FROM u)
         |ORDER BY step_idx""".stripMargin))
 
+  /** CSV quarantine ([[graft.core.io.Reader.readCsvQuarantine]]): orders
+    * rendered headerless-CSV with every 89th key TRUNCATED to two fields
+    * — from_csv's strict corrupt semantics must route exactly those to
+    * the quarantine lane; same oracle construction as q130.
+    */
+  val q137 = QueryDef("q137_csv_quarantine", (spark, dir) => {
+    val out = Queries.tmpDir("graft_q137")
+    val orders = t(spark, dir, "orders")
+    orders.select(
+      when(col("o_orderkey") % 89 === 0,
+        concat_ws(",", col("o_orderkey"), col("o_orderstatus")))
+        .otherwise(concat_ws(",", col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))).as("value"))
+      .write.mode("overwrite").text(s"$out/csv")
+    val q = graft.core.io.Reader.readCsvQuarantine(spark, s"$out/csv",
+      "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE",
+      quarantineDir = Some(s"$out/quarantine"))
+    val nBad = q.bad.agg(count(lit(1)).as("n_corrupt"))
+    q.good.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .crossJoin(broadcast(nBad))
+      .orderBy("o_orderstatus")
+  }, Some(
+    """SELECT o_orderstatus, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+      |   WHERE o_orderkey % 89 = 0) AS n_corrupt
+      |FROM orders WHERE o_orderkey % 89 <> 0
+      |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q124, q125, q126, q127, q128, q129, q130,
-    q131, q132, q133, q134, q135, q136)
+    q131, q132, q133, q134, q135, q136, q137)
 }

@@ -94,22 +94,39 @@ object Reader {
     q
   }
 
-  /** The row-local good/bad classification behind [[readJsonQuarantine]]
-    * — shared with the STREAMING lane ([[graft.streaming.Streams
-    * .quarantineJsonStream]]), which is the point: every transformation
-    * here is stateless, so the identical code classifies a bounded load
-    * and an unbounded one.
+  /** CSV flavor of [[readJsonQuarantine]]: headerless CSV lines parsed
+    * row-locally with `from_csv`, which flags short rows, type
+    * mismatches, EXTRA fields, and unclosed quotes as corrupt — a
+    * stricter contract than the csv reader's PERMISSIVE null-filling,
+    * which silently absorbs most of those. Same lanes, same sink.
     */
-  private[graft] def quarantineSplit(raw: DataFrame,
-                                     schemaDdl: String): Quarantined = {
+  def readCsvQuarantine(spark: SparkSession, path: String, schemaDdl: String,
+                        quarantineDir: Option[String] = None): Quarantined = {
+    val q = quarantineSplit(spark.read.text(path), schemaDdl, isJson = false)
+    quarantineDir.foreach(d =>
+      q.bad.select("raw_line").write.mode("overwrite").text(d))
+    q
+  }
+
+  /** The row-local good/bad classification behind [[readJsonQuarantine]]
+    * / [[readCsvQuarantine]] — shared with the STREAMING lane
+    * ([[graft.streaming.Streams.quarantineJsonStream]]), which is the
+    * point: every transformation here is stateless, so the identical
+    * code classifies a bounded load and an unbounded one.
+    */
+  private[graft] def quarantineSplit(raw: DataFrame, schemaDdl: String,
+                                     isJson: Boolean = true): Quarantined = {
     require(!schemaDdl.contains("_corrupt_record"),
       "schemaDdl must not declare _corrupt_record — the quarantine lane adds it")
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL(s"$schemaDdl, _corrupt_record STRING")
+    val opts = Map("columnNameOfCorruptRecord" -> "_corrupt_record")
+    val parser =
+      if (isJson) from_json(col("value"), schema, opts)
+      else from_csv(col("value"), schema, opts)
     val parsed = raw
       .filter(length(trim(col("value"))) > 0)
-      .select(col("value"), input_file_name().as("_file"),
-        from_json(col("value"), org.apache.spark.sql.types.StructType
-            .fromDDL(s"$schemaDdl, _corrupt_record STRING"),
-          Map("columnNameOfCorruptRecord" -> "_corrupt_record")).as("_j"))
+      .select(col("value"), input_file_name().as("_file"), parser.as("_j"))
     val good = parsed.filter(col("_j._corrupt_record").isNull)
       .select("_j.*").drop("_corrupt_record")
     val bad = parsed.filter(col("_j._corrupt_record").isNotNull)

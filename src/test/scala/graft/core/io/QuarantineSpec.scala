@@ -38,4 +38,24 @@ class QuarantineSpec extends SparkSpec {
         "id BIGINT, _corrupt_record STRING")
     }
   }
+
+  test("csv lane: short rows, bad types, extra fields, bad quotes " +
+      "quarantine; exact-width rows do not") {
+    val dir = Files.createTempDirectory("graft_quarc").toString
+    val lines = Seq(
+      "1,apple,2.5",
+      "2,banana",          // short — corrupt
+      "x,pear,1.0",        // bad type — corrupt
+      "3,kiwi,9.9,extra",  // extra field — corrupt
+      "4,\"unclosed,5.0",  // bad quote — corrupt
+      "5,plum,7.25")
+    lines.toDF("value").coalesce(1).write.text(s"$dir/in")
+    val q = Reader.readCsvQuarantine(spark, s"$dir/in",
+      "id BIGINT, name STRING, price DOUBLE",
+      quarantineDir = Some(s"$dir/bad"))
+    assert(q.good.count() == 2)
+    assert(q.good.select("id").as[Long].collect().toSet == Set(1L, 5L))
+    assert(q.bad.count() == 4)
+    assert(spark.read.text(s"$dir/bad").count() == 4)
+  }
 }
