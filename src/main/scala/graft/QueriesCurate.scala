@@ -507,6 +507,55 @@ object QueriesCurate {
       |FROM orders WHERE o_orderkey % 89 <> 0
       |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin))
 
+  /** KMV-sketched rolling active users ([[graft.ops.Events
+    * .activeUsersSketch]]) — q121's 100 TB path: per-day bottom-64 user
+    * hashes, merged per window, k-th-order-statistic estimate. The
+    * oracle replays the FULL union (no truncation): bottom-k of a union
+    * equals bottom-k of pooled per-day bottom-k's, so the outputs
+    * coincide exactly — the hash match IS the proof of that identity.
+    * Sub-k windows (1-day) take the exact branch; 7/30-day take the
+    * estimator.
+    */
+  val q138 = {
+    val k = 64
+    val windows = Seq(1, 7, 30)
+    val wCtes = windows.map { w =>
+      s"""r$w AS (SELECT tday, h,
+         |        row_number() OVER (PARTITION BY tday ORDER BY h) AS rn,
+         |        count(*) OVER (PARTITION BY tday) AS n
+         |      FROM dh WHERE mi < $w),
+         |e$w AS (SELECT tday,
+         |        round(CASE WHEN max(n) < $k THEN max(n)::DOUBLE
+         |          ELSE ${k - 1} * 1152921504606846976.0
+         |               / max(CASE WHEN rn = $k THEN h END) END, 2)
+         |          AS au_${w}d_est
+         |      FROM r$w GROUP BY tday)""".stripMargin
+    }.mkString(",\n")
+    val joins = windows.map(w => s"JOIN e$w ON e$w.tday = d.day")
+      .mkString("\n")
+    QueryDef("q138_active_users_sketch", (spark, dir) =>
+      graft.ops.Events.activeUsersSketch(t(spark, dir, "events"),
+          "user_id", "ts", windows, k = k)
+        .orderBy("day"),
+      Some(
+        s"""WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
+           |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+           |      AS BIGINT) AS h
+           |  FROM events),
+           |days AS (SELECT DISTINCT day FROM pairs),
+           |ex AS (SELECT CAST(day + i * INTERVAL 1 DAY AS DATE) AS tday, h, i
+           |       FROM (SELECT day, h,
+           |               unnest(generate_series(0, ${windows.max - 1})) AS i
+           |             FROM pairs)),
+           |dh AS (SELECT tday, h, min(i) AS mi FROM ex GROUP BY 1, 2),
+           |$wCtes
+           |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           |  ${windows.map(w => s"e$w.au_${w}d_est").mkString(", ")}
+           |FROM days d
+           |$joins
+           |ORDER BY day""".stripMargin))
+  }
+
   val all: Seq[QueryDef] = Seq(q124, q125, q126, q127, q128, q129, q130,
-    q131, q132, q133, q134, q135, q136, q137)
+    q131, q132, q133, q134, q135, q136, q137, q138)
 }

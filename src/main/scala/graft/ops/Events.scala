@@ -187,6 +187,71 @@ object Events {
     * the first stage's map-side is a plain scan; the second aggregates
     * partial counts per (cohort, offset, user) before the exchange.
     */
+  /** [[activeUsers]] through KMV sketches — the 100 TB path: exact
+    * rolling `count_distinct` re-touches every (day, user) pair per
+    * window, and at billions of users/day the per-target-day distinct
+    * becomes the dominant shuffle. Here each day collapses to its
+    * bottom-`k` distinct user-hashes ONCE (the only corpus-sized
+    * aggregation, map-side combined); everything after — the ×window
+    * explode, the union-merge, the k-th-order-statistic estimate — runs
+    * on days×k rows of longs. KMV merges exactly (bottom-k of a union =
+    * bottom-k of pooled bottom-k's), windows below `k` distinct users
+    * are EXACT, and the md5 hash makes the estimate a pure function of
+    * the user set — engine-replayable, like every sketch in
+    * [[graft.ops.Sketches]].
+    *
+    * Output: `(day, au_{w}d_est ...)`, estimates rounded to 2.
+    */
+  def activeUsersSketch(events: DataFrame, userCol: String, tsCol: String,
+                        windows: Seq[Int] = Seq(1, 7, 30),
+                        k: Int = 256): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ >= 1),
+      s"windows must be >= 1, got $windows")
+    require(k >= 3, s"k must be >= 3, got $k")
+    val maxW = windows.max
+    val m = math.pow(2.0, 60)
+    val pairs = events
+      .select(to_date(col(tsCol)).as("_day"),
+        graft.ops.Sketches.hash60(col(userCol)).as("_h"))
+      .distinct()
+    val days = pairs.select(col("_day")).distinct()
+    // per-day bottom-k (two-stage, skew-capped like Sketches.kmvDistinct)
+    // — THE compression step: everything below runs on days×k longs.
+    // Bottom-k of a union = bottom-k of the pooled per-day bottom-k's,
+    // and a pooled count below k proves no constituent day truncated,
+    // so sub-k windows stay exact.
+    val pre = Window.partitionBy(col("_day"), pmod(col("_h"), lit(64L)))
+      .orderBy(col("_h"))
+    val fin = Window.partitionBy(col("_day")).orderBy(col("_h"))
+    val daily = pairs
+      .withColumn("_rn0", row_number().over(pre)).filter(col("_rn0") <= k)
+      .withColumn("_rn", row_number().over(fin)).filter(col("_rn") <= k)
+      .select("_day", "_h")
+    // per (target day, hash): the smallest lag it arrives with
+    val dh = daily
+      .withColumn("_i", explode(sequence(lit(0), lit(maxW - 1))))
+      .select(date_add(col("_day"), col("_i")).as("_tday"), col("_h"),
+        col("_i"))
+      .groupBy("_tday", "_h").agg(min(col("_i")).as("_mi"))
+    val perWindow = windows.map { w =>
+      val win = Window.partitionBy(col("_tday")).orderBy(col("_h"))
+      val ranked = dh.filter(col("_mi") < w)
+        .withColumn("_rn", row_number().over(win))
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_tday"))))
+      ranked.groupBy("_tday")
+        .agg(max(col("_n")).as("_n"),
+          max(when(col("_rn") === k, col("_h"))).as("_hk"))
+        .select(col("_tday"),
+          round(when(col("_n") < k, col("_n").cast("double"))
+            .otherwise(lit((k - 1).toDouble * m) / col("_hk")), 2)
+            .as(s"au_${w}d_est"))
+    }
+    val joined = perWindow.reduce((a, b) => a.join(b, Seq("_tday")))
+    joined.join(days, joined("_tday") === days("_day"))
+      .select(date_format(col("_day"), "yyyy-MM-dd").as("day") +:
+        windows.map(w => col(s"au_${w}d_est")): _*)
+  }
+
   def cohortRetention(events: DataFrame, userCol: String,
                       tsCol: String): DataFrame = {
     val w = Window.partitionBy(userCol)

@@ -95,6 +95,37 @@ class EventsSpec extends SparkSpec {
     assert(eo.map(_.getAs[Long]("n_users")).toSeq === Seq(1L, 1L))
   }
 
+  test("activeUsersSketch is exact below k and lands near the exact " +
+      "counts above it") {
+    val rnd = new scala.util.Random(9)
+    // 14 days, 5..120 distinct users/day from a 400-user pool
+    val rows = (0 until 14).flatMap { d =>
+      val n = 5 + rnd.nextInt(116)
+      (0 until n).map { j =>
+        (d * 1000L + j, f"2024-02-${d + 1}%02d 0${rnd.nextInt(9)}:00:00",
+          (rnd.nextInt(400) + 1).toLong, "view", 0.0)
+      }
+    }
+    val df = ev(rows: _*)
+    val exact = Events.activeUsers(df, "user_id", "ts", Seq(1, 7))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("au_1d"), r.getAs[Long]("au_7d"))).toMap
+    val sk = Events.activeUsersSketch(df, "user_id", "ts", Seq(1, 7),
+        k = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("au_1d_est"), r.getAs[Double]("au_7d_est"))).toMap
+    assert(sk.keySet == exact.keySet)
+    sk.foreach { case (day, (e1, e7)) =>
+      val (x1, x7) = exact(day)
+      // sub-k windows are EXACT by construction
+      if (x1 < 64) assert(e1 == x1.toDouble, s"$day 1d: $e1 != $x1")
+      // k=64 → ~1/sqrt(62) ≈ 13% relative error; allow 3 sigma
+      assert(math.abs(e7 - x7) / x7 < 0.4, s"$day 7d: est $e7 vs $x7")
+    }
+    // at least one window actually exercised the estimator branch
+    assert(exact.values.exists(_._2 >= 64))
+  }
+
   test("cohort retention offsets from each user's first day") {
     val df = ev(
       (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
