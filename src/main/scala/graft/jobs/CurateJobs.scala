@@ -77,6 +77,61 @@ class PrioritySampleJob extends EtlJob {
       salt = params.getOrElse("salt", "es"))
 }
 
+/** Stupid-Backoff bigram LM ([[TextAnalysis.bigramLmScore]]): scores the
+  * input named `score` against tables trained on the input named
+  * `train` (both required — held-out scoring is the operator's point).
+  * Params: `id_col` (default `doc_id`), `text_col` (`text`), `alpha`
+  * (default 0.4); `train_input`/`score_input` remap the expected input
+  * names (in-memory `type: df` inputs are named after their dependency
+  * job).
+  */
+class BigramLmJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    def named(p: String, dflt: String) = {
+      val n = params.getOrElse(p, dflt)
+      inputs.getOrElse(n, sys.error(s"BigramLmJob needs an input named '$n'"))
+    }
+    TextAnalysis.bigramLmScore(named("score_input", "score"),
+      named("train_input", "train"),
+      params.getOrElse("id_col", "doc_id"),
+      params.getOrElse("text_col", "text"),
+      alpha = params.getOrElse("alpha", "0.4").toDouble)
+  }
+}
+
+/** Quarantine ingestion from the manifest: the single input is the raw
+  * file declared with `type: text` (one `value` column — the same scan
+  * `Reader.readJsonQuarantine` starts from, so `input_file_name()`
+  * provenance still works); the GOOD lane is the job's output frame,
+  * the bad lane lands in `quarantine_dir`. Params: `schema` (DDL,
+  * required), `format` (`json` default | `csv`), `quarantine_dir`
+  * (required — an ingest that silently discards its rejects is the
+  * failure mode this job exists to prevent).
+  */
+class QuarantineLoadJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val raw = inputs.values.headOption.getOrElse(
+      sys.error("QuarantineLoadJob needs one text input"))
+    require(raw.columns.sameElements(Array("value")),
+      "QuarantineLoadJob input must be a raw text scan (type: text)")
+    val schema = params.getOrElse("schema",
+      sys.error("QuarantineLoadJob needs a 'schema' param (DDL)"))
+    val qdir = params.getOrElse("quarantine_dir",
+      sys.error("QuarantineLoadJob needs a 'quarantine_dir' param"))
+    val isJson = params.getOrElse("format", "json") match {
+      case "json" => true
+      case "csv" => false
+      case other => sys.error(
+        s"QuarantineLoadJob format must be json or csv, got '$other'")
+    }
+    val q = graft.core.io.Reader.quarantineSplit(raw, schema, isJson)
+    q.bad.select("raw_line").write.mode("overwrite").text(qdir)
+    q.good
+  }
+}
+
 /** Targeted delete ([[graft.core.io.Maintenance.deleteMatching]]): the
   * input frame IS the delete list; `target_path` names the parquet
   * dataset to rewrite in place. Returns the one-row deletion report

@@ -11,6 +11,7 @@ import graft.engine.Flow
   * the overlap-cards branch.
   */
 class CurateJobsSpec extends SparkSpec {
+  import spark.implicits._
 
   private val docs = "/root/testdata/sf0.001/documents.parquet"
 
@@ -39,6 +40,33 @@ class CurateJobsSpec extends SparkSpec {
       save = false)("forget").collect().head
     assert(report.getAs[Long]("rows_deleted") == 20L)
     assert(spark.read.parquet(samplePath).count() == 80)
+  }
+
+  test("bigram-lm and quarantine-load branches run from the manifest") {
+    val out = java.nio.file.Files.createTempDirectory("graft_curate3")
+      .toString
+    // raw jsonl with one corrupt line
+    Seq("""{"doc_id": 1, "text": "good one"}""",
+      """{"doc_id": 2, "bro""",
+      """{"doc_id": 3, "text": "also fine"}""")
+      .toDF("value").coalesce(1).write.text(s"$out/raw")
+    val loaded = Manifest.loadFile("conf/curate_pipeline.yml", Seq("dev"),
+      Map("docs_in" -> docs, "out_root" -> out,
+        "jsonl_in" -> s"$out/raw"))
+    val scored = Flow.runPipeline(spark, loaded.jobs, "bigram_lm",
+      save = false)("bigram_lm")
+    // matches the direct held-out operator call
+    val d = spark.read.parquet(docs)
+    val direct = graft.ops.TextAnalysis.bigramLmScore(
+      d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text")
+    assert(scored.exceptAll(direct).isEmpty &&
+      direct.exceptAll(scored).isEmpty)
+
+    val good = Flow.runPipeline(spark, loaded.jobs, "quarantine_load",
+      save = false)("quarantine_load")
+    assert(good.count() == 2)
+    assert(spark.read.text(s"$out/quarantine").count() == 1)
   }
 
   test("overlap-cards branch equals the direct operator output") {
