@@ -556,6 +556,33 @@ object QueriesCurate {
            |ORDER BY day""".stripMargin))
   }
 
+  /** Per-group weighted sampling ([[graft.ops.Sampling
+    * .prioritySamplePerGroup]]): 10 length-weighted documents per
+    * source; the oracle replays the E-S keys and the per-group rank
+    * boundary (QUALIFY).
+    */
+  val q139 = QueryDef("q139_priority_sample_per_group", (spark, dir) =>
+    graft.ops.Sampling.prioritySamplePerGroup(
+      t(spark, dir, "documents").select("doc_id", "source", "n_chars"),
+      "doc_id", "source", "n_chars", n = 10, salt = "es")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("key_micro"), col("rank").cast("long").as("rank"))
+      .orderBy("source", "rank"),
+    Some(
+      """SELECT doc_id, source, n_chars, key_micro, rank FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(round(round(ln((CAST('0x' || substr(md5('es' || doc_id), 1, 15)
+        |                     AS BIGINT) + 0.5) / 1152921504606846976.0)
+        |               / n_chars, 6) * 1e6, 0) AS BIGINT) AS key_micro,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY CAST(round(round(ln((CAST('0x' ||
+        |          substr(md5('es' || doc_id), 1, 15) AS BIGINT) + 0.5)
+        |          / 1152921504606846976.0) / n_chars, 6) * 1e6, 0) AS BIGINT)
+        |          DESC, doc_id) AS rank
+        |  FROM documents WHERE n_chars > 0)
+        |WHERE rank <= 10
+        |ORDER BY source, rank""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q124, q125, q126, q127, q128, q129, q130,
-    q131, q132, q133, q134, q135, q136, q137, q138)
+    q131, q132, q133, q134, q135, q136, q137, q138, q139)
 }

@@ -55,6 +55,31 @@ object Sampling {
       .limit(n)
   }
 
+  /** [[prioritySample]] per group: n items per `groupCol` value, same
+    * Efraimidis-Spirakis keys, ranked with a per-group window instead of
+    * a global TakeOrdered — Spark pushes the rank filter down as
+    * WindowGroupLimit (per-partition per-group top-n before the
+    * shuffle), so a group never sorts more than n rows per input
+    * partition. The balanced-export primitive: "500 docs per source,
+    * weighted by quality".
+    */
+  def prioritySamplePerGroup(df: DataFrame, idCol: String, groupCol: String,
+                             weightCol: String, n: Int,
+                             salt: String = "es"): DataFrame = {
+    val m = math.pow(2.0, 60)
+    val u = (conv(substring(md5(concat(lit(salt),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long") + 0.5) / m
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("key_micro").desc, col(idCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("key_micro",
+        round(round(log(u) / col(weightCol).cast("double"), 6) * 1e6, 0)
+          .cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+  }
+
   /** Assign a split label per row by cumulative fraction over 10k hash
     * buckets (0.01% granularity). `fractions` must sum to <= 1; rows
     * falling past the last bound get the final label (so (train 0.8,

@@ -737,6 +737,23 @@ class PrioritySampleSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
+
+  test("per-group variant fills every group and pushes WindowGroupLimit") {
+    val df = (1L to 900L).map(i => (i, s"g${i % 3}", i % 11 + 1))
+      .toDF("id", "src", "w")
+    val out = Sampling.prioritySamplePerGroup(df, "id", "src", "w", n = 20)
+    val counts = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("g0" -> 20L, "g1" -> 20L, "g2" -> 20L))
+    // rank filter pushed into the window as a group limit
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(500))
+    // a group smaller than n returns whole, ranked
+    val tiny = Sampling.prioritySamplePerGroup(
+      (1L to 5L).map(i => (i, "only", 1L)).toDF("id", "src", "w"),
+      "id", "src", "w", n = 20)
+    assert(tiny.count() == 5)
+  }
 }
 
 class StratifiedSampleSpec extends SparkSpec {
