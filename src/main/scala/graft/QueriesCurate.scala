@@ -583,6 +583,31 @@ object QueriesCurate {
         |WHERE rank <= 10
         |ORDER BY source, rank""".stripMargin))
 
+  /** Index vacuum ([[graft.ops.Dedup.vacuumNearDupIndex]]) — GDPR on
+    * the PERSISTED near-dup index: q86's corpus index is built, then
+    * every corpus doc the delta near-duplicates (doc_id % 20 = 0) is
+    * forgotten, then the q70 delta ingests. The oracle is q70's
+    * recursive replay with those docs EXCLUDED from the corpus — the
+    * planted near-dups that q86 rejects must now be ACCEPTED, or the
+    * vacuum left ghost shingles behind.
+    */
+  val q140 = QueryDef("q140_index_vacuum", (spark, dir) => {
+    val (corpus, delta) = QueriesText.q70Corpus(spark, dir)
+    Seq("_shingles", "_buckets", "_meta", "_shingles_vac", "_buckets_vac")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS q140idx$s"))
+    val idx = graft.ops.Dedup.writeNearDupIndex(corpus, "doc_id", "text",
+      "q140idx", numBuckets = 8)
+    graft.ops.Dedup.vacuumNearDupIndex(spark, "q140idx",
+      corpus.filter(col("doc_id") % 20 === 0).select("doc_id"))
+    graft.ops.Dedup.dropNearDuplicatesAgainst(idx, delta, "doc_id",
+        "text", threshold = 0.8, maxBandFreq = None,
+        appendAccepted = false)
+      .orderBy("doc_id")
+  }, QueriesText.q70.oracle.map(_.replace(
+    "corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)",
+    "corpus AS (SELECT doc_id, text FROM documents " +
+      "WHERE doc_id % 2 = 0 AND doc_id % 20 <> 0)")))
+
   val all: Seq[QueryDef] = Seq(q124, q125, q126, q127, q128, q129, q130,
-    q131, q132, q133, q134, q135, q136, q137, q138, q139)
+    q131, q132, q133, q134, q135, q136, q137, q138, q139, q140)
 }

@@ -187,7 +187,7 @@ object QueriesText {
     * 0.8 (64 hashes / 16 bands) makes the outputs identical, the same
     * contract q27/q63 pin.
     */
-  private def q70Corpus(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def q70Corpus(spark: org.apache.spark.sql.SparkSession,
                         dir: String) = {
     val docs = t(spark, dir, "documents").select("doc_id", "text")
     val corpus = docs.filter(col("doc_id") % 2 === 0)

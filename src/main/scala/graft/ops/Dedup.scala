@@ -552,6 +552,52 @@ object Dedup {
     idx
   }
 
+  /** Forget documents FROM the persisted index — the [[graft.core.io
+    * .Maintenance.deleteMatching]] counterpart for the near-dup tables:
+    * a GDPR delete that scrubs the corpus but leaves the index holding
+    * the forgotten docs' shingles would keep REJECTING future
+    * near-duplicates of deleted content (and keep the content's
+    * signature derivable). Each table is rewritten as a staged
+    * `_vac` table then swapped via catalog rename (bucketed tables
+    * cannot be file-pruned like plain parquet: bucket-file naming IS the
+    * zero-exchange contract, so the rewrite goes through the bucketed
+    * writer wholesale). Crash healing runs first: a `_vac` with its
+    * original missing rolls FORWARD (rename), with the original present
+    * rolls BACK (drop) — mirroring deleteMatching's manifest protocol
+    * at catalog grain.
+    *
+    * Returns the number of indexed docs removed. Ingest semantics after
+    * a vacuum are spec-pinned: a re-submitted near-duplicate of a
+    * forgotten doc is ACCEPTED again.
+    */
+  def vacuumNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                         name: String, ids: DataFrame): Long = {
+    def heal(table: String): Unit = {
+      val vac = s"${table}_vac"
+      if (spark.catalog.tableExists(vac)) {
+        if (!spark.catalog.tableExists(table))
+          spark.sql(s"ALTER TABLE $vac RENAME TO $table"): Unit
+        else spark.sql(s"DROP TABLE $vac"): Unit
+      }
+    }
+    Seq(s"${name}_shingles", s"${name}_buckets").foreach(heal)
+    val idx = loadNearDupIndex(spark, name)
+    val idList = ids.select(col(ids.columns.head).as("doc_id")).distinct()
+    val removed = spark.table(idx.shinglesTable).select("doc_id").distinct()
+      .join(idList, Seq("doc_id"), "left_semi").count()
+    if (removed == 0) return 0L
+    Seq((idx.shinglesTable, Seq("doc_id")),
+      (idx.bucketsTable, Seq("band", "bandhash"))).foreach {
+      case (t, bcols) =>
+        val survivors = spark.table(t).join(idList, Seq("doc_id"), "left_anti")
+        graft.core.io.Writer.writeBucketed(survivors, s"${t}_vac", bcols,
+          idx.numBuckets)
+        spark.sql(s"DROP TABLE $t")
+        spark.sql(s"ALTER TABLE ${t}_vac RENAME TO $t")
+    }
+    removed
+  }
+
   /** Append `accepted` docs' shingle and bucket rows to the index — the
     * ingest step after [[dropNearDuplicatesAgainst]] decides which delta
     * rows join the corpus. Per-doc shingle counts are independent across

@@ -127,6 +127,47 @@ class NearDupIndexSpec extends SparkSpec {
         "a replayed delta must be fully dropped by the grown index")
     } finally dropIndex("ndx3")
   }
+
+  test("vacuum forgets docs: their near-dups are accepted again, and a " +
+      "crashed swap heals") {
+    dropIndex("ndx4")
+    spark.sql("DROP TABLE IF EXISTS ndx4_shingles_vac")
+    spark.sql("DROP TABLE IF EXISTS ndx4_buckets_vac")
+    val corpus = Seq((10L, base), (11L, fresh)).toDF("doc_id", "text")
+    val dup = Seq((20L, base + " again")).toDF("doc_id", "text")
+    val idx = Dedup.writeNearDupIndex(corpus, "doc_id", "text", "ndx4")
+    try {
+      // before the vacuum the near-dup of doc 10 is rejected
+      assert(Dedup.dropNearDuplicatesAgainst(idx, dup, "doc_id", "text",
+        threshold = 0.8, maxBandFreq = None,
+        appendAccepted = false).isEmpty)
+      val removed = Dedup.vacuumNearDupIndex(spark, "ndx4",
+        Seq(10L).toDF("doc_id"))
+      assert(removed == 1L)
+      // forgotten: the same near-dup is now accepted; doc 11 still guards
+      assert(Dedup.dropNearDuplicatesAgainst(idx, dup, "doc_id", "text",
+        threshold = 0.8, maxBandFreq = None, appendAccepted = false)
+        .select("doc_id").as[Long].collect().toSet == Set(20L))
+      assert(Dedup.dropNearDuplicatesAgainst(idx,
+        Seq((21L, fresh + " too")).toDF("doc_id", "text"), "doc_id",
+        "text", threshold = 0.8, maxBandFreq = None,
+        appendAccepted = false).isEmpty)
+      // vacuuming ids not in the index is a no-op
+      assert(Dedup.vacuumNearDupIndex(spark, "ndx4",
+        Seq(999L).toDF("doc_id")) == 0L)
+      // crashed swap: original dropped, _vac left behind -> next vacuum
+      // rolls it forward before touching anything
+      spark.sql("ALTER TABLE ndx4_shingles RENAME TO ndx4_shingles_vac")
+      assert(Dedup.vacuumNearDupIndex(spark, "ndx4",
+        Seq(999L).toDF("doc_id")) == 0L)
+      assert(spark.catalog.tableExists("ndx4_shingles"))
+      assert(!spark.catalog.tableExists("ndx4_shingles_vac"))
+    } finally {
+      dropIndex("ndx4")
+      spark.sql("DROP TABLE IF EXISTS ndx4_shingles_vac")
+      spark.sql("DROP TABLE IF EXISTS ndx4_buckets_vac")
+    }
+  }
 }
 
 /** A fresh session's in-memory catalog forgets managed tables but their
