@@ -25,7 +25,19 @@ object TemporalJoins {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
-               rightVals: Seq[String], prefix: String = "asof_"): DataFrame = {
+               rightVals: Seq[String], prefix: String = "asof_"): DataFrame =
+    asofJoinMulti(left, right, Seq(key), leftTs, rightTs, rightVals, prefix)
+
+  /** [[asofJoin]] on a COMPOSITE key (e.g. (tenant, entity)): identical
+    * plan, the window just partitions on all key columns. Null handling
+    * is per-row: a right row with ANY null key column is dropped (SQL
+    * join semantics), and left rows keep left-outer nulls.
+    */
+  def asofJoinMulti(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    leftTs: String, rightTs: String,
+                    rightVals: Seq[String],
+                    prefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one key column")
     val leftCols = left.columns.toSeq
     // improbable working names + explicit collision checks: a silent
     // overwrite of a user column would corrupt output
@@ -45,12 +57,13 @@ object TemporalJoins {
     // NULL keys never match in SQL join / ASOF semantics: drop them from
     // the right so the NULL-key window partition carries no payload and
     // NULL-key left rows keep a NULL result (left-outer behavior)
-    val r = right.filter(col(key).isNotNull).select(
-        (Seq(col(key), col(rightTs).as(cTs), lit(0).as(cSide),
+    val r = right.filter(keys.map(col(_).isNotNull).reduce(_ && _)).select(
+        (keys.map(col) ++ Seq(col(rightTs).as(cTs), lit(0).as(cSide),
           struct(rightVals.map(col): _*).as(cRv))): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // right (side 0) sorts before left (side 1) at equal ts → inclusive <=
-    val w = Window.partitionBy(key).orderBy(col(cTs), col(cSide))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(cTs), col(cSide))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn(cLast,
       last(col(cRv), ignoreNulls = true).over(w))
@@ -80,9 +93,19 @@ object TemporalJoins {
                       factTs: String, dimVals: Seq[String],
                       validFrom: String = "valid_from",
                       validTo: String = "valid_to",
-                      prefix: String = "pit_"): DataFrame = {
+                      prefix: String = "pit_"): DataFrame =
+    pointInTimeJoinMulti(fact, dim, Seq(key), factTs, dimVals,
+      validFrom, validTo, prefix)
+
+  /** [[pointInTimeJoin]] on a composite dimension key. */
+  def pointInTimeJoinMulti(fact: DataFrame, dim: DataFrame,
+                           keys: Seq[String], factTs: String,
+                           dimVals: Seq[String],
+                           validFrom: String = "valid_from",
+                           validTo: String = "valid_to",
+                           prefix: String = "pit_"): DataFrame = {
     require(dimVals.nonEmpty, "pointInTimeJoin needs at least one dim column")
-    val joined = asofJoin(fact, dim, key, factTs, validFrom,
+    val joined = asofJoinMulti(fact, dim, keys, factTs, validFrom,
       dimVals :+ validTo, prefix)
     val vt = col(s"$prefix$validTo")
     val valid = vt.isNull || col(factTs) < vt

@@ -73,6 +73,27 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out == Set(("p1", "i1"), ("p2", "i1"))) // p3 in no interval
   }
 
+  test("asofJoinMulti keys on the composite; same-entity-other-tenant " +
+      "rows never bleed") {
+    val quotes = Seq(
+      ("t1", 7L, ts("2024-01-01 10:00:00"), 100.0),
+      ("t2", 7L, ts("2024-01-01 09:00:00"), 999.0), // same entity, other tenant
+      ("t1", 7L, ts("2024-01-01 11:00:00"), 110.0)
+    ).toDF("tenant", "ent", "ts", "px")
+    val trades = Seq(
+      ("a", "t1", 7L, ts("2024-01-01 10:30:00")), // -> 100
+      ("b", "t2", 7L, ts("2024-01-01 10:30:00")), // -> 999 (its own tenant)
+      ("c", "t3", 7L, ts("2024-01-01 10:30:00")), // unknown tenant -> null
+      ("d", "t1", 7L, ts("2024-01-01 09:30:00"))  // before t1's first -> null
+    ).toDF("id", "tenant", "ent", "ts")
+    val out = TemporalJoins.asofJoinMulti(trades, quotes,
+        Seq("tenant", "ent"), "ts", "ts", Seq("px")).collect()
+      .map(r => r.getString(0) -> Option(r.get(4))
+        .map(_.asInstanceOf[Double])).toMap
+    assert(out == Map("a" -> Some(100.0), "b" -> Some(999.0),
+      "c" -> None, "d" -> None))
+  }
+
   test("pointInTimeJoin resolves the version true at the fact date, " +
       "with nulls before history and in closeMissing gaps") {
     // build the dim with the REAL scd2 machinery: k=1 changes tier at
