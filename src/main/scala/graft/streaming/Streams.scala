@@ -70,6 +70,16 @@ object Streams {
     graft.core.io.Reader.quarantineSplit(
       spark.readStream.schema("value STRING").text(path), schemaDdl)
 
+  /** [[quarantineJsonStream]] for strict headerless CSV
+    * ([[graft.core.io.Reader.readCsvQuarantine]] semantics).
+    */
+  def quarantineCsvStream(spark: SparkSession, path: String,
+                          schemaDdl: String)
+      : graft.core.io.Reader.Quarantined =
+    graft.core.io.Reader.quarantineSplit(
+      spark.readStream.schema("value STRING").text(path), schemaDdl,
+      isJson = false)
+
   /** Watermarked sliding-window aggregation: counts + sum per
     * (window, key). Late rows beyond `watermarkDelay` are dropped and
     * their state reclaimed — the property that keeps state bounded on an

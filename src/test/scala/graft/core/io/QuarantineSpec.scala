@@ -57,5 +57,14 @@ class QuarantineSpec extends SparkSpec {
     assert(q.good.select("id").as[Long].collect().toSet == Set(1L, 5L))
     assert(q.bad.count() == 4)
     assert(spark.read.text(s"$dir/bad").count() == 4)
+    // streaming lane over the same files classifies identically
+    val sq = graft.streaming.Streams.quarantineCsvStream(spark, s"$dir/in",
+      "id BIGINT, name STRING, price DOUBLE")
+    val sink = s"quarc_${System.nanoTime}"
+    val run = sq.good.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try run.processAllAvailable() finally run.stop()
+    assert(spark.table(sink).select("id").as[Long].collect().toSet ==
+      Set(1L, 5L))
   }
 }
