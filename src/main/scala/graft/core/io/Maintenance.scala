@@ -148,6 +148,53 @@ object Maintenance {
         maxOverlapPerFile))
   }
 
+  final case class DirReport(partition: String, files: Int, bytes: Long,
+                             minBytes: Long, medianBytes: Long,
+                             maxBytes: Long, smallFileRatio: Double,
+                             advice: String)
+
+  /** Layout-health report per leaf directory (root, or hive `key=value`
+    * dirs): file count, byte spread, and the fraction of files below a
+    * quarter of `targetFileBytes` — the small-file accumulation signal
+    * that [[compactParquet]]/[[compactZorder]] exist to fix. `advice` is
+    * `compact` when the file count exceeds twice the byte-derived target
+    * or more than half the files are small, else `ok`. Driver cost is
+    * one listing (no data read) — run it before scheduling maintenance,
+    * not as part of a job.
+    */
+  def datasetReport(spark: SparkSession, dir: String,
+                    targetFileBytes: Long = 128L * 1024 * 1024)
+      : Seq[DirReport] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no dataset at $dir")
+    val partDirs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("=") &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
+      .map(_.getPath).sortBy(_.getName)
+    val targets = if (partDirs.nonEmpty) partDirs.toSeq else Seq(root)
+    targets.map { p =>
+      val sizes = fs.listStatus(p)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sorted
+      if (sizes.isEmpty)
+        DirReport(p.toString, 0, 0L, 0L, 0L, 0L, 0.0, "empty")
+      else {
+        val total = sizes.sum
+        val small = sizes.count(_ < targetFileBytes / 4)
+        val ratio = small.toDouble / sizes.length
+        val targetN =
+          math.max(1L, (total + targetFileBytes - 1) / targetFileBytes)
+        val advice =
+          if (sizes.length > 2 * targetN || ratio > 0.5) "compact" else "ok"
+        DirReport(p.toString, sizes.length, total, sizes.head,
+          sizes(sizes.length / 2), sizes.last,
+          math.round(ratio * 10000).toDouble / 10000, advice)
+      }
+    }
+  }
+
   final case class DeleteResult(filesTotal: Int, filesAffected: Int,
                                 filesRewritten: Int, rowsDeleted: Long)
 

@@ -93,6 +93,30 @@ class DeleteSpec extends SparkSpec {
     assert(err.getMessage.contains("partition"))
   }
 
+  test("datasetReport flags small-file accumulation and clears after " +
+      "compaction") {
+    val dir = tmp()
+    val ds = s"$dir/data"
+    spark.range(0, 50000).toDF("id").repartition(40).write.parquet(ds)
+    val before = Maintenance.datasetReport(spark, ds,
+      targetFileBytes = 512L * 1024)
+    assert(before.size == 1 && before.head.files == 40)
+    assert(before.head.advice == "compact")
+    Maintenance.compactParquet(spark, ds, targetFileBytes = 512L * 1024)
+    val after = Maintenance.datasetReport(spark, ds,
+      targetFileBytes = 512L * 1024)
+    assert(after.head.advice == "ok", after.head.toString)
+    assert(after.head.files < 40)
+    // hive layout: one report row per partition dir
+    val ds2 = s"$dir/part"
+    spark.range(0, 100).toDF("id")
+      .withColumn("p", (org.apache.spark.sql.functions.col("id") % 2)
+        .cast("int"))
+      .write.partitionBy("p").parquet(ds2)
+    val rep2 = Maintenance.datasetReport(spark, ds2)
+    assert(rep2.size == 2 && rep2.forall(_.files > 0))
+  }
+
   test("crash before the manifest rolls back; after it rolls forward") {
     import org.apache.hadoop.fs.Path
     val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
