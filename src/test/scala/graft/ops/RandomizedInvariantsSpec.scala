@@ -73,6 +73,48 @@ class RandomizedInvariantsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("scd2 fold: per-key intervals partition the timeline, and the " +
+      "point-in-time state AT each snapshot date IS that snapshot") {
+    val rnd = new scala.util.Random(21)
+    val keys = (1 to 12).map(_.toString)
+    val dates = Seq("2024-01-01", "2024-02-01", "2024-03-01", "2024-04-01",
+      "2024-05-01")
+    val snapRows = dates.map(d => d -> keys.flatMap(k =>
+      if (rnd.nextDouble() < 0.75) Some((k, s"v${rnd.nextInt(4)}")) else None))
+    val snaps = snapRows.map { case (d, rows) => d -> rows.toDF("k", "tier") }
+    val dim0 = snaps.head._2
+      .select(col("k"), col("tier"), lit(dates.head).as("valid_from"),
+        lit(null).cast("string").as("valid_to"))
+    val dim = Scd.scd2FoldSnapshots(dim0, snaps.tail, Seq("k"), Seq("tier"),
+      closeMissing = true)
+    val hist = dim.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), Option(r.getString(3))))
+    // intervals per key: ordered, non-overlapping, closed ones non-empty
+    hist.groupBy(_._1).foreach { case (k, vs) =>
+      val sorted = vs.sortBy(_._3)
+      sorted.foreach { v =>
+        v._4.foreach(to => assert(v._3 < to, s"empty/inverted interval $v"))
+      }
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._4.isDefined, s"key $k: open row not last")
+          assert(a._4.get <= b._3, s"key $k: overlap between $a and $b")
+        case _ =>
+      }
+      assert(sorted.count(_._4.isEmpty) <= 1, s"key $k: two open rows")
+    }
+    // reconstruction: PIT state at each snapshot date == the snapshot
+    snapRows.foreach { case (d, rows) =>
+      val facts = keys.map(k => (k, d)).toDF("k", "day")
+      val got = TemporalJoins.pointInTimeJoin(facts, dim, "k", "day",
+          Seq("tier")).collect()
+        .flatMap(r => Option(r.getString(2)).map(t => (r.getString(0), t)))
+        .toSet
+      assert(got == rows.toSet,
+        s"state at $d diverged: got $got expected ${rows.toSet}")
+    }
+  }
+
   test("deleteMatching read-back equals the anti-join for random delete " +
       "sets, and re-deleting is a no-op") {
     val rnd = new scala.util.Random(11)
