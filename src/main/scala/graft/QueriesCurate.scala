@@ -608,6 +608,44 @@ object QueriesCurate {
     "corpus AS (SELECT doc_id, text FROM documents " +
       "WHERE doc_id % 2 = 0 AND doc_id % 20 <> 0)")))
 
+  /** T5-style span corruption ([[graft.ops.TextAnalysis
+    * .spanCorruption]]): deterministic block-aligned denoising pairs;
+    * the oracle rebuilds every input/target string token-for-token,
+    * sentinel numbering included.
+    */
+  val q141 = QueryDef("q141_span_corruption", (spark, dir) =>
+    graft.ops.TextAnalysis.spanCorruption(
+      t(spark, dir, "documents"), "doc_id", "text",
+      spanLen = 3, maskRate = 0.15, salt = "t5")
+      .orderBy("doc_id"),
+    Some(
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS l
+        |           FROM documents),
+        |nb AS (SELECT doc_id, l, CAST(ceil(len(l) / 3.0) AS INT) AS nb
+        |       FROM t WHERE NOT (len(l) = 1 AND l[1] = '')),
+        |bx AS (SELECT doc_id, l, unnest(generate_series(0, nb - 1)) AS b
+        |       FROM nb),
+        |blk AS (SELECT doc_id, b,
+        |          array_to_string(l[b*3+1 : b*3+3], ' ') AS btext,
+        |          (CAST('0x' || substr(md5('t5' || doc_id || ':' || b), 1, 15)
+        |             AS BIGINT) % 10000) < 1500 AS masked
+        |        FROM bx),
+        |numbered AS (SELECT doc_id, b, btext, masked,
+        |          coalesce(CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY b
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |            AS BIGINT), 0) AS k
+        |        FROM blk)
+        |SELECT doc_id,
+        |  count(*) AS n_blocks,
+        |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_masked,
+        |  string_agg(CASE WHEN masked THEN '<extra_id_' || k || '>'
+        |                  ELSE btext END, ' ' ORDER BY b) AS input_text,
+        |  coalesce(string_agg('<extra_id_' || k || '> ' || btext, ' '
+        |             ORDER BY b) FILTER (WHERE masked), '') AS target_text
+        |FROM numbered GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q124, q125, q126, q127, q128, q129, q130,
-    q131, q132, q133, q134, q135, q136, q137, q138, q139, q140)
+    q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141)
 }

@@ -323,6 +323,64 @@ object TextAnalysis {
         col("avg_logprob"), col("ppl"))
   }
 
+  /** Deterministic T5-style span corruption (Raffel et al. 2020 §3.1.4,
+    * the denoising objective): the token stream is cut into fixed
+    * `spanLen` blocks; a block is masked iff its portable md5 hash lands
+    * under `maskRate`; the input replaces each masked block with
+    * `<extra_id_K>` (K = masked blocks before it) and the target lists
+    * the sentinels with their recovered tokens. Block-ALIGNED masking
+    * (vs T5's sampled span lengths) is the deliberate twist that makes
+    * the objective STATELESS per (doc, block): no sequential sampling
+    * pass, so the pair construction is a pure column plan on the token
+    * array — shuffle-free, and bit-replayable on any engine for the
+    * dual-oracle contract.
+    *
+    * Output: `(idCol, n_blocks, n_masked, input_text, target_text)`.
+    * Docs whose text tokenizes empty are absent (no blocks).
+    */
+  def spanCorruption(docs: DataFrame, idCol: String, textCol: String,
+                     spanLen: Int = 3, maskRate: Double = 0.15,
+                     salt: String = "t5"): DataFrame = {
+    require(spanLen >= 1, s"spanLen must be >= 1: $spanLen")
+    require(maskRate > 0 && maskRate < 1, s"maskRate out of (0,1): $maskRate")
+    val bound = math.round(maskRate * 10000).toInt
+    val nBlocks =
+      ceil(size(col("_l")).cast("double") / spanLen).cast("int")
+    val blocks = docs
+      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_l"))
+      .filter(size(col("_l")) > 0)
+      .filter(col("_l") =!= array(lit("")))
+      .select(col("_id"), col("_l"),
+        explode(sequence(lit(0), nBlocks - 1)).as("_b"))
+      .withColumn("_btext", concat_ws(" ",
+        slice(col("_l"), col("_b") * spanLen + lit(1), lit(spanLen))))
+      .withColumn("_masked",
+        pmod(graft.ops.Sketches.hash60Salted(col("_b"),
+          concat(lit(salt), col("_id").cast("string"), lit(":"))),
+          lit(10000L)) < bound)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val numbered = blocks.withColumn("_k",
+      coalesce(sum(when(col("_masked"), 1L).otherwise(0L)).over(w), lit(0L)))
+    numbered.groupBy("_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("_masked"), 1L).otherwise(0L)).as("n_masked"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_b"), col("_masked"),
+            col("_k"), col("_btext")))),
+          s => when(s.getField("_masked"),
+            concat(lit("<extra_id_"), s.getField("_k"), lit(">")))
+            .otherwise(s.getField("_btext"))), " ").as("input_text"),
+        array_join(transform(
+          filter(array_sort(collect_list(struct(col("_b"), col("_masked"),
+            col("_k"), col("_btext")))), s => s.getField("_masked")),
+          s => concat(lit("<extra_id_"), s.getField("_k"), lit("> "),
+            s.getField("_btext"))), " ").as("target_text"))
+      .select(col("_id").as(idCol), col("n_blocks"), col("n_masked"),
+        col("input_text"), col("target_text"))
+  }
+
   /** Bigram LM scoring with Stupid Backoff (Brants et al. 2007 §4 — the
     * smoothing built FOR distributed count tables: no normalization pass,
     * just raw counts and a fixed backoff factor). Scores every `score`

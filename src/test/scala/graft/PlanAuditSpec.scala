@@ -67,7 +67,8 @@ class PlanAuditSpec extends SparkSpec {
     "q127_priority_sample", "q128_pii_profile", "q129_bigram_lm",
     "q132_point_in_time_join", "q134_schema_contract",
     "q135_bloom_decontamination", "q136_funnel_within",
-    "q138_active_users_sketch", "q139_priority_sample_per_group")
+    "q138_active_users_sketch", "q139_priority_sample_per_group",
+    "q141_span_corruption")
 
   /** Queries whose BroadcastNestedLoopJoin is RUNTIME-gated rather than
     * plan-visible: brute-force cosine top-k broadcasts the probe side

@@ -665,6 +665,46 @@ class BigramLmSpec extends SparkSpec {
   }
 }
 
+class SpanCorruptionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("masking is deterministic, sentinels number in order, and " +
+      "input+target reconstruct the document") {
+    val docs = (1L to 50L).map(i =>
+      (i, (1 to 30).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.spanCorruption(docs, "doc_id", "text",
+      spanLen = 3, maskRate = 0.3)
+    val rows = out.collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val (nM, in, tgt) = (r.getAs[Long]("n_masked"),
+        r.getAs[String]("input_text"), r.getAs[String]("target_text"))
+      // sentinel sets agree between input and target, numbered 0..n-1
+      val sent = "<extra_id_(\\d+)>".r
+      val inIds = sent.findAllMatchIn(in).map(_.group(1).toInt).toSeq
+      val tgtIds = sent.findAllMatchIn(tgt).map(_.group(1).toInt).toSeq
+      assert(inIds == (0 until nM.toInt), s"input sentinels $inIds")
+      assert(tgtIds == (0 until nM.toInt), s"target sentinels $tgtIds")
+      // splicing target spans into the input reconstructs the doc
+      val spans = tgt.split("<extra_id_\\d+> ").filter(_.nonEmpty)
+        .map(_.trim).iterator
+      val rebuilt = sent.replaceAllIn(in, _ => spans.next())
+      val orig = docs.filter(col("doc_id") === r.getLong(0))
+        .select("text").as[String].head()
+      assert(rebuilt == orig, s"doc ${r.getLong(0)} failed to reconstruct")
+    }
+    // determinism across partitionings
+    val again = TextAnalysis.spanCorruption(docs.repartition(7), "doc_id",
+      "text", spanLen = 3, maskRate = 0.3)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // ~30% of blocks masked corpus-wide (500 blocks, +/- sampling)
+    val totals = rows.map(_.getAs[Long]("n_masked")).sum.toDouble /
+      rows.map(_.getAs[Long]("n_blocks")).sum
+    assert(totals > 0.2 && totals < 0.4, s"mask rate drifted: $totals")
+  }
+}
+
 class PerplexityBucketSpec extends SparkSpec {
   import spark.implicits._
 
