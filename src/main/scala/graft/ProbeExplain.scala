@@ -29,6 +29,8 @@ object ProbeExplain {
       case "q76" => Queries.queryMap("q76_bloom_join")(spark, dir)
       case "q77" => Queries.queryMap("q77_heavy_hitters")(spark, dir)
       case "q78" => Queries.queryMap("q78_unigram_lm")(spark, dir)
+      case name if Queries.queryMap.contains(name) =>
+        Queries.queryMap(name)(spark, dir)
       case other => sys.error(s"unknown probe: $other")
     }
     q.explain("formatted")

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Queries.QueryDef
+import graft.core.Tables
+
+/** Round-7 widening past the VERDICT r6 list: ranked retrieval (BM25),
+  * marketing-style attribution, and EWMA anomaly detection — the
+  * analytics surfaces a training-data/eventstream team reaches for
+  * right after the curation ops.
+  */
+object QueriesAnalytics {
+
+  private def t(spark: org.apache.spark.sql.SparkSession, dir: String, name: String) =
+    Tables.load(spark, dir, name)
+
+  /** BM25 top-k retrieval ([[graft.ops.Search.bm25TopK]]): every 29th
+    * document's first five tokens form a query; the corpus is scored
+    * through the pruned inverted-index join. The oracle replays the
+    * whole pipeline — postings, document lengths, idf, micro-quantized
+    * per-term contributions, the order-free BIGINT score sum, and the
+    * (score, id)-ranked top-k — so the hash gate pins the RANKING, not
+    * just the score arithmetic.
+    */
+  val q142 = QueryDef("q142_bm25_topk", (spark, dir) => {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val queries = docs.filter(col("doc_id") % 29 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(lower(col("text")), " "), 1, 5), " ").as("qtext"))
+    graft.ops.Search.bm25TopK(docs, queries, "doc_id", "text",
+        "query_id", "qtext", k = 5)
+      .orderBy("query_id", "rank")
+  }, Some(
+    """WITH dtok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |              FROM documents),
+      |post AS (SELECT doc_id, term, count(*) AS tf FROM dtok
+      |         WHERE term <> '' GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n_docs,
+      |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |qraw AS (SELECT doc_id AS query_id,
+      |           unnest(list_slice(string_split(lower(text), ' '), 1, 5)) AS term
+      |         FROM documents WHERE doc_id % 29 = 0),
+      |qt AS (SELECT DISTINCT query_id, term FROM qraw WHERE term <> ''),
+      |qv AS (SELECT DISTINCT term FROM qt),
+      |pruned AS (SELECT p.* FROM post p JOIN qv USING (term)),
+      |dft AS (SELECT term, count(*) AS df_docs FROM pruned GROUP BY term),
+      |contrib AS (
+      |  SELECT qt.query_id, p.doc_id,
+      |    CAST(round(round(
+      |      ln(1.0 + (s.n_docs - f.df_docs + 0.5) / (f.df_docs + 0.5)) *
+      |      (CAST(p.tf AS DOUBLE) * 2.2 /
+      |       (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)))
+      |    , 6) * 1e6, 0) AS BIGINT) AS c_micro
+      |  FROM pruned p
+      |  JOIN qt USING (term)
+      |  JOIN dl ON dl.doc_id = p.doc_id
+      |  JOIN dft f USING (term), stats s),
+      |scored AS (SELECT query_id, doc_id, count(*) AS n_terms,
+      |             CAST(sum(c_micro) AS BIGINT) AS score_micro
+      |           FROM contrib GROUP BY query_id, doc_id),
+      |ranked AS (SELECT query_id, doc_id, n_terms, score_micro,
+      |             CAST(row_number() OVER (PARTITION BY query_id
+      |               ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+      |           FROM scored)
+      |SELECT query_id, doc_id, n_terms, score_micro, rank
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  /** Multi-touch attribution ([[graft.ops.Events.attribution]]): view /
+    * click touches credit the next purchase within a 2-hour lookback
+    * under first-touch, last-touch, and linear models. The oracle
+    * replays the (ts, id)-total-order window logic, the micro-credit
+    * split with first-touch remainder, and the order-free BIGINT sums —
+    * the conservation law (`credit_micro` sums to 1e6 per credited
+    * conversion per model) is enforced by the hash, not sampled.
+    */
+  val q143 = QueryDef("q143_attribution", (spark, dir) =>
+    graft.ops.Events.attribution(t(spark, dir, "events"),
+        "user_id", "ts", "event_id",
+        conversionType = "purchase", touchTypes = Seq("view", "click"),
+        lookbackSeconds = 7200L)
+      .orderBy("model", "channel"),
+    Some(
+      """WITH ev AS (SELECT event_id, ts, user_id, event_type FROM events
+        |            WHERE event_type IN ('purchase', 'view', 'click')),
+        |rn AS (SELECT *, row_number() OVER
+        |         (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |       FROM ev),
+        |nxt AS (SELECT *,
+        |          max(CASE WHEN event_type = 'purchase' THEN rn END)
+        |            OVER w AS conv_rn,
+        |          min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |            OVER w AS conv_us
+        |        FROM rn
+        |        WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |touch AS (SELECT user_id, event_type AS channel, ts, event_id, conv_rn
+        |          FROM nxt
+        |          WHERE event_type <> 'purchase' AND conv_rn IS NOT NULL
+        |            AND conv_us - epoch_us(ts) <= 7200000000),
+        |grp AS (SELECT channel,
+        |          count(*) OVER (PARTITION BY user_id, conv_rn) AS n,
+        |          row_number() OVER (PARTITION BY user_id, conv_rn
+        |                             ORDER BY ts, event_id) AS tn
+        |        FROM touch),
+        |cred AS (SELECT channel,
+        |           CASE WHEN tn = 1 THEN 1000000 ELSE 0 END AS f_m,
+        |           CASE WHEN tn = n THEN 1000000 ELSE 0 END AS l_m,
+        |           1000000 // n +
+        |             CASE WHEN tn = 1 THEN 1000000 % n ELSE 0 END AS lin_m
+        |         FROM grp),
+        |agg AS (SELECT channel, CAST(count(*) AS BIGINT) AS touches,
+        |          CAST(sum(f_m) AS BIGINT) AS f, CAST(sum(l_m) AS BIGINT) AS l,
+        |          CAST(sum(lin_m) AS BIGINT) AS lin
+        |        FROM cred GROUP BY channel)
+        |SELECT 'first_touch' AS model, channel, touches, f AS credit_micro FROM agg
+        |UNION ALL SELECT 'last_touch', channel, touches, l FROM agg
+        |UNION ALL SELECT 'linear', channel, touches, lin FROM agg
+        |ORDER BY model, channel""".stripMargin))
+
+  /** EWMA volume anomaly ([[graft.ops.Stats.ewmaAnomaly]]): per-type
+    * daily event counts vs the half-life-one-day weighted average of the
+    * prior 20 observed days. The oracle replays the integer bit-shift
+    * weights, the order-free BIGINT weighted sums, the single final IEEE
+    * division, and the pure-integer flag — first-day rows (null
+    * prediction, false flag) included.
+    */
+  val q144 = QueryDef("q144_ewma_anomaly", (spark, dir) =>
+    graft.ops.Stats.ewmaAnomaly(t(spark, dir, "events"), "event_type", "ts",
+        horizonDays = 20, ratio = 2L)
+      .orderBy("event_type", "day"),
+    Some(
+      """WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |                 CAST(count(*) AS BIGINT) AS n
+        |               FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT *, date_diff('day', DATE '1970-01-01', CAST(day AS DATE))
+        |         AS idx FROM daily),
+        |j AS (SELECT c.event_type, c.day, c.n,
+        |        CAST(sum(p.n * (1::BIGINT << (20 - (c.idx - p.idx))))
+        |          AS BIGINT) AS wsum,
+        |        CAST(sum(1::BIGINT << (20 - (c.idx - p.idx))) AS BIGINT) AS wtot
+        |      FROM d2 c LEFT JOIN d2 p
+        |        ON p.event_type = c.event_type
+        |       AND p.idx >= c.idx - 20 AND p.idx <= c.idx - 1
+        |      GROUP BY c.event_type, c.day, c.n),
+        |fin AS (SELECT event_type, day, n,
+        |          CAST(round(round(CAST(wsum AS DOUBLE) / wtot, 6) * 1e6, 0)
+        |            AS BIGINT) AS pred_micro
+        |        FROM j)
+        |SELECT event_type, day, n, pred_micro,
+        |  coalesce(n * 1000000 > 2 * pred_micro, FALSE) AS is_anomaly
+        |FROM fin ORDER BY event_type, day""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q142, q143, q144)
+}

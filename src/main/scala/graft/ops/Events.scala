@@ -266,4 +266,86 @@ object Events {
       .groupBy("cohort", "offset_days")
       .agg(count_distinct(col(userCol)).as("n_users"))
   }
+
+  /** Multi-touch attribution: credit each conversion's preceding
+    * touchpoints under the three standard models — first-touch,
+    * last-touch, linear — in one pass (the ad-hoc marketing SQL the
+    * reference leaves to per-job `query()` strings,
+    * `yaetos/etl_utils.py:466-471`).
+    *
+    * Semantics (all deterministic on the total `(ts, id)` event order):
+    *  - A touch (row whose type is in `touchTypes`) attributes to the
+    *    EARLIEST conversion (type == `conversionType`) at-or-after it in
+    *    `(ts, id)` order for the same user, provided the conversion is
+    *    within `lookbackSeconds` (inclusive, microsecond-exact).
+    *  - Each conversion distributes exactly 1,000,000 micro-credits per
+    *    model: all to its first touch (first_touch), all to its last
+    *    (last_touch), or `1e6 div n` to each with the remainder on the
+    *    first (linear) — so `sum(credit_micro) == 1e6 * conversions
+    *    credited` is an exact conservation law per model.
+    *  - Conversions with no in-window touches earn no rows; touches with
+    *    no following conversion are dropped.
+    *
+    * Output: `(model, channel, touches, credit_micro)` — one row per
+    * model × touch event-type, `ORDER BY model, channel` left to the
+    * caller. `credit_micro` sums are order-free BIGINT arithmetic, so
+    * the result is engine-replayable bit-for-bit.
+    *
+    * Scale shape: ONE corpus shuffle, total (plan-audited). Every
+    * first-stage window expression shares the `(user, ts DESC, id DESC)`
+    * sort on one user-hash Exchange (see the inline running-max trick),
+    * and the per-conversion `(user, conv_rn)` windows REUSE that same
+    * partitioning — user-hash satisfies the clustered-distribution
+    * requirement of any key list it prefixes — so they cost a re-sort of
+    * the surviving touch subset, never a second exchange. The final
+    * aggregate is a handful of channel rows with a row-local `stack`
+    * unpivot.
+    */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+                  idCol: String,
+                  conversionType: String = "purchase",
+                  touchTypes: Seq[String] = Seq("view", "click"),
+                  typeCol: String = "event_type",
+                  lookbackSeconds: Long = 7200L): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(conversionType),
+      s"conversion type $conversionType cannot also be a touch type")
+    // One ordering for every expression in the first Window stage: in
+    // (ts, id)-DESC traversal, a running MAX of descending row numbers
+    // identifies the EARLIEST at-or-after conversion (earlier time =
+    // larger desc row number), and a running MIN of conversion
+    // timestamps is that same conversion's ts — so _rn, _conv_rn and
+    // _conv_us all share one (user, ts DESC, id DESC) sort and Catalyst
+    // plans them in a single Window node on a single Exchange.
+    val desc0 = Window.partitionBy(userCol).orderBy(col(tsCol).desc, col(idCol).desc)
+    val desc = desc0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isConv = col(typeCol) === conversionType
+    val touches = events
+      .filter(col(typeCol).isin((conversionType +: touchTypes).map(x => x: Any): _*))
+      .withColumn("_rn", row_number().over(desc0))
+      .withColumn("_conv_rn", max(when(isConv, col("_rn"))).over(desc))
+      .withColumn("_conv_us", min(when(isConv, unix_micros(col(tsCol)))).over(desc))
+      .filter(!isConv && col("_conv_rn").isNotNull &&
+        col("_conv_us") - unix_micros(col(tsCol)) <= lookbackSeconds * 1000000L)
+
+    val grp = Window.partitionBy(userCol, "_conv_rn")
+    val grpAsc = grp.orderBy(col(tsCol), col(idCol))
+    val credited = touches
+      .withColumn("_n", count(lit(1)).over(grp))
+      .withColumn("_tn", row_number().over(grpAsc))
+      .select(col(typeCol).as("channel"),
+        when(col("_tn") === 1, lit(1000000L)).otherwise(lit(0L)).as("_first_m"),
+        when(col("_tn") === col("_n"), lit(1000000L)).otherwise(lit(0L)).as("_last_m"),
+        (expr("1000000L div _n") +
+          when(col("_tn") === 1, lit(1000000L) % col("_n"))
+            .otherwise(lit(0L))).as("_lin_m"))
+
+    credited.groupBy("channel")
+      .agg(count(lit(1)).as("touches"),
+        sum("_first_m").as("_f"), sum("_last_m").as("_l"), sum("_lin_m").as("_n"))
+      .select(expr(
+        "stack(3, 'first_touch', _f, 'last_touch', _l, 'linear', _n) AS (model, credit_micro)"),
+        col("channel"), col("touches"))
+      .select(col("model"), col("channel"), col("touches"), col("credit_micro"))
+  }
 }

@@ -104,4 +104,58 @@ object Stats {
       round(s / n, 4).as("mean_v"),
       round(sqrt(s2 / n - (s / n) * (s / n)), 4).as("stddev_pop"))
   }
+
+  /** EWMA anomaly detection over per-key daily counts — the volume
+    * monitor for an ingest stream (did `error` events triple today?).
+    * Each day's count is compared against an exponentially-weighted
+    * moving average of the PRIOR `horizonDays` observed days (half-life
+    * one day: weight 2^-k at lag k).
+    *
+    * Determinism: the weighted sums are EXACT BIGINT arithmetic — the
+    * lag-k weight is the integer `2^(horizon-k)` (a bit shift, no float
+    * pow), so `wsum = Σ n_i·2^(horizon-k)` and `wtot = Σ 2^(horizon-k)`
+    * are order-free integer sums; the only float op is one final
+    * division, the same IEEE op on every engine. The anomaly flag
+    * itself is pure integer arithmetic (`n·1e6 > ratio·pred_micro`).
+    * Overflow bound: daily counts up to ~2^43 at the default horizon 20.
+    *
+    * Days with no events are ABSENT, not zero: the average is over
+    * observed days (the weights renormalize via `wtot`), so a sparse key
+    * is judged against its own cadence. The first observed day of a key
+    * has no prior window → `pred_micro` null, `is_anomaly` false.
+    *
+    * Scale shape: one map-side-combined aggregation collapses the corpus
+    * to (key, day) grain — everything after runs on ≤ keys×days rows,
+    * where the lag join is a self-equi-join on the key with a bounded
+    * range predicate. At daily grain this table is tiny at any corpus
+    * size; nothing downstream scales with the event count.
+    *
+    * Output: `(keyCol, day, n, pred_micro, is_anomaly)`.
+    */
+  def ewmaAnomaly(events: DataFrame, keyCol: String, tsCol: String,
+                  horizonDays: Int = 20, ratio: Long = 2L): DataFrame = {
+    require(horizonDays >= 1 && horizonDays <= 62,
+      s"horizonDays must be in [1, 62]: $horizonDays")
+    require(ratio >= 1L, s"ratio must be >= 1: $ratio")
+    val daily = events
+      .groupBy(col(keyCol), date_format(col(tsCol), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("_idx", datediff(to_date(col("day")), lit("1970-01-01")))
+    val cur = daily.select(col(keyCol).as("_k"), col("day"), col("n"), col("_idx"))
+    val prior = daily.select(col(keyCol).as("_pk"), col("n").as("_pn"),
+      col("_idx").as("_pidx"))
+    cur.join(prior,
+        col("_k") === col("_pk") &&
+          col("_pidx") >= col("_idx") - horizonDays &&
+          col("_pidx") <= col("_idx") - 1, "left")
+      .withColumn("_w", expr(s"shiftleft(1L, $horizonDays - (_idx - _pidx))"))
+      .groupBy(col("_k"), col("day"), col("n"))
+      .agg(sum(col("_pn") * col("_w")).as("_wsum"), sum(col("_w")).as("_wtot"))
+      .withColumn("pred_micro",
+        round(round(col("_wsum").cast("double") / col("_wtot"), 6) * lit(1e6), 0)
+          .cast("long"))
+      .select(col("_k").as(keyCol), col("day"), col("n"), col("pred_micro"),
+        coalesce(col("n") * lit(1000000L) > lit(ratio) * col("pred_micro"),
+          lit(false)).as("is_anomaly"))
+  }
 }

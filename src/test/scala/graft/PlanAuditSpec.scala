@@ -68,7 +68,9 @@ class PlanAuditSpec extends SparkSpec {
     "q132_point_in_time_join", "q134_schema_contract",
     "q135_bloom_decontamination", "q136_funnel_within",
     "q138_active_users_sketch", "q139_priority_sample_per_group",
-    "q141_span_corruption")
+    "q141_span_corruption",
+    // round-7 analytics widening
+    "q142_bm25_topk", "q143_attribution", "q144_ewma_anomaly")
 
   /** Queries whose BroadcastNestedLoopJoin is RUNTIME-gated rather than
     * plan-visible: brute-force cosine top-k broadcasts the probe side

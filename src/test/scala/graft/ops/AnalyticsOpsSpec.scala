@@ -1,0 +1,129 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Events.attribution]] — multi-touch credit on planted journeys where
+  * every model's split is hand-checkable.
+  */
+class AttributionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, Long, String)*) =
+    rows.toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+      .drop("ts_s")
+
+  test("first/last/linear split 1e6 exactly, remainder on first touch") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:10:00", 1L, "click"),
+      (3L, "2024-01-01 10:20:00", 1L, "view"),
+      (4L, "2024-01-01 10:30:00", 1L, "purchase"))
+    val out = Events.attribution(df, "user_id", "ts", "event_id")
+      .collect().map(r => (r.getAs[String]("model"), r.getAs[String]("channel"))
+        -> r.getAs[Long]("credit_micro")).toMap
+    assert(out(("first_touch", "view")) === 1000000L)
+    assert(out(("last_touch", "view")) === 1000000L)
+    assert(out.getOrElse(("first_touch", "click"), 0L) === 0L)
+    // linear: 3 touches -> 333333 each, +1 remainder on the first (a view)
+    assert(out(("linear", "view")) === 333333L * 2 + 1L)
+    assert(out(("linear", "click")) === 333333L)
+    // conservation per model
+    Seq("first_touch", "last_touch", "linear").foreach { m =>
+      assert(out.collect { case ((`m`, _), c) => c }.sum === 1000000L)
+    }
+  }
+
+  test("touch after the conversion or outside the lookback earns nothing") {
+    val df = ev(
+      (1L, "2024-01-01 06:00:00", 1L, "view"),     // 4h before: outside 2h window
+      (2L, "2024-01-01 09:30:00", 1L, "click"),    // in window
+      (3L, "2024-01-01 10:00:00", 1L, "purchase"),
+      (4L, "2024-01-01 10:30:00", 1L, "view"))     // after: no following conversion
+    val out = Events.attribution(df, "user_id", "ts", "event_id")
+      .collect()
+    assert(out.map(_.getAs[String]("channel")).toSet === Set("click"))
+    assert(out.forall(_.getAs[Long]("credit_micro") == 1000000L))
+  }
+
+  test("each conversion gets its own touch set (no double credit)") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:05:00", 1L, "purchase"),
+      (3L, "2024-01-01 10:10:00", 1L, "click"),
+      (4L, "2024-01-01 10:15:00", 1L, "purchase"))
+    val out = Events.attribution(df, "user_id", "ts", "event_id")
+      .filter(col("model") === "linear").collect()
+      .map(r => r.getAs[String]("channel") -> r.getAs[Long]("credit_micro")).toMap
+    assert(out("view") === 1000000L)   // only conversion 1
+    assert(out("click") === 1000000L)  // only conversion 2
+  }
+
+  test("equal-timestamp ties attribute along the (ts, id) total order") {
+    val df = ev(
+      (2L, "2024-01-01 10:00:00", 1L, "view"),     // id 2, same ts as conversion id 3
+      (3L, "2024-01-01 10:00:00", 1L, "purchase"),
+      (4L, "2024-01-01 10:00:00", 1L, "click"))    // id 4 > conv id: next conversion only
+    val out = Events.attribution(df, "user_id", "ts", "event_id").collect()
+    assert(out.map(_.getAs[String]("channel")).toSet === Set("view"))
+  }
+}
+
+/** [[Stats.ewmaAnomaly]] — dyadic-exact weighted average and integer flag. */
+class EwmaAnomalySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (String, String)*) =
+    rows.zipWithIndex.map { case ((d, t), i) => (i.toLong, d, t) }
+      .toDF("event_id", "day_s", "event_type")
+      .withColumn("ts", to_timestamp(concat(col("day_s"), lit(" 12:00:00"))))
+
+  test("prediction is the 2^-k weighted average of prior observed days") {
+    // key a: 4/day on Jan 1, 8/day on Jan 2 -> pred for Jan 3:
+    // (8*2^19 + 4*2^18) / (2^19 + 2^18) = (16+4)/3 ... = 20/3? No:
+    // weights k=1 -> 2^19, k=2 -> 2^18; (8*2 + 4*1)/3 = 20/3 = 6.666667
+    val rows = Seq.fill(4)(("2024-01-01", "a")) ++
+      Seq.fill(8)(("2024-01-02", "a")) ++
+      Seq.fill(5)(("2024-01-03", "a"))
+    val out = Stats.ewmaAnomaly(ev(rows: _*), "event_type", "ts")
+      .orderBy("day").collect()
+    assert(out.length === 3)
+    assert(out(0).isNullAt(out(0).fieldIndex("pred_micro")))
+    assert(!out(0).getAs[Boolean]("is_anomaly"))
+    assert(out(1).getAs[Long]("pred_micro") === 4000000L)
+    assert(!out(1).getAs[Boolean]("is_anomaly"))  // 8e6 > 2*4e6 is strict: false
+    assert(out(2).getAs[Long]("pred_micro") === 6666667L)
+  }
+
+  test("flag is strict: exactly 2x the prediction is not an anomaly") {
+    val rows = Seq.fill(4)(("2024-01-01", "b")) ++ Seq.fill(8)(("2024-01-02", "b"))
+    val out = Stats.ewmaAnomaly(ev(rows: _*), "event_type", "ts")
+      .orderBy("day").collect()
+    // day 2: n=8, pred=4 -> 8e6 > 8e6 is false
+    assert(!out(1).getAs[Boolean]("is_anomaly"))
+  }
+
+  test("a true spike flags, and gaps skip absent days (observed-day weights)") {
+    val rows = Seq.fill(2)(("2024-01-01", "c")) ++
+      Seq.fill(2)(("2024-01-05", "c")) ++   // 4-day gap: weights renormalize
+      Seq.fill(9)(("2024-01-06", "c"))
+    val out = Stats.ewmaAnomaly(ev(rows: _*), "event_type", "ts")
+      .orderBy("day").collect()
+    // Jan 5 pred: only Jan 1 observed (k=4): pred = 2
+    assert(out(1).getAs[Long]("pred_micro") === 2000000L)
+    // Jan 6 pred: (2*2^19 [k=1, Jan 5] + 2*2^15 [k=5, Jan 1]) / (2^19+2^15) = 2
+    assert(out(2).getAs[Long]("pred_micro") === 2000000L)
+    assert(out(2).getAs[Boolean]("is_anomaly")) // 9 > 4
+  }
+
+  test("beyond-horizon history is ignored") {
+    val rows = Seq.fill(100)(("2024-01-01", "d")) ++  // 25 days before: out of horizon
+      Seq.fill(3)(("2024-01-26", "d")) ++
+      Seq.fill(3)(("2024-01-27", "d"))
+    val out = Stats.ewmaAnomaly(ev(rows: _*), "event_type", "ts")
+      .orderBy("day").collect()
+    assert(out(1).isNullAt(out(1).fieldIndex("pred_micro")))
+    assert(out(2).getAs[Long]("pred_micro") === 3000000L)
+  }
+}
