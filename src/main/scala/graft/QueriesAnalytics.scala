@@ -151,5 +151,82 @@ object QueriesAnalytics {
         |  coalesce(n * 1000000 > 2 * pred_micro, FALSE) AS is_anomaly
         |FROM fin ORDER BY event_type, day""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q142, q143, q144)
+  /** Spark's `pivot` surface (the reference's pandas `pivot_table`
+    * territory, `yaetos/pandas_utils.py`): event counts pivoted to
+    * weekday columns with explicit pivot values (never the
+    * value-discovery scan). The oracle rebuilds the matrix with
+    * conditional aggregation — `pivot` must agree with its own
+    * unpivoted definition, nulls filled to zero.
+    */
+  val q145 = QueryDef("q145_event_pivot", (spark, dir) => {
+    val days = (0 to 6).map(d => s"d$d")
+    t(spark, dir, "events")
+      .withColumn("dow", weekday(col("ts")))
+      .groupBy("event_type")
+      .pivot("dow", (0 to 6).map(d => d: Any))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .toDF("event_type" +: days: _*)
+      .orderBy("event_type")
+  }, Some(
+    """SELECT event_type,
+      |  CAST(count(*) FILTER (WHERE isodow(CAST(ts AS DATE)) = 1) AS BIGINT) AS d0,
+      |  CAST(count(*) FILTER (WHERE isodow(CAST(ts AS DATE)) = 2) AS BIGINT) AS d1,
+      |  CAST(count(*) FILTER (WHERE isodow(CAST(ts AS DATE)) = 3) AS BIGINT) AS d2,
+      |  CAST(count(*) FILTER (WHERE isodow(CAST(ts AS DATE)) = 4) AS BIGINT) AS d3,
+      |  CAST(count(*) FILTER (WHERE isodow(CAST(ts AS DATE)) = 5) AS BIGINT) AS d4,
+      |  CAST(count(*) FILTER (WHERE isodow(CAST(ts AS DATE)) = 6) AS BIGINT) AS d5,
+      |  CAST(count(*) FILTER (WHERE isodow(CAST(ts AS DATE)) = 7) AS BIGINT) AS d6
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Markov transition matrix ([[graft.ops.Events.transitionMatrix]]):
+    * next-event conditional probabilities per user stream. The oracle
+    * replays the (ts, id)-ordered `lead`, the pair counts, and the
+    * per-from-type micro probability.
+    */
+  val q146 = QueryDef("q146_transition_matrix", (spark, dir) =>
+    graft.ops.Events.transitionMatrix(t(spark, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")
+      .orderBy("from_type", "to_type"),
+    Some(
+      """WITH nxt AS (SELECT event_type AS from_type,
+        |               lead(event_type) OVER (PARTITION BY user_id
+        |                 ORDER BY ts, event_id) AS to_type
+        |             FROM events),
+        |pairs AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |          FROM nxt WHERE to_type IS NOT NULL
+        |          GROUP BY from_type, to_type),
+        |tot AS (SELECT *, CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |          AS t FROM pairs)
+        |SELECT from_type, to_type, n,
+        |  CAST(round(round(CAST(n AS DOUBLE) / t, 6) * 1e6, 0) AS BIGINT)
+        |    AS p_micro
+        |FROM tot ORDER BY from_type, to_type""".stripMargin))
+
+  /** BM25 through the PERSISTED index ([[graft.ops.Search
+    * .writeBm25Index]]): the index is built from the even docs, GROWN
+    * with the odd docs via the bucketed append, and queried through the
+    * bucket-pruned path — held to the SAME oracle as q142's recompute.
+    * The hash match proves both claims at once: the index changes the
+    * plan, never the answer, and the grown index equals a full build.
+    */
+  val q147 = QueryDef("q147_bm25_index", (spark, dir) => {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    Seq("_postings", "_doclens", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS q147idx$s"))
+    val idx = graft.ops.Search.writeBm25Index(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      "q147idx", numBuckets = 8)
+    graft.ops.Search.appendBm25Index(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx)
+    val queries = docs.filter(col("doc_id") % 29 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(lower(col("text")), " "), 1, 5), " ").as("qtext"))
+    graft.ops.Search.bm25TopKIndexed(spark,
+        graft.ops.Search.loadBm25Index(spark, "q147idx"),
+        queries, "query_id", "qtext", k = 5)
+      .orderBy("query_id", "rank")
+  }, q142.oracle)
+
+  val all: Seq[QueryDef] = Seq(q142, q143, q144, q145, q146, q147)
 }

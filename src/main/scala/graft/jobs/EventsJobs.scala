@@ -57,3 +57,43 @@ class CohortRetentionJob extends EtlJob {
                 params: Map[String, String]): DataFrame =
     Events.cohortRetention(inputs.values.head, EP.user(params), EP.ts(params))
 }
+
+/** Multi-touch attribution ([[Events.attribution]]). Extra params:
+  * `type_col` (default `event_type`), `conversion` (default `purchase`),
+  * `touches` (comma-separated, default `view,click`),
+  * `lookback_seconds` (default 7200).
+  */
+class AttributionJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame =
+    Events.attribution(inputs.values.head, EP.user(params), EP.ts(params),
+      EP.id(params),
+      conversionType = params.getOrElse("conversion", "purchase"),
+      touchTypes = params.getOrElse("touches", "view,click")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      typeCol = params.getOrElse("type_col", "event_type"),
+      lookbackSeconds = params.getOrElse("lookback_seconds", "7200").toLong)
+}
+
+/** Markov transition matrix ([[Events.transitionMatrix]]). Extra param:
+  * `type_col` (default `event_type`).
+  */
+class TransitionMatrixJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame =
+    Events.transitionMatrix(inputs.values.head, EP.user(params),
+      EP.ts(params), EP.id(params), params.getOrElse("type_col", "event_type"))
+}
+
+/** EWMA volume anomaly ([[graft.ops.Stats.ewmaAnomaly]]) keyed on
+  * `type_col`. Extra params: `horizon_days` (default 20), `ratio`
+  * (default 2).
+  */
+class EwmaAnomalyJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame =
+    graft.ops.Stats.ewmaAnomaly(inputs.values.head,
+      params.getOrElse("type_col", "event_type"), EP.ts(params),
+      horizonDays = params.getOrElse("horizon_days", "20").toInt,
+      ratio = params.getOrElse("ratio", "2").toLong)
+}

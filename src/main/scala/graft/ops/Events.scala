@@ -348,4 +348,37 @@ object Events {
         col("channel"), col("touches"))
       .select(col("model"), col("channel"), col("touches"), col("credit_micro"))
   }
+
+  /** First-order Markov transition matrix of the event stream: for each
+    * ordered pair of event types, how often does a user's next event
+    * follow, and with what conditional probability. The behavioral-flow
+    * summary (what follows an error? what precedes a purchase?) that
+    * pairs with [[sessionize]] and [[funnel]].
+    *
+    * `p_micro` is `n / Σ_to n` in micro-units — per-FROM-type
+    * conditional probability, one final IEEE division per output row on
+    * order-free BIGINT counts, so the matrix is engine-replayable.
+    * A user's last event has no successor and contributes no pair.
+    *
+    * Scale shape: ONE corpus shuffle on the user for the `lead` window;
+    * the pair aggregation is map-side combined onto a key space of
+    * |types|² rows, and the row-total attach is a window over that tiny
+    * aggregate — nothing downstream scales with the event count.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                       idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy("from_type")
+    pairs
+      .withColumn("_tot", sum("n").over(tot))
+      .withColumn("p_micro",
+        round(round(col("n").cast("double") / col("_tot"), 6) * lit(1e6), 0)
+          .cast("long"))
+      .select(col("from_type"), col("to_type"), col("n"), col("p_micro"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.tokens
@@ -63,9 +63,6 @@ object Search {
                idCol: String, textCol: String,
                queryIdCol: String, queryTextCol: String,
                k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
-
     val postings = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
@@ -76,16 +73,31 @@ object Search {
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
 
-    val qTerms = queries
+    val qTerms = queryTerms(queries, queryIdCol, queryTextCol)
+    // Query vocabulary broadcasts; postings are pruned to it FIRST.
+    val pruned = postings.join(broadcast(qTerms.select("term").distinct()), "term")
+    scoreAndRank(pruned, qTerms, dl, stats, k, k1, b)
+  }
+
+  private def queryTerms(queries: DataFrame, queryIdCol: String,
+                         queryTextCol: String): DataFrame =
+    queries
       .select(col(queryIdCol).as("query_id"),
         explode(tokens(col(queryTextCol))).as("term"))
       .filter(col("term") =!= "")
       .distinct()
 
-    // Query vocabulary broadcasts; postings are pruned to it FIRST.
-    val pruned = postings.join(broadcast(qTerms.select("term").distinct()), "term")
+  /** Shared scoring tail: `pruned` must hold exactly the postings of the
+    * queried terms — document frequency is counted FROM it (correct by
+    * construction, and append-safe for the indexed path: df is never a
+    * stale stored statistic).
+    */
+  private def scoreAndRank(pruned: DataFrame, qTerms: DataFrame,
+                           dl: DataFrame, stats: DataFrame,
+                           k: Int, k1: Double, b: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
     val dfT = pruned.groupBy("term").agg(count(lit(1)).as("df_docs"))
-
     val contrib = pruned
       .join(broadcast(qTerms), "term")
       .join(dl, "doc_id") // pruned side is small post-prune; AQE broadcasts it
@@ -109,5 +121,130 @@ object Search {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("n_terms"),
         col("score_micro"), col("rank"))
+  }
+
+  /** Handle to a persisted BM25 index (see [[writeBm25Index]]). */
+  final case class Bm25Index(name: String, numBuckets: Int) {
+    def postingsTable: String = s"${name}_postings"
+    def doclensTable: String = s"${name}_doclens"
+    def metaTable: String = s"${name}_meta"
+  }
+
+  /** Materialize the inverted index for `corpus`: the postings table
+    * `(term, doc_id, tf)` BUCKETED (and sorted) on the term, the
+    * doc-length table `(doc_id, dl)` bucketed on the doc, and a one-row
+    * stats table `(n_docs, sum_dl, num_buckets)` holding EXACT integer
+    * corpus totals. This is the persisted form of exactly what
+    * [[bm25TopK]] recomputes from raw text per call — the
+    * [[graft.ops.Dedup.writeNearDupIndex]] pattern applied to
+    * retrieval. At 100 TB the tokenize+aggregate cost becomes a
+    * one-time write, and each query batch reads only the BUCKETS its
+    * terms hash into (bucket pruning on the `isin` filter), so query
+    * cost tracks the queried postings, not the corpus.
+    *
+    * Doc lengths and totals are derived FROM the stored postings so the
+    * tables can never drift.
+    */
+  def writeBm25Index(corpus: DataFrame, idCol: String, textCol: String,
+                     name: String, numBuckets: Int = 32): Bm25Index = {
+    val spark = corpus.sparkSession
+    val idx = Bm25Index(name, numBuckets)
+    graft.core.io.Writer.writeBucketed(
+      corpus
+        .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf")),
+      idx.postingsTable, Seq("term"), numBuckets)
+    val stored = spark.table(idx.postingsTable)
+    graft.core.io.Writer.writeBucketed(
+      stored.groupBy("doc_id").agg(sum("tf").as("dl")),
+      idx.doclensTable, Seq("doc_id"), numBuckets)
+    import spark.implicits._
+    val (n, s) = stored.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .agg(count(lit(1)), sum("dl")).as[(Long, Long)].head()
+    graft.core.io.Writer.writeTable(
+      Seq((n, s, numBuckets)).toDF("n_docs", "sum_dl", "num_buckets"),
+      idx.metaTable)
+    idx
+  }
+
+  /** Load an index handle written by [[writeBm25Index]], cross-checking
+    * the meta bucket count against the catalog's physical bucket spec
+    * (drift would break the bucket-pruned read contract — fail loudly).
+    */
+  def loadBm25Index(spark: SparkSession, name: String): Bm25Index = {
+    val m = spark.table(s"${name}_meta").head()
+    val idx = Bm25Index(name, m.getAs[Int]("num_buckets"))
+    val catalogNb = spark.sql(s"DESCRIBE EXTENDED ${idx.postingsTable}")
+      .collect().find(_.getString(0) == "Num Buckets")
+      .map(_.getString(1).trim.toInt)
+      .getOrElse(sys.error(s"${idx.postingsTable} exists but is not " +
+        "bucketed — not a writeBm25Index table"))
+    require(catalogNb == idx.numBuckets,
+      s"${idx.postingsTable} is bucketed $catalogNb-way but " +
+        s"${idx.metaTable} says ${idx.numBuckets} — rebuild the index")
+    idx
+  }
+
+  /** Append a document delta to a persisted index: postings and doc
+    * lengths append into the bucketed layout (no rewrite of existing
+    * files), and the one-row stats table is refreshed with the exact
+    * integer deltas. Document frequency is never stored (it is counted
+    * from the queried postings at search time), so appends cannot
+    * stale it. Callers own id-disjointness, as with the near-dup
+    * ingest: appending an already-indexed doc_id double-counts it.
+    */
+  def appendBm25Index(delta: DataFrame, idCol: String, textCol: String,
+                      idx: Bm25Index): Unit = {
+    val spark = delta.sparkSession
+    val post = delta
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val materialized = graft.core.Checkpoints.truncate(post)
+    graft.core.io.Writer.writeBucketed(materialized, idx.postingsTable,
+      Seq("term"), idx.numBuckets,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    val dl = materialized.groupBy("doc_id").agg(sum("tf").as("dl"))
+    graft.core.io.Writer.writeBucketed(dl, idx.doclensTable,
+      Seq("doc_id"), idx.numBuckets,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    import spark.implicits._
+    val (dn, ds) = dl.agg(count(lit(1)), sum("dl")).as[(Long, Long)].head()
+    val old = spark.table(idx.metaTable).head()
+    graft.core.io.Writer.writeTable(
+      Seq((old.getAs[Long]("n_docs") + dn, old.getAs[Long]("sum_dl") + ds,
+        idx.numBuckets)).toDF("n_docs", "sum_dl", "num_buckets"),
+      idx.metaTable)
+  }
+
+  /** BM25 top-k through a persisted index — bit-identical to
+    * [[bm25TopK]] over the same corpus (the q147 hash gate holds the
+    * indexed path to the q142 oracle). The distinct query terms are
+    * collected (bounded by `maxQueryTerms` — queries are the small,
+    * interactive side by definition) into an `isin` filter, which
+    * Spark's bucket pruning turns into a read of ONLY the buckets those
+    * terms hash into; the doc-length attach broadcasts the pruned
+    * postings against the bucketed doclens table, so no corpus-sized
+    * shuffle exists anywhere in the query path.
+    */
+  def bm25TopKIndexed(spark: SparkSession, idx: Bm25Index,
+                      queries: DataFrame,
+                      queryIdCol: String, queryTextCol: String,
+                      k: Int = 5, k1: Double = 1.2, b: Double = 0.75,
+                      maxQueryTerms: Int = 10000): DataFrame = {
+    val qTerms = queryTerms(queries, queryIdCol, queryTextCol)
+    val terms = qTerms.select("term").distinct()
+      .limit(maxQueryTerms + 1).collect().map(_.getString(0))
+    require(terms.length <= maxQueryTerms,
+      s"query batch exceeds $maxQueryTerms distinct terms — " +
+        "split the batch or raise maxQueryTerms")
+    val pruned = spark.table(idx.postingsTable)
+      .filter(col("term").isin(terms.toIndexedSeq: _*))
+    val dl = spark.table(idx.doclensTable)
+    val stats = broadcast(spark.table(idx.metaTable)
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl")))
+    scoreAndRank(pruned, qTerms, dl, stats, k, k1, b)
   }
 }

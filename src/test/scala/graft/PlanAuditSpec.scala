@@ -69,8 +69,10 @@ class PlanAuditSpec extends SparkSpec {
     "q135_bloom_decontamination", "q136_funnel_within",
     "q138_active_users_sketch", "q139_priority_sample_per_group",
     "q141_span_corruption",
-    // round-7 analytics widening
-    "q142_bm25_topk", "q143_attribution", "q144_ewma_anomaly")
+    // round-7 analytics widening (q147's bucket-pruned index plan is
+    // asserted in SearchIndexSpec — it is a catalog side-effect query)
+    "q142_bm25_topk", "q143_attribution", "q144_ewma_anomaly",
+    "q145_event_pivot", "q146_transition_matrix")
 
   /** Queries whose BroadcastNestedLoopJoin is RUNTIME-gated rather than
     * plan-visible: brute-force cosine top-k broadcasts the probe side

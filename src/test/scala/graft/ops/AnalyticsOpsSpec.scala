@@ -70,6 +70,47 @@ class AttributionSpec extends SparkSpec {
   }
 }
 
+/** [[Events.transitionMatrix]] — next-event pairs and conditional
+  * probabilities on a hand-checkable stream.
+  */
+class TransitionMatrixSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pairs follow the per-user (ts, id) order; probabilities condition on from_type") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:01:00", 1L, "click"),
+      (3L, "2024-01-01 10:02:00", 1L, "view"),
+      (4L, "2024-01-01 10:03:00", 1L, "click"),
+      (5L, "2024-01-01 10:04:00", 1L, "purchase"),
+      // user 2's single event has no successor
+      (6L, "2024-01-01 10:00:00", 2L, "view"))
+      .toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val out = Events.transitionMatrix(df, "user_id", "ts", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"))
+        -> (r.getAs[Long]("n"), r.getAs[Long]("p_micro"))).toMap
+    assert(out(("view", "click")) === ((2L, 1000000L)))
+    assert(out(("click", "view")) === ((1L, 500000L)))
+    assert(out(("click", "purchase")) === ((1L, 500000L)))
+    assert(!out.contains(("purchase", "view"))) // last event: no successor
+    assert(out.size === 3)
+  }
+
+  test("equal timestamps order by event id") {
+    val df = Seq(
+      (2L, "2024-01-01 10:00:00", 1L, "b"),
+      (1L, "2024-01-01 10:00:00", 1L, "a"),
+      (3L, "2024-01-01 10:00:01", 1L, "c"))
+      .toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val out = Events.transitionMatrix(df, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")))
+    assert(out.toSet === Set(("a", "b"), ("b", "c")))
+  }
+}
+
 /** [[Stats.ewmaAnomaly]] — dyadic-exact weighted average and integer flag. */
 class EwmaAnomalySpec extends SparkSpec {
   import spark.implicits._
