@@ -228,5 +228,84 @@ object QueriesAnalytics {
       .orderBy("query_id", "rank")
   }, q142.oracle)
 
-  val all: Seq[QueryDef] = Seq(q142, q143, q144, q145, q146, q147)
+  /** K-anonymity audit ([[graft.ops.Checks.kAnonymity]]) over customer
+    * quasi-identifiers (nation × market segment, k=8) — the one-row
+    * governance report. Pure integer aggregation; the oracle is the
+    * same contraction written declaratively.
+    */
+  val q148 = QueryDef("q148_k_anonymity", (spark, dir) =>
+    graft.ops.Checks.kAnonymity(t(spark, dir, "customer"),
+      Seq("c_nationkey", "c_mktsegment"), k = 8L),
+    Some(
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |           FROM customer GROUP BY 1, 2)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(count(*) FILTER (n < 8) AS BIGINT) AS n_violating_groups,
+        |  CAST(coalesce(sum(n) FILTER (n < 8), 0) AS BIGINT) AS rows_at_risk,
+        |  CAST(min(n) AS BIGINT) AS min_group_size,
+        |  min(n) >= 8 AS k_anonymous
+        |FROM g""".stripMargin))
+
+  /** Per-label embedding outliers ([[graft.ops.Similarity
+    * .embeddingOutliers]], z=2): the exact micro-unit centroid/distance
+    * /moment pipeline replayed element-for-element in SQL — the flag
+    * set (not just the distances) is what the hash pins.
+    */
+  val q149 = QueryDef("q149_embedding_outliers", (spark, dir) =>
+    graft.ops.Similarity.embeddingOutliers(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", "label", z = 2.0)
+      .orderBy("vec_id"),
+    Some(
+      """WITH el AS (SELECT vec_id, label, embedding,
+        |              unnest(generate_series(1, len(embedding))) AS i
+        |            FROM embeddings),
+        |ex AS (SELECT vec_id, label, i,
+        |         CAST(round(round(embedding[i]::DOUBLE, 6) * 1e6, 0) AS BIGINT)
+        |           AS xm
+        |       FROM el),
+        |cent AS (SELECT label, i,
+        |           CAST(round(CAST(sum(xm) AS DOUBLE) / count(*), 0) AS BIGINT)
+        |             AS cm
+        |         FROM ex GROUP BY label, i),
+        |d AS (SELECT e.vec_id, e.label,
+        |        CAST(sum((e.xm - c.cm) * (e.xm - c.cm)) AS BIGINT) AS d2
+        |      FROM ex e JOIN cent c ON c.label = e.label AND c.i = e.i
+        |      GROUP BY e.vec_id, e.label),
+        |dm AS (SELECT vec_id, label,
+        |         CAST(round(sqrt(d2), 0) AS BIGINT) AS dist_micro FROM d),
+        |st AS (SELECT label, count(*) AS n,
+        |         CAST(sum(dist_micro) AS BIGINT) AS s,
+        |         CAST(sum(dist_micro * dist_micro) AS HUGEINT) AS s2
+        |       FROM dm GROUP BY label),
+        |thr AS (SELECT label,
+        |          CAST(round(CAST(s AS DOUBLE) / n + 2.0 *
+        |            sqrt(CAST(s2 AS DOUBLE) / n -
+        |              (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)),
+        |            0) AS BIGINT) AS thr_micro
+        |        FROM st)
+        |SELECT dm.vec_id, dm.label, dm.dist_micro, thr.thr_micro,
+        |  dm.dist_micro > thr.thr_micro AS is_outlier
+        |FROM dm JOIN thr USING (label) ORDER BY vec_id""".stripMargin))
+
+  /** Freshness SLA ([[graft.ops.Checks.freshness]]): per event type,
+    * newest event vs a fixed as-of instant with a 1-hour SLA — the
+    * deterministic form of the ingest-lag monitor (as-of is a
+    * parameter, never the wall clock).
+    */
+  val q150 = QueryDef("q150_freshness", (spark, dir) =>
+    graft.ops.Checks.freshness(t(spark, dir, "events"), "event_type", "ts",
+        asOf = "2024-01-31 00:00:00", maxLagSeconds = 3600L)
+      .orderBy("grp"),
+    Some(
+      """SELECT event_type AS grp,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts,
+        |  (epoch_us(TIMESTAMP '2024-01-31 00:00:00') - epoch_us(max(ts)))
+        |    // 1000000 AS lag_s,
+        |  epoch_us(TIMESTAMP '2024-01-31 00:00:00') - epoch_us(max(ts))
+        |    <= 3600000000 AS fresh
+        |FROM events GROUP BY 1 ORDER BY grp""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q142, q143, q144, q145, q146, q147,
+    q148, q149, q150)
 }

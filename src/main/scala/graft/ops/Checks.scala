@@ -114,4 +114,68 @@ object Checks {
       .withColumn("hit_rate", round(col("n_hits") / col("n_rows"), 6))
       .select("column_name", "kind", "n_hits", "n_rows", "hit_rate")
   }
+
+  /** K-anonymity audit over a quasi-identifier set (Sweeney 2002): a
+    * release is k-anonymous when every quasi-identifier combination
+    * matches at least k rows. Returns the one-row report the
+    * governance gate needs before an export: `(n_rows, n_groups,
+    * n_violating_groups, rows_at_risk, min_group_size, k_anonymous)` —
+    * `rows_at_risk` counts rows living in sub-k groups.
+    *
+    * Scale shape: one map-side-combined aggregation to (quasi-id)
+    * grain, then a second aggregate over the group-size table (already
+    * contracted); nothing but group cardinality ever shuffles. Use
+    * [[kAnonymityViolations]] for the actionable group list.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs at least one column")
+    require(k >= 2, s"k must be >= 2: $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .agg(sum("_n").as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("_n") < k, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(when(col("_n") < k, col("_n")).otherwise(0L)).as("rows_at_risk"),
+        min("_n").as("min_group_size"))
+      .withColumn("k_anonymous", col("min_group_size") >= k)
+  }
+
+  /** The sub-k quasi-identifier groups themselves — what to suppress or
+    * generalize. Output: the quasi columns + `n`, smallest groups the
+    * most urgent.
+    */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String],
+                           k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityViolations needs a column")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
+
+  /** Freshness SLA check against an explicit `asOf` instant (a
+    * PARAMETER, not the wall clock — determinism is part of the gate
+    * contract): per group, the newest event time, its lag behind
+    * `asOf` in seconds, and whether the lag is within `maxLagSeconds`.
+    * One map-side-combined max per group.
+    *
+    * Output: `(group, max_ts, lag_s, fresh)` with `max_ts` rendered as
+    * a string timestamp (engine-portable, like day outputs).
+    */
+  def freshness(df: DataFrame, groupCol: String, tsCol: String,
+                asOf: String, maxLagSeconds: Long): DataFrame = {
+    require(maxLagSeconds >= 0, s"maxLagSeconds must be >= 0: $maxLagSeconds")
+    df.groupBy(col(groupCol).as("grp"))
+      .agg(max(unix_micros(col(tsCol))).as("_max_us"))
+      .withColumn("_asof_us", unix_micros(to_timestamp(lit(asOf))))
+      .select(col("grp"),
+        date_format(timestamp_micros(col("_max_us")),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("max_ts"),
+        // integer div, not float-divide-then-cast: DuckDB CAST rounds
+        // where Spark truncates — `div`/`//` agree (for the sane
+        // case asOf >= max_ts; a negative lag still reports, floor vs
+        // trunc diverging by 1s there is documented noise)
+        expr("(_asof_us - _max_us) div 1000000").as("lag_s"),
+        (col("_asof_us") - col("_max_us") <= maxLagSeconds * 1000000L)
+          .as("fresh"))
+  }
 }

@@ -438,4 +438,59 @@ object Similarity {
       .select(col(idCol), round(col("_scale"), 8).as("scale"),
         col("qvec"), col("recon_err"))
   }
+
+  /** Per-label embedding outlier flags — the mislabeled/noise detector
+    * for an embedding corpus: a vector far from its own label's
+    * centroid (Euclidean distance beyond `z` standard deviations of the
+    * label's distance distribution) is flagged for review before it
+    * poisons a training mix or an IVF index.
+    *
+    * Exact-arithmetic pipeline, so the flag set is engine-replayable:
+    * elements quantize to micro-units, centroids are ONE division over
+    * exact BIGINT element sums (then re-quantized), squared distances
+    * are order-free BIGINT sums of integer diffs, per-label moments use
+    * decimal accumulators (the [[Stats.profile]] convention), and the
+    * comparison is BIGINT vs BIGINT.
+    *
+    * Scale shape: the element grid is a row-local posexplode (map-side
+    * combined straight into the tiny (label, pos) centroid aggregate);
+    * the distance aggregation is the ONE corpus shuffle (64 elements of
+    * a row collapse map-side before it); label stats and thresholds are
+    * |labels| rows riding a broadcast join back.
+    *
+    * Output: `(idCol, labelCol, dist_micro, thr_micro, is_outlier)`.
+    */
+  def embeddingOutliers(emb: DataFrame, idCol: String, embCol: String,
+                        labelCol: String, z: Double = 2.0): DataFrame = {
+    require(z >= 0, s"z must be >= 0: $z")
+    val el = emb.select(col(idCol).as("_id"), col(labelCol).as("_lbl"),
+        posexplode(col(embCol)).as(Seq("_pos", "_x")))
+      .withColumn("_xm",
+        round(round(col("_x").cast("double"), 6) * lit(1e6), 0).cast("long"))
+    val cent = el.groupBy("_lbl", "_pos")
+      .agg(sum("_xm").as("_sx"), count(lit(1)).as("_n"))
+      .withColumn("_cm",
+        round(col("_sx").cast("double") / col("_n"), 0).cast("long"))
+      .select("_lbl", "_pos", "_cm")
+    val dist = el.join(broadcast(cent), Seq("_lbl", "_pos"))
+      .withColumn("_d", col("_xm") - col("_cm"))
+      .groupBy("_id", "_lbl")
+      .agg(sum(col("_d") * col("_d")).as("_d2"))
+      .withColumn("dist_micro", round(sqrt(col("_d2")), 0).cast("long"))
+    val dm19 = col("dist_micro").cast("decimal(19,0)")
+    val thr = dist.groupBy("_lbl")
+      .agg(count(lit(1)).as("_cnt"),
+        sum(col("dist_micro").cast("decimal(38,0)")).as("_s"),
+        sum(dm19 * dm19).as("_s2"))
+      .withColumn("_mean", col("_s").cast("double") / col("_cnt"))
+      .withColumn("_std", sqrt(col("_s2").cast("double") / col("_cnt") -
+        col("_mean") * col("_mean")))
+      .withColumn("thr_micro",
+        round(col("_mean") + lit(z) * col("_std"), 0).cast("long"))
+      .select("_lbl", "thr_micro")
+    dist.join(broadcast(thr), "_lbl")
+      .select(col("_id").as(idCol), col("_lbl").as(labelCol),
+        col("dist_micro"), col("thr_micro"),
+        (col("dist_micro") > col("thr_micro")).as("is_outlier"))
+  }
 }

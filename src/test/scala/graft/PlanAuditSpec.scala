@@ -72,7 +72,8 @@ class PlanAuditSpec extends SparkSpec {
     // round-7 analytics widening (q147's bucket-pruned index plan is
     // asserted in SearchIndexSpec — it is a catalog side-effect query)
     "q142_bm25_topk", "q143_attribution", "q144_ewma_anomaly",
-    "q145_event_pivot", "q146_transition_matrix")
+    "q145_event_pivot", "q146_transition_matrix", "q148_k_anonymity",
+    "q149_embedding_outliers", "q150_freshness")
 
   /** Queries whose BroadcastNestedLoopJoin is RUNTIME-gated rather than
     * plan-visible: brute-force cosine top-k broadcasts the probe side

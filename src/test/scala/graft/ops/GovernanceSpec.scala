@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Checks.kAnonymity]] / [[Checks.freshness]] — governance gates on
+  * planted fixtures.
+  */
+class GovernanceChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kAnonymity counts sub-k groups and their rows") {
+    val df = Seq(
+      ("US", "A"), ("US", "A"), ("US", "A"),   // group of 3: ok at k=2
+      ("US", "B"),                             // singleton: violates
+      ("FR", "A"), ("FR", "A"),                // group of 2: ok
+      ("FR", "B")                              // singleton: violates
+    ).toDF("country", "seg")
+    val r = Checks.kAnonymity(df, Seq("country", "seg"), k = 2L).head()
+    assert(r.getAs[Long]("n_rows") === 7L)
+    assert(r.getAs[Long]("n_groups") === 4L)
+    assert(r.getAs[Long]("n_violating_groups") === 2L)
+    assert(r.getAs[Long]("rows_at_risk") === 2L)
+    assert(r.getAs[Long]("min_group_size") === 1L)
+    assert(!r.getAs[Boolean]("k_anonymous"))
+
+    val v = Checks.kAnonymityViolations(df, Seq("country", "seg"), k = 2L)
+      .collect().map(r => (r.getAs[String]("country"), r.getAs[String]("seg")))
+    assert(v.toSet === Set(("US", "B"), ("FR", "B")))
+  }
+
+  test("a k-anonymous release reports clean") {
+    val df = Seq.fill(4)(("US", "A")).toDF("country", "seg")
+    val r = Checks.kAnonymity(df, Seq("country", "seg"), k = 3L).head()
+    assert(r.getAs[Boolean]("k_anonymous"))
+    assert(r.getAs[Long]("rows_at_risk") === 0L)
+  }
+
+  test("freshness compares against the as-of parameter, inclusive SLA") {
+    val df = Seq(
+      ("a", "2024-01-01 11:00:00"),   // lag 3600 == SLA: fresh (inclusive)
+      ("b", "2024-01-01 10:59:59"),   // lag 3601: stale
+      ("b", "2024-01-01 09:00:00"))   // older row must not win the max
+      .toDF("k", "ts_s").withColumn("ts", to_timestamp(col("ts_s")))
+    val out = Checks.freshness(df, "k", "ts", "2024-01-01 12:00:00", 3600L)
+      .orderBy("grp").collect()
+    assert(out(0).getAs[Long]("lag_s") === 3600L)
+    assert(out(0).getAs[Boolean]("fresh"))
+    assert(out(1).getAs[Long]("lag_s") === 3601L)
+    assert(!out(1).getAs[Boolean]("fresh"))
+    assert(out(1).getAs[String]("max_ts").startsWith("2024-01-01 10:59:59"))
+  }
+}
+
+/** [[Similarity.embeddingOutliers]] — the exact pipeline flags the
+  * planted far vector and nothing else.
+  */
+class EmbeddingOutliersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a far-from-centroid vector flags; the tight cluster does not") {
+    // label 0: eight near-identical vectors + one planted far point.
+    val base = (1L to 8L).map(i =>
+      (i, Array(1.0f + i * 0.001f, 1.0f), 0))
+    val far = Seq((99L, Array(5.0f, -3.0f), 0))
+    val df = (base ++ far).toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingOutliers(df, "vec_id", "embedding", "label",
+      z = 2.0).collect()
+    val flagged = out.filter(_.getAs[Boolean]("is_outlier"))
+      .map(_.getAs[Long]("vec_id"))
+    assert(flagged.toSeq === Seq(99L))
+    // distances are exact micro-units: the far point dominates
+    val d = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("dist_micro")).toMap
+    // (the planted point drags the shared centroid, so the honest ratio
+    // is ~8x here, not the naive 10/0.001)
+    assert(d(99L) > 5 * d.filter(_._1 != 99L).values.max)
+  }
+
+  test("labels are independent: an outlier in one never flags the other") {
+    val a = (1L to 6L).map(i => (i, Array(0.0f, 0.0f), 0))
+    val b = (11L to 16L).map(i => (i, Array(10.0f, 10.0f), 1))
+    val df = (a ++ b :+ ((99L, Array(3.0f, 3.0f), 0))).toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingOutliers(df, "vec_id", "embedding", "label")
+    val flagged = out.filter(col("is_outlier")).collect()
+      .map(_.getAs[Long]("vec_id"))
+    assert(flagged.toSeq === Seq(99L))
+  }
+
+  test("zero variance never divides by zero or flags the identical cluster") {
+    val df = (1L to 5L).map(i => (i, Array(2.0f, 2.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingOutliers(df, "vec_id", "embedding", "label")
+      .collect()
+    assert(out.forall(!_.getAs[Boolean]("is_outlier")))
+    assert(out.forall(_.getAs[Long]("dist_micro") === 0L))
+  }
+}
