@@ -306,6 +306,79 @@ object QueriesAnalytics {
         |    <= 3600000000 AS fresh
         |FROM events GROUP BY 1 ORDER BY grp""".stripMargin))
 
+  private val q151CellPath = QueriesScale.sidePath("q151_eval_cells")
+  private val q151ProbePath = QueriesScale.sidePath("q151_eval_probes")
+
+  /** ANN quality harness ([[graft.ops.Similarity.retrievalEval]]):
+    * recall@10 and reciprocal rank of the nprobe=2 k-means IVF search
+    * (q92's construction) against the brute-force ground truth (q29's),
+    * per probe. The oracle replays BOTH retrieval pipelines from the
+    * same side-materialized cell tables and then the micro-unit eval
+    * arithmetic — the measured recall itself is hash-gated, so the
+    * eval harness can never silently flatter the index.
+    */
+  val q151 = QueryDef("q151_ann_recall", (spark, dir) => {
+    QueriesScale.reapStaleSideTables("q151_eval_cells")
+    QueriesScale.reapStaleSideTables("q151_eval_probes")
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+    val probeN = probes.count()
+    val exact = graft.ops.Similarity.bruteForceTopK(emb, probes, k = 10,
+      probeRows = Some(probeN))
+    val (clustered, model) = graft.ops.Similarity.kmeansCells(emb,
+      cells = 16, seed = 42L)
+    clustered.select("vec_id", "cell").write.mode("overwrite")
+      .parquet(q151CellPath)
+    graft.ops.Similarity.assignCellsMulti(probes, model, nprobe = 2)
+      .select("vec_id", "cell").write.mode("overwrite")
+      .parquet(q151ProbePath)
+    val corpus = emb.join(spark.read.parquet(q151CellPath), "vec_id")
+    val probeSide = probes.join(spark.read.parquet(q151ProbePath), "vec_id")
+    val approx = graft.ops.Similarity.ivfTopK(corpus, probeSide, "cell",
+      k = 10, probeRows = Some(probeN * 2))
+    graft.ops.Similarity.retrievalEval(approx, exact).orderBy("probe_id")
+  }, Some(
+    s"""WITH cells AS (SELECT vec_id, cell
+       |               FROM read_parquet('$q151CellPath/*.parquet')),
+       |pcells AS (SELECT vec_id, cell
+       |           FROM read_parquet('$q151ProbePath/*.parquet')),
+       |p0 AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+       |       WHERE vec_id % 100 = 0),
+       |c0 AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+       |ex_scored AS (
+       |  SELECT probe_id, cand_id, ${QueriesScale.duckCos("pe", "ce")} AS cos
+       |  FROM p0, c0 WHERE probe_id <> cand_id),
+       |ex_ranked AS (SELECT probe_id, cand_id,
+       |    row_number() OVER (PARTITION BY probe_id
+       |                       ORDER BY round(cos, 6) DESC, cand_id) AS rank
+       |  FROM ex_scored QUALIFY rank <= 10),
+       |ap AS (SELECT e0.vec_id AS probe_id, embedding AS pe, pcells.cell
+       |       FROM embeddings e0 JOIN pcells USING (vec_id)),
+       |ac AS (SELECT e0.vec_id AS cand_id, embedding AS ce, cells.cell
+       |       FROM embeddings e0 JOIN cells USING (vec_id)),
+       |ap_scored AS (
+       |  SELECT probe_id, cand_id, ${QueriesScale.duckCos("pe", "ce")} AS cos
+       |  FROM ap JOIN ac ON ap.cell = ac.cell AND probe_id <> cand_id),
+       |ap_ranked AS (SELECT probe_id, cand_id,
+       |    row_number() OVER (PARTITION BY probe_id
+       |                       ORDER BY round(cos, 6) DESC, cand_id) AS rank
+       |  FROM ap_scored QUALIFY rank <= 10),
+       |exn AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact
+       |        FROM ex_ranked GROUP BY 1),
+       |hits AS (SELECT a.probe_id, CAST(count(*) AS BIGINT) AS nh,
+       |           min(a.rank) AS first_r
+       |         FROM ap_ranked a JOIN ex_ranked e
+       |           ON e.probe_id = a.probe_id AND e.cand_id = a.cand_id
+       |         GROUP BY 1)
+       |SELECT exn.probe_id, n_exact,
+       |  CAST(coalesce(nh, 0) AS BIGINT) AS n_hit,
+       |  CAST(round(round(CAST(coalesce(nh, 0) AS DOUBLE) / n_exact, 6)
+       |    * 1e6, 0) AS BIGINT) AS recall_micro,
+       |  coalesce(CAST(round(round(1.0 / first_r, 6) * 1e6, 0) AS BIGINT), 0)
+       |    AS rr_micro
+       |FROM exn LEFT JOIN hits USING (probe_id)
+       |ORDER BY probe_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q142, q143, q144, q145, q146, q147,
-    q148, q149, q150)
+    q148, q149, q150, q151)
 }

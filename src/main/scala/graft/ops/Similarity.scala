@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.NativeFunctions.{dotF, lshBuckets, nearestCells}
@@ -438,6 +438,58 @@ object Similarity {
       .select(col(idCol), round(col("_scale"), 8).as("scale"),
         col("qvec"), col("recon_err"))
   }
+
+  /** Retrieval-quality evaluation of an APPROXIMATE ranking against the
+    * exact ground truth — the recall@k / reciprocal-rank harness that
+    * turns "IVF with nprobe=2" from a guess into a measured trade-off
+    * before it ships. Both inputs are ranked result sets
+    * `(queryCol, itemCol, rankCol)` (the [[bruteForceTopK]] /
+    * [[ivfTopK]] output shape).
+    *
+    * Per query: `n_exact` ground-truth items, `n_hit` of them retrieved,
+    * `recall_micro = n_hit / n_exact`, and `rr_micro = 1 / rank` of the
+    * FIRST retrieved ground-truth item in the approximate ranking (0
+    * when none hit) — micro-quantized, so means taken downstream are
+    * order-free integer sums. Queries absent from `approx` (nothing
+    * retrieved) still report, with zeros.
+    *
+    * Scale shape: both sides are k·|queries| rows — the evaluation
+    * never touches the corpus; two small equi-joins and a group-by.
+    */
+  def retrievalEval(approx: DataFrame, exact: DataFrame,
+                    queryCol: String = "probe_id",
+                    itemCol: String = "cand_id",
+                    rankCol: String = "rank"): DataFrame = {
+    val micro = (c: Column) =>
+      round(round(c, 6) * lit(1e6), 0).cast("long")
+    val ex = exact.select(col(queryCol).as("_q"), col(itemCol).as("_i"))
+    val exN = ex.groupBy("_q").agg(count(lit(1)).as("n_exact"))
+    val hits = approx
+      .select(col(queryCol).as("_q"), col(itemCol).as("_i"),
+        col(rankCol).as("_r"))
+      .join(ex, Seq("_q", "_i"))
+      .groupBy("_q")
+      .agg(count(lit(1)).as("_nh"), min("_r").as("_first"))
+    exN.join(hits, Seq("_q"), "left")
+      .select(col("_q").as(queryCol), col("n_exact"),
+        coalesce(col("_nh"), lit(0L)).as("n_hit"),
+        micro(coalesce(col("_nh"), lit(0L)).cast("double") / col("n_exact"))
+          .as("recall_micro"),
+        coalesce(micro(lit(1.0) / col("_first")), lit(0L)).as("rr_micro"))
+  }
+
+  /** One-row macro summary of [[retrievalEval]]: query count and mean
+    * recall/RR — exact integer sums of the micro columns, one division
+    * each at the edge.
+    */
+  def retrievalEvalSummary(eval_ : DataFrame): DataFrame =
+    eval_.agg(count(lit(1)).as("n_queries"),
+        sum("recall_micro").as("_sr"), sum("rr_micro").as("_sm"))
+      .select(col("n_queries"),
+        round(col("_sr").cast("double") / col("n_queries"), 0).cast("long")
+          .as("mean_recall_micro"),
+        round(col("_sm").cast("double") / col("n_queries"), 0).cast("long")
+          .as("mean_rr_micro"))
 
   /** Per-label embedding outlier flags — the mislabeled/noise detector
     * for an embedding corpus: a vector far from its own label's

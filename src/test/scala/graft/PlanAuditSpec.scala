@@ -73,7 +73,7 @@ class PlanAuditSpec extends SparkSpec {
     // asserted in SearchIndexSpec — it is a catalog side-effect query)
     "q142_bm25_topk", "q143_attribution", "q144_ewma_anomaly",
     "q145_event_pivot", "q146_transition_matrix", "q148_k_anonymity",
-    "q149_embedding_outliers", "q150_freshness")
+    "q149_embedding_outliers", "q150_freshness", "q151_ann_recall")
 
   /** Queries whose BroadcastNestedLoopJoin is RUNTIME-gated rather than
     * plan-visible: brute-force cosine top-k broadcasts the probe side
@@ -83,7 +83,8 @@ class PlanAuditSpec extends SparkSpec {
     * (above it the plan routes through LSH buckets) — the non-equi
     * scoring joins are the documented design, not regressions.
     */
-  private val runtimeGatedBnlj = Set("q29_ann_topk", "q31_cosine_neardup")
+  private val runtimeGatedBnlj =
+    Set("q29_ann_topk", "q31_cosine_neardup", "q151_ann_recall")
 
   private def flatten(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {

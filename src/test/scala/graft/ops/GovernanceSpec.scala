@@ -52,6 +52,43 @@ class GovernanceChecksSpec extends SparkSpec {
   }
 }
 
+/** [[Similarity.retrievalEval]] — recall/RR arithmetic on planted
+  * ranked sets.
+  */
+class RetrievalEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranked(rows: (Long, Long, Int)*) =
+    rows.toDF("probe_id", "cand_id", "rank")
+
+  test("recall counts ground-truth hits; RR is the first hit's rank") {
+    val exact = ranked((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4))
+    // approx finds 12 (at rank 2) and 10 (at rank 3); misses 11, 13
+    val approx = ranked((1L, 99L, 1), (1L, 12L, 2), (1L, 10L, 3), (1L, 98L, 4))
+    val r = Similarity.retrievalEval(approx, exact).head()
+    assert(r.getAs[Long]("n_exact") === 4L)
+    assert(r.getAs[Long]("n_hit") === 2L)
+    assert(r.getAs[Long]("recall_micro") === 500000L)
+    assert(r.getAs[Long]("rr_micro") === 500000L) // first hit at rank 2
+  }
+
+  test("a query the index misses entirely reports zeros, not absence") {
+    val exact = ranked((1L, 10L, 1), (2L, 20L, 1))
+    val approx = ranked((1L, 10L, 1)) // query 2 retrieved nothing relevant
+    val out = Similarity.retrievalEval(approx, exact)
+      .orderBy("probe_id").collect()
+    assert(out.length === 2)
+    assert(out(1).getAs[Long]("n_hit") === 0L)
+    assert(out(1).getAs[Long]("recall_micro") === 0L)
+    assert(out(1).getAs[Long]("rr_micro") === 0L)
+    val s = Similarity.retrievalEvalSummary(
+      Similarity.retrievalEval(approx, exact)).head()
+    assert(s.getAs[Long]("n_queries") === 2L)
+    assert(s.getAs[Long]("mean_recall_micro") === 500000L)
+    assert(s.getAs[Long]("mean_rr_micro") === 500000L)
+  }
+}
+
 /** [[Similarity.embeddingOutliers]] — the exact pipeline flags the
   * planted far vector and nothing else.
   */
