@@ -22,15 +22,16 @@ object QueriesAnalytics {
     * (score, id)-ranked top-k — so the hash gate pins the RANKING, not
     * just the score arithmetic.
     */
-  val q142 = QueryDef("q142_bm25_topk", (spark, dir) => {
-    val docs = t(spark, dir, "documents").select("doc_id", "text")
-    val queries = docs.filter(col("doc_id") % 29 === 0)
+  /** The %29-of-documents query set shared by q142/q147/q152. */
+  private def bm25Queries(docs: org.apache.spark.sql.DataFrame) =
+    docs.filter(col("doc_id") % 29 === 0)
       .select(col("doc_id").as("query_id"),
         array_join(slice(split(lower(col("text")), " "), 1, 5), " ").as("qtext"))
-    graft.ops.Search.bm25TopK(docs, queries, "doc_id", "text",
-        "query_id", "qtext", k = 5)
-      .orderBy("query_id", "rank")
-  }, Some(
+
+  /** The BM25 replay CTE shared by the q142 and q152 oracles: ends at
+    * `ranked`.
+    */
+  private val bm25OracleCte: String =
     """WITH dtok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
       |              FROM documents),
       |post AS (SELECT doc_id, term, count(*) AS tf FROM dtok
@@ -62,7 +63,15 @@ object QueriesAnalytics {
       |ranked AS (SELECT query_id, doc_id, n_terms, score_micro,
       |             CAST(row_number() OVER (PARTITION BY query_id
       |               ORDER BY score_micro DESC, doc_id) AS INT) AS rank
-      |           FROM scored)
+      |           FROM scored)""".stripMargin
+
+  val q142 = QueryDef("q142_bm25_topk", (spark, dir) => {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    graft.ops.Search.bm25TopK(docs, bm25Queries(docs), "doc_id", "text",
+        "query_id", "qtext", k = 5)
+      .orderBy("query_id", "rank")
+  }, Some(bm25OracleCte +
+    """
       |SELECT query_id, doc_id, n_terms, score_micro, rank
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
@@ -219,9 +228,7 @@ object QueriesAnalytics {
       "q147idx", numBuckets = 8)
     graft.ops.Search.appendBm25Index(
       docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idx)
-    val queries = docs.filter(col("doc_id") % 29 === 0)
-      .select(col("doc_id").as("query_id"),
-        array_join(slice(split(lower(col("text")), " "), 1, 5), " ").as("qtext"))
+    val queries = bm25Queries(docs)
     graft.ops.Search.bm25TopKIndexed(spark,
         graft.ops.Search.loadBm25Index(spark, "q147idx"),
         queries, "query_id", "qtext", k = 5)
@@ -379,6 +386,63 @@ object QueriesAnalytics {
        |FROM exn LEFT JOIN hits USING (probe_id)
        |ORDER BY probe_id""".stripMargin))
 
+  /** Hard-negative mining ([[graft.ops.Search.hardNegatives]]): the
+    * q142 BM25 pairs (self-hits removed) scored with embedding cosine
+    * (`documents.doc_id` aligns with `embeddings.vec_id` in the
+    * corpus); lexically-close-but-semantically-far pairs flag as
+    * contrastive negatives. The oracle composes the shared BM25 replay
+    * CTE with the ordered-fold cosine — both the ranking AND the flag
+    * boundary are hash-pinned.
+    */
+  val q152 = QueryDef("q152_hard_negatives", (spark, dir) => {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val pairs = graft.ops.Search.bm25TopK(docs, bm25Queries(docs),
+        "doc_id", "text", "query_id", "qtext", k = 5)
+      .filter(col("query_id") =!= col("doc_id"))
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    graft.ops.Search.hardNegatives(pairs, emb)
+      .orderBy("query_id", "rank")
+  }, Some(bm25OracleCte +
+    s""",
+       |hn AS (SELECT r.query_id, r.doc_id, r.n_terms, r.score_micro, r.rank,
+       |         CAST(round(round(
+       |           ${QueriesScale.duckCos("qe.embedding", "de.embedding")}
+       |         , 6) * 1e6, 0) AS BIGINT) AS cos_micro
+       |       FROM ranked r
+       |       JOIN embeddings qe ON qe.vec_id = r.query_id
+       |       JOIN embeddings de ON de.vec_id = r.doc_id
+       |       WHERE r.rank <= 5 AND r.query_id <> r.doc_id)
+       |SELECT query_id, doc_id, n_terms, score_micro, rank, cos_micro,
+       |  cos_micro < 300000 AS is_hard_negative
+       |FROM hn ORDER BY query_id, rank""".stripMargin))
+
+  /** Deterministic word dropout ([[graft.ops.TextAnalysis
+    * .wordDropout]], rate 0.1): the oracle replays the positional
+    * 60-bit hash (0-based position, the lambda-index contract) and the
+    * ordered rebuild — identical threshold literal via
+    * [[graft.ops.TextAnalysis.dropoutThreshold]].
+    */
+  val q153 = QueryDef("q153_word_dropout", (spark, dir) =>
+    graft.ops.TextAnalysis.wordDropout(t(spark, dir, "documents"),
+        "doc_id", "text", rate = 0.1, salt = "dropout")
+      .orderBy("doc_id"),
+    Some(
+      s"""WITH px AS (SELECT doc_id, string_split(lower(text), ' ') AS l
+         |            FROM documents),
+         |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+         |        FROM px),
+         |dec AS (SELECT doc_id, i, l[i] AS t,
+         |          CAST('0x' || substr(md5('dropout' ||
+         |            CAST(doc_id AS VARCHAR) || ':' ||
+         |            CAST(i - 1 AS VARCHAR) || ':' || l[i]), 1, 15) AS BIGINT)
+         |            >= ${graft.ops.TextAnalysis.dropoutThreshold(0.1)} AS keep
+         |        FROM pos)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(CASE WHEN keep THEN t END, ' ' ORDER BY i), '')
+         |    AS text_out
+         |FROM dec GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q142, q143, q144, q145, q146, q147,
-    q148, q149, q150, q151)
+    q148, q149, q150, q151, q152, q153)
 }

@@ -218,6 +218,37 @@ object Search {
       idx.metaTable)
   }
 
+  /** Hard-negative mining for retrieval training: pairs that are
+    * LEXICALLY similar (they came out of a BM25 ranking) but
+    * SEMANTICALLY distant (embedding cosine below the threshold) are
+    * the contrastive negatives that actually teach a dense retriever
+    * something (the standard BM25-negatives recipe, e.g. DPR,
+    * Karpukhin et al. 2020).
+    *
+    * `pairs` is a ranked result set (`queryCol`, `itemCol`, any extra
+    * columns ride through); both sides attach their embedding by id and
+    * score with the ordered-fold cosine, micro-quantized. Output adds
+    * `(cos_micro, is_hard_negative)`.
+    *
+    * Scale shape: the pair table is k·|queries| rows — AQE broadcasts
+    * it against the embedding table twice; the corpus-sized side is
+    * only ever scanned, never shuffled.
+    */
+  def hardNegatives(pairs: DataFrame, emb: DataFrame,
+                    queryCol: String = "query_id", itemCol: String = "doc_id",
+                    vecIdCol: String = "vec_id", embCol: String = "embedding",
+                    cosThresholdMicro: Long = 300000L): DataFrame = {
+    val qv = emb.select(col(vecIdCol).as("_qid"), col(embCol).as("_qv"))
+    val dv = emb.select(col(vecIdCol).as("_did"), col(embCol).as("_dv"))
+    pairs
+      .join(qv, col(queryCol) === col("_qid"))
+      .join(dv, col(itemCol) === col("_did"))
+      .withColumn("cos_micro",
+        micro(graft.functions.VectorFunctions.cosine(col("_qv"), col("_dv"))))
+      .withColumn("is_hard_negative", col("cos_micro") < lit(cosThresholdMicro))
+      .drop("_qid", "_qv", "_did", "_dv")
+  }
+
   /** BM25 top-k through a persisted index — bit-identical to
     * [[bm25TopK]] over the same corpus (the q147 hash gate holds the
     * indexed path to the q142 oracle). The distinct query terms are

@@ -323,6 +323,40 @@ object TextAnalysis {
         col("avg_logprob"), col("ppl"))
   }
 
+  /** Deterministic word dropout — the denoising-augmentation twin of
+    * [[spanCorruption]] (word-level noise a la BART/word-dropout
+    * regularization): token `i` of a document survives iff the portable
+    * 60-bit md5 hash of `(salt, doc, position, token)` clears the
+    * `rate` threshold. Purely positional + content-keyed, so the SAME
+    * (doc, rate, salt) always drops the same words — reproducible
+    * augmentation with no RNG state, and a pure shuffle-free column
+    * plan (a two-arg `filter` lambda over the token array; the 0-based
+    * lambda index is part of the replay contract).
+    *
+    * Output: `(idCol, n_tokens, n_kept, text_out)`.
+    */
+  def wordDropout(docs: DataFrame, idCol: String, textCol: String,
+                  rate: Double = 0.1, salt: String = "dropout"): DataFrame = {
+    require(rate >= 0 && rate < 1, s"rate must be in [0, 1): $rate")
+    val thr = dropoutThreshold(rate)
+    val toks = tokens(col(textCol))
+    val kept = filter(toks, (t, i) =>
+      conv(substring(md5(concat(lit(salt), col(idCol).cast("string"),
+        lit(":"), i.cast("string"), lit(":"), t)), 1, 15), 16, 10)
+        .cast("long") >= lit(thr))
+    docs.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, " ").as("text_out"))
+  }
+
+  /** The integer drop threshold for `rate` over the 60-bit hash space —
+    * exposed so oracle SQL embeds the IDENTICAL literal the operator
+    * compares against.
+    */
+  def dropoutThreshold(rate: Double): Long =
+    (rate * (1L << 60).toDouble).toLong
+
   /** Deterministic T5-style span corruption (Raffel et al. 2020 §3.1.4,
     * the denoising objective): the token stream is cut into fixed
     * `spanLen` blocks; a block is masked iff its portable md5 hash lands

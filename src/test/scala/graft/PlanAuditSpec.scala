@@ -73,7 +73,8 @@ class PlanAuditSpec extends SparkSpec {
     // asserted in SearchIndexSpec — it is a catalog side-effect query)
     "q142_bm25_topk", "q143_attribution", "q144_ewma_anomaly",
     "q145_event_pivot", "q146_transition_matrix", "q148_k_anonymity",
-    "q149_embedding_outliers", "q150_freshness", "q151_ann_recall")
+    "q149_embedding_outliers", "q150_freshness", "q151_ann_recall",
+    "q152_hard_negatives", "q153_word_dropout")
 
   /** Queries whose BroadcastNestedLoopJoin is RUNTIME-gated rather than
     * plan-visible: brute-force cosine top-k broadcasts the probe side

@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[TextAnalysis.wordDropout]] — reproducible positional dropout. */
+class WordDropoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("same (doc, rate, salt) always drops the same words; order survives") {
+    val df = Seq((1L, "a b c d e f g h i j k l m n o p")).toDF("doc_id", "text")
+    val a = TextAnalysis.wordDropout(df, "doc_id", "text", 0.5, "s").head()
+    val b = TextAnalysis.wordDropout(df, "doc_id", "text", 0.5, "s").head()
+    assert(a.getAs[String]("text_out") === b.getAs[String]("text_out"))
+    assert(a.getAs[Long]("n_tokens") === 16L)
+    // kept tokens preserve original relative order
+    val kept = a.getAs[String]("text_out").split(" ").filter(_.nonEmpty)
+    val orig = "a b c d e f g h i j k l m n o p".split(" ")
+    assert(kept.toSeq === orig.filter(kept.contains(_)).toSeq)
+    assert(a.getAs[Long]("n_kept") === kept.length.toLong)
+  }
+
+  test("rate 0 keeps everything; salt changes the mask") {
+    val df = Seq((7L, "x y z w v u t s r q")).toDF("doc_id", "text")
+    val zero = TextAnalysis.wordDropout(df, "doc_id", "text", 0.0, "s").head()
+    assert(zero.getAs[String]("text_out") === "x y z w v u t s r q")
+    val s1 = TextAnalysis.wordDropout(df, "doc_id", "text", 0.5, "salt1").head()
+    val s2 = TextAnalysis.wordDropout(df, "doc_id", "text", 0.5, "salt2").head()
+    assert(s1.getAs[String]("text_out") !== s2.getAs[String]("text_out"))
+  }
+
+  test("position matters: a repeated token can drop at one spot and stay at another") {
+    // with enough repeats of the same token, a 0.5 mask virtually always
+    // splits them — which proves the hash is positional, not content-only
+    val df = Seq((3L, Seq.fill(40)("tok").mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.wordDropout(df, "doc_id", "text", 0.5, "s").head()
+    assert(r.getAs[Long]("n_kept") > 0L)
+    assert(r.getAs[Long]("n_kept") < 40L)
+  }
+
+  test("dropout rate lands near nominal on a long stream") {
+    val text = (1 to 2000).map(i => s"w$i").mkString(" ")
+    val df = Seq((9L, text)).toDF("doc_id", "text")
+    val r = TextAnalysis.wordDropout(df, "doc_id", "text", 0.2, "s").head()
+    val dropped = r.getAs[Long]("n_tokens") - r.getAs[Long]("n_kept")
+    assert(dropped > 300 && dropped < 500, s"dropped $dropped of 2000 at rate 0.2")
+  }
+}
+
+/** [[Search.hardNegatives]] — the lexical-close/semantic-far flag. */
+class HardNegativesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flags low-cosine pairs and passes high-cosine ones through") {
+    val pairs = Seq((1L, 2L, 1), (1L, 3L, 2)).toDF("query_id", "doc_id", "rank")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.05f)),   // nearly parallel: cos ~ 1
+      (3L, Array(0.0f, 1.0f)))    // orthogonal: cos = 0
+      .toDF("vec_id", "embedding")
+    val out = Search.hardNegatives(pairs, emb, cosThresholdMicro = 300000L)
+      .orderBy("rank").collect()
+    assert(!out(0).getAs[Boolean]("is_hard_negative"))
+    assert(out(0).getAs[Long]("cos_micro") > 900000L)
+    assert(out(1).getAs[Boolean]("is_hard_negative"))
+    assert(out(1).getAs[Long]("cos_micro") === 0L)
+    // extra pair columns ride through
+    assert(out(0).getAs[Int]("rank") === 1)
+  }
+}
