@@ -443,6 +443,51 @@ object QueriesAnalytics {
          |    AS text_out
          |FROM dec GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Leakage-safe temporal split ([[graft.ops.Sampling.temporalSplit]]):
+    * train < Jan 20, a 2-day embargo gap, test from Jan 22 — reported
+    * as per-(split, type) counts with boundary timestamps, so the hash
+    * pins the exact microsecond boundary semantics on both sides of the
+    * gap.
+    */
+  val q154 = QueryDef("q154_temporal_split", (spark, dir) =>
+    graft.ops.Sampling.temporalSplit(t(spark, dir, "events"), "ts",
+        cutoff = "2024-01-20 00:00:00", embargoSeconds = 172800L)
+      .groupBy("split", "event_type")
+      .agg(count(lit(1)).as("n"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("min_ts"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("max_ts"))
+      .orderBy("split", "event_type"),
+    Some(
+      """WITH s AS (SELECT event_type, ts,
+        |    CASE WHEN epoch_us(ts) <
+        |              epoch_us(TIMESTAMP '2024-01-20 00:00:00') THEN 'train'
+        |         WHEN epoch_us(ts) >=
+        |              epoch_us(TIMESTAMP '2024-01-20 00:00:00') + 172800000000
+        |           THEN 'test'
+        |         ELSE 'embargo' END AS split
+        |  FROM events)
+        |SELECT split, event_type, CAST(count(*) AS BIGINT) AS n,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS min_ts,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
+        |FROM s GROUP BY 1, 2 ORDER BY split, event_type""".stripMargin))
+
+  /** Global stable ordinals ([[graft.ops.Layout.stableIds]]) without a
+    * single-partition window: the oracle IS the single-partition
+    * `row_number` — the hash proves the range-partition + zipWithIndex
+    * plan computes exactly the global rank.
+    */
+  val q155 = QueryDef("q155_stable_ids", (spark, dir) =>
+    graft.ops.Layout.stableIds(
+        t(spark, dir, "orders").select("o_orderkey", "o_totalprice"),
+        Seq("o_orderkey"))
+      .select("o_orderkey", "ordinal")
+      .orderBy("o_orderkey"),
+    Some(
+      """SELECT o_orderkey,
+        |  CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+        |    AS ordinal
+        |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q142, q143, q144, q145, q146, q147,
-    q148, q149, q150, q151, q152, q153)
+    q148, q149, q150, q151, q152, q153, q154, q155)
 }

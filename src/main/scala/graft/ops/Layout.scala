@@ -100,4 +100,40 @@ object Layout {
     rangeSortedWrite(df,
       Sampling.hashBucket(col(idCol), salt, buckets = 1 << 30),
       outPath, numFiles, mode, tiebreak = Seq(col(idCol)))
+
+  /** Contiguous global ordinals `0..n-1` in `sortCols` order WITHOUT a
+    * single-partition window (the `Window.orderBy`-with-no-partition
+    * shape that funnels 100 TB through one task): range-repartition on
+    * the sort key, sort within partitions, then `zipWithIndex` — range
+    * partitions are ordered by construction, so partition-index +
+    * within-partition position IS the global rank, wherever the sampled
+    * range bounds happen to fall. Cost: one range exchange plus
+    * zipWithIndex's partition-count pre-pass.
+    *
+    * `sortCols` must be a UNIQUE total order (append an id tiebreaker):
+    * with duplicate keys, rows tied across a range boundary would take
+    * arrival order and the mapping would not be a pure function of the
+    * data. The stable-surrogate-key / training-example-numbering
+    * primitive (the reference's `monotonically_increasing_id` ad-hoc
+    * territory, but reproducible).
+    *
+    * This is a terminal labeling step (RDD zip breaks codegen) — apply
+    * just before a write, not mid-pipeline.
+    */
+  def stableIds(df: DataFrame, sortCols: Seq[String],
+                idName: String = "ordinal",
+                partitions: Option[Int] = None): DataFrame = {
+    require(sortCols.nonEmpty, "stableIds needs at least one sort column")
+    val spark = df.sparkSession
+    val n = partitions.getOrElse(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val sorted = df.repartitionByRange(n, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        idName, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 }

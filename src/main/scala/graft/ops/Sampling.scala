@@ -108,6 +108,27 @@ object Sampling {
                  fraction: Double): DataFrame =
     df.filter(hashBucket(col(idCol), salt, 10000) < math.round(fraction * 10000))
 
+  /** Leakage-safe TEMPORAL split — the time-series counterpart of
+    * [[hashSplit]]: rows strictly before `cutoff` train, rows at or
+    * after `cutoff + embargoSeconds` test, and the embargo gap between
+    * them is labeled `embargo` and belongs to neither (the standard
+    * guard against look-ahead leakage through lagged features /
+    * near-boundary correlation, cf. purged walk-forward validation).
+    * Microsecond-exact integer comparisons; a row-local `withColumn`,
+    * free at any scale.
+    */
+  def temporalSplit(df: DataFrame, tsCol: String, cutoff: String,
+                    embargoSeconds: Long = 0L,
+                    outCol: String = "split"): DataFrame = {
+    require(embargoSeconds >= 0, s"embargoSeconds must be >= 0: $embargoSeconds")
+    val cutUs = unix_micros(to_timestamp(lit(cutoff)))
+    val us = unix_micros(col(tsCol))
+    df.withColumn(outCol,
+      when(us < cutUs, "train")
+        .when(us >= cutUs + embargoSeconds * 1000000L, "test")
+        .otherwise("embargo"))
+  }
+
   /** Stratified deterministic sample: a per-stratum keep fraction — the
     * training-mix weighting step (downsample boilerplate-heavy languages /
     * sources, keep scarce ones whole). Keep iff `bucket(salt, id) <

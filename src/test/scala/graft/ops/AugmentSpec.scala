@@ -47,6 +47,63 @@ class WordDropoutSpec extends SparkSpec {
   }
 }
 
+/** [[Sampling.temporalSplit]] — microsecond-exact leakage boundaries. */
+class TemporalSplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("strict boundaries: cutoff row embargoes, embargo end tests") {
+    val df = Seq(
+      (1L, "2024-01-09 23:59:59.999999"),  // last train microsecond
+      (2L, "2024-01-10 00:00:00"),         // exactly cutoff: embargo
+      (3L, "2024-01-10 23:59:59.999999"),  // last embargo microsecond
+      (4L, "2024-01-11 00:00:00"),         // exactly cutoff+86400s: test
+      (5L, "2024-02-01 12:00:00"))
+      .toDF("id", "ts_s").withColumn("ts", to_timestamp(col("ts_s")))
+    val out = Sampling.temporalSplit(df, "ts", "2024-01-10 00:00:00",
+        embargoSeconds = 86400L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    assert(out === Map(1L -> "train", 2L -> "embargo", 3L -> "embargo",
+      4L -> "test", 5L -> "test"))
+  }
+
+  test("zero embargo degenerates to a two-way split") {
+    val df = Seq((1L, "2024-01-09 00:00:00"), (2L, "2024-01-10 00:00:00"))
+      .toDF("id", "ts_s").withColumn("ts", to_timestamp(col("ts_s")))
+    val out = Sampling.temporalSplit(df, "ts", "2024-01-10 00:00:00")
+      .collect().map(_.getAs[String]("split")).sorted
+    assert(out.toSeq === Seq("test", "train"))
+  }
+}
+
+/** [[Layout.stableIds]] — global ranks without the one-task window. */
+class StableIdsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ordinals are the contiguous global sort rank") {
+    val df = (1L to 500L).map(i => (i * 7 % 501, s"v$i")).toDF("k", "v")
+    val out = Layout.stableIds(df, Seq("k"), partitions = Some(7))
+      .orderBy("ordinal").collect()
+    assert(out.map(_.getAs[Long]("ordinal")).toSeq === (0L until 500L))
+    assert(out.map(_.getAs[Long]("k")).toSeq === out.map(_.getAs[Long]("k")).sorted.toSeq)
+  }
+
+  test("the mapping is a pure function of the data, not the partitioning") {
+    val df = (1L to 300L).map(i => (i, i % 13)).toDF("id", "grp")
+    val a = Layout.stableIds(df.repartition(3), Seq("id"), partitions = Some(4))
+      .select("id", "ordinal").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Layout.stableIds(df.repartition(17), Seq("id"), partitions = Some(11))
+      .select("id", "ordinal").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
+
+  test("composite keys give the lexicographic rank") {
+    val df = Seq((2L, 1L), (1L, 2L), (1L, 1L), (2L, 0L)).toDF("a", "b")
+    val out = Layout.stableIds(df, Seq("a", "b"), partitions = Some(2))
+      .orderBy("ordinal").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 1L), (1L, 2L), (2L, 0L), (2L, 1L)))
+  }
+}
+
 /** [[Search.hardNegatives]] — the lexical-close/semantic-far flag. */
 class HardNegativesSpec extends SparkSpec {
   import spark.implicits._
