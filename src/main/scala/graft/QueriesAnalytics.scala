@@ -488,6 +488,49 @@ object QueriesAnalytics {
         |    AS ordinal
         |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** Peak session concurrency ([[graft.ops.Events.peakConcurrency]]):
+    * gap-sessionized intervals swept per day with the split prefix-sum
+    * (per-day windows + day-grain carry). The oracle replays
+    * sessionization, the tie-free per-microsecond delta contraction,
+    * ONE global running sum, and the per-day carry/max decomposition —
+    * the hash proves the distributed split equals the global sweep.
+    */
+  val q156 = QueryDef("q156_peak_concurrency", (spark, dir) => {
+    val sess = graft.ops.Events.sessionize(t(spark, dir, "events"),
+        "user_id", "ts", "event_id", "value", gapSeconds = 1800L)
+      .select(col("session_start"),
+        timestamp_micros(unix_micros(col("session_start")) +
+          col("duration_us")).as("session_end"))
+    graft.ops.Events.peakConcurrency(sess, "session_start", "session_end")
+      .orderBy("day")
+  }, Some(
+    """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+      |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) AS prev_us FROM e),
+      |f AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+      |                     THEN 1 ELSE 0 END AS brk FROM l),
+      |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |        AS session_id FROM f),
+      |sess AS (SELECT user_id, session_id, min(us) AS s_us, max(us) AS e_us
+      |         FROM s GROUP BY 1, 2),
+      |edges AS (SELECT s_us AS us, 1 AS d FROM sess
+      |          UNION ALL SELECT e_us + 1, -1 FROM sess),
+      |d AS (SELECT us, CAST(sum(d) AS BIGINT) AS d FROM edges GROUP BY us),
+      |r AS (SELECT us, d,
+      |        CAST(sum(d) OVER (ORDER BY us
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |          AS run,
+      |        strftime(make_timestamp(us), '%Y-%m-%d') AS day
+      |      FROM d),
+      |agg AS (SELECT day,
+      |          CAST(arg_min(run - d, us) AS BIGINT) AS carry_in,
+      |          CAST(max(run) AS BIGINT) AS mx
+      |        FROM r GROUP BY day)
+      |SELECT day, carry_in, greatest(carry_in, mx) AS peak_concurrent
+      |FROM agg ORDER BY day""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q142, q143, q144, q145, q146, q147,
-    q148, q149, q150, q151, q152, q153, q154, q155)
+    q148, q149, q150, q151, q152, q153, q154, q155, q156)
 }

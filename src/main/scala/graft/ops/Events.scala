@@ -349,6 +349,57 @@ object Events {
       .select(col("model"), col("channel"), col("touches"), col("credit_micro"))
   }
 
+  /** Peak concurrency per day over a set of CLOSED intervals
+    * `[start, end]` — "how many sessions were live at once" (capacity
+    * planning's first question), computed as a DISTRIBUTED sweep line:
+    *
+    *  - interval edges become `(+1 at start_us, -1 at end_us + 1)`
+    *    delta events, pre-summed per microsecond (map-side combined) so
+    *    tie ORDER can never matter;
+    *  - the running level needs a global prefix sum — the naive form is
+    *    the one-task `Window.orderBy` this library bans. Instead the
+    *    prefix splits: per-day running sums (hash-partitioned by day)
+    *    plus a per-day carry-in offset, itself a prefix over the
+    *    DAY-GRAIN net table — the one deliberately unpartitioned window
+    *    here, over rows = distinct days, which no corpus size can grow
+    *    past ~thousands;
+    *  - a day's peak is `greatest(carry_in, max(carry_in + run))` —
+    *    the carry-in term covers the midnight level when a day only
+    *    ever ends sessions.
+    *
+    * Days with no interval EDGES are absent (a fully-spanned quiet day
+    * reports through its neighbors' carry). Output:
+    * `(day, carry_in, peak_concurrent)`.
+    */
+  def peakConcurrency(intervals: DataFrame, startCol: String,
+                      endCol: String): DataFrame = {
+    val deltas = intervals
+      .select(explode(array(
+        struct(unix_micros(col(startCol)).as("_us"), lit(1L).as("_d")),
+        struct((unix_micros(col(endCol)) + 1L).as("_us"), lit(-1L).as("_d"))
+      )).as("_e"))
+      .select(col("_e._us").as("_us"), col("_e._d").as("_d"))
+      .groupBy("_us").agg(sum("_d").as("_d"))
+      .withColumn("_day",
+        date_format(timestamp_micros(col("_us")), "yyyy-MM-dd"))
+    val dayNet = deltas.groupBy("_day").agg(sum("_d").as("_net"))
+    val wDays = Window.orderBy("_day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = dayNet
+      .withColumn("carry_in", coalesce(sum("_net").over(wDays), lit(0L)))
+      .select("_day", "carry_in")
+    val wIn = Window.partitionBy("_day").orderBy("_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("_run", sum("_d").over(wIn))
+      .join(broadcast(offsets), "_day")
+      .groupBy("_day", "carry_in")
+      .agg(greatest(col("carry_in"),
+        max(col("_run") + col("carry_in"))).as("peak_concurrent"))
+      .select(col("_day").as("day"), col("carry_in"),
+        col("peak_concurrent"))
+  }
+
   /** First-order Markov transition matrix of the event stream: for each
     * ordered pair of event types, how often does a user's next event
     * follow, and with what conditional probability. The behavioral-flow

@@ -111,6 +111,54 @@ class TransitionMatrixSpec extends SparkSpec {
   }
 }
 
+/** [[Events.peakConcurrency]] — split-prefix sweep line vs hand-counted
+  * overlaps, including cross-midnight carry.
+  */
+class PeakConcurrencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def iv(rows: (String, String)*) =
+    rows.toDF("s", "e")
+      .withColumn("start", to_timestamp(col("s")))
+      .withColumn("end", to_timestamp(col("e")))
+
+  test("overlap counting is closed-interval and tie-safe") {
+    val df = iv(
+      ("2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+      ("2024-01-01 10:30:00", "2024-01-01 12:00:00"),
+      ("2024-01-01 11:00:00", "2024-01-01 13:00:00"), // starts AT an end: overlaps (closed)
+      ("2024-01-01 20:00:00", "2024-01-01 21:00:00"))
+    val out = Events.peakConcurrency(df, "start", "end").collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("peak_concurrent") === 3L)
+    assert(out.head.getAs[Long]("carry_in") === 0L)
+  }
+
+  test("concurrency carries across midnight") {
+    val df = iv(
+      ("2024-01-01 23:00:00", "2024-01-02 02:00:00"),
+      ("2024-01-01 23:30:00", "2024-01-02 01:00:00"),
+      ("2024-01-02 00:30:00", "2024-01-02 00:45:00"))
+    val out = Events.peakConcurrency(df, "start", "end")
+      .orderBy("day").collect()
+    assert(out.map(_.getAs[String]("day")).toSeq ===
+      Seq("2024-01-01", "2024-01-02"))
+    assert(out(0).getAs[Long]("peak_concurrent") === 2L)
+    assert(out(1).getAs[Long]("carry_in") === 2L)
+    assert(out(1).getAs[Long]("peak_concurrent") === 3L)
+  }
+
+  test("a day that only ends sessions peaks at its carry-in") {
+    val df = iv(
+      ("2024-01-01 10:00:00", "2024-01-02 10:00:00"),
+      ("2024-01-01 11:00:00", "2024-01-02 09:00:00"))
+    val out = Events.peakConcurrency(df, "start", "end")
+      .orderBy("day").collect()
+    assert(out(1).getAs[Long]("carry_in") === 2L)
+    assert(out(1).getAs[Long]("peak_concurrent") === 2L)
+  }
+}
+
 /** [[Stats.ewmaAnomaly]] — dyadic-exact weighted average and integer flag. */
 class EwmaAnomalySpec extends SparkSpec {
   import spark.implicits._
