@@ -531,6 +531,44 @@ object QueriesAnalytics {
       |SELECT day, carry_in, greatest(carry_in, mx) AS peak_concurrent
       |FROM agg ORDER BY day""".stripMargin))
 
+  /** Lang-ID confusion matrix ([[graft.ops.TextAnalysis
+    * .langConfusion]]): the heuristic's predictions against the
+    * corpus' declared `lang`, row-normalized in micro-units. The
+    * oracle regenerates the SAME stopword-hit SQL the q32 oracle
+    * builds (shared list — operator and gate cannot drift), then the
+    * grid aggregation.
+    */
+  val q157 = QueryDef("q157_lang_confusion", (spark, dir) =>
+    graft.ops.TextAnalysis.langConfusion(t(spark, dir, "documents"),
+        "doc_id", "text", "lang")
+      .orderBy("declared", "pred_lang"),
+    Some {
+      val sw = graft.ops.TextAnalysis.stopwords
+      val hits = sw.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(string_split(lower(text), ' '), x -> list_contains([$lst], x))) AS BIGINT) AS hits_$lang"
+      }.mkString(",\n    ")
+      val gExpr = sw.map(l => s"hits_${l._1}").mkString("greatest(", ", ", ")")
+      val pred = sw.map { case (lang, _) =>
+        s"WHEN hits_$lang = g AND hits_$lang > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH scored AS (SELECT lang,
+         |    $hits,
+         |    $gExpr AS g
+         |  FROM documents),
+         |p AS (SELECT lang AS declared,
+         |        CASE $pred ELSE 'und' END AS pred_lang
+         |      FROM scored),
+         |grid AS (SELECT declared, pred_lang, CAST(count(*) AS BIGINT) AS n
+         |         FROM p GROUP BY 1, 2),
+         |t AS (SELECT *, CAST(sum(n) OVER (PARTITION BY declared) AS BIGINT)
+         |        AS tot FROM grid)
+         |SELECT declared, pred_lang, n,
+         |  CAST(round(round(CAST(n AS DOUBLE) / tot, 6) * 1e6, 0) AS BIGINT)
+         |    AS frac_micro
+         |FROM t ORDER BY declared, pred_lang""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(q142, q143, q144, q145, q146, q147,
-    q148, q149, q150, q151, q152, q153, q154, q155, q156)
+    q148, q149, q150, q151, q152, q153, q154, q155, q156, q157)
 }

@@ -24,9 +24,12 @@ object TextAnalysis {
   /** Language-ID scores + argmax prediction. Ties resolve in `stopwords`
     * declaration order (first match wins); zero hits → "und" (undetermined).
     */
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def langId(docs: DataFrame, idCol: String, textCol: String,
+             keep: Seq[String] = Nil): DataFrame = {
     val toks = tokens(col(textCol))
-    val scored = stopwords.foldLeft(docs.select(col(idCol).as("doc_id"), toks.as("toks"))) {
+    val base = docs.select(
+      (col(idCol).as("doc_id") +: keep.map(col)) :+ toks.as("toks"): _*)
+    val scored = stopwords.foldLeft(base) {
       case (df, (lang, words)) =>
         df.withColumn(s"hits_$lang",
           size(filter(col("toks"), t => words.map(w => t === w).reduce(_ || _)))
@@ -38,7 +41,34 @@ object TextAnalysis {
         .otherwise(rest)
     }
     scored.select(
-      (col("doc_id") +: stopwords.map(l => col(s"hits_${l._1}")) :+ best.as("pred_lang")): _*)
+      ((col("doc_id") +: keep.map(col)) ++
+        stopwords.map(l => col(s"hits_${l._1}")) :+ best.as("pred_lang")): _*)
+  }
+
+  /** Confusion matrix of [[langId]] against a DECLARED language column —
+    * the classifier-drift monitor for an ingest whose sources self-label
+    * language (and the standard eval grid before trusting either side).
+    * `frac_micro` is the row-normalized rate (`n / Σ_pred n` per
+    * declared language) in micro-units. Languages the heuristic has no
+    * stopword list for show up honestly as `und` / misfire rows.
+    *
+    * Scale shape: prediction rides the corpus scan row-locally (the
+    * `keep` passthrough — NO id join back), then one map-side-combined
+    * aggregation onto a |langs|² key space; the row totals are a window
+    * over that tiny grid.
+    */
+  def langConfusion(docs: DataFrame, idCol: String, textCol: String,
+                    declaredCol: String): DataFrame = {
+    val pred = langId(docs, idCol, textCol, keep = Seq(declaredCol))
+    val grid = pred
+      .groupBy(col(declaredCol).as("declared"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy("declared")
+    grid
+      .withColumn("frac_micro",
+        round(round(col("n").cast("double") / sum("n").over(tot), 6) * lit(1e6), 0)
+          .cast("long"))
+      .select(col("declared"), col("pred_lang"), col("n"), col("frac_micro"))
   }
 
   /** Quality metrics: char/token counts, mean token length, punctuation,

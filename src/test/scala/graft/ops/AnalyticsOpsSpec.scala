@@ -111,6 +111,28 @@ class TransitionMatrixSpec extends SparkSpec {
   }
 }
 
+/** [[TextAnalysis.langConfusion]] — prediction grid vs declared labels. */
+class LangConfusionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("diagonal, off-diagonal, and no-list languages all land correctly") {
+    val df = Seq(
+      (1L, "the cat and the dog is in", "en"),     // en -> en
+      (2L, "der hund ist nicht ein", "de"),        // de -> de
+      (3L, "the the the", "de"),                   // de mislabeled as en text
+      (4L, "xyzzy plugh", "zh"))                   // no zh list -> und
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langConfusion(df, "doc_id", "text", "lang")
+      .collect()
+      .map(r => (r.getAs[String]("declared"), r.getAs[String]("pred_lang"))
+        -> (r.getAs[Long]("n"), r.getAs[Long]("frac_micro"))).toMap
+    assert(out(("en", "en")) === ((1L, 1000000L)))
+    assert(out(("de", "de")) === ((1L, 500000L)))
+    assert(out(("de", "en")) === ((1L, 500000L)))
+    assert(out(("zh", "und")) === ((1L, 1000000L)))
+  }
+}
+
 /** [[Events.peakConcurrency]] — split-prefix sweep line vs hand-counted
   * overlaps, including cross-midnight carry.
   */
