@@ -569,6 +569,73 @@ object QueriesAnalytics {
          |FROM t ORDER BY declared, pred_lang""".stripMargin
     })
 
+  /** SCD type-1 upsert ([[graft.ops.Scd.scd1Upsert]]): two change
+    * versions per %3 customer (latest must win), plus inserts under
+    * shifted keys; untouched customers pass through. The oracle replays
+    * keep-latest + anti-join + union — last-write-wins is the
+    * hash-pinned property.
+    */
+  val q158 = QueryDef("q158_scd1_upsert", (spark, dir) => {
+    val dim = t(spark, dir, "customer")
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("c_acctbal"))
+    val touched = t(spark, dir, "customer").filter(col("c_custkey") % 3 === 0)
+    val changes = touched
+      .select(col("c_custkey"), round(col("c_acctbal") + 500, 2).as("c_acctbal"),
+        lit(1L).as("seq"))
+      .unionByName(touched.select(col("c_custkey"),
+        round(col("c_acctbal") + 1000, 2).as("c_acctbal"), lit(2L).as("seq")))
+      .unionByName(t(spark, dir, "customer")
+        .filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 100000).as("c_custkey"),
+          lit(0.0).as("c_acctbal"), lit(1L).as("seq")))
+    graft.ops.Scd.scd1Upsert(dim, changes, Seq("c_custkey"), Seq("seq"))
+      .orderBy("c_custkey")
+  }, Some(
+    """WITH changes AS (
+      |  SELECT c_custkey, round(c_acctbal + 500, 2) AS c_acctbal, 1 AS seq
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, round(c_acctbal + 1000, 2), 2
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 100000, 0.0, 1
+      |  FROM customer WHERE c_custkey % 7 = 0),
+      |latest AS (SELECT c_custkey, c_acctbal FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY c_custkey
+      |      ORDER BY seq DESC) AS rn FROM changes) WHERE rn = 1),
+      |kept AS (SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+      |         FROM customer
+      |         WHERE c_custkey NOT IN (SELECT c_custkey FROM latest))
+      |SELECT c_custkey, c_acctbal FROM latest
+      |UNION ALL SELECT c_custkey, c_acctbal FROM kept
+      |ORDER BY c_custkey""".stripMargin))
+
+  /** L-diversity audit ([[graft.ops.Checks.lDiversity]]): nation ×
+    * segment groups must each carry >= 3 distinct order priorities
+    * among their customers' orders — the homogeneity-attack check
+    * beside q148.
+    */
+  val q159 = QueryDef("q159_l_diversity", (spark, dir) => {
+    val joined = t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+    graft.ops.Checks.lDiversity(joined,
+      Seq("c_nationkey", "c_mktsegment"), "o_orderpriority", l = 3L)
+  }, Some(
+    """WITH j AS (SELECT c_nationkey, c_mktsegment, o_orderpriority
+      |           FROM orders JOIN customer ON o_custkey = c_custkey),
+      |g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n,
+      |        count(DISTINCT o_orderpriority) AS d
+      |      FROM j GROUP BY 1, 2)
+      |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(count(*) FILTER (d < 3) AS BIGINT) AS n_violating_groups,
+      |  CAST(coalesce(sum(n) FILTER (d < 3), 0) AS BIGINT) AS rows_at_risk,
+      |  CAST(min(d) AS BIGINT) AS min_distinct_sensitive,
+      |  min(d) >= 3 AS l_diverse
+      |FROM g""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q142, q143, q144, q145, q146, q147,
-    q148, q149, q150, q151, q152, q153, q154, q155, q156, q157)
+    q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
+    q158, q159)
 }

@@ -140,6 +140,29 @@ object Checks {
       .withColumn("k_anonymous", col("min_group_size") >= k)
   }
 
+  /** L-diversity audit — [[kAnonymity]]'s companion (Machanavajjhala et
+    * al. 2007): group size alone doesn't protect a release if every row
+    * in a quasi-identifier group shares one sensitive value
+    * (homogeneity attack). A release is l-diverse when every group
+    * carries at least `l` DISTINCT sensitive values. Same one-row
+    * report shape; same two-contraction scale cost (the distinct adds
+    * one exact `count_distinct` per group).
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity needs at least one quasi column")
+    require(l >= 2, s"l must be >= 2: $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"),
+        count_distinct(col(sensitiveCol)).as("_d"))
+      .agg(sum("_n").as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("_d") < l, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(when(col("_d") < l, col("_n")).otherwise(0L)).as("rows_at_risk"),
+        min("_d").as("min_distinct_sensitive"))
+      .withColumn("l_diverse", col("min_distinct_sensitive") >= l)
+  }
+
   /** The sub-k quasi-identifier groups themselves — what to suppress or
     * generalize. Output: the quasi columns + `n`, smallest groups the
     * most urgent.

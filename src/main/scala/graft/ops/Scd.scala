@@ -119,4 +119,38 @@ object Scd {
       next
     }
   }
+
+  /** SCD TYPE-1 upsert — last-write-wins merge with no history kept
+    * (the other half of the reference's dimension-maintenance
+    * territory; [[scd2Merge]] is the history-keeping half): the latest
+    * change row per key (largest `orderCols`, lexicographic) replaces
+    * the dimension row; keys only in the dimension pass through; keys
+    * only in the changes insert.
+    *
+    * `orderCols` must totally order each key's change set (append a
+    * unique sequence/ingest id) — with ties, "latest" would be shuffle
+    * luck, so determinism is the caller's contract here exactly as in
+    * [[graft.ops.Layout.stableIds]].
+    *
+    * Scale shape: one keyed window over the CHANGES (the small side),
+    * one left-anti join against the dimension — the dimension is never
+    * windowed or re-sorted, and AQE broadcasts the change keys when
+    * they fit.
+    */
+  def scd1Upsert(dim: DataFrame, changes: DataFrame, keys: Seq[String],
+                 orderCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "scd1Upsert needs at least one key column")
+    require(orderCols.nonEmpty,
+      "scd1Upsert needs at least one ordering column (latest-wins needs an order)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    val latest = changes
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+      .drop(orderCols.filterNot(dim.columns.contains): _*)
+    dim.join(latest.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(latest)
+  }
 }

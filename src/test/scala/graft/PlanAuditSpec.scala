@@ -75,7 +75,8 @@ class PlanAuditSpec extends SparkSpec {
     "q145_event_pivot", "q146_transition_matrix", "q148_k_anonymity",
     "q149_embedding_outliers", "q150_freshness", "q151_ann_recall",
     "q152_hard_negatives", "q153_word_dropout", "q154_temporal_split",
-    "q155_stable_ids", "q156_peak_concurrency", "q157_lang_confusion")
+    "q155_stable_ids", "q156_peak_concurrency", "q157_lang_confusion",
+    "q158_scd1_upsert", "q159_l_diversity")
 
   /** Queries whose BroadcastNestedLoopJoin is RUNTIME-gated rather than
     * plan-visible: brute-force cosine top-k broadcasts the probe side

@@ -52,6 +52,56 @@ class GovernanceChecksSpec extends SparkSpec {
   }
 }
 
+/** [[Scd.scd1Upsert]] — last-write-wins merge semantics. */
+class Scd1UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("latest change wins, inserts land, untouched rows pass through") {
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "a1", 10L), (1L, "a2", 20L),  // two versions: seq 20 wins
+      (9L, "new", 5L))                   // insert
+      .toDF("k", "v", "seq")
+    val out = Scd.scd1Upsert(dim, changes, Seq("k"), Seq("seq"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq((1L, "a2"), (2L, "b"), (3L, "c"), (9L, "new")))
+  }
+
+  test("ordering columns compose lexicographically") {
+    val dim = Seq((1L, "old")).toDF("k", "v")
+    val changes = Seq((1L, "x", 1L, 9L), (1L, "y", 2L, 0L))
+      .toDF("k", "v", "major", "minor")
+    val out = Scd.scd1Upsert(dim, changes, Seq("k"), Seq("major", "minor"))
+      .collect()
+    assert(out.head.getAs[String]("v") === "y") // major 2 beats (1, 9)
+  }
+
+  test("the order column is dropped unless the dimension carries it") {
+    val dim = Seq((1L, "a")).toDF("k", "v")
+    val changes = Seq((1L, "b", 1L)).toDF("k", "v", "seq")
+    val out = Scd.scd1Upsert(dim, changes, Seq("k"), Seq("seq"))
+    assert(out.columns.toSeq === Seq("k", "v"))
+  }
+}
+
+/** [[Checks.lDiversity]] — homogeneity-attack audit. */
+class LDiversitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a homogeneous group violates even when it is k-large") {
+    val df = Seq(
+      ("US", "flu"), ("US", "flu"), ("US", "flu"),   // 3 rows, 1 value: violates l=2
+      ("FR", "flu"), ("FR", "cold"))                 // 2 distinct: ok
+      .toDF("region", "diagnosis")
+    val r = Checks.lDiversity(df, Seq("region"), "diagnosis", l = 2L).head()
+    assert(r.getAs[Long]("n_groups") === 2L)
+    assert(r.getAs[Long]("n_violating_groups") === 1L)
+    assert(r.getAs[Long]("rows_at_risk") === 3L)
+    assert(r.getAs[Long]("min_distinct_sensitive") === 1L)
+    assert(!r.getAs[Boolean]("l_diverse"))
+  }
+}
+
 /** [[Similarity.retrievalEval]] — recall/RR arithmetic on planted
   * ranked sets.
   */
