@@ -635,7 +635,52 @@ object QueriesAnalytics {
       |  min(d) >= 3 AS l_diverse
       |FROM g""".stripMargin))
 
+  /** Rolling 7-day retention ([[graft.ops.Events.rollingRetention]]):
+    * day-grain rate of lagged users returning; null rate when the
+    * lagged day had no activity (first week) — the null row is part of
+    * the contract the hash pins.
+    */
+  val q160 = QueryDef("q160_rolling_retention", (spark, dir) =>
+    graft.ops.Events.rollingRetention(t(spark, dir, "events"),
+        "user_id", "ts", lagDays = 7)
+      .orderBy("day"),
+    Some(
+      """WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |               FROM events),
+        |active AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active
+        |           FROM pairs GROUP BY day),
+        |retained AS (SELECT t.day, CAST(count(*) AS BIGINT) AS n_retained
+        |             FROM pairs t JOIN pairs p
+        |               ON p.user_id = t.user_id
+        |              AND p.day = t.day - 7
+        |             GROUP BY t.day),
+        |base AS (SELECT day + 7 AS day, n_active AS n_base
+        |         FROM active)
+        |SELECT strftime(a.day, '%Y-%m-%d') AS day, a.n_active, b.n_base,
+        |  coalesce(r.n_retained, 0) AS n_retained,
+        |  CAST(round(round(CAST(coalesce(r.n_retained, 0) AS DOUBLE)
+        |    / b.n_base, 6) * 1e6, 0) AS BIGINT) AS rate_micro
+        |FROM active a
+        |LEFT JOIN base b ON b.day = a.day
+        |LEFT JOIN retained r ON r.day = a.day
+        |ORDER BY day""".stripMargin))
+
+  /** Power-user curve ([[graft.ops.Events.activityHistogram]]):
+    * users by distinct active-day count.
+    */
+  val q161 = QueryDef("q161_activity_histogram", (spark, dir) =>
+    graft.ops.Events.activityHistogram(t(spark, dir, "events"),
+        "user_id", "ts")
+      .orderBy("n_days"),
+    Some(
+      """WITH pairs AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |               FROM events),
+        |per_user AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days
+        |             FROM pairs GROUP BY user_id)
+        |SELECT n_days, CAST(count(*) AS BIGINT) AS n_users
+        |FROM per_user GROUP BY n_days ORDER BY n_days""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q142, q143, q144, q145, q146, q147,
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
-    q158, q159)
+    q158, q159, q160, q161)
 }

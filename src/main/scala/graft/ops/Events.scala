@@ -400,6 +400,57 @@ object Events {
         col("peak_concurrent"))
   }
 
+  /** Rolling N-day retention: of the users active `lagDays` ago, what
+    * fraction came back today (the classic growth metric — cohort
+    * retention answers "how does a signup class decay", this answers
+    * "is stickiness moving day over day").
+    *
+    * Scale shape: events collapse ONCE to distinct (day, user) — the
+    * only corpus-sized shuffle, shared with [[activeUsers]]'s
+    * contraction — then the retained count is a self-equi-join of that
+    * pair table on `(user, day - lagDays)` and everything aggregates at
+    * day grain. `rate_micro = retained / base` where `base` is the
+    * lagged day's active count; days whose lagged day has no activity
+    * report a null rate.
+    *
+    * Output: `(day, n_active, n_base, n_retained, rate_micro)`.
+    */
+  def rollingRetention(events: DataFrame, userCol: String, tsCol: String,
+                       lagDays: Int = 7): DataFrame = {
+    require(lagDays >= 1, s"lagDays must be >= 1: $lagDays")
+    val pairs = events
+      .select(to_date(col(tsCol)).as("_day"), col(userCol).as("_u"))
+      .distinct()
+    val active = pairs.groupBy("_day").agg(count(lit(1)).as("n_active"))
+    val retained = pairs.as("t")
+      .join(pairs.select(col("_day").as("_pday"), col("_u")), Seq("_u"))
+      .filter(col("_pday") === date_sub(col("_day"), lagDays))
+      .groupBy("_day").agg(count(lit(1)).as("n_retained"))
+    val base = active.select(date_add(col("_day"), lagDays).as("_day"),
+      col("n_active").as("n_base"))
+    active
+      .join(base, Seq("_day"), "left")
+      .join(retained, Seq("_day"), "left")
+      .select(date_format(col("_day"), "yyyy-MM-dd").as("day"),
+        col("n_active"), col("n_base"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        round(round(coalesce(col("n_retained"), lit(0L)).cast("double") /
+          col("n_base"), 6) * lit(1e6), 0).cast("long").as("rate_micro"))
+  }
+
+  /** Activity histogram — the power-user curve: how many users were
+    * active exactly `n` distinct days. One contraction to (user,
+    * n_days) then a bounded-key aggregate; the engagement-depth
+    * distribution behind DAU/MAU ratios.
+    */
+  def activityHistogram(events: DataFrame, userCol: String,
+                        tsCol: String): DataFrame =
+    events
+      .select(col(userCol).as("_u"), to_date(col(tsCol)).as("_day"))
+      .distinct()
+      .groupBy("_u").agg(count(lit(1)).as("n_days"))
+      .groupBy("n_days").agg(count(lit(1)).as("n_users"))
+
   /** First-order Markov transition matrix of the event stream: for each
     * ordered pair of event types, how often does a user's next event
     * follow, and with what conditional probability. The behavioral-flow

@@ -111,6 +111,45 @@ class TransitionMatrixSpec extends SparkSpec {
   }
 }
 
+/** [[Events.rollingRetention]] / [[Events.activityHistogram]] — growth
+  * metrics on planted day grids.
+  */
+class RetentionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String)*) =
+    rows.zipWithIndex.map { case ((u, d), i) => (i.toLong, u, d) }
+      .toDF("event_id", "user_id", "d")
+      .withColumn("ts", to_timestamp(concat(col("d"), lit(" 10:00:00"))))
+
+  test("retained = lagged actives who returned; base is the lagged count") {
+    val df = ev(
+      (1L, "2024-01-01"), (2L, "2024-01-01"), (3L, "2024-01-01"),
+      (1L, "2024-01-08"), (2L, "2024-01-08"), (9L, "2024-01-08"),
+      (1L, "2024-01-08")) // duplicate event same day: distinct-pair collapse
+    val out = Events.rollingRetention(df, "user_id", "ts", lagDays = 7)
+      .orderBy("day").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("n_base"))) // no day -7
+    assert(out(0).getAs[Long]("n_retained") === 0L)
+    val d8 = out(1)
+    assert(d8.getAs[Long]("n_active") === 3L)
+    assert(d8.getAs[Long]("n_base") === 3L)
+    assert(d8.getAs[Long]("n_retained") === 2L)   // users 1, 2 returned
+    assert(d8.getAs[Long]("rate_micro") === 666667L)
+  }
+
+  test("activity histogram counts users by distinct active days") {
+    val df = ev(
+      (1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-03"),
+      (2L, "2024-01-01"), (2L, "2024-01-01"),   // same day twice: 1 day
+      (3L, "2024-01-05"))
+    val out = Events.activityHistogram(df, "user_id", "ts")
+      .orderBy("n_days").collect()
+      .map(r => r.getAs[Long]("n_days") -> r.getAs[Long]("n_users")).toMap
+    assert(out === Map(1L -> 2L, 3L -> 1L))
+  }
+}
+
 /** [[TextAnalysis.langConfusion]] — prediction grid vs declared labels. */
 class LangConfusionSpec extends SparkSpec {
   import spark.implicits._
