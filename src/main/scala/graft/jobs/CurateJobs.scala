@@ -155,3 +155,69 @@ class TargetedDeleteJob extends EtlJob {
         "files_rewritten", "rows_deleted")
   }
 }
+
+/** Deterministic word dropout ([[TextAnalysis.wordDropout]]) — the
+  * augmentation step of a curation pipeline. Params: `id_col` (default
+  * `doc_id`), `text_col` (default `text`), `rate` (default 0.1),
+  * `salt` (default `dropout`).
+  */
+class WordDropoutJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame =
+    TextAnalysis.wordDropout(inputs.values.head,
+      params.getOrElse("id_col", "doc_id"),
+      params.getOrElse("text_col", "text"),
+      rate = params.getOrElse("rate", "0.1").toDouble,
+      salt = params.getOrElse("salt", "dropout"))
+}
+
+/** Leakage-safe temporal split ([[Sampling.temporalSplit]]). Params:
+  * `ts_col` (default `ts`), `cutoff` (required, `yyyy-MM-dd HH:mm:ss`),
+  * `embargo_seconds` (default 0), `out_col` (default `split`).
+  */
+class TemporalSplitJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame =
+    Sampling.temporalSplit(inputs.values.head,
+      params.getOrElse("ts_col", "ts"),
+      params.getOrElse("cutoff",
+        sys.error("TemporalSplitJob needs a 'cutoff' param")),
+      embargoSeconds = params.getOrElse("embargo_seconds", "0").toLong,
+      outCol = params.getOrElse("out_col", "split"))
+}
+
+/** SCD type-1 upsert ([[graft.ops.Scd.scd1Upsert]]): inputs must be
+  * named `dim` and `changes`. Params: `keys` (required,
+  * comma-separated), `order_cols` (required, comma-separated).
+  */
+class Scd1UpsertJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    def list(k: String) = params.getOrElse(k,
+      sys.error(s"Scd1UpsertJob needs a '$k' param"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    graft.ops.Scd.scd1Upsert(
+      inputs.getOrElse("dim", sys.error("Scd1UpsertJob needs a 'dim' input")),
+      inputs.getOrElse("changes",
+        sys.error("Scd1UpsertJob needs a 'changes' input")),
+      list("keys"), list("order_cols"))
+  }
+}
+
+/** BM25 retrieval ([[graft.ops.Search.bm25TopK]]): inputs named `docs`
+  * and `queries`. Params: `id_col`/`text_col` (defaults `doc_id`/
+  * `text`), `query_id_col`/`query_text_col` (defaults `query_id`/
+  * `qtext`), `k` (default 5).
+  */
+class Bm25Job extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame =
+    graft.ops.Search.bm25TopK(
+      inputs.getOrElse("docs", sys.error("Bm25Job needs a 'docs' input")),
+      inputs.getOrElse("queries", sys.error("Bm25Job needs a 'queries' input")),
+      params.getOrElse("id_col", "doc_id"),
+      params.getOrElse("text_col", "text"),
+      params.getOrElse("query_id_col", "query_id"),
+      params.getOrElse("query_text_col", "qtext"),
+      k = params.getOrElse("k", "5").toInt)
+}

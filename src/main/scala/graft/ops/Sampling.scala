@@ -122,7 +122,10 @@ object Sampling {
                     outCol: String = "split"): DataFrame = {
     require(embargoSeconds >= 0, s"embargoSeconds must be >= 0: $embargoSeconds")
     val cutUs = unix_micros(to_timestamp(lit(cutoff)))
-    val us = unix_micros(col(tsCol))
+    // cast first: a TIMESTAMP_NTZ column (raw micros parquet read
+    // without Tables.load) resolves through the UTC session instead of
+    // failing analysis
+    val us = unix_micros(col(tsCol).cast("timestamp"))
     df.withColumn(outCol,
       when(us < cutUs, "train")
         .when(us >= cutUs + embargoSeconds * 1000000L, "test")

@@ -83,4 +83,29 @@ class CurateJobsSpec extends SparkSpec {
       "source", "value", k = 128)
     assert(cards.exceptAll(direct).isEmpty && direct.exceptAll(cards).isEmpty)
   }
+
+  test("augment and split_export branches run from the manifest") {
+    val out = java.nio.file.Files.createTempDirectory("graft_curate4").toString
+    val events = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    events.write.mode("overwrite").parquet(s"$out/events")
+    val loaded = Manifest.loadFile("conf/curate_pipeline.yml", Seq("dev"),
+      Map("docs_in" -> docs, "events_in" -> s"$out/events",
+        "out_root" -> out))
+
+    val aug = Flow.runPipeline(spark, loaded.jobs, "augment",
+      save = false)("augment")
+    val direct = graft.ops.TextAnalysis.wordDropout(
+      Flow.runPipeline(spark, loaded.jobs, "gated_docs",
+        save = false)("gated_docs"),
+      "doc_id", "text", rate = 0.1, salt = "epoch1")
+    assert(aug.collect().map(_.toSeq).toSet ===
+      direct.collect().map(_.toSeq).toSet)
+
+    val split = Flow.runPipeline(spark, loaded.jobs, "split_export",
+      save = false)("split_export")
+    val labels = split.select("split").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(labels.subsetOf(Set("train", "embargo", "test")))
+    assert(labels.contains("train") && labels.contains("test"))
+  }
 }
