@@ -680,7 +680,37 @@ object QueriesAnalytics {
         |SELECT n_days, CAST(count(*) AS BIGINT) AS n_users
         |FROM per_user GROUP BY n_days ORDER BY n_days""".stripMargin))
 
+  /** STREAMING volume alerts: events replay through a watermarked
+    * 1-day-window file-source stream ([[graft.streaming.Streams
+    * .windowedAgg]]), the materialized daily counts feed
+    * [[graft.ops.Stats.ewmaAnomalyDaily]], and the result is held to
+    * the SAME oracle as q144's batch path — the monitor's streaming
+    * lane can never drift from its batch definition.
+    */
+  val q162 = QueryDef("q162_stream_volume_alerts", (spark, dir) => {
+    val out = graft.Queries.tmpDir("graft_q162")
+    Tables.load(spark, dir, "events").select("ts", "event_type", "value")
+      .write.parquet(s"$out/ev")
+    val stream = graft.streaming.Streams.readFileStream(spark,
+      graft.core.model.DatasetSpec(path = s"$out/ev", format = "parquet"),
+      "ts TIMESTAMP, event_type STRING, value DOUBLE")
+    val agg = graft.streaming.Streams.windowedAgg(stream, "ts", "event_type",
+      watermarkDelay = "1 hour", windowDur = "1 day")
+    val sink = s"q162_sink_${System.nanoTime}"
+    graft.streaming.Streams.withStatePartitions(spark, 8) {
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val daily = spark.table(sink)
+      .select(col("event_type"),
+        date_format(col("window_start"), "yyyy-MM-dd").as("day"), col("n"))
+    graft.ops.Stats.ewmaAnomalyDaily(daily, "event_type", "day", "n",
+        horizonDays = 20, ratio = 2L)
+      .orderBy("event_type", "day")
+  }, q144.oracle)
+
   val all: Seq[QueryDef] = Seq(q142, q143, q144, q145, q146, q147,
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
-    q158, q159, q160, q161)
+    q158, q159, q160, q161, q162)
 }

@@ -133,13 +133,28 @@ object Stats {
     * Output: `(keyCol, day, n, pred_micro, is_anomaly)`.
     */
   def ewmaAnomaly(events: DataFrame, keyCol: String, tsCol: String,
-                  horizonDays: Int = 20, ratio: Long = 2L): DataFrame = {
+                  horizonDays: Int = 20, ratio: Long = 2L): DataFrame =
+    ewmaAnomalyDaily(
+      events.groupBy(col(keyCol),
+          date_format(col(tsCol), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n")),
+      keyCol, "day", "n", horizonDays, ratio)
+
+  /** [[ewmaAnomaly]] over an ALREADY-AGGREGATED daily count table —
+    * the entry point for incrementally-maintained counts (e.g. a
+    * Structured Streaming windowed aggregation materialized to a sink):
+    * the monitor then never rescans events, and stream-fed output is
+    * bit-identical to the batch path over the same days (q162 holds it
+    * to q144's oracle).
+    */
+  def ewmaAnomalyDaily(dailyCounts: DataFrame, keyCol: String,
+                       dayCol: String, nCol: String,
+                       horizonDays: Int = 20, ratio: Long = 2L): DataFrame = {
     require(horizonDays >= 1 && horizonDays <= 62,
       s"horizonDays must be in [1, 62]: $horizonDays")
     require(ratio >= 1L, s"ratio must be >= 1: $ratio")
-    val daily = events
-      .groupBy(col(keyCol), date_format(col(tsCol), "yyyy-MM-dd").as("day"))
-      .agg(count(lit(1)).as("n"))
+    val daily = dailyCounts
+      .select(col(keyCol), col(dayCol).as("day"), col(nCol).cast("long").as("n"))
       .withColumn("_idx", datediff(to_date(col("day")), lit("1970-01-01")))
     val cur = daily.select(col(keyCol).as("_k"), col("day"), col("n"), col("_idx"))
     val prior = daily.select(col(keyCol).as("_pk"), col("n").as("_pn"),
