@@ -710,7 +710,61 @@ object QueriesAnalytics {
       .orderBy("event_type", "day")
   }, q144.oracle)
 
+  /** Collocation mining ([[graft.ops.TextAnalysis.pmiPairs]]): top-20
+    * adjacent-pair PMI over the corpus, min support 5. The oracle
+    * replays bigram/unigram counts and the micro PMI with the same
+    * (pmi, a, b) tie order — the SELECTED phrase list is what the hash
+    * pins.
+    */
+  val q163 = QueryDef("q163_pmi_pairs", (spark, dir) =>
+    graft.ops.TextAnalysis.pmiPairs(t(spark, dir, "documents"), "text",
+      minCount = 5L, k = 20),
+    Some(
+      """WITH toksl AS (SELECT list_filter(string_split(lower(text), ' '),
+        |                 x -> x <> '') AS l FROM documents),
+        |uni AS (SELECT t, count(*) AS c FROM
+        |          (SELECT unnest(l) AS t FROM toksl) GROUP BY t),
+        |un AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        |bi0 AS (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+        |        FROM toksl WHERE len(l) >= 2),
+        |bi AS (SELECT l[i] AS a, l[i+1] AS b, count(*) AS c_ab
+        |       FROM bi0 GROUP BY 1, 2 HAVING count(*) >= 5),
+        |bm AS (SELECT CAST(sum(c_ab) AS BIGINT) AS m FROM bi)
+        |SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+        |  CAST(round(round(ln((CAST(c_ab AS DOUBLE) / m) /
+        |    ((CAST(ua.c AS DOUBLE) / n) * (CAST(ub.c AS DOUBLE) / n))), 6)
+        |    * 1e6, 0) AS BIGINT) AS pmi_micro
+        |FROM bi JOIN uni ua ON ua.t = bi.a JOIN uni ub ON ub.t = bi.b, un, bm
+        |ORDER BY pmi_micro DESC, a, b LIMIT 20""".stripMargin))
+
+  /** Token-entropy quality signal ([[graft.ops.TextAnalysis
+    * .tokenEntropy]]): per-doc Shannon entropy + type-token ratio with
+    * micro-quantized order-free contributions, replayed term-for-term.
+    */
+  val q164 = QueryDef("q164_token_entropy", (spark, dir) =>
+    graft.ops.TextAnalysis.tokenEntropy(t(spark, dir, "documents"),
+        "doc_id", "text")
+      .orderBy("doc_id"),
+    Some(
+      """WITH tf AS (SELECT doc_id, t, count(*) AS c FROM
+        |    (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |     FROM documents)
+        |  WHERE t <> '' GROUP BY doc_id, t),
+        |w AS (SELECT doc_id, t, c,
+        |        CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+        |      FROM tf),
+        |h AS (SELECT doc_id, n,
+        |        CAST(round(round(-(CAST(c AS DOUBLE) / n) *
+        |          ln(CAST(c AS DOUBLE) / n), 6) * 1e6, 0) AS BIGINT) AS hm
+        |      FROM w)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(round(round(CAST(count(*) AS DOUBLE) / max(n), 6) * 1e6, 0)
+        |    AS BIGINT) AS ttr_micro,
+        |  CAST(sum(hm) AS BIGINT) AS entropy_micro
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q142, q143, q144, q145, q146, q147,
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
-    q158, q159, q160, q161, q162)
+    q158, q159, q160, q161, q162, q163, q164)
 }

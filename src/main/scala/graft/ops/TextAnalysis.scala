@@ -45,6 +45,85 @@ object TextAnalysis {
         stopwords.map(l => col(s"hits_${l._1}")) :+ best.as("pred_lang")): _*)
   }
 
+  /** Top-k adjacent-pair PMI — word2phrase-style collocation mining
+    * (Mikolov et al. 2013): bigrams whose joint probability beats the
+    * unigram-independence baseline are phrase candidates ("new york",
+    * "machine learning") worth fusing before tokenizer training.
+    * `pmi = ln((c_ab/M) / ((c_a/N)(c_b/N)))` micro-quantized;
+    * `minCount` suppresses the noisy low-support tail.
+    *
+    * Scale shape: bigrams build row-locally (the [[bigramLmScore]]
+    * shape — no positional self-join), ONE (a,b)-keyed contraction,
+    * two broadcast unigram attaches, scalar totals on a broadcast
+    * single row, and the global top-k plans as TakeOrdered (no global
+    * sort materializes).
+    *
+    * Output: `(a, b, c_ab, pmi_micro)`, top `k` by
+    * `(pmi_micro DESC, a, b)`.
+    */
+  def pmiPairs(docs: DataFrame, textCol: String,
+               minCount: Long = 5L, k: Int = 20): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(k >= 1, s"k must be >= 1: $k")
+    val toks = docs.select(tokens(col(textCol)).as("_l"))
+      .select(filter(col("_l"), _ =!= "").as("_l"))
+    val uni = toks.select(explode(col("_l")).as("_t"))
+      .groupBy("_t").agg(count(lit(1)).as("_c"))
+    val uniTot = uni.agg(sum("_c").as("_n"))
+    val bi = toks.filter(size(col("_l")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(_l) - 2), i -> struct(_l[i] AS a, _l[i+1] AS b))"))
+        .as("_p"))
+      .select(col("_p.a").as("a"), col("_p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val biTot = bi.agg(sum("c_ab").as("_m"))
+    bi
+      .join(broadcast(uni.select(col("_t").as("a"), col("_c").as("_ca"))), "a")
+      .join(broadcast(uni.select(col("_t").as("b"), col("_c").as("_cb"))), "b")
+      .crossJoin(broadcast(uniTot))
+      .crossJoin(broadcast(biTot))
+      .withColumn("pmi_micro",
+        round(round(log((col("c_ab").cast("double") / col("_m")) /
+          ((col("_ca").cast("double") / col("_n")) *
+            (col("_cb").cast("double") / col("_n")))), 6) * lit(1e6), 0)
+          .cast("long"))
+      .select(col("a"), col("b"), col("c_ab"), col("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** Per-document token-distribution statistics — the
+    * gibberish/boilerplate axis [[qualityExpr]]'s surface ratios miss:
+    * Shannon entropy of the document's own token distribution (low =
+    * repetitive template, high = diverse prose) and type-token ratio.
+    * Per-token `-p·ln p` contributions micro-quantize BEFORE the
+    * per-doc sum, so entropy is an order-free BIGINT sum. Two
+    * (doc, token)-grain contractions; empty-token docs are absent.
+    *
+    * Output: `(idCol, n_tokens, n_distinct, ttr_micro, entropy_micro)`.
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("_t"))
+      .filter(col("_t") =!= "")
+      .groupBy("_id", "_t").agg(count(lit(1)).as("_c"))
+    val n = Window.partitionBy("_id")
+    tf.withColumn("_n", sum("_c").over(n))
+      .withColumn("_p", col("_c").cast("double") / col("_n"))
+      .withColumn("_h_micro",
+        round(round(-col("_p") * log(col("_p")), 6) * lit(1e6), 0).cast("long"))
+      .groupBy(col("_id"))
+      .agg(max("_n").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(round(count(lit(1)).cast("double") / max("_n"), 6) * lit(1e6), 0)
+          .cast("long").as("ttr_micro"),
+        sum("_h_micro").as("entropy_micro"))
+      .select(col("_id").as(idCol), col("n_tokens"), col("n_distinct"),
+        col("ttr_micro"), col("entropy_micro"))
+  }
+
   /** Confusion matrix of [[langId]] against a DECLARED language column —
     * the classifier-drift monitor for an ingest whose sources self-label
     * language (and the standard eval grid before trusting either side).

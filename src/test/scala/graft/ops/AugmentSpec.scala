@@ -47,6 +47,45 @@ class WordDropoutSpec extends SparkSpec {
   }
 }
 
+/** [[TextAnalysis.pmiPairs]] / [[TextAnalysis.tokenEntropy]] —
+  * collocations and distribution stats on planted corpora.
+  */
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a true collocation outranks a chance pairing at equal support") {
+    // "san francisco" always adjacent; "the end" co-occurs as often but
+    // both words are everywhere, so independence explains it.
+    val rows = Seq.fill(6)("san francisco is the end of the bay the end") ++
+      Seq.fill(6)("the cat saw the dog near the end of the day") :+
+      "rare pairing here"
+    val df = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiPairs(df, "text", minCount = 5L, k = 50)
+      .collect()
+    val pmi = out.map(r => (r.getAs[String]("a"), r.getAs[String]("b"))
+      -> r.getAs[Long]("pmi_micro")).toMap
+    assert(pmi(("san", "francisco")) > pmi(("the", "end")))
+    // min support: the once-off pair never appears
+    assert(!pmi.contains(("rare", "pairing")))
+  }
+
+  test("entropy separates diverse prose from a repeated token; ttr is exact") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),       // 8 distinct of 8: max entropy ln(8)
+      (2L, "x x x x x x x x"),       // 1 distinct: entropy 0
+      (3L, "a a b b")                // H = ln 2
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("ttr_micro"), r.getAs[Long]("entropy_micro"))).toMap
+    assert(out(1L) === ((8L, 8L, 1000000L, 2079440L)))  // 8 * (1/8)ln8 rounded per-term
+    assert(out(2L) === ((8L, 1L, 125000L, 0L)))
+    assert(out(3L)._4 === 693148L)                      // 2 * round(.5 ln 2)
+  }
+}
+
 /** [[Sampling.temporalSplit]] — microsecond-exact leakage boundaries. */
 class TemporalSplitSpec extends SparkSpec {
   import spark.implicits._
