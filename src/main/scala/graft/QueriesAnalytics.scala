@@ -764,7 +764,76 @@ object QueriesAnalytics {
         |  CAST(sum(hm) AS BIGINT) AS entropy_micro
         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Equi-depth deciles ([[graft.ops.Stats.equiDepthBins]]) over
+    * lineitem prices: edges at exact interpolated quantiles rounded to
+    * 4 (Spark `percentile` == DuckDB `quantile_cont`, the q126
+    * convention), lower-bucket tie rule replayed via the same
+    * strict-greater edge count.
+    */
+  val q165 = QueryDef("q165_equidepth_bins", (spark, dir) =>
+    graft.ops.Stats.equiDepthBins(t(spark, dir, "lineitem"),
+        "l_extendedprice", bins = 10)
+      .orderBy("bucket"),
+    Some {
+      val ps = (1 until 10).map(i => (i / 10.0).toString).mkString(", ")
+      s"""WITH e AS (SELECT list_transform(
+         |             quantile_cont(l_extendedprice, [$ps]),
+         |             x -> round(x, 4)) AS edges
+         |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |b AS (SELECT l_extendedprice AS v,
+         |        CAST(len(list_filter(e.edges, x -> l_extendedprice > x))
+         |          AS BIGINT) AS bucket
+         |      FROM lineitem, e WHERE l_extendedprice IS NOT NULL)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         |  round(min(v), 4) AS lo_v, round(max(v), 4) AS hi_v
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    })
+
+  /** Exact Pearson correlation matrix ([[graft.ops.Stats
+    * .correlationMatrix]]) over lineitem quantity/price/discount: the
+    * oracle replays the scaled-integer accumulators (HUGEINT sums ==
+    * decimal sums), the identical double finalization, and the
+    * degenerate-variance guard.
+    */
+  val q166 = QueryDef("q166_correlation_matrix", (spark, dir) =>
+    graft.ops.Stats.correlationMatrix(t(spark, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .orderBy("col_a", "col_b"),
+    Some {
+      val pairs = Seq(("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"), ("l_extendedprice", "l_discount"))
+      val cells = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(nn AS BIGINT) AS n,
+           |  CASE WHEN
+           |      CAST(nn AS DOUBLE) * CAST(saa AS DOUBLE) -
+           |        CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0 AND
+           |      CAST(nn AS DOUBLE) * CAST(sbb AS DOUBLE) -
+           |        CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+           |    THEN CAST(round(round(
+           |      (CAST(nn AS DOUBLE) * CAST(sab AS DOUBLE) -
+           |       CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) /
+           |      sqrt((CAST(nn AS DOUBLE) * CAST(saa AS DOUBLE) -
+           |            CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *
+           |           (CAST(nn AS DOUBLE) * CAST(sbb AS DOUBLE) -
+           |            CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+           |      * 1e6, 0) AS BIGINT) END AS r_micro
+           |FROM (SELECT
+           |    CAST(count(*) FILTER (w) AS HUGEINT) AS nn,
+           |    coalesce(sum(ua) FILTER (w), 0) AS sa,
+           |    coalesce(sum(ub) FILTER (w), 0) AS sb,
+           |    coalesce(sum(ua * ua) FILTER (w), 0) AS saa,
+           |    coalesce(sum(ub * ub) FILTER (w), 0) AS sbb,
+           |    coalesce(sum(ua * ub) FILTER (w), 0) AS sab
+           |  FROM (SELECT
+           |      CAST(round($a * 10000, 0) AS BIGINT) AS ua,
+           |      CAST(round($b * 10000, 0) AS BIGINT) AS ub,
+           |      $a IS NOT NULL AND $b IS NOT NULL AS w
+           |    FROM lineitem))""".stripMargin
+      }
+      cells.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+    })
+
   val all: Seq[QueryDef] = Seq(q142, q143, q144, q145, q146, q147,
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
-    q158, q159, q160, q161, q162, q163, q164)
+    q158, q159, q160, q161, q162, q163, q164, q165, q166)
 }

@@ -105,6 +105,100 @@ object Stats {
       round(sqrt(s2 / n - (s / n) * (s / n)), 4).as("stddev_pop"))
   }
 
+  /** Equal-frequency (equi-depth) binning: `bins` buckets holding
+    * ~equal row counts, edges at the exact `i/bins` quantiles (linear
+    * interpolation, rounded to 4 decimals so Spark `percentile` and
+    * DuckDB `quantile_cont` agree — the q126 convention). A value
+    * exactly ON a rounded edge belongs to the LOWER bucket. The
+    * feature-binning primitive (score → decile) next to [[histogram]]'s
+    * fixed-width buckets.
+    *
+    * Scale shape: one exact-percentile aggregate (single row,
+    * broadcast back), one bounded-key contraction. Swap in
+    * `approx_percentile` upstream when the exact sort-based percentile
+    * is too heavy for the column's scale.
+    *
+    * Output: one row per non-empty bucket,
+    * `(bucket, n, lo_v, hi_v)` with observed min/max rounded to 4.
+    */
+  def equiDepthBins(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val ps = (1 until bins).map(i => i.toDouble / bins)
+    val edges = df.filter(col(valueCol).isNotNull)
+      .agg(expr(s"percentile($valueCol, array(${ps.mkString(", ")}))").as("_e"))
+      .select(transform(col("_e"), e => round(e, 4)).as("_e"))
+    df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(edges))
+      .withColumn("bucket",
+        size(filter(col("_e"), e => col(valueCol) > e)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min(col(valueCol)), 4).as("lo_v"),
+        round(max(col(valueCol)), 4).as("hi_v"))
+  }
+
+  /** Exact pairwise Pearson correlation over `cols` — ONE pass, one
+    * single-row aggregate: every per-column and per-pair accumulator
+    * (Σu, Σu², Σuv as 4-decimal scaled DECIMAL integers — the
+    * [[profile]] convention) computes exactly, so `r` is a pure
+    * function of the value multiset; the only doubles are the final
+    * covariance/variance arithmetic, identical IEEE ops on identical
+    * exact inputs on every engine. Pairwise-complete semantics: each
+    * pair's `n` counts rows where BOTH values are non-null (null rows
+    * contribute zero to that pair's sums).
+    *
+    * Output: `(col_a, col_b, n, r_micro)` for each a < b pair (declared
+    * order), via a row-local `stack` unpivot of the single aggregate
+    * row. `r_micro` is null for degenerate pairs (zero variance).
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"correlationMatrix needs >= 2 columns")
+    require(cols.distinct.size == cols.size, "duplicate columns")
+    def u(c: String): Column = {
+      val d = col(c).cast("decimal(18,4)")
+      (d * lit(10000)).cast("long")
+    }
+    def both(a: String, b: String): Column =
+      col(a).isNotNull && col(b).isNotNull
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.flatMap { case (a, b) =>
+      val (ua, ub) = (u(a), u(b))
+      val uaD = ua.cast("decimal(19,0)")
+      val ubD = ub.cast("decimal(19,0)")
+      val w = both(a, b)
+      Seq(
+        sum(when(w, lit(1L)).otherwise(lit(0L))).as(s"n__${a}__$b"),
+        sum(when(w, uaD).otherwise(lit(0))).as(s"sa__${a}__$b"),
+        sum(when(w, ubD).otherwise(lit(0))).as(s"sb__${a}__$b"),
+        sum(when(w, uaD * uaD).otherwise(lit(0))).as(s"saa__${a}__$b"),
+        sum(when(w, ubD * ubD).otherwise(lit(0))).as(s"sbb__${a}__$b"),
+        sum(when(w, uaD * ubD).otherwise(lit(0))).as(s"sab__${a}__$b"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val withR = pairs.foldLeft(one) { case (d, (a, b)) =>
+      val n = col(s"n__${a}__$b").cast("double")
+      val sa = col(s"sa__${a}__$b").cast("double")
+      val sb = col(s"sb__${a}__$b").cast("double")
+      val saa = col(s"saa__${a}__$b").cast("double")
+      val sbb = col(s"sbb__${a}__$b").cast("double")
+      val sab = col(s"sab__${a}__$b").cast("double")
+      val cov = n * sab - sa * sb
+      val va = n * saa - sa * sa
+      val vb = n * sbb - sb * sb
+      d.withColumn(s"r__${a}__$b",
+        when(va > 0 && vb > 0,
+          round(round(cov / sqrt(va * vb), 6) * lit(1e6), 0).cast("long")))
+    }
+    val cells = pairs.map { case (a, b) =>
+      s"'$a', '$b', `n__${a}__$b`, `r__${a}__$b`"
+    }
+    withR.select(expr(
+      s"stack(${pairs.size}, ${cells.mkString(", ")}) " +
+        "AS (col_a, col_b, n, r_micro)"))
+  }
+
   /** EWMA anomaly detection over per-key daily counts — the volume
     * monitor for an ingest stream (did `error` events triple today?).
     * Each day's count is compared against an exponentially-weighted

@@ -111,6 +111,49 @@ class TransitionMatrixSpec extends SparkSpec {
   }
 }
 
+/** [[Stats.equiDepthBins]] / [[Stats.correlationMatrix]] — binning and
+  * exact correlation on hand-computable fixtures.
+  */
+class StatsAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("equi-depth buckets hold equal counts on a uniform column") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val out = Stats.equiDepthBins(df, "v", bins = 4)
+      .orderBy("bucket").collect()
+    assert(out.map(_.getAs[Long]("bucket")).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_.getAs[Long]("n")).toSeq === Seq(25L, 25L, 25L, 25L))
+    // a value ON an edge belongs to the lower bucket
+    assert(out(0).getAs[Double]("hi_v") === 25.75 || out(0).getAs[Long]("n") === 25L)
+  }
+
+  test("correlation is exactly +1/-1 on linear data and ~0 when independent") {
+    val df = (1 to 50).map(i => (i.toDouble, 2.0 * i + 3, -1.0 * i, (i % 2).toDouble))
+      .toDF("x", "y", "z", "par")
+    val out = Stats.correlationMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getAs[String]("col_a"), r.getAs[String]("col_b"))
+        -> r.getAs[Long]("r_micro")).toMap
+    assert(out(("x", "y")) === 1000000L)
+    assert(out(("x", "z")) === -1000000L)
+    assert(out(("y", "z")) === -1000000L)
+  }
+
+  test("zero variance gives a null r, not a crash or a fake value") {
+    val df = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "c")
+    val out = Stats.correlationMatrix(df, Seq("x", "c")).collect().head
+    assert(out.isNullAt(out.fieldIndex("r_micro")))
+    assert(out.getAs[Long]("n") === 3L)
+  }
+
+  test("pairwise n counts only rows where both sides are present") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 2.0), (2.0, null), (null, 3.0), (4.0, 8.0))
+      .toDF("a", "b")
+    val out = Stats.correlationMatrix(df, Seq("a", "b")).collect().head
+    assert(out.getAs[Long]("n") === 2L)
+  }
+}
+
 /** [[Events.rollingRetention]] / [[Events.activityHistogram]] — growth
   * metrics on planted day grids.
   */
