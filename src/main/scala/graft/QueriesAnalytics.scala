@@ -833,7 +833,70 @@ object QueriesAnalytics {
       cells.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
     })
 
+  /** Funnel conversion latency ([[graft.ops.Events.funnelLatency]]):
+    * time-to-convert stats for view→click→purchase. The oracle extends
+    * q115's chained-minima replay with exact integer latencies,
+    * order-free means, and interpolated percentiles.
+    */
+  val q167 = QueryDef("q167_funnel_latency", (spark, dir) =>
+    graft.ops.Events.funnelLatency(t(spark, dir, "events"),
+        "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("step_idx"),
+    Some(
+      """WITH e AS (SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+        |         OVER win AS t0 FROM e
+        |       WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND t0 IS NOT NULL
+        |                          THEN us END) OVER win AS t1 FROM w1
+        |       WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t1 IS NOT NULL
+        |                          THEN us END) OVER win AS t2 FROM w2
+        |       WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |u AS (SELECT user_id, min(t0) AS t0, min(t1) AS t1, min(t2) AS t2
+        |      FROM w3 GROUP BY user_id),
+        |lat AS (SELECT CAST(2 AS BIGINT) AS step_idx, 'click' AS step,
+        |          t1 - t0 AS l FROM u WHERE t1 IS NOT NULL
+        |        UNION ALL
+        |        SELECT 3, 'purchase', t2 - t0 FROM u WHERE t2 IS NOT NULL)
+        |SELECT step_idx, step, CAST(count(*) AS BIGINT) AS n_users,
+        |  round(CAST(sum(l) AS DOUBLE) / count(*) / 1e6, 4) AS mean_s,
+        |  round(quantile_cont(l, 0.5) / 1e6, 4) AS p50_s,
+        |  round(quantile_cont(l, 0.9) / 1e6, 4) AS p90_s
+        |FROM lat GROUP BY step_idx, step ORDER BY step_idx""".stripMargin))
+
+  /** Top session paths ([[graft.ops.Events.topPaths]]): the 20 most
+    * frequent gap-sessionized event-type sequences. The oracle replays
+    * sessionization plus the ordered `string_agg` path render and the
+    * (n, path) tie order.
+    */
+  val q168 = QueryDef("q168_top_paths", (spark, dir) =>
+    graft.ops.Events.topPaths(t(spark, dir, "events"),
+      "user_id", "ts", "event_id", "event_type",
+      gapSeconds = 1800L, k = 20),
+    Some(
+      """WITH e AS (SELECT user_id, event_id, ts, event_type,
+        |             epoch_us(ts) AS us FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS prev_us FROM e),
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |                     THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS sess FROM f),
+        |p AS (SELECT user_id, sess,
+        |        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |      FROM s GROUP BY user_id, sess)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q142, q143, q144, q145, q146, q147,
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
-    q158, q159, q160, q161, q162, q163, q164, q165, q166)
+    q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168)
 }

@@ -400,6 +400,90 @@ object Events {
         col("peak_concurrent"))
   }
 
+  /** Conversion-latency distribution per funnel step: for users who
+    * complete step k (in order — the [[funnel]] chained-minima
+    * semantics), how long from their FIRST step-1 event to their first
+    * ordered step-k completion. The "how fast do users convert" half
+    * of the funnel card.
+    *
+    * One Window stage computes every chained minimum (all expressions
+    * share the `(user, ts, id)` spec), one per-user contraction, then a
+    * tiny long-form per-step aggregate. Latencies are exact
+    * microsecond integers; `mean_s` is an order-free integer-sum mean
+    * and p50/p90 are exact interpolated percentiles over integer
+    * microseconds, all rounded to 4-decimal seconds.
+    *
+    * Output: `(step_idx, step, n_users, mean_s, p50_s, p90_s)` for
+    * steps 2..n.
+    */
+  def funnelLatency(events: DataFrame, userCol: String, tsCol: String,
+                    idCol: String, typeCol: String,
+                    steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "funnelLatency needs at least two steps")
+    require(steps.distinct.size == steps.size, "duplicate funnel steps")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = unix_micros(col(tsCol))
+    var df = events.withColumn("_us", us)
+    steps.zipWithIndex.foreach { case (step, i) =>
+      val cond =
+        if (i == 0) col(typeCol) === step
+        else col(typeCol) === step && col(s"_m${i - 1}").isNotNull
+      df = df.withColumn(s"_m$i", min(when(cond, col("_us"))).over(w))
+    }
+    val perUser = df.groupBy(col(userCol))
+      .agg(min(col("_m0")).as("_t0"),
+        steps.indices.tail.map(i => min(col(s"_m$i")).as(s"_t$i")): _*)
+    val stacked = steps.indices.tail.map(i =>
+      s"${i + 1}L, '${steps(i)}', _t$i - _t0").mkString(", ")
+    perUser
+      .select(expr(s"stack(${steps.size - 1}, $stacked) " +
+        "AS (step_idx, step, _lat)"))
+      .filter(col("_lat").isNotNull)
+      .groupBy("step_idx", "step")
+      .agg(count(lit(1)).as("n_users"),
+        round(sum("_lat").cast("double") / count(lit(1)) / lit(1e6), 4)
+          .as("mean_s"),
+        round(expr("percentile(_lat, 0.5)") / lit(1e6), 4).as("p50_s"),
+        round(expr("percentile(_lat, 0.9)") / lit(1e6), 4).as("p90_s"))
+  }
+
+  /** Top-k most-travelled session paths: events sessionize (gap rule,
+    * [[sessionize]] semantics), each session renders its ordered
+    * event-type sequence as a `>`-joined string, and the paths rank by
+    * frequency — the "what do users actually do" flow summary.
+    *
+    * One shuffle on the user for session labels (window), one
+    * contraction to session grain (`array_sort` of (us, id, type)
+    * structs keeps the in-session order deterministic), one path
+    * count, TakeOrdered top-k.
+    *
+    * Output: `(path, n)`, top `k` by `(n DESC, path)`.
+    */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+               idCol: String, typeCol: String,
+               gapSeconds: Long = 1800L, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = unix_micros(col(tsCol))
+    events
+      .withColumn("_us", us)
+      .withColumn("_gap", col("_us") - lag(col("_us"), 1).over(w))
+      .withColumn("_brk",
+        when(col("_gap").isNull || col("_gap") > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("_sess", sum("_brk").over(run))
+      .groupBy(col(userCol), col("_sess"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("_us"), col(idCol).as("_id"),
+          col(typeCol).as("_t")))),
+        x => x.getField("_t")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   /** Rolling N-day retention: of the users active `lagDays` ago, what
     * fraction came back today (the classic growth metric — cohort
     * retention answers "how does a signup class decay", this answers

@@ -111,6 +111,53 @@ class TransitionMatrixSpec extends SparkSpec {
   }
 }
 
+/** [[Events.funnelLatency]] / [[Events.topPaths]] — latency chain and
+  * path mining on planted journeys.
+  */
+class FunnelLatencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, Long, String)*) =
+    rows.toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+
+  test("latency runs from the FIRST step-1 event to the ordered completion") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:01:00", 1L, "click"),      // +60s
+      (3L, "2024-01-01 10:03:00", 1L, "purchase"),   // +180s
+      // user 2: purchase before click — never completes step 3
+      (4L, "2024-01-01 09:00:00", 2L, "view"),
+      (5L, "2024-01-01 09:00:30", 2L, "purchase"),
+      (6L, "2024-01-01 09:02:00", 2L, "click"))      // +120s
+    val out = Events.funnelLatency(df, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click", "purchase"))
+      .orderBy("step_idx").collect()
+    assert(out.length === 2)
+    val click = out(0)
+    assert(click.getAs[Long]("n_users") === 2L)
+    assert(click.getAs[Double]("mean_s") === 90.0)   // (60 + 120) / 2
+    assert(click.getAs[Double]("p50_s") === 90.0)    // interpolated midpoint
+    val purchase = out(1)
+    assert(purchase.getAs[Long]("n_users") === 1L)
+    assert(purchase.getAs[Double]("p50_s") === 180.0)
+  }
+
+  test("topPaths renders ordered in-session sequences and breaks gaps") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:01:00", 1L, "click"),
+      // > 30 min gap: new session
+      (3L, "2024-01-01 11:00:00", 1L, "view"),
+      (4L, "2024-01-01 11:01:00", 1L, "click"),
+      (5L, "2024-01-01 09:00:00", 2L, "view"))
+    val out = Events.topPaths(df, "user_id", "ts", "event_id", "event_type",
+        gapSeconds = 1800L, k = 10)
+      .collect().map(r => r.getAs[String]("path") -> r.getAs[Long]("n")).toMap
+    assert(out === Map("view>click" -> 2L, "view" -> 1L))
+  }
+}
+
 /** [[Stats.equiDepthBins]] / [[Stats.correlationMatrix]] — binning and
   * exact correlation on hand-computable fixtures.
   */
