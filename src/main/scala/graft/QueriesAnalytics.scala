@@ -896,7 +896,79 @@ object QueriesAnalytics {
         |SELECT path, CAST(count(*) AS BIGINT) AS n
         |FROM p GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin))
 
+  /** Cohort LTV curves ([[graft.ops.Events.cohortValue]]): cumulative
+    * per-user value by cohort and offset, exact scaled-integer event
+    * sums under the cumulative window.
+    */
+  val q169 = QueryDef("q169_cohort_value", (spark, dir) =>
+    graft.ops.Events.cohortValue(t(spark, dir, "events"),
+        "user_id", "ts", "value")
+      .orderBy("cohort", "offset_days"),
+    Some(
+      """WITH tagged AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_day,
+        |    CAST(round(value * 10000, 0) AS BIGINT) AS u
+        |  FROM events),
+        |sz AS (SELECT first_day, CAST(count(*) AS BIGINT) AS n_users FROM
+        |         (SELECT DISTINCT first_day, user_id FROM tagged)
+        |       GROUP BY first_day),
+        |grid AS (SELECT first_day,
+        |           CAST(date_diff('day', first_day, day) AS INT) AS offset_days,
+        |           CAST(sum(u) AS BIGINT) AS su
+        |         FROM tagged GROUP BY 1, 2),
+        |c AS (SELECT *, CAST(sum(su) OVER (PARTITION BY first_day
+        |        ORDER BY offset_days
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |        AS cu FROM grid)
+        |SELECT strftime(first_day, '%Y-%m-%d') AS cohort, offset_days, n_users,
+        |  round(CAST(su AS DOUBLE) / 1e4, 2) AS value_sum,
+        |  round(CAST(cu AS DOUBLE) / 1e4, 2) AS cum_value_sum,
+        |  CAST(round(CAST(cu AS DOUBLE) * 100 / n_users, 0) AS BIGINT)
+        |    AS cum_value_per_user_micro
+        |FROM c JOIN sz USING (first_day)
+        |ORDER BY cohort, offset_days""".stripMargin))
+
+  /** RFM segmentation ([[graft.ops.Events.rfm]], as-of Jan 31): the
+    * oracle replays the user contraction, all three exact quintile
+    * edge lists, the ties-go-low scoring, and the digit-string
+    * segment.
+    */
+  val q170 = QueryDef("q170_rfm_segments", (spark, dir) =>
+    graft.ops.Events.rfm(t(spark, dir, "events"),
+        "user_id", "ts", "value", asOf = "2024-01-31 00:00:00")
+      .orderBy("user_id"),
+    Some(
+      """WITH pu AS (SELECT user_id,
+        |    (epoch_us(TIMESTAMP '2024-01-31 00:00:00') - max(epoch_us(ts)))
+        |      // 86400000000 AS recency_days,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT) AS m_u
+        |  FROM events GROUP BY user_id),
+        |pm AS (SELECT user_id, recency_days, frequency,
+        |         round(CAST(m_u AS DOUBLE) / 1e4, 2) AS monetary FROM pu),
+        |er AS (SELECT list_transform(
+        |         quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]),
+        |         x -> round(x, 4)) AS e FROM pm),
+        |ef AS (SELECT list_transform(
+        |         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]),
+        |         x -> round(x, 4)) AS e FROM pm),
+        |em AS (SELECT list_transform(
+        |         quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]),
+        |         x -> round(x, 4)) AS e FROM pm),
+        |sc AS (SELECT user_id, recency_days, frequency, monetary,
+        |         CAST(6 - (len(list_filter(er.e, x -> recency_days > x)) + 1)
+        |           AS INT) AS r_score,
+        |         CAST(len(list_filter(ef.e, x -> frequency > x)) + 1
+        |           AS INT) AS f_score,
+        |         CAST(len(list_filter(em.e, x -> monetary > x)) + 1
+        |           AS INT) AS m_score
+        |       FROM pm, er, ef, em)
+        |SELECT *, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+        |  CAST(m_score AS VARCHAR) AS segment
+        |FROM sc ORDER BY user_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q142, q143, q144, q145, q146, q147,
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
-    q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168)
+    q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
+    q169, q170)
 }

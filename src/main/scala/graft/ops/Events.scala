@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -265,6 +265,107 @@ object Events {
         col(userCol))
       .groupBy("cohort", "offset_days")
       .agg(count_distinct(col(userCol)).as("n_users"))
+  }
+
+  /** Cohort cumulative-value curves — [[cohortRetention]]'s revenue
+    * twin: per signup cohort (first-seen day) and day offset, the
+    * per-user cumulative average of `valueCol` ("how much is a January
+    * user worth by day 14" — the LTV curve). Value sums quantize to
+    * exact 4-decimal scaled integers at the event grain, so the
+    * cumulative sums are order-free; the per-user division happens once
+    * per output row.
+    *
+    * Scale shape: one user-window pass tags each event with its
+    * cohort (shared with [[cohortRetention]]'s shape), one contraction
+    * to (cohort, offset) grain, and the cumulative window runs at that
+    * tiny grain partitioned BY cohort.
+    *
+    * Output: `(cohort, offset_days, n_users, value_sum, cum_value_sum,
+    * cum_value_per_user_micro)` — `n_users` is the cohort's total
+    * size and the per-user curve is integer micro-dollars (one
+    * division, one rounding).
+    */
+  def cohortValue(events: DataFrame, userCol: String, tsCol: String,
+                  valueCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol)
+    val day = to_date(col(tsCol))
+    val tagged = events
+      .withColumn("_day", day)
+      .withColumn("_first_day", min(col("_day")).over(w))
+      .withColumn("_u",
+        (col(valueCol).cast("decimal(18,4)") * lit(10000)).cast("long"))
+    val cohortSize = tagged
+      .select(col("_first_day"), col(userCol)).distinct()
+      .groupBy("_first_day").agg(count(lit(1)).as("n_users"))
+    val grid = tagged
+      .groupBy(col("_first_day"),
+        datediff(col("_day"), col("_first_day")).cast("int").as("offset_days"))
+      .agg(sum("_u").as("_su"))
+    val cum = Window.partitionBy("_first_day").orderBy("offset_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("_cu", sum("_su").over(cum))
+      .join(broadcast(cohortSize), "_first_day")
+      .select(date_format(col("_first_day"), "yyyy-MM-dd").as("cohort"),
+        col("offset_days"), col("n_users"),
+        round(col("_su").cast("double") / lit(1e4), 2).as("value_sum"),
+        round(col("_cu").cast("double") / lit(1e4), 2).as("cum_value_sum"),
+        // micro units through ONE rounding of an exactly-representable
+        // rational (cu*100 is an exact integer in double range): a
+        // rounded-dollars output would double-round through .005
+        // boundaries where engines disagree
+        round(col("_cu").cast("double") * lit(100) / col("n_users"), 0)
+          .cast("long").as("cum_value_per_user_micro"))
+  }
+
+  /** RFM segmentation — recency / frequency / monetary quintile labels
+    * per user (the classic CRM cut): recency in whole days behind the
+    * explicit `asOf` instant (a parameter, never the wall clock —
+    * [[graft.ops.Checks.freshness]]'s convention), frequency the event
+    * count, monetary the exact scaled value sum. Each metric cuts at
+    * its own exact interpolated quintile edges (the
+    * [[graft.ops.Stats.equiDepthBins]] rule: rounded edges, ties go
+    * LOW — so scores are engine-replayable), scored 1..5 with 5 best
+    * (most recent / most frequent / highest value).
+    *
+    * One contraction to user grain, three single-row percentile
+    * aggregates broadcast back, row-local scoring.
+    *
+    * Output: `(userCol, recency_days, frequency, monetary, r_score,
+    * f_score, m_score, segment)` where `segment` is the "RFM" digit
+    * string.
+    */
+  def rfm(events: DataFrame, userCol: String, tsCol: String,
+          valueCol: String, asOf: String): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(
+        expr(s"(unix_micros(to_timestamp('$asOf')) - max(unix_micros($tsCol)))" +
+          " div 86400000000").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum((col(valueCol).cast("decimal(18,4)") * lit(10000)).cast("long"))
+          .as("_m_u"))
+      .withColumn("monetary", round(col("_m_u").cast("double") / lit(1e4), 2))
+    def edges(c: String) =
+      perUser.agg(expr(
+        s"transform(percentile($c, array(0.2, 0.4, 0.6, 0.8)), x -> round(x, 4))")
+        .as(s"_e_$c"))
+    def score(c: String, reversed: Boolean): Column = {
+      // quintile index via the strict-greater edge count (ties go low)
+      val idx = size(filter(col(s"_e_$c"), e => col(c) > e)) + 1
+      if (reversed) lit(6) - idx else idx
+    }
+    perUser
+      .crossJoin(broadcast(edges("recency_days")))
+      .crossJoin(broadcast(edges("frequency")))
+      .crossJoin(broadcast(edges("monetary")))
+      .withColumn("r_score", score("recency_days", reversed = true))
+      .withColumn("f_score", score("frequency", reversed = false))
+      .withColumn("m_score", score("monetary", reversed = false))
+      .select(col(userCol), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("segment"))
   }
 
   /** Multi-touch attribution: credit each conversion's preceding

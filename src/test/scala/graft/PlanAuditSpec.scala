@@ -79,7 +79,8 @@ class PlanAuditSpec extends SparkSpec {
     "q158_scd1_upsert", "q159_l_diversity", "q160_rolling_retention",
     "q161_activity_histogram", "q163_pmi_pairs", "q164_token_entropy",
     "q165_equidepth_bins", "q166_correlation_matrix",
-    "q167_funnel_latency", "q168_top_paths")
+    "q167_funnel_latency", "q168_top_paths", "q169_cohort_value",
+    "q170_rfm_segments")
 
   /** Queries whose BroadcastNestedLoopJoin is RUNTIME-gated rather than
     * plan-visible: brute-force cosine top-k broadcasts the probe side

@@ -111,6 +111,53 @@ class TransitionMatrixSpec extends SparkSpec {
   }
 }
 
+/** [[Events.cohortValue]] / [[Events.rfm]] — LTV curves and RFM cuts on
+  * planted fixtures.
+  */
+class CohortValueRfmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, Long, Double)*) =
+    rows.toDF("event_id", "ts_s", "user_id", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+
+  test("cohort value accumulates per offset; per-user curve divides by cohort size") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", 1L, 10.0),
+      (2L, "2024-01-01 11:00:00", 2L, 20.0),   // same cohort, 2 users
+      (3L, "2024-01-03 10:00:00", 1L, 6.0))    // offset 2
+    val out = Events.cohortValue(df, "user_id", "ts", "value")
+      .orderBy("offset_days").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Double]("value_sum") === 30.0)
+    assert(out(0).getAs[Long]("n_users") === 2L)
+    assert(out(0).getAs[Long]("cum_value_per_user_micro") === 15000000L)
+    assert(out(1).getAs[Double]("cum_value_sum") === 36.0)
+    assert(out(1).getAs[Long]("cum_value_per_user_micro") === 18000000L)
+  }
+
+  test("rfm scores: recent/frequent/high-value users score 5s, ties go low") {
+    // five users with strictly increasing activity on every axis
+    val rows = (1L to 5L).flatMap { u =>
+      (1L to u).map(i => (u * 100 + i, f"2024-01-${20 + u.toInt}%02d 10:00:00",
+        u, u * 10.0))
+    }
+    val out = Events.rfm(ev(rows: _*), "user_id", "ts", "value",
+        asOf = "2024-01-31 00:00:00")
+      .orderBy("user_id").collect()
+    // user 5: most recent (smallest recency), most events, highest value
+    val u5 = out.last
+    assert(u5.getAs[String]("segment") === "555")
+    val u1 = out.head
+    assert(u1.getAs[Int]("r_score") === 1)
+    assert(u1.getAs[Int]("f_score") === 1)
+    assert(u1.getAs[Int]("m_score") === 1)
+    // Jan 31 00:00 minus Jan (20+u) 10:00 = (10-u) days 14h -> whole days
+    assert(out.map(_.getAs[Long]("recency_days")).toSeq ===
+      Seq(9L, 8L, 7L, 6L, 5L))
+  }
+}
+
 /** [[Events.funnelLatency]] / [[Events.topPaths]] — latency chain and
   * path mining on planted journeys.
   */
