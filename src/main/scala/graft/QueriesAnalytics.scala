@@ -967,8 +967,39 @@ object QueriesAnalytics {
         |  CAST(m_score AS VARCHAR) AS segment
         |FROM sc ORDER BY user_id""".stripMargin))
 
+  /** Trending terms ([[graft.ops.TextAnalysis.trendingTerms]]): the
+    * corpus gets a synthetic ingest day (`doc_id % 10` days past
+    * 2024-01-01 — documents carry no timestamp), and day-over-day term
+    * growth ranks. The oracle replays the contraction, the
+    * previous-OBSERVED-day lag, the support gate, and the
+    * (growth, term, day) tie order.
+    */
+  val q171 = QueryDef("q171_trending_terms", (spark, dir) =>
+    graft.ops.TextAnalysis.trendingTerms(
+      t(spark, dir, "documents").withColumn("day",
+        date_format(date_add(to_date(lit("2024-01-01")),
+          (col("doc_id") % 10).cast("int")), "yyyy-MM-dd")),
+      "text", "day", minCount = 5L, k = 20),
+    Some(
+      """WITH d AS (SELECT strftime(DATE '2024-01-01' +
+        |             CAST(doc_id % 10 AS INT), '%Y-%m-%d') AS day, text
+        |           FROM documents),
+        |td AS (SELECT term, day, CAST(count(*) AS BIGINT) AS n FROM
+        |         (SELECT day, unnest(string_split(lower(text), ' ')) AS term
+        |          FROM d)
+        |       WHERE term <> '' GROUP BY term, day),
+        |l AS (SELECT *, lag(day) OVER (PARTITION BY term ORDER BY day)
+        |        AS prev_day,
+        |        lag(n) OVER (PARTITION BY term ORDER BY day) AS prev_n
+        |      FROM td)
+        |SELECT term, day, n, prev_day, prev_n,
+        |  CAST(round(round(CAST(n AS DOUBLE) / prev_n, 6) * 1e6, 0) AS BIGINT)
+        |    AS growth_micro
+        |FROM l WHERE prev_n >= 5 AND n >= 5
+        |ORDER BY growth_micro DESC, term, day LIMIT 20""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q142, q143, q144, q145, q146, q147,
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
     q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
-    q169, q170)
+    q169, q170, q171)
 }

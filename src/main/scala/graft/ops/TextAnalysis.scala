@@ -93,6 +93,43 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Trending terms — day-over-day frequency growth (the corpus-drift /
+    * emerging-topic monitor): per (term, day) counts, each day compared
+    * against the term's PREVIOUS OBSERVED day (lag over the term's own
+    * day sequence, so sparse terms compare against their own cadence —
+    * the [[graft.ops.Stats.ewmaAnomaly]] convention), ranked by growth.
+    * `growth_micro = n / prev_n` micro-quantized; `minCount` gates both
+    * sides so 1→3 noise cannot outrank 100→300.
+    *
+    * Scale shape: one (term, day)-grain contraction from the corpus
+    * scan, a term-partitioned lag window over that contracted table,
+    * TakeOrdered top-k.
+    *
+    * Output: `(term, day, n, prev_day, prev_n, growth_micro)`, top `k`
+    * by `(growth_micro DESC, term, day)`.
+    */
+  def trendingTerms(docs: DataFrame, textCol: String, dayCol: String,
+                    minCount: Long = 5L, k: Int = 20): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(k >= 1, s"k must be >= 1: $k")
+    val td = docs
+      .select(col(dayCol).as("day"), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "day").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("term").orderBy("day")
+    td
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .filter(col("prev_n") >= minCount && col("n") >= minCount)
+      .withColumn("growth_micro",
+        round(round(col("n").cast("double") / col("prev_n"), 6) * lit(1e6), 0)
+          .cast("long"))
+      .select(col("term"), col("day"), col("n"), col("prev_day"),
+        col("prev_n"), col("growth_micro"))
+      .orderBy(col("growth_micro").desc, col("term"), col("day"))
+      .limit(k)
+  }
+
   /** Per-document token-distribution statistics — the
     * gibberish/boilerplate axis [[qualityExpr]]'s surface ratios miss:
     * Shannon entropy of the document's own token distribution (low =

@@ -70,6 +70,29 @@ class TextStatsSpec extends SparkSpec {
     assert(!pmi.contains(("rare", "pairing")))
   }
 
+  test("trending terms compare against the previous OBSERVED day and gate support") {
+    val df = Seq(
+      // "surge" 5x on day1, 15x on day3 (day2 absent -> lag skips to day1)
+      (1L, "2024-01-01", ("surge " * 5).trim),
+      (2L, "2024-01-03", ("surge " * 15).trim),
+      // "steady" 10x each day: growth 1.0
+      (3L, "2024-01-01", ("steady " * 10).trim),
+      (4L, "2024-01-03", ("steady " * 10).trim),
+      // "rare" 1x -> 4x: below min support, absent
+      (5L, "2024-01-01", "rare"),
+      (6L, "2024-01-03", "rare rare rare rare"))
+      .toDF("doc_id", "day", "text")
+    val out = TextAnalysis.trendingTerms(df, "text", "day",
+        minCount = 5L, k = 10)
+      .collect()
+    val g = out.map(r => r.getAs[String]("term") ->
+      (r.getAs[String]("prev_day"), r.getAs[Long]("growth_micro"))).toMap
+    assert(g("surge") === (("2024-01-01", 3000000L)))
+    assert(g("steady")._2 === 1000000L)
+    assert(!g.contains("rare"))
+    assert(out.head.getAs[String]("term") === "surge")
+  }
+
   test("entropy separates diverse prose from a repeated token; ttr is exact") {
     val df = Seq(
       (1L, "a b c d e f g h"),       // 8 distinct of 8: max entropy ln(8)
