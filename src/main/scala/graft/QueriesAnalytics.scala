@@ -998,8 +998,43 @@ object QueriesAnalytics {
         |FROM l WHERE prev_n >= 5 AND n >= 5
         |ORDER BY growth_micro DESC, term, day LIMIT 20""".stripMargin))
 
+  /** Co-visitation neighbors ([[graft.ops.Events.coVisitation]]) over
+    * the event props' item key: distinct (user, item) self-join,
+    * cosine normalization, per-item top-5. The oracle replays the
+    * whole table including the per-user cap path.
+    */
+  val q172 = QueryDef("q172_covisitation", (spark, dir) =>
+    graft.ops.Events.coVisitation(
+        t(spark, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minPairCount = 2L, k = 5)
+      .orderBy("item", "rank"),
+    Some(
+      """WITH p AS (SELECT DISTINCT user_id AS u,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
+        |           FROM events),
+        |capped AS (SELECT u, i FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY u ORDER BY i) AS rn
+        |    FROM p) WHERE rn <= 1000),
+        |itn AS (SELECT i, CAST(count(*) AS BIGINT) AS cn FROM capped GROUP BY i),
+        |co AS (SELECT a.i AS x, b.i AS y, CAST(count(*) AS BIGINT) AS n_co
+        |       FROM capped a JOIN capped b ON a.u = b.u AND a.i < b.i
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT x AS item, y AS neighbor, n_co FROM co
+        |        UNION ALL SELECT y, x, n_co FROM co),
+        |sc AS (SELECT s.item, s.neighbor, s.n_co,
+        |         CAST(round(round(CAST(s.n_co AS DOUBLE) /
+        |           sqrt(CAST(ca.cn AS DOUBLE) * cb.cn), 6) * 1e6, 0) AS BIGINT)
+        |           AS sim_micro
+        |       FROM sym s JOIN itn ca ON ca.i = s.item
+        |       JOIN itn cb ON cb.i = s.neighbor),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY item
+        |        ORDER BY sim_micro DESC, neighbor) AS INT) AS rank FROM sc)
+        |SELECT item, neighbor, n_co, sim_micro, rank
+        |FROM r WHERE rank <= 5 ORDER BY item, rank""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q142, q143, q144, q145, q146, q147,
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
     q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
-    q169, q170, q171)
+    q169, q170, q171, q172)
 }

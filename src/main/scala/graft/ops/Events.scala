@@ -267,6 +267,61 @@ object Events {
       .agg(count_distinct(col(userCol)).as("n_users"))
   }
 
+  /** Item co-visitation similarity — "users who touched X also touched
+    * Y", the classic collaborative-filtering neighbor table: distinct
+    * (user, item) pairs self-join on the user, pair counts normalize by
+    * cosine (`c_ab / sqrt(c_a · c_b)`), and each item keeps its top-k
+    * neighbors.
+    *
+    * Scale shape: the corpus collapses ONCE to distinct (user, item);
+    * `maxItemsPerUser` caps the quadratic per-user pair blowup (the
+    * [[graft.ops.Dedup]] `maxBandFreq` convention — a power user's
+    * 10^4 items would otherwise mint 10^8 pairs; the cap keeps each
+    * item's LOWEST-id items, deterministically, and is plan-pushed as
+    * a WindowGroupLimit). Item totals broadcast back; per-item rank is
+    * a WindowGroupLimit top-k.
+    *
+    * Output: `(item, neighbor, n_co, sim_micro, rank)`, `rank <= k` by
+    * `(sim_micro DESC, neighbor)` per item.
+    */
+  def coVisitation(events: DataFrame, userCol: String, itemCol: String,
+                   minPairCount: Long = 2L, k: Int = 10,
+                   maxItemsPerUser: Int = 1000): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxItemsPerUser >= 2, s"maxItemsPerUser must be >= 2")
+    val w = Window.partitionBy("_u").orderBy("_i")
+    val pairs0 = events
+      .select(col(userCol).as("_u"), col(itemCol).as("_i"))
+      .distinct()
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxItemsPerUser)
+      .drop("_rn")
+    val itemN = pairs0.groupBy(col("_i")).agg(count(lit(1)).as("_cn"))
+    val co = pairs0.as("x")
+      .join(pairs0.select(col("_u"), col("_i").as("_j")), Seq("_u"))
+      .filter(col("_i") < col("_j"))
+      .groupBy("_i", "_j").agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minPairCount)
+    val sym = co.select(col("_i").as("item"), col("_j").as("neighbor"), col("n_co"))
+      .unionByName(co.select(col("_j").as("item"), col("_i").as("neighbor"),
+        col("n_co")))
+    val ranked = sym
+      .join(broadcast(itemN.select(col("_i").as("item"), col("_cn").as("_ca"))),
+        "item")
+      .join(broadcast(itemN.select(col("_i").as("neighbor"),
+        col("_cn").as("_cb"))), "neighbor")
+      .withColumn("sim_micro",
+        round(round(col("n_co").cast("double") /
+          sqrt(col("_ca").cast("double") * col("_cb")), 6) * lit(1e6), 0)
+          .cast("long"))
+    val rw = Window.partitionBy("item")
+      .orderBy(col("sim_micro").desc, col("neighbor"))
+    ranked.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("item"), col("neighbor"), col("n_co"), col("sim_micro"),
+        col("rank"))
+  }
+
   /** Cohort cumulative-value curves — [[cohortRetention]]'s revenue
     * twin: per signup cohort (first-seen day) and day offset, the
     * per-user cumulative average of `valueCol` ("how much is a January

@@ -111,6 +111,42 @@ class TransitionMatrixSpec extends SparkSpec {
   }
 }
 
+/** [[Events.coVisitation]] — CF neighbor table on planted baskets. */
+class CoVisitationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine ranks the tighter co-visit higher; support gate holds") {
+    // items 1,2 co-visited by 3 users; 1,3 by 2 of 3+1 visitors; 1,9 once
+    val df = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L),
+      (4L, 3L), (4L, 9L), (5L, 9L)).toDF("user_id", "item")
+    val out = Events.coVisitation(df, "user_id", "item",
+      minPairCount = 2L, k = 5).collect()
+    val sim = out.map(r => (r.getAs[Long]("item"), r.getAs[Long]("neighbor"))
+      -> r.getAs[Long]("sim_micro")).toMap
+    // c_12 = 3, c_1 = 3, c_2 = 3 -> cos 1.0
+    assert(sim((1L, 2L)) === 1000000L)
+    assert(sim((2L, 1L)) === 1000000L)
+    // c_13 = 2, c_1 = 3, c_3 = 3 -> 2/3
+    assert(sim((1L, 3L)) === 666667L)
+    // (3, 9) co-visited once: below minPairCount
+    assert(!sim.contains((3L, 9L)))
+    // symmetric table: every (a, b) has its (b, a)
+    assert(sim.keySet.map(_.swap) === sim.keySet)
+  }
+
+  test("the per-user cap keeps the lowest item ids deterministically") {
+    val df = (1L to 10L).map(i => (1L, i)).toDF("user_id", "item")
+    val out = Events.coVisitation(df, "user_id", "item",
+      minPairCount = 1L, k = 20, maxItemsPerUser = 3)
+    val items = out.select("item").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(items === Set(1L, 2L, 3L))
+  }
+}
+
 /** [[Events.cohortValue]] / [[Events.rfm]] — LTV curves and RFM cuts on
   * planted fixtures.
   */
