@@ -1033,8 +1033,76 @@ object QueriesAnalytics {
         |SELECT item, neighbor, n_co, sim_micro, rank
         |FROM r WHERE rank <= 5 ORDER BY item, rank""".stripMargin))
 
+  /** Lagged cross-correlation ([[graft.ops.Stats.crossCorrelation]]):
+    * error-count vs purchase-count daily series at lags 0..7. The
+    * oracle replays the lag join, exact HUGEINT accumulators, and the
+    * identical double finalization per lag.
+    */
+  val q173 = QueryDef("q173_cross_correlation", (spark, dir) => {
+    val ev = t(spark, dir, "events")
+    def daily(tp: String) = ev.filter(col("event_type") === tp)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    graft.ops.Stats.crossCorrelation(daily("error"), daily("purchase"),
+        "day", "n", maxLag = 7)
+      .orderBy("lag")
+  }, Some(
+    """WITH a AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |             AS idx, CAST(count(*) AS BIGINT) AS v
+      |           FROM events WHERE event_type = 'error' GROUP BY 1),
+      |b AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |        AS idx, CAST(count(*) AS BIGINT) AS v
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |lags AS (SELECT unnest(generate_series(0, 7)) AS lag),
+      |j AS (SELECT lag,
+      |        CAST(a.v * 10000 AS BIGINT) AS ua,
+      |        CAST(b.v * 10000 AS BIGINT) AS ub
+      |      FROM a CROSS JOIN lags JOIN b ON b.idx = a.idx + lag),
+      |g AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(ua) AS HUGEINT) AS sa, CAST(sum(ub) AS HUGEINT) AS sb,
+      |        CAST(sum(ua * ua) AS HUGEINT) AS saa,
+      |        CAST(sum(ub * ub) AS HUGEINT) AS sbb,
+      |        CAST(sum(ua * ub) AS HUGEINT) AS sab
+      |      FROM j GROUP BY lag)
+      |SELECT CAST(lag AS INT) AS lag, n,
+      |  CASE WHEN
+      |      CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) -
+      |        CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0 AND
+      |      CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) -
+      |        CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+      |    THEN CAST(round(round(
+      |      (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) -
+      |       CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) /
+      |      sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) -
+      |            CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *
+      |           (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) -
+      |            CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+      |      * 1e6, 0) AS BIGINT) END AS r_micro
+      |FROM g ORDER BY lag""".stripMargin))
+
+  /** Key-skew report ([[graft.ops.Stats.keySkewReport]]): the heaviest
+    * order keys in lineitem with shares and the table skew ratio — the
+    * pre-join salting diagnostic, hash-gated.
+    */
+  val q174 = QueryDef("q174_key_skew", (spark, dir) =>
+    graft.ops.Stats.keySkewReport(t(spark, dir, "lineitem"),
+        "l_orderkey", topN = 10)
+      .orderBy(col("n").desc, col("key")),
+    Some(
+      """WITH g AS (SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS n
+        |           FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS rws,
+        |        CAST(count(*) AS BIGINT) AS grps,
+        |        CAST(max(n) AS BIGINT) AS mx FROM g)
+        |SELECT key, n,
+        |  CAST(round(round(CAST(n AS DOUBLE) / rws, 6) * 1e6, 0) AS BIGINT)
+        |    AS share_micro,
+        |  CAST(round(round(CAST(mx AS DOUBLE) * grps / rws, 6) * 1e6, 0)
+        |    AS BIGINT) AS skew_ratio_micro
+        |FROM g, t ORDER BY n DESC, key LIMIT 10""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q142, q143, q144, q145, q146, q147,
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
     q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
-    q169, q170, q171, q172)
+    q169, q170, q171, q172, q173, q174)
 }

@@ -202,6 +202,91 @@ object Stats {
         "AS (col_a, col_b, n, r_micro)"))
   }
 
+  /** Lagged cross-correlation of two daily event series — "do error
+    * spikes precede purchase drops, and by how many days": Pearson r
+    * between series A at day d and series B at day d+lag, for each lag
+    * in [0, maxLag]. Pairs exist only for days where BOTH series have
+    * an aligned observation (missing days drop from that lag's n, the
+    * pairwise-complete rule of [[correlationMatrix]] — whose exact
+    * integer-accumulator arithmetic this reuses at the day grain, where
+    * everything is tiny).
+    *
+    * Inputs are `(dayCol: yyyy-MM-dd string, valueCol)` daily tables —
+    * [[ewmaAnomalyDaily]]'s shape, so stream-materialized counts feed
+    * straight in.
+    *
+    * Output: `(lag, n, r_micro)` for each lag, null r on zero
+    * variance.
+    */
+  def crossCorrelation(seriesA: DataFrame, seriesB: DataFrame,
+                       dayCol: String, valueCol: String,
+                       maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0: $maxLag")
+    val a = seriesA.select(
+      datediff(to_date(col(dayCol)), lit("1970-01-01")).as("_idx"),
+      col(valueCol).cast("double").as("_a"))
+    val b = seriesB.select(
+      datediff(to_date(col(dayCol)), lit("1970-01-01")).as("_bidx"),
+      col(valueCol).cast("double").as("_b"))
+    // lags ride a row-local literal-array explode (maxLag+1 rows per
+    // observation) — never a join; the only join is the lag-shifted
+    // day equi-join
+    val joined = a
+      .withColumn("lag", explode(lit((0 to maxLag).toArray)))
+      .join(b, col("_bidx") === col("_idx") + col("lag"))
+    val uA = (col("_a").cast("decimal(18,4)") * lit(10000)).cast("long")
+      .cast("decimal(19,0)")
+    val uB = (col("_b").cast("decimal(18,4)") * lit(10000)).cast("long")
+      .cast("decimal(19,0)")
+    val g = joined
+      .select(col("lag"), uA.as("_ua"), uB.as("_ub"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum("_ua").as("_sa"), sum("_ub").as("_sb"),
+        sum(col("_ua") * col("_ua")).as("_saa"),
+        sum(col("_ub") * col("_ub")).as("_sbb"),
+        sum(col("_ua") * col("_ub")).as("_sab"))
+    val n = col("n").cast("double")
+    val sa = col("_sa").cast("double"); val sb = col("_sb").cast("double")
+    val saa = col("_saa").cast("double"); val sbb = col("_sbb").cast("double")
+    val sab = col("_sab").cast("double")
+    val va = n * saa - sa * sa
+    val vb = n * sbb - sb * sb
+    g.select(col("lag"), col("n"),
+      when(va > 0 && vb > 0,
+        round(round((n * sab - sa * sb) / sqrt(va * vb), 6) * lit(1e6), 0)
+          .cast("long")).as("r_micro"))
+  }
+
+  /** Key-skew report — the pre-join diagnostic that tells you whether
+    * [[graft.ops.Skew]] salting is needed BEFORE the 100 TB shuffle
+    * stalls on one task: top-N heaviest keys with their share of the
+    * table, plus the table-level skew ratio (`max/mean` group size).
+    * One map-side-combined contraction to key grain, a TakeOrdered
+    * top-N, and a single-row total riding a broadcast.
+    *
+    * Output: `(key, n, share_micro, skew_ratio_micro)` for the top-N
+    * keys by `(n DESC, key)` — `skew_ratio_micro` (same value every
+    * row) is `n_max / mean_group_size` in micro-units.
+    */
+  def keySkewReport(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1: $topN")
+    val grouped = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val tot = grouped.agg(sum("n").as("_rows"), count(lit(1)).as("_groups"),
+      max("n").as("_max"))
+    grouped.crossJoin(broadcast(tot))
+      .withColumn("share_micro",
+        round(round(col("n").cast("double") / col("_rows"), 6) * lit(1e6), 0)
+          .cast("long"))
+      .withColumn("skew_ratio_micro",
+        round(round(col("_max").cast("double") * col("_groups") / col("_rows"), 6)
+          * lit(1e6), 0).cast("long"))
+      .select(col("key"), col("n"), col("share_micro"), col("skew_ratio_micro"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(topN)
+  }
+
   /** EWMA anomaly detection over per-key daily counts — the volume
     * monitor for an ingest stream (did `error` events triple today?).
     * Each day's count is compared against an exponentially-weighted

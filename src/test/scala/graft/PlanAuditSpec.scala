@@ -80,7 +80,8 @@ class PlanAuditSpec extends SparkSpec {
     "q161_activity_histogram", "q163_pmi_pairs", "q164_token_entropy",
     "q165_equidepth_bins", "q166_correlation_matrix",
     "q167_funnel_latency", "q168_top_paths", "q169_cohort_value",
-    "q170_rfm_segments", "q171_trending_terms", "q172_covisitation")
+    "q170_rfm_segments", "q171_trending_terms", "q172_covisitation",
+    "q173_cross_correlation", "q174_key_skew")
 
   /** Queries whose BroadcastNestedLoopJoin is RUNTIME-gated rather than
     * plan-visible: brute-force cosine top-k broadcasts the probe side

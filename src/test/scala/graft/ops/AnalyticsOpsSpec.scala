@@ -111,6 +111,46 @@ class TransitionMatrixSpec extends SparkSpec {
   }
 }
 
+/** [[Stats.crossCorrelation]] / [[Stats.keySkewReport]] — series and
+  * skew diagnostics on planted data.
+  */
+class SeriesDiagnosticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cross-correlation finds the planted lag") {
+    // B is exactly A shifted by 2 days: r at lag 2 must be 1.0
+    val aVals = Seq(5.0, 9.0, 2.0, 7.0, 4.0, 8.0, 3.0, 6.0)
+    val a = aVals.zipWithIndex.map { case (v, i) =>
+      (f"2024-01-${i + 1}%02d", v) }.toDF("day", "v")
+    val b = aVals.zipWithIndex.map { case (v, i) =>
+      (f"2024-01-${i + 3}%02d", v) }.toDF("day", "v")
+    val out = Stats.crossCorrelation(a, b, "day", "v", maxLag = 3)
+      .orderBy("lag").collect()
+    assert(out(2).getAs[Long]("r_micro") === 1000000L)
+    assert(out(2).getAs[Long]("n") === 8L)
+    // other lags align fewer, non-identical days: |r| < 1
+    assert(math.abs(out(0).getAs[Long]("r_micro")) < 1000000L)
+  }
+
+  test("zero-variance lags report null r") {
+    val a = Seq(("2024-01-01", 3.0), ("2024-01-02", 3.0)).toDF("day", "v")
+    val out = Stats.crossCorrelation(a, a, "day", "v", maxLag = 0).collect()
+    assert(out.head.isNullAt(out.head.fieldIndex("r_micro")))
+  }
+
+  test("skew report ranks heavy keys and computes the max/mean ratio") {
+    val rows = Seq.fill(8)(("hot", 1)) ++ Seq(("a", 1), ("b", 1), ("c", 1), ("d", 1))
+    val out = Stats.keySkewReport(rows.toDF("k", "x"), "k", topN = 3)
+      .collect()
+    assert(out.head.getAs[String]("key") === "hot")
+    assert(out.head.getAs[Long]("n") === 8L)
+    // 12 rows over 5 groups: mean 2.4, max 8 -> ratio 8/2.4 = 3.333333
+    assert(out.head.getAs[Long]("skew_ratio_micro") === 3333333L)
+    assert(out.head.getAs[Long]("share_micro") === 666667L)
+    assert(out.length === 3)
+  }
+}
+
 /** [[Events.coVisitation]] — CF neighbor table on planted baskets. */
 class CoVisitationSpec extends SparkSpec {
   import spark.implicits._
