@@ -1101,8 +1101,48 @@ object QueriesAnalytics {
         |    AS BIGINT) AS skew_ratio_micro
         |FROM g, t ORDER BY n DESC, key LIMIT 10""".stripMargin))
 
+  /** Fuzzy entity dedup ([[graft.ops.Dedup.dropFuzzyKeyDuplicates]]):
+    * every 5th part gets a one-character-typo twin under a shifted key;
+    * blocked levenshtein matching (prefix + length-bucket blocking,
+    * adjacent-bucket probing) must drop the twins. The oracle replays
+    * blocking, probing orientation, the edit-distance confirm, and the
+    * keep-first anti-join.
+    */
+  val q175 = QueryDef("q175_fuzzy_entity_dedup", (spark, dir) => {
+    val part = t(spark, dir, "part").select("p_partkey", "p_name")
+    val twins = part.filter(col("p_partkey") % 5 === 0)
+      .select((col("p_partkey") + 100000).as("p_partkey"),
+        concat(substring(col("p_name"), 1, 5), lit("x"),
+          substring(col("p_name"), 7, 100000)).as("p_name"))
+    graft.ops.Dedup.dropFuzzyKeyDuplicates(part.unionByName(twins),
+        "p_partkey", "p_name", maxDistance = 1)
+      .orderBy("p_partkey")
+  }, Some(
+    """WITH allp AS (SELECT p_partkey, p_name FROM part
+      |  UNION ALL
+      |  SELECT p_partkey + 100000,
+      |         substr(p_name, 1, 5) || 'x' || substr(p_name, 7)
+      |  FROM part WHERE p_partkey % 5 = 0),
+      |b AS (SELECT p_partkey AS id,
+      |        trim(regexp_replace(lower(p_name), '\s+', ' ', 'g')) AS nk
+      |      FROM allp),
+      |b2 AS (SELECT *, substr(nk, 1, 4) AS pfx,
+      |         CAST(floor(len(nk) / 2.0) AS BIGINT) AS lb FROM b),
+      |sized AS (SELECT * FROM b2
+      |          QUALIFY count(*) OVER (PARTITION BY pfx, lb) <= 10000),
+      |pairs AS (SELECT least(x.id, y.id) AS a_id,
+      |            greatest(x.id, y.id) AS b_id,
+      |            levenshtein(x.nk, y.nk) AS dist
+      |          FROM sized x JOIN sized y
+      |            ON x.pfx = y.pfx
+      |           AND ((y.lb = x.lb AND x.id < y.id) OR y.lb = x.lb + 1)),
+      |drops AS (SELECT DISTINCT b_id FROM pairs WHERE dist <= 1)
+      |SELECT p_partkey, p_name FROM allp
+      |WHERE p_partkey NOT IN (SELECT b_id FROM drops)
+      |ORDER BY p_partkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q142, q143, q144, q145, q146, q147,
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
     q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
-    q169, q170, q171, q172, q173, q174)
+    q169, q170, q171, q172, q173, q174, q175)
 }

@@ -1187,4 +1187,77 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("dist"))
   }
+
+  /** Fuzzy KEY matching — entity resolution for short strings (names,
+    * titles, SKUs), where [[jaccardPairs]]'s shingle machinery is
+    * overkill and edit distance is the right metric: candidate pairs
+    * block on `(prefix(4), length bucket of width maxDistance)` of the
+    * dedup-normalized key — an edit-distance-≤d pair can differ by at
+    * most d in length, so only ADJACENT length buckets can hold a
+    * match, and each side probes its own and the next bucket (never
+    * both directions, or pairs double) — then exact `levenshtein`
+    * confirms. A typo inside the first 4 characters escapes the block
+    * (documented recall bound — the standard blocking trade; widen
+    * with a second blocking pass on a suffix if the domain needs it).
+    *
+    * `maxBlockSize` caps pathological blocks (the [[jaccardPairs]]
+    * `maxShingleFreq` convention): blocks larger than the cap are
+    * SKIPPED deterministically, trading recall for a hard quadratic
+    * bound.
+    *
+    * Returns matched pairs `(a_id, b_id, a_key, b_key, dist)` with
+    * `a_id < b_id`.
+    */
+  def fuzzyKeyPairs(df: DataFrame, idCol: String, keyCol: String,
+                    maxDistance: Int = 2,
+                    maxBlockSize: Long = 10000L): DataFrame = {
+    require(maxDistance >= 1, s"maxDistance must be >= 1: $maxDistance")
+    val norm = graft.functions.TextFunctions.normalize(col(keyCol))
+    val base = df.select(col(idCol).as("_id"), col(keyCol).as("_key"),
+        norm.as("_nk"))
+      .withColumn("_pfx", substring(col("_nk"), 1, 4))
+      .withColumn("_lb", (length(col("_nk")) / lit(maxDistance + 1)).cast("long"))
+    val sized = base.join(
+      base.groupBy("_pfx", "_lb").agg(count(lit(1)).as("_bn")),
+      Seq("_pfx", "_lb"))
+      .filter(col("_bn") <= maxBlockSize)
+    // each row probes its own bucket and the next — one direction only
+    val probes = sized.select(col("_pfx"), col("_lb"), col("_id"),
+        col("_key"), col("_nk"))
+      .withColumn("_plb", explode(array(col("_lb"), col("_lb") + 1)))
+    // Orientation: same-bucket pairs order by id INSIDE the join (found
+    // once, via the smaller id's own-bucket probe); cross-bucket pairs
+    // are found only via the smaller BUCKET's next-probe regardless of
+    // id order — so the id constraint must not apply there, and the
+    // output re-orients by id afterwards.
+    val smaller = col("x._id") < col("y._id")
+    val cand = probes.as("x")
+      .join(sized.as("y"),
+        col("x._pfx") === col("y._pfx") && col("x._plb") === col("y._lb") &&
+          (col("x._lb") =!= col("y._lb") || smaller))
+      .select(
+        when(smaller, col("x._id")).otherwise(col("y._id")).as("a_id"),
+        when(smaller, col("y._id")).otherwise(col("x._id")).as("b_id"),
+        when(smaller, col("x._key")).otherwise(col("y._key")).as("a_key"),
+        when(smaller, col("y._key")).otherwise(col("x._key")).as("b_key"),
+        levenshtein(col("x._nk"), col("y._nk")).as("dist"))
+      .filter(col("a_id") =!= col("b_id"))
+    cand.filter(col("dist") <= maxDistance)
+      .distinct()
+  }
+
+  /** Drop fuzzy-key duplicates keep-first: every [[fuzzyKeyPairs]]
+    * match removes the larger id (transitive chains collapse onto their
+    * smallest member only if directly matched — pair-grain semantics,
+    * like [[dropExactDuplicatesAgainst]]'s delta stage; run
+    * [[connectedComponents]] over the pairs when cluster-grain
+    * collapse is wanted).
+    */
+  def dropFuzzyKeyDuplicates(df: DataFrame, idCol: String, keyCol: String,
+                             maxDistance: Int = 2,
+                             maxBlockSize: Long = 10000L): DataFrame = {
+    val drops = fuzzyKeyPairs(df, idCol, keyCol, maxDistance, maxBlockSize)
+      .select(col("b_id").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
 }

@@ -166,6 +166,47 @@ class StableIdsSpec extends SparkSpec {
   }
 }
 
+/** [[Dedup.fuzzyKeyPairs]] — blocked edit-distance entity matching. */
+class FuzzyKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("typos match; different names don't; prefix blocking bound holds") {
+    val df = Seq(
+      (1L, "acme widgets inc"),
+      (2L, "acme widgetz inc"),     // 1 substitution
+      (3L, "acme widgets incorp"),  // 4 inserts: beyond distance 2
+      (4L, "zcme widgets inc"))     // typo INSIDE the 4-char prefix: blocked away
+      .toDF("id", "name")
+    val pairs = Dedup.fuzzyKeyPairs(df, "id", "name", maxDistance = 2)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("adjacent length buckets pair regardless of which side has the smaller id") {
+    // maxDistance 1 -> bucket width 2. "abcdefgh" (len 8, bucket 4) and
+    // "abcdefghi" (len 9, bucket 4)... force a boundary: len 9 vs len 10
+    // (buckets 4 and 5). Give the LARGER bucket the SMALLER id — the
+    // case the one-directional probe must still find.
+    val df = Seq(
+      (1L, "abcdefghij"),  // len 10, bucket 5, smaller id
+      (2L, "abcdefghi"))   // len 9, bucket 4
+      .toDF("id", "name")
+    val pairs = Dedup.fuzzyKeyPairs(df, "id", "name", maxDistance = 1)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("oversized blocks are skipped deterministically; keep-first drops larger ids") {
+    val crowd = (1L to 30L).map(i => (i, "same name"))
+    val out = Dedup.fuzzyKeyPairs(crowd.toDF("id", "name"), "id", "name",
+      maxDistance = 1, maxBlockSize = 10L)
+    assert(out.count() === 0L) // block of 30 > cap: skipped, not exploded
+    val ok = Dedup.dropFuzzyKeyDuplicates(crowd.toDF("id", "name"),
+      "id", "name", maxDistance = 1, maxBlockSize = 100L)
+    assert(ok.collect().map(_.getAs[Long]("id")).toSeq === Seq(1L))
+  }
+}
+
 /** [[Search.hardNegatives]] — the lexical-close/semantic-far flag. */
 class HardNegativesSpec extends SparkSpec {
   import spark.implicits._
