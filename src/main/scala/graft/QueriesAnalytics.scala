@@ -1141,8 +1141,76 @@ object QueriesAnalytics {
       |WHERE p_partkey NOT IN (SELECT b_id FROM drops)
       |ORDER BY p_partkey""".stripMargin))
 
+  /** Weekday-seasonal volume anomaly ([[graft.ops.Stats
+    * .ewmaAnomalyDaily]] at stride 7, horizon 21): a Monday is judged
+    * only against prior Mondays — the weekly-rhythm-aware variant of
+    * q144. The oracle replays the strided lag set and stride-step
+    * weights.
+    */
+  val q176 = QueryDef("q176_weekday_anomaly", (spark, dir) =>
+    graft.ops.Stats.ewmaAnomalyDaily(
+        t(spark, dir, "events")
+          .groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n")),
+        "event_type", "day", "n",
+        horizonDays = 21, ratio = 2L, strideDays = 7)
+      .orderBy("event_type", "day"),
+    Some(
+      """WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |                 CAST(count(*) AS BIGINT) AS n
+        |               FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT *, date_diff('day', DATE '1970-01-01', CAST(day AS DATE))
+        |         AS idx FROM daily),
+        |j AS (SELECT c.event_type, c.day, c.n,
+        |        CAST(sum(p.n * (1::BIGINT << (3 - (c.idx - p.idx) // 7)))
+        |          AS BIGINT) AS wsum,
+        |        CAST(sum(1::BIGINT << (3 - (c.idx - p.idx) // 7)) AS BIGINT)
+        |          AS wtot
+        |      FROM d2 c LEFT JOIN d2 p
+        |        ON p.event_type = c.event_type
+        |       AND p.idx >= c.idx - 21 AND p.idx <= c.idx - 1
+        |       AND (c.idx - p.idx) % 7 = 0
+        |      GROUP BY c.event_type, c.day, c.n),
+        |fin AS (SELECT event_type, day, n,
+        |          CAST(round(round(CAST(wsum AS DOUBLE) / wtot, 6) * 1e6, 0)
+        |            AS BIGINT) AS pred_micro
+        |        FROM j)
+        |SELECT event_type, day, n, pred_micro,
+        |  coalesce(n * 1000000 > 2 * pred_micro, FALSE) AS is_anomaly
+        |FROM fin ORDER BY event_type, day""".stripMargin))
+
+  /** Referential integrity ([[graft.ops.Checks.referentialIntegrity]]):
+    * lineitem→orders is clean in the corpus, so orphans are PLANTED
+    * (every %13 lineitem re-pointed past the key space) — the audit
+    * must count exactly them.
+    */
+  val q177 = QueryDef("q177_referential_integrity", (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+      .withColumn("l_orderkey",
+        when(col("l_linenumber") % 13 === 0, col("l_orderkey") + 90000000L)
+          .otherwise(col("l_orderkey")))
+    graft.ops.Checks.referentialIntegrity(li, t(spark, dir, "orders"),
+      "l_orderkey", "o_orderkey")
+  }, Some(
+    """WITH li AS (SELECT CASE WHEN l_linenumber % 13 = 0
+      |                        THEN l_orderkey + 90000000
+      |                        ELSE l_orderkey END AS k
+      |            FROM lineitem),
+      |ck AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY k),
+      |pk AS (SELECT DISTINCT o_orderkey AS k, 1 AS hit FROM orders),
+      |j AS (SELECT ck.n, pk.hit FROM ck LEFT JOIN pk USING (k))
+      |SELECT CAST(sum(n) AS BIGINT) AS n_child,
+      |  CAST(count(*) AS BIGINT) AS n_child_keys,
+      |  CAST(coalesce(sum(n) FILTER (hit IS NULL), 0) AS BIGINT) AS n_orphans,
+      |  CAST(count(*) FILTER (hit IS NULL) AS BIGINT) AS n_orphan_keys,
+      |  CAST(round(round(CAST(coalesce(sum(n) FILTER (hit IS NULL), 0)
+      |    AS DOUBLE) / sum(n), 6) * 1e6, 0) AS BIGINT) AS orphan_rate_micro,
+      |  coalesce(sum(n) FILTER (hit IS NULL), 0) = 0 AS ok
+      |FROM j""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q142, q143, q144, q145, q146, q147,
     q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
     q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
-    q169, q170, q171, q172, q173, q174, q175)
+    q169, q170, q171, q172, q173, q174, q175, q176, q177)
 }

@@ -140,6 +140,34 @@ object Checks {
       .withColumn("k_anonymous", col("min_group_size") >= k)
   }
 
+  /** Referential-integrity audit: how many child rows point at a parent
+    * key that does not exist (the FK check a lakehouse has no engine to
+    * enforce). One left-anti-style aggregate: children contract to
+    * (key, n) first — the join then moves one row per DISTINCT key,
+    * never the child table — and parents prune to their key column.
+    *
+    * Output one row: `(n_child, n_child_keys, n_orphans,
+    * n_orphan_keys, orphan_rate_micro, ok)`. Null child keys count as
+    * orphans (they reference nothing).
+    */
+  def referentialIntegrity(child: DataFrame, parent: DataFrame,
+                           childKey: String, parentKey: String): DataFrame = {
+    val ckeys = child.groupBy(col(childKey).as("_k"))
+      .agg(count(lit(1)).as("_n"))
+    val pkeys = parent.select(col(parentKey).as("_k")).distinct()
+      .withColumn("_hit", lit(1))
+    ckeys.join(pkeys, Seq("_k"), "left")
+      .agg(sum("_n").as("n_child"),
+        count(lit(1)).as("n_child_keys"),
+        sum(when(col("_hit").isNull, col("_n")).otherwise(0L)).as("n_orphans"),
+        sum(when(col("_hit").isNull, 1L).otherwise(0L)).as("n_orphan_keys"))
+      .select(col("n_child"), col("n_child_keys"), col("n_orphans"),
+        col("n_orphan_keys"),
+        round(round(col("n_orphans").cast("double") / col("n_child"), 6)
+          * lit(1e6), 0).cast("long").as("orphan_rate_micro"),
+        (col("n_orphans") === 0L).as("ok"))
+  }
+
   /** L-diversity audit — [[kAnonymity]]'s companion (Machanavajjhala et
     * al. 2007): group size alone doesn't protect a release if every row
     * in a quasi-identifier group shares one sensitive value

@@ -331,21 +331,32 @@ object Stats {
     */
   def ewmaAnomalyDaily(dailyCounts: DataFrame, keyCol: String,
                        dayCol: String, nCol: String,
-                       horizonDays: Int = 20, ratio: Long = 2L): DataFrame = {
+                       horizonDays: Int = 20, ratio: Long = 2L,
+                       strideDays: Int = 1): DataFrame = {
     require(horizonDays >= 1 && horizonDays <= 62,
       s"horizonDays must be in [1, 62]: $horizonDays")
     require(ratio >= 1L, s"ratio must be >= 1: $ratio")
+    require(strideDays >= 1 && horizonDays % strideDays == 0,
+      s"strideDays must divide horizonDays: $strideDays / $horizonDays")
+    // strideDays = 7 gives the SEASONAL variant: a Monday is judged
+    // only against prior Mondays (weekday-matched lags 7, 14, ...),
+    // which un-flags ordinary weekly rhythm that the stride-1 monitor
+    // would read as anomalies. Weight exponent counts STRIDE STEPS, so
+    // the half-life is one stride.
     val daily = dailyCounts
       .select(col(keyCol), col(dayCol).as("day"), col(nCol).cast("long").as("n"))
       .withColumn("_idx", datediff(to_date(col("day")), lit("1970-01-01")))
     val cur = daily.select(col(keyCol).as("_k"), col("day"), col("n"), col("_idx"))
     val prior = daily.select(col(keyCol).as("_pk"), col("n").as("_pn"),
       col("_idx").as("_pidx"))
+    val steps = horizonDays / strideDays
     cur.join(prior,
         col("_k") === col("_pk") &&
           col("_pidx") >= col("_idx") - horizonDays &&
-          col("_pidx") <= col("_idx") - 1, "left")
-      .withColumn("_w", expr(s"shiftleft(1L, $horizonDays - (_idx - _pidx))"))
+          col("_pidx") <= col("_idx") - 1 &&
+          (col("_idx") - col("_pidx")) % strideDays === 0, "left")
+      .withColumn("_w",
+        expr(s"shiftleft(1L, $steps - (_idx - _pidx) div $strideDays)"))
       .groupBy(col("_k"), col("day"), col("n"))
       .agg(sum(col("_pn") * col("_w")).as("_wsum"), sum(col("_w")).as("_wtot"))
       .withColumn("pred_micro",

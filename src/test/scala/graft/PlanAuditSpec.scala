@@ -81,7 +81,8 @@ class PlanAuditSpec extends SparkSpec {
     "q165_equidepth_bins", "q166_correlation_matrix",
     "q167_funnel_latency", "q168_top_paths", "q169_cohort_value",
     "q170_rfm_segments", "q171_trending_terms", "q172_covisitation",
-    "q173_cross_correlation", "q174_key_skew", "q175_fuzzy_entity_dedup")
+    "q173_cross_correlation", "q174_key_skew", "q175_fuzzy_entity_dedup",
+    "q176_weekday_anomaly", "q177_referential_integrity")
 
   /** Queries whose BroadcastNestedLoopJoin is RUNTIME-gated rather than
     * plan-visible: brute-force cosine top-k broadcasts the probe side

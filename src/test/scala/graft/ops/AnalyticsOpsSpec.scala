@@ -480,6 +480,36 @@ class EwmaAnomalySpec extends SparkSpec {
     assert(out(2).getAs[Boolean]("is_anomaly")) // 9 > 4
   }
 
+  test("stride 7 judges a weekday only against prior same-weekdays") {
+    // Mondays at 4; a Wednesday burst of 40 must not pollute Monday's
+    // baseline; next Monday at 9 flags vs pred 4
+    val rows = Seq.fill(4)(("2024-01-01", "w")) ++      // Mon
+      Seq.fill(40)(("2024-01-03", "w")) ++              // Wed burst
+      Seq.fill(9)(("2024-01-08", "w"))                  // next Mon
+    val out = Stats.ewmaAnomalyDaily(
+      ev(rows: _*).groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n")),
+      "event_type", "day", "n", horizonDays = 21, ratio = 2L,
+      strideDays = 7).orderBy("day").collect()
+    val mon2 = out.find(_.getAs[String]("day") == "2024-01-08").get
+    assert(mon2.getAs[Long]("pred_micro") === 4000000L) // Wed burst excluded
+    assert(mon2.getAs[Boolean]("is_anomaly"))           // 9 > 8
+    val wed = out.find(_.getAs[String]("day") == "2024-01-03").get
+    assert(wed.isNullAt(wed.fieldIndex("pred_micro")))  // no prior Wednesday
+  }
+
+  test("referentialIntegrity counts planted orphans exactly") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(1L, 1L, 2L, 99L, 99L, 98L).toDF("fk")
+    val r = Checks.referentialIntegrity(child, parent, "fk", "pk").head()
+    assert(r.getAs[Long]("n_child") === 6L)
+    assert(r.getAs[Long]("n_orphans") === 3L)
+    assert(r.getAs[Long]("n_orphan_keys") === 2L)
+    assert(r.getAs[Long]("orphan_rate_micro") === 500000L)
+    assert(!r.getAs[Boolean]("ok"))
+  }
+
   test("beyond-horizon history is ignored") {
     val rows = Seq.fill(100)(("2024-01-01", "d")) ++  // 25 days before: out of horizon
       Seq.fill(3)(("2024-01-26", "d")) ++
