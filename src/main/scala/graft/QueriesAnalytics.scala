@@ -1123,22 +1123,24 @@ object QueriesAnalytics {
       |  SELECT p_partkey + 100000,
       |         substr(p_name, 1, 5) || 'x' || substr(p_name, 7)
       |  FROM part WHERE p_partkey % 5 = 0),
-      |b AS (SELECT p_partkey AS id,
+      |b AS (SELECT p_partkey AS id, p_name,
       |        trim(regexp_replace(lower(p_name), '\s+', ' ', 'g')) AS nk
       |      FROM allp),
-      |b2 AS (SELECT *, substr(nk, 1, 4) AS pfx,
-      |         CAST(floor(len(nk) / 2.0) AS BIGINT) AS lb FROM b),
-      |sized AS (SELECT * FROM b2
+      |reps AS (SELECT nk, min(id) AS rid FROM b GROUP BY nk),
+      |r2 AS (SELECT nk, rid, substr(nk, 1, 4) AS pfx,
+      |         CAST(floor(len(nk) / 2.0) AS BIGINT) AS lb FROM reps),
+      |sized AS (SELECT * FROM r2
       |          QUALIFY count(*) OVER (PARTITION BY pfx, lb) <= 10000),
-      |pairs AS (SELECT least(x.id, y.id) AS a_id,
-      |            greatest(x.id, y.id) AS b_id,
+      |pairs AS (SELECT least(x.rid, y.rid) AS a_id,
+      |            greatest(x.rid, y.rid) AS b_id,
       |            levenshtein(x.nk, y.nk) AS dist
       |          FROM sized x JOIN sized y
       |            ON x.pfx = y.pfx
-      |           AND ((y.lb = x.lb AND x.id < y.id) OR y.lb = x.lb + 1)),
+      |           AND ((y.lb = x.lb AND x.rid < y.rid) OR y.lb = x.lb + 1)),
       |drops AS (SELECT DISTINCT b_id FROM pairs WHERE dist <= 1)
-      |SELECT p_partkey, p_name FROM allp
-      |WHERE p_partkey NOT IN (SELECT b_id FROM drops)
+      |SELECT b.id AS p_partkey, b.p_name FROM b JOIN reps ON reps.nk = b.nk
+      |WHERE b.id = reps.rid
+      |  AND reps.rid NOT IN (SELECT b_id FROM drops)
       |ORDER BY p_partkey""".stripMargin))
 
   /** Weekday-seasonal volume anomaly ([[graft.ops.Stats
