@@ -216,7 +216,7 @@ object Checks {
                 asOf: String, maxLagSeconds: Long): DataFrame = {
     require(maxLagSeconds >= 0, s"maxLagSeconds must be >= 0: $maxLagSeconds")
     df.groupBy(col(groupCol).as("grp"))
-      .agg(max(unix_micros(col(tsCol))).as("_max_us"))
+      .agg(max(unix_micros(col(tsCol).cast("timestamp"))).as("_max_us"))
       .withColumn("_asof_us", unix_micros(to_timestamp(lit(asOf))))
       .select(col("grp"),
         date_format(timestamp_micros(col("_max_us")),

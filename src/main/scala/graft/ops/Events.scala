@@ -54,7 +54,7 @@ object Events {
                  gapSeconds: Long = 1800L): DataFrame = {
     val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val us = unix_micros(col(tsCol))
+    val us = unix_micros(col(tsCol).cast("timestamp"))
     val gapUs = gapSeconds * 1000000L
     events
       .withColumn("_us", us)
@@ -115,7 +115,7 @@ object Events {
     require(steps.nonEmpty, "funnel needs at least one step")
     val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val us = unix_micros(col(tsCol))
+    val us = unix_micros(col(tsCol).cast("timestamp"))
     var df = events.withColumn("_us", us)
     steps.zipWithIndex.foreach { case (step, i) =>
       val qualifies =
@@ -480,9 +480,9 @@ object Events {
       .filter(col(typeCol).isin((conversionType +: touchTypes).map(x => x: Any): _*))
       .withColumn("_rn", row_number().over(desc0))
       .withColumn("_conv_rn", max(when(isConv, col("_rn"))).over(desc))
-      .withColumn("_conv_us", min(when(isConv, unix_micros(col(tsCol)))).over(desc))
+      .withColumn("_conv_us", min(when(isConv, unix_micros(col(tsCol).cast("timestamp")))).over(desc))
       .filter(!isConv && col("_conv_rn").isNotNull &&
-        col("_conv_us") - unix_micros(col(tsCol)) <= lookbackSeconds * 1000000L)
+        col("_conv_us") - unix_micros(col(tsCol).cast("timestamp")) <= lookbackSeconds * 1000000L)
 
     val grp = Window.partitionBy(userCol, "_conv_rn")
     val grpAsc = grp.orderBy(col(tsCol), col(idCol))
@@ -531,8 +531,8 @@ object Events {
                       endCol: String): DataFrame = {
     val deltas = intervals
       .select(explode(array(
-        struct(unix_micros(col(startCol)).as("_us"), lit(1L).as("_d")),
-        struct((unix_micros(col(endCol)) + 1L).as("_us"), lit(-1L).as("_d"))
+        struct(unix_micros(col(startCol).cast("timestamp")).as("_us"), lit(1L).as("_d")),
+        struct((unix_micros(col(endCol).cast("timestamp")) + 1L).as("_us"), lit(-1L).as("_d"))
       )).as("_e"))
       .select(col("_e._us").as("_us"), col("_e._d").as("_d"))
       .groupBy("_us").agg(sum("_d").as("_d"))
@@ -579,7 +579,7 @@ object Events {
     require(steps.distinct.size == steps.size, "duplicate funnel steps")
     val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val us = unix_micros(col(tsCol))
+    val us = unix_micros(col(tsCol).cast("timestamp"))
     var df = events.withColumn("_us", us)
     steps.zipWithIndex.foreach { case (step, i) =>
       val cond =
@@ -622,7 +622,7 @@ object Events {
     require(k >= 1, s"k must be >= 1: $k")
     val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val us = unix_micros(col(tsCol))
+    val us = unix_micros(col(tsCol).cast("timestamp"))
     events
       .withColumn("_us", us)
       .withColumn("_gap", col("_us") - lag(col("_us"), 1).over(w))
