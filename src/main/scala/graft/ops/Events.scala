@@ -277,7 +277,7 @@ object Events {
     * `maxItemsPerUser` caps the quadratic per-user pair blowup (the
     * [[graft.ops.Dedup]] `maxBandFreq` convention — a power user's
     * 10^4 items would otherwise mint 10^8 pairs; the cap keeps each
-    * item's LOWEST-id items, deterministically, and is plan-pushed as
+    * USER's lowest-id items, deterministically, and is plan-pushed as
     * a WindowGroupLimit). Item totals broadcast back; per-item rank is
     * a WindowGroupLimit top-k.
     *
@@ -384,26 +384,41 @@ object Events {
     * (most recent / most frequent / highest value).
     *
     * One contraction to user grain, three single-row percentile
-    * aggregates broadcast back, row-local scoring.
+    * aggregates broadcast back, row-local scoring. With `exact = true`
+    * (default) the edges come from Spark's exact `percentile` — one
+    * buffer holding the full per-user value multiset, fine to ~10^8
+    * users, a scale-killer past that; `exact = false` switches to
+    * `approx_percentile` (GK sketch, mergeable, bounded memory,
+    * ±`1/accuracy` rank error at the 4 cut points — the q126
+    * convention) and the segment labels stop being engine-replayable.
     *
     * Output: `(userCol, recency_days, frequency, monetary, r_score,
     * f_score, m_score, segment)` where `segment` is the "RFM" digit
     * string.
     */
   def rfm(events: DataFrame, userCol: String, tsCol: String,
-          valueCol: String, asOf: String): DataFrame = {
+          valueCol: String, asOf: String,
+          exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     val perUser = events
       .groupBy(col(userCol))
       .agg(
-        expr(s"(unix_micros(to_timestamp('$asOf')) - max(unix_micros($tsCol)))" +
+        // CAST first: unix_micros rejects TIMESTAMP_NTZ, which is what a
+        // raw micros events parquet reads as without Tables.load — value-
+        // preserving under the pinned UTC session (CLAUDE.md invariant).
+        expr(s"(unix_micros(to_timestamp('$asOf')) - " +
+          s"max(unix_micros(CAST($tsCol AS TIMESTAMP))))" +
           " div 86400000000").as("recency_days"),
         count(lit(1)).as("frequency"),
         sum((col(valueCol).cast("decimal(18,4)") * lit(10000)).cast("long"))
           .as("_m_u"))
       .withColumn("monetary", round(col("_m_u").cast("double") / lit(1e4), 2))
+    val pct =
+      if (exact) (c: String) => s"percentile($c, array(0.2, 0.4, 0.6, 0.8))"
+      else (c: String) =>
+        s"approx_percentile($c, array(0.2, 0.4, 0.6, 0.8), $accuracy)"
     def edges(c: String) =
       perUser.agg(expr(
-        s"transform(percentile($c, array(0.2, 0.4, 0.6, 0.8)), x -> round(x, 4))")
+        s"transform(${pct(c)}, x -> round(x, 4))")
         .as(s"_e_$c"))
     def score(c: String, reversed: Boolean): Column = {
       // quintile index via the strict-greater edge count (ties go low)
@@ -564,17 +579,23 @@ object Events {
     *
     * One Window stage computes every chained minimum (all expressions
     * share the `(user, ts, id)` spec), one per-user contraction, then a
-    * tiny long-form per-step aggregate. Latencies are exact
-    * microsecond integers; `mean_s` is an order-free integer-sum mean
-    * and p50/p90 are exact interpolated percentiles over integer
-    * microseconds, all rounded to 4-decimal seconds.
+    * tiny long-form per-step aggregate (an explode of literal structs —
+    * pure Column API, so step names are data, never SQL text, and any
+    * charset is safe). Latencies are exact microsecond integers;
+    * `mean_s` is an order-free integer-sum mean and p50/p90 are exact
+    * interpolated percentiles over integer microseconds, all rounded to
+    * 4-decimal seconds. With `exact = false` the p50/p90 switch to
+    * `approx_percentile` (GK sketch, mergeable, bounded memory — the
+    * q126 convention) for corpora whose per-step user counts outgrow a
+    * single exact-percentile buffer (~10^8).
     *
     * Output: `(step_idx, step, n_users, mean_s, p50_s, p90_s)` for
     * steps 2..n.
     */
   def funnelLatency(events: DataFrame, userCol: String, tsCol: String,
                     idCol: String, typeCol: String,
-                    steps: Seq[String]): DataFrame = {
+                    steps: Seq[String],
+                    exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     require(steps.size >= 2, "funnelLatency needs at least two steps")
     require(steps.distinct.size == steps.size, "duplicate funnel steps")
     val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
@@ -590,18 +611,24 @@ object Events {
     val perUser = df.groupBy(col(userCol))
       .agg(min(col("_m0")).as("_t0"),
         steps.indices.tail.map(i => min(col(s"_m$i")).as(s"_t$i")): _*)
-    val stacked = steps.indices.tail.map(i =>
-      s"${i + 1}L, '${steps(i)}', _t$i - _t0").mkString(", ")
+    val rows = steps.indices.tail.map(i => struct(
+      lit((i + 1).toLong).as("step_idx"),
+      lit(steps(i)).as("step"),
+      (col(s"_t$i") - col("_t0")).as("_lat")))
+    def pct(p: String) =
+      if (exact) expr(s"percentile(_lat, $p)")
+      else expr(s"approx_percentile(_lat, $p, $accuracy)").cast("double")
     perUser
-      .select(expr(s"stack(${steps.size - 1}, $stacked) " +
-        "AS (step_idx, step, _lat)"))
+      .select(explode(array(rows: _*)).as("_s"))
+      .select(col("_s.step_idx").as("step_idx"), col("_s.step").as("step"),
+        col("_s._lat").as("_lat"))
       .filter(col("_lat").isNotNull)
       .groupBy("step_idx", "step")
       .agg(count(lit(1)).as("n_users"),
         round(sum("_lat").cast("double") / count(lit(1)) / lit(1e6), 4)
           .as("mean_s"),
-        round(expr("percentile(_lat, 0.5)") / lit(1e6), 4).as("p50_s"),
-        round(expr("percentile(_lat, 0.9)") / lit(1e6), 4).as("p90_s"))
+        round(pct("0.5") / lit(1e6), 4).as("p50_s"),
+        round(pct("0.9") / lit(1e6), 4).as("p90_s"))
   }
 
   /** Top-k most-travelled session paths: events sessionize (gap rule,

@@ -175,9 +175,12 @@ object Search {
   def loadBm25Index(spark: SparkSession, name: String): Bm25Index = {
     val m = spark.table(s"${name}_meta").head()
     val idx = Bm25Index(name, m.getAs[Int]("num_buckets"))
-    val catalogNb = spark.sql(s"DESCRIBE EXTENDED ${idx.postingsTable}")
-      .collect().find(_.getString(0) == "Num Buckets")
-      .map(_.getString(1).trim.toInt)
+    // read the bucket spec through the catalog API, not DESCRIBE text
+    // parsing (output format is not a stable contract across versions)
+    val catalogNb = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        idx.postingsTable))
+      .bucketSpec.map(_.numBuckets)
       .getOrElse(sys.error(s"${idx.postingsTable} exists but is not " +
         "bucketed — not a writeBm25Index table"))
     require(catalogNb == idx.numBuckets,

@@ -113,19 +113,29 @@ object Stats {
     * feature-binning primitive (score → decile) next to [[histogram]]'s
     * fixed-width buckets.
     *
-    * Scale shape: one exact-percentile aggregate (single row,
-    * broadcast back), one bounded-key contraction. Swap in
-    * `approx_percentile` upstream when the exact sort-based percentile
-    * is too heavy for the column's scale.
+    * Scale shape: one single-row percentile aggregate (broadcast
+    * back), one bounded-key contraction. With `exact = true` (the
+    * default — engine-replayable edges, the validation-scale choice)
+    * Spark's `percentile` materializes the full value multiset in one
+    * aggregation buffer — fine to ~10^8 rows, an executor-memory
+    * scale-killer past that. Pass `exact = false` for
+    * `approx_percentile` (GK sketch: mergeable, bounded memory,
+    * ±`1/accuracy` rank error) — the q126 [[graft.ops.TextAnalysis
+    * .perplexityBuckets]] switch, same trade.
     *
     * Output: one row per non-empty bucket,
     * `(bucket, n, lo_v, hi_v)` with observed min/max rounded to 4.
     */
-  def equiDepthBins(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+  def equiDepthBins(df: DataFrame, valueCol: String, bins: Int,
+                    exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     require(bins >= 2, s"bins must be >= 2: $bins")
     val ps = (1 until bins).map(i => i.toDouble / bins)
+    val pctFn = if (exact) "percentile"
+                else s"approx_percentile"
+    val pctArgs = if (exact) "" else s", $accuracy"
     val edges = df.filter(col(valueCol).isNotNull)
-      .agg(expr(s"percentile($valueCol, array(${ps.mkString(", ")}))").as("_e"))
+      .agg(expr(s"$pctFn($valueCol, array(${ps.mkString(", ")})$pctArgs)")
+        .as("_e"))
       .select(transform(col("_e"), e => round(e, 4)).as("_e"))
     df.filter(col(valueCol).isNotNull)
       .crossJoin(broadcast(edges))

@@ -232,6 +232,18 @@ class CohortValueRfmSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("recency_days")).toSeq ===
       Seq(9L, 8L, 7L, 6L, 5L))
   }
+
+  test("rfm analyzes over a raw TIMESTAMP_NTZ ts (no Tables.load)") {
+    // unix_micros rejects TIMESTAMP_NTZ — the recency expr must CAST
+    // first, like every other Events unix_micros site (commit 592a630's
+    // invariant; this op was the one site missed)
+    val df = ev((1L, "2024-01-01 10:00:00", 1L, 10.0))
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val out = Events.rfm(df, "user_id", "ts", "value",
+        asOf = "2024-01-31 00:00:00").collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("recency_days") === 29L)
+  }
 }
 
 /** [[Events.funnelLatency]] / [[Events.topPaths]] — latency chain and
