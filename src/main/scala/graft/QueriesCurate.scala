@@ -583,22 +583,28 @@ object QueriesCurate {
         |WHERE rank <= 10
         |ORDER BY source, rank""".stripMargin))
 
-  /** Index vacuum ([[graft.ops.Dedup.vacuumNearDupIndex]]) — GDPR on
-    * the PERSISTED near-dup index: q86's corpus index is built, then
-    * every corpus doc the delta near-duplicates (doc_id % 20 = 0) is
-    * forgotten, then the q70 delta ingests. The oracle is q70's
-    * recursive replay with those docs EXCLUDED from the corpus — the
-    * planted near-dups that q86 rejects must now be ACCEPTED, or the
-    * vacuum left ghost shingles behind.
+  /** Index vacuum + compact ([[graft.ops.Dedup.vacuumNearDupIndex]] /
+    * [[graft.ops.Dedup.compactNearDupIndex]]) — GDPR on the PERSISTED
+    * near-dup index: q86's corpus index is built, every corpus doc the
+    * delta near-duplicates (doc_id % 20 = 0) is forgotten (a tombstone
+    * append — ~deleted-ids write cost, zero index-file rewrites), the
+    * physical scrub compacts the tombstones away, then the q70 delta
+    * ingests. The oracle is q70's recursive replay with those docs
+    * EXCLUDED from the corpus — the planted near-dups that q86 rejects
+    * must now be ACCEPTED, or the vacuum/compact left ghost shingles
+    * behind. The tombstone-only lane (no compact) gates separately as
+    * q178.
     */
   val q140 = QueryDef("q140_index_vacuum", (spark, dir) => {
     val (corpus, delta) = QueriesText.q70Corpus(spark, dir)
-    Seq("_shingles", "_buckets", "_meta", "_shingles_vac", "_buckets_vac")
+    Seq("_shingles", "_buckets", "_meta", "_shingles_vac", "_buckets_vac",
+      "_tombstones")
       .foreach(s => spark.sql(s"DROP TABLE IF EXISTS q140idx$s"))
     val idx = graft.ops.Dedup.writeNearDupIndex(corpus, "doc_id", "text",
       "q140idx", numBuckets = 8)
     graft.ops.Dedup.vacuumNearDupIndex(spark, "q140idx",
       corpus.filter(col("doc_id") % 20 === 0).select("doc_id"))
+    graft.ops.Dedup.compactNearDupIndex(spark, "q140idx")
     graft.ops.Dedup.dropNearDuplicatesAgainst(idx, delta, "doc_id",
         "text", threshold = 0.8, maxBandFreq = None,
         appendAccepted = false)

@@ -29,6 +29,7 @@ final case class NearDupIndex(name: String, n: Int, numHashes: Int,
   def shinglesTable: String = s"${name}_shingles"
   def bucketsTable: String = s"${name}_buckets"
   def metaTable: String = s"${name}_meta"
+  def tombstonesTable: String = s"${name}_tombstones"
 }
 
 /** Handle to a persisted EXACT-dedup fingerprint index — one catalog
@@ -552,26 +553,42 @@ object Dedup {
     idx
   }
 
-  /** Forget documents FROM the persisted index — the [[graft.core.io
-    * .Maintenance.deleteMatching]] counterpart for the near-dup tables:
-    * a GDPR delete that scrubs the corpus but leaves the index holding
-    * the forgotten docs' shingles would keep REJECTING future
-    * near-duplicates of deleted content (and keep the content's
-    * signature derivable). Each table is rewritten as a staged
-    * `_vac` table then swapped via catalog rename (bucketed tables
-    * cannot be file-pruned like plain parquet: bucket-file naming IS the
-    * zero-exchange contract, so the rewrite goes through the bucketed
-    * writer wholesale). Crash healing runs first: a `_vac` with its
-    * original missing rolls FORWARD (rename), with the original present
-    * rolls BACK (drop) — mirroring deleteMatching's manifest protocol
-    * at catalog grain.
-    *
-    * Returns the number of indexed docs removed. Ingest semantics after
-    * a vacuum are spec-pinned: a re-submitted near-duplicate of a
-    * forgotten doc is ACCEPTED again.
+  /** The tombstone id set hiding forgotten docs from every index read,
+    * or None when no vacuum has ever run (zero overhead on a
+    * never-vacuumed index).
     */
-  def vacuumNearDupIndex(spark: org.apache.spark.sql.SparkSession,
-                         name: String, ids: DataFrame): Long = {
+  private def tombstones(spark: org.apache.spark.sql.SparkSession,
+                         idx: NearDupIndex): Option[DataFrame] =
+    if (spark.catalog.tableExists(idx.tombstonesTable))
+      Some(spark.table(idx.tombstonesTable))
+    else None
+
+  /** An index table with tombstoned docs filtered out — the canonical
+    * read for every pairing/verification path. The filter is a BROADCAST
+    * anti-join (the tombstone set is the forget backlog, bounded by
+    * [[compactNearDupIndex]] cadence), and a broadcast hash join
+    * preserves the streamed side's output partitioning — so the
+    * zero-exchange co-bucketed pairing contract survives a vacuum
+    * (spec-asserted in NearDupIndexSpec).
+    */
+  private def visibleRows(spark: org.apache.spark.sql.SparkSession,
+                          idx: NearDupIndex, table: String): DataFrame = {
+    val t = spark.table(table)
+    tombstones(spark, idx) match {
+      case Some(ts) =>
+        t.join(broadcast(ts.select(col("doc_id").as("_ts_doc_id"))),
+          t("doc_id") === col("_ts_doc_id"), "left_anti")
+      case None => t
+    }
+  }
+
+  /** Heal a [[compactNearDupIndex]] crashed between swap steps: a `_vac`
+    * with its original missing rolls FORWARD (rename), with the original
+    * present rolls BACK (drop) — mirroring [[graft.core.io.Maintenance
+    * .deleteMatching]]'s manifest protocol at catalog grain.
+    */
+  private def healVacuumStaging(spark: org.apache.spark.sql.SparkSession,
+                                name: String): Unit = {
     def heal(table: String): Unit = {
       val vac = s"${table}_vac"
       if (spark.catalog.tableExists(vac)) {
@@ -581,21 +598,91 @@ object Dedup {
       }
     }
     Seq(s"${name}_shingles", s"${name}_buckets").foreach(heal)
+  }
+
+  /** Forget documents FROM the persisted index — the [[graft.core.io
+    * .Maintenance.deleteMatching]] counterpart for the near-dup tables:
+    * a GDPR delete that scrubs the corpus but leaves the index holding
+    * the forgotten docs' shingles would keep REJECTING future
+    * near-duplicates of deleted content (and keep the content's
+    * signature derivable).
+    *
+    * TOMBSTONE protocol (the Delta-Lake deletion-vector discipline,
+    * adapted to catalog grain): the forget ids APPEND to a small
+    * `<name>_tombstones` table and every index read anti-joins it
+    * (broadcast — no exchange added), so the vacuum WRITE cost is
+    * ~deleted-ids, never an index rewrite. Bucketed tables cannot be
+    * file-pruned like plain parquet (bucket-file naming IS the
+    * zero-exchange contract), so eager physical deletion would force a
+    * wholesale rewrite per forget — at 100 TB that made every GDPR
+    * request an index rebuild. Instead the physical scrub batches into
+    * [[compactNearDupIndex]], run inside the compliance window; until
+    * then forgotten docs are logically invisible (their near-dups are
+    * ACCEPTED again — spec-pinned) while their bytes await compaction.
+    * The membership count reads one doc_id column of the shingle table
+    * (columnar scan, no rewrite).
+    *
+    * Returns the number of VISIBLE indexed docs removed (already-
+    * tombstoned and never-indexed ids do not count).
+    */
+  def vacuumNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                         name: String, ids: DataFrame): Long = {
+    healVacuumStaging(spark, name)
     val idx = loadNearDupIndex(spark, name)
     val idList = ids.select(col(ids.columns.head).as("doc_id")).distinct()
-    val removed = spark.table(idx.shinglesTable).select("doc_id").distinct()
-      .join(idList, Seq("doc_id"), "left_semi").count()
+    val fresh = visibleRows(spark, idx, idx.shinglesTable)
+      .select("doc_id").distinct()
+      .join(idList, Seq("doc_id"), "left_semi")
+    val materialized = graft.core.Checkpoints.truncate(fresh)
+    val removed = materialized.count()
     if (removed == 0) return 0L
-    Seq((idx.shinglesTable, Seq("doc_id")),
-      (idx.bucketsTable, Seq("band", "bandhash"))).foreach {
-      case (t, bcols) =>
-        val survivors = spark.table(t).join(idList, Seq("doc_id"), "left_anti")
-        graft.core.io.Writer.writeBucketed(survivors, s"${t}_vac", bcols,
-          idx.numBuckets)
-        spark.sql(s"DROP TABLE $t")
-        spark.sql(s"ALTER TABLE ${t}_vac RENAME TO $t")
-    }
+    graft.core.io.Writer.writeTable(materialized, idx.tombstonesTable,
+      mode = if (spark.catalog.tableExists(idx.tombstonesTable))
+               org.apache.spark.sql.SaveMode.Append
+             else org.apache.spark.sql.SaveMode.Overwrite)
     removed
+  }
+
+  /** Physically scrub tombstoned docs from the index tables — the
+    * batched second half of [[vacuumNearDupIndex]]'s tombstone protocol,
+    * run on a maintenance cadence (and within the GDPR compliance
+    * window: only after compaction are the forgotten docs' shingles —
+    * and thus their signatures — gone from disk). Each table is
+    * rewritten as a staged `_vac` table then swapped via catalog rename
+    * (crash healing on the next vacuum/compact rolls a half-finished
+    * swap forward or back), and the tombstone table is dropped last —
+    * a crash before that drop just re-runs a no-op rewrite.
+    *
+    * Returns the number of docs physically scrubbed. No-op (zero
+    * rewrites) when the tombstone set is empty.
+    */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                          name: String): Long = {
+    healVacuumStaging(spark, name)
+    val idx = loadNearDupIndex(spark, name)
+    val scrubbed = tombstones(spark, idx) match {
+      case None => 0L
+      case Some(ts) =>
+        val idList = ts.select("doc_id").distinct()
+        val n = spark.table(idx.shinglesTable).select("doc_id").distinct()
+          .join(idList, Seq("doc_id"), "left_semi").count()
+        if (n > 0) {
+          Seq((idx.shinglesTable, Seq("doc_id")),
+            (idx.bucketsTable, Seq("band", "bandhash"))).foreach {
+            case (t, bcols) =>
+              val survivors = spark.table(t)
+                .join(idList, Seq("doc_id"), "left_anti")
+              graft.core.io.Writer.writeBucketed(survivors, s"${t}_vac",
+                bcols, idx.numBuckets)
+              spark.sql(s"DROP TABLE $t")
+              spark.sql(s"ALTER TABLE ${t}_vac RENAME TO $t")
+          }
+        }
+        n
+    }
+    if (spark.catalog.tableExists(idx.tombstonesTable))
+      spark.sql(s"DROP TABLE ${idx.tombstonesTable}"): Unit
+    scrubbed
   }
 
   /** Append `accepted` docs' shingle and bucket rows to the index — the
@@ -619,6 +706,20 @@ object Dedup {
                            idCol: String, textCol: String): Unit = {
     val spark = accepted.sparkSession
     val docs = accepted.select(col(idCol), col(textCol))
+    // a tombstoned id's physical rows still await compaction: appending
+    // NEW rows under the same id would leave them hidden behind the
+    // tombstone (and un-hiding it would resurrect the stale rows) —
+    // there is no consistent state short of a compact, so fail loudly.
+    // Broadcast semi-join probe, bounded by the forget backlog.
+    tombstones(spark, index).foreach { ts =>
+      val clash = docs.select(col(idCol).as("doc_id")).distinct()
+        .join(broadcast(ts.select("doc_id")), Seq("doc_id"), "left_semi")
+        .take(1)
+      require(clash.isEmpty,
+        s"appendToNearDupIndex: doc_id ${clash.headOption.map(_.get(0))} " +
+          s"is tombstoned in ${index.tombstonesTable} — run " +
+          "compactNearDupIndex before re-ingesting a forgotten id")
+    }
     val sh = sizedShingles(docs, idCol, textCol, index.n)
     def freshOnly(rows: DataFrame, table: String): DataFrame =
       rows.join(spark.table(table).select("doc_id").distinct(),
@@ -646,9 +747,10 @@ object Dedup {
                             maxBandFreq: Option[Int]): DataFrame = {
     val spark = delta.sparkSession
     val dSh = sizedShingles(delta, idCol, textCol, index.n)
-    crossPairs(spark.table(index.bucketsTable),
+    crossPairs(visibleRows(spark, index, index.bucketsTable),
       bandBuckets(dSh, index.numHashes, index.numBands),
-      spark.table(index.shinglesTable), dSh, threshold, maxBandFreq)
+      visibleRows(spark, index, index.shinglesTable), dSh, threshold,
+      maxBandFreq)
   }
 
   /** [[dropNearDuplicatesAgainst]] against a persisted index, optionally
@@ -696,8 +798,9 @@ object Dedup {
       .filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
     val deltaClean = delta.join(drop, Seq(idCol), "left_anti")
-    val pairs = crossPairs(spark.table(index.bucketsTable), dB,
-      spark.table(index.shinglesTable), dSh, threshold, maxBandFreq)
+    val pairs = crossPairs(visibleRows(spark, index, index.bucketsTable), dB,
+      visibleRows(spark, index, index.shinglesTable), dSh, threshold,
+      maxBandFreq)
     // distinct column name + expression join: the exclusion side projects
     // from the SAME delta plan that feeds the pairs, and a USING-join on a
     // shared name can silently resolve both sides to one attribute in a

@@ -224,7 +224,8 @@ object Streams {
     // driver) may have appended since THIS session last listed the index
     // tables — a stale cached file listing would silently pair against a
     // smaller corpus. Refresh is metadata-cheap next to the pairing join.
-    Seq(idx.shinglesTable, idx.bucketsTable)
+    (Seq(idx.shinglesTable, idx.bucketsTable) ++
+      Seq(idx.tombstonesTable).filter(spark.catalog.tableExists))
       .foreach(spark.catalog.refreshTable)
     val accepted = graft.ops.Dedup.dropNearDuplicatesAgainst(idx, batch,
       idCol, textCol, threshold, maxBandFreq,

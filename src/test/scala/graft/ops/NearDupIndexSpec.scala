@@ -18,8 +18,21 @@ class NearDupIndexSpec extends SparkSpec {
   private val fresh = "completely different words about spark shuffles and parquet row groups here"
 
   private def dropIndex(name: String): Unit =
-    Seq("_shingles", "_buckets", "_meta").foreach(s =>
+    Seq("_shingles", "_buckets", "_meta", "_tombstones").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS $name$s"))
+
+  /** name -> (size, mtime) for every data file under a managed table's
+    * warehouse location — the DeleteSpec file-identity probe at catalog
+    * grain.
+    */
+  private def tableStamps(table: String): Map[String, (Long, Long)] = {
+    val loc = new java.net.URI(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location.toString).getPath
+    new java.io.File(loc).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_"))
+      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+  }
 
   private def physical(df: DataFrame): SparkPlan =
     df.queryExecution.executedPlan match {
@@ -152,11 +165,14 @@ class NearDupIndexSpec extends SparkSpec {
         Seq((21L, fresh + " too")).toDF("doc_id", "text"), "doc_id",
         "text", threshold = 0.8, maxBandFreq = None,
         appendAccepted = false).isEmpty)
-      // vacuuming ids not in the index is a no-op
+      // re-vacuuming an already-tombstoned id counts zero (no double
+      // tombstone rows), as does an id never indexed
+      assert(Dedup.vacuumNearDupIndex(spark, "ndx4",
+        Seq(10L).toDF("doc_id")) == 0L)
       assert(Dedup.vacuumNearDupIndex(spark, "ndx4",
         Seq(999L).toDF("doc_id")) == 0L)
-      // crashed swap: original dropped, _vac left behind -> next vacuum
-      // rolls it forward before touching anything
+      // crashed COMPACT swap: original dropped, _vac left behind -> the
+      // next vacuum rolls it forward before touching anything
       spark.sql("ALTER TABLE ndx4_shingles RENAME TO ndx4_shingles_vac")
       assert(Dedup.vacuumNearDupIndex(spark, "ndx4",
         Seq(999L).toDF("doc_id")) == 0L)
@@ -167,6 +183,105 @@ class NearDupIndexSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ndx4_shingles_vac")
       spark.sql("DROP TABLE IF EXISTS ndx4_buckets_vac")
     }
+  }
+
+  test("vacuum is a tombstone append: every index data file stays " +
+      "byte-identical until compact physically scrubs") {
+    dropIndex("ndx5")
+    val corpus = (1L to 30L).map(i =>
+      (i, s"$fresh unique token $i marks this document as number $i"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.writeNearDupIndex(corpus, "doc_id", "text", "ndx5",
+      numBuckets = 4)
+    try {
+      val before = Map(idx.shinglesTable -> tableStamps(idx.shinglesTable),
+        idx.bucketsTable -> tableStamps(idx.bucketsTable))
+      val removed = Dedup.vacuumNearDupIndex(spark, "ndx5",
+        Seq(3L, 7L).toDF("doc_id"))
+      assert(removed == 2L)
+      // the ~deleted-rows cost contract: zero index-file rewrites
+      Seq(idx.shinglesTable, idx.bucketsTable).foreach { t =>
+        assert(tableStamps(t) == before(t),
+          s"$t files changed under a tombstone-only vacuum")
+      }
+      // but every read already hides the forgotten docs
+      assert(!spark.table(idx.shinglesTable).isEmpty)
+      val visibleIds = Dedup.minhashLshPairsAcross(idx,
+        Seq((100L, s"$fresh unique token 3 marks this document as number 3 x"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.5, maxBandFreq = None)
+        .select("a_id").as[Long].collect().toSet
+      assert(!visibleIds.contains(3L), "tombstoned doc still paired")
+      // compact: physical scrub, tombstones cleared, files rewritten
+      assert(Dedup.compactNearDupIndex(spark, "ndx5") == 2L)
+      assert(!spark.catalog.tableExists(idx.tombstonesTable))
+      val shIds = spark.table(idx.shinglesTable)
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(!shIds.contains(3L) && !shIds.contains(7L) && shIds.size == 28)
+      // compacting a clean index rewrites nothing
+      val stable = tableStamps(idx.shinglesTable)
+      assert(Dedup.compactNearDupIndex(spark, "ndx5") == 0L)
+      assert(tableStamps(idx.shinglesTable) == stable)
+    } finally dropIndex("ndx5")
+  }
+
+  test("pairing stays exchange-free on the corpus side after a vacuum") {
+    dropIndex("ndx6")
+    val corpus = (1L to 40L).map(i =>
+      (i, s"$fresh unique token $i marks this document as number $i"))
+      .toDF("doc_id", "text")
+    val delta = Seq((100L, fresh + " unique token 7 marks this document as number 7 too"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.writeNearDupIndex(corpus, "doc_id", "text", "ndx6")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(Dedup.vacuumNearDupIndex(spark, "ndx6",
+        Seq(1L).toDF("doc_id")) == 1L)
+      val pairs = Dedup.minhashLshPairsAcross(idx, delta, "doc_id", "text",
+        threshold = 0.5, maxBandFreq = None)
+      val plan = physical(pairs)
+      val smjs = plan.collect { case j: SortMergeJoinExec => j }
+      // the tombstone anti-join is a broadcast join: it must not insert a
+      // shuffle between the bucketed scan and the sort-merge join
+      def shuffleFreeSide(table: String): Boolean = smjs.exists(j =>
+        Seq(j.left, j.right).exists(s => s.toString.contains(table) &&
+          s.collect { case e: ShuffleExchangeLike => e }.isEmpty))
+      assert(shuffleFreeSide(idx.bucketsTable),
+        s"corpus buckets shuffled after vacuum:\n$plan")
+      assert(shuffleFreeSide(idx.shinglesTable),
+        s"corpus shingles shuffled after vacuum:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      dropIndex("ndx6")
+    }
+  }
+
+  test("appending a tombstoned id fails loudly until compact") {
+    dropIndex("ndx7")
+    val corpus = Seq((10L, base), (11L, fresh)).toDF("doc_id", "text")
+    val idx = Dedup.writeNearDupIndex(corpus, "doc_id", "text", "ndx7")
+    try {
+      assert(Dedup.vacuumNearDupIndex(spark, "ndx7",
+        Seq(10L).toDF("doc_id")) == 1L)
+      val e = intercept[IllegalArgumentException] {
+        Dedup.appendToNearDupIndex(idx,
+          Seq((10L, base + " resubmitted")).toDF("doc_id", "text"),
+          "doc_id", "text")
+      }
+      assert(e.getMessage.contains("tombstoned"))
+      // fresh ids still append fine while tombstones exist
+      Dedup.appendToNearDupIndex(idx,
+        Seq((30L, fresh + " thirty")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      // and after compact the forgotten id may return
+      Dedup.compactNearDupIndex(spark, "ndx7")
+      Dedup.appendToNearDupIndex(idx,
+        Seq((10L, base + " resubmitted")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      val ids = spark.table(idx.shinglesTable)
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(ids == Set(10L, 11L, 30L))
+    } finally dropIndex("ndx7")
   }
 }
 
