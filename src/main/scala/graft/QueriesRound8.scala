@@ -36,5 +36,108 @@ object QueriesRound8 {
     "corpus AS (SELECT doc_id, text FROM documents " +
       "WHERE doc_id % 2 = 0 AND doc_id % 20 <> 0)")))
 
-  val all: Seq[QueryDef] = Seq(q178)
+  private def t(spark: org.apache.spark.sql.SparkSession, dir: String,
+                name: String) = graft.core.Tables.load(spark, dir, name)
+
+  private val q179Dir = QueriesScale.sidePath("q179_pq_recall")
+
+  /** IVF-PQ recall harness ([[graft.ops.Pq.adcTopKFused]] through
+    * [[graft.ops.Similarity.retrievalEval]]) — q151's hash-gated
+    * recall/MRR eval extended to the QUANTIZED tier: the ADC
+    * approximation's quality is measured against the brute-force ground
+    * truth, not assumed. Cells, codebook, and codes side-materialize
+    * (the q106 model pattern — training/encoding are engine-specific
+    * argmins, each spec-held to reference implementations) and the
+    * oracle replays BOTH pipelines: the ADC search (per-probe distance
+    * tables, exact micro-unit code-lookup sums, cell-pruned ranking)
+    * and the exact cosine top-10, then the eval arithmetic. The
+    * measured PQ recall itself is pinned to the integer.
+    */
+  val q179 = QueryDef("q179_pq_recall", (spark, dir) => {
+    QueriesScale.reapStaleSideTables("q179_pq_recall")
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+    val probeN = probes.count()
+    val exact = graft.ops.Similarity.bruteForceTopK(emb, probes, k = 10,
+      probeRows = Some(probeN))
+    val sample = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+    val (_, model) = graft.ops.Similarity.kmeansCells(sample, cells = 16,
+      seed = 42L)
+    val clustered = graft.ops.Similarity.assignCells(emb, model)
+    clustered.select("vec_id", "cell")
+      .write.mode("overwrite").parquet(s"$q179Dir/cells")
+    graft.ops.Pq.trainPqCodebooks(sample, "embedding", m = 4, k = 16,
+        seed = 7L)
+      .write.mode("overwrite").parquet(s"$q179Dir/codebook")
+    val cb = graft.ops.Pq.codebookArrays(
+      spark.read.parquet(s"$q179Dir/codebook"))
+    graft.ops.Pq.encodePq(clustered, "embedding", cb)
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .write.mode("overwrite").parquet(s"$q179Dir/codes")
+    val candCodes = spark.read.parquet(s"$q179Dir/codes")
+      .select(col("vec_id").as("cand_id"), col("cell"), col("codes"))
+    val probeSide = spark.read.parquet(s"$q179Dir/cells")
+      .filter(col("vec_id") % 100 === 0)
+      .join(emb, "vec_id")
+      .select(col("vec_id").as("probe_id"), col("cell"), col("embedding"))
+    val approx = graft.ops.Pq.adcTopKFused(candCodes, probeSide, cb,
+      topk = 10)
+    graft.ops.Similarity.retrievalEval(approx, exact).orderBy("probe_id")
+  }, Some(
+    s"""WITH cells AS (SELECT vec_id, cell
+       |               FROM read_parquet('$q179Dir/cells/*.parquet')),
+       |cb AS (SELECT sub, code, centroid
+       |       FROM read_parquet('$q179Dir/codebook/*.parquet')),
+       |codes AS (SELECT vec_id, cell, codes
+       |          FROM read_parquet('$q179Dir/codes/*.parquet')),
+       |p0 AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+       |       WHERE vec_id % 100 = 0),
+       |c0 AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+       |ex_scored AS (
+       |  SELECT probe_id, cand_id, ${QueriesScale.duckCos("pe", "ce")} AS cos
+       |  FROM p0, c0 WHERE probe_id <> cand_id),
+       |ex_ranked AS (SELECT probe_id, cand_id,
+       |    row_number() OVER (PARTITION BY probe_id
+       |                       ORDER BY round(cos, 6) DESC, cand_id) AS rank
+       |  FROM ex_scored QUALIFY rank <= 10),
+       |p AS (SELECT c.vec_id AS probe_id, c.cell, e.embedding
+       |      FROM cells c JOIN embeddings e ON e.vec_id = c.vec_id
+       |      WHERE c.vec_id % 100 = 0),
+       |tb AS (SELECT probe_id, p.cell, sub, code,
+       |        CAST(round(round(list_sum(list_transform(
+       |          list_zip(embedding[(sub * 16 + 1):(sub * 16 + 16)], centroid),
+       |          x -> (x[1]::DOUBLE - x[2]::DOUBLE) *
+       |               (x[1]::DOUBLE - x[2]::DOUBLE))), 6) * 1e6, 0)
+       |          AS BIGINT) AS d_micro
+       |      FROM p, cb),
+       |cl AS (SELECT vec_id AS cand_id, cell, codes,
+       |         unnest(generate_series(1, len(codes))) AS i
+       |       FROM codes),
+       |cl2 AS (SELECT cand_id, cell, i - 1 AS sub, codes[i] AS code FROM cl),
+       |s AS (SELECT probe_id, cand_id,
+       |        CAST(sum(d_micro) AS BIGINT) AS adc_micro
+       |      FROM cl2 JOIN tb USING (cell, sub, code)
+       |      WHERE probe_id <> cand_id
+       |      GROUP BY probe_id, cand_id),
+       |ap_ranked AS (SELECT probe_id, cand_id,
+       |        CAST(row_number() OVER (PARTITION BY probe_id
+       |             ORDER BY adc_micro, cand_id) AS BIGINT) AS rank
+       |      FROM s QUALIFY rank <= 10),
+       |exn AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact
+       |        FROM ex_ranked GROUP BY 1),
+       |hits AS (SELECT a.probe_id, CAST(count(*) AS BIGINT) AS nh,
+       |           min(a.rank) AS first_r
+       |         FROM ap_ranked a JOIN ex_ranked e
+       |           ON e.probe_id = a.probe_id AND e.cand_id = a.cand_id
+       |         GROUP BY 1)
+       |SELECT exn.probe_id, n_exact,
+       |  CAST(coalesce(nh, 0) AS BIGINT) AS n_hit,
+       |  CAST(round(round(CAST(coalesce(nh, 0) AS DOUBLE) / n_exact, 6)
+       |    * 1e6, 0) AS BIGINT) AS recall_micro,
+       |  coalesce(CAST(round(round(1.0 / first_r, 6) * 1e6, 0) AS BIGINT), 0)
+       |    AS rr_micro
+       |FROM exn LEFT JOIN hits USING (probe_id)
+       |ORDER BY probe_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q178, q179)
 }

@@ -231,9 +231,17 @@ object Maintenance {
     * `idCol` must be a physical column of the files (not a hive partition
     * column — partition-valued deletes are directory drops, not rewrites).
     * `ids` needs a column named `idCol`; extra columns are ignored.
+    *
+    * The affected-file list is collected to the driver (it drives the
+    * per-directory swap protocol), so it is bounded by
+    * `maxAffectedFiles`: a predicate matching most of the table would
+    * otherwise build a table-sized driver array — and a delete that
+    * touches nearly every file is not a TARGETED delete; fail loudly
+    * and point at a full rewrite instead.
     */
   def deleteMatching(spark: SparkSession, dir: String, idCol: String,
-                     ids: org.apache.spark.sql.DataFrame): DeleteResult = {
+                     ids: org.apache.spark.sql.DataFrame,
+                     maxAffectedFiles: Int = 100000): DeleteResult = {
     import org.apache.spark.sql.functions.{col, input_file_name}
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -248,11 +256,21 @@ object Maintenance {
 
     val filesTotal = leafDirs.map(p => fs.listStatus(p)
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))).sum
+    require(maxAffectedFiles >= 1,
+      s"maxAffectedFiles must be >= 1: $maxAffectedFiles")
     val idList = ids.select(col(idCol)).distinct()
-    val affected = spark.read.parquet(dir)
+    // take(max+1), not collect(): the cap must bound the driver array
+    // itself, not just complain after materializing it
+    val affectedCapped = spark.read.parquet(dir)
       .select(col(idCol), input_file_name().as("_f"))
       .join(idList, Seq(idCol), "left_semi")
-      .select("_f").distinct().collect().map(_.getString(0))
+      .select("_f").distinct().take(maxAffectedFiles + 1)
+    require(affectedCapped.length <= maxAffectedFiles,
+      s"deleteMatching: more than $maxAffectedFiles files under $dir " +
+        s"contain matches — this is a bulk delete, not a targeted one; " +
+        "rewrite the dataset with a filter (or raise maxAffectedFiles " +
+        "if the driver can hold the file list)")
+    val affected = affectedCapped.map(_.getString(0))
     if (affected.isEmpty) return DeleteResult(filesTotal, 0, 0, 0L)
 
     val byDir = affected.groupBy(f => new Path(new java.net.URI(f)).getParent)

@@ -49,6 +49,26 @@ class DeleteSpec extends SparkSpec {
     assert(!names.exists(_.endsWith("_deleted")))
   }
 
+  test("a bulk delete trips the affected-file cap instead of collecting " +
+      "a table-sized file list") {
+    val dir = tmp()
+    val ds = s"$dir/data"
+    spark.range(0, 1000).toDF("id").repartition(8).write.parquet(ds)
+    val before = fileStamps(ds)
+    // every file matches: with a cap below the file count, fail loudly
+    // and leave the data untouched
+    val err = intercept[IllegalArgumentException] {
+      Maintenance.deleteMatching(spark, ds, "id",
+        spark.range(0, 1000).toDF("id"), maxAffectedFiles = 4)
+    }
+    assert(err.getMessage.contains("bulk delete"))
+    assert(fileStamps(ds) == before)
+    // with the cap sized for it, the same delete proceeds
+    val res = Maintenance.deleteMatching(spark, ds, "id",
+      spark.range(0, 1000).toDF("id"), maxAffectedFiles = 8)
+    assert(res.rowsDeleted == 1000)
+  }
+
   test("deleteMatching with no matches touches nothing") {
     val dir = tmp()
     val ds = s"$dir/data"
