@@ -171,6 +171,84 @@ object BenchStress {
     time("pageRank(10 rounds)") {
       graft.ops.Graph.pageRank(eg, "src", "dst", iterations = 10).count()
     }
+
+    // BM25 under corpus growth: the same FIXED query batch against a 1x
+    // and a `copies`x index. The claim: build cost ~corpus tokens
+    // (one-time), but query cost tracks the queried postings — the
+    // broadcast-vocab semi-prune + bucket pruning keep the per-batch
+    // scan away from "whole corpus", so t(10x)/t(1x) for the query leg
+    // must land well under 10 (postings for the queried terms do grow
+    // with the corpus; the fixed stage costs amortize).
+    val bmQueries = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(lower(col("text")), " "), 1, 5), " ")
+          .as("qtext")).localCheckpoint()
+    println(s"bm25: ${bmQueries.count()} queries")
+    for ((label, corpus) <- Seq("1x" -> docs, s"${copies}x" -> stressed)) {
+      val nm = s"stressbm$label".replace("x", "")
+      Seq("_postings", "_doclens", "_meta").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS $nm$s"))
+      time(s"bm25 index build ($label)") {
+        graft.ops.Search.writeBm25Index(corpus, "doc_id", "text", nm)
+        spark.table(s"${nm}_postings").count()
+      }
+      val bmIdx = graft.ops.Search.loadBm25Index(spark, nm)
+      time(s"bm25 query batch ($label)") {
+        graft.ops.Search.bm25TopKIndexed(spark, bmIdx, bmQueries,
+          "query_id", "qtext", k = 5).count()
+      }
+    }
+
+    // event ops under a planted hot key: `copies`x events with 10% of
+    // all rows reassigned to ONE user. sessionize/attribution are
+    // single-window-pass plans partitioned by user — the hot user's
+    // partition is a deliberate straggler, and the claim under
+    // measurement is linear-in-rows scaling (one sort of the hot
+    // partition), never quadratic (no per-user self-join anywhere).
+    val ev = Tables.load(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val evN = ev.count()
+    val stressedEv = (0 until copies).map { k =>
+      ev.select((col("event_id") + lit(k.toLong * 100000000L)).as("event_id"),
+        col("ts"), col("user_id"), col("event_type"), col("value"))
+    }.reduce(_.unionByName(_))
+      .withColumn("user_id",
+        when(col("event_id") % 10 === 0, lit(-1L)).otherwise(col("user_id")))
+      .localCheckpoint()
+    println(s"events: $evN rows -> ${stressedEv.count()} with hot user -1")
+    for ((label, e) <- Seq("1x" -> ev, s"${copies}x hot" -> stressedEv)) {
+      time(s"sessionize ($label)") {
+        graft.ops.Events.sessionize(e, "user_id", "ts", "event_id",
+          "value").count()
+      }
+      time(s"attribution ($label)") {
+        graft.ops.Events.attribution(e, "user_id", "ts", "event_id").count()
+      }
+    }
+
+    // fuzzy entity dedup under key repetition: every entity key
+    // duplicated `copies`x VERBATIM (the CRM-extract shape that caused
+    // the r7 22x regression). The op contracts to DISTINCT normalized
+    // keys before blocking, so the pairing leg must stay FLAT in the
+    // copy count — t(copies x) ~ t(1x) + the contraction scan.
+    val parts = Tables.load(spark, dir, "part").select("p_partkey", "p_name")
+    val partTwins = parts.filter(col("p_partkey") % 5 === 0)
+      .select((col("p_partkey") + 10000000L).as("p_partkey"),
+        concat(substring(col("p_name"), 1, 5), lit("x"),
+          substring(col("p_name"), 7, 100000)).as("p_name"))
+    val entities = parts.unionByName(partTwins).localCheckpoint()
+    val stressedEnt = (0 until copies).map { k =>
+      entities.select(
+        (col("p_partkey") + lit(k.toLong * 100000000L)).as("p_partkey"),
+        col("p_name"))
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    println(s"entities: ${entities.count()} -> ${stressedEnt.count()} rows")
+    for ((label, ent) <- Seq("1x" -> entities, s"${copies}x" -> stressedEnt)) {
+      time(s"fuzzyEntityDedup ($label)") {
+        Dedup.dropFuzzyKeyDuplicates(ent, "p_partkey", "p_name",
+          maxDistance = 1).count()
+      }
+    }
     spark.stop()
   }
 }

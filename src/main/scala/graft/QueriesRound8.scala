@@ -139,5 +139,109 @@ object QueriesRound8 {
        |FROM exn LEFT JOIN hits USING (probe_id)
        |ORDER BY probe_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q178, q179)
+  /** Image-header metadata ([[graft.ops.Multimodal.imageMeta]] over the
+    * codegen'd [[graft.functions.ImageMeta]] byte-scan): every document
+    * synthesizes a REAL container header — PNG (big-endian IHDR), JPEG
+    * (APP0 then SOF0, so the marker scan is exercised), or GIF
+    * (little-endian screen descriptor) — with dimensions derived from
+    * `doc_id`, and the op must parse them back OUT OF THE BYTES. The
+    * oracle replays only the planted arithmetic: any parser drift
+    * (endianness, offset, marker skip) hash-fails. `aspect_micro` and
+    * the min-dim `keep` gate are the standard image-curation columns.
+    */
+  val q180 = QueryDef("q180_image_meta", (spark, dir) => {
+    val docs = t(spark, dir, "documents").select("doc_id")
+    val w = (col("doc_id") % 240 + 16).cast("int")
+    val h = ((col("doc_id") * 7) % 240 + 16).cast("int")
+    def beHex(c: org.apache.spark.sql.Column, width: Int) =
+      lpad(lower(hex(c)), width, "0")
+    def le16(c: org.apache.spark.sql.Column) = {
+      val be = beHex(c, 4)
+      concat(substring(be, 3, 2), substring(be, 1, 2))
+    }
+    val pngHex = concat(lit("89504e470d0a1a0a0000000d49484452"),
+      beHex(w, 8), beHex(h, 8), lit("080600000000000000"))
+    val jpegHex = concat(
+      lit("ffd8ffe000104a46494600010100000100010000ffc0001108"),
+      beHex(h, 4), beHex(w, 4), lit("03012200021101031101ffd9"))
+    val gifHex = concat(lit("474946383961"), le16(w), le16(h), lit("000000"))
+    val payload = unhex(when(col("doc_id") % 3 === 0, pngHex)
+      .when(col("doc_id") % 3 === 1, jpegHex)
+      .otherwise(gifHex))
+    graft.ops.Multimodal.imageMeta(
+        docs.withColumn("payload", payload), "payload")
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        round(round(col("width").cast("double") / col("height"), 6)
+          * lit(1e6), 0).cast("long").as("aspect_micro"),
+        (col("width") >= 32 && col("height") >= 32).as("keep"))
+      .orderBy("doc_id")
+  }, Some(
+    """SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |       ELSE 'gif' END AS format,
+      |  CAST(doc_id % 240 + 16 AS INT) AS width,
+      |  CAST((doc_id * 7) % 240 + 16 AS INT) AS height,
+      |  CAST(round(round(CAST(doc_id % 240 + 16 AS DOUBLE)
+      |    / ((doc_id * 7) % 240 + 16), 6) * 1e6, 0) AS BIGINT)
+      |    AS aspect_micro,
+      |  doc_id % 240 + 16 >= 32 AND (doc_id * 7) % 240 + 16 >= 32 AS keep
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Fingerprint-index vacuum ([[graft.ops.Dedup
+    * .vacuumFingerprintIndex]] — the exact-dedup twin of q178's
+    * tombstone lane): q87's corpus index is built, every %20 doc's
+    * CONTENT is forgotten (tombstone append, zero fps-file rewrites),
+    * then q87's delta ingests. The forgotten docs' whitespace variants
+    * must be ACCEPTED again; everything else drops exactly as in q87.
+    * The oracle replays the vacuum at fp grain (delta fps checked
+    * against corpus fps MINUS forgotten fps — the true semantics even
+    * when several docs share a normalized text).
+    */
+  val q181 = QueryDef("q181_fp_index_vacuum", (spark, dir) => {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val delta = docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit("   ")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 14 === 7)
+        .select((col("doc_id") + 700000).as("doc_id"), col("text")))
+    Seq("_fps", "_fps_tombstones", "_fps_vac", "_fps_tombstones_vac")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS q181idx$s"))
+    val idx = graft.ops.Dedup.writeFingerprintIndex(corpus, "text",
+      "q181idx", numBuckets = 8)
+    graft.ops.Dedup.vacuumFingerprintIndex(spark, "q181idx",
+      corpus.filter(col("doc_id") % 20 === 0), "text")
+    graft.ops.Dedup.dropExactDuplicatesAgainst(idx, delta, "doc_id",
+        "text", appendAccepted = false)
+      .orderBy("doc_id")
+  }, Some(
+    """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      |delta AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 500000, text || '   ' FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 700000, text FROM documents WHERE doc_id % 14 = 7),
+      |cfps AS (SELECT DISTINCT
+      |           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |         FROM corpus),
+      |forgotten AS (SELECT DISTINCT
+      |           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |         FROM corpus WHERE doc_id % 20 = 0),
+      |visible AS (SELECT fp FROM cfps
+      |            WHERE fp NOT IN (SELECT fp FROM forgotten)),
+      |fps AS (SELECT doc_id, text,
+      |        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |        FROM delta),
+      |keepfirst AS (
+      |  SELECT doc_id, text, fp FROM (
+      |    SELECT doc_id, text, fp,
+      |           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |    FROM fps) WHERE rn = 1)
+      |SELECT doc_id, text FROM keepfirst
+      |WHERE fp NOT IN (SELECT fp FROM visible)
+      |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q178, q179, q180, q181)
 }

@@ -511,6 +511,113 @@ case class NormalizeUtf8(child: Expression, form: String = "NFC")
     copy(child = newChild)
 }
 
+/** Image container-header sniff + dimension parse over an opaque binary
+  * payload — the metadata half of the multimodal seam that needs no
+  * codec at all: PNG (IHDR fixed offsets), GIF (logical screen
+  * descriptor, little-endian), and JPEG (SOF marker scan — APP/COM
+  * segments are length-skipped, so EXIF blobs of any size parse) all
+  * publish width/height in the first bytes. Output `array<int>` of
+  * `[format, width, height]` (format 0=png, 1=jpeg, 2=gif); NULL for
+  * unrecognized/truncated payloads — a filterable signal, never a throw
+  * (corrupt media is data, not a bug, at 100 TB). One tight byte scan,
+  * no allocation beyond the 3-int result, codegen'd via a static call.
+  */
+case class ImageMeta(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"image_meta expects binary, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_meta"
+
+  override def nullSafeEval(input: Any): Any =
+    ImageMeta.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+       |${ev.value} = graft.functions.ImageMeta.parse($b);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ImageMeta {
+  val FormatPng = 0
+  val FormatJpeg = 1
+  val FormatGif = 2
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def le16(b: Array[Byte], i: Int): Int =
+    ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  /** `[format, width, height]` or null. Static (JIT-friendly from the
+    * generated code) and total: no input throws.
+    */
+  def parse(b: Array[Byte]): ArrayData = {
+    if (b == null) return null
+    // PNG: 8-byte signature, IHDR payload at 16 (sig + length + "IHDR")
+    if (b.length >= 24 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G' && (b(4) & 0xff) == 0x0d &&
+        (b(5) & 0xff) == 0x0a && (b(6) & 0xff) == 0x1a &&
+        (b(7) & 0xff) == 0x0a) {
+      if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'))
+        return null
+      val w = be32(b, 16); val h = be32(b, 20)
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return null
+      return new GenericArrayData(Array(FormatPng, w.toInt, h.toInt))
+    }
+    // GIF87a / GIF89a: logical screen descriptor right after the tag
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      val w = le16(b, 6); val h = le16(b, 8)
+      if (w <= 0 || h <= 0) return null
+      return new GenericArrayData(Array(FormatGif, w, h))
+    }
+    // JPEG: SOI then marker segments; dims live in the first SOFn
+    if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 3 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return null // desynced marker stream
+        // fill bytes: any number of 0xff may pad before the marker id
+        var j = i + 1
+        while (j < b.length && (b(j) & 0xff) == 0xff) j += 1
+        if (j >= b.length) return null
+        val marker = b(j) & 0xff
+        if (marker == 0xd8 || marker == 0x01 ||
+            (marker >= 0xd0 && marker <= 0xd7)) {
+          i = j + 1 // standalone marker, no length field
+        } else if (marker == 0xd9 || marker == 0xda) {
+          return null // EOI / start-of-scan without a SOF: no dims
+        } else {
+          if (j + 2 >= b.length) return null
+          val segLen = be16(b, j + 1)
+          if (segLen < 2) return null
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) {
+            if (j + 8 >= b.length) return null
+            val h = be16(b, j + 4); val w = be16(b, j + 6)
+            if (w <= 0 || h <= 0) return null
+            return new GenericArrayData(Array(FormatJpeg, w, h))
+          }
+          i = j + 1 + segLen
+        }
+      }
+      return null
+    }
+    null
+  }
+}
+
 object NativeFunctions {
 
   /** Registry of native functions, shared by per-session registration
@@ -528,6 +635,10 @@ object NativeFunctions {
     "pq_adc_score" -> { args =>
       require(args.length == 2, "pq_adc_score takes 2 arguments")
       PqAdcScore(args(0), args(1))
+    },
+    "image_meta" -> { args =>
+      require(args.length == 1, "image_meta takes 1 argument")
+      ImageMeta(args(0))
     })
 
   // weak keys: sessions must stay collectible after stop(); synchronized:
@@ -576,6 +687,9 @@ object NativeFunctions {
   /** Column API for the ADC lookup-sum (via the registry, like [[dotF]]). */
   def pqAdcScore(tables: Column, codes: Column): Column =
     call_function("pq_adc_score", tables, codes)
+
+  /** Column API for [[ImageMeta]] (via the registry, like [[dotF]]). */
+  def imageMeta(payload: Column): Column = call_function("image_meta", payload)
 
   /** Column API for [[LshBuckets]]. Built directly (not via the function
     * registry — the broadcast handle is not an Expression argument).

@@ -39,6 +39,7 @@ final case class NearDupIndex(name: String, n: Int, numHashes: Int,
   */
 final case class FingerprintIndex(name: String, numBuckets: Int) {
   def fpsTable: String = s"${name}_fps"
+  def tombstonesTable: String = s"${name}_fps_tombstones"
 }
 
 object Dedup {
@@ -466,12 +467,21 @@ object Dedup {
                                  idCol: String, textCol: String,
                                  appendAccepted: Boolean = false): DataFrame = {
     val spark = delta.sparkSession
+    healFpStaging(spark, index.name)
     val withFp = delta.withColumn("_fp",
       TextFunctions.fingerprint(col(textCol)))
     val deltaClean = exactKeepFirst(withFp, Seq("_fp"), Seq(col(idCol)))
+    // visible index = stored fps minus the tombstoned (vacuumed) set —
+    // broadcast anti-join, so the co-bucketed corpus side keeps its
+    // exchange-free plan (the near-dup visibleRows contract)
+    val storedFps = fpTombstones(spark, index) match {
+      case Some(ts) => spark.table(index.fpsTable)
+        .join(broadcast(ts.select(col("fp").as("_ts_fp"))),
+          col("fp") === col("_ts_fp"), "left_anti")
+      case None => spark.table(index.fpsTable)
+    }
     val accepted = deltaClean
-      .join(spark.table(index.fpsTable)
-        .select(col("fp").as("_fp")), Seq("_fp"), "left_anti")
+      .join(storedFps.select(col("fp").as("_fp")), Seq("_fp"), "left_anti")
     if (!appendAccepted) accepted.drop("_fp")
     else {
       // checkpoint WITH the computed fingerprint so the append reuses it
@@ -484,8 +494,113 @@ object Dedup {
         materialized.select(col("_fp").as("fp")).distinct(),
         index.fpsTable, Seq("fp"), index.numBuckets,
         mode = org.apache.spark.sql.SaveMode.Append)
+      // re-accepting previously-forgotten CONTENT clears its tombstone
+      // (unlike the near-dup index, identical content re-ingest is the
+      // normal exact-dedup flow — the un-hidden old fp row and the
+      // appended one are the same value, so visibility stays correct);
+      // staged swap, healed like the compact path, so a crash cannot
+      // resurrect forgotten fps
+      fpTombstones(spark, index).foreach { ts =>
+        val cleared = ts.join(
+          materialized.select(col("_fp").as("fp")).distinct(),
+          Seq("fp"), "left_anti")
+        val vac = s"${index.tombstonesTable}_vac"
+        graft.core.io.Writer.writeTable(
+          graft.core.Checkpoints.truncate(cleared), vac)
+        spark.sql(s"DROP TABLE ${index.tombstonesTable}")
+        spark.sql(s"ALTER TABLE $vac RENAME TO ${index.tombstonesTable}")
+      }
       materialized.drop("_fp")
     }
+  }
+
+  private def fpTombstones(spark: org.apache.spark.sql.SparkSession,
+                           idx: FingerprintIndex): Option[DataFrame] =
+    if (spark.catalog.tableExists(idx.tombstonesTable))
+      Some(spark.table(idx.tombstonesTable))
+    else None
+
+  /** Heal a crashed fingerprint-index staged swap (compact, or the
+    * tombstone-clear rewrite in the append path): `_vac` with original
+    * missing rolls forward, with the original present rolls back.
+    */
+  private def healFpStaging(spark: org.apache.spark.sql.SparkSession,
+                            name: String): Unit = {
+    Seq(s"${name}_fps", s"${name}_fps_tombstones").foreach { table =>
+      val vac = s"${table}_vac"
+      if (spark.catalog.tableExists(vac)) {
+        if (!spark.catalog.tableExists(table))
+          spark.sql(s"ALTER TABLE $vac RENAME TO $table"): Unit
+        else spark.sql(s"DROP TABLE $vac"): Unit
+      }
+    }
+  }
+
+  /** Forget documents' CONTENT from the persisted exact-dedup index —
+    * [[vacuumNearDupIndex]]'s fingerprint twin, same tombstone protocol:
+    * the forgotten docs' fingerprints append to a small
+    * `<name>_fps_tombstones` table (write cost ~deleted docs; zero
+    * index-file rewrites — spec-asserted byte-identical) and every
+    * index read anti-joins it, so an identical future submission is
+    * ACCEPTED again immediately. The physical scrub batches into
+    * [[compactFingerprintIndex]]. Re-ingesting identical content later
+    * simply clears its tombstone in the append path — no compact
+    * required first (fingerprints carry no doc identity, so the hidden
+    * old row and the re-accepted one are interchangeable).
+    *
+    * Returns the number of VISIBLE indexed fingerprints tombstoned.
+    */
+  def vacuumFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+                             name: String, docs: DataFrame,
+                             textCol: String): Long = {
+    healFpStaging(spark, name)
+    val idx = loadFingerprintIndex(spark, name)
+    val fps = docs.select(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .distinct()
+    val already = fpTombstones(spark, idx)
+    val fresh0 = spark.table(idx.fpsTable)
+      .join(fps, Seq("fp"), "left_semi")
+    val fresh = already match {
+      case Some(ts) => fresh0.join(broadcast(ts), Seq("fp"), "left_anti")
+      case None => fresh0
+    }
+    val materialized = graft.core.Checkpoints.truncate(fresh.distinct())
+    val removed = materialized.count()
+    if (removed == 0) return 0L
+    graft.core.io.Writer.writeTable(materialized, idx.tombstonesTable,
+      mode = if (spark.catalog.tableExists(idx.tombstonesTable))
+               org.apache.spark.sql.SaveMode.Append
+             else org.apache.spark.sql.SaveMode.Overwrite)
+    removed
+  }
+
+  /** Physically scrub tombstoned fingerprints — [[compactNearDupIndex]]'s
+    * twin: staged `_vac` rewrite of the bucketed fps table, catalog
+    * swap, tombstones dropped last. Returns the fingerprints scrubbed.
+    */
+  def compactFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+                              name: String): Long = {
+    healFpStaging(spark, name)
+    val idx = loadFingerprintIndex(spark, name)
+    val scrubbed = fpTombstones(spark, idx) match {
+      case None => 0L
+      case Some(ts) =>
+        val tsd = ts.distinct()
+        val n = spark.table(idx.fpsTable)
+          .join(tsd, Seq("fp"), "left_semi").count()
+        if (n > 0) {
+          val survivors = spark.table(idx.fpsTable)
+            .join(tsd, Seq("fp"), "left_anti")
+          graft.core.io.Writer.writeBucketed(survivors,
+            s"${idx.fpsTable}_vac", Seq("fp"), idx.numBuckets)
+          spark.sql(s"DROP TABLE ${idx.fpsTable}")
+          spark.sql(s"ALTER TABLE ${idx.fpsTable}_vac RENAME TO ${idx.fpsTable}")
+        }
+        n
+    }
+    if (spark.catalog.tableExists(idx.tombstonesTable))
+      spark.sql(s"DROP TABLE ${idx.tombstonesTable}"): Unit
+    scrubbed
   }
 
   /** Materialize the near-dup index for `corpus`: the sized-shingle table

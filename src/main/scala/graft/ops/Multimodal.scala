@@ -47,6 +47,31 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "n_bytes", "frame_md5")
   }
 
+  /** Image-header metadata over an opaque binary payload — the
+    * codec-free half of the multimodal seam: PNG/JPEG/GIF publish their
+    * dimensions in the container header, so format + width/height (and
+    * the derived aspect/megapixel filters every image-curation recipe
+    * starts with) are pure column work via the codegen'd
+    * [[graft.functions.ImageMeta]] expression: one byte-scan per row,
+    * no shuffle, no decode library, NULL format for unrecognized or
+    * truncated payloads (corrupt media is filterable data, never a
+    * throw).
+    *
+    * Output: input row + `(format, width, height)`; format is
+    * `png`/`jpeg`/`gif` or null.
+    */
+  def imageMeta(docs: DataFrame, payloadCol: String): DataFrame = {
+    val m = graft.functions.NativeFunctions.imageMeta(col(payloadCol))
+    docs.withColumn("_m", m)
+      .withColumn("format",
+        when(element_at(col("_m"), 1) === 0, "png")
+          .when(element_at(col("_m"), 1) === 1, "jpeg")
+          .when(element_at(col("_m"), 1) === 2, "gif"))
+      .withColumn("width", element_at(col("_m"), 2))
+      .withColumn("height", element_at(col("_m"), 3))
+      .drop("_m")
+  }
+
   /** Feature extraction over the binary payload: split the byte stream
     * into `dim` equal blocks and emit each block's mean byte value as a
     * `dim`-length double vector — the partition-local binary→vector seam

@@ -393,4 +393,66 @@ class FingerprintIndexSpec extends SparkSpec {
       } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     } finally dropIdx("fpx1")
   }
+
+  private def dropIdxFull(name: String): Unit =
+    Seq("_fps", "_fps_tombstones", "_fps_vac", "_fps_tombstones_vac")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $name$s"))
+
+  private def tableStamps(table: String): Map[String, (Long, Long)] = {
+    val loc = new java.net.URI(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location.toString).getPath
+    new java.io.File(loc).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_"))
+      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+  }
+
+  test("fingerprint vacuum: tombstone append, identical content accepted " +
+      "again, re-ingest clears the tombstone, compact scrubs") {
+    dropIdxFull("fpx2")
+    val corpus = Seq((2L, "alpha beta"), (4L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.writeFingerprintIndex(corpus, "text", "fpx2")
+    try {
+      val resubmit = Seq((30L, "alpha  beta")).toDF("doc_id", "text")
+      // guarded before the vacuum
+      assert(Dedup.dropExactDuplicatesAgainst(idx, resubmit, "doc_id",
+        "text").isEmpty)
+      val before = tableStamps(idx.fpsTable)
+      assert(Dedup.vacuumFingerprintIndex(spark, "fpx2",
+        Seq((2L, "alpha beta")).toDF("doc_id", "text"), "text") == 1L)
+      // ~deleted-rows cost: index files untouched, content accepted again
+      assert(tableStamps(idx.fpsTable) == before)
+      // re-vacuum and unknown-content vacuum are no-ops
+      assert(Dedup.vacuumFingerprintIndex(spark, "fpx2",
+        Seq((2L, "alpha beta")).toDF("doc_id", "text"), "text") == 0L)
+      assert(Dedup.vacuumFingerprintIndex(spark, "fpx2",
+        Seq((9L, "never indexed")).toDF("doc_id", "text"), "text") == 0L)
+      val accepted = Dedup.dropExactDuplicatesAgainst(idx, resubmit,
+        "doc_id", "text", appendAccepted = true)
+      assert(accepted.select("doc_id").as[Long].collect().toSet == Set(30L))
+      // the append cleared the tombstone: the content guards again...
+      assert(Dedup.dropExactDuplicatesAgainst(idx, resubmit, "doc_id",
+        "text").isEmpty)
+      assert(spark.table(idx.tombstonesTable).isEmpty)
+      // ...and doc 4 was never affected
+      assert(Dedup.dropExactDuplicatesAgainst(idx,
+        Seq((40L, "gamma delta")).toDF("doc_id", "text"), "doc_id",
+        "text").isEmpty)
+      // compact with a live tombstone physically scrubs it
+      assert(Dedup.vacuumFingerprintIndex(spark, "fpx2",
+        Seq((4L, "gamma delta")).toDF("doc_id", "text"), "text") == 1L)
+      assert(Dedup.compactFingerprintIndex(spark, "fpx2") == 1L)
+      assert(!spark.catalog.tableExists(idx.tombstonesTable))
+      assert(Dedup.dropExactDuplicatesAgainst(idx,
+        Seq((41L, "gamma delta")).toDF("doc_id", "text"), "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet == Set(41L))
+      // crashed fps-table swap heals on the next vacuum
+      spark.sql("ALTER TABLE fpx2_fps RENAME TO fpx2_fps_vac")
+      assert(Dedup.vacuumFingerprintIndex(spark, "fpx2",
+        Seq((9L, "never indexed")).toDF("doc_id", "text"), "text") == 0L)
+      assert(spark.catalog.tableExists("fpx2_fps"))
+      assert(!spark.catalog.tableExists("fpx2_fps_vac"))
+    } finally dropIdxFull("fpx2")
+  }
 }

@@ -412,6 +412,54 @@ class MultimodalSpec extends SparkSpec {
     val h0 = md.digest(("a" * 64).getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(out(0).getString(3) == h0)
   }
+
+  private def hexBytes(h: String): Array[Byte] =
+    h.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("imageMeta parses real PNG/GIF/JPEG headers and nulls the rest") {
+    // real container headers, byte-for-byte per spec:
+    // PNG 640x480; GIF89a 320x200 (little-endian); JPEG 48x32 with an
+    // APP0 segment BEFORE the SOF0 (the marker scan must length-skip it)
+    val png = hexBytes(
+      "89504e470d0a1a0a 0000000d 49484452 00000280 000001e0 08 06 00 00 00 00000000")
+    val gif = "GIF89a".getBytes("US-ASCII") ++ hexBytes("4001 c800 00 00 00")
+    val jpeg = hexBytes(
+      "ffd8 ffe00010 4a46494600 0101 00 0001 0001 00 00" +
+        " ffc00011 08 0020 0030 03 012200 021101 031101 ffd9")
+    val truncated = hexBytes("89504e470d0a1a0a 0000")
+    val garbage = "not an image at all".getBytes("UTF-8")
+    val df = Seq(
+      (1L, png), (2L, gif), (3L, jpeg), (4L, truncated), (5L, garbage),
+      (6L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "payload")
+    val out = Multimodal.imageMeta(df, "payload")
+      .select("doc_id", "format", "width", "height")
+      .orderBy("doc_id").collect()
+    def row(i: Int) = (out(i).getAs[String]("format"),
+      if (out(i).isNullAt(2)) -1 else out(i).getInt(2),
+      if (out(i).isNullAt(3)) -1 else out(i).getInt(3))
+    assert(row(0) === (("png", 640, 480)))
+    assert(row(1) === (("gif", 320, 200)))
+    assert(row(2) === (("jpeg", 48, 32)))
+    assert(out(3).isNullAt(1) && out(4).isNullAt(1) && out(5).isNullAt(1),
+      "truncated/garbage/null payloads must yield null format, not a throw")
+  }
+
+  test("imageMeta skips arbitrary JPEG APP segments (EXIF-sized)") {
+    // 3000-byte APP1 blob between SOI and SOF0 — the scan must hop over
+    // it via the segment length, not scan into it
+    val app1Payload = Array.fill[Byte](2998)(0x41)
+    val app1Len = 3000 // includes the 2 length bytes
+    val jpeg = hexBytes("ffd8") ++
+      hexBytes("ffe1") ++
+      Array(((app1Len >> 8) & 0xff).toByte, (app1Len & 0xff).toByte) ++
+      app1Payload ++
+      hexBytes("ffc2 0011 08 0100 0200 03 012200 021101 031101 ffd9")
+    val out = Multimodal.imageMeta(
+        Seq((1L, jpeg)).toDF("doc_id", "payload"), "payload")
+      .select("format", "width", "height").head()
+    assert(out.getString(0) === "jpeg") // SOF2 (progressive) counts too
+    assert(out.getInt(1) === 512 && out.getInt(2) === 256)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
