@@ -243,5 +243,136 @@ object QueriesRound8 {
       |WHERE fp NOT IN (SELECT fp FROM visible)
       |ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q178, q179, q180, q181)
+  private val lkName =
+    graft.ops.Linkage.LinkField("p_name", m = 0.9, u = 0.1, maxDist = 1)
+  private val lkBrand =
+    graft.ops.Linkage.LinkField("p_brand", m = 0.95, u = 0.2)
+  private val lkType =
+    graft.ops.Linkage.LinkField("p_type", m = 0.9, u = 0.3)
+
+  /** Fellegi-Sunter record linkage ([[graft.ops.Linkage
+    * .linkagePairs]]): the part catalog plus planted TWINS (name one
+    * edit off, brand/type intact — every field agrees, lands in the
+    * `match` band) and IMPOSTORS (name one edit off but a foreign
+    * brand — the partial-agreement `possible` band the method exists
+    * to isolate). The oracle replays blocking, the per-field
+    * normalized comparisons, and the integer log-likelihood weights —
+    * interpolated from the SAME driver-computed constants the Spark
+    * plan uses, so the score arithmetic cannot drift.
+    */
+  val q182 = QueryDef("q182_record_linkage", (spark, dir) => {
+    val part = t(spark, dir, "part")
+      .select("p_partkey", "p_name", "p_brand", "p_type")
+      .filter(col("p_partkey") % 4 === 0)
+    val twins = part.filter(col("p_partkey") % 12 === 0)
+      .select((col("p_partkey") + 1000000).as("p_partkey"),
+        concat(substring(col("p_name"), 1, 5), lit("x"),
+          substring(col("p_name"), 7, 100000)).as("p_name"),
+        col("p_brand"), col("p_type"))
+    val impostors = part.filter(col("p_partkey") % 12 === 4)
+      .select((col("p_partkey") + 2000000).as("p_partkey"),
+        concat(substring(col("p_name"), 1, 5), lit("z"),
+          substring(col("p_name"), 7, 100000)).as("p_name"),
+        lit("Brand#99").as("p_brand"), col("p_type"))
+    graft.ops.Linkage.linkagePairs(
+        part.unionByName(twins).unionByName(impostors),
+        "p_partkey", "p_name", Seq(lkName, lkBrand, lkType),
+        blockMaxDist = 1, upperMicro = 3000000L, lowerMicro = 0L)
+      .orderBy("a_id", "b_id")
+  }, Some {
+    def nrm(c: String) = s"trim(regexp_replace(lower($c), '\\s+', ' ', 'g'))"
+    s"""WITH base AS (SELECT p_partkey, p_name, p_brand, p_type FROM part
+       |              WHERE p_partkey % 4 = 0),
+       |allr AS (
+       |  SELECT * FROM base
+       |  UNION ALL
+       |  SELECT p_partkey + 1000000,
+       |         substr(p_name, 1, 5) || 'x' || substr(p_name, 7),
+       |         p_brand, p_type FROM base WHERE p_partkey % 12 = 0
+       |  UNION ALL
+       |  SELECT p_partkey + 2000000,
+       |         substr(p_name, 1, 5) || 'z' || substr(p_name, 7),
+       |         'Brand#99', p_type FROM base WHERE p_partkey % 12 = 4),
+       |b AS (SELECT p_partkey AS id, p_name, p_brand, p_type,
+       |        ${nrm("p_name")} AS nk FROM allr),
+       |r2 AS (SELECT id, nk, substr(nk, 1, 4) AS pfx,
+       |         CAST(floor(len(nk) / 2.0) AS BIGINT) AS lb FROM b),
+       |sized AS (SELECT * FROM r2
+       |          QUALIFY count(*) OVER (PARTITION BY pfx, lb) <= 10000),
+       |pairs AS (SELECT DISTINCT least(x.id, y.id) AS a_id,
+       |            greatest(x.id, y.id) AS b_id
+       |          FROM sized x JOIN sized y
+       |            ON x.pfx = y.pfx
+       |           AND ((y.lb = x.lb AND x.id < y.id) OR y.lb = x.lb + 1)
+       |          WHERE x.id <> y.id),
+       |scored AS (SELECT p.a_id, p.b_id,
+       |    levenshtein(${nrm("ra.p_name")}, ${nrm("rb.p_name")}) <= 1
+       |      AS agree_p_name,
+       |    ${nrm("ra.p_brand")} = ${nrm("rb.p_brand")} AS agree_p_brand,
+       |    ${nrm("ra.p_type")} = ${nrm("rb.p_type")} AS agree_p_type
+       |  FROM pairs p JOIN b ra ON ra.id = p.a_id
+       |               JOIN b rb ON rb.id = p.b_id),
+       |sc2 AS (SELECT a_id, b_id, agree_p_name, agree_p_brand, agree_p_type,
+       |    CAST(CASE WHEN agree_p_name THEN ${lkName.agreeMicro}
+       |              ELSE ${lkName.disagreeMicro} END
+       |       + CASE WHEN agree_p_brand THEN ${lkBrand.agreeMicro}
+       |              ELSE ${lkBrand.disagreeMicro} END
+       |       + CASE WHEN agree_p_type THEN ${lkType.agreeMicro}
+       |              ELSE ${lkType.disagreeMicro} END AS BIGINT)
+       |      AS score_micro
+       |  FROM scored)
+       |SELECT a_id, b_id, agree_p_name, agree_p_brand, agree_p_type,
+       |  score_micro,
+       |  CASE WHEN score_micro >= 3000000 THEN 'match'
+       |       WHEN score_micro <= 0 THEN 'non_match'
+       |       ELSE 'possible' END AS decision
+       |FROM sc2 ORDER BY a_id, b_id""".stripMargin
+  })
+
+  /** STREAMING attribution held to the batch oracle (q162's pattern,
+    * applied to [[graft.streaming.AttributionStream]]): the events
+    * table replays through a file stream with a far-future sentinel
+    * advancing the watermark past every conversion, the per-touch
+    * credit rows land in a memory sink, and their aggregation must
+    * equal [[graft.ops.Events.attribution]]'s report bit-for-bit —
+    * the SAME DuckDB oracle as q143, so the streaming lane can never
+    * drift from its batch definition.
+    */
+  val q183 = QueryDef("q183_stream_attribution", (spark, dir) => {
+    val out = graft.Queries.tmpDir("graft_q183")
+    graft.core.Tables.load(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$out/ev")
+    import spark.implicits._
+    Seq((-1L, java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), -1L,
+        "sentinel"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("append").parquet(s"$out/ev")
+    val stream = graft.streaming.Streams.readFileStream(spark,
+      graft.core.model.DatasetSpec(path = s"$out/ev", format = "parquet"),
+      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
+    val credits = graft.streaming.AttributionStream.credits(stream,
+      "user_id", "ts", "event_id", "event_type",
+      conversionType = "purchase", touchTypes = Seq("view", "click"),
+      lookbackSeconds = 7200L, watermarkDelay = "1 hour")
+    val sink = s"q183_sink_${System.nanoTime}"
+    graft.streaming.Streams.withStatePartitions(spark, 8) {
+      val q = credits.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(sink)
+      .groupBy("channel")
+      .agg(count(lit(1)).as("touches"),
+        sum("first_micro").as("_f"), sum("last_micro").as("_l"),
+        sum("linear_micro").as("_n"))
+      .select(expr("stack(3, 'first_touch', _f, 'last_touch', _l, " +
+        "'linear', _n) AS (model, credit_micro)"),
+        col("channel"), col("touches"))
+      .select(col("model"), col("channel"), col("touches"),
+        col("credit_micro"))
+      .orderBy("model", "channel")
+  }, QueriesAnalytics.q143.oracle)
+
+  val all: Seq[QueryDef] = Seq(q178, q179, q180, q181, q182, q183)
 }

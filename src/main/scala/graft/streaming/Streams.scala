@@ -453,6 +453,129 @@ object Sessionize {
   }
 }
 
+/** Streaming multi-touch attribution — [[graft.ops.Events.attribution]]'s
+  * event-time lane, held to the SAME semantics (q143's oracle gates the
+  * composed pipeline as q183): per user, buffered touches credit the
+  * EARLIEST conversion at-or-after them in `(ts, id)` order once the
+  * WATERMARK passes the conversion's timestamp — at that point no
+  * earlier touch and no earlier conversion can still arrive, so each
+  * conversion's credit split (first/last/linear, exact integer
+  * micro-credits, remainder on the first touch) is final the moment it
+  * emits and a replay/backfill produces identical credits.
+  *
+  * State per user is the un-finalized event suffix: everything before
+  * the first pending (post-watermark) conversion is consumed on
+  * finalization, and orphan touches GC once `ts + lookback` falls
+  * behind the watermark (no future conversion can reach them — their
+  * batch fate, dropped-with-no-credit, is already decided). An
+  * event-time timeout re-fires the fold when the watermark advances
+  * with no new same-key data ([[Sessionize.sessionsEventTime]]'s
+  * no-data-batch contract), so quiet users still flush.
+  *
+  * Emits one [[AttributionStream.Credit]] row per credited touch;
+  * aggregate downstream (`groupBy(channel)`, stack) for the q143
+  * report shape.
+  */
+object AttributionStream {
+
+  final case class AttrEvent(user_id: Long, us: Long, event_id: Long,
+                             event_type: String, ts: java.sql.Timestamp)
+  final case class AttrState(events: List[(Long, Long, String)])
+  final case class Credit(user_id: Long, conv_us: Long, conv_id: Long,
+                          channel: String, first_micro: Long,
+                          last_micro: Long, linear_micro: Long)
+
+  def credits(events: DataFrame, userCol: String, tsCol: String,
+              idCol: String, typeCol: String,
+              conversionType: String = "purchase",
+              touchTypes: Seq[String] = Seq("view", "click"),
+              lookbackSeconds: Long = 7200L,
+              watermarkDelay: String = "1 hour",
+              maxBatchEventsPerKey: Int =
+                Sessionize.DefaultMaxBatchEventsPerKey): Dataset[Credit] = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(conversionType),
+      s"conversion type $conversionType cannot also be a touch type")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val types = conversionType +: touchTypes
+    val lookbackUs = lookbackSeconds * 1000000L
+    // watermark BEFORE the type filter: any event (a sentinel, an
+    // untracked type) advances event time, exactly like the batch op
+    // seeing the full table
+    val timed = events.select(
+        col(userCol).cast("long").as("user_id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("us"),
+        col(idCol).cast("long").as("event_id"),
+        col(typeCol).as("event_type"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .filter(col("event_type").isin(types.map(x => x: Any): _*))
+      .as[AttrEvent]
+    timed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, Credit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, it, state: GroupState[AttrState]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmUs = wmMs * 1000L
+          val drained = collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+          if (!state.hasTimedOut) it.foreach { e =>
+            require(drained.size < maxBatchEventsPerKey,
+              s"attribution: key $uid has >= $maxBatchEventsPerKey events " +
+                "in one micro-batch — bound the trigger or filter the key " +
+                "upstream (the Sessionize hot-key contract)")
+            drained += ((e.us, e.event_id, e.event_type))
+          }
+          val buf = (state.getOption.map(_.events).getOrElse(Nil) ++ drained)
+            .sortBy(t => (t._1, t._2))
+          val out = collection.mutable.ArrayBuffer.empty[Credit]
+          val pending = collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+          var rest = collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+          var halted = false
+          buf.foreach { e =>
+            if (halted) rest += e
+            else if (e._3 == conversionType) {
+              if (e._1 < wmUs) {
+                val inw = pending.filter(t => e._1 - t._1 <= lookbackUs)
+                val n = inw.size
+                if (n > 0) {
+                  val per = 1000000L / n
+                  val rem = 1000000L % n
+                  inw.zipWithIndex.foreach { case (t, k) =>
+                    out += Credit(uid, e._1, e._2, t._3,
+                      if (k == 0) 1000000L else 0L,
+                      if (k == n - 1) 1000000L else 0L,
+                      per + (if (k == 0) rem else 0L))
+                  }
+                }
+                pending.clear()
+              } else {
+                halted = true
+                rest ++= pending
+                rest += e
+                pending.clear()
+              }
+            } else pending += e
+          }
+          val keep = (rest ++ pending.filter(t => t._1 + lookbackUs >= wmUs))
+            .toList
+          if (keep.isEmpty) { if (state.exists) state.remove() }
+          else {
+            state.update(AttrState(keep))
+            // wake when the watermark can finalize the next pending
+            // conversion, or GC the oldest orphan touch
+            val nextConvMs = keep.find(_._3 == conversionType)
+              .map(_._1 / 1000L + 1L)
+            val gcMs = keep.headOption
+              .map(_._1 / 1000L + lookbackSeconds * 1000L + 1L)
+            val cand = nextConvMs.orElse(gcMs).getOrElse(wmMs + 1L)
+            state.setTimeoutTimestamp(math.max(cand, wmMs + 1L))
+          }
+          out.iterator
+      }
+  }
+}
+
 /** Kafka-sink payload semantics (reference yaetos/kafka_utils.py:14-73):
   * one JSON document per record with required-field validation before
   * send. The actual transport rides the spark-sql-kafka connector WHEN
