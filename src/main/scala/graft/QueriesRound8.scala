@@ -374,5 +374,34 @@ object QueriesRound8 {
       .orderBy("model", "channel")
   }, QueriesAnalytics.q143.oracle)
 
-  val all: Seq[QueryDef] = Seq(q178, q179, q180, q181, q182, q183)
+  /** Semantic decontamination ([[graft.ops.Similarity
+    * .semanticDecontaminate]]): the corpus embeddings are scrubbed of
+    * everything cosine-close to a held-out eval slice — the
+    * embedding-space member of the q55/q113/q135 decontamination
+    * family, catching paraphrase-level leakage lexical n-grams miss.
+    * The oracle replays the full corpus x eval cosine scan and the
+    * survivor anti-join; the hash pins both the drop set and the
+    * surviving rows.
+    */
+  val q184 = QueryDef("q184_semantic_decontamination", (spark, dir) => {
+    val emb = t(spark, dir, "embeddings")
+      .select("vec_id", "embedding", "label")
+    val evalSet = emb.filter(col("vec_id") % 97 === 0)
+    val corpus = emb.filter(col("vec_id") % 97 =!= 0)
+    graft.ops.Similarity.semanticDecontaminate(corpus, "vec_id",
+        "embedding", evalSet, "vec_id", "embedding", threshold = 0.4)
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+  }, Some(
+    s"""WITH ev AS (SELECT vec_id AS a_id, embedding AS ae FROM embeddings
+       |            WHERE vec_id % 97 = 0),
+       |c AS (SELECT vec_id, embedding, label FROM embeddings
+       |      WHERE vec_id % 97 <> 0),
+       |hits AS (SELECT DISTINCT c.vec_id FROM ev, c
+       |         WHERE ${QueriesScale.duckCos("ae", "c.embedding")} >= 0.4)
+       |SELECT vec_id, label FROM c
+       |WHERE vec_id NOT IN (SELECT vec_id FROM hits)
+       |ORDER BY vec_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q178, q179, q180, q181, q182, q183, q184)
 }

@@ -408,6 +408,38 @@ object Similarity {
     }
   }
 
+  /** Embedding-cosine decontamination — the SEMANTIC member of the
+    * decontamination family ([[graft.ops.TextAnalysis.decontaminate]]
+    * exact / bloom / fuzzy are lexical): drop every corpus row whose
+    * embedding is within `threshold` cosine of ANY eval-set embedding,
+    * catching paraphrased or re-tokenized test leakage that no n-gram
+    * overlap sees. Pairing rides [[deltaNearDupPairs]] with the eval
+    * set as the delta: below `maxBroadcastEval` rows the eval side
+    * broadcasts for EXACT scoring (an eval benchmark is thousands of
+    * rows — the normal case, one corpus scan, no shuffle); above it
+    * the LSH-bucketed path takes over (exact precision, approximate
+    * recall, the documented trade). The corpus embedding column is
+    * read once; survivors keep ALL their columns via one anti-join on
+    * the contaminated-id set.
+    */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String, embCol: String,
+                            evalSet: DataFrame, evalIdCol: String,
+                            evalEmbCol: String, threshold: Double,
+                            maxBroadcastEval: Long = DefaultMaxBroadcastDelta,
+                            evalRows: Option[Long] = None,
+                            corpusRows: Option[Long] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1]: $threshold")
+    val c = corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+    val ev = evalSet.select(col(evalIdCol).as("vec_id"),
+      col(evalEmbCol).as("embedding"))
+    val hits = deltaNearDupPairs(c, ev, threshold,
+        maxBroadcastDelta = maxBroadcastEval, deltaInCorpus = false,
+        deltaRows = evalRows, corpusRows = corpusRows)
+      .select(col("b_id").as(idCol)).distinct()
+    corpus.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** Symmetric int8 vector quantization: per-vector `scale = max|x|/127`,
     * `qvec[i] = round(x[i]/scale)` — 4× smaller storage (int8 + one
     * double) for embedding corpora where the scan, not the math, is the

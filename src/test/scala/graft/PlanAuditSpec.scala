@@ -82,7 +82,12 @@ class PlanAuditSpec extends SparkSpec {
     "q167_funnel_latency", "q168_top_paths", "q169_cohort_value",
     "q170_rfm_segments", "q171_trending_terms", "q172_covisitation",
     "q173_cross_correlation", "q174_key_skew", "q175_fuzzy_entity_dedup",
-    "q176_weekday_anomaly", "q177_referential_integrity")
+    "q176_weekday_anomaly", "q177_referential_integrity",
+    // round-8 widening (q178/q181 are catalog side-effect queries —
+    // their plans are asserted in NearDupIndexSpec/FingerprintIndexSpec;
+    // q183 is a streaming query, its lane is spec-audited)
+    "q179_pq_recall", "q180_image_meta", "q182_record_linkage",
+    "q184_semantic_decontamination")
 
   /** Queries whose BroadcastNestedLoopJoin is RUNTIME-gated rather than
     * plan-visible: brute-force cosine top-k broadcasts the probe side
@@ -93,7 +98,12 @@ class PlanAuditSpec extends SparkSpec {
     * scoring joins are the documented design, not regressions.
     */
   private val runtimeGatedBnlj =
-    Set("q29_ann_topk", "q31_cosine_neardup", "q151_ann_recall")
+    Set("q29_ann_topk", "q31_cosine_neardup", "q151_ann_recall",
+      // q179's exact ground-truth leg is q151's gated bruteForceTopK
+      "q179_pq_recall",
+      // q184's eval side broadcasts below maxBroadcastEval (the
+      // deltaNearDupPairs gate) — the non-equi scoring join is the design
+      "q184_semantic_decontamination")
 
   private def flatten(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {

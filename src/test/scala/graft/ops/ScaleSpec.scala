@@ -23,6 +23,33 @@ class SkewSpec extends SparkSpec {
 
 class SimilarityIndexSpec extends SparkSpec {
 
+  test("semanticDecontaminate drops cosine-close rows on both pairing paths") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), "leaked"),
+      (2L, Array(0.99f, 0.1f, 0.0f, 0.0f), "paraphrase"),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), "clean"),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f), "clean2"))
+      .toDF("doc_id", "emb", "tag")
+    val evalSet = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("eval_id", "eval_emb")
+    // exact broadcast path: 1 (identical) and 2 (cos ~0.995) drop;
+    // survivors keep their extra columns
+    val exact = Similarity.semanticDecontaminate(corpus, "doc_id", "emb",
+        evalSet, "eval_id", "eval_emb", threshold = 0.9)
+      .orderBy("doc_id").collect()
+    assert(exact.map(_.getLong(0)).toSeq === Seq(3L, 4L))
+    assert(exact.map(_.getString(2)).toSeq === Seq("clean", "clean2"))
+    // LSH path (eval forced over the broadcast cap): the identical
+    // vector shares every bucket with its leak, so it still drops
+    val lsh = Similarity.semanticDecontaminate(corpus, "doc_id", "emb",
+        evalSet, "eval_id", "eval_emb", threshold = 0.9,
+        maxBroadcastEval = 0L, corpusRows = Some(4L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!lsh.contains(1L), "identical leak survived the LSH path")
+    assert(lsh.contains(3L) && lsh.contains(4L))
+  }
+
   test("clustered index layout enables partition-pruned IVF top-k") {
     val dir = Files.createTempDirectory("graft_ivf").toString
     val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
