@@ -403,5 +403,90 @@ object QueriesRound8 {
        |WHERE vec_id NOT IN (SELECT vec_id FROM hits)
        |ORDER BY vec_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q178, q179, q180, q181, q182, q183, q184)
+  /** Windowed co-occurrence PMI ([[graft.ops.TextAnalysis.coocPmi]],
+    * window 3): q163's collocation mining widened to the skip-gram
+    * context — the oracle replays the positional pair generation
+    * (1-based `generate_series` mirroring the 0-based Spark
+    * `sequence`), alphabetical orientation, both totals, and the micro
+    * PMI with the (pmi, a, b) tie order.
+    */
+  val q185 = QueryDef("q185_cooc_pmi", (spark, dir) =>
+    graft.ops.TextAnalysis.coocPmi(t(spark, dir, "documents"), "text",
+      window = 3, minCount = 5L, k = 20),
+    Some(
+      """WITH toksl AS (SELECT list_filter(string_split(lower(text), ' '),
+        |                 x -> x <> '') AS l FROM documents),
+        |uni AS (SELECT t, count(*) AS c FROM
+        |          (SELECT unnest(l) AS t FROM toksl) GROUP BY t),
+        |un AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        |bi0 AS (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+        |        FROM toksl WHERE len(l) >= 2),
+        |bij AS (SELECT l, i,
+        |          unnest(generate_series(i + 1, least(i + 3, len(l)))) AS j
+        |        FROM bi0),
+        |pr AS (SELECT CASE WHEN l[i] < l[j] THEN l[i] ELSE l[j] END AS a,
+        |              CASE WHEN l[i] < l[j] THEN l[j] ELSE l[i] END AS b
+        |       FROM bij WHERE l[i] <> l[j]),
+        |bi AS (SELECT a, b, count(*) AS c_ab FROM pr
+        |       GROUP BY 1, 2 HAVING count(*) >= 5),
+        |bm AS (SELECT CAST(sum(c_ab) AS BIGINT) AS m FROM bi)
+        |SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+        |  CAST(round(round(ln((CAST(c_ab AS DOUBLE) / m) /
+        |    ((CAST(ua.c AS DOUBLE) / n) * (CAST(ub.c AS DOUBLE) / n))), 6)
+        |    * 1e6, 0) AS BIGINT) AS pmi_micro
+        |FROM bi JOIN uni ua ON ua.t = bi.a JOIN uni ub ON ub.t = bi.b, un, bm
+        |ORDER BY pmi_micro DESC, a, b LIMIT 20""".stripMargin))
+
+  /** Feature-drift PSI ([[graft.ops.Stats.psi]]): even-orderkey prices
+    * are the reference, odd-orderkey prices inflated 8% are the
+    * "current" snapshot — a planted mid-strength drift. The oracle
+    * replays the reference quantile edges (q165's rounded-edge /
+    * ties-LOW rule), both bucketings, the 1e-6 floor, and the
+    * micro-quantized `(p-q)·ln(p/q)` terms bucket by bucket.
+    */
+  val q186 = QueryDef("q186_psi_drift", (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    val ref = li.filter(col("l_orderkey") % 2 === 0)
+      .select(col("l_extendedprice").as("v"))
+    val cur = li.filter(col("l_orderkey") % 2 === 1)
+      .select((col("l_extendedprice") * 1.08).as("v"))
+    graft.ops.Stats.psi(ref, cur, "v", bins = 10).orderBy("bucket")
+  }, Some {
+    val ps = (1 until 10).map(i => (i / 10.0).toString).mkString(", ")
+    s"""WITH refv AS (SELECT l_extendedprice AS v FROM lineitem
+       |              WHERE l_orderkey % 2 = 0 AND l_extendedprice IS NOT NULL),
+       |curv AS (SELECT l_extendedprice * 1.08 AS v FROM lineitem
+       |         WHERE l_orderkey % 2 = 1 AND l_extendedprice IS NOT NULL),
+       |e AS (SELECT list_transform(quantile_cont(v, [$ps]),
+       |        x -> round(x, 4)) AS edges FROM refv),
+       |rb AS (SELECT CAST(len(list_filter(e.edges, x -> v > x)) AS BIGINT)
+       |         AS bucket, count(*) AS n_ref
+       |       FROM refv, e GROUP BY 1),
+       |cb AS (SELECT CAST(len(list_filter(e.edges, x -> v > x)) AS BIGINT)
+       |         AS bucket, count(*) AS n_cur
+       |       FROM curv, e GROUP BY 1),
+       |grid AS (SELECT g.bucket,
+       |           CAST(coalesce(rb.n_ref, 0) AS BIGINT) AS n_ref,
+       |           CAST(coalesce(cb.n_cur, 0) AS BIGINT) AS n_cur
+       |         FROM (SELECT unnest(generate_series(0, 9)) AS bucket) g
+       |         LEFT JOIN rb ON rb.bucket = g.bucket
+       |         LEFT JOIN cb ON cb.bucket = g.bucket),
+       |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+       |          CAST(sum(n_cur) AS BIGINT) AS tc FROM grid)
+       |SELECT bucket, n_ref, n_cur,
+       |  CAST(round(round(greatest(CAST(n_ref AS DOUBLE) / tr, 0.000001), 6)
+       |    * 1e6, 0) AS BIGINT) AS p_micro,
+       |  CAST(round(round(greatest(CAST(n_cur AS DOUBLE) / tc, 0.000001), 6)
+       |    * 1e6, 0) AS BIGINT) AS q_micro,
+       |  CAST(round(round(
+       |    (greatest(CAST(n_ref AS DOUBLE) / tr, 0.000001)
+       |     - greatest(CAST(n_cur AS DOUBLE) / tc, 0.000001))
+       |    * ln(greatest(CAST(n_ref AS DOUBLE) / tr, 0.000001)
+       |         / greatest(CAST(n_cur AS DOUBLE) / tc, 0.000001)), 6)
+       |    * 1e6, 0) AS BIGINT) AS psi_micro
+       |FROM grid, tot ORDER BY bucket""".stripMargin
+  })
+
+  val all: Seq[QueryDef] = Seq(q178, q179, q180, q181, q182, q183, q184,
+    q185, q186)
 }

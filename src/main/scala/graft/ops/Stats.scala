@@ -147,6 +147,61 @@ object Stats {
         round(max(col(valueCol)), 4).as("hi_v"))
   }
 
+  /** Population Stability Index between a REFERENCE snapshot and a
+    * CURRENT one — the standard "did this feature drift" monitor for a
+    * column feeding a model or a mix policy: the reference's equi-depth
+    * quantile edges ([[equiDepthBins]]' rounded-edge / ties-go-LOW
+    * rule, with the same `exact = false` GK-sketch escape at scale)
+    * bucket BOTH snapshots, and each bucket contributes
+    * `(p - q) * ln(p / q)` where `p`/`q` are the reference/current
+    * fractions floored at 1e-6 (the conventional guard — an empty
+    * bucket signals hard drift with a large finite term, never an
+    * infinity). PSI > 0.25 is the classic "investigate" line; the
+    * per-bucket rows localize WHERE the mass moved.
+    *
+    * Scale shape: one single-row percentile aggregate on the reference
+    * (broadcast), one bounded-key contraction per snapshot, a
+    * `bins`-row join — the corpus is read once per side.
+    *
+    * Output: one row per bucket 0..bins-1,
+    * `(bucket, n_ref, n_cur, p_micro, q_micro, psi_micro)`; total PSI
+    * is `sum(psi_micro)` (order-free integer sum).
+    */
+  def psi(reference: DataFrame, current: DataFrame, valueCol: String,
+          bins: Int = 10, exact: Boolean = true,
+          accuracy: Int = 10000): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val spark = reference.sparkSession
+    val ps = (1 until bins).map(i => i.toDouble / bins)
+    val pctFn = if (exact) "percentile" else "approx_percentile"
+    val pctArgs = if (exact) "" else s", $accuracy"
+    val edges = reference.filter(col(valueCol).isNotNull)
+      .agg(expr(s"$pctFn($valueCol, array(${ps.mkString(", ")})$pctArgs)")
+        .as("_e"))
+      .select(transform(col("_e"), e => round(e, 4)).as("_e"))
+    def bucketed(df: DataFrame, as: String) = df
+      .filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(edges))
+      .withColumn("bucket",
+        size(filter(col("_e"), e => col(valueCol) > e)).cast("long"))
+      .groupBy("bucket").agg(count(lit(1)).as(as))
+    val grid = spark.range(bins).select(col("id").as("bucket"))
+      .join(bucketed(reference, "n_ref"), Seq("bucket"), "left")
+      .join(bucketed(current, "n_cur"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = grid.agg(sum("n_ref").as("_tr"), sum("n_cur").as("_tc"))
+    val pf = greatest(col("n_ref").cast("double") / col("_tr"), lit(1e-6))
+    val qf = greatest(col("n_cur").cast("double") / col("_tc"), lit(1e-6))
+    grid.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round(round(pf, 6) * lit(1e6), 0).cast("long").as("p_micro"),
+        round(round(qf, 6) * lit(1e6), 0).cast("long").as("q_micro"),
+        round(round((pf - qf) * log(pf / qf), 6) * lit(1e6), 0)
+          .cast("long").as("psi_micro"))
+  }
+
   /** Exact pairwise Pearson correlation over `cols` — ONE pass, one
     * single-row aggregate: every per-column and per-pair accumulator
     * (Σu, Σu², Σuv as 4-decimal scaled DECIMAL integers — the

@@ -93,6 +93,57 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Windowed co-occurrence PMI — [[pmiPairs]] generalized from
+    * adjacent bigrams to a ±`window` skip-gram context (the GloVe/
+    * word2vec counting shape): every unordered token pair within
+    * `window` positions counts once, pairs orient alphabetically, and
+    * equal-token pairs are excluded. Collocations that never touch
+    * ("new … york times", verb–object frames) surface here and not in
+    * the bigram table.
+    *
+    * Scale shape identical to [[pmiPairs]]: the pair explosion is
+    * row-local (an O(window) inner transform per position — cost
+    * `tokens × window`, the standard skip-gram bound), one contraction
+    * to pair grain, broadcast unigram joins, TakeOrdered top-k. PMI in
+    * micro units through the one shared rounding.
+    */
+  def coocPmi(docs: DataFrame, textCol: String, window: Int = 3,
+              minCount: Long = 5L, k: Int = 20): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(k >= 1, s"k must be >= 1: $k")
+    val toks = docs.select(tokens(col(textCol)).as("_l"))
+      .select(filter(col("_l"), _ =!= "").as("_l"))
+    val uni = toks.select(explode(col("_l")).as("_t"))
+      .groupBy("_t").agg(count(lit(1)).as("_c"))
+    val uniTot = uni.agg(sum("_c").as("_n"))
+    val bi = toks.filter(size(col("_l")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, size(_l) - 2), i ->
+           |  transform(sequence(i + 1, least(i + $window, size(_l) - 1)), j ->
+           |    IF(_l[i] < _l[j], struct(_l[i] AS a, _l[j] AS b),
+           |       struct(_l[j] AS a, _l[i] AS b)))))""".stripMargin))
+        .as("_p"))
+      .select(col("_p.a").as("a"), col("_p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val biTot = bi.agg(sum("c_ab").as("_m"))
+    bi
+      .join(broadcast(uni.select(col("_t").as("a"), col("_c").as("_ca"))), "a")
+      .join(broadcast(uni.select(col("_t").as("b"), col("_c").as("_cb"))), "b")
+      .crossJoin(broadcast(uniTot))
+      .crossJoin(broadcast(biTot))
+      .withColumn("pmi_micro",
+        round(round(log((col("c_ab").cast("double") / col("_m")) /
+          ((col("_ca").cast("double") / col("_n")) *
+            (col("_cb").cast("double") / col("_n")))), 6) * lit(1e6), 0)
+          .cast("long"))
+      .select(col("a"), col("b"), col("c_ab"), col("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Trending terms — day-over-day frequency growth (the corpus-drift /
     * emerging-topic monitor): per (term, day) counts, each day compared
     * against the term's PREVIOUS OBSERVED day (lag over the term's own

@@ -299,6 +299,38 @@ class FunnelLatencySpec extends SparkSpec {
 class StatsAnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("psi: identical snapshots score ~0; a shifted one concentrates " +
+      "mass in the tail buckets") {
+    val ref = (1 to 1000).map(_.toDouble).toDF("v")
+    val same = Stats.psi(ref, ref, "v", bins = 4).orderBy("bucket").collect()
+    assert(same.map(_.getAs[Long]("psi_micro")).sum === 0L)
+    assert(same.map(_.getAs[Long]("n_ref")).sum === 1000L)
+    // shift everything up by 10x bucket width: all current mass lands in
+    // the top bucket, three buckets empty out -> large finite PSI
+    val cur = (1 to 1000).map(i => i.toDouble + 2500).toDF("v")
+    val drift = Stats.psi(ref, cur, "v", bins = 4).orderBy("bucket").collect()
+    assert(drift.map(_.getAs[Long]("n_cur")).toSeq === Seq(0L, 0L, 0L, 1000L))
+    val total = drift.map(_.getAs[Long]("psi_micro")).sum
+    assert(total > 250000L, s"planted hard drift scored only $total micro")
+    // empty buckets contribute a finite floored term, never an overflow
+    assert(drift.forall(r => math.abs(r.getAs[Long]("psi_micro")) < 100000000L))
+  }
+
+  test("coocPmi window 1 equals the adjacent-bigram counts, window 3 " +
+      "finds skip pairs") {
+    val docs = Seq.fill(6)("alpha beta gamma").toDF("text")
+    val w1 = TextAnalysis.coocPmi(docs, "text", window = 1, minCount = 2L,
+        k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("c_ab")).toMap
+    // adjacent, alphabetically oriented
+    assert(w1 === Map(("alpha", "beta") -> 6L, ("beta", "gamma") -> 6L))
+    val w3 = TextAnalysis.coocPmi(docs, "text", window = 3, minCount = 2L,
+        k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("c_ab")).toMap
+    assert(w3(("alpha", "gamma")) === 6L, "skip pair missing at window 3")
+    assert(w3.size === 3)
+  }
+
   test("equi-depth buckets hold equal counts on a uniform column") {
     val df = (1 to 100).map(_.toDouble).toDF("v")
     val out = Stats.equiDepthBins(df, "v", bins = 4)
