@@ -124,7 +124,16 @@ class PlanAuditSpec extends SparkSpec {
         case BuildLeft => j.left
         case BuildRight => j.right
       }
-      flatten(build).exists {
+      // resolve exchange reuse LOCALLY (a build side that reuses a
+      // single-row aggregate's broadcast — q186's shared quantile edges —
+      // is as tiny as the original); the global flatten must NOT look
+      // through ReusedExchangeExec or every runtime reuse would read as
+      // a duplicate exchange
+      flatten(build).flatMap {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          flatten(r.child)
+        case p => Seq(p)
+      }.exists {
         case a: BaseAggregateExec => a.groupingExpressions.isEmpty
         case l: LocalTableScanExec => l.rows.lengthCompare(1) <= 0
         case _ => false
