@@ -487,6 +487,88 @@ object QueriesRound8 {
        |FROM grid, tot ORDER BY bucket""".stripMargin
   })
 
+  /** STREAMING funnel held to the batch oracle (q183's pattern for
+    * [[graft.streaming.FunnelStream]]): the events table replays
+    * through a file stream + far-future sentinel, each per-user step
+    * advance lands as one completion row, and distinct-user counts per
+    * step must equal [[graft.ops.Events.funnel]]'s report — q115's
+    * DuckDB oracle verbatim.
+    */
+  val q187 = QueryDef("q187_stream_funnel", (spark, dir) => {
+    val out = graft.Queries.tmpDir("graft_q187")
+    graft.core.Tables.load(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$out/ev")
+    import spark.implicits._
+    Seq((-1L, java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), -1L,
+        "sentinel"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("append").parquet(s"$out/ev")
+    val stream = graft.streaming.Streams.readFileStream(spark,
+      graft.core.model.DatasetSpec(path = s"$out/ev", format = "parquet"),
+      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
+    val steps = Seq("view", "click", "purchase")
+    val comp = graft.streaming.FunnelStream.completions(stream,
+      "user_id", "ts", "event_id", "event_type", steps,
+      watermarkDelay = "1 hour")
+    val sink = s"q187_sink_${System.nanoTime}"
+    graft.streaming.Streams.withStatePartitions(spark, 8) {
+      val q = comp.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val counts = spark.table(sink)
+      .groupBy("step_idx", "step")
+      .agg(count_distinct(col("user_id")).as("n_users"))
+    steps.zipWithIndex.map { case (s, i) => (i + 1, s) }
+      .toDF("step_idx", "step")
+      .join(counts, Seq("step_idx", "step"), "left")
+      .select(col("step_idx"), col("step"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+      .orderBy("step_idx")
+  }, QueriesEvents.q115.oracle)
+
+  /** Categorical PSI ([[graft.ops.Stats.psiCategorical]]): the odd-
+    * orderkey "current" snapshot drops half of one return-flag's rows —
+    * a planted category drift — and gains nothing; the oracle replays
+    * the union category grid, floors, and per-category terms.
+    */
+  val q188 = QueryDef("q188_psi_categorical", (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    val ref = li.filter(col("l_orderkey") % 2 === 0)
+    val cur = li.filter(col("l_orderkey") % 2 === 1)
+      .filter(!(col("l_returnflag") === "R" && col("l_linenumber") % 2 === 0))
+    graft.ops.Stats.psiCategorical(ref, cur, "l_returnflag")
+      .orderBy("category")
+  }, Some(
+    """WITH refc AS (SELECT coalesce(CAST(l_returnflag AS VARCHAR), '(null)')
+      |         AS category, count(*) AS n_ref
+      |       FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1),
+      |curc AS (SELECT coalesce(CAST(l_returnflag AS VARCHAR), '(null)')
+      |         AS category, count(*) AS n_cur
+      |       FROM lineitem
+      |       WHERE l_orderkey % 2 = 1
+      |         AND NOT (l_returnflag = 'R' AND l_linenumber % 2 = 0)
+      |       GROUP BY 1),
+      |grid AS (SELECT coalesce(refc.category, curc.category) AS category,
+      |           CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+      |           CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+      |         FROM refc FULL OUTER JOIN curc USING (category)),
+      |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+      |          CAST(sum(n_cur) AS BIGINT) AS tc FROM grid)
+      |SELECT category, n_ref, n_cur,
+      |  CAST(round(round(greatest(CAST(n_ref AS DOUBLE) / tr, 0.000001), 6)
+      |    * 1e6, 0) AS BIGINT) AS p_micro,
+      |  CAST(round(round(greatest(CAST(n_cur AS DOUBLE) / tc, 0.000001), 6)
+      |    * 1e6, 0) AS BIGINT) AS q_micro,
+      |  CAST(round(round(
+      |    (greatest(CAST(n_ref AS DOUBLE) / tr, 0.000001)
+      |     - greatest(CAST(n_cur AS DOUBLE) / tc, 0.000001))
+      |    * ln(greatest(CAST(n_ref AS DOUBLE) / tr, 0.000001)
+      |         / greatest(CAST(n_cur AS DOUBLE) / tc, 0.000001)), 6)
+      |    * 1e6, 0) AS BIGINT) AS psi_micro
+      |FROM grid, tot ORDER BY category""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q178, q179, q180, q181, q182, q183, q184,
-    q185, q186)
+    q185, q186, q187, q188)
 }

@@ -202,6 +202,44 @@ object Stats {
           .cast("long").as("psi_micro"))
   }
 
+  /** Categorical PSI — [[psi]] over a discrete column: the category
+    * set is the UNION of both snapshots' observed values (a category
+    * present on one side only is precisely the drift signal, scored
+    * through the same 1e-6 floor), fractions and per-category
+    * `(p - q) * ln(p / q)` terms as in the numeric variant. Null
+    * category values count as their own `(null)` bucket — silent
+    * null growth is a classic upstream breakage.
+    *
+    * Scale shape: one distinct-value contraction per side (the column's
+    * cardinality bounds everything downstream), a full-outer merge at
+    * category grain, broadcast totals.
+    *
+    * Output: one row per category,
+    * `(category, n_ref, n_cur, p_micro, q_micro, psi_micro)`.
+    */
+  def psiCategorical(reference: DataFrame, current: DataFrame,
+                     valueCol: String): DataFrame = {
+    val nullToken = lit("(null)")
+    def counted(df: DataFrame, as: String) = df
+      .select(coalesce(col(valueCol).cast("string"), nullToken)
+        .as("category"))
+      .groupBy("category").agg(count(lit(1)).as(as))
+    val grid = counted(reference, "n_ref")
+      .join(counted(current, "n_cur"), Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = grid.agg(sum("n_ref").as("_tr"), sum("n_cur").as("_tc"))
+    val pf = greatest(col("n_ref").cast("double") / col("_tr"), lit(1e-6))
+    val qf = greatest(col("n_cur").cast("double") / col("_tc"), lit(1e-6))
+    grid.crossJoin(broadcast(tot))
+      .select(col("category"), col("n_ref"), col("n_cur"),
+        round(round(pf, 6) * lit(1e6), 0).cast("long").as("p_micro"),
+        round(round(qf, 6) * lit(1e6), 0).cast("long").as("q_micro"),
+        round(round((pf - qf) * log(pf / qf), 6) * lit(1e6), 0)
+          .cast("long").as("psi_micro"))
+  }
+
   /** Exact pairwise Pearson correlation over `cols` — ONE pass, one
     * single-row aggregate: every per-column and per-pair accumulator
     * (Σu, Σu², Σuv as 4-decimal scaled DECIMAL integers — the

@@ -498,11 +498,17 @@ object AttributionStream {
       s"conversion type $conversionType cannot also be a touch type")
     val spark = events.sparkSession
     import spark.implicits._
-    val types = conversionType +: touchTypes
+    val typeSet = (conversionType +: touchTypes).toSet
     val lookbackUs = lookbackSeconds * 1000000L
-    // watermark BEFORE the type filter: any event (a sentinel, an
-    // untracked type) advances event time, exactly like the batch op
-    // seeing the full table
+    // NO pre-state type filter: a Column filter between source and the
+    // watermark would be PUSHED BELOW the EventTimeWatermark node by
+    // Catalyst, so untracked rows (a far-future sentinel, unrelated
+    // event types) would stop advancing event time and the final
+    // lookback-window of real conversions would never flush (caught
+    // live by the sf0.1 gate — three last-hour conversions missing).
+    // Untracked types are skipped at DRAIN time instead: they advance
+    // the watermark, hold no state, and emit nothing — the batch op's
+    // semantics exactly.
     val timed = events.select(
         col(userCol).cast("long").as("user_id"),
         unix_micros(col(tsCol).cast("timestamp")).as("us"),
@@ -510,7 +516,6 @@ object AttributionStream {
         col(typeCol).as("event_type"),
         col(tsCol).cast("timestamp").as("ts"))
       .withWatermark("ts", watermarkDelay)
-      .filter(col("event_type").isin(types.map(x => x: Any): _*))
       .as[AttrEvent]
     timed.groupByKey(_.user_id)
       .flatMapGroupsWithState[AttrState, Credit](
@@ -524,7 +529,8 @@ object AttributionStream {
               s"attribution: key $uid has >= $maxBatchEventsPerKey events " +
                 "in one micro-batch — bound the trigger or filter the key " +
                 "upstream (the Sessionize hot-key contract)")
-            drained += ((e.us, e.event_id, e.event_type))
+            if (typeSet.contains(e.event_type))
+              drained += ((e.us, e.event_id, e.event_type))
           }
           val buf = (state.getOption.map(_.events).getOrElse(Nil) ++ drained)
             .sortBy(t => (t._1, t._2))
@@ -570,6 +576,100 @@ object AttributionStream {
               .map(_._1 / 1000L + lookbackSeconds * 1000L + 1L)
             val cand = nextConvMs.orElse(gcMs).getOrElse(wmMs + 1L)
             state.setTimeoutTimestamp(math.max(cand, wmMs + 1L))
+          }
+          out.iterator
+      }
+  }
+}
+
+/** Streaming ordered-step funnel — [[graft.ops.Events.funnel]]'s
+  * event-time lane (q115's semantics, gated as q187): per user the
+  * chained-minima rule is a tiny state machine — an event advances the
+  * funnel iff its type is the NEXT step in `(ts, id)` order — and the
+  * advance decision for an event is final once the WATERMARK passes its
+  * timestamp (no earlier event can still arrive). A skipped-ahead event
+  * (step k seen while the user sits below k-1) is discarded, exactly as
+  * the batch running-min never counts it: any later completion of k-1
+  * has a larger timestamp, which that event can no longer satisfy.
+  *
+  * State per user: the completed-step counter plus only the
+  * not-yet-final event suffix (ts >= watermark) — completed and
+  * discarded events hold no state, so a user's footprint is O(pending
+  * events in the watermark window), not O(history). Emits one
+  * [[FunnelStream.StepCompletion]] per advance; counting distinct users
+  * per step downstream reproduces the batch funnel report (a user who
+  * reached step k emitted every step 1..k once).
+  */
+object FunnelStream {
+
+  final case class FunnelEvent(user_id: Long, us: Long, event_id: Long,
+                               event_type: String, ts: java.sql.Timestamp)
+  final case class FunnelState(completed: Int,
+                               pending: List[(Long, Long, String)])
+  final case class StepCompletion(user_id: Long, step_idx: Int,
+                                  step: String, us: Long)
+
+  def completions(events: DataFrame, userCol: String, tsCol: String,
+                  idCol: String, typeCol: String, steps: Seq[String],
+                  watermarkDelay: String = "1 hour",
+                  maxBatchEventsPerKey: Int =
+                    Sessionize.DefaultMaxBatchEventsPerKey):
+      Dataset[StepCompletion] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "duplicate funnel steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepArr = steps.toArray
+    val stepSet = steps.toSet
+    // no pre-state type filter — see AttributionStream.credits: Catalyst
+    // would push it below the watermark node and untracked rows would
+    // stop advancing event time; non-step types are skipped at drain
+    val timed = events.select(
+        col(userCol).cast("long").as("user_id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("us"),
+        col(idCol).cast("long").as("event_id"),
+        col(typeCol).as("event_type"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[FunnelEvent]
+    timed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StepCompletion](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, it, state: GroupState[FunnelState]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmUs = wmMs * 1000L
+          val prior = state.getOption.getOrElse(FunnelState(0, Nil))
+          val drained = collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+          if (!state.hasTimedOut) it.foreach { e =>
+            require(drained.size < maxBatchEventsPerKey,
+              s"funnel: key $uid has >= $maxBatchEventsPerKey events in " +
+                "one micro-batch — bound the trigger or filter the key " +
+                "upstream (the Sessionize hot-key contract)")
+            if (stepSet.contains(e.event_type))
+              drained += ((e.us, e.event_id, e.event_type))
+          }
+          val buf = (prior.pending ++ drained).sortBy(t => (t._1, t._2))
+          var completed = prior.completed
+          val out = collection.mutable.ArrayBuffer.empty[StepCompletion]
+          val keep = collection.mutable.ListBuffer.empty[(Long, Long, String)]
+          buf.foreach { e =>
+            if (e._1 >= wmUs) keep += e
+            else if (completed < stepArr.length &&
+                e._3 == stepArr(completed)) {
+              completed += 1
+              out += StepCompletion(uid, completed, stepArr(completed - 1),
+                e._1)
+            } // else: final non-advancing event — discard
+          }
+          val next = FunnelState(completed, keep.toList)
+          if (next.pending.isEmpty && next.completed == 0) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(next)
+            next.pending.headOption.foreach { p =>
+              state.setTimeoutTimestamp(
+                math.max(p._1 / 1000L + 1L, wmMs + 1L))
+            }
           }
           out.iterator
       }

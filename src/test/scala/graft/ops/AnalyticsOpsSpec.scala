@@ -316,6 +316,25 @@ class StatsAnalyticsSpec extends SparkSpec {
     assert(drift.forall(r => math.abs(r.getAs[Long]("psi_micro")) < 100000000L))
   }
 
+  test("psiCategorical: vanished and new categories both score, nulls " +
+      "bucket as (null)") {
+    val ref = (Seq.fill(50)("a") ++ Seq.fill(50)("b")).toDF("c")
+    val cur = (Seq.fill(50)("a") ++ Seq.fill(50)("z")).toDF("c")
+    val out = Stats.psiCategorical(ref, cur, "c").orderBy("category")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+          r.getAs[Long]("psi_micro")))).toMap
+    assert(out.keySet === Set("a", "b", "z"))
+    assert(out("a")._3 === 0L)
+    // b vanished, z appeared: symmetric large positive terms
+    assert(out("b")._3 > 1000000L && out("z")._3 > 1000000L)
+    val withNull = Seq[(java.lang.Long, String)]((1L, "a"), (2L, null))
+      .toDF("id", "c").select(col("c"))
+    val n = Stats.psiCategorical(withNull, withNull, "c")
+      .filter(col("category") === "(null)").collect()
+    assert(n.length === 1 && n.head.getAs[Long]("psi_micro") === 0L)
+  }
+
   test("coocPmi window 1 equals the adjacent-bigram counts, window 3 " +
       "finds skip pairs") {
     val docs = Seq.fill(6)("alpha beta gamma").toDF("text")
