@@ -569,6 +569,48 @@ object QueriesRound8 {
       |    * 1e6, 0) AS BIGINT) AS psi_micro
       |FROM grid, tot ORDER BY category""".stripMargin))
 
+  /** Exact two-sample KS drift statistic ([[graft.ops.Stats
+    * .ksStatistic]]): even-orderkey prices vs odd-orderkey prices
+    * inflated 2% — the oracle computes the same supremum over a plain
+    * full-order window (the scale machinery being bucketed is
+    * invariant by construction and spec-pinned), with the identical
+    * deterministic argmax tie order.
+    */
+  val q189 = QueryDef("q189_ks_drift", (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    val ref = li.filter(col("l_orderkey") % 2 === 0)
+      .select(col("l_extendedprice").as("v"))
+    val cur = li.filter(col("l_orderkey") % 2 === 1)
+      .select((col("l_extendedprice") * 1.02).as("v"))
+    graft.ops.Stats.ksStatistic(ref, cur, "v", buckets = 64)
+  }, Some(
+    """WITH refv AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v, count(*) AS nr
+      |              FROM lineitem
+      |              WHERE l_orderkey % 2 = 0 AND l_extendedprice IS NOT NULL
+      |              GROUP BY 1),
+      |curv AS (SELECT CAST(l_extendedprice * 1.02 AS DOUBLE) AS v,
+      |           count(*) AS nc
+      |         FROM lineitem
+      |         WHERE l_orderkey % 2 = 1 AND l_extendedprice IS NOT NULL
+      |         GROUP BY 1),
+      |m AS (SELECT coalesce(refv.v, curv.v) AS v,
+      |        coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+      |      FROM refv FULL OUTER JOIN curv ON refv.v = curv.v),
+      |c AS (SELECT v,
+      |        sum(nr) OVER (ORDER BY v
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+      |        sum(nc) OVER (ORDER BY v
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      |      FROM m),
+      |tot AS (SELECT CAST(sum(nr) AS BIGINT) AS tr,
+      |          CAST(sum(nc) AS BIGINT) AS tc FROM m)
+      |SELECT tr AS n_ref, tc AS n_cur,
+      |  CAST(round(round(abs(CAST(cr AS DOUBLE) / tr
+      |    - CAST(cc AS DOUBLE) / tc), 6) * 1e6, 0) AS BIGINT) AS d_micro,
+      |  round(v, 4) AS at_value
+      |FROM c, tot
+      |ORDER BY d_micro DESC, v LIMIT 1""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188)
+    q185, q186, q187, q188, q189)
 }

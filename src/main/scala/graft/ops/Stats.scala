@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution statistics for pipeline monitoring: before gating a
@@ -200,6 +201,77 @@ object Stats {
         round(round(qf, 6) * lit(1e6), 0).cast("long").as("q_micro"),
         round(round((pf - qf) * log(pf / qf), 6) * lit(1e6), 0)
           .cast("long").as("psi_micro"))
+  }
+
+  /** Exact two-sample Kolmogorov-Smirnov statistic — the
+    * distribution-free drift test beside [[psi]]'s binned score:
+    * `D = sup_v |F_ref(v) - F_cur(v)|`, computed EXACTLY over the
+    * merged distinct-value table with a SPLIT prefix sum (the
+    * [[graft.ops.Events.peakConcurrency]] pattern): values bucket by
+    * approximate quantile edges of the union (bucketing is monotone so
+    * it cannot change the answer — it only balances partitions),
+    * within-bucket running counts hash-partition by bucket, and the
+    * carry-in offsets come from one window over the BUCKET-grain net
+    * table (rows = `buckets`, which no data size can grow). No
+    * one-task global window anywhere.
+    *
+    * The CDF difference per value is exact integer cumulative counts
+    * through two identical IEEE divisions, micro-rounded per value;
+    * the reported row is the max by `(d_micro DESC, value ASC)` — a
+    * deterministic argmax both engines replay.
+    *
+    * Output: one row, `(n_ref, n_cur, d_micro, at_value)` with
+    * `at_value` the 4-rounded location of the supremum.
+    */
+  def ksStatistic(reference: DataFrame, current: DataFrame,
+                  valueCol: String, buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    def side(df: DataFrame, as: String) = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("v"))
+      .groupBy("v").agg(count(lit(1)).as(as))
+    val merged = side(reference, "nr")
+      .join(side(current, "nc"), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("nr"), lit(0L)).as("nr"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+    val ps = (1 until buckets).map(i => i.toDouble / buckets)
+    val bucketed =
+      if (buckets == 1) merged.withColumn("_b", lit(0))
+      else {
+        val edges = merged
+          .agg(expr(s"approx_percentile(v, array(${ps.mkString(", ")}), 1000)")
+            .as("_e"))
+        merged.crossJoin(broadcast(edges))
+          .withColumn("_b", size(filter(col("_e"), e => col("v") > e)))
+          .drop("_e")
+      }
+    val bucketNet = bucketed.groupBy("_b")
+      .agg(sum("nr").as("_br"), sum("nc").as("_bc"))
+    // deliberate unpartitioned window over rows = buckets (bounded)
+    val wB = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketNet
+      .withColumn("_or", coalesce(sum("_br").over(wB), lit(0L)))
+      .withColumn("_oc", coalesce(sum("_bc").over(wB), lit(0L)))
+      .select("_b", "_or", "_oc")
+    val tot = merged.agg(sum("nr").as("_tr"), sum("nc").as("_tc"))
+    val wIn = Window.partitionBy("_b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val diffs = bucketed
+      .withColumn("_cr", sum("nr").over(wIn))
+      .withColumn("_cc", sum("nc").over(wIn))
+      .join(broadcast(offsets), "_b")
+      .crossJoin(broadcast(tot))
+      .select(col("v"),
+        round(round(abs(
+          (col("_cr") + col("_or")).cast("double") / col("_tr") -
+          (col("_cc") + col("_oc")).cast("double") / col("_tc")), 6)
+          * lit(1e6), 0).cast("long").as("d_micro"),
+        col("_tr"), col("_tc"))
+    diffs
+      .orderBy(col("d_micro").desc, col("v").asc)
+      .limit(1)
+      .select(col("_tr").as("n_ref"), col("_tc").as("n_cur"),
+        col("d_micro"), round(col("v"), 4).as("at_value"))
   }
 
   /** Categorical PSI — [[psi]] over a discrete column: the category

@@ -87,7 +87,8 @@ class PlanAuditSpec extends SparkSpec {
     // their plans are asserted in NearDupIndexSpec/FingerprintIndexSpec;
     // q183 is a streaming query, its lane is spec-audited)
     "q179_pq_recall", "q180_image_meta", "q182_record_linkage",
-    "q184_semantic_decontamination", "q185_cooc_pmi", "q186_psi_drift")
+    "q184_semantic_decontamination", "q185_cooc_pmi", "q186_psi_drift",
+    "q188_psi_categorical", "q189_ks_drift")
 
   /** Queries whose BroadcastNestedLoopJoin is RUNTIME-gated rather than
     * plan-visible: brute-force cosine top-k broadcasts the probe side

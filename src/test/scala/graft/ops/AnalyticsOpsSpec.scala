@@ -335,6 +335,26 @@ class StatsAnalyticsSpec extends SparkSpec {
     assert(n.length === 1 && n.head.getAs[Long]("psi_micro") === 0L)
   }
 
+  test("ksStatistic: hand-checkable supremum, zero on identical samples, " +
+      "bucket-count invariant") {
+    val ref = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val cur = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    val r = Stats.ksStatistic(ref, cur, "v", buckets = 1).head()
+    // F_ref(2)=0.5, F_cur(2)=0 -> D=0.5 at v=2 (first supremum location)
+    assert(r.getAs[Long]("d_micro") === 500000L)
+    assert(r.getAs[Double]("at_value") === 2.0)
+    assert(r.getAs[Long]("n_ref") === 4L && r.getAs[Long]("n_cur") === 4L)
+    val same = Stats.ksStatistic(ref, ref, "v").head()
+    assert(same.getAs[Long]("d_micro") === 0L)
+    // the split prefix-sum must be invariant to how values bucket
+    val big1 = (1 to 500).map(i => (i * 7 % 101).toDouble).toDF("v")
+    val big2 = (1 to 400).map(i => (i * 13 % 97 + 2).toDouble).toDF("v")
+    val d1 = Stats.ksStatistic(big1, big2, "v", buckets = 1).head()
+    val d16 = Stats.ksStatistic(big1, big2, "v", buckets = 16).head()
+    assert(d1.getAs[Long]("d_micro") === d16.getAs[Long]("d_micro"))
+    assert(d1.getAs[Double]("at_value") === d16.getAs[Double]("at_value"))
+  }
+
   test("coocPmi window 1 equals the adjacent-bigram counts, window 3 " +
       "finds skip pairs") {
     val docs = Seq.fill(6)("alpha beta gamma").toDF("text")
