@@ -23,7 +23,7 @@ object QueriesAnalytics {
     * just the score arithmetic.
     */
   /** The %29-of-documents query set shared by q142/q147/q152. */
-  private def bm25Queries(docs: org.apache.spark.sql.DataFrame) =
+  private[graft] def bm25Queries(docs: org.apache.spark.sql.DataFrame) =
     docs.filter(col("doc_id") % 29 === 0)
       .select(col("doc_id").as("query_id"),
         array_join(slice(split(lower(col("text")), " "), 1, 5), " ").as("qtext"))
@@ -31,7 +31,7 @@ object QueriesAnalytics {
   /** The BM25 replay CTE shared by the q142 and q152 oracles: ends at
     * `ranked`.
     */
-  private val bm25OracleCte: String =
+  private[graft] val bm25OracleCte: String =
     """WITH dtok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
       |              FROM documents),
       |post AS (SELECT doc_id, term, count(*) AS tf FROM dtok

@@ -611,6 +611,120 @@ object QueriesRound8 {
       |FROM c, tot
       |ORDER BY d_micro DESC, v LIMIT 1""".stripMargin))
 
+  private val q190Dir = QueriesScale.sidePath("q190_pq_index")
+
+  /** Persisted IVF-PQ serving path ([[graft.ops.Pq.writePqIndex]] /
+    * [[graft.ops.Pq.appendPqIndex]] / [[graft.ops.Pq.pqTopKIndexed]]):
+    * two thirds of the embeddings build the index, the last third
+    * APPENDS (encoded with the STORED codebook and centroids — mixed
+    * codebooks would corrupt every ADC lookup), and the query runs
+    * from the cell-partitioned codes alone. The oracle replays the ADC
+    * search from the stored artifacts (probe cells read back from the
+    * codes table — assignment and storage provably agree), pinning the
+    * full quantized ranking after the append.
+    */
+  val q190 = QueryDef("q190_pq_indexed_search", (spark, dir) => {
+    QueriesScale.reapStaleSideTables("q190_pq_index")
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    graft.ops.Pq.writePqIndex(emb.filter(col("vec_id") % 3 =!= 0), q190Dir,
+      m = 4, k = 16, cells = 16, seed = 42L)
+    graft.ops.Pq.appendPqIndex(spark, q190Dir,
+      emb.filter(col("vec_id") % 3 === 0))
+    val probes = emb.filter(col("vec_id") % 25 === 0)
+    graft.ops.Pq.pqTopKIndexed(spark, q190Dir, probes, topk = 5)
+      .select("probe_id", "cand_id", "adc_micro", "rank")
+  }, Some(
+    s"""WITH codes AS (SELECT cand_id, cell, codes
+       |               FROM read_parquet('$q190Dir/codes/*/*.parquet',
+       |                                 hive_partitioning = true)),
+       |cb AS (SELECT sub, code, centroid
+       |       FROM read_parquet('$q190Dir/codebook/*.parquet')),
+       |p AS (SELECT c.cand_id AS probe_id, c.cell, e.embedding
+       |      FROM codes c JOIN embeddings e ON e.vec_id = c.cand_id
+       |      WHERE c.cand_id % 25 = 0),
+       |t AS (SELECT probe_id, p.cell, sub, code,
+       |        CAST(round(round(list_sum(list_transform(
+       |          list_zip(embedding[(sub * 16 + 1):(sub * 16 + 16)], centroid),
+       |          x -> (x[1]::DOUBLE - x[2]::DOUBLE) *
+       |               (x[1]::DOUBLE - x[2]::DOUBLE))), 6) * 1e6, 0)
+       |          AS BIGINT) AS d_micro
+       |      FROM p, cb),
+       |cl AS (SELECT cand_id, cell, codes,
+       |         unnest(generate_series(1, len(codes))) AS i
+       |       FROM codes),
+       |cl2 AS (SELECT cand_id, cell, i - 1 AS sub, codes[i] AS code FROM cl),
+       |s AS (SELECT probe_id, cand_id,
+       |        CAST(sum(d_micro) AS BIGINT) AS adc_micro
+       |      FROM cl2 JOIN t USING (cell, sub, code)
+       |      WHERE probe_id <> cand_id
+       |      GROUP BY probe_id, cand_id),
+       |r AS (SELECT probe_id, cand_id, adc_micro,
+       |        CAST(row_number() OVER (PARTITION BY probe_id
+       |             ORDER BY adc_micro, cand_id) AS BIGINT) AS rank
+       |      FROM s)
+       |SELECT probe_id, cand_id, adc_micro, rank FROM r WHERE rank <= 5
+       |ORDER BY probe_id, rank""".stripMargin))
+
+  /** Hybrid retrieval via reciprocal-rank fusion ([[graft.ops.Search
+    * .rrfFuse]]): q142's BM25 top-10 (self-hits dropped, original rank
+    * gaps kept) fused with the exact-cosine top-10 over the aligned
+    * embeddings, `1/(60+rank)` micro contributions, fused top-5. The
+    * oracle replays BOTH rankings and the integer fusion — the hybrid
+    * ORDER is what the hash pins.
+    */
+  val q191 = QueryDef("q191_hybrid_rrf", (spark, dir) => {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val lexical = graft.ops.Search.bm25TopK(docs,
+        QueriesAnalytics.bm25Queries(docs), "doc_id", "text",
+        "query_id", "qtext", k = 10)
+      .filter(col("query_id") =!= col("doc_id"))
+      .select("query_id", "doc_id", "rank")
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+      .join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+        "left_semi")
+    val probes = emb.filter(col("vec_id") % 29 === 0)
+    val pn = probes.count()
+    val semantic = graft.ops.Similarity.bruteForceTopK(emb, probes, k = 10,
+        probeRows = Some(pn))
+      .select(col("probe_id").as("query_id"), col("cand_id").as("doc_id"),
+        col("rank"))
+    graft.ops.Search.rrfFuse(Seq(lexical, semantic), "query_id", "doc_id",
+        "rank", kConst = 60, topk = 5)
+      .orderBy("query_id", "rank")
+  }, Some(QueriesAnalytics.bm25OracleCte +
+    s""",
+       |bmr AS (SELECT query_id, doc_id, rank FROM ranked
+       |        WHERE rank <= 10 AND query_id <> doc_id),
+       |p0 AS (SELECT e.vec_id AS query_id, e.embedding AS pe
+       |       FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+       |       WHERE e.vec_id % 29 = 0),
+       |c0 AS (SELECT e.vec_id AS doc_id, e.embedding AS ce
+       |       FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+       |es AS (SELECT query_id, c0.doc_id,
+       |         ${QueriesScale.duckCos("pe", "ce")} AS cos
+       |       FROM p0, c0 WHERE query_id <> c0.doc_id),
+       |er AS (SELECT query_id, doc_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY round(cos, 6) DESC, doc_id) AS rank
+       |       FROM es QUALIFY rank <= 10),
+       |u AS (SELECT query_id, doc_id,
+       |        CAST(round(round(1.0 / (60 + rank), 6) * 1e6, 0) AS BIGINT)
+       |          AS c
+       |      FROM bmr
+       |      UNION ALL
+       |      SELECT query_id, doc_id,
+       |        CAST(round(round(1.0 / (60 + rank), 6) * 1e6, 0) AS BIGINT)
+       |      FROM er),
+       |f AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+       |        CAST(count(*) AS BIGINT) AS n_lists
+       |      FROM u GROUP BY 1, 2),
+       |fr AS (SELECT query_id, doc_id, rrf_micro, n_lists,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
+       |       FROM f)
+       |SELECT query_id, doc_id, rrf_micro, n_lists, rank
+       |FROM fr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189)
+    q185, q186, q187, q188, q189, q190, q191)
 }

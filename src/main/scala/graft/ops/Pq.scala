@@ -163,6 +163,90 @@ object Pq {
       .orderBy("probe_id", "rank")
   }
 
+  /** Persist the IVF-PQ serving artifacts — the steady-state layout a
+    * 100 TB embedding corpus actually queries from: the trained
+    * codebook and IVF centroids (model tables, tiny), and the corpus
+    * CODES partitioned by cell (the only corpus-sized table — m small
+    * ints per vector, the 100-200× compression that makes the quantized
+    * tier scan-cheap; the float embeddings never need to be read again
+    * for search). Query-time cell pruning is FILE-level: the probe
+    * side's cells drive dynamic partition pruning on the codes
+    * partitioning, the [[Similarity.writeClusteredIndex]] discipline.
+    *
+    * Training runs on the `vec_id % trainSampleMod == 0` sample
+    * (codebooks need distribution coverage, not the corpus); encoding
+    * runs on everything through the broadcast-fed native expressions.
+    */
+  def writePqIndex(corpus: DataFrame, dir: String, m: Int = 4, k: Int = 16,
+                   cells: Int = 16, seed: Long = 42L,
+                   trainSampleMod: Int = 4): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus.filter(pmod(col("vec_id"), lit(trainSampleMod)) === 0)
+    val (_, model) = Similarity.kmeansCells(sample, cells, seed)
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    trainPqCodebooks(sample, "embedding", m, k, seed)
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    val cb = codebookArrays(spark.read.parquet(s"$dir/codebook"))
+    encodePq(Similarity.assignCells(corpus, model), "embedding", cb)
+      .select(col("vec_id").as("cand_id"), col("cell"), col("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    Seq((m, k, cells)).toDF("m", "k", "cells")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** The stored centroids as the ordered array [[graft.functions
+    * .NativeFunctions.nearestCells]] broadcasts — cell id is the array
+    * index, so the order is read back from the table, never assumed.
+    */
+  private def storedCentroids(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/centroids").collect()
+      .sortBy(_.getAs[Int]("cell"))
+      .map(_.getAs[Seq[Double]]("centroid").toArray)
+
+  /** ADC top-k against a PERSISTED index: probes assign to their
+    * `nprobe` nearest STORED centroids (broadcast, codegen'd — a corpus
+    * member lands on exactly its indexed cell), the codes scan prunes
+    * to the probed cells at file level, and the fused ADC ranks. The
+    * corpus' float embeddings are never touched — the point of the
+    * quantized tier.
+    */
+  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    probes: DataFrame, topk: Int,
+                    nprobe: Int = 1): DataFrame = {
+    val cb = codebookArrays(spark.read.parquet(s"$dir/codebook"))
+    val bc = spark.sparkContext.broadcast(storedCentroids(spark, dir))
+    val assigned = probes
+      .withColumn("cell", explode(
+        graft.functions.NativeFunctions.nearestCells(col("embedding"), bc,
+          nprobe)))
+      .select(col("vec_id").as("probe_id"), col("cell"), col("embedding"))
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select(col("cand_id"), col("cell"), col("codes"))
+    adcTopKFused(codes, assigned, cb, topk)
+  }
+
+  /** Grow a persisted index: the delta encodes with the STORED codebook
+    * and assigns with the STORED centroids (an append must never
+    * retrain — mixed codebooks would corrupt every ADC table lookup),
+    * appending into the cell-partitioned codes layout. Callers own
+    * id-disjointness, as with the near-dup ingest.
+    */
+  def appendPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    delta: DataFrame): Unit = {
+    val cb = codebookArrays(spark.read.parquet(s"$dir/codebook"))
+    val bc = spark.sparkContext.broadcast(storedCentroids(spark, dir))
+    val assigned = delta.withColumn("cell", element_at(
+      graft.functions.NativeFunctions.nearestCells(col("embedding"), bc, 1), 1))
+    encodePq(assigned, "embedding", cb)
+      .select(col("vec_id").as("cand_id"), col("cell"), col("codes"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
   /** End-to-end IVF-PQ: k-means cells prune the candidate set, PQ codes
     * compress it, ADC ranks it, and an optional exact re-rank pass
     * (`rerank` > topk) rescores the ADC shortlist with true cosine —

@@ -189,6 +189,41 @@ object Search {
     idx
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. SIGIR'09) — the standard
+    * hybrid-retrieval baseline: each input list contributes
+    * `1 / (kConst + rank)` per (query, item), summed across lists, and
+    * the fused top-k re-ranks on that score. Rank positions are taken
+    * AS GIVEN (a caller who filters self-hits keeps the original rank
+    * gaps — document the choice, both are standard). Contributions
+    * micro-quantize per entry, so the fused score is an order-free
+    * BIGINT sum and ties break on item id — engine-replayable.
+    *
+    * Scale shape: inputs are already k·|queries| rows (the retrieval
+    * ops own the corpus-sized work); fusion is one union, one
+    * aggregate, one WindowGroupLimit top-k.
+    *
+    * Output: `(queryCol, itemCol, rrf_micro, n_lists, rank)`,
+    * `rank <= topk` per query by `(rrf_micro DESC, item)`.
+    */
+  def rrfFuse(lists: Seq[DataFrame], queryCol: String, itemCol: String,
+              rankCol: String, kConst: Int = 60, topk: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(kConst >= 1 && topk >= 1, "kConst and topk must be >= 1")
+    val contrib = lists.map(_.select(
+        col(queryCol).as("_q"), col(itemCol).as("_i"),
+        round(round(lit(1.0) / (lit(kConst) + col(rankCol)), 6) * lit(1e6), 0)
+          .cast("long").as("_c")))
+      .reduce(_.unionByName(_))
+    val w = Window.partitionBy("_q")
+      .orderBy(col("rrf_micro").desc, col("_i"))
+    contrib.groupBy("_q", "_i")
+      .agg(sum("_c").as("rrf_micro"), count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topk)
+      .select(col("_q").as(queryCol), col("_i").as(itemCol),
+        col("rrf_micro"), col("n_lists"), col("rank"))
+  }
+
   /** Append a document delta to a persisted index: postings and doc
     * lengths append into the bucketed layout (no rewrite of existing
     * files), and the one-row stats table is refreshed with the exact

@@ -104,4 +104,38 @@ class PqSpec extends SparkSpec {
     assert(recall2.sum / recall2.size > 0.7,
       s"re-ranked cosine recall ${recall2.sum / recall2.size} too low")
   }
+
+  test("persisted PQ index: indexed search == stored-artifact recompute, " +
+      "append encodes with the STORED model, scans prune to probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings").select("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+    Pq.writePqIndex(corpus, dir, m = 4, k = 16, cells = 8, seed = 42L)
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+    val out1 = Pq.pqTopKIndexed(spark, dir, probes, topk = 3)
+    assert(out1.count() > 0)
+    // candidate universe before the append excludes delta ids
+    assert(out1.filter(col("cand_id") % 3 === 0).isEmpty)
+    // plan prunes the cell-partitioned codes scan to the probed cells
+    val plan = out1.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("dynamicpruning") || plan.contains("isnotnull(cell")),
+      s"codes scan not partition-pruned:\n$plan")
+    Pq.appendPqIndex(spark, dir, delta)
+    // appended codes are EXACTLY the stored-model encode of the delta
+    val cb = Pq.codebookArrays(spark.read.parquet(s"$dir/codebook"))
+    val expected = Pq.encodePq(delta, "embedding", cb)
+      .select(col("vec_id"), col("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val stored = spark.read.parquet(s"$dir/codes")
+      .filter(col("cand_id") % 3 === 0)
+      .select(col("cand_id"), col("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(stored === expected)
+    // and the grown index now serves delta candidates
+    val out2 = Pq.pqTopKIndexed(spark, dir, probes, topk = 3)
+    assert(out2.filter(col("cand_id") % 3 === 0).count() > 0)
+  }
 }

@@ -1,6 +1,30 @@
 package graft.ops
 
 import graft.SparkSpec
+
+/** [[Search.rrfFuse]] — hand-computable fusion arithmetic. */
+class RrfFuseSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("contributions sum across lists; single-list items keep theirs; " +
+      "ties break on item") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q", "item", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("q", "item", "rank")
+    val out = Search.rrfFuse(Seq(a, b), "q", "item", "rank",
+        kConst = 60, topk = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("item"), r.getAs[Long]("rrf_micro"),
+        r.getAs[Long]("n_lists"), r.getAs[Long]("rank")))
+    // 1/61 -> 16393, 1/62 -> 16129 (round-6 micro)
+    assert(out(0) === ((11L, 16129L + 16393L, 2L, 1L)), out.mkString(","))
+    // 10 and 12 tie at 16393 and 16129: by score then item id
+    assert(out(1) === ((10L, 16393L, 1L, 2L)))
+    assert(out(2) === ((12L, 16129L, 1L, 3L)))
+  }
+}
+
+import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** [[Search]] — BM25 ranked retrieval on a planted corpus where the
