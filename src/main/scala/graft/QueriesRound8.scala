@@ -725,6 +725,91 @@ object QueriesRound8 {
        |SELECT query_id, doc_id, rrf_micro, n_lists, rank
        |FROM fr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
+  /** Per-group exact heavy hitters ([[graft.ops.Sketches
+    * .heavyHittersPerGroup]]): the tokens above 1% share of each
+    * SOURCE — per-group Misra-Gries candidates under one shared pass,
+    * exact recount, group-grain thresholds. The oracle is the exact
+    * per-group GROUP BY with the identical IEEE ceil threshold.
+    */
+  val q192 = QueryDef("q192_heavy_hitters_per_group", (spark, dir) =>
+    graft.ops.Sketches.heavyHittersPerGroup(
+      t(spark, dir, "documents")
+        .select(col("source"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= ""),
+      "source", "tok", phi = 0.01)
+      .orderBy("source", "tok"),
+    Some(
+      """WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        |           FROM documents),
+        |tt AS (SELECT source, tok FROM t WHERE tok <> ''),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_group
+        |      FROM tt GROUP BY 1),
+        |c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM tt GROUP BY 1, 2)
+        |SELECT c.source, tok, cnt, n_group
+        |FROM c JOIN s USING (source)
+        |WHERE cnt >= CAST(ceil(0.01 * n_group) AS BIGINT)
+        |ORDER BY source, tok""".stripMargin))
+
+  /** Truncated-dimension retrieval eval (the Matryoshka/MRL question —
+    * "how much recall do the first 16 of 64 dims keep?"): cosine top-10
+    * over the PREFIX-truncated embeddings, measured against the
+    * full-dimension ground truth through the hash-gated
+    * [[graft.ops.Similarity.retrievalEval]] harness, so the
+    * dimensionality-reduction trade is a pinned number, not a guess —
+    * the q151/q179 discipline applied to a third approximation axis.
+    */
+  val q193 = QueryDef("q193_truncated_dim_recall", (spark, dir) => {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+    val pn = probes.count()
+    val exact = graft.ops.Similarity.bruteForceTopK(emb, probes, k = 10,
+      probeRows = Some(pn))
+    val trunc = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    val approx = graft.ops.Similarity.bruteForceTopK(trunc,
+      trunc.filter(col("vec_id") % 100 === 0), k = 10,
+      probeRows = Some(pn))
+    graft.ops.Similarity.retrievalEval(approx, exact).orderBy("probe_id")
+  }, Some(
+    s"""WITH p0 AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+       |            WHERE vec_id % 100 = 0),
+       |c0 AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+       |ex_scored AS (
+       |  SELECT probe_id, cand_id, ${QueriesScale.duckCos("pe", "ce")} AS cos
+       |  FROM p0, c0 WHERE probe_id <> cand_id),
+       |ex_ranked AS (SELECT probe_id, cand_id,
+       |    row_number() OVER (PARTITION BY probe_id
+       |                       ORDER BY round(cos, 6) DESC, cand_id) AS rank
+       |  FROM ex_scored QUALIFY rank <= 10),
+       |tp AS (SELECT vec_id AS probe_id, embedding[1:16] AS pe
+       |       FROM embeddings WHERE vec_id % 100 = 0),
+       |tc AS (SELECT vec_id AS cand_id, embedding[1:16] AS ce
+       |       FROM embeddings),
+       |ap_scored AS (
+       |  SELECT probe_id, cand_id, ${QueriesScale.duckCos("pe", "ce")} AS cos
+       |  FROM tp, tc WHERE probe_id <> cand_id),
+       |ap_ranked AS (SELECT probe_id, cand_id,
+       |    row_number() OVER (PARTITION BY probe_id
+       |                       ORDER BY round(cos, 6) DESC, cand_id) AS rank
+       |  FROM ap_scored QUALIFY rank <= 10),
+       |exn AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact
+       |        FROM ex_ranked GROUP BY 1),
+       |hits AS (SELECT a.probe_id, CAST(count(*) AS BIGINT) AS nh,
+       |           min(a.rank) AS first_r
+       |         FROM ap_ranked a JOIN ex_ranked e
+       |           ON e.probe_id = a.probe_id AND e.cand_id = a.cand_id
+       |         GROUP BY 1)
+       |SELECT exn.probe_id, n_exact,
+       |  CAST(coalesce(nh, 0) AS BIGINT) AS n_hit,
+       |  CAST(round(round(CAST(coalesce(nh, 0) AS DOUBLE) / n_exact, 6)
+       |    * 1e6, 0) AS BIGINT) AS recall_micro,
+       |  coalesce(CAST(round(round(1.0 / first_r, 6) * 1e6, 0) AS BIGINT), 0)
+       |    AS rr_micro
+       |FROM exn LEFT JOIN hits USING (probe_id)
+       |ORDER BY probe_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193)
 }

@@ -249,6 +249,63 @@ object Sketches {
     * is derived, e.g. exploded tokens), the sketch pass, the recount
     * pass.
     */
+  /** [[heavyHitters]] per group — "the tokens above `phi` share of each
+    * SOURCE/LANGUAGE", the per-slice variant every mixing report needs:
+    * same exact two-pass discipline (per-partition Misra-Gries
+    * candidates with a per-group summary budget, then an exact recount
+    * of candidates only), with thresholds at GROUP grain. Per partition
+    * the sketch holds ≤ `2/phi` entries per observed group — memory is
+    * groups × k, never values — and the recount join touches only
+    * candidate (group, value) pairs. Output
+    * `(groupCol, valueCol, cnt, n_group)` with
+    * `cnt >= ceil(phi · n_group)` exact.
+    */
+  def heavyHittersPerGroup(df: DataFrame, groupCol: String,
+                           valueCol: String, phi: Double): DataFrame = {
+    require(phi > 0 && phi < 0.5, s"phi out of (0, 0.5): $phi")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df.select(col(groupCol).cast("string").as("_g"),
+        col(valueCol).cast("string").as("_v"))
+      .filter(col("_g").isNotNull && col("_v").isNotNull)
+    val sizes = pairs.groupBy("_g").agg(count(lit(1)).as("n_group"))
+      .withColumn("_thr", ceil(lit(phi) * col("n_group")).cast("long"))
+    val k = math.max(math.ceil(2.0 / phi).toInt, 2)
+    val sketches = pairs.as[(String, String)].mapPartitions { it =>
+      val perGroup = scala.collection.mutable
+        .HashMap.empty[String, scala.collection.mutable.HashMap[String, Long]]
+      it.foreach { case (g, v) =>
+        val m = perGroup.getOrElseUpdate(g,
+          scala.collection.mutable.HashMap.empty[String, Long])
+        m.get(v) match {
+          case Some(c) => m.update(v, c + 1)
+          case None if m.size < k => m.update(v, 1L)
+          case None =>
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            m.foreach { case (key, c) =>
+              if (c == 1L) dead += key else m.update(key, c - 1) }
+            dead.foreach(m.remove)
+        }
+      }
+      perGroup.iterator.flatMap { case (g, m) =>
+        m.iterator.map { case (v, c) => (g, v, c) } }
+    }.toDF("_g", "_v", "_est")
+    val cands = sketches.groupBy("_g", "_v").agg(sum("_est").as("_est"))
+      .join(sizes, "_g")
+      // the MG undercount bound, per group (see heavyHitters); integer
+      // floor-div like the global variant's n / (k + 1)
+      .filter(col("_est") >= greatest(lit(1L),
+        col("_thr") - (col("n_group") / lit((k + 1).toLong)).cast("long")
+          - lit(1L)))
+      .select("_g", "_v")
+    pairs.join(cands, Seq("_g", "_v"))
+      .groupBy("_g", "_v").agg(count(lit(1)).as("cnt"))
+      .join(sizes, "_g")
+      .filter(col("cnt") >= col("_thr"))
+      .select(col("_g").as(groupCol), col("_v").as(valueCol),
+        col("cnt"), col("n_group"))
+  }
+
   def heavyHitters(df: DataFrame, valueCol: String, phi: Double): DataFrame = {
     require(phi > 0 && phi < 0.5, s"phi out of (0, 0.5): $phi")
     val spark = df.sparkSession

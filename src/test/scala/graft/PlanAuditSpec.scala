@@ -88,7 +88,8 @@ class PlanAuditSpec extends SparkSpec {
     // q183 is a streaming query, its lane is spec-audited)
     "q179_pq_recall", "q180_image_meta", "q182_record_linkage",
     "q184_semantic_decontamination", "q185_cooc_pmi", "q186_psi_drift",
-    "q188_psi_categorical", "q189_ks_drift", "q191_hybrid_rrf")
+    "q188_psi_categorical", "q189_ks_drift", "q191_hybrid_rrf",
+    "q192_heavy_hitters_per_group", "q193_truncated_dim_recall")
 
   /** Queries whose BroadcastNestedLoopJoin is RUNTIME-gated rather than
     * plan-visible: brute-force cosine top-k broadcasts the probe side
@@ -106,7 +107,9 @@ class PlanAuditSpec extends SparkSpec {
       // deltaNearDupPairs gate) — the non-equi scoring join is the design
       "q184_semantic_decontamination",
       // q191's exact-cosine leg is the gated bruteForceTopK (q29's design)
-      "q191_hybrid_rrf")
+      "q191_hybrid_rrf",
+      // q193 runs TWO gated brute-force legs (full-dim truth + truncated)
+      "q193_truncated_dim_recall")
 
   private def flatten(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {

@@ -468,6 +468,28 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("heavyHittersPerGroup: exact per-group answers under one shared " +
+      "sketch pass; groups never cross-talk") {
+    val rnd = new scala.util.Random(7)
+    // group A: zipf-ish; group B: two planted hitters in heavy noise —
+    // thresholds differ per group because the group sizes differ
+    val a = (1 to 40).flatMap(v => Seq.fill(2000 / v)(("A", s"w$v")))
+    val b = Seq.fill(200)(("B", "hot")) ++ Seq.fill(50)(("B", "warm")) ++
+      (1 to 80).flatMap(v => Seq.fill(3)(("B", s"noise$v")))
+    val rows = rnd.shuffle(a ++ b)
+    val phi = 0.04
+    val want = (a ++ b).groupBy(_._1).flatMap { case (g, vs) =>
+      val thr = math.ceil(phi * vs.size).toLong
+      vs.groupBy(_._2).view.mapValues(_.size.toLong)
+        .filter(_._2 >= thr).map { case (v, c) => (g, v) -> c }
+    }
+    val got = Sketches.heavyHittersPerGroup(
+        rows.toDF("src", "tok").repartition(11), "src", "tok", phi)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got === want)
+  }
+
   test("empty input yields an empty frame; phi bounds are enforced") {
     val empty = Seq.empty[String].toDF("tok")
     assert(Sketches.heavyHitters(empty, "tok", 0.01).count() == 0)
