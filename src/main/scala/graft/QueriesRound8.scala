@@ -274,10 +274,15 @@ object QueriesRound8 {
         concat(substring(col("p_name"), 1, 5), lit("z"),
           substring(col("p_name"), 7, 100000)).as("p_name"),
         lit("Brand#99").as("p_brand"), col("p_type"))
+    // the gate keeps the match/possible bands (the decision surface the
+    // method exists for) — emitting every scored NON-match candidate
+    // pair would make the gate artifact O(candidate pairs), 4M rows at
+    // sf0.1, for rows whose only content is "nothing matched"
     graft.ops.Linkage.linkagePairs(
         part.unionByName(twins).unionByName(impostors),
         "p_partkey", "p_name", Seq(lkName, lkBrand, lkType),
         blockMaxDist = 1, upperMicro = 3000000L, lowerMicro = 0L)
+      .filter(col("decision") =!= "non_match")
       .orderBy("a_id", "b_id")
   }, Some {
     def nrm(c: String) = s"trim(regexp_replace(lower($c), '\\s+', ' ', 'g'))"
@@ -321,12 +326,14 @@ object QueriesRound8 {
        |              ELSE ${lkType.disagreeMicro} END AS BIGINT)
        |      AS score_micro
        |  FROM scored)
-       |SELECT a_id, b_id, agree_p_name, agree_p_brand, agree_p_type,
-       |  score_micro,
-       |  CASE WHEN score_micro >= 3000000 THEN 'match'
-       |       WHEN score_micro <= 0 THEN 'non_match'
-       |       ELSE 'possible' END AS decision
-       |FROM sc2 ORDER BY a_id, b_id""".stripMargin
+       |SELECT * FROM (
+       |  SELECT a_id, b_id, agree_p_name, agree_p_brand, agree_p_type,
+       |    score_micro,
+       |    CASE WHEN score_micro >= 3000000 THEN 'match'
+       |         WHEN score_micro <= 0 THEN 'non_match'
+       |         ELSE 'possible' END AS decision
+       |  FROM sc2)
+       |WHERE decision <> 'non_match' ORDER BY a_id, b_id""".stripMargin
   })
 
   /** STREAMING attribution held to the batch oracle (q162's pattern,
