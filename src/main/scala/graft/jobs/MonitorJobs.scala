@@ -1,0 +1,192 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.EtlJob
+import graft.ops.{Linkage, Search, Similarity, Sketches, Stats}
+
+/** Manifest adapters for the round-8 monitoring / retrieval / linkage
+  * operators — the YAML-driven form of the q182–q192 families, keeping
+  * the reference's "declare it in the manifest" workflow for the new
+  * surface (reference launcher shape: jobs/generic/launcher.py).
+  */
+
+/** Feature-drift PSI ([[Stats.psi]] / [[Stats.psiCategorical]]).
+  * Inputs: `reference` and `current` (by key). Params: `value_col`
+  * (required), `categorical` (default false), `bins` (default 10),
+  * `exact` (default true).
+  */
+class PsiJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val ref = inputs.getOrElse("reference",
+      sys.error("PsiJob needs a 'reference' input"))
+    val cur = inputs.getOrElse("current",
+      sys.error("PsiJob needs a 'current' input"))
+    val v = params.getOrElse("value_col",
+      sys.error("PsiJob needs a 'value_col' param"))
+    if (params.getOrElse("categorical", "false").toBoolean)
+      Stats.psiCategorical(ref, cur, v).orderBy("category")
+    else
+      Stats.psi(ref, cur, v,
+        bins = params.getOrElse("bins", "10").toInt,
+        exact = params.getOrElse("exact", "true").toBoolean)
+        .orderBy("bucket")
+  }
+}
+
+/** Exact two-sample KS drift ([[Stats.ksStatistic]]). Inputs:
+  * `reference`/`current`. Params: `value_col` (required), `buckets`
+  * (default 64).
+  */
+class KsDriftJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val ref = inputs.getOrElse("reference",
+      sys.error("KsDriftJob needs a 'reference' input"))
+    val cur = inputs.getOrElse("current",
+      sys.error("KsDriftJob needs a 'current' input"))
+    Stats.ksStatistic(ref, cur,
+      params.getOrElse("value_col",
+        sys.error("KsDriftJob needs a 'value_col' param")),
+      buckets = params.getOrElse("buckets", "64").toInt)
+  }
+}
+
+/** Per-group exact heavy hitters ([[Sketches.heavyHittersPerGroup]]).
+  * Params: `group_col` (required), `value_col` (required, or
+  * `text_col` to token-explode), `phi` (default 0.01).
+  */
+class HeavyHittersPerGroupJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val in = inputs.values.head
+    val group = params.getOrElse("group_col",
+      sys.error("HeavyHittersPerGroupJob needs a 'group_col' param"))
+    val pairs = params.get("value_col") match {
+      case Some(v) => in.select(col(group), col(v))
+      case None =>
+        val t = params.getOrElse("text_col", "text")
+        in.select(col(group),
+            explode(split(lower(col(t)), " ")).as("value"))
+          .filter(col("value") =!= "")
+    }
+    val valueCol = pairs.columns.last
+    Sketches.heavyHittersPerGroup(pairs, group, valueCol,
+        phi = params.getOrElse("phi", "0.01").toDouble)
+      .orderBy(group, valueCol)
+  }
+}
+
+/** Image-header metadata gate ([[graft.ops.Multimodal.imageMeta]]).
+  * Params: `payload_col` (default `payload`); optional `min_width` /
+  * `min_height` — when either is set, unparseable or undersized rows
+  * are DROPPED (the curation gate), else rows pass through annotated.
+  */
+class ImageMetaJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val out = graft.ops.Multimodal.imageMeta(inputs.values.head,
+      params.getOrElse("payload_col", "payload"))
+    (params.get("min_width"), params.get("min_height")) match {
+      case (None, None) => out
+      case (w, h) =>
+        out.filter(col("format").isNotNull &&
+          col("width") >= w.getOrElse("1").toInt &&
+          col("height") >= h.getOrElse("1").toInt)
+    }
+  }
+}
+
+/** Hybrid lexical+semantic retrieval ([[Search.bm25TopK]] +
+  * [[Similarity.bruteForceTopK]] + [[Search.rrfFuse]]). Inputs:
+  * `docs` (id+text), `queries` (query_id+qtext), `embeddings`
+  * (vec_id+embedding, ids aligned with docs). Params: `k_each`
+  * (per-list depth, default 10), `topk` (default 5), `k_const`
+  * (default 60), `drop_self` (default true).
+  */
+class HybridSearchJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val docs = inputs.getOrElse("docs",
+      sys.error("HybridSearchJob needs a 'docs' input"))
+    val queries = inputs.getOrElse("queries",
+      sys.error("HybridSearchJob needs a 'queries' input"))
+    val emb = inputs.getOrElse("embeddings",
+      sys.error("HybridSearchJob needs an 'embeddings' input"))
+    val kEach = params.getOrElse("k_each", "10").toInt
+    val lex0 = Search.bm25TopK(docs, queries, "doc_id", "text",
+      "query_id", "qtext", k = kEach)
+    val lex = (if (params.getOrElse("drop_self", "true").toBoolean)
+        lex0.filter(col("query_id") =!= col("doc_id")) else lex0)
+      .select("query_id", "doc_id", "rank")
+    val probes = emb.join(queries.select(col("query_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val pn = probes.count()
+    val sem = Similarity.bruteForceTopK(emb, probes, k = kEach,
+        probeRows = Some(pn))
+      .select(col("probe_id").as("query_id"), col("cand_id").as("doc_id"),
+        col("rank"))
+    Search.rrfFuse(Seq(lex, sem), "query_id", "doc_id", "rank",
+        kConst = params.getOrElse("k_const", "60").toInt,
+        topk = params.getOrElse("topk", "5").toInt)
+      .orderBy("query_id", "rank")
+  }
+}
+
+/** Embedding-space decontamination ([[Similarity
+  * .semanticDecontaminate]]). Inputs: `corpus` and `eval_set`. Params:
+  * `id_col` (default `vec_id`), `emb_col` (default `embedding`),
+  * `threshold` (required).
+  */
+class SemanticDecontaminateJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val corpus = inputs.getOrElse("corpus",
+      sys.error("SemanticDecontaminateJob needs a 'corpus' input"))
+    val ev = inputs.getOrElse("eval_set",
+      sys.error("SemanticDecontaminateJob needs an 'eval_set' input"))
+    val id = params.getOrElse("id_col", "vec_id")
+    val e = params.getOrElse("emb_col", "embedding")
+    Similarity.semanticDecontaminate(corpus, id, e, ev, id, e,
+      threshold = params.getOrElse("threshold",
+        sys.error("SemanticDecontaminateJob needs a 'threshold' param"))
+        .toDouble)
+  }
+}
+
+/** Fellegi-Sunter record linkage ([[Linkage.linkagePairs]]). Params:
+  * `id_col`, `block_col` (required), `fields` (required —
+  * `name:m:u[:maxDist]` comma list), `upper_micro`/`lower_micro`
+  * (required), `block_max_dist` (default 1). Output keeps the
+  * match/possible bands unless `keep_non_match=true`.
+  */
+class RecordLinkageJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val fields = params.getOrElse("fields",
+        sys.error("RecordLinkageJob needs a 'fields' param"))
+      .split(",").map(_.trim).filter(_.nonEmpty).map { spec =>
+        spec.split(":") match {
+          case Array(n, m, u) => Linkage.LinkField(n, m.toDouble, u.toDouble)
+          case Array(n, m, u, d) =>
+            Linkage.LinkField(n, m.toDouble, u.toDouble, d.toInt)
+          case _ => sys.error(s"bad linkage field spec: $spec " +
+            "(want name:m:u[:maxDist])")
+        }
+      }.toSeq
+    val out = Linkage.linkagePairs(inputs.values.head,
+      params.getOrElse("id_col",
+        sys.error("RecordLinkageJob needs an 'id_col' param")),
+      params.getOrElse("block_col",
+        sys.error("RecordLinkageJob needs a 'block_col' param")),
+      fields,
+      blockMaxDist = params.getOrElse("block_max_dist", "1").toInt,
+      upperMicro = params.getOrElse("upper_micro",
+        sys.error("RecordLinkageJob needs an 'upper_micro' param")).toLong,
+      lowerMicro = params.getOrElse("lower_micro",
+        sys.error("RecordLinkageJob needs a 'lower_micro' param")).toLong)
+    if (params.getOrElse("keep_non_match", "false").toBoolean) out
+    else out.filter(col("decision") =!= "non_match")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.jobs
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.core.model.Manifest
+import graft.engine.Flow
+
+/** The round-8 monitoring/retrieval/linkage branches run from
+  * `conf/monitor_pipeline.yml` alone and agree with the library
+  * operators they wrap.
+  */
+class MonitorJobsSpec extends SparkSpec {
+
+  private lazy val loaded = {
+    val out = java.nio.file.Files.createTempDirectory("graft_monjobs")
+    Manifest.loadFile("conf/monitor_pipeline.yml", Seq("dev"),
+      Map("out_root" -> out.toString))
+  }
+
+  test("numeric and categorical PSI + KS run from the manifest") {
+    val psi = Flow.runPipeline(spark, loaded.jobs, "price_psi",
+      save = false)("price_psi")
+    assert(psi.count() === 10)
+    // the planted 8% inflation must register as real drift
+    assert(psi.agg(sum("psi_micro")).head().getLong(0) > 50000L)
+    val cat = Flow.runPipeline(spark, loaded.jobs, "flag_psi",
+      save = false)("flag_psi")
+    assert(cat.columns.contains("category") && cat.count() >= 3)
+    val ks = Flow.runPipeline(spark, loaded.jobs, "price_ks",
+      save = false)("price_ks").head()
+    assert(ks.getAs[Long]("d_micro") > 10000L)
+  }
+
+  test("per-source hot tokens and hybrid search agree with the ops") {
+    val hh = Flow.runPipeline(spark, loaded.jobs, "source_hot_tokens",
+      save = false)("source_hot_tokens")
+    assert(hh.count() > 0 &&
+      hh.columns.toSet === Set("source", "value", "cnt", "n_group"))
+    val hybrid = Flow.runPipeline(spark, loaded.jobs, "hybrid_search",
+      save = false)("hybrid_search")
+    assert(hybrid.count() > 0)
+    // every query's fused list is ranked 1..k with n_lists in {1,2}
+    val bad = hybrid.filter(col("rank") < 1 || col("rank") > 5 ||
+      !col("n_lists").isin(1L, 2L)).count()
+    assert(bad === 0L)
+  }
+
+  test("record linkage from the manifest matches the library decisions") {
+    val linked = Flow.runPipeline(spark, loaded.jobs, "part_linkage",
+      save = false)("part_linkage")
+    val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .select("p_partkey", "p_name", "p_brand", "p_type")
+    val direct = graft.ops.Linkage.linkagePairs(part, "p_partkey", "p_name",
+        Seq(graft.ops.Linkage.LinkField("p_name", 0.9, 0.1, 1),
+          graft.ops.Linkage.LinkField("p_brand", 0.95, 0.2),
+          graft.ops.Linkage.LinkField("p_type", 0.9, 0.3)),
+        blockMaxDist = 1, upperMicro = 3000000L, lowerMicro = 0L)
+      .filter(col("decision") =!= "non_match")
+    assert(linked.collect().map(_.toSeq).toSet ===
+      direct.collect().map(_.toSeq).toSet)
+  }
+}
