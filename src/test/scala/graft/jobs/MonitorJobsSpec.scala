@@ -45,6 +45,25 @@ class MonitorJobsSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("semantic decontamination and the image gate run from the manifest") {
+    val clean = Flow.runPipeline(spark, loaded.jobs, "clean_embeddings",
+      save = false)("clean_embeddings")
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings").select("vec_id", "embedding", "label")
+    val direct = graft.ops.Similarity.semanticDecontaminate(
+      emb.filter(col("vec_id") % 97 =!= 0), "vec_id", "embedding",
+      emb.filter(col("vec_id") % 97 === 0), "vec_id", "embedding",
+      threshold = 0.4)
+    assert(clean.select("vec_id").collect().map(_.getLong(0)).toSet ===
+      direct.select("vec_id").collect().map(_.getLong(0)).toSet)
+    val gated = Flow.runPipeline(spark, loaded.jobs, "image_gate",
+      save = false)("image_gate")
+    // planted dims: width = doc_id % 240 + 16 — the gate keeps >= 64 only
+    assert(gated.count() > 0)
+    assert(gated.filter(col("width") < 64 || col("height") < 64).isEmpty)
+    assert(gated.filter(col("format") =!= "png").isEmpty)
+  }
+
   test("record linkage from the manifest matches the library decisions") {
     val linked = Flow.runPipeline(spark, loaded.jobs, "part_linkage",
       save = false)("part_linkage")
