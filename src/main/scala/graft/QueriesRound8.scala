@@ -817,6 +817,62 @@ object QueriesRound8 {
        |FROM exn LEFT JOIN hits USING (probe_id)
        |ORDER BY probe_id""".stripMargin))
 
+  /** Audio/video-header metadata ([[graft.ops.Multimodal.mediaMeta]]
+    * over the codegen'd [[graft.functions.MediaMeta]] scan — q180's
+    * time-media sibling): even docs synthesize a REAL RIFF/WAVE header
+    * (little-endian fmt + data chunks), odd docs a minimal ISO-BMFF
+    * `ftyp`+`moov/mvhd` (big-endian box walk), dims derived from
+    * `doc_id`; the op must read channels / sample rate / duration back
+    * OUT OF THE BYTES while the oracle replays only the planted
+    * arithmetic — endianness or chunk-walk drift hash-fails.
+    */
+  val q194 = QueryDef("q194_media_meta", (spark, dir) => {
+    val docs = t(spark, dir, "documents").select("doc_id")
+    def be(c: org.apache.spark.sql.Column, w: Int) =
+      lpad(lower(hex(c)), w, "0")
+    def le32(c: org.apache.spark.sql.Column) = {
+      val b = be(c, 8)
+      concat(substring(b, 7, 2), substring(b, 5, 2),
+        substring(b, 3, 2), substring(b, 1, 2))
+    }
+    def le16(c: org.apache.spark.sql.Column) = {
+      val b = be(c, 4)
+      concat(substring(b, 3, 2), substring(b, 1, 2))
+    }
+    val channels = expr("1 + (doc_id % 4) div 2")
+    val rate = expr("8000 * (1 + doc_id % 3)")
+    val byteRate = rate * channels * lit(2)
+    val dataSize = byteRate * (expr("1 + doc_id % 5"))
+    val wavHex = concat(lit("52494646" + "00000000" + "57415645" +
+        "666d7420" + "10000000" + "0100"),
+      le16(channels), le32(rate), le32(byteRate),
+      le16(channels * 2), lit("1000"),
+      lit("64617461"), le32(dataSize))
+    val duration = lit(600) * expr("1 + doc_id % 7") + lit(300)
+    val mp4Hex = concat(
+      lit("00000010" + "66747970" + "69736f6d" + "00000000"),
+      lit("00000024" + "6d6f6f76"),
+      lit("0000001c" + "6d766864" + "00000000" + "00000000" + "00000000"),
+      be(lit(600), 8), be(duration, 8))
+    val payload = unhex(when(col("doc_id") % 2 === 0, wavHex)
+      .otherwise(mp4Hex))
+    graft.ops.Multimodal.mediaMeta(
+        docs.withColumn("payload", payload), "payload")
+      .select(col("doc_id"), col("format"), col("channels"),
+        col("sample_rate"), col("duration_ms"))
+      .orderBy("doc_id")
+  }, Some(
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS format,
+      |  CASE WHEN doc_id % 2 = 0
+      |       THEN CAST(1 + (doc_id % 4) // 2 AS BIGINT) END AS channels,
+      |  CASE WHEN doc_id % 2 = 0
+      |       THEN CAST(8000 * (1 + doc_id % 3) AS BIGINT) END AS sample_rate,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 * (1 + doc_id % 5)
+      |       ELSE (600 * (1 + doc_id % 7) + 300) * 1000 // 600
+      |       END AS BIGINT) AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194)
 }

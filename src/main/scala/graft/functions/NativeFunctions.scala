@@ -618,6 +618,115 @@ object ImageMeta {
   }
 }
 
+/** Audio/video container-header parse — [[ImageMeta]]'s time-media
+  * sibling, again codec-free: WAV publishes channels / sample rate /
+  * byte rate in its `fmt ` chunk (RIFF chunk scan, little-endian) and
+  * the `data` chunk size fixes the duration; MP4 (ISO BMFF) publishes
+  * timescale + duration in `moov/mvhd` (big-endian box walk, v0 and v1
+  * layouts). Output `array<long>` of
+  * `[format, channels, sample_rate, duration_ms]` (format 0=wav,
+  * 1=mp4; channels/sample_rate are -1 for mp4); NULL for
+  * unrecognized/truncated payloads — corrupt media is filterable data.
+  */
+case class MediaMeta(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"media_meta expects binary, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "media_meta"
+
+  override def nullSafeEval(input: Any): Any =
+    MediaMeta.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+       |${ev.value} = graft.functions.MediaMeta.parse($b);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MediaMeta {
+  val FormatWav = 0L
+  val FormatMp4 = 1L
+
+  private def le16(b: Array[Byte], i: Int): Long =
+    ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
+  private def le32(b: Array[Byte], i: Int): Long =
+    ((b(i + 3) & 0xffL) << 24) | ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  /** `[format, channels, sample_rate, duration_ms]` or null. Total. */
+  def parse(b: Array[Byte]): ArrayData = {
+    if (b == null || b.length < 12) return null
+    if (tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") {
+      var i = 12
+      var channels = -1L; var rate = -1L; var byteRate = -1L
+      var dataSize = -1L
+      while (i + 8 <= b.length) {
+        val id = tag(b, i)
+        val size = le32(b, i + 4)
+        if (id == "fmt " && i + 8 + 16 <= b.length) {
+          channels = le16(b, i + 10)
+          rate = le32(b, i + 12)
+          byteRate = le32(b, i + 16)
+        } else if (id == "data") dataSize = size
+        // chunks are word-aligned: odd sizes pad one byte
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      if (channels <= 0 || rate <= 0 || byteRate <= 0 || dataSize < 0)
+        return null
+      return new GenericArrayData(Array(FormatWav, channels, rate,
+        dataSize * 1000L / byteRate))
+    }
+    // ISO BMFF: top-level box walk to moov, child walk to mvhd
+    var i = 0
+    while (i + 8 <= b.length) {
+      val size = be32(b, i)
+      if (size < 8) return null // 64-bit/extends-to-eof boxes unsupported
+      if (tag(b, i + 4) == "moov") {
+        var j = i + 8
+        val end = math.min(b.length.toLong, i + size).toInt
+        while (j + 8 <= end) {
+          val csize = be32(b, j)
+          if (csize < 8) return null
+          if (tag(b, j + 4) == "mvhd" && j + 9 <= end) {
+            val version = b(j + 8) & 0xff
+            if (version == 0 && j + 28 <= end) {
+              val ts = be32(b, j + 20); val dur = be32(b, j + 24)
+              if (ts <= 0) return null
+              return new GenericArrayData(Array(FormatMp4, -1L, -1L,
+                dur * 1000L / ts))
+            } else if (version == 1 && j + 40 <= end) {
+              val ts = be32(b, j + 28); val dur = be64(b, j + 32)
+              if (ts <= 0) return null
+              return new GenericArrayData(Array(FormatMp4, -1L, -1L,
+                dur * 1000L / ts))
+            } else return null
+          }
+          j += csize.toInt
+        }
+        return null
+      }
+      i += size.toInt
+    }
+    null
+  }
+}
+
 object NativeFunctions {
 
   /** Registry of native functions, shared by per-session registration
@@ -639,6 +748,10 @@ object NativeFunctions {
     "image_meta" -> { args =>
       require(args.length == 1, "image_meta takes 1 argument")
       ImageMeta(args(0))
+    },
+    "media_meta" -> { args =>
+      require(args.length == 1, "media_meta takes 1 argument")
+      MediaMeta(args(0))
     })
 
   // weak keys: sessions must stay collectible after stop(); synchronized:
@@ -690,6 +803,9 @@ object NativeFunctions {
 
   /** Column API for [[ImageMeta]] (via the registry, like [[dotF]]). */
   def imageMeta(payload: Column): Column = call_function("image_meta", payload)
+
+  /** Column API for [[MediaMeta]] (via the registry, like [[dotF]]). */
+  def mediaMeta(payload: Column): Column = call_function("media_meta", payload)
 
   /** Column API for [[LshBuckets]]. Built directly (not via the function
     * registry — the broadcast handle is not an Expression argument).

@@ -72,6 +72,29 @@ object Multimodal {
       .drop("_m")
   }
 
+  /** Audio/video-header metadata — [[imageMeta]]'s time-media sibling
+    * over the codegen'd [[graft.functions.MediaMeta]] scan: WAV
+    * channels / sample rate and exact container duration; MP4
+    * `moov/mvhd` duration. Same contract: one byte-scan per row, no
+    * codec, NULL format for unrecognized payloads.
+    *
+    * Output: input row + `(format, channels, sample_rate,
+    * duration_ms)`; channels/sample_rate are null for mp4.
+    */
+  def mediaMeta(docs: DataFrame, payloadCol: String): DataFrame = {
+    val m = graft.functions.NativeFunctions.mediaMeta(col(payloadCol))
+    docs.withColumn("_m", m)
+      .withColumn("format",
+        when(element_at(col("_m"), 1) === 0, "wav")
+          .when(element_at(col("_m"), 1) === 1, "mp4"))
+      .withColumn("channels",
+        when(element_at(col("_m"), 2) >= 0, element_at(col("_m"), 2)))
+      .withColumn("sample_rate",
+        when(element_at(col("_m"), 3) >= 0, element_at(col("_m"), 3)))
+      .withColumn("duration_ms", element_at(col("_m"), 4))
+      .drop("_m")
+  }
+
   /** Feature extraction over the binary payload: split the byte stream
     * into `dim` equal blocks and emit each block's mean byte value as a
     * `dim`-length double vector — the partition-local binary→vector seam

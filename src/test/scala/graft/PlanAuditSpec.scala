@@ -89,7 +89,8 @@ class PlanAuditSpec extends SparkSpec {
     "q179_pq_recall", "q180_image_meta", "q182_record_linkage",
     "q184_semantic_decontamination", "q185_cooc_pmi", "q186_psi_drift",
     "q188_psi_categorical", "q189_ks_drift", "q191_hybrid_rrf",
-    "q192_heavy_hitters_per_group", "q193_truncated_dim_recall")
+    "q192_heavy_hitters_per_group", "q193_truncated_dim_recall",
+    "q194_media_meta")
 
   /** Queries whose BroadcastNestedLoopJoin is RUNTIME-gated rather than
     * plan-visible: brute-force cosine top-k broadcasts the probe side

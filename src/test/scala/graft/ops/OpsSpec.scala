@@ -444,6 +444,38 @@ class MultimodalSpec extends SparkSpec {
       "truncated/garbage/null payloads must yield null format, not a throw")
   }
 
+  test("mediaMeta parses real WAV and MP4 headers, nulls the rest") {
+    // canonical 16-bit PCM WAV header: mono, 8000 Hz, byteRate 16000,
+    // data chunk of 32000 bytes -> exactly 2000 ms (data bytes omitted —
+    // the header scan reads sizes, not samples)
+    val wav = "RIFF".getBytes("US-ASCII") ++ hexBytes("247d0000") ++
+      "WAVEfmt ".getBytes("US-ASCII") ++
+      hexBytes("10000000 0100 0100 401f0000 803e0000 0200 1000") ++
+      "data".getBytes("US-ASCII") ++ hexBytes("007d0000")
+    // minimal BMFF: ftyp box then moov > mvhd v0, timescale 600,
+    // duration 1500 units -> 2500 ms
+    val mvhd = hexBytes("0000006c") ++ "mvhd".getBytes("US-ASCII") ++
+      hexBytes("00" + "000000" + "00000000" + "00000000" +
+        "00000258" + "000005dc") ++ Array.fill[Byte](0x6c - 8 - 20)(0)
+    val moov = hexBytes("%08x".format(8 + mvhd.length)) ++
+      "moov".getBytes("US-ASCII") ++ mvhd
+    val ftyp = hexBytes("00000010") ++ "ftypisom".getBytes("US-ASCII") ++
+      hexBytes("00000000")
+    val mp4 = ftyp ++ moov
+    val df = Seq((1L, wav), (2L, mp4),
+      (3L, "garbage not a container".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.mediaMeta(df, "payload").orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("format") === "wav")
+    assert(out(0).getAs[Long]("channels") === 1L)
+    assert(out(0).getAs[Long]("sample_rate") === 8000L)
+    assert(out(0).getAs[Long]("duration_ms") === 2000L)
+    assert(out(1).getAs[String]("format") === "mp4")
+    assert(out(1).isNullAt(out(1).fieldIndex("channels")))
+    assert(out(1).getAs[Long]("duration_ms") === 2500L)
+    assert(out(2).isNullAt(out(2).fieldIndex("format")))
+  }
+
   test("imageMeta skips arbitrary JPEG APP segments (EXIF-sized)") {
     // 3000-byte APP1 blob between SOI and SOF0 — the scan must hop over
     // it via the segment length, not scan into it

@@ -156,6 +156,41 @@ class RandomizedInvariantsSpec extends SparkSpec {
     assert(norm(saturated) == norm(exact))
   }
 
+  test("vacuum + compact equals an index built without the forgotten docs " +
+      "(random corpora and forget sets)") {
+    val rnd = new scala.util.Random(17)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def doc() = (1 to 12).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    def tableRows(t: String) = spark.table(t).collect()
+      .map(_.toSeq).toSet
+    for (round <- 1 to 2) {
+      val corpus = (1L to 30L).map(i => (i, doc())).toDF("doc_id", "text")
+      val forget = rnd.shuffle((1L to 30L).toList).take(5 + rnd.nextInt(5))
+      Seq("rvx", "rvy").foreach(n =>
+        Seq("_shingles", "_buckets", "_meta", "_tombstones").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS $n$s")))
+      try {
+        // lane A: full index, tombstone vacuum, physical compact
+        Dedup.writeNearDupIndex(corpus, "doc_id", "text", "rvx",
+          numBuckets = 4)
+        Dedup.vacuumNearDupIndex(spark, "rvx",
+          forget.toDF("doc_id"))
+        Dedup.compactNearDupIndex(spark, "rvx")
+        // lane B: index built on the surviving corpus directly
+        Dedup.writeNearDupIndex(
+          corpus.filter(!col("doc_id").isin(forget: _*)),
+          "doc_id", "text", "rvy", numBuckets = 4)
+        assert(tableRows("rvx_shingles") === tableRows("rvy_shingles"),
+          s"round $round: compacted shingles drifted from a clean rebuild")
+        assert(tableRows("rvx_buckets") === tableRows("rvy_buckets"),
+          s"round $round: compacted buckets drifted from a clean rebuild")
+      } finally Seq("rvx", "rvy").foreach(n =>
+        Seq("_shingles", "_buckets", "_meta", "_tombstones").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS $n$s")))
+    }
+  }
+
   test("overlap cards: estimate is exact whenever the pair union fits in k") {
     val rnd = new scala.util.Random(3)
     val rows = for {
