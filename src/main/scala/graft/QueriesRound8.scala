@@ -873,6 +873,100 @@ object QueriesRound8 {
       |       END AS BIGINT) AS duration_ms
       |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Balanced label downsampling ([[graft.ops.Sampling
+    * .balancedDownsample]]): a skewed class column (three ~155-doc
+    * groups vs one ~71-doc rare class) equalizes to the min class
+    * size by deterministic md5-priority selection — the class-balance
+    * step before training a classifier head. The oracle replays the
+    * per-label rank with the identical portable hash and tie order.
+    */
+  val q195 = QueryDef("q195_balanced_downsample", (spark, dir) => {
+    val docs = t(spark, dir, "documents").select("doc_id")
+      .withColumn("cls", when(col("doc_id") % 7 === 0, "rare")
+        .otherwise(concat(lit("grp"), (col("doc_id") % 3).cast("string"))))
+    graft.ops.Sampling.balancedDownsample(docs, "cls", "doc_id",
+        salt = "bal")
+      .select(col("doc_id"), col("cls"), col("n_label"), col("n_keep"))
+      .orderBy("doc_id")
+  }, Some(
+    """WITH d AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN 'rare'
+      |         ELSE 'grp' || CAST(doc_id % 3 AS VARCHAR) END AS cls
+      |  FROM documents),
+      |sized AS (SELECT cls, CAST(count(*) AS BIGINT) AS n_label
+      |          FROM d GROUP BY 1),
+      |tgt AS (SELECT CAST(min(n_label) AS BIGINT) AS n_keep FROM sized),
+      |ranked AS (SELECT doc_id, cls,
+      |    row_number() OVER (PARTITION BY cls ORDER BY
+      |      CAST('0x' || substr(md5('bal' || CAST(doc_id AS VARCHAR)), 1, 15)
+      |        AS BIGINT) % 1000000, doc_id) AS rn
+      |  FROM d)
+      |SELECT doc_id, r.cls, n_label, n_keep
+      |FROM ranked r JOIN sized USING (cls), tgt
+      |WHERE rn <= n_keep ORDER BY doc_id""".stripMargin))
+
+  /** Per-label embedding-centroid drift ([[graft.ops.Similarity
+    * .embeddingDrift]]): even-id vectors are the reference, odd-id
+    * vectors the current snapshot with label 3's embeddings OFFSET by
+    * +0.5 per component — a planted semantic shift in exactly one
+    * class. The oracle replays the micro-int component sums, the
+    * dimension-ordered mean assembly, and the ordered-fold cosine.
+    */
+  val q196 = QueryDef("q196_embedding_drift", (spark, dir) => {
+    val emb = t(spark, dir, "embeddings")
+      .select("vec_id", "embedding", "label")
+    val ref = emb.filter(col("vec_id") % 2 === 0)
+    val cur = emb.filter(col("vec_id") % 2 === 1)
+      .withColumn("embedding",
+        when(col("label") === 3,
+          transform(col("embedding"), x => x + lit(0.5f)))
+          .otherwise(col("embedding")))
+    graft.ops.Similarity.embeddingDrift(ref, cur, "label", "embedding")
+      .orderBy("label")
+  }, Some(
+    """WITH refe AS (SELECT label, embedding
+      |              FROM embeddings WHERE vec_id % 2 = 0),
+      |cure AS (SELECT label,
+      |           CASE WHEN label = 3
+      |                THEN list_transform(embedding, x -> x + 0.5::FLOAT)
+      |                ELSE embedding END AS embedding
+      |         FROM embeddings WHERE vec_id % 2 = 1),
+      |rs AS (SELECT label, i,
+      |         CAST(sum(CAST(round(embedding[i]::DOUBLE * 1e6, 0) AS BIGINT))
+      |           AS BIGINT) AS s
+      |       FROM refe, unnest(generate_series(1, len(embedding))) AS t(i)
+      |       GROUP BY 1, 2),
+      |cs AS (SELECT label, i,
+      |         CAST(sum(CAST(round(embedding[i]::DOUBLE * 1e6, 0) AS BIGINT))
+      |           AS BIGINT) AS s
+      |       FROM cure, unnest(generate_series(1, len(embedding))) AS t(i)
+      |       GROUP BY 1, 2),
+      |rn AS (SELECT label, CAST(count(*) AS BIGINT) AS n_ref
+      |       FROM refe GROUP BY 1),
+      |cn AS (SELECT label, CAST(count(*) AS BIGINT) AS n_cur
+      |       FROM cure GROUP BY 1),
+      |ra AS (SELECT rs.label, rn.n_ref,
+      |         list(rs.s::DOUBLE / rn.n_ref / 1e6 ORDER BY rs.i) AS m
+      |       FROM rs JOIN rn USING (label) GROUP BY 1, 2),
+      |ca AS (SELECT cs.label, cn.n_cur,
+      |         list(cs.s::DOUBLE / cn.n_cur / 1e6 ORDER BY cs.i) AS m
+      |       FROM cs JOIN cn USING (label) GROUP BY 1, 2),
+      |j AS (SELECT coalesce(ra.label, ca.label) AS label,
+      |        coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur,
+      |        ra.m AS ma, ca.m AS mb
+      |      FROM ra FULL OUTER JOIN ca ON ra.label = ca.label)
+      |SELECT label, n_ref, n_cur,
+      |  CASE WHEN ma IS NOT NULL AND mb IS NOT NULL THEN
+      |    CAST(round(round(
+      |      list_sum(list_transform(list_zip(ma, mb),
+      |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+      |      (sqrt(list_sum(list_transform(ma, x -> x::DOUBLE * x))) *
+      |       sqrt(list_sum(list_transform(mb, x -> x::DOUBLE * x)))), 6)
+      |      * 1e6, 0) AS BIGINT)
+      |  END AS centroid_cos_micro
+      |FROM j ORDER BY label""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195,
+    q196)
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / dataset splitting for training pipelines.
@@ -24,6 +25,40 @@ object Sampling {
       conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 15), 16, 10)
         .cast("long"),
       lit(buckets.toLong))
+
+  /** Balanced label downsampling — equalize a skewed label/class
+    * distribution by keeping exactly `min(label count)` rows per label
+    * (or `perLabel` when set, capped at each label's size),
+    * deterministically: rows compete per label on the portable
+    * `(md5(salt || id), id)` priority, so the selection is a pure
+    * function of the id set — replays identically on any engine or
+    * partitioning, the [[hashSplit]] determinism contract.
+    *
+    * Scale shape: one label-grain count (broadcast back), one
+    * per-label rank window — the standard one-shuffle per-group
+    * selection, and the rank filter plans as WindowGroupLimit when the
+    * cap is a literal.
+    *
+    * Output: the kept input rows + `(n_label, n_keep)` for audit.
+    */
+  def balancedDownsample(df: DataFrame, labelCol: String, idCol: String,
+                         salt: String = "bal",
+                         perLabel: Option[Long] = None): DataFrame = {
+    val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n_label"))
+    val sized = perLabel match {
+      case Some(n) =>
+        require(n >= 1, s"perLabel must be >= 1: $n")
+        counts.withColumn("n_keep", least(lit(n), col("n_label")))
+      case None =>
+        counts.crossJoin(broadcast(counts.agg(min("n_label").as("n_keep"))))
+    }
+    val w = Window.partitionBy(labelCol)
+      .orderBy(hashBucket(col(idCol), salt, 1000000), col(idCol))
+    df.join(broadcast(sized), labelCol)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= col("n_keep"))
+      .drop("_rn")
+  }
 
   /** Weighted sampling WITHOUT replacement, n items with inclusion odds
     * proportional to `weightCol` — Efraimidis–Spirakis (2006) priority

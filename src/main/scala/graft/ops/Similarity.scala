@@ -440,6 +440,61 @@ object Similarity {
     corpus.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Per-label embedding-centroid drift between two snapshots — the
+    * embedding-space member of the drift family ([[graft.ops.Stats
+    * .psi]] / `ksStatistic` watch scalar columns; an embedding corpus
+    * drifts when a label's MASS MOVES in vector space, e.g. a topic's
+    * content shifting under a re-crawl): per label, the cosine between
+    * the reference and current mean vectors, plus the count shift.
+    *
+    * Determinism discipline: components quantize to micro-int longs at
+    * the ROW grain, so the per-(label, dimension) sums are order-free
+    * integer arithmetic; each label's mean vectors assemble in
+    * dimension order and the final cosine is one left-to-right ordered
+    * fold over exact inputs ([[graft.functions.VectorFunctions]]'
+    * engine-pinned convention). One (label, dim)-grain contraction is
+    * the only corpus-sized shuffle; everything after runs at label
+    * grain.
+    *
+    * Output: `(label, n_ref, n_cur, centroid_cos_micro)` — labels
+    * absent from one side report null cosine (pure arrival/departure,
+    * the count columns carry the signal).
+    */
+  def embeddingDrift(reference: DataFrame, current: DataFrame,
+                     labelCol: String, embCol: String): DataFrame = {
+    def sums(df: DataFrame, nAs: String, arrAs: String) = {
+      val comp = df
+        .select(col(labelCol).as("label"),
+          posexplode(col(embCol)).as(Seq("_i", "_x")))
+        .withColumn("_q",
+          round(col("_x").cast("double") * lit(1e6), 0).cast("long"))
+        .groupBy("label", "_i").agg(sum("_q").as("_s"))
+      val n = df.groupBy(col(labelCol).as("label"))
+        .agg(count(lit(1)).as(nAs))
+      comp.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("_i"), col("_s")))),
+          s => s.getField("_s")).as(arrAs))
+        .join(n, "label")
+    }
+    val r = sums(reference, "n_ref", "_ra")
+    val c = sums(current, "n_cur", "_ca")
+    val joined = r.join(c, Seq("label"), "full_outer")
+    val meanR = transform(col("_ra"),
+      s => s.cast("double") / col("n_ref") / lit(1e6))
+    val meanC = transform(col("_ca"),
+      s => s.cast("double") / col("n_cur") / lit(1e6))
+    def dot(a: Column, b: Column) = aggregate(
+      zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val cosine = dot(meanR, meanC) /
+      (sqrt(dot(meanR, meanR)) * sqrt(dot(meanC, meanC)))
+    joined.select(col("label"),
+      coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+      coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+      when(col("_ra").isNotNull && col("_ca").isNotNull,
+        round(round(cosine, 6) * lit(1e6), 0).cast("long"))
+        .as("centroid_cos_micro"))
+  }
+
   /** Symmetric int8 vector quantization: per-vector `scale = max|x|/127`,
     * `qvec[i] = round(x[i]/scale)` — 4× smaller storage (int8 + one
     * double) for embedding corpora where the scan, not the math, is the

@@ -392,6 +392,59 @@ class SamplingSpec extends SparkSpec {
     // monotone: a bigger fraction is a superset of a smaller one
     assert(s.except(Sampling.hashSample(ids, "id", "s", 0.5)).isEmpty)
   }
+
+  test("balancedDownsample equalizes classes to the min (or cap), " +
+      "deterministically across partitionings") {
+    val rows = (1L to 300L).map(i => (i, "big")) ++
+      (301L to 400L).map(i => (i, "mid")) ++
+      (401L to 440L).map(i => (i, "small"))
+    val df = rows.toDF("id", "cls")
+    val out = Sampling.balancedDownsample(df, "cls", "id")
+    val counts = out.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("big" -> 40L, "mid" -> 40L, "small" -> 40L))
+    // pure function of the id set: any partitioning picks the same rows
+    val again = Sampling.balancedDownsample(df.repartition(13), "cls", "id")
+    assert(out.select("id").except(again.select("id")).isEmpty &&
+      again.select("id").except(out.select("id")).isEmpty)
+    // explicit per-label cap, bounded by each class's size
+    val capped = Sampling.balancedDownsample(df, "cls", "id",
+        perLabel = Some(60L))
+      .groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped === Map("big" -> 60L, "mid" -> 60L, "small" -> 40L))
+  }
+}
+
+/** [[Similarity.embeddingDrift]] — planted centroid shifts on
+  * hand-checkable vectors.
+  */
+class EmbeddingDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical snapshots score 1e6; an offset label drops; one-sided " +
+      "labels report null cosine with live counts") {
+    val ref = Seq(
+      (1L, "a", Array(1.0f, 0.0f)), (2L, "a", Array(0.8f, 0.2f)),
+      (3L, "b", Array(0.0f, 1.0f)),
+      (4L, "gone", Array(0.5f, 0.5f))).toDF("id", "label", "emb")
+    val sameOut = Similarity.embeddingDrift(ref, ref, "label", "emb")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("centroid_cos_micro"))
+      .toMap
+    assert(sameOut.values.toSet === Set(1000000L))
+    val cur = Seq(
+      (5L, "a", Array(1.0f, 0.0f)), (6L, "a", Array(0.8f, 0.2f)),
+      (7L, "b", Array(1.0f, 0.0f)), // b rotated 90 degrees
+      (8L, "new", Array(0.1f, 0.9f))).toDF("id", "label", "emb")
+    val out = Similarity.embeddingDrift(ref, cur, "label", "emb")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(out("a")._3.contains(1000000L))
+    assert(out("b")._3.exists(_ < 100000L), s"rotated label still close: $out")
+    assert(out("gone") === ((1L, 0L, None)))
+    assert(out("new") === ((0L, 1L, None)))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
