@@ -966,7 +966,69 @@ object QueriesRound8 {
       |  END AS centroid_cos_micro
       |FROM j ORDER BY label""".stripMargin))
 
+  /** Per-slice PSI ([[graft.ops.Stats.psiByGroup]]): prices drift 10%
+    * ONLY for return-flag `R` — the per-group edges must localize the
+    * drift to R's rows while A/N stay near zero, instead of diluting
+    * it into a corpus average. The oracle replays the per-group
+    * quantile edges, bucketings, floors, and contributions.
+    */
+  val q197 = QueryDef("q197_psi_by_group", (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    val ref = li.filter(col("l_orderkey") % 2 === 0)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+    val cur = li.filter(col("l_orderkey") % 2 === 1)
+      .select(col("l_returnflag"),
+        when(col("l_returnflag") === "R", col("l_extendedprice") * 1.1)
+          .otherwise(col("l_extendedprice")).as("v"))
+    graft.ops.Stats.psiByGroup(ref, cur, "l_returnflag", "v", bins = 10)
+      .orderBy("group", "bucket")
+  }, Some {
+    val ps = (1 until 10).map(i => (i / 10.0).toString).mkString(", ")
+    s"""WITH refv AS (SELECT l_returnflag AS grp, l_extendedprice AS v
+       |              FROM lineitem
+       |              WHERE l_orderkey % 2 = 0 AND l_extendedprice IS NOT NULL),
+       |curv AS (SELECT l_returnflag AS grp,
+       |           CASE WHEN l_returnflag = 'R' THEN l_extendedprice * 1.1
+       |                ELSE l_extendedprice END AS v
+       |         FROM lineitem
+       |         WHERE l_orderkey % 2 = 1 AND l_extendedprice IS NOT NULL),
+       |e AS (SELECT grp, list_transform(quantile_cont(v, [$ps]),
+       |        x -> round(x, 4)) AS edges FROM refv GROUP BY grp),
+       |rb AS (SELECT refv.grp,
+       |         CAST(len(list_filter(e.edges, x -> v > x)) AS BIGINT)
+       |           AS bucket, count(*) AS n_ref
+       |       FROM refv JOIN e ON e.grp = refv.grp GROUP BY 1, 2),
+       |cb AS (SELECT curv.grp,
+       |         CAST(len(list_filter(e.edges, x -> v > x)) AS BIGINT)
+       |           AS bucket, count(*) AS n_cur
+       |       FROM curv JOIN e ON e.grp = curv.grp GROUP BY 1, 2),
+       |grid0 AS (SELECT e.grp, g.bucket FROM e
+       |          CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bucket) g),
+       |grid AS (SELECT grid0.grp, grid0.bucket,
+       |           CAST(coalesce(rb.n_ref, 0) AS BIGINT) AS n_ref,
+       |           CAST(coalesce(cb.n_cur, 0) AS BIGINT) AS n_cur
+       |         FROM grid0
+       |         LEFT JOIN rb ON rb.grp = grid0.grp AND rb.bucket = grid0.bucket
+       |         LEFT JOIN cb ON cb.grp = grid0.grp AND cb.bucket = grid0.bucket),
+       |tot AS (SELECT grp, CAST(sum(n_ref) AS BIGINT) AS tr,
+       |          CAST(sum(n_cur) AS BIGINT) AS tc
+       |        FROM grid GROUP BY grp HAVING sum(n_cur) > 0)
+       |SELECT grid.grp AS "group", bucket, n_ref, n_cur,
+       |  CAST(round(round(greatest(CAST(n_ref AS DOUBLE) / tr, 0.000001), 6)
+       |    * 1e6, 0) AS BIGINT) AS p_micro,
+       |  CAST(round(round(greatest(CAST(n_cur AS DOUBLE) / tc, 0.000001), 6)
+       |    * 1e6, 0) AS BIGINT) AS q_micro,
+       |  CAST(round(round(
+       |    (greatest(CAST(n_ref AS DOUBLE) / tr, 0.000001)
+       |     - greatest(CAST(n_cur AS DOUBLE) / tc, 0.000001))
+       |    * ln(greatest(CAST(n_ref AS DOUBLE) / tr, 0.000001)
+       |         / greatest(CAST(n_cur AS DOUBLE) / tc, 0.000001)), 6)
+       |    * 1e6, 0) AS BIGINT) AS psi_micro
+       |FROM grid JOIN tot ON tot.grp = grid.grp
+       |ORDER BY "group", bucket""".stripMargin
+  })
+
   val all: Seq[QueryDef] = Seq(q178, q179, q180, q181, q182, q183, q184,
     q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195,
-    q196)
+    q196, q197)
 }

@@ -11,9 +11,10 @@ import graft.ops.{Linkage, Search, Similarity, Sketches, Stats}
   * surface (reference launcher shape: jobs/generic/launcher.py).
   */
 
-/** Feature-drift PSI ([[Stats.psi]] / [[Stats.psiCategorical]]).
-  * Inputs: `reference` and `current` (by key). Params: `value_col`
-  * (required), `categorical` (default false), `bins` (default 10),
+/** Feature-drift PSI ([[Stats.psi]] / [[Stats.psiCategorical]] /
+  * [[Stats.psiByGroup]]). Inputs: `reference` and `current` (by key).
+  * Params: `value_col` (required), `categorical` (default false),
+  * `group_col` (optional — per-slice monitoring), `bins` (default 10),
   * `exact` (default true).
   */
 class PsiJob extends EtlJob {
@@ -27,11 +28,18 @@ class PsiJob extends EtlJob {
       sys.error("PsiJob needs a 'value_col' param"))
     if (params.getOrElse("categorical", "false").toBoolean)
       Stats.psiCategorical(ref, cur, v).orderBy("category")
-    else
-      Stats.psi(ref, cur, v,
-        bins = params.getOrElse("bins", "10").toInt,
-        exact = params.getOrElse("exact", "true").toBoolean)
-        .orderBy("bucket")
+    else params.get("group_col") match {
+      case Some(g) =>
+        Stats.psiByGroup(ref, cur, g, v,
+          bins = params.getOrElse("bins", "10").toInt,
+          exact = params.getOrElse("exact", "true").toBoolean)
+          .orderBy("group", "bucket")
+      case None =>
+        Stats.psi(ref, cur, v,
+          bins = params.getOrElse("bins", "10").toInt,
+          exact = params.getOrElse("exact", "true").toBoolean)
+          .orderBy("bucket")
+    }
   }
 }
 

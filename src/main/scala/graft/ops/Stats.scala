@@ -274,6 +274,65 @@ object Stats {
         col("d_micro"), round(col("v"), 4).as("at_value"))
   }
 
+  /** [[psi]] per group — drift monitored per SLICE (per source, per
+    * language, per return-flag): each group's reference slice defines
+    * its OWN equi-depth edges, both snapshots bucket within the group,
+    * and contributions float the same 1e-6 guard — so one feed
+    * drifting does not dilute into a corpus-wide average (the
+    * perplexityBuckets per-language-cuts discipline applied to
+    * monitoring). Groups with no reference slice are absent — a NEW
+    * group has no baseline; watch the group column itself with
+    * [[psiCategorical]].
+    *
+    * Scale shape: one group-grain percentile aggregate (rows =
+    * groups), one bounded-key contraction per snapshot, a
+    * groups × bins grid join.
+    *
+    * Output: `(group, bucket, n_ref, n_cur, p_micro, q_micro,
+    * psi_micro)`; per-group total PSI is `sum(psi_micro)` over the
+    * group's rows.
+    */
+  def psiByGroup(reference: DataFrame, current: DataFrame,
+                 groupCol: String, valueCol: String, bins: Int = 10,
+                 exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val spark = reference.sparkSession
+    val ps = (1 until bins).map(i => i.toDouble / bins)
+    val pctFn = if (exact) "percentile" else "approx_percentile"
+    val pctArgs = if (exact) "" else s", $accuracy"
+    val edges = reference.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("group"))
+      .agg(expr(s"transform($pctFn($valueCol, array(${ps.mkString(", ")})" +
+        s"$pctArgs), x -> round(x, 4))").as("_e"))
+    def bucketed(df: DataFrame, as: String) = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("group"), col(valueCol))
+      .join(edges, "group")
+      .withColumn("bucket",
+        size(filter(col("_e"), e => col(valueCol) > e)).cast("long"))
+      .groupBy("group", "bucket").agg(count(lit(1)).as(as))
+    // groups × bins grid as a row-local explode (rows = groups), not a
+    // cross join — nothing for the plan audit to even gate
+    val grid = edges.select(col("group"),
+        explode(sequence(lit(0L), lit(bins - 1L))).as("bucket"))
+      .join(bucketed(reference, "n_ref"), Seq("group", "bucket"), "left")
+      .join(bucketed(current, "n_cur"), Seq("group", "bucket"), "left")
+      .select(col("group"), col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = grid.groupBy("group")
+      .agg(sum("n_ref").as("_tr"), sum("n_cur").as("_tc"))
+      .filter(col("_tc") > 0)
+    val pf = greatest(col("n_ref").cast("double") / col("_tr"), lit(1e-6))
+    val qf = greatest(col("n_cur").cast("double") / col("_tc"), lit(1e-6))
+    grid.join(tot, "group")
+      .select(col("group"), col("bucket"), col("n_ref"), col("n_cur"),
+        round(round(pf, 6) * lit(1e6), 0).cast("long").as("p_micro"),
+        round(round(qf, 6) * lit(1e6), 0).cast("long").as("q_micro"),
+        round(round((pf - qf) * log(pf / qf), 6) * lit(1e6), 0)
+          .cast("long").as("psi_micro"))
+  }
+
   /** Categorical PSI — [[psi]] over a discrete column: the category
     * set is the UNION of both snapshots' observed values (a category
     * present on one side only is precisely the drift signal, scored

@@ -90,7 +90,8 @@ class PlanAuditSpec extends SparkSpec {
     "q184_semantic_decontamination", "q185_cooc_pmi", "q186_psi_drift",
     "q188_psi_categorical", "q189_ks_drift", "q191_hybrid_rrf",
     "q192_heavy_hitters_per_group", "q193_truncated_dim_recall",
-    "q194_media_meta", "q195_balanced_downsample", "q196_embedding_drift")
+    "q194_media_meta", "q195_balanced_downsample", "q196_embedding_drift",
+    "q197_psi_by_group")
 
   /** Queries whose BroadcastNestedLoopJoin is RUNTIME-gated rather than
     * plan-visible: brute-force cosine top-k broadcasts the probe side

@@ -26,6 +26,9 @@ class MonitorJobsSpec extends SparkSpec {
     val cat = Flow.runPipeline(spark, loaded.jobs, "flag_psi",
       save = false)("flag_psi")
     assert(cat.columns.contains("category") && cat.count() >= 3)
+    val sliced = Flow.runPipeline(spark, loaded.jobs, "price_psi_by_flag",
+      save = false)("price_psi_by_flag")
+    assert(sliced.columns.contains("group") && sliced.count() >= 30)
     val ks = Flow.runPipeline(spark, loaded.jobs, "price_ks",
       save = false)("price_ks").head()
     assert(ks.getAs[Long]("d_micro") > 10000L)

@@ -316,6 +316,24 @@ class StatsAnalyticsSpec extends SparkSpec {
     assert(drift.forall(r => math.abs(r.getAs[Long]("psi_micro")) < 100000000L))
   }
 
+  test("psiByGroup localizes drift to the drifting slice") {
+    val ref = (1 to 1000).flatMap(i =>
+      Seq(("steady", i.toDouble), ("drifty", i.toDouble))).toDF("g", "v")
+    // drifty's values shift up 50% of the range; steady is identical
+    val cur = (1 to 1000).flatMap(i =>
+      Seq(("steady", i.toDouble), ("drifty", i.toDouble + 500))).toDF("g", "v")
+    val out = Stats.psiByGroup(ref, cur, "g", "v", bins = 4)
+      .groupBy("group").agg(sum("psi_micro").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("steady") === 0L)
+    assert(out("drifty") > 250000L, s"planted slice drift scored ${out}")
+    // a group absent from the reference has no baseline: absent from output
+    val cur2 = cur.unionByName(Seq(("brand_new", 1.0)).toDF("g", "v"))
+    val groups = Stats.psiByGroup(ref, cur2, "g", "v", bins = 4)
+      .select("group").distinct().collect().map(_.getString(0)).toSet
+    assert(groups === Set("steady", "drifty"))
+  }
+
   test("psiCategorical: vanished and new categories both score, nulls " +
       "bucket as (null)") {
     val ref = (Seq.fill(50)("a") ++ Seq.fill(50)("b")).toDF("c")
