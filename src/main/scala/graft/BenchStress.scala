@@ -249,6 +249,32 @@ object BenchStress {
           maxDistance = 1).count()
       }
     }
+
+    // multi-field record linkage under corpus growth: the q182 shape at
+    // 1x and `copies`x records (each copy gets a DISTINCT id — linkage
+    // cannot contract to keys, so this measures the blocked-pairing
+    // quadratic plus the probe-side rebalance under real load)
+    val partsFull = Tables.load(spark, dir, "part")
+      .select("p_partkey", "p_name", "p_brand", "p_type")
+      .filter(col("p_partkey") % 4 === 0)
+    val stressedLk = (0 until copies).map { k =>
+      partsFull.select(
+        (col("p_partkey") + lit(k.toLong * 100000000L)).as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"))
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    println(s"linkage: ${partsFull.count()} -> ${stressedLk.count()} records")
+    val lkFields = Seq(
+      graft.ops.Linkage.LinkField("p_name", 0.9, 0.1, 1),
+      graft.ops.Linkage.LinkField("p_brand", 0.95, 0.2),
+      graft.ops.Linkage.LinkField("p_type", 0.9, 0.3))
+    for ((label, rec) <- Seq("1x" -> partsFull, s"${copies}x" -> stressedLk)) {
+      time(s"recordLinkage ($label)") {
+        graft.ops.Linkage.linkagePairs(rec, "p_partkey", "p_name",
+            lkFields, blockMaxDist = 1,
+            upperMicro = 3000000L, lowerMicro = 0L)
+          .filter(col("decision") =!= "non_match").count()
+      }
+    }
     spark.stop()
   }
 }
