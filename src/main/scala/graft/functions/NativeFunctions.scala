@@ -684,8 +684,15 @@ object MediaMeta {
           rate = le32(b, i + 12)
           byteRate = le32(b, i + 16)
         } else if (id == "data") dataSize = size
-        // chunks are word-aligned: odd sizes pad one byte
-        i += 8 + size.toInt + (size.toInt & 1)
+        // chunks are word-aligned: odd sizes pad one byte. The 32-bit
+        // size field is untrusted: a value like 0xFFFFFFF8 truncated to
+        // Int is negative and would advance the offset by ZERO — an
+        // infinite loop inside a codegen'd expression. Reject any size
+        // whose next offset doesn't fit in Int or doesn't strictly
+        // advance: corrupt media is data, never a wedged task.
+        val next = i.toLong + 8L + size + (size & 1L)
+        if (next <= i || next > Int.MaxValue) return null
+        i = next.toInt
       }
       if (channels <= 0 || rate <= 0 || byteRate <= 0 || dataSize < 0)
         return null
@@ -717,11 +724,17 @@ object MediaMeta {
                 dur * 1000L / ts))
             } else return null
           }
-          j += csize.toInt
+          // csize is an untrusted 32-bit field: guard the same way as
+          // the RIFF walk (no Int truncation, strict advance).
+          val nextJ = j.toLong + csize
+          if (nextJ <= j || nextJ > Int.MaxValue) return null
+          j = nextJ.toInt
         }
         return null
       }
-      i += size.toInt
+      val nextI = i.toLong + size
+      if (nextI <= i || nextI > Int.MaxValue) return null
+      i = nextI.toInt
     }
     null
   }

@@ -34,10 +34,16 @@ object Sampling {
     * function of the id set — replays identically on any engine or
     * partitioning, the [[hashSplit]] determinism contract.
     *
-    * Scale shape: one label-grain count (broadcast back), one
-    * per-label rank window — the standard one-shuffle per-group
-    * selection, and the rank filter plans as WindowGroupLimit when the
-    * cap is a literal.
+    * Scale shape: one label-grain count (map-side combined; for the
+    * default mode its MIN is collected to the driver — one scalar), one
+    * per-label rank window whose filter compares against a LITERAL cap.
+    * The literal is what lets Spark plan WindowGroupLimit (per-partition
+    * per-label top-n BELOW the exchange) — with a Column cap the
+    * op's core use case (a 90%-majority label) would sort the whole
+    * majority class inside one window task. `rank <= lit(cap)` is exact
+    * even when `cap > n_label`: `row_number` never exceeds the
+    * partition size, so `least(cap, n_label)` and `cap` admit the same
+    * rows.
     *
     * Output: the kept input rows + `(n_label, n_keep)` for audit.
     */
@@ -45,18 +51,22 @@ object Sampling {
                          salt: String = "bal",
                          perLabel: Option[Long] = None): DataFrame = {
     val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n_label"))
-    val sized = perLabel match {
+    val keepCap: Long = perLabel match {
       case Some(n) =>
         require(n >= 1, s"perLabel must be >= 1: $n")
-        counts.withColumn("n_keep", least(lit(n), col("n_label")))
+        n
       case None =>
-        counts.crossJoin(broadcast(counts.agg(min("n_label").as("n_keep"))))
+        // bounded driver action: one row (global MIN over the label-count
+        // table). Empty input → null min → cap 1; the filter is vacuous.
+        val r = counts.agg(min("n_label")).collect()(0)
+        if (r.isNullAt(0)) 1L else r.getLong(0)
     }
+    val sized = counts.withColumn("n_keep", least(lit(keepCap), col("n_label")))
     val w = Window.partitionBy(labelCol)
       .orderBy(hashBucket(col(idCol), salt, 1000000), col(idCol))
     df.join(broadcast(sized), labelCol)
       .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= col("n_keep"))
+      .filter(col("_rn") <= lit(keepCap))
       .drop("_rn")
   }
 

@@ -166,7 +166,11 @@ object Stats {
     *
     * Output: one row per bucket 0..bins-1,
     * `(bucket, n_ref, n_cur, p_micro, q_micro, psi_micro)`; total PSI
-    * is `sum(psi_micro)` (order-free integer sum).
+    * is `sum(psi_micro)` (order-free integer sum). An EMPTY side (the
+    * upstream-breakage case PSI exists to catch) yields an EMPTY
+    * result — zero totals would otherwise flow NaN/Infinity through
+    * the divisions into garbage longs; a monitor must alert on the
+    * missing output, never trust a number from it.
     */
   def psi(reference: DataFrame, current: DataFrame, valueCol: String,
           bins: Int = 10, exact: Boolean = true,
@@ -192,7 +196,11 @@ object Stats {
       .select(col("bucket"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    // zero-total guard (psiByGroup's `> 0` discipline): an empty side
+    // empties `tot`, so the crossJoin yields NO rows instead of
+    // NaN/Infinity-derived garbage micro-units
     val tot = grid.agg(sum("n_ref").as("_tr"), sum("n_cur").as("_tc"))
+      .filter(col("_tr") > 0 && col("_tc") > 0)
     val pf = greatest(col("n_ref").cast("double") / col("_tr"), lit(1e-6))
     val qf = greatest(col("n_cur").cast("double") / col("_tc"), lit(1e-6))
     grid.crossJoin(broadcast(tot))
@@ -346,7 +354,9 @@ object Stats {
     * category grain, broadcast totals.
     *
     * Output: one row per category,
-    * `(category, n_ref, n_cur, p_micro, q_micro, psi_micro)`.
+    * `(category, n_ref, n_cur, p_micro, q_micro, psi_micro)`. An
+    * EMPTY side yields an EMPTY result (see [[psi]] — same zero-total
+    * guard), never NaN-derived garbage.
     */
   def psiCategorical(reference: DataFrame, current: DataFrame,
                      valueCol: String): DataFrame = {
@@ -361,6 +371,7 @@ object Stats {
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
     val tot = grid.agg(sum("n_ref").as("_tr"), sum("n_cur").as("_tc"))
+      .filter(col("_tr") > 0 && col("_tc") > 0)
     val pf = greatest(col("n_ref").cast("double") / col("_tr"), lit(1e-6))
     val qf = greatest(col("n_cur").cast("double") / col("_tc"), lit(1e-6))
     grid.crossJoin(broadcast(tot))

@@ -334,6 +334,22 @@ class StatsAnalyticsSpec extends SparkSpec {
     assert(groups === Set("steady", "drifty"))
   }
 
+  test("psi/psiCategorical: an empty side yields an EMPTY result, never " +
+      "NaN-derived garbage micro-units") {
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    val empty = ref.filter(lit(false))
+    assert(Stats.psi(ref, empty, "v", bins = 4).isEmpty)
+    assert(Stats.psi(empty, ref, "v", bins = 4).isEmpty)
+    assert(Stats.psi(empty, empty, "v", bins = 4).isEmpty)
+    val refC = Seq("a", "b").toDF("c")
+    val emptyC = refC.filter(lit(false))
+    assert(Stats.psiCategorical(refC, emptyC, "c").isEmpty)
+    assert(Stats.psiCategorical(emptyC, refC, "c").isEmpty)
+    // an all-null value column is the same breakage: no bucketable mass
+    val allNull = Seq[java.lang.Double](null, null).toDF("v")
+    assert(Stats.psi(ref, allNull, "v", bins = 4).isEmpty)
+  }
+
   test("psiCategorical: vanished and new categories both score, nulls " +
       "bucket as (null)") {
     val ref = (Seq.fill(50)("a") ++ Seq.fill(50)("b")).toDF("c")

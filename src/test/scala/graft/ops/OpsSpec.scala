@@ -413,6 +413,15 @@ class SamplingSpec extends SparkSpec {
       .groupBy("cls").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(capped === Map("big" -> 60L, "mid" -> 60L, "small" -> 40L))
+    // the keep cap is a LITERAL, so the rank filter must plan as a
+    // WindowGroupLimit (per-partition per-label top-n below the
+    // exchange) — with a Column cap a 90%-majority label would sort its
+    // whole row set inside one window task at scale
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+    val planCapped = Sampling.balancedDownsample(df, "cls", "id",
+      perLabel = Some(60L)).queryExecution.executedPlan.toString
+    assert(planCapped.contains("WindowGroupLimit"), planCapped.take(800))
   }
 }
 
@@ -527,6 +536,35 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("channels")))
     assert(out(1).getAs[Long]("duration_ms") === 2500L)
     assert(out(2).isNullAt(out(2).fieldIndex("format")))
+  }
+
+  test("mediaMeta is total on adversarial 32-bit size fields (no hang/throw)") {
+    import graft.functions.MediaMeta
+    // WAV chunk size 0xFFFFFFF8: .toInt = -8, so the pre-fix walk advanced
+    // by ZERO — an infinite loop in a codegen'd expression. Must be null.
+    val wavLoop = "RIFF".getBytes("US-ASCII") ++ hexBytes("247d0000") ++
+      "WAVE".getBytes("US-ASCII") ++
+      "junk".getBytes("US-ASCII") ++ hexBytes("f8ffffff") ++
+      Array.fill[Byte](16)(0)
+    assert(MediaMeta.parse(wavLoop) == null)
+    // top-level BMFF box size 0xFFFFFFF0: .toInt is negative — the pre-fix
+    // walk went to a negative index. Must be null, not a throw.
+    val mp4Neg = hexBytes("fffffff0") ++ "ftypisom".getBytes("US-ASCII") ++
+      Array.fill[Byte](24)(0)
+    assert(MediaMeta.parse(mp4Neg) == null)
+    // moov child csize 0xFFFFFFF0 — same guard on the inner walk
+    val child = hexBytes("fffffff0") ++ "trak".getBytes("US-ASCII") ++
+      Array.fill[Byte](16)(0)
+    val moovBad = hexBytes("%08x".format(8 + child.length)) ++
+      "moov".getBytes("US-ASCII") ++ child
+    assert(MediaMeta.parse(moovBad) == null)
+    // a valid WAV whose LAST chunk size overruns the buffer still parses:
+    // the loop exit (not the guard) handles benign truncation
+    val wavOk = "RIFF".getBytes("US-ASCII") ++ hexBytes("247d0000") ++
+      "WAVEfmt ".getBytes("US-ASCII") ++
+      hexBytes("10000000 0100 0100 401f0000 803e0000 0200 1000") ++
+      "data".getBytes("US-ASCII") ++ hexBytes("007d0000")
+    assert(MediaMeta.parse(wavOk) != null)
   }
 
   test("imageMeta skips arbitrary JPEG APP segments (EXIF-sized)") {
