@@ -599,13 +599,27 @@ object AttributionStream {
   * [[FunnelStream.StepCompletion]] per advance; counting distinct users
   * per step downstream reproduces the batch funnel report (a user who
   * reached step k emitted every step 1..k once).
+  *
+  * RETENTION: exact batch equivalence requires remembering every user
+  * who advanced at least one step FOREVER — a later step can always
+  * arrive, so by default the state store grows with the distinct
+  * advanced-user count (a few counters per user, but monotone). At the
+  * 100 TB / billions-of-users scale that is the wrong default trade, so
+  * `inactivityTtlSeconds` bounds it: a user whose funnel has no pending
+  * events and no tracked activity for the TTL is evicted, and a
+  * TTL-late step restarts that user's funnel from step 1 (it may
+  * re-emit early steps — downstream `count_distinct(user_id)` per step
+  * absorbs the duplicate; a strict-exactness consumer leaves the TTL
+  * unset). Pick the TTL like a watermark: longer than any plausible
+  * funnel dwell time.
   */
 object FunnelStream {
 
   final case class FunnelEvent(user_id: Long, us: Long, event_id: Long,
                                event_type: String, ts: java.sql.Timestamp)
   final case class FunnelState(completed: Int,
-                               pending: List[(Long, Long, String)])
+                               pending: List[(Long, Long, String)],
+                               lastUs: Long = 0L)
   final case class StepCompletion(user_id: Long, step_idx: Int,
                                   step: String, us: Long)
 
@@ -613,10 +627,14 @@ object FunnelStream {
                   idCol: String, typeCol: String, steps: Seq[String],
                   watermarkDelay: String = "1 hour",
                   maxBatchEventsPerKey: Int =
-                    Sessionize.DefaultMaxBatchEventsPerKey):
+                    Sessionize.DefaultMaxBatchEventsPerKey,
+                  inactivityTtlSeconds: Option[Long] = None):
       Dataset[StepCompletion] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, "duplicate funnel steps")
+    inactivityTtlSeconds.foreach(t =>
+      require(t > 0, s"inactivityTtlSeconds must be > 0: $t"))
+    val ttlUs = inactivityTtlSeconds.map(_ * 1000000L)
     val spark = events.sparkSession
     import spark.implicits._
     val stepArr = steps.toArray
@@ -661,14 +679,26 @@ object FunnelStream {
                 e._1)
             } // else: final non-advancing event — discard
           }
-          val next = FunnelState(completed, keep.toList)
-          if (next.pending.isEmpty && next.completed == 0) {
+          val lastUs = (prior.lastUs +: drained.map(_._1).toList).max
+          val next = FunnelState(completed, keep.toList, lastUs)
+          // evict: nothing to remember, or (TTL mode) a quiescent funnel
+          // whose tracked activity aged past the inactivity horizon — the
+          // documented exactness-for-bounded-state trade
+          val ttlExpired = next.pending.isEmpty &&
+            ttlUs.exists(t => wmUs >= next.lastUs + t)
+          if ((next.pending.isEmpty && next.completed == 0) || ttlExpired) {
             if (state.exists) state.remove()
           } else {
             state.update(next)
-            next.pending.headOption.foreach { p =>
-              state.setTimeoutTimestamp(
-                math.max(p._1 / 1000L + 1L, wmMs + 1L))
+            // wake to finalize the next pending event, or (TTL mode, no
+            // pending) to expire the quiescent funnel
+            val pendWake = next.pending.headOption.map(_._1 / 1000L + 1L)
+            val ttlWake =
+              if (next.pending.isEmpty)
+                ttlUs.map(t => (next.lastUs + t) / 1000L + 1L)
+              else None
+            pendWake.orElse(ttlWake).foreach { w =>
+              state.setTimeoutTimestamp(math.max(w, wmMs + 1L))
             }
           }
           out.iterator

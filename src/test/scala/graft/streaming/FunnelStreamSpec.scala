@@ -93,4 +93,47 @@ class FunnelStreamSpec extends SparkSpec {
         s"stream $streamed vs batch $batch")
     } finally q.stop()
   }
+
+  test("inactivityTtl evicts quiescent funnels: a TTL-late step restarts " +
+      "at step 1 (bounded state, the documented trade)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val q = Streams.withStatePartitions(spark, 4) {
+      FunnelStream.completions(df, "user_id", "ts", "event_id",
+          "event_type", Seq("view", "click"),
+          watermarkDelay = "10 minutes",
+          inactivityTtlSeconds = Some(1800L))
+        .writeStream.format("memory").queryName("funnel_ttl")
+        .outputMode("append").start()
+    }
+    try {
+      // user 1 completes the whole funnel at 10:00/10:05
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+        (2L, ts("2024-01-01 10:05:00"), 1L, "click"))
+      q.processAllAvailable()
+      // sentinel -> watermark 10:50: both steps finalize AND the TTL
+      // horizon (10:05 + 30 min = 10:35) is past -> user 1's state evicts
+      mem.addData((3L, ts("2024-01-01 11:00:00"), 9L, "sentinel"))
+      q.processAllAvailable()
+      // a fresh view at 12:00 must restart the funnel (state was evicted),
+      // re-emitting step 1 once finalized
+      mem.addData((4L, ts("2024-01-01 12:00:00"), 1L, "view"))
+      q.processAllAvailable()
+      mem.addData((5L, ts("2024-01-01 13:30:00"), 9L, "sentinel"))
+      q.processAllAvailable()
+      val step1 = spark.table("funnel_ttl")
+        .filter(col("user_id") === 1L && col("step_idx") === 1).count()
+      assert(step1 === 2L,
+        "an evicted funnel must restart from step 1 on new activity")
+      // and the state store holds nothing once everything is quiescent
+      // past its TTL (sentinel users never advance a step -> no state)
+      val lastState = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+      assert(lastState.forall(_ <= 1L),
+        s"state store should be ~empty after TTL eviction, got $lastState")
+    } finally q.stop()
+  }
 }
