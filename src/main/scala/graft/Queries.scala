@@ -364,7 +364,8 @@ object Queries {
     relational ++ QueriesScale.all ++ QueriesFramework.all ++
       QueriesExtra.all ++ QueriesText.all ++ QueriesOps.all ++
       QueriesData.all ++ QueriesSelect.all ++ QueriesEvents.all ++
-      QueriesCurate.all ++ QueriesAnalytics.all ++ QueriesRound8.all
+      QueriesCurate.all ++ QueriesAnalytics.all ++ QueriesRound8.all ++
+      QueriesRound9.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Queries.QueryDef
+
+/** Round-9 widening: GDPR tombstone lanes for the remaining persisted
+  * indexes (BM25 and PQ — the q178/q181 protocol completed across every
+  * corpus-derived persisted artifact).
+  */
+object QueriesRound9 {
+
+  private def t(spark: org.apache.spark.sql.SparkSession, dir: String,
+                name: String) = graft.core.Tables.load(spark, dir, name)
+
+  /** BM25-index GDPR vacuum ([[graft.ops.Search.vacuumBm25Index]], NO
+    * compact): after the forget ids (with their captured doc lengths)
+    * append to the tombstone table, the indexed ranking must already be
+    * BIT-IDENTICAL to an index rebuilt without the forgotten docs —
+    * postings hidden, document frequency recounted from the visible
+    * postings, and the corpus stats derived as `meta − Σ tombstoned dl`
+    * (exact integer subtraction). The oracle is q142's BM25 replay with
+    * the forgotten docs excluded from the corpus; the QUERY set stays
+    * the full one (a forgotten doc may still be queried for — it must
+    * simply never be returned). File identity (zero rewrites) is
+    * spec-asserted in SearchIndexSpec; the ranking semantics hash-gate
+    * here.
+    */
+  val q198 = QueryDef("q198_bm25_vacuum", (spark, dir) => {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    Seq("_postings", "_doclens", "_meta", "_tombstones",
+      "_postings_vac", "_doclens_vac", "_meta_vac")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS q198idx$s"))
+    graft.ops.Search.writeBm25Index(docs, "doc_id", "text", "q198idx",
+      numBuckets = 8)
+    graft.ops.Search.vacuumBm25Index(spark, "q198idx",
+      docs.filter(col("doc_id") % 31 === 0).select("doc_id"))
+    graft.ops.Search.bm25TopKIndexed(spark,
+        graft.ops.Search.loadBm25Index(spark, "q198idx"),
+        QueriesAnalytics.bm25Queries(docs), "query_id", "qtext", k = 5)
+      .orderBy("query_id", "rank")
+  }, Some(QueriesAnalytics.bm25OracleCte.replace(
+    "FROM documents),",
+    "FROM documents WHERE doc_id % 31 <> 0),") +
+    """
+      |SELECT query_id, doc_id, n_terms, score_micro, rank
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  private val q199Dir = QueriesScale.sidePath("q199_pq_vacuum")
+
+  /** PQ-index GDPR vacuum ([[graft.ops.Pq.vacuumPqIndex]], NO compact):
+    * codes are a lossy derivative of the embedding, so the forget must
+    * reach them — the tombstone parquet hides the forgotten vectors
+    * from the candidate side while the cell-partitioned codes files
+    * stay byte-identical (spec-asserted in PqSpec). The oracle replays
+    * the stored-artifact ADC search (q190) with the candidate set
+    * anti-joined against the ACTUAL persisted tombstones — the gate
+    * reads what vacuum wrote, not a re-derived filter. Probe cells
+    * still read back from the unfiltered codes (a forgotten vector may
+    * still probe; it must simply never be returned as a candidate).
+    */
+  val q199 = QueryDef("q199_pq_vacuum", (spark, dir) => {
+    QueriesScale.reapStaleSideTables("q199_pq_vacuum")
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    graft.ops.Pq.writePqIndex(emb, q199Dir, m = 4, k = 16, cells = 16,
+      seed = 42L)
+    graft.ops.Pq.vacuumPqIndex(spark, q199Dir,
+      emb.filter(col("vec_id") % 7 === 0).select("vec_id"))
+    val probes = emb.filter(col("vec_id") % 25 === 0)
+    graft.ops.Pq.pqTopKIndexed(spark, q199Dir, probes, topk = 5)
+      .select("probe_id", "cand_id", "adc_micro", "rank")
+  }, Some(
+    s"""WITH allcodes AS (SELECT cand_id, cell, codes
+       |                  FROM read_parquet('$q199Dir/codes/*/*.parquet',
+       |                                    hive_partitioning = true)),
+       |ts AS (SELECT cand_id
+       |       FROM read_parquet('$q199Dir/tombstones/*.parquet')),
+       |codes AS (SELECT * FROM allcodes
+       |          WHERE cand_id NOT IN (SELECT cand_id FROM ts)),
+       |cb AS (SELECT sub, code, centroid
+       |       FROM read_parquet('$q199Dir/codebook/*.parquet')),
+       |p AS (SELECT c.cand_id AS probe_id, c.cell, e.embedding
+       |      FROM allcodes c JOIN embeddings e ON e.vec_id = c.cand_id
+       |      WHERE c.cand_id % 25 = 0),
+       |t AS (SELECT probe_id, p.cell, sub, code,
+       |        CAST(round(round(list_sum(list_transform(
+       |          list_zip(embedding[(sub * 16 + 1):(sub * 16 + 16)], centroid),
+       |          x -> (x[1]::DOUBLE - x[2]::DOUBLE) *
+       |               (x[1]::DOUBLE - x[2]::DOUBLE))), 6) * 1e6, 0)
+       |          AS BIGINT) AS d_micro
+       |      FROM p, cb),
+       |cl AS (SELECT cand_id, cell, codes,
+       |         unnest(generate_series(1, len(codes))) AS i
+       |       FROM codes),
+       |cl2 AS (SELECT cand_id, cell, i - 1 AS sub, codes[i] AS code FROM cl),
+       |s AS (SELECT probe_id, cand_id,
+       |        CAST(sum(d_micro) AS BIGINT) AS adc_micro
+       |      FROM cl2 JOIN t USING (cell, sub, code)
+       |      WHERE probe_id <> cand_id
+       |      GROUP BY probe_id, cand_id),
+       |r AS (SELECT probe_id, cand_id, adc_micro,
+       |        CAST(row_number() OVER (PARTITION BY probe_id
+       |             ORDER BY adc_micro, cand_id) AS BIGINT) AS rank
+       |      FROM s)
+       |SELECT probe_id, cand_id, adc_micro, rank FROM r WHERE rank <= 5
+       |ORDER BY probe_id, rank""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q198, q199)
+}

@@ -779,19 +779,30 @@ object Dedup {
       case None => 0L
       case Some(ts) =>
         val idList = ts.select("doc_id").distinct()
-        val n = spark.table(idx.shinglesTable).select("doc_id").distinct()
-          .join(idList, Seq("doc_id"), "left_semi").count()
-        if (n > 0) {
-          Seq((idx.shinglesTable, Seq("doc_id")),
-            (idx.bucketsTable, Seq("band", "bandhash"))).foreach {
-            case (t, bcols) =>
+        // count across BOTH tables so a crash-resume that already
+        // scrubbed the shingles still reports the bucket-row work
+        val n = spark.table(idx.shinglesTable).select("doc_id")
+          .unionByName(spark.table(idx.bucketsTable).select("doc_id"))
+          .distinct().join(idList, Seq("doc_id"), "left_semi").count()
+        // gate each rewrite on THAT table's own tombstone membership —
+        // gating both on the shingles count would let a crash between
+        // the shingles swap and the buckets rewrite resume as "n = 0,
+        // nothing to do", drop the tombstones, and leave the forgotten
+        // docs' bucket rows (band hashes — a derivable content
+        // signature) on disk permanently and unrecorded
+        Seq((idx.shinglesTable, Seq("doc_id")),
+          (idx.bucketsTable, Seq("band", "bandhash"))).foreach {
+          case (t, bcols) =>
+            val dirty = spark.table(t).select("doc_id")
+              .join(idList, Seq("doc_id"), "left_semi").take(1).nonEmpty
+            if (dirty) {
               val survivors = spark.table(t)
                 .join(idList, Seq("doc_id"), "left_anti")
               graft.core.io.Writer.writeBucketed(survivors, s"${t}_vac",
                 bcols, idx.numBuckets)
               spark.sql(s"DROP TABLE $t")
               spark.sql(s"ALTER TABLE ${t}_vac RENAME TO $t")
-          }
+            }
         }
         n
     }

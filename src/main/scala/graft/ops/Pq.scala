@@ -198,6 +198,78 @@ object Pq {
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** The tombstone set hiding forgotten vectors from every index read,
+    * or None when no vacuum has ever run. A parquet dir beside the
+    * codes (`$dir/tombstones`, one `cand_id` column) — the
+    * [[graft.ops.Dedup.vacuumNearDupIndex]] protocol at path grain.
+    */
+  private def pqTombstones(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** `codes` minus tombstoned vectors — broadcast anti-join AFTER the
+    * cell-pruned scan, so file-level partition pruning survives a
+    * vacuum (the tombstone set is the forget backlog, bounded by
+    * [[compactPqIndex]] cadence).
+    */
+  private def hideTombstoned(codes: DataFrame,
+                             ts: Option[DataFrame]): DataFrame = ts match {
+    case Some(t) =>
+      codes.join(broadcast(t.select(col("cand_id").as("_ts_cand_id"))),
+        codes("cand_id") === col("_ts_cand_id"), "left_anti")
+    case None => codes
+  }
+
+  /** Forget vectors FROM the persisted PQ index — PQ codes are a lossy
+    * but real derivative of the embedding (ADC reconstructs approximate
+    * geometry), so a GDPR delete must reach them. Tombstone-first: the
+    * forget ids append to `$dir/tombstones` (write cost ~deleted-ids;
+    * the cell-partitioned codes files stay byte-identical), every read
+    * hides them via broadcast anti-join, and the physical scrub batches
+    * into [[compactPqIndex]]. Returns the VISIBLE indexed vectors
+    * tombstoned.
+    */
+  def vacuumPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    ids: DataFrame): Long = {
+    val idList = ids.select(col(ids.columns.head).as("cand_id")).distinct()
+    val fresh = hideTombstoned(
+        spark.read.parquet(s"$dir/codes").select("cand_id"),
+        pqTombstones(spark, dir))
+      .join(idList, Seq("cand_id"), "left_semi")
+      .distinct()
+    val materialized = graft.core.Checkpoints.truncate(fresh)
+    val removed = materialized.count()
+    if (removed == 0) return 0L
+    materialized.write.mode("append").parquet(s"$dir/tombstones")
+    removed
+  }
+
+  /** Physically scrub tombstoned vectors from the codes layout — a
+    * targeted, file-pruned rewrite via [[graft.core.io.Maintenance
+    * .deleteMatching]] (only the cell partitions that actually hold a
+    * forgotten vector are touched; its manifest protocol owns crash
+    * recovery), then the tombstones drop. A crash between the two
+    * re-runs as a no-op delete; reads stay correct at every point
+    * (rows gone + tombstones present just anti-joins nothing).
+    * Returns the vectors physically scrubbed.
+    */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): Long = {
+    pqTombstones(spark, dir) match {
+      case None => 0L
+      case Some(ts) =>
+        val r = graft.core.io.Maintenance.deleteMatching(
+          spark, s"$dir/codes", "cand_id", ts)
+        val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        r.rowsDeleted
+    }
+  }
+
   /** The stored centroids as the ordered array [[graft.functions
     * .NativeFunctions.nearestCells]] broadcasts — cell id is the array
     * index, so the order is read back from the table, never assumed.
@@ -225,22 +297,43 @@ object Pq {
         graft.functions.NativeFunctions.nearestCells(col("embedding"), bc,
           nprobe)))
       .select(col("vec_id").as("probe_id"), col("cell"), col("embedding"))
-    val codes = spark.read.parquet(s"$dir/codes")
-      .select(col("cand_id"), col("cell"), col("codes"))
+    val codes = hideTombstoned(
+      spark.read.parquet(s"$dir/codes")
+        .select(col("cand_id"), col("cell"), col("codes")),
+      pqTombstones(spark, dir))
     adcTopKFused(codes, assigned, cb, topk)
   }
 
   /** Grow a persisted index: the delta encodes with the STORED codebook
     * and assigns with the STORED centroids (an append must never
     * retrain — mixed codebooks would corrupt every ADC table lookup),
-    * appending into the cell-partitioned codes layout. Callers own
-    * id-disjointness, as with the near-dup ingest.
+    * appending into the cell-partitioned codes layout.
+    *
+    * IDEMPOTENT: already-indexed ids are anti-joined away first (one
+    * ids-only columnar scan), so a crashed append is repaired by simply
+    * re-running the batch — at-least-once, the
+    * [[graft.ops.Search.appendBm25Index]] contract. A TOMBSTONED id
+    * fails loudly (run [[compactPqIndex]] before re-ingesting a
+    * forgotten vector — appending under a hidden id would stay hidden,
+    * and un-hiding would resurrect the forgotten codes).
     */
   def appendPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                     delta: DataFrame): Unit = {
+    pqTombstones(spark, dir).foreach { ts =>
+      val clash = delta.select(col("vec_id").as("cand_id")).distinct()
+        .join(broadcast(ts.select("cand_id")), Seq("cand_id"), "left_semi")
+        .take(1)
+      require(clash.isEmpty,
+        s"appendPqIndex: vec_id ${clash.headOption.map(_.get(0))} is " +
+          s"tombstoned under $dir/tombstones — run compactPqIndex before " +
+          "re-ingesting a forgotten id")
+    }
+    val existing = spark.read.parquet(s"$dir/codes")
+      .select(col("cand_id").as("vec_id")).distinct()
+    val fresh = delta.join(existing, Seq("vec_id"), "left_anti")
     val cb = codebookArrays(spark.read.parquet(s"$dir/codebook"))
     val bc = spark.sparkContext.broadcast(storedCentroids(spark, dir))
-    val assigned = delta.withColumn("cell", element_at(
+    val assigned = fresh.withColumn("cell", element_at(
       graft.functions.NativeFunctions.nearestCells(col("embedding"), bc, 1), 1))
     encodePq(assigned, "embedding", cb)
       .select(col("vec_id").as("cand_id"), col("cell"), col("codes"))

@@ -128,6 +128,7 @@ object Search {
     def postingsTable: String = s"${name}_postings"
     def doclensTable: String = s"${name}_doclens"
     def metaTable: String = s"${name}_meta"
+    def tombstonesTable: String = s"${name}_tombstones"
   }
 
   /** Materialize the inverted index for `corpus`: the postings table
@@ -168,11 +169,183 @@ object Search {
     idx
   }
 
+  /** The tombstone set hiding forgotten docs from every index read, or
+    * None when no vacuum has ever run (zero overhead on a
+    * never-vacuumed index). Rows are `(doc_id, dl)` — the doc length is
+    * captured at vacuum time so the visible corpus stats can be
+    * derived by exact integer subtraction even after the physical
+    * doclens rows are scrubbed mid-compact.
+    */
+  private def bm25Tombstones(spark: SparkSession,
+                             idx: Bm25Index): Option[DataFrame] =
+    if (spark.catalog.tableExists(idx.tombstonesTable))
+      Some(spark.table(idx.tombstonesTable))
+    else None
+
+  /** `df` minus tombstoned docs — broadcast anti-join (the
+    * [[graft.ops.Dedup]] visible-rows discipline): the tombstone set is
+    * the forget backlog, bounded by [[compactBm25Index]] cadence, and a
+    * broadcast join preserves the streamed side's scan shape, so bucket
+    * pruning on the postings read survives a vacuum.
+    */
+  private def hideTombstoned(df: DataFrame,
+                             ts: Option[DataFrame]): DataFrame = ts match {
+    case Some(t) =>
+      df.join(broadcast(t.select(col("doc_id").as("_ts_doc_id"))),
+        df("doc_id") === col("_ts_doc_id"), "left_anti")
+    case None => df
+  }
+
+  /** Heal a [[compactBm25Index]] / [[appendBm25Index]] crashed between
+    * swap steps — run before trusting any table (load/vacuum/compact/
+    * append/search all call it; cost is a few catalog existence checks):
+    *
+    *  - a `_vac` postings/doclens table rolls FORWARD when its original
+    *    is missing, BACK otherwise (the [[graft.ops.Dedup]] rule);
+    *  - a staged `<name>_meta_vac` (always an exact recount of the
+    *    stored doclens at the moment it was written) rolls FORWARD when
+    *    the live meta is missing OR the tombstones are gone (the crash
+    *    fell after compact's tombstone drop, or after an append's
+    *    recount — either way the recount is the truth), and rolls BACK
+    *    while tombstones remain (reads stay consistent on
+    *    `old meta − Σ tombstone dl`; the next compact redoes the
+    *    recount).
+    */
+  def healBm25Staging(spark: SparkSession, name: String): Unit = {
+    Seq(s"${name}_postings", s"${name}_doclens").foreach { t =>
+      val vac = s"${t}_vac"
+      if (spark.catalog.tableExists(vac)) {
+        if (!spark.catalog.tableExists(t))
+          spark.sql(s"ALTER TABLE $vac RENAME TO $t"): Unit
+        else spark.sql(s"DROP TABLE $vac"): Unit
+      }
+    }
+    val meta = s"${name}_meta"
+    val metaVac = s"${meta}_vac"
+    if (spark.catalog.tableExists(metaVac)) {
+      if (!spark.catalog.tableExists(meta))
+        spark.sql(s"ALTER TABLE $metaVac RENAME TO $meta"): Unit
+      else if (!spark.catalog.tableExists(s"${name}_tombstones")) {
+        spark.sql(s"DROP TABLE $meta")
+        spark.sql(s"ALTER TABLE $metaVac RENAME TO $meta"): Unit
+      } else spark.sql(s"DROP TABLE $metaVac"): Unit
+    }
+  }
+
+  /** Exact-recount refresh of the one-row stats table via a staged
+    * catalog swap (write `_vac`, drop, rename — [[healBm25Staging]]
+    * rolls a crash at any step to a consistent state). Recounting from
+    * the stored doclens — instead of incremental arithmetic — is what
+    * makes every caller idempotent under replay.
+    */
+  private def refreshBm25Meta(spark: SparkSession, idx: Bm25Index): Unit = {
+    import spark.implicits._
+    val agg = spark.table(idx.doclensTable)
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).as[(Long, Long)].head()
+    val metaVac = s"${idx.metaTable}_vac"
+    spark.sql(s"DROP TABLE IF EXISTS $metaVac")
+    graft.core.io.Writer.writeTable(
+      Seq((agg._1, agg._2, idx.numBuckets))
+        .toDF("n_docs", "sum_dl", "num_buckets"), metaVac)
+    spark.sql(s"DROP TABLE ${idx.metaTable}")
+    spark.sql(s"ALTER TABLE $metaVac RENAME TO ${idx.metaTable}")
+  }
+
+  /** Forget documents FROM the persisted BM25 index — the
+    * [[graft.ops.Dedup.vacuumNearDupIndex]] tombstone protocol applied
+    * to retrieval: a GDPR delete that scrubs the corpus but leaves the
+    * inverted index holding the forgotten docs' postings would keep
+    * RETURNING deleted content in every ranking (and keep its term
+    * vector derivable). The forget ids (with their doc lengths,
+    * captured now) APPEND to a small tombstones table; every read hides
+    * them via a broadcast anti-join and derives the visible corpus
+    * stats as `meta − Σ tombstoned dl` — exact integer subtraction, so
+    * the tombstone-hidden ranking is bit-identical to an index rebuilt
+    * without the forgotten docs (oracle-gated as q198). Write cost is
+    * ~deleted-ids; the physical scrub batches into
+    * [[compactBm25Index]], run inside the compliance window.
+    *
+    * Returns the number of VISIBLE indexed docs tombstoned.
+    */
+  def vacuumBm25Index(spark: SparkSession, name: String,
+                      ids: DataFrame): Long = {
+    healBm25Staging(spark, name)
+    val idx = loadBm25Index(spark, name)
+    val idList = ids.select(col(ids.columns.head).as("doc_id")).distinct()
+    val fresh = hideTombstoned(spark.table(idx.doclensTable),
+        bm25Tombstones(spark, idx))
+      .join(idList, Seq("doc_id"), "left_semi")
+      .select("doc_id", "dl")
+    val materialized = graft.core.Checkpoints.truncate(fresh)
+    val removed = materialized.count()
+    if (removed == 0) return 0L
+    graft.core.io.Writer.writeTable(materialized, idx.tombstonesTable,
+      mode = if (spark.catalog.tableExists(idx.tombstonesTable))
+               org.apache.spark.sql.SaveMode.Append
+             else org.apache.spark.sql.SaveMode.Overwrite)
+    removed
+  }
+
+  /** Physically scrub tombstoned docs — the batched second half of
+    * [[vacuumBm25Index]]: per-table gated staged rewrite of postings
+    * and doclens (gated on THAT table's own tombstone membership — the
+    * [[graft.ops.Dedup.compactNearDupIndex]] crash-resume rule), then
+    * an exact meta recount, tombstones dropped in between so the
+    * [[healBm25Staging]] meta rule can classify any crash point.
+    * Returns the docs physically scrubbed.
+    */
+  def compactBm25Index(spark: SparkSession, name: String): Long = {
+    healBm25Staging(spark, name)
+    val idx = loadBm25Index(spark, name)
+    bm25Tombstones(spark, idx) match {
+      case None => 0L
+      case Some(ts) =>
+        val idList = ts.select("doc_id").distinct()
+        val n = spark.table(idx.postingsTable).select("doc_id")
+          .unionByName(spark.table(idx.doclensTable).select("doc_id"))
+          .distinct().join(idList, Seq("doc_id"), "left_semi").count()
+        Seq((idx.postingsTable, Seq("term")),
+          (idx.doclensTable, Seq("doc_id"))).foreach { case (t, bcols) =>
+          val dirty = spark.table(t).select("doc_id")
+            .join(idList, Seq("doc_id"), "left_semi").take(1).nonEmpty
+          if (dirty) {
+            // the using-column join pulls doc_id to the front — restore
+            // the table's declared column order before the rewrite
+            val cols = spark.table(t).columns
+            val survivors = spark.table(t)
+              .join(idList, Seq("doc_id"), "left_anti")
+              .select(cols.map(col(_)): _*)
+            graft.core.io.Writer.writeBucketed(survivors, s"${t}_vac",
+              bcols, idx.numBuckets)
+            spark.sql(s"DROP TABLE $t")
+            spark.sql(s"ALTER TABLE ${t}_vac RENAME TO $t")
+          }
+        }
+        // stage the recounted meta FIRST, drop the tombstones, then swap:
+        // heal rolls the meta_vac back while tombstones exist (reads stay
+        // on old-meta − Σts.dl) and forward once they are gone
+        import spark.implicits._
+        val agg = spark.table(idx.doclensTable)
+          .agg(count(lit(1)), coalesce(sum("dl"), lit(0L)))
+          .as[(Long, Long)].head()
+        val metaVac = s"${idx.metaTable}_vac"
+        spark.sql(s"DROP TABLE IF EXISTS $metaVac")
+        graft.core.io.Writer.writeTable(
+          Seq((agg._1, agg._2, idx.numBuckets))
+            .toDF("n_docs", "sum_dl", "num_buckets"), metaVac)
+        spark.sql(s"DROP TABLE ${idx.tombstonesTable}")
+        spark.sql(s"DROP TABLE ${idx.metaTable}")
+        spark.sql(s"ALTER TABLE $metaVac RENAME TO ${idx.metaTable}")
+        n
+    }
+  }
+
   /** Load an index handle written by [[writeBm25Index]], cross-checking
     * the meta bucket count against the catalog's physical bucket spec
     * (drift would break the bucket-pruned read contract — fail loudly).
     */
   def loadBm25Index(spark: SparkSession, name: String): Bm25Index = {
+    healBm25Staging(spark, name)
     val m = spark.table(s"${name}_meta").head()
     val idx = Bm25Index(name, m.getAs[Int]("num_buckets"))
     // read the bucket spec through the catalog API, not DESCRIBE text
@@ -226,34 +399,59 @@ object Search {
 
   /** Append a document delta to a persisted index: postings and doc
     * lengths append into the bucketed layout (no rewrite of existing
-    * files), and the one-row stats table is refreshed with the exact
-    * integer deltas. Document frequency is never stored (it is counted
-    * from the queried postings at search time), so appends cannot
-    * stale it. Callers own id-disjointness, as with the near-dup
-    * ingest: appending an already-indexed doc_id double-counts it.
+    * files), and the one-row stats table is refreshed by EXACT RECOUNT
+    * of the stored doclens through a staged swap. Document frequency is
+    * never stored (it is counted from the queried postings at search
+    * time), so appends cannot stale it.
+    *
+    * IDEMPOTENT per table (the [[graft.ops.Dedup.appendToNearDupIndex]]
+    * discipline): each append first anti-joins the batch's doc ids
+    * against that table's existing ids, and the meta refresh is a
+    * recount — so the append is AT-LEAST-ONCE: a crash at any boundary
+    * (after the postings append, after the doclens append, mid meta
+    * swap) is repaired by simply re-running the same batch; the retry
+    * fills exactly what is missing and the recount lands the stats on
+    * the same value a clean run produces (spec-gated at each kill
+    * point). Cost: one ids-only scan of each index table per batch.
+    *
+    * Appending a TOMBSTONED doc_id fails loudly (as in the near-dup
+    * ingest): new rows under a hidden id would stay hidden, and
+    * un-hiding would resurrect the forgotten rows — run
+    * [[compactBm25Index]] first.
     */
   def appendBm25Index(delta: DataFrame, idCol: String, textCol: String,
                       idx: Bm25Index): Unit = {
     val spark = delta.sparkSession
+    healBm25Staging(spark, idx.name)
+    bm25Tombstones(spark, idx).foreach { ts =>
+      val clash = delta.select(col(idCol).as("doc_id")).distinct()
+        .join(broadcast(ts.select("doc_id")), Seq("doc_id"), "left_semi")
+        .take(1)
+      require(clash.isEmpty,
+        s"appendBm25Index: doc_id ${clash.headOption.map(_.get(0))} is " +
+          s"tombstoned in ${idx.tombstonesTable} — run compactBm25Index " +
+          "before re-ingesting a forgotten id")
+    }
     val post = delta
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
     val materialized = graft.core.Checkpoints.truncate(post)
-    graft.core.io.Writer.writeBucketed(materialized, idx.postingsTable,
+    def freshOnly(rows: DataFrame, table: String): DataFrame =
+      rows.join(spark.table(table).select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+    graft.core.io.Writer.writeBucketed(
+      freshOnly(materialized, idx.postingsTable), idx.postingsTable,
       Seq("term"), idx.numBuckets,
       mode = org.apache.spark.sql.SaveMode.Append)
+    // doclens derives from the full batch, not the postings-fresh subset:
+    // a crash after the postings append must still fill the doclens rows
     val dl = materialized.groupBy("doc_id").agg(sum("tf").as("dl"))
-    graft.core.io.Writer.writeBucketed(dl, idx.doclensTable,
+    graft.core.io.Writer.writeBucketed(
+      freshOnly(dl, idx.doclensTable), idx.doclensTable,
       Seq("doc_id"), idx.numBuckets,
       mode = org.apache.spark.sql.SaveMode.Append)
-    import spark.implicits._
-    val (dn, ds) = dl.agg(count(lit(1)), sum("dl")).as[(Long, Long)].head()
-    val old = spark.table(idx.metaTable).head()
-    graft.core.io.Writer.writeTable(
-      Seq((old.getAs[Long]("n_docs") + dn, old.getAs[Long]("sum_dl") + ds,
-        idx.numBuckets)).toDF("n_docs", "sum_dl", "num_buckets"),
-      idx.metaTable)
+    refreshBm25Meta(spark, idx)
   }
 
   /** Hard-negative mining for retrieval training: pairs that are
@@ -302,18 +500,33 @@ object Search {
                       queryIdCol: String, queryTextCol: String,
                       k: Int = 5, k1: Double = 1.2, b: Double = 0.75,
                       maxQueryTerms: Int = 10000): DataFrame = {
+    healBm25Staging(spark, idx.name)
     val qTerms = queryTerms(queries, queryIdCol, queryTextCol)
     val terms = qTerms.select("term").distinct()
       .limit(maxQueryTerms + 1).collect().map(_.getString(0))
     require(terms.length <= maxQueryTerms,
       s"query batch exceeds $maxQueryTerms distinct terms — " +
         "split the batch or raise maxQueryTerms")
-    val pruned = spark.table(idx.postingsTable)
-      .filter(col("term").isin(terms.toIndexedSeq: _*))
-    val dl = spark.table(idx.doclensTable)
+    val ts = bm25Tombstones(spark, idx)
+    val pruned = hideTombstoned(spark.table(idx.postingsTable)
+      .filter(col("term").isin(terms.toIndexedSeq: _*)), ts)
+    val dl = hideTombstoned(spark.table(idx.doclensTable), ts)
+    // visible corpus stats: meta − Σ tombstoned dl — exact integer
+    // subtraction (the tombstones carry the dl captured at vacuum
+    // time), so the hidden ranking equals a rebuild without the
+    // forgotten docs. The tombstone aggregate is a bounded driver
+    // collect (rows = forget backlog).
+    val (tn, tsum) = ts match {
+      case Some(t) =>
+        import spark.implicits._
+        t.agg(count(lit(1)), coalesce(sum("dl"), lit(0L)))
+          .as[(Long, Long)].head()
+      case None => (0L, 0L)
+    }
     val stats = broadcast(spark.table(idx.metaTable)
-      .select(col("n_docs"),
-        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl")))
+      .select((col("n_docs") - lit(tn)).as("n_docs"),
+        ((col("sum_dl") - lit(tsum)).cast("double") /
+          (col("n_docs") - lit(tn))).as("avgdl")))
     scoreAndRank(pruned, qTerms, dl, stats, k, k1, b)
   }
 }

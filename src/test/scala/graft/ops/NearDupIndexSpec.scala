@@ -256,6 +256,40 @@ class NearDupIndexSpec extends SparkSpec {
     }
   }
 
+  test("compact resumed after a crash between the two table swaps still " +
+      "scrubs the buckets table (per-table gating)") {
+    dropIndex("ndx8")
+    val corpus = (1L to 20L).map(i =>
+      (i, s"$fresh unique token $i marks this document as number $i"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.writeNearDupIndex(corpus, "doc_id", "text", "ndx8",
+      numBuckets = 4)
+    try {
+      assert(Dedup.vacuumNearDupIndex(spark, "ndx8",
+        Seq(5L, 9L).toDF("doc_id")) == 2L)
+      // simulate a compact that crashed AFTER the shingles swap but
+      // BEFORE the buckets rewrite: scrub the shingles table exactly the
+      // way compact does, leave buckets + tombstones untouched
+      val idList = spark.table(idx.tombstonesTable).select("doc_id").distinct()
+      val survivors = spark.table(idx.shinglesTable)
+        .join(idList, Seq("doc_id"), "left_anti")
+      graft.core.io.Writer.writeBucketed(survivors,
+        s"${idx.shinglesTable}_vac", Seq("doc_id"), idx.numBuckets)
+      spark.sql(s"DROP TABLE ${idx.shinglesTable}")
+      spark.sql(s"ALTER TABLE ${idx.shinglesTable}_vac RENAME TO ${idx.shinglesTable}")
+      // the re-run must NOT read the scrubbed shingles as "nothing to
+      // do": the buckets table still holds the forgotten docs' band
+      // hashes (a derivable content signature)
+      assert(Dedup.compactNearDupIndex(spark, "ndx8") == 2L)
+      assert(!spark.catalog.tableExists(idx.tombstonesTable))
+      val bkIds = spark.table(idx.bucketsTable)
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(!bkIds.contains(5L) && !bkIds.contains(9L),
+        "forgotten docs' bucket rows survived the resumed compact")
+      assert(bkIds.size == 18)
+    } finally dropIndex("ndx8")
+  }
+
   test("appending a tombstoned id fails loudly until compact") {
     dropIndex("ndx7")
     val corpus = Seq((10L, base), (11L, fresh)).toDF("doc_id", "text")

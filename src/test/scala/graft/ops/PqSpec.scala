@@ -138,4 +138,71 @@ class PqSpec extends SparkSpec {
     val out2 = Pq.pqTopKIndexed(spark, dir, probes, topk = 3)
     assert(out2.filter(col("cand_id") % 3 === 0).count() > 0)
   }
+
+  test("PQ GDPR lane: vacuum hides forgotten vectors (files byte-" +
+      "identical), compact scrubs only affected cell files, append " +
+      "replay is idempotent and tombstoned ids are rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqvac").toString
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings").select("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") % 3 =!= 0)
+    Pq.writePqIndex(corpus, dir, m = 4, k = 16, cells = 8, seed = 42L)
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+    def stamps(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(s"$dir/codes"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val forget = corpus.filter(col("vec_id") % 5 === 0).select("vec_id")
+    val nForget = forget.count()
+    val before = stamps()
+    val removed = Pq.vacuumPqIndex(spark, dir, forget)
+    assert(removed === nForget)
+    assert(stamps() == before, "codes files rewritten by a tombstone vacuum")
+    // hidden reads == the same stored model scored over the surviving
+    // codes (vacuum must change membership, never geometry)
+    val cb = Pq.codebookArrays(spark.read.parquet(s"$dir/codebook"))
+    val hidden = Pq.pqTopKIndexed(spark, dir, probes, topk = 3)
+      .collect().map(_.toSeq).toSet
+    assert(hidden.nonEmpty)
+    val storedCodes = spark.read.parquet(s"$dir/codes")
+      .filter(!(col("cand_id") % 3 =!= 0 && col("cand_id") % 5 === 0))
+      .select("cand_id", "cell", "codes")
+    // replicate pqTopKIndexed's probe assignment against the stored
+    // centroids, then score the filtered codes directly
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .sortBy(_.getAs[Int]("cell"))
+      .map(_.getAs[Seq[Double]]("centroid").toArray)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = probes.withColumn("cell", explode(
+        graft.functions.NativeFunctions.nearestCells(col("embedding"), bc, 1)))
+      .select(col("vec_id").as("probe_id"), col("cell"), col("embedding"))
+    val expected = Pq.adcTopKFused(storedCodes, assigned, cb, topk = 3)
+      .select("probe_id", "cand_id", "adc_micro", "rank")
+      .collect().map(_.toSeq).toSet
+    assert(hidden === expected)
+    // double-vacuum does not double-count
+    assert(Pq.vacuumPqIndex(spark, dir, forget) === 0L)
+    // a tombstoned id cannot re-enter via append until compact
+    val resub = emb.filter(col("vec_id").isin(
+      forget.limit(1).collect().map(_.getLong(0)).toIndexedSeq: _*))
+    val e = intercept[IllegalArgumentException](
+      Pq.appendPqIndex(spark, dir, resub))
+    assert(e.getMessage.contains("tombstoned"))
+    // compact: targeted physical scrub; same answers; tombstones gone
+    assert(Pq.compactPqIndex(spark, dir) === removed)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(spark.read.parquet(s"$dir/codes")
+      .filter(col("cand_id") % 3 =!= 0 && col("cand_id") % 5 === 0).isEmpty)
+    assert(Pq.pqTopKIndexed(spark, dir, probes, topk = 3)
+      .collect().map(_.toSeq).toSet === hidden)
+    // append replay is idempotent: same delta twice -> no duplicate ids
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+    Pq.appendPqIndex(spark, dir, delta)
+    Pq.appendPqIndex(spark, dir, delta)
+    val ids = spark.read.parquet(s"$dir/codes").select("cand_id")
+    assert(ids.count() === ids.distinct().count())
+  }
 }

@@ -191,6 +191,37 @@ class RandomizedInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("BM25 vacuum + compact equals an index built without the forgotten " +
+      "docs (random corpora and forget sets)") {
+    val rnd = new scala.util.Random(23)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def doc() = (1 to 12).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    def tableRows(t: String) = spark.table(t).collect().map(_.toSeq).toSet
+    for (round <- 1 to 2) {
+      val corpus = (1L to 30L).map(i => (i, doc())).toDF("doc_id", "text")
+      val forget = rnd.shuffle((1L to 30L).toList).take(5 + rnd.nextInt(5))
+      Seq("rbx", "rby").foreach(n =>
+        Seq("_postings", "_doclens", "_meta", "_tombstones", "_meta_vac")
+          .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $n$s")))
+      try {
+        Search.writeBm25Index(corpus, "doc_id", "text", "rbx", numBuckets = 4)
+        Search.vacuumBm25Index(spark, "rbx", forget.toDF("doc_id"))
+        Search.compactBm25Index(spark, "rbx")
+        Search.writeBm25Index(corpus.filter(!col("doc_id").isin(forget: _*)),
+          "doc_id", "text", "rby", numBuckets = 4)
+        assert(tableRows("rbx_postings") === tableRows("rby_postings"),
+          s"round $round: compacted postings drifted from a clean rebuild")
+        assert(tableRows("rbx_doclens") === tableRows("rby_doclens"),
+          s"round $round: compacted doclens drifted from a clean rebuild")
+        assert(tableRows("rbx_meta") === tableRows("rby_meta"),
+          s"round $round: recounted meta drifted from a clean rebuild")
+      } finally Seq("rbx", "rby").foreach(n =>
+        Seq("_postings", "_doclens", "_meta", "_tombstones", "_meta_vac")
+          .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $n$s")))
+    }
+  }
+
   test("overlap cards: estimate is exact whenever the pair union fits in k") {
     val rnd = new scala.util.Random(3)
     val rows = for {

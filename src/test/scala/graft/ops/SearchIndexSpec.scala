@@ -18,8 +18,24 @@ class SearchIndexSpec extends SparkSpec {
       array_join(slice(split(lower(col("text")), " "), 1, 4), " ").as("qtext"))
 
   private def drop(name: String): Unit =
-    Seq("_postings", "_doclens", "_meta").foreach(s =>
+    Seq("_postings", "_doclens", "_meta", "_tombstones",
+      "_postings_vac", "_doclens_vac", "_meta_vac").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS $name$s"))
+
+  /** name -> (size, mtime) per data file — the NearDupIndexSpec
+    * byte-identity probe.
+    */
+  private def tableStamps(table: String): Map[String, (Long, Long)] = {
+    val loc = new java.net.URI(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location.toString).getPath
+    new java.io.File(loc).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_"))
+      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+  }
+
+  private def rows(table: String): Set[Seq[Any]] =
+    spark.table(table).collect().map(_.toSeq).toSet
 
   test("indexed search is bit-identical to the recompute path") {
     drop("sidx_a")
@@ -68,6 +84,92 @@ class SearchIndexSpec extends SparkSpec {
       .findFirstMatchIn(scan).map(_.group(1).toInt)
     assert(sel.isDefined, s"no bucket pruning in plan:\n$scan")
     assert(sel.get < 32)
+  }
+
+  test("vacuum hides forgotten docs bit-identically to a rebuild without " +
+      "them (zero file rewrites); compact scrubs physically") {
+    drop("sidx_f"); drop("sidx_g")
+    val keep = docs.filter(col("doc_id") % 7 =!= 0)
+    val forget = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+    val idx = Search.writeBm25Index(docs, "doc_id", "text", "sidx_f",
+      numBuckets = 4)
+    val before = Map(idx.postingsTable -> tableStamps(idx.postingsTable),
+      idx.doclensTable -> tableStamps(idx.doclensTable))
+    val removed = Search.vacuumBm25Index(spark, "sidx_f", forget)
+    assert(removed === forget.count())
+    // the ~deleted-ids cost contract: index data files stay byte-identical
+    Seq(idx.postingsTable, idx.doclensTable).foreach(t =>
+      assert(tableStamps(t) == before(t), s"$t rewritten by a vacuum"))
+    // tombstone-hidden ranking == an index REBUILT without the forgotten
+    // docs — same stats, same df, same scores
+    Search.writeBm25Index(keep, "doc_id", "text", "sidx_g", numBuckets = 4)
+    def topk(name: String) = Search.bm25TopKIndexed(spark,
+      Search.loadBm25Index(spark, name), queries, "query_id", "qtext", k = 5)
+      .collect().map(_.toSeq).toSet
+    val hidden = topk("sidx_f")
+    val rebuilt = topk("sidx_g")
+    assert(hidden === rebuilt && hidden.nonEmpty)
+    // already-tombstoned ids do not double-count
+    assert(Search.vacuumBm25Index(spark, "sidx_f", forget) === 0L)
+    // compact: physical scrub, tombstones cleared, same answer, meta
+    // recounted to exactly the rebuilt index's totals
+    assert(Search.compactBm25Index(spark, "sidx_f") === removed)
+    assert(!spark.catalog.tableExists("sidx_f_tombstones"))
+    assert(spark.table(idx.postingsTable)
+      .filter(col("doc_id") % 7 === 0).isEmpty)
+    assert(topk("sidx_f") === rebuilt)
+    assert(spark.table("sidx_f_meta").head().toSeq ===
+      spark.table("sidx_g_meta").head().toSeq)
+    // compacting a clean index rewrites nothing
+    val stable = tableStamps(idx.postingsTable)
+    assert(Search.compactBm25Index(spark, "sidx_f") === 0L)
+    assert(tableStamps(idx.postingsTable) == stable)
+  }
+
+  test("append killed at each boundary repairs by replay to the " +
+      "clean-build state (at-least-once contract)") {
+    drop("sidx_h"); drop("sidx_i"); drop("sidx_j")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    Search.writeBm25Index(docs, "doc_id", "text", "sidx_i", numBuckets = 4)
+    def sameAsClean(name: String): Unit = {
+      assert(rows(s"${name}_postings") === rows("sidx_i_postings"))
+      assert(rows(s"${name}_doclens") === rows("sidx_i_doclens"))
+      assert(spark.table(s"${name}_meta").head().toSeq ===
+        spark.table("sidx_i_meta").head().toSeq)
+    }
+    // boundary A: crash right after the postings append — doclens and
+    // meta never ran. Replicate the internal first write, then replay.
+    val hIdx = Search.writeBm25Index(even, "doc_id", "text", "sidx_h",
+      numBuckets = 4)
+    import graft.functions.TextFunctions.tokens
+    val oddPost = odd
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    graft.core.io.Writer.writeBucketed(oddPost, hIdx.postingsTable,
+      Seq("term"), 4, mode = org.apache.spark.sql.SaveMode.Append)
+    Search.appendBm25Index(odd, "doc_id", "text", hIdx) // the retry
+    sameAsClean("sidx_h")
+    // boundary B: crash after postings + doclens, before the meta
+    // recount — meta still holds the pre-append totals
+    val jIdx = Search.writeBm25Index(even, "doc_id", "text", "sidx_j",
+      numBuckets = 4)
+    graft.core.io.Writer.writeBucketed(oddPost, jIdx.postingsTable,
+      Seq("term"), 4, mode = org.apache.spark.sql.SaveMode.Append)
+    graft.core.io.Writer.writeBucketed(
+      oddPost.groupBy("doc_id").agg(sum("tf").as("dl")),
+      jIdx.doclensTable, Seq("doc_id"), 4,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    Search.appendBm25Index(odd, "doc_id", "text", jIdx) // the retry
+    sameAsClean("sidx_j")
+    // boundary C: crash MID meta swap (meta dropped, rename pending) —
+    // heal-on-next-open rolls the staged recount forward, no replay
+    graft.core.io.Writer.writeTable(spark.table("sidx_j_meta"),
+      "sidx_j_meta_vac")
+    spark.sql("DROP TABLE sidx_j_meta")
+    Search.loadBm25Index(spark, "sidx_j") // heals
+    sameAsClean("sidx_j")
   }
 
   test("bucket-count drift between meta and catalog fails loudly") {
