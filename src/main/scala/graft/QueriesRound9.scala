@@ -104,5 +104,30 @@ object QueriesRound9 {
        |SELECT probe_id, cand_id, adc_micro, rank FROM r WHERE rank <= 5
        |ORDER BY probe_id, rank""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q198, q199)
+  private val q200Dir = QueriesScale.sidePath("q200_psi_reference")
+
+  /** Mergeable drift monitoring ([[graft.ops.Stats.writePsiReference]] /
+    * [[graft.ops.Stats.psiFromPartials]]): the reference profile (edges
+    * + bucket counts) persists ONCE, the current side arrives as TWO
+    * independent feeds each contracted to integer bucket partials, and
+    * the merged score must be bit-identical to q186's full recompute —
+    * the oracle IS q186's (same ref/cur definitions), so the hash
+    * proves the partial-fed path changes the plan (no reference rescan
+    * per tick), never the answer.
+    */
+  val q200 = QueryDef("q200_psi_partials", (spark, dir) => {
+    QueriesScale.reapStaleSideTables("q200_psi_reference")
+    val li = t(spark, dir, "lineitem")
+    val ref = li.filter(col("l_orderkey") % 2 === 0)
+      .select(col("l_extendedprice").as("v"))
+    graft.ops.Stats.writePsiReference(ref, "v", q200Dir, bins = 10)
+    def feed(r: Int) = li.filter(col("l_orderkey") % 4 === r)
+      .select((col("l_extendedprice") * 1.08).as("v"))
+    val pa = graft.ops.Stats.psiCurrentPartial(spark, q200Dir, feed(1), "v")
+    val pb = graft.ops.Stats.psiCurrentPartial(spark, q200Dir, feed(3), "v")
+    graft.ops.Stats.psiFromPartials(spark, q200Dir, pa.unionByName(pb))
+      .orderBy("bucket")
+  }, QueriesRound8.q186.oracle)
+
+  val all: Seq[QueryDef] = Seq(q198, q199, q200)
 }

@@ -211,6 +211,97 @@ object Stats {
           .cast("long").as("psi_micro"))
   }
 
+  /** Persist a PSI monitor's REFERENCE profile once — the [[graft.ops
+    * .Compare]] profilePartial/profileMerge discipline applied to drift
+    * monitoring: [[psi]] recomputes the reference quantile edges and
+    * bucket counts on EVERY run, which at 100 TB means every monitoring
+    * tick rescans a corpus that by definition does not change. This
+    * writes the rounded edges (one row) and the zero-filled per-bucket
+    * reference counts (`bins` rows) to `path`; [[psiFromReference]]
+    * then scores any current snapshot against them reading only the
+    * current side — and [[psiCurrentPartial]] / [[psiFromPartials]]
+    * split the current side itself into mergeable integer bucket
+    * counts (order-free sums), so incremental feeds contract as they
+    * arrive. Output of the partial-fed path is bit-identical to a full
+    * [[psi]] recompute (oracle-gated as q200).
+    */
+  def writePsiReference(reference: DataFrame, valueCol: String, path: String,
+                        bins: Int = 10, exact: Boolean = true,
+                        accuracy: Int = 10000): Unit = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val spark = reference.sparkSession
+    val ps = (1 until bins).map(i => i.toDouble / bins)
+    val pctFn = if (exact) "percentile" else "approx_percentile"
+    val pctArgs = if (exact) "" else s", $accuracy"
+    val edges = reference.filter(col(valueCol).isNotNull)
+      .agg(expr(s"$pctFn($valueCol, array(${ps.mkString(", ")})$pctArgs)")
+        .as("_e"))
+      .select(transform(col("_e"), e => round(e, 4)).as("_e"))
+    edges.write.mode("overwrite").parquet(s"$path/edges")
+    val stored = spark.read.parquet(s"$path/edges")
+    val counts = reference.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(stored))
+      .withColumn("bucket",
+        size(filter(col("_e"), e => col(valueCol) > e)).cast("long"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_ref"))
+    spark.range(bins).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n_ref"), lit(0L)).as("n_ref"))
+      .write.mode("overwrite").parquet(s"$path/buckets")
+  }
+
+  /** Contract one current-side feed to `(bucket, n_cur)` against the
+    * STORED edges — a mergeable partial (integer counts, order-free):
+    * daily/hourly feeds each contract independently and
+    * [[psiFromPartials]] sums them, so a monitoring tick touches only
+    * the new increment, never the history or the reference corpus.
+    */
+  def psiCurrentPartial(spark: org.apache.spark.sql.SparkSession,
+                        path: String, current: DataFrame,
+                        valueCol: String): DataFrame = {
+    val edges = spark.read.parquet(s"$path/edges")
+    current.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(edges))
+      .withColumn("bucket",
+        size(filter(col("_e"), e => col(valueCol) > e)).cast("long"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_cur"))
+  }
+
+  /** Score merged current partials against the stored reference profile
+    * — same output schema and quantization as [[psi]], bit-identical to
+    * the full recompute over the concatenated feeds. `partials` is any
+    * union of [[psiCurrentPartial]] outputs (duplicate buckets sum).
+    * An empty side yields an EMPTY result ([[psi]]'s zero-total guard).
+    */
+  def psiFromPartials(spark: org.apache.spark.sql.SparkSession,
+                      path: String, partials: DataFrame): DataFrame = {
+    val ref = spark.read.parquet(s"$path/buckets")
+    val merged = partials.groupBy("bucket").agg(sum("n_cur").as("n_cur"))
+    val grid = ref
+      .join(merged, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = grid.agg(sum("n_ref").as("_tr"), sum("n_cur").as("_tc"))
+      .filter(col("_tr") > 0 && col("_tc") > 0)
+    val pf = greatest(col("n_ref").cast("double") / col("_tr"), lit(1e-6))
+    val qf = greatest(col("n_cur").cast("double") / col("_tc"), lit(1e-6))
+    grid.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round(round(pf, 6) * lit(1e6), 0).cast("long").as("p_micro"),
+        round(round(qf, 6) * lit(1e6), 0).cast("long").as("q_micro"),
+        round(round((pf - qf) * log(pf / qf), 6) * lit(1e6), 0)
+          .cast("long").as("psi_micro"))
+  }
+
+  /** One-shot monitor tick against a stored reference: contract the
+    * current snapshot, score — the reference corpus is never read.
+    */
+  def psiFromReference(spark: org.apache.spark.sql.SparkSession,
+                       path: String, current: DataFrame,
+                       valueCol: String): DataFrame =
+    psiFromPartials(spark, path,
+      psiCurrentPartial(spark, path, current, valueCol))
+
   /** Exact two-sample Kolmogorov-Smirnov statistic — the
     * distribution-free drift test beside [[psi]]'s binned score:
     * `D = sup_v |F_ref(v) - F_cur(v)|`, computed EXACTLY over the

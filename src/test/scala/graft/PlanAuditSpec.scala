@@ -92,10 +92,11 @@ class PlanAuditSpec extends SparkSpec {
     "q192_heavy_hitters_per_group", "q193_truncated_dim_recall",
     "q194_media_meta", "q195_balanced_downsample", "q196_embedding_drift",
     "q197_psi_by_group")
-    // round-9: q198/q199 are catalog/path side-effect index queries
+    // round-9: q198/q199/q200 are catalog/path side-effect queries
     // (the q147/q190 family) — their plan shapes (bucket pruning,
-    // partition pruning, zero-rewrite vacuums) are asserted in
-    // SearchIndexSpec and PqSpec
+    // partition pruning, zero-rewrite vacuums, reference-free monitor
+    // ticks) are asserted in SearchIndexSpec / PqSpec /
+    // AnalyticsOpsSpec
 
   /** Queries whose BroadcastNestedLoopJoin is RUNTIME-gated rather than
     * plan-visible: brute-force cosine top-k broadcasts the probe side

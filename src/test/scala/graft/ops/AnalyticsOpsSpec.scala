@@ -350,6 +350,30 @@ class StatsAnalyticsSpec extends SparkSpec {
     assert(Stats.psi(ref, allNull, "v", bins = 4).isEmpty)
   }
 
+  test("psiFromReference == full psi recompute; partials merge order-free; " +
+      "empty current yields empty") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_psiref").toString
+    val ref = (1 to 1000).map(_.toDouble).toDF("v")
+    val cur = (1 to 900).map(i => i.toDouble + 250).toDF("v")
+    Stats.writePsiReference(ref, "v", dir, bins = 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("bucket").collect().map(_.toSeq).toSeq
+    val full = rows(Stats.psi(ref, cur, "v", bins = 5))
+    assert(rows(Stats.psiFromReference(spark, dir, cur, "v")) === full)
+    // the current side split into three feeds, merged in any order
+    val feeds = Seq(
+      cur.filter(col("v") <= 400), cur.filter(col("v") > 800),
+      cur.filter(col("v") > 400 && col("v") <= 800))
+      .map(f => Stats.psiCurrentPartial(spark, dir, f, "v"))
+    assert(rows(Stats.psiFromPartials(spark, dir,
+      feeds.reduce(_.unionByName(_)))) === full)
+    assert(rows(Stats.psiFromPartials(spark, dir,
+      feeds.reverse.reduce(_.unionByName(_)))) === full)
+    // empty current: the zero-total guard, same as psi
+    assert(Stats.psiFromReference(spark, dir,
+      cur.filter(lit(false)), "v").isEmpty)
+  }
+
   test("psiCategorical: vanished and new categories both score, nulls " +
       "bucket as (null)") {
     val ref = (Seq.fill(50)("a") ++ Seq.fill(50)("b")).toDF("c")

@@ -222,6 +222,51 @@ class RandomizedInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("drift monitors are invariant under row permutation and partition " +
+      "count (psiByGroup / psiCategorical / embeddingDrift)") {
+    val rnd = new scala.util.Random(31)
+    val groups = Seq("a", "b", "c")
+    def snap(shift: Double) = (1 to 600).map { i =>
+      (groups(rnd.nextInt(3)), rnd.nextDouble() * 100 + shift)
+    }
+    val refRows = snap(0.0)
+    val curRows = snap(15.0)
+    def df(rows: Seq[(String, Double)]) = rows.toDF("g", "v")
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(_.toSeq).toSet
+    // baseline on the declared order / default partitioning
+    val pg0 = canon(Stats.psiByGroup(df(refRows), df(curRows), "g", "v",
+      bins = 4))
+    val pc0 = canon(Stats.psiCategorical(df(refRows), df(curRows), "g"))
+    assert(pg0.nonEmpty && pc0.nonEmpty)
+    for (seed <- 1 to 2) {
+      val r2 = new scala.util.Random(seed)
+      val refP = df(r2.shuffle(refRows)).repartition(1 + r2.nextInt(13))
+      val curP = df(r2.shuffle(curRows)).repartition(1 + r2.nextInt(13))
+      assert(canon(Stats.psiByGroup(refP, curP, "g", "v", bins = 4)) === pg0,
+        s"psiByGroup drifted under permutation seed $seed")
+      assert(canon(Stats.psiCategorical(refP, curP, "g")) === pc0,
+        s"psiCategorical drifted under permutation seed $seed")
+    }
+    // embeddingDrift: micro-quantized integer sums must make the
+    // centroid cosine a pure function of the row multiset
+    def edf(rows: Seq[(String, Double)], salt: Int) = rows.map {
+      case (g, v) =>
+        (g, Array.tabulate(8)(j =>
+          (math.sin(v + j + salt) * 3).toFloat).toSeq)
+    }.toDF("g", "e").select(col("g"), col("e").cast("array<float>").as("e"))
+    val ed0 = canon(Similarity.embeddingDrift(edf(refRows, 0),
+      edf(curRows, 1), "g", "e"))
+    assert(ed0.nonEmpty)
+    for (seed <- 1 to 2) {
+      val r2 = new scala.util.Random(seed + 7)
+      val refP = edf(r2.shuffle(refRows), 0).repartition(1 + r2.nextInt(13))
+      val curP = edf(r2.shuffle(curRows), 1).repartition(1 + r2.nextInt(13))
+      assert(canon(Similarity.embeddingDrift(refP, curP, "g", "e")) === ed0,
+        s"embeddingDrift drifted under permutation seed $seed")
+    }
+  }
+
   test("overlap cards: estimate is exact whenever the pair union fits in k") {
     val rnd = new scala.util.Random(3)
     val rows = for {
