@@ -129,5 +129,83 @@ object QueriesRound9 {
       .orderBy("bucket")
   }, QueriesRound8.q186.oracle)
 
-  val all: Seq[QueryDef] = Seq(q198, q199, q200)
+  private val q201MergePath = QueriesScale.sidePath("q201_token_merges")
+
+  /** Tokenizer-grain near-dup pairs ([[graft.ops.Dedup
+    * .jaccardPairsTokens]]): dedup at the grain the model trains on —
+    * shingles are 5-grams of BPE PIECES (q100's encode, merges
+    * persisted to a side table both engines read), candidates come from
+    * shingles with document frequency <= 50 (the maxShingleFreq skew
+    * cap), and the score is the EXACT full-set jaccard. The oracle
+    * replays the whole chain in DuckDB: the recursive BPE merge apply
+    * (q100's CTE), the piece n-gram generation, the rare-shingle
+    * candidate rule, and a per-pair list_intersect for the exact
+    * intersection (never the hot-key quadratic join the cap exists to
+    * avoid).
+    */
+  val q201 = QueryDef("q201_token_dedup_pairs", (spark, dir) => {
+    QueriesScale.reapStaleSideTables("q201_token_merges")
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val mergeTable = graft.ops.Bpe.learn(docs, "text", numMerges = 20)
+    mergeTable.write.mode("overwrite").parquet(q201MergePath)
+    val merges = graft.ops.Bpe.mergesOf(spark.read.parquet(q201MergePath))
+    graft.ops.Dedup.jaccardPairsTokens(docs, "doc_id", "text", merges,
+        threshold = 0.6, n = 5, maxShingleFreq = Some(50))
+      .orderBy("a_id", "b_id")
+  }, Some(
+    s"""WITH RECURSIVE m AS (SELECT rank, lhs, rhs
+       |           FROM read_parquet('$q201MergePath/*.parquet')),
+       |nm AS (SELECT max(rank) AS top FROM m),
+       |spl AS (SELECT doc_id, string_split(lower(text), ' ') AS l
+       |        FROM documents),
+       |tk AS (SELECT doc_id, i AS pos, l[i] AS term
+       |       FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+       |             FROM spl)
+       |       WHERE l[i] <> ''),
+       |enc(doc_id, pos, s, step) AS (
+       |  SELECT doc_id, pos,
+       |    array_to_string(list_transform(string_split(term, ''),
+       |      c -> chr(17) || c || chr(18)), ''), 0
+       |  FROM tk
+       |  UNION ALL
+       |  SELECT e.doc_id, e.pos,
+       |    replace(e.s, chr(17) || m.lhs || chr(18) || chr(17) || m.rhs || chr(18),
+       |      chr(17) || m.lhs || m.rhs || chr(18)),
+       |    e.step + 1
+       |  FROM enc e JOIN m ON m.rank = e.step + 1),
+       |fin AS (SELECT doc_id, pos,
+       |          replace(replace(replace(s, chr(18) || chr(17), ','),
+       |            chr(17), ''), chr(18), '') AS word_csv
+       |        FROM enc WHERE step = (SELECT top FROM nm)),
+       |pieces AS (SELECT doc_id,
+       |             string_split(string_agg(word_csv, ',' ORDER BY pos), ',')
+       |               AS p
+       |           FROM fin GROUP BY doc_id),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(p[i:i+4], ' ') AS shingle
+       |       FROM (SELECT doc_id, p,
+       |               unnest(generate_series(1, len(p) - 4)) AS i
+       |             FROM pieces WHERE len(p) >= 5)),
+       |agg AS (SELECT doc_id, list(shingle) AS shs,
+       |          CAST(count(*) AS BIGINT) AS n_sh
+       |        FROM sh GROUP BY doc_id),
+       |rare AS (SELECT shingle FROM sh GROUP BY shingle
+       |         HAVING count(*) <= 50),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM sh a
+       |         JOIN rare r ON r.shingle = a.shingle
+       |         JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
+       |scored AS (SELECT c.a_id, c.b_id,
+       |             CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT)
+       |               AS n_inter,
+       |             a.n_sh AS na, b.n_sh AS nb
+       |           FROM cand c
+       |           JOIN agg a ON a.doc_id = c.a_id
+       |           JOIN agg b ON b.doc_id = c.b_id)
+       |SELECT a_id, b_id,
+       |  round(CAST(n_inter AS DOUBLE) / (na + nb - n_inter), 4) AS jaccard
+       |FROM scored
+       |WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.6
+       |ORDER BY a_id, b_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q198, q199, q200, q201)
 }

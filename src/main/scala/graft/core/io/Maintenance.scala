@@ -46,6 +46,57 @@ object Maintenance {
     Compacted(files.length, after, totalBytes)
   }
 
+  final case class IncrementsCompacted(dirsCompacted: Int, filesBefore: Int,
+                                       filesAfter: Int)
+
+  /** Compact a streaming/incremental sink's accumulated per-batch
+    * subdirectories — the file-count maintenance a micro-batch sink
+    * needs at scale: every trigger of [[graft.streaming.Streams
+    * .writeIncrements]] / [[graft.streaming.Streams.nearDupSink]] (and
+    * every [[graft.engine.MultiPass]] period) lands its own `inc_*` /
+    * `batch*` dir with one-to-many small files, and after a week of
+    * 1-minute triggers the LISTING — not the bytes — dominates every
+    * downstream scan. Each eligible subdir is rewritten in place by
+    * [[compactParquet]] (same crash-safe rename swap, sidecars carried),
+    * so DIRECTORY identity is preserved: the replay/resume protocols key
+    * on the dir (`batch$id` delete-and-rewrite, the `inc_*` resume
+    * probe), and a compacted increment replays and probes exactly like
+    * an uncompacted one.
+    *
+    * The newest `keepLatest` dirs (by modification time) are left
+    * untouched — that is the live stream's replay-eligible tail; a
+    * crashed micro-batch replay deletes-and-rewrites its dir, and
+    * racing that with a swap would resurrect the pre-replay rows. Dirs
+    * already at fewer than `minFiles` parquet files are skipped (the
+    * steady state after a previous pass — idempotent).
+    */
+  def compactIncrements(spark: SparkSession, root: String,
+                        targetFileBytes: Long = 128L * 1024 * 1024,
+                        keepLatest: Int = 1,
+                        minFiles: Int = 2): IncrementsCompacted = {
+    require(keepLatest >= 0, s"keepLatest must be >= 0: $keepLatest")
+    require(minFiles >= 2, s"minFiles must be >= 2: $minFiles")
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(rootPath), s"no sink at $root")
+    val subdirs = fs.listStatus(rootPath)
+      .filter(st => st.isDirectory &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
+      .sortBy(st => (st.getModificationTime, st.getPath.getName))
+      .dropRight(keepLatest)
+    var dirs = 0; var before = 0; var after = 0
+    subdirs.foreach { st =>
+      val n = fs.listStatus(st.getPath)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (n >= minFiles) {
+        val c = compactParquet(spark, st.getPath.toString, targetFileBytes)
+        dirs += 1; before += c.filesBefore; after += c.filesAfter
+      }
+    }
+    IncrementsCompacted(dirs, before, after)
+  }
+
   /** Sidecar carry + atomic-ish swap shared by the compactors: copy every
     * non-parquet sidecar (_schema.json, _git_info.json, ...) into `tmp`
     * so the swap replaces data files only, then rename `path` aside and

@@ -162,8 +162,16 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, n: Int = 3,
-                   maxShingleFreq: Option[Int] = None): DataFrame = {
-    val sized = sizedShingles(docs, idCol, textCol, n)
+                   maxShingleFreq: Option[Int] = None): DataFrame =
+    jaccardFromSized(sizedShingles(docs, idCol, textCol, n), threshold,
+      maxShingleFreq)
+
+  /** [[jaccardPairs]]' scoring tail over any `(doc_id, shingle, n_sh)`
+    * table — shared by the word-grain and the token-grain
+    * ([[jaccardPairsTokens]]) shingle builders.
+    */
+  private def jaccardFromSized(sized: DataFrame, threshold: Double,
+                               maxShingleFreq: Option[Int]): DataFrame = {
     maxShingleFreq match {
       case None => pairsFromSizedShingles(sized, threshold)
       case Some(f) =>
@@ -282,6 +290,69 @@ object Dedup {
                       maxBandFreq: Option[Int] = None): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val sh = sizedShingles(docs, idCol, textCol, n)
+    selfPairs(bandBuckets(sh, numHashes, numBands), sh, threshold, maxBandFreq)
+  }
+
+  /** TOKENIZER-GRAIN shingle table: distinct n-grams of BPE PIECES
+    * (q100's [[graft.ops.Bpe.encode]]) instead of word n-grams — dedup
+    * at the grain the model actually trains on. Two documents whose
+    * surface forms differ only in ways the tokenizer collapses (extra
+    * whitespace, case under the lowercasing tokenizer) are IDENTICAL
+    * here, and a shared passage contributes the same piece n-grams
+    * regardless of surrounding formatting — the standard move for
+    * train-set dedup against tokenized shards (cf. Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", which
+    * dedups on token n-grams). Documents shorter than `n` pieces emit
+    * no shingles ([[graft.functions.TextFunctions.shinglesRaw]]'s
+    * convention).
+    *
+    * Scale shape: [[graft.ops.Bpe.encode]]'s distinct-word merge scan +
+    * one row-local explode — the same inverted-index contracts as the
+    * word-grain path apply downstream unchanged.
+    */
+  def tokenShingleTable(docs: DataFrame, idCol: String, textCol: String,
+                        merges: Array[Array[String]],
+                        n: Int = 5): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    Bpe.encode(docs, idCol, textCol, merges)
+      .select(col("doc_id"), split(col("pieces_csv"), ",").as("_p"))
+      .select(col("doc_id"), explode(array_distinct(
+        when(size(col("_p")) >= n,
+          transform(sequence(lit(0), size(col("_p")) - n),
+            i => concat_ws(" ", slice(col("_p"), i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>")))).as("shingle"))
+  }
+
+  private def sizedTokenShingles(docs: DataFrame, idCol: String,
+                                 textCol: String,
+                                 merges: Array[Array[String]],
+                                 n: Int): DataFrame =
+    tokenShingleTable(docs, idCol, textCol, merges, n)
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+
+  /** Exact token-n-gram Jaccard pairs — [[jaccardPairs]] at BPE-piece
+    * grain ([[tokenShingleTable]]); same inverted-index join, same
+    * size-ratio prune, same exact-under-cap frequency guard.
+    */
+  def jaccardPairsTokens(docs: DataFrame, idCol: String, textCol: String,
+                         merges: Array[Array[String]], threshold: Double,
+                         n: Int = 5,
+                         maxShingleFreq: Option[Int] = None): DataFrame =
+    jaccardFromSized(sizedTokenShingles(docs, idCol, textCol, merges, n),
+      threshold, maxShingleFreq)
+
+  /** MinHash-LSH candidate pairs at BPE-piece grain — the scale path
+    * for [[jaccardPairsTokens]] (spec-held to it above threshold, the
+    * q27-vs-q26 discipline); banding, skew caps, and verification reuse
+    * the word-grain machinery verbatim.
+    */
+  def minhashLshPairsTokens(docs: DataFrame, idCol: String, textCol: String,
+                            merges: Array[Array[String]], threshold: Double,
+                            n: Int = 5, numHashes: Int = 64,
+                            numBands: Int = 16,
+                            maxBandFreq: Option[Int] = None): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val sh = sizedTokenShingles(docs, idCol, textCol, merges, n)
     selfPairs(bandBuckets(sh, numHashes, numBands), sh, threshold, maxBandFreq)
   }
 

@@ -440,6 +440,42 @@ class EtlIoSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/data/_schema.json").exists())
   }
 
+  test("compactIncrements collapses per-batch sink dirs, spares the " +
+      "replay-eligible tail, and is idempotent") {
+    val root = s"${tmp()}/sink"
+    val batches = (0 until 4).map { i =>
+      val d = s"$root/batch$i"
+      spark.range(i * 1000, (i + 1) * 1000).toDF("id")
+        .repartition(3).write.parquet(d)
+      // ascending mtimes so "newest" is deterministic
+      new java.io.File(d).setLastModified(1700000000000L + i * 60000L)
+      d
+    }
+    def files(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(batches.forall(files(_) == 3))
+    val res = graft.core.io.Maintenance.compactIncrements(spark, root,
+      targetFileBytes = 512L * 1024 * 1024, keepLatest = 1)
+    // three closed batches compacted to one file each; the newest — the
+    // live stream's replay-eligible dir — stays untouched
+    assert(res.dirsCompacted == 3 && res.filesBefore == 9 && res.filesAfter == 3)
+    assert(batches.init.forall(files(_) == 1) && files(batches.last) == 3)
+    // data intact, dir identity preserved
+    val back = spark.read.parquet(s"$root/batch*")
+    assert(back.count() == 4000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0)
+      == (0L until 4000L).sum)
+    // second pass: steady state, nothing to do (re-pin mtimes — the
+    // swap refreshed them; in production the live stream's latest dir
+    // is always the newest because it is still being written)
+    batches.zipWithIndex.foreach { case (d, i) =>
+      new java.io.File(d).setLastModified(1700000000000L + i * 60000L)
+    }
+    val res2 = graft.core.io.Maintenance.compactIncrements(spark, root,
+      targetFileBytes = 512L * 1024 * 1024, keepLatest = 1)
+    assert(res2.dirsCompacted == 0)
+  }
+
   test("bucketed tables join with no exchange on the bucket key") {
     import org.apache.spark.sql.functions.{col, sum}
     val orders = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "orders")

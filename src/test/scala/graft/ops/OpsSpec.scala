@@ -149,6 +149,46 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((1L, 3L))) // identical docs always collide in every band
   }
 
+  test("token-grain dedup: tokenizer-collapsed twins are identical, LSH " +
+      "pairs are the verified subset of exact token jaccard") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      // differs ONLY in case and run-length of spaces — the tokenizer
+      // collapses both, so at BPE-piece grain this is an EXACT duplicate
+      (11L, "The  QUICK brown   fox jumps over the LAZY dog tonight"),
+      (12L, "the quick brown fox jumps over the lazy cat tonight"),
+      (13L, "completely different words entirely here now today again")
+    ).toDF("doc_id", "text")
+    val merges = graft.ops.Bpe.mergesOf(
+      graft.ops.Bpe.learn(corpus, "text", numMerges = 10))
+    val exact = Dedup.jaccardPairsTokens(corpus, "doc_id", "text", merges,
+        threshold = 0.5, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = exact.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((10L, 11L)) && ids.contains((10L, 12L)))
+    assert(!ids.exists(p => p._1 == 13L || p._2 == 13L))
+    assert(exact.find(p => (p._1, p._2) == ((10L, 11L))).get._3 == 1.0,
+      "tokenizer-collapsed twin must score exactly 1.0 at token grain")
+    // contrast: the WORD-grain path keeps the empty tokens a double
+    // space mints, so its 10/11 shingles differ and the score is < 1 —
+    // the tokenizer grain is what makes the twin exact
+    val word = Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .filter(col("a_id") === 10L && col("b_id") === 11L)
+      .select("jaccard").collect()
+    assert(word.isEmpty || word.head.getDouble(0) < 1.0)
+    // LSH lane: verified subset of exact, twin found in every band
+    val lsh = Dedup.minhashLshPairsTokens(corpus, "doc_id", "text", merges,
+        threshold = 0.5, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(lsh.map(p => (p._1, p._2)).toSet
+      .subsetOf(exact.map(p => (p._1, p._2)).toSet))
+    assert(lsh.find(p => (p._1, p._2) == ((10L, 11L))).exists(_._3 == 1.0),
+      "identical piece sequences collide in every band")
+    // scores agree pair-for-pair (verification is the same exact jaccard)
+    val exactMap = exact.map(p => (p._1, p._2) -> p._3).toMap
+    lsh.foreach(p => assert(exactMap((p._1, p._2)) == p._3))
+  }
+
   test("simhash of identical docs is identical; pairs found at distance 0") {
     val out = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 0).collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 3L)))
