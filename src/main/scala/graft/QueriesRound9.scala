@@ -129,6 +129,30 @@ object QueriesRound9 {
       .orderBy("bucket")
   }, QueriesRound8.q186.oracle)
 
+  private val q202Dir = QueriesScale.sidePath("q202_ks_reference")
+
+  /** Mergeable KS monitoring ([[graft.ops.Stats.writeKsReference]] /
+    * [[graft.ops.Stats.ksFromPartials]]): the reference side persists
+    * once as its distinct-value counts (KS's minimal sufficient
+    * statistic), the current side arrives as TWO independent feeds
+    * contracted to mergeable value counts, and the partial-fed exact
+    * statistic must be bit-identical to q189's full recompute — its
+    * oracle verbatim.
+    */
+  val q202 = QueryDef("q202_ks_partials", (spark, dir) => {
+    QueriesScale.reapStaleSideTables("q202_ks_reference")
+    val li = t(spark, dir, "lineitem")
+    val ref = li.filter(col("l_orderkey") % 2 === 0)
+      .select(col("l_extendedprice").as("v"))
+    graft.ops.Stats.writeKsReference(ref, "v", q202Dir)
+    def feed(r: Int) = li.filter(col("l_orderkey") % 4 === r)
+      .select((col("l_extendedprice") * 1.02).as("v"))
+    val pa = graft.ops.Stats.ksCurrentPartial(feed(1), "v")
+    val pb = graft.ops.Stats.ksCurrentPartial(feed(3), "v")
+    graft.ops.Stats.ksFromPartials(spark, q202Dir, pa.unionByName(pb),
+      buckets = 64)
+  }, QueriesRound8.q189.oracle)
+
   private val q201MergePath = QueriesScale.sidePath("q201_token_merges")
 
   /** Tokenizer-grain near-dup pairs ([[graft.ops.Dedup
@@ -207,5 +231,5 @@ object QueriesRound9 {
        |WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.6
        |ORDER BY a_id, b_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q198, q199, q200, q201)
+  val all: Seq[QueryDef] = Seq(q198, q199, q200, q201, q202)
 }

@@ -323,14 +323,59 @@ object Stats {
     * `at_value` the 4-rounded location of the supremum.
     */
   def ksStatistic(reference: DataFrame, current: DataFrame,
-                  valueCol: String, buckets: Int = 64): DataFrame = {
+                  valueCol: String, buckets: Int = 64): DataFrame =
+    ksFromCounts(ksSide(reference, valueCol, "nr"),
+      ksSide(current, valueCol, "nc"), buckets)
+
+  /** Distinct-value count contraction `(v, <as>)` — KS's minimal
+    * sufficient statistic per side.
+    */
+  private def ksSide(df: DataFrame, valueCol: String, as: String) = df
+    .filter(col(valueCol).isNotNull)
+    .select(col(valueCol).cast("double").as("v"))
+    .groupBy("v").agg(count(lit(1)).as(as))
+
+  /** Persist a KS monitor's REFERENCE side once — the [[writePsiReference]]
+    * discipline for the distribution-free test: the reference's
+    * distinct-value counts `(v, nr)` are KS's minimal sufficient
+    * statistic (orders of magnitude smaller than the corpus for any
+    * bounded-cardinality feature), so a monitoring tick reads them
+    * instead of rescanning the reference corpus.
+    * [[ksCurrentPartial]] / [[ksFromPartials]] make the current side
+    * mergeable integer counts, and the partial-fed statistic is
+    * bit-identical to a full [[ksStatistic]] recompute (oracle-gated
+    * as q202).
+    */
+  def writeKsReference(reference: DataFrame, valueCol: String,
+                       path: String): Unit =
+    ksSide(reference, valueCol, "nr")
+      .write.mode("overwrite").parquet(s"$path/values")
+
+  /** Contract one current-side feed to mergeable `(v, n_cur)` counts —
+    * duplicate values across feeds sum (order-free integers).
+    */
+  def ksCurrentPartial(current: DataFrame, valueCol: String): DataFrame =
+    ksSide(current, valueCol, "n_cur")
+
+  /** Exact KS against the stored reference from merged current partials
+    * — same output and quantization as [[ksStatistic]].
+    */
+  def ksFromPartials(spark: org.apache.spark.sql.SparkSession, path: String,
+                     partials: DataFrame, buckets: Int = 64): DataFrame =
+    ksFromCounts(spark.read.parquet(s"$path/values"),
+      partials.groupBy("v").agg(sum("n_cur").as("nc")), buckets)
+
+  /** One-shot monitor tick against a stored KS reference. */
+  def ksFromReference(spark: org.apache.spark.sql.SparkSession, path: String,
+                      current: DataFrame, valueCol: String,
+                      buckets: Int = 64): DataFrame =
+    ksFromPartials(spark, path, ksCurrentPartial(current, valueCol), buckets)
+
+  private def ksFromCounts(refCounts: DataFrame, curCounts: DataFrame,
+                           buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
-    def side(df: DataFrame, as: String) = df
-      .filter(col(valueCol).isNotNull)
-      .select(col(valueCol).cast("double").as("v"))
-      .groupBy("v").agg(count(lit(1)).as(as))
-    val merged = side(reference, "nr")
-      .join(side(current, "nc"), Seq("v"), "full_outer")
+    val merged = refCounts
+      .join(curCounts, Seq("v"), "full_outer")
       .select(col("v"), coalesce(col("nr"), lit(0L)).as("nr"),
         coalesce(col("nc"), lit(0L)).as("nc"))
     val ps = (1 until buckets).map(i => i.toDouble / buckets)
@@ -352,7 +397,10 @@ object Stats {
       .withColumn("_or", coalesce(sum("_br").over(wB), lit(0L)))
       .withColumn("_oc", coalesce(sum("_bc").over(wB), lit(0L)))
       .select("_b", "_or", "_oc")
+    // zero-total guard (the psi discipline): an empty side yields an
+    // EMPTY result, never a NaN-derived supremum row
     val tot = merged.agg(sum("nr").as("_tr"), sum("nc").as("_tc"))
+      .filter(col("_tr") > 0 && col("_tc") > 0)
     val wIn = Window.partitionBy("_b").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val diffs = bucketed

@@ -374,6 +374,29 @@ class StatsAnalyticsSpec extends SparkSpec {
       cur.filter(lit(false)), "v").isEmpty)
   }
 
+  test("ksFromReference == full ksStatistic; partials merge order-free; " +
+      "empty current yields empty") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ksref").toString
+    val ref = (1 to 1000).map(_.toDouble).toDF("v")
+    val cur = (1 to 900).map(i => i.toDouble * 1.1 + 3).toDF("v")
+    Stats.writeKsReference(ref, "v", dir)
+    val full = Stats.ksStatistic(ref, cur, "v", buckets = 16)
+      .collect().map(_.toSeq).toSeq
+    assert(Stats.ksFromReference(spark, dir, cur, "v", buckets = 16)
+      .collect().map(_.toSeq).toSeq === full)
+    val feeds = Seq(cur.filter(col("v") <= 500), cur.filter(col("v") > 500))
+      .map(Stats.ksCurrentPartial(_, "v"))
+    assert(Stats.ksFromPartials(spark, dir,
+      feeds.reduce(_.unionByName(_)), buckets = 16)
+      .collect().map(_.toSeq).toSeq === full)
+    assert(Stats.ksFromPartials(spark, dir,
+      feeds.reverse.reduce(_.unionByName(_)), buckets = 16)
+      .collect().map(_.toSeq).toSeq === full)
+    assert(Stats.ksFromReference(spark, dir,
+      cur.filter(lit(false)), "v").isEmpty)
+    assert(Stats.ksStatistic(ref.filter(lit(false)), cur, "v").isEmpty)
+  }
+
   test("psiCategorical: vanished and new categories both score, nulls " +
       "bucket as (null)") {
     val ref = (Seq.fill(50)("a") ++ Seq.fill(50)("b")).toDF("c")
