@@ -231,5 +231,49 @@ object QueriesRound9 {
        |WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.6
        |ORDER BY a_id, b_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q198, q199, q200, q201, q202)
+  private val q203Dir = QueriesScale.sidePath("q203_clustered_index")
+
+  /** IVF clustered-index GDPR vacuum ([[graft.ops.Similarity
+    * .vacuumClusteredIndex]], NO compact): the clustered layout stores
+    * the RAW embeddings — the most direct personal-data derivative of
+    * all the persisted artifacts — so the forget must reach it first.
+    * Tombstoned vectors must vanish from every indexed ranking while
+    * the cell-partitioned files stay byte-identical (spec-asserted in
+    * SimilarityIndexSpec). The oracle replays the partition-pruned IVF
+    * cosine top-k with the candidate set anti-joined against the
+    * ACTUAL persisted tombstones; probes keep their own embeddings (a
+    * forgotten vector may still probe — it must simply never be
+    * returned).
+    */
+  val q203 = QueryDef("q203_ivf_index_vacuum", (spark, dir) => {
+    QueriesScale.reapStaleSideTables("q203_clustered_index")
+    val emb = t(spark, dir, "embeddings")
+      .select("vec_id", "embedding", "label")
+    graft.ops.Similarity.writeClusteredIndex(emb, q203Dir,
+      clusterCol = "label")
+    graft.ops.Similarity.vacuumClusteredIndex(spark, q203Dir,
+      emb.filter(col("vec_id") % 7 === 0).select("vec_id"))
+    val probes = emb.filter(col("vec_id") % 25 === 0)
+    val probeN = probes.count()
+    graft.ops.Similarity.ivfTopKIndexed(spark, q203Dir, probes, k = 5,
+      clusterCol = "label", probeRows = Some(probeN))
+  }, Some(
+    s"""WITH ts AS (SELECT vec_id
+       |            FROM read_parquet('${q203Dir}_tombstones/*.parquet')),
+       |p AS (SELECT vec_id AS probe_id, embedding AS pe, label
+       |      FROM embeddings WHERE vec_id % 25 = 0),
+       |c AS (SELECT vec_id AS cand_id, embedding AS ce, label
+       |      FROM embeddings
+       |      WHERE vec_id NOT IN (SELECT vec_id FROM ts)),
+       |scored AS (
+       |  SELECT probe_id, cand_id, ${QueriesScale.duckCos("pe", "ce")} AS cos
+       |  FROM p JOIN c ON p.label = c.label AND probe_id <> cand_id),
+       |ranked AS (SELECT probe_id, cand_id, cos,
+       |    row_number() OVER (PARTITION BY probe_id
+       |                       ORDER BY round(cos, 6) DESC, cand_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, cand_id, round(cos, 4) AS cos, rank
+       |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q198, q199, q200, q201, q202, q203)
 }

@@ -240,8 +240,79 @@ object Similarity {
 
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
                      probes: DataFrame, k: Int,
-                     clusterCol: String = "label"): DataFrame =
-    ivfTopK(spark.read.parquet(dir), probes, clusterCol, k)
+                     clusterCol: String = "label",
+                     probeRows: Option[Long] = None): DataFrame =
+    ivfTopK(hideClusteredTombstoned(spark, dir, spark.read.parquet(dir)),
+      probes, clusterCol, k, probeRows = probeRows)
+
+  /** Tombstones for [[writeClusteredIndex]] live at a SIBLING path
+    * (`<dir>_tombstones`) — a foreign subdir INSIDE the
+    * hive-partitioned layout would break partition discovery.
+    */
+  private def clusteredTombstonesPath(dir: String): String =
+    s"${dir.stripSuffix("/")}_tombstones"
+
+  private def clusteredTombstones(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(clusteredTombstonesPath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  private def hideClusteredTombstoned(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      corpus: DataFrame): DataFrame =
+    clusteredTombstones(spark, dir) match {
+      case Some(ts) =>
+        corpus.join(broadcast(ts.select(col("vec_id").as("_ts_vec_id"))),
+          corpus("vec_id") === col("_ts_vec_id"), "left_anti")
+      case None => corpus
+    }
+
+  /** Forget vectors FROM the persisted IVF layout — unlike the PQ
+    * codes, this index stores the RAW embeddings (the most direct
+    * personal-data derivative of all the persisted artifacts), so a
+    * GDPR delete must reach it first. Same tombstone protocol as
+    * [[graft.ops.Pq.vacuumPqIndex]]: forget ids append to the sibling
+    * tombstones path (~deleted-ids write cost; the cell-partitioned
+    * files stay byte-identical), every [[ivfTopKIndexed]] read hides
+    * them via a broadcast anti-join ABOVE the partition-pruned scan,
+    * and the physical scrub batches into [[compactClusteredIndex]].
+    * Returns the VISIBLE indexed vectors tombstoned.
+    */
+  def vacuumClusteredIndex(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, ids: DataFrame): Long = {
+    val idList = ids.select(col(ids.columns.head).as("vec_id")).distinct()
+    val fresh = hideClusteredTombstoned(spark, dir,
+        spark.read.parquet(dir).select("vec_id"))
+      .join(idList, Seq("vec_id"), "left_semi")
+      .distinct()
+    val materialized = graft.core.Checkpoints.truncate(fresh)
+    val removed = materialized.count()
+    if (removed == 0) return 0L
+    materialized.write.mode("append")
+      .parquet(clusteredTombstonesPath(dir))
+    removed
+  }
+
+  /** Physically scrub tombstoned vectors — targeted file-pruned rewrite
+    * via [[graft.core.io.Maintenance.deleteMatching]] (only the cell
+    * partitions holding a forgotten vector are touched; its manifest
+    * protocol owns crash recovery), then the tombstones drop. Returns
+    * the vectors physically scrubbed.
+    */
+  def compactClusteredIndex(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Long =
+    clusteredTombstones(spark, dir) match {
+      case None => 0L
+      case Some(ts) =>
+        val r = graft.core.io.Maintenance.deleteMatching(
+          spark, dir, "vec_id", ts)
+        val p = new org.apache.hadoop.fs.Path(clusteredTombstonesPath(dir))
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        r.rowsDeleted
+    }
 
   /** Deterministic random hyperplanes for sign-bit LSH: `tables` hash
     * tables of `bits` planes each, seeded — same seed, same planes, on

@@ -66,6 +66,44 @@ class SimilarityIndexSpec extends SparkSpec {
       (plan.contains("dynamicpruning") || plan.contains("isnotnull(label")))
   }
 
+  test("clustered-index GDPR lane: vacuum hides vectors (files byte-" +
+      "identical), compact scrubs only affected cells, reads stay pruned") {
+    val dir = s"${Files.createTempDirectory("graft_ivfvac")}/index"
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings").select("vec_id", "embedding", "label")
+    Similarity.writeClusteredIndex(emb, dir)
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+    val forget = emb.filter(col("vec_id") % 5 === 0).select("vec_id")
+    def stamps(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = stamps()
+    val removed = Similarity.vacuumClusteredIndex(spark, dir, forget)
+    assert(removed === forget.count())
+    assert(stamps() == before, "index files rewritten by a tombstone vacuum")
+    // hidden reads == IVF over the corpus minus the forgotten vectors
+    val hidden = Similarity.ivfTopKIndexed(spark, dir, probes, k = 3)
+    assert(hidden.filter(col("cand_id") % 5 === 0).isEmpty,
+      "a tombstoned vector surfaced as a candidate")
+    val expected = Similarity.ivfTopK(emb.filter(col("vec_id") % 5 =!= 0),
+      probes, "label", k = 3).collect().map(_.toSeq).toSeq
+    assert(hidden.collect().map(_.toSeq).toSeq === expected)
+    // the anti-join must not break file-level pruning
+    val plan = hidden.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"pruning lost:\n$plan")
+    // double vacuum is a no-op; compact scrubs physically and drops ts
+    assert(Similarity.vacuumClusteredIndex(spark, dir, forget) === 0L)
+    assert(Similarity.compactClusteredIndex(spark, dir) === removed)
+    assert(!new java.io.File(s"${dir}_tombstones").exists())
+    assert(spark.read.parquet(dir).filter(col("vec_id") % 5 === 0).isEmpty)
+    assert(Similarity.ivfTopKIndexed(spark, dir, probes, k = 3)
+      .collect().map(_.toSeq).toSeq === expected)
+  }
+
   test("top-k probe broadcast is size-gated; probeRows hint skips the count") {
     val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     // a corpus-sized probe side fails loudly instead of OOMing executors
