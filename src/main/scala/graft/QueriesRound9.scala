@@ -275,5 +275,34 @@ object QueriesRound9 {
        |SELECT probe_id, cand_id, round(cos, 4) AS cos, rank
        |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q198, q199, q200, q201, q202, q203)
+  /** STREAMING drift monitoring ([[graft.streaming.Streams
+    * .psiDriftSink]]): the current snapshot replays through a file
+    * stream in three micro-batches, each landing its integer bucket
+    * partial against the stored reference profile; the accumulated
+    * partials then score through [[graft.ops.Stats.psiFromPartials]]
+    * and must be bit-identical to q186's batch recompute — its oracle
+    * verbatim. The q200 mergeable-drift lane made continuous.
+    */
+  val q204 = QueryDef("q204_stream_psi_drift", (spark, dir) => {
+    val out = graft.Queries.tmpDir("graft_q204")
+    val li = t(spark, dir, "lineitem")
+    val ref = li.filter(col("l_orderkey") % 2 === 0)
+      .select(col("l_extendedprice").as("v"))
+    graft.ops.Stats.writePsiReference(ref, "v", s"$out/ref", bins = 10)
+    val cur = li.filter(col("l_orderkey") % 2 === 1)
+      .select((col("l_extendedprice") * 1.08).as("v"),
+        pmod(col("l_orderkey"), lit(3)).as("_chunk"))
+    (0 until 3).foreach(i => cur.filter(col("_chunk") === i).drop("_chunk")
+      .coalesce(1).write.mode("append").parquet(s"$out/feed"))
+    val stream = spark.readStream.schema("v DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(s"$out/feed")
+    val q = graft.streaming.Streams.psiDriftSink(stream, s"$out/ref", "v",
+      s"$out/partials", s"$out/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    graft.ops.Stats.psiFromPartials(spark, s"$out/ref",
+        spark.read.parquet(s"$out/partials/batch*"))
+      .orderBy("bucket")
+  }, QueriesRound8.q186.oracle)
+
+  val all: Seq[QueryDef] = Seq(q198, q199, q200, q201, q202, q203, q204)
 }

@@ -323,12 +323,25 @@ object Dedup {
           .otherwise(array().cast("array<string>")))).as("shingle"))
   }
 
+  /** Unlike the word-grain [[sizedShingles]], the per-doc size comes
+    * row-locally from the pre-explode distinct array (the encode path
+    * already holds one row per doc) — no count window, one less pass.
+    */
   private def sizedTokenShingles(docs: DataFrame, idCol: String,
                                  textCol: String,
                                  merges: Array[Array[String]],
-                                 n: Int): DataFrame =
-    tokenShingleTable(docs, idCol, textCol, merges, n)
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+                                 n: Int): DataFrame = {
+    val arr = array_distinct(
+      when(size(col("_p")) >= n,
+        transform(sequence(lit(0), size(col("_p")) - n),
+          i => concat_ws(" ", slice(col("_p"), i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+    Bpe.encode(docs, idCol, textCol, merges)
+      .select(col("doc_id"), split(col("pieces_csv"), ",").as("_p"))
+      .select(col("doc_id"), arr.as("_sh"))
+      .select(col("doc_id"), explode(col("_sh")).as("shingle"),
+        size(col("_sh")).cast("long").as("n_sh"))
+  }
 
   /** Exact token-n-gram Jaccard pairs — [[jaccardPairs]] at BPE-piece
     * grain ([[tokenShingleTable]]); same inverted-index join, same

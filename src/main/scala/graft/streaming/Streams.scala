@@ -180,6 +180,46 @@ object Streams {
     Writer.write(batch, job, out, now, period)
   }
 
+  /** Continuous drift monitoring against a STORED PSI reference
+    * ([[graft.ops.Stats.writePsiReference]]): each micro-batch
+    * contracts to its integer bucket partial
+    * ([[graft.ops.Stats.psiCurrentPartial]]) and lands as one parquet
+    * increment per batch id — the mergeable-partials discipline made
+    * continuous. The monitor's CURRENT score at any point is
+    * [[graft.ops.Stats.psiFromPartials]] over the accumulated
+    * partials (order-free integer sums, so reading them in any state
+    * of the stream is consistent), bit-identical to a batch recompute
+    * over everything streamed so far — the reference corpus is never
+    * read after its one-time profile write.
+    *
+    * Replay safe: the per-batch dir is a pure function of the batch id
+    * and is deleted before write (the [[writeIncrement]] contract), so
+    * a crash between write and checkpoint commit re-lands the same
+    * partial instead of double-counting it.
+    */
+  def psiDriftSink(stream: DataFrame, refPath: String, valueCol: String,
+                   partialsPath: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyPsiDriftBatch(batch.toDF(), refPath, valueCol, partialsPath, id)
+      }
+      .start()
+
+  /** One micro-batch's partial — separated so the replay contract is
+    * directly testable: applying the same batch twice leaves one copy.
+    */
+  def applyPsiDriftBatch(batch: DataFrame, refPath: String, valueCol: String,
+                         partialsPath: String, id: Long): Unit = {
+    val spark = batch.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(s"$partialsPath/batch$id")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) { fs.delete(dir, true); () }
+    graft.ops.Stats.psiCurrentPartial(spark, refPath, batch, valueCol)
+      .write.parquet(dir.toString)
+  }
+
   /** Continuous near-dup ingest through a PERSISTED index
     * ([[graft.ops.Dedup.writeNearDupIndex]]): each micro-batch collapses
     * its own near-dup clusters, drops rows near-duplicating the corpus,

@@ -179,6 +179,39 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/sink/inc_n1_batch7").count() == 2)
   }
 
+  test("psiDriftSink: streamed partials score identically to the batch " +
+      "psi; batch replay leaves one copy") {
+    import spark.implicits._
+    import graft.ops.Stats
+    val dir = java.nio.file.Files.createTempDirectory("graft_psink").toString
+    val ref = (1 to 1000).map(_.toDouble).toDF("v")
+    Stats.writePsiReference(ref, "v", s"$dir/ref", bins = 5)
+    val cur = (1 to 600).map(i => i.toDouble + 200).toDF("v")
+    // three chronological chunks through a real file stream
+    (0 until 3).foreach(i => cur.filter(pmod(col("v").cast("long"), lit(3)) === i)
+      .coalesce(1).write.mode("append").parquet(s"$dir/feed"))
+    val stream = spark.readStream.schema("v DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/feed")
+    val q = Streams.psiDriftSink(stream, s"$dir/ref", "v",
+      s"$dir/partials", s"$dir/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    def score() = Stats.psiFromPartials(spark, s"$dir/ref",
+        spark.read.parquet(s"$dir/partials/batch*"))
+      .orderBy("bucket").collect().map(_.toSeq).toSeq
+    val batchScore = Stats.psi(ref, cur, "v", bins = 5)
+      .orderBy("bucket").collect().map(_.toSeq).toSeq
+    assert(score() === batchScore)
+    // failure-before-checkpoint-commit replays a batch id: the partial
+    // is rewritten, never double-counted
+    Streams.applyPsiDriftBatch(cur.limit(100), s"$dir/ref", "v",
+      s"$dir/partials", id = 0L)
+    Streams.applyPsiDriftBatch(cur.limit(100), s"$dir/ref", "v",
+      s"$dir/partials", id = 0L)
+    val n0 = spark.read.parquet(s"$dir/partials/batch0")
+      .agg(sum("n_cur")).head().getLong(0)
+    assert(n0 === 100L)
+  }
+
   test("KafkaSink.push degrades cleanly when the connector jar is absent") {
     import spark.implicits._
     // this image has no spark-sql-kafka jar — the probe must say so
