@@ -43,6 +43,39 @@ class PsiJob extends EtlJob {
   }
 }
 
+/** Steady-state PSI monitoring against a PERSISTED reference profile
+  * ([[Stats.writePsiReference]] / [[Stats.psiFromReference]]): the
+  * profile (quantile edges + bucket counts) is written ONCE to
+  * `ref_path` — on the first run, from the `reference` input — and
+  * every later run scores only the `current` input against it, never
+  * rescanning the reference corpus (the round-9 mergeable-drift lane
+  * in manifest form). Params: `value_col` + `ref_path` (required),
+  * `bins` (default 10, profile-write time only), `exact` (default
+  * true). The `reference` input is optional once the profile exists.
+  */
+class PsiFromReferenceJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val v = params.getOrElse("value_col",
+      sys.error("PsiFromReferenceJob needs a 'value_col' param"))
+    val path = params.getOrElse("ref_path",
+      sys.error("PsiFromReferenceJob needs a 'ref_path' param"))
+    val cur = inputs.getOrElse("current",
+      sys.error("PsiFromReferenceJob needs a 'current' input"))
+    val buckets = new org.apache.hadoop.fs.Path(s"$path/buckets")
+    val fs = buckets.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(buckets)) {
+      val ref = inputs.getOrElse("reference", sys.error(
+        "PsiFromReferenceJob: no profile at ref_path yet — the first " +
+          "run needs a 'reference' input to write it"))
+      Stats.writePsiReference(ref, v, path,
+        bins = params.getOrElse("bins", "10").toInt,
+        exact = params.getOrElse("exact", "true").toBoolean)
+    }
+    Stats.psiFromReference(spark, path, cur, v).orderBy("bucket")
+  }
+}
+
 /** Exact two-sample KS drift ([[Stats.ksStatistic]]). Inputs:
   * `reference`/`current`. Params: `value_col` (required), `buckets`
   * (default 64).

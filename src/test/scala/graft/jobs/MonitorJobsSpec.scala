@@ -34,6 +34,29 @@ class MonitorJobsSpec extends SparkSpec {
     assert(ks.getAs[Long]("d_micro") > 10000L)
   }
 
+  test("steady-state PSI: the first run writes the profile, later runs " +
+      "never read the reference") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("bucket").collect().map(_.toSeq).toSeq
+    val first = rows(Flow.runPipeline(spark, loaded.jobs,
+      "price_psi_steady", save = false)("price_psi_steady"))
+    val direct = rows(Flow.runPipeline(spark, loaded.jobs, "price_psi",
+      save = false)("price_psi"))
+    assert(first === direct,
+      "profile-fed PSI must equal the two-input recompute")
+    // second tick: poison the reference input — a job that still read
+    // it would score against garbage; the stored profile must win
+    val poisoned = loaded.jobs("price_psi_steady")
+    val jobs2 = loaded.jobs.updated("ref_snapshot",
+      loaded.jobs("ref_snapshot").copy(
+        sql = Some("SELECT CAST(0.0 AS DOUBLE) AS v, l_returnflag " +
+          "FROM lineitem LIMIT 1")))
+    assert(rows(Flow.runPipeline(spark, jobs2, "price_psi_steady",
+      save = false)("price_psi_steady")) === first,
+      "a later tick reread the reference corpus instead of the profile")
+    assert(poisoned.params.contains("ref_path"))
+  }
+
   test("per-source hot tokens and hybrid search agree with the ops") {
     val hh = Flow.runPipeline(spark, loaded.jobs, "source_hot_tokens",
       save = false)("source_hot_tokens")
