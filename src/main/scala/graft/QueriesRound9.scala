@@ -304,5 +304,60 @@ object QueriesRound9 {
       .orderBy("bucket")
   }, QueriesRound8.q186.oracle)
 
-  val all: Seq[QueryDef] = Seq(q198, q199, q200, q201, q202, q203, q204)
+  /** Per-slice exact KS ([[graft.ops.Stats.ksByGroup]] — the KS member
+    * of the per-group drift matrix beside q197's psiByGroup): each
+    * return-flag slice's supremum CDF gap is exact over that slice's
+    * merged distinct prices, the per-group argmax is a hash aggregate
+    * (never a per-group sort task), and the oracle replays the
+    * per-group cumulative windows, the integer micro quantization, and
+    * the (d DESC, v ASC) argmax per slice.
+    */
+  val q205 = QueryDef("q205_ks_by_group", (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    val ref = li.filter(col("l_orderkey") % 2 === 0)
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+    val cur = li.filter(col("l_orderkey") % 2 === 1)
+      .select(col("l_returnflag").as("g"),
+        (col("l_extendedprice") * 1.02).as("v"))
+    graft.ops.Stats.ksByGroup(ref, cur, "g", "v", buckets = 16)
+      .orderBy("group")
+  }, Some(
+    """WITH refv AS (SELECT l_returnflag AS g,
+      |                CAST(l_extendedprice AS DOUBLE) AS v, count(*) AS nr
+      |              FROM lineitem
+      |              WHERE l_orderkey % 2 = 0 AND l_extendedprice IS NOT NULL
+      |              GROUP BY 1, 2),
+      |curv AS (SELECT l_returnflag AS g,
+      |           CAST(l_extendedprice * 1.02 AS DOUBLE) AS v, count(*) AS nc
+      |         FROM lineitem
+      |         WHERE l_orderkey % 2 = 1 AND l_extendedprice IS NOT NULL
+      |         GROUP BY 1, 2),
+      |m AS (SELECT coalesce(refv.g, curv.g) AS g,
+      |        coalesce(refv.v, curv.v) AS v,
+      |        coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+      |      FROM refv FULL OUTER JOIN curv
+      |        ON refv.g = curv.g AND refv.v = curv.v),
+      |c AS (SELECT g, v, nr, nc,
+      |        sum(nr) OVER w AS cr, sum(nc) OVER w AS cc
+      |      FROM m
+      |      WINDOW w AS (PARTITION BY g ORDER BY v
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tot AS (SELECT g, CAST(sum(nr) AS BIGINT) AS tr,
+      |          CAST(sum(nc) AS BIGINT) AS tc
+      |        FROM m GROUP BY g HAVING sum(nr) > 0 AND sum(nc) > 0),
+      |d AS (SELECT c.g, v, tr, tc,
+      |        CAST(round(round(abs(CAST(cr AS DOUBLE) / tr
+      |          - CAST(cc AS DOUBLE) / tc), 6) * 1e6, 0) AS BIGINT)
+      |          AS d_micro
+      |      FROM c JOIN tot ON tot.g = c.g),
+      |r AS (SELECT g, v, tr, tc, d_micro,
+      |        row_number() OVER (PARTITION BY g
+      |          ORDER BY d_micro DESC, v) AS rn
+      |      FROM d)
+      |SELECT g AS "group", tr AS n_ref, tc AS n_cur, d_micro,
+      |  round(v, 4) AS at_value
+      |FROM r WHERE rn = 1 ORDER BY "group"""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q198, q199, q200, q201, q202, q203, q204,
+    q205)
 }

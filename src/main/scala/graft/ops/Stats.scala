@@ -421,6 +421,80 @@ object Stats {
         col("d_micro"), round(col("v"), 4).as("at_value"))
   }
 
+  /** [[ksStatistic]] per SLICE — the KS member of the per-group drift
+    * matrix beside [[psiByGroup]]: each group's supremum
+    * `sup_v |F_ref(v) − F_cur(v)|` is computed EXACTLY over that
+    * group's merged distinct values, so one feed's distribution shift
+    * never dilutes into a corpus-wide statistic. Same split prefix-sum
+    * as the scalar op (global quantile edges only BALANCE partitions —
+    * bucketing is monotone, per-group carries come from the bounded
+    * (group × bucket) net table), and the per-group argmax is a
+    * `max_by` HASH AGGREGATE on the lexicographic `(d_micro, −v)` key
+    * — deterministic ties to the smaller value, and never a per-group
+    * sort task. Groups empty on either side are absent (the zero-total
+    * guard, per slice); null group values are excluded (watch the
+    * group column itself with [[psiCategorical]]).
+    *
+    * Output: one row per group,
+    * `(group, n_ref, n_cur, d_micro, at_value)`.
+    */
+  def ksByGroup(reference: DataFrame, current: DataFrame, groupCol: String,
+                valueCol: String, buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    def side(df: DataFrame, as: String) = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as(as))
+    val merged = side(reference, "nr")
+      .join(side(current, "nc"), Seq("g", "v"), "full_outer")
+      .select(col("g"), col("v"), coalesce(col("nr"), lit(0L)).as("nr"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+    val ps = (1 until buckets).map(i => i.toDouble / buckets)
+    val bucketed =
+      if (buckets == 1) merged.withColumn("_b", lit(0))
+      else {
+        val edges = merged
+          .agg(expr(s"approx_percentile(v, array(${ps.mkString(", ")}), 1000)")
+            .as("_e"))
+        merged.crossJoin(broadcast(edges))
+          .withColumn("_b", size(filter(col("_e"), e => col("v") > e)))
+          .drop("_e")
+      }
+    val bucketNet = bucketed.groupBy("g", "_b")
+      .agg(sum("nr").as("_br"), sum("nc").as("_bc"))
+    // carries over rows = groups x buckets (bounded — no data size can
+    // grow it), partitioned by group
+    val wB = Window.partitionBy("g").orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketNet
+      .withColumn("_or", coalesce(sum("_br").over(wB), lit(0L)))
+      .withColumn("_oc", coalesce(sum("_bc").over(wB), lit(0L)))
+      .select("g", "_b", "_or", "_oc")
+    val tot = merged.groupBy("g")
+      .agg(sum("nr").as("_tr"), sum("nc").as("_tc"))
+      .filter(col("_tr") > 0 && col("_tc") > 0)
+    val wIn = Window.partitionBy("g", "_b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val diffs = bucketed
+      .withColumn("_cr", sum("nr").over(wIn))
+      .withColumn("_cc", sum("nc").over(wIn))
+      .join(broadcast(offsets), Seq("g", "_b"))
+      .join(broadcast(tot), Seq("g"))
+      .select(col("g"), col("v"), col("_tr"), col("_tc"),
+        round(round(abs(
+          (col("_cr") + col("_or")).cast("double") / col("_tr") -
+          (col("_cc") + col("_oc")).cast("double") / col("_tc")), 6)
+          * lit(1e6), 0).cast("long").as("d_micro"))
+    diffs.groupBy("g")
+      .agg(max_by(
+          struct(col("_tr"), col("_tc"), col("d_micro"),
+            round(col("v"), 4).as("at_value")),
+          struct(col("d_micro"), negate(col("v")))).as("_best"))
+      .select(col("g").as("group"),
+        col("_best._tr").as("n_ref"), col("_best._tc").as("n_cur"),
+        col("_best.d_micro").as("d_micro"), col("_best.at_value"))
+  }
+
   /** [[psi]] per group — drift monitored per SLICE (per source, per
     * language, per return-flag): each group's reference slice defines
     * its OWN equi-depth edges, both snapshots bucket within the group,

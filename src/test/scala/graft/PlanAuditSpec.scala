@@ -91,7 +91,7 @@ class PlanAuditSpec extends SparkSpec {
     "q188_psi_categorical", "q189_ks_drift", "q191_hybrid_rrf",
     "q192_heavy_hitters_per_group", "q193_truncated_dim_recall",
     "q194_media_meta", "q195_balanced_downsample", "q196_embedding_drift",
-    "q197_psi_by_group", "q201_token_dedup_pairs")
+    "q197_psi_by_group", "q201_token_dedup_pairs", "q205_ks_by_group")
     // round-9: q198/q199/q200 are catalog/path side-effect queries
     // (the q147/q190 family) — their plan shapes (bucket pruning,
     // partition pruning, zero-rewrite vacuums, reference-free monitor

@@ -374,6 +374,33 @@ class StatsAnalyticsSpec extends SparkSpec {
       cur.filter(lit(false)), "v").isEmpty)
   }
 
+  test("ksByGroup: each slice equals the scalar ksStatistic on that " +
+      "slice; one-sided and empty groups are absent") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map(i =>
+      ("steady", rnd.nextDouble() * 100)) ++
+      (1 to 400).map(i => ("drifty", rnd.nextDouble() * 100))
+    val ref = (rows :+ (("ref_only", 1.0))).toDF("g", "v")
+    val cur = (rows.map { case (g, v) =>
+      (g, if (g == "drifty") v + 25 else v) } :+ (("cur_only", 1.0)))
+      .toDF("g", "v")
+    val out = Stats.ksByGroup(ref, cur, "g", "v", buckets = 8)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    // one-sided groups are absent (per-slice zero-total guard)
+    assert(out.keySet === Set("steady", "drifty"))
+    for (g <- Seq("steady", "drifty")) {
+      val scalar = Stats.ksStatistic(ref.filter(col("g") === g),
+        cur.filter(col("g") === g), "v", buckets = 8).head().toSeq
+      assert(out(g) === scalar, s"slice $g drifted from the scalar op")
+    }
+    assert(out("steady")(2).asInstanceOf[Long] === 0L)
+    assert(out("drifty")(2).asInstanceOf[Long] > 100000L)
+    // bucket-count invariance (bucketing only balances partitions)
+    val b1 = Stats.ksByGroup(ref, cur, "g", "v", buckets = 1)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(b1 === out)
+  }
+
   test("ksFromReference == full ksStatistic; partials merge order-free; " +
       "empty current yields empty") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ksref").toString

@@ -239,6 +239,9 @@ class RandomizedInvariantsSpec extends SparkSpec {
       bins = 4))
     val pc0 = canon(Stats.psiCategorical(df(refRows), df(curRows), "g"))
     assert(pg0.nonEmpty && pc0.nonEmpty)
+    val ks0 = canon(Stats.ksByGroup(df(refRows), df(curRows), "g", "v",
+      buckets = 4))
+    assert(ks0.nonEmpty)
     for (seed <- 1 to 2) {
       val r2 = new scala.util.Random(seed)
       val refP = df(r2.shuffle(refRows)).repartition(1 + r2.nextInt(13))
@@ -247,6 +250,8 @@ class RandomizedInvariantsSpec extends SparkSpec {
         s"psiByGroup drifted under permutation seed $seed")
       assert(canon(Stats.psiCategorical(refP, curP, "g")) === pc0,
         s"psiCategorical drifted under permutation seed $seed")
+      assert(canon(Stats.ksByGroup(refP, curP, "g", "v", buckets = 4)) === ks0,
+        s"ksByGroup drifted under permutation seed $seed")
     }
     // embeddingDrift: micro-quantized integer sums must make the
     // centroid cosine a pure function of the row multiset
