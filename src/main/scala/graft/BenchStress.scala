@@ -184,9 +184,18 @@ object BenchStress {
         array_join(slice(split(lower(col("text")), " "), 1, 5), " ")
           .as("qtext")).localCheckpoint()
     println(s"bm25: ${bmQueries.count()} queries")
+    // the same FIXED forget set against both indexes: vacuum cost must
+    // track the deleted ids (tombstone append + one columnar doclens
+    // semi-join), compact the corpus (the designed batched rewrite) —
+    // the gap between those two exponents IS the tombstone protocol's
+    // value
+    val forgetIds = docs.filter(col("doc_id") % 200 === 0)
+      .select("doc_id").localCheckpoint()
+    println(s"bm25 forget set: ${forgetIds.count()} ids")
     for ((label, corpus) <- Seq("1x" -> docs, s"${copies}x" -> stressed)) {
       val nm = s"stressbm$label".replace("x", "")
-      Seq("_postings", "_doclens", "_meta").foreach(s =>
+      Seq("_postings", "_doclens", "_meta", "_tombstones", "_meta_vac",
+        "_postings_vac", "_doclens_vac").foreach(s =>
         spark.sql(s"DROP TABLE IF EXISTS $nm$s"))
       time(s"bm25 index build ($label)") {
         graft.ops.Search.writeBm25Index(corpus, "doc_id", "text", nm)
@@ -196,6 +205,16 @@ object BenchStress {
       time(s"bm25 query batch ($label)") {
         graft.ops.Search.bm25TopKIndexed(spark, bmIdx, bmQueries,
           "query_id", "qtext", k = 5).count()
+      }
+      time(s"bm25 vacuum ($label)") {
+        graft.ops.Search.vacuumBm25Index(spark, nm, forgetIds)
+      }
+      time(s"bm25 query hidden ($label)") {
+        graft.ops.Search.bm25TopKIndexed(spark, bmIdx, bmQueries,
+          "query_id", "qtext", k = 5).count()
+      }
+      time(s"bm25 compact ($label)") {
+        graft.ops.Search.compactBm25Index(spark, nm)
       }
     }
 
