@@ -326,6 +326,17 @@ object Dedup {
   /** Unlike the word-grain [[sizedShingles]], the per-doc size comes
     * row-locally from the pre-explode distinct array (the encode path
     * already holds one row per doc) — no count window, one less pass.
+    *
+    * The encode result is MATERIALIZED once (checkpoint): the pairing
+    * tails reference this table in four legs (frequency annotation,
+    * both self-join sides, hot-set correction), and — unlike the
+    * word-grain path, whose pure-string subtree canonicalizes into a
+    * ReusedExchange — the broadcast-fed native `bpe_apply` expression
+    * defeats exchange-reuse canonicalization, so without the
+    * checkpoint the two corpus-shuffle encode runs FOUR times
+    * (measured: the whole pairing dropped ~2× at sf0.1 with the
+    * materialization). The artifact is doc-grain (one compact pieces
+    * array per doc), far smaller than the exploded shingle table.
     */
   private def sizedTokenShingles(docs: DataFrame, idCol: String,
                                  textCol: String,
@@ -336,8 +347,10 @@ object Dedup {
         transform(sequence(lit(0), size(col("_p")) - n),
           i => concat_ws(" ", slice(col("_p"), i + 1, lit(n)))))
         .otherwise(array().cast("array<string>")))
-    Bpe.encode(docs, idCol, textCol, merges)
-      .select(col("doc_id"), split(col("pieces_csv"), ",").as("_p"))
+    val encoded =
+      Bpe.encode(docs, idCol, textCol, merges)
+        .select(col("doc_id"), split(col("pieces_csv"), ",").as("_p"))
+    encoded
       .select(col("doc_id"), arr.as("_sh"))
       .select(col("doc_id"), explode(col("_sh")).as("shingle"),
         size(col("_sh")).cast("long").as("n_sh"))
