@@ -63,12 +63,19 @@ object Maintenance {
     * probe), and a compacted increment replays and probes exactly like
     * an uncompacted one.
     *
-    * The newest `keepLatest` dirs (by modification time) are left
-    * untouched — that is the live stream's replay-eligible tail; a
-    * crashed micro-batch replay deletes-and-rewrites its dir, and
-    * racing that with a swap would resurrect the pre-replay rows. Dirs
-    * already at fewer than `minFiles` parquet files are skipped (the
-    * steady state after a previous pass — idempotent).
+    * The newest `keepLatest` dirs are left untouched — that is the live
+    * stream's replay-eligible tail; a crashed micro-batch replay
+    * deletes-and-rewrites its dir, and racing that with a swap would
+    * resurrect the pre-replay rows. "Newest" is decided by the LOGICAL
+    * order encoded in the dir name — `batch<id>` numerically,
+    * `inc_<yyyyMMdd_HHmmss>_<period>` lexicographically — because the
+    * swap itself refreshes mtimes: under an mtime key, a second pass
+    * while the stream is idle would rotate a just-compacted OLD dir
+    * into the keep set and strip the true live tail (the uncommitted
+    * `batch$N` awaiting delete-and-rewrite replay) of its protection.
+    * Unrecognized layouts fall back to mtime. Dirs already at fewer
+    * than `minFiles` parquet files are skipped (the steady state after
+    * a previous pass — idempotent).
     */
   def compactIncrements(spark: SparkSession, root: String,
                         targetFileBytes: Long = 128L * 1024 * 1024,
@@ -79,11 +86,20 @@ object Maintenance {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(rootPath), s"no sink at $root")
+    val batchRe = "^batch(\\d+)$".r
+    // sort key groups by layout kind so a homogeneous sink orders purely
+    // on its logical id; compaction cannot perturb any of these
+    def logicalKey(st: org.apache.hadoop.fs.FileStatus): (Int, Long, String) =
+      st.getPath.getName match {
+        case batchRe(id) => (0, id.toLong, "")
+        case n if n.startsWith("inc_") => (1, 0L, n)
+        case n => (2, st.getModificationTime, n)
+      }
     val subdirs = fs.listStatus(rootPath)
       .filter(st => st.isDirectory &&
         !st.getPath.getName.startsWith(".") &&
         !st.getPath.getName.startsWith("_"))
-      .sortBy(st => (st.getModificationTime, st.getPath.getName))
+      .sortBy(logicalKey)
       .dropRight(keepLatest)
     var dirs = 0; var before = 0; var after = 0
     subdirs.foreach { st =>

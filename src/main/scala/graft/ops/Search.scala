@@ -276,7 +276,28 @@ object Search {
         bm25Tombstones(spark, idx))
       .join(idList, Seq("doc_id"), "left_semi")
       .select("doc_id", "dl")
-    val materialized = graft.core.Checkpoints.truncate(fresh)
+    // crash-orphan guard: a requested id ABSENT from doclens can still
+    // hold postings — an append that crashed between the postings and
+    // doclens writes and was never replayed. Left untombstoned, those
+    // postings keep inflating document frequency (and the doc's term
+    // vector stays derivable) — a silent GDPR miss. Probe the postings
+    // ONLY for the unmatched ids (empty on every clean-path vacuum, so
+    // the ~deleted-ids cost contract is untouched) and tombstone
+    // orphans with NULL dl: they were never counted into the meta
+    // totals, so the visible-stats subtraction must skip them
+    // ([[bm25TopKIndexed]] counts only non-null dl into `tn`).
+    val unmatched = hideTombstoned(
+      idList.join(spark.table(idx.doclensTable).select("doc_id"),
+        Seq("doc_id"), "left_anti"),
+      bm25Tombstones(spark, idx))
+    val all =
+      if (unmatched.take(1).isEmpty) fresh
+      else fresh.unionByName(
+        spark.table(idx.postingsTable)
+          .join(broadcast(unmatched), Seq("doc_id"), "left_semi")
+          .select("doc_id").distinct()
+          .select(col("doc_id"), lit(null).cast("long").as("dl")))
+    val materialized = graft.core.Checkpoints.truncate(all)
     val removed = materialized.count()
     if (removed == 0) return 0L
     graft.core.io.Writer.writeTable(materialized, idx.tombstonesTable,
@@ -515,18 +536,25 @@ object Search {
     // subtraction (the tombstones carry the dl captured at vacuum
     // time), so the hidden ranking equals a rebuild without the
     // forgotten docs. The tombstone aggregate is a bounded driver
-    // collect (rows = forget backlog).
+    // collect (rows = forget backlog). NULL-dl tombstones are
+    // crash-orphans that were never counted into meta (postings-only —
+    // see [[vacuumBm25Index]]): count(dl) skips them, sum ignores them.
     val (tn, tsum) = ts match {
       case Some(t) =>
         import spark.implicits._
-        t.agg(count(lit(1)), coalesce(sum("dl"), lit(0L)))
+        t.agg(count(col("dl")), coalesce(sum("dl"), lit(0L)))
           .as[(Long, Long)].head()
       case None => (0L, 0L)
     }
+    // guard the avgdl division: tombstoning EVERY doc leaves 0 visible
+    // docs — the result is empty anyway (everything is hidden), but the
+    // stats row must not carry a NaN through the plan
+    val visN = col("n_docs") - lit(tn)
     val stats = broadcast(spark.table(idx.metaTable)
-      .select((col("n_docs") - lit(tn)).as("n_docs"),
-        ((col("sum_dl") - lit(tsum)).cast("double") /
-          (col("n_docs") - lit(tn))).as("avgdl")))
+      .select(visN.as("n_docs"),
+        when(visN > 0,
+          (col("sum_dl") - lit(tsum)).cast("double") / visN)
+          .otherwise(lit(0.0)).as("avgdl")))
     scoreAndRank(pruned, qTerms, dl, stats, k, k1, b)
   }
 }

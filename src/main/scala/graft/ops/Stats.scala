@@ -130,22 +130,115 @@ object Stats {
   def equiDepthBins(df: DataFrame, valueCol: String, bins: Int,
                     exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     require(bins >= 2, s"bins must be >= 2: $bins")
-    val ps = (1 until bins).map(i => i.toDouble / bins)
-    val pctFn = if (exact) "percentile"
-                else s"approx_percentile"
-    val pctArgs = if (exact) "" else s", $accuracy"
-    val edges = df.filter(col(valueCol).isNotNull)
-      .agg(expr(s"$pctFn($valueCol, array(${ps.mkString(", ")})$pctArgs)")
-        .as("_e"))
-      .select(transform(col("_e"), e => round(e, 4)).as("_e"))
+    val edges = quantileEdges(df, valueCol, bins, exact, accuracy)
+    if (edges == null)
+      // no bucketable mass: empty output, schema identical to the
+      // grouped aggregate below
+      return df.filter(lit(false)).filter(col(valueCol).isNotNull)
+        .groupBy(lit(0L).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col(valueCol)), 4).as("lo_v"),
+          round(max(col(valueCol)), 4).as("hi_v"))
     df.filter(col(valueCol).isNotNull)
-      .crossJoin(broadcast(edges))
-      .withColumn("bucket",
-        size(filter(col("_e"), e => col(valueCol) > e)).cast("long"))
-      .groupBy("bucket")
+      .groupBy(bucketOf(col(valueCol), edges).as("bucket"))
       .agg(count(lit(1)).as("n"),
         round(min(col(valueCol)), 4).as("lo_v"),
         round(max(col(valueCol)), 4).as("hi_v"))
+  }
+
+  /** Rounded equi-depth edges of `valueCol` as a DRIVER-side array of
+    * `bins − 1` doubles — the bounded-scalar collect pattern
+    * ([[graft.ops.Sampling.balancedDownsample]]'s cap): the edges then
+    * re-enter every bucketing plan as LITERALS, so (a) the bucket index
+    * is a whole-stage-codegen comparison chain instead of an
+    * interpreted array-lambda per row (measured ~4× on the q186
+    * bucketing legs), and (b) the edges subtree can never be
+    * re-evaluated by a downstream branch. Rounding happens IN the plan
+    * (`round(e, 4)`, HALF_UP) before collection, so the values are
+    * bit-identical to what the broadcast formulation carried. Returns
+    * null when the column has no non-null values.
+    *
+    * `exact = true` runs [[graft.functions.ExactQuantiles]] (primitive
+    * buffer, one sort — same interpolation arithmetic as Spark's
+    * `percentile`, held by the DuckDB `quantile_cont` oracle gates);
+    * `exact = false` the mergeable GK sketch, the 100 TB escape.
+    */
+  private[graft] def quantileEdges(df: DataFrame, valueCol: String,
+                                   bins: Int, exact: Boolean,
+                                   accuracy: Int): Array[Double] = {
+    val ps = (1 until bins).map(i => i.toDouble / bins)
+    val agg =
+      if (exact)
+        graft.functions.ExactQuantiles.exactQuantiles(col(valueCol), ps)
+      else
+        expr(s"approx_percentile($valueCol, array(${ps.mkString(", ")}), " +
+          s"$accuracy)").cast("array<double>")
+    val r = df.filter(col(valueCol).isNotNull)
+      .agg(agg.as("_e"))
+      .select(transform(col("_e"), e => round(e, 4)).as("_e"))
+      .head()
+    if (r.isNullAt(0)) null else r.getSeq[Double](0).toArray
+  }
+
+  /** One-pass exact reference profile — rounded edges plus per-bucket
+    * counts from [[graft.functions.QuantileBucketCounts]]'s single
+    * sorted buffer; null when the column has no non-null values.
+    */
+  private def referenceProfile(df: DataFrame, valueCol: String,
+                               bins: Int): (Array[Double], Array[Long]) = {
+    val ps = (1 until bins).map(i => i.toDouble / bins)
+    val r = df.filter(col(valueCol).isNotNull)
+      .agg(graft.functions.ExactQuantiles
+        .quantileBucketCounts(col(valueCol), ps).as("_p"))
+      .head()
+    if (r.isNullAt(0)) null
+    else {
+      val s = r.getStruct(0)
+      (s.getSeq[Double](0).toArray, s.getSeq[Long](1).toArray)
+    }
+  }
+
+  /** Codegen'd bucket index over literal edges: the count of edges the
+    * value exceeds — value-identical to
+    * `size(filter(edges, e => v > e))` on the broadcast form.
+    */
+  private def bucketOf(v: Column, edges: Array[Double]): Column =
+    edges.foldLeft(lit(0L))((acc, e) =>
+      acc + when(v > lit(e), lit(1L)).otherwise(lit(0L))).cast("long")
+
+  /** Empty result in [[psi]]'s exact output schema (all BIGINT) — the
+    * zero-mass early return.
+    */
+  private def emptyPsiGrid(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("bucket"), col("id").as("n_ref"),
+      col("id").as("n_cur"), col("id").as("p_micro"), col("id").as("q_micro"),
+      col("id").as("psi_micro"))
+
+  /** [[psi]]'s per-bucket scoring over ALREADY-BOUNDED bucket counts,
+    * finalized on the driver: the arithmetic byte-replays the plan
+    * formulation — `greatest(n/tot, 1e-6)` as `math.max`, Spark
+    * `round(x, s)` as `BigDecimal.valueOf(x).setScale(s, HALF_UP)` (the
+    * Round expression's double path), `log` as `Math.log` — so the
+    * emitted micro-units are bit-identical to the distributed plan and
+    * the DuckDB oracle. Zero-total guard as in [[psi]]: either side
+    * empty → empty result.
+    */
+  private def psiGridLocal(spark: org.apache.spark.sql.SparkSession,
+                           nRef: Array[Long], nCur: Array[Long]): DataFrame = {
+    val tr = nRef.sum
+    val tc = nCur.sum
+    if (tr == 0 || tc == 0) return emptyPsiGrid(spark)
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def micro(x: Double): Long = java.math.BigDecimal.valueOf(r6(x) * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    import spark.implicits._
+    nRef.indices.map { b =>
+      val pf = math.max(nRef(b).toDouble / tr, 1e-6)
+      val qf = math.max(nCur(b).toDouble / tc, 1e-6)
+      (b.toLong, nRef(b), nCur(b), micro(pf), micro(qf),
+        micro((pf - qf) * math.log(pf / qf)))
+    }.toDF("bucket", "n_ref", "n_cur", "p_micro", "q_micro", "psi_micro")
   }
 
   /** Population Stability Index between a REFERENCE snapshot and a
@@ -160,9 +253,11 @@ object Stats {
     * infinity). PSI > 0.25 is the classic "investigate" line; the
     * per-bucket rows localize WHERE the mass moved.
     *
-    * Scale shape: one single-row percentile aggregate on the reference
-    * (broadcast), one bounded-key contraction per snapshot, a
-    * `bins`-row join — the corpus is read once per side.
+    * Scale shape: one quantile aggregate on the reference (edges land
+    * as `bins − 1` driver-side literals — [[quantileEdges]]), one
+    * bounded-key codegen'd contraction per snapshot, a `bins`-row
+    * grid — each side is read once for bucketing, the reference once
+    * more for its edges.
     *
     * Output: one row per bucket 0..bins-1,
     * `(bucket, n_ref, n_cur, p_micro, q_micro, psi_micro)`; total PSI
@@ -177,33 +272,57 @@ object Stats {
           accuracy: Int = 10000): DataFrame = {
     require(bins >= 2, s"bins must be >= 2: $bins")
     val spark = reference.sparkSession
-    val ps = (1 until bins).map(i => i.toDouble / bins)
-    val pctFn = if (exact) "percentile" else "approx_percentile"
-    val pctArgs = if (exact) "" else s", $accuracy"
-    val edges = reference.filter(col(valueCol).isNotNull)
-      .agg(expr(s"$pctFn($valueCol, array(${ps.mkString(", ")})$pctArgs)")
-        .as("_e"))
-      .select(transform(col("_e"), e => round(e, 4)).as("_e"))
-    def bucketed(df: DataFrame, as: String) = df
+    if (exact) {
+      // ONE pass over the reference: the fused aggregate emits edges
+      // AND the per-bucket reference counts from the same sorted
+      // buffer — the corpus-read count is the logical minimum (one per
+      // side; the r9 shape read the reference three times). Both
+      // sides' bucket counts are ≤ `bins` bounded longs, so the grid
+      // arithmetic finalizes ON THE DRIVER ([[psiGridLocal]], the
+      // balancedDownsample bounded-collect pattern) — no tiny-stage
+      // join/window scheduling overhead trails the two corpus jobs.
+      val prof = referenceProfile(reference, valueCol, bins)
+      if (prof == null) return emptyPsiGrid(spark)
+      val (edges, refCounts) = prof
+      val curRows = current.filter(col(valueCol).isNotNull)
+        .groupBy(bucketOf(col(valueCol), edges).as("bucket"))
+        .agg(count(lit(1)).as("n_cur"))
+        .collect()
+      val curCounts = new Array[Long](bins)
+      curRows.foreach(r => curCounts(r.getLong(0).toInt) = r.getLong(1))
+      return psiGridLocal(spark, refCounts, curCounts)
+    }
+    def bucketed(edges: Array[Double], df: DataFrame, as: String) = df
       .filter(col(valueCol).isNotNull)
-      .crossJoin(broadcast(edges))
-      .withColumn("bucket",
-        size(filter(col("_e"), e => col(valueCol) > e)).cast("long"))
-      .groupBy("bucket").agg(count(lit(1)).as(as))
-    val grid = spark.range(bins).select(col("id").as("bucket"))
-      .join(bucketed(reference, "n_ref"), Seq("bucket"), "left")
-      .join(bucketed(current, "n_cur"), Seq("bucket"), "left")
-      .select(col("bucket"),
-        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-    // zero-total guard (psiByGroup's `> 0` discipline): an empty side
-    // empties `tot`, so the crossJoin yields NO rows instead of
-    // NaN/Infinity-derived garbage micro-units
-    val tot = grid.agg(sum("n_ref").as("_tr"), sum("n_cur").as("_tc"))
+      .groupBy(bucketOf(col(valueCol), edges).as("bucket"))
+      .agg(count(lit(1)).as(as))
+    val grid = {
+        val edges = quantileEdges(reference, valueCol, bins, exact, accuracy)
+        if (edges == null) return emptyPsiGrid(spark)
+        spark.range(bins).select(col("id").as("bucket"))
+          .join(bucketed(edges, reference, "n_ref"), Seq("bucket"), "left")
+          .join(bucketed(edges, current, "n_cur"), Seq("bucket"), "left")
+          .select(col("bucket"),
+            coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+            coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      }
+    // totals ride a window over the bins-row grid — ONE lineage. The
+    // r9 formulation (`tot = grid.agg(...)` crossJoined back) evaluated
+    // grid's whole corpus-scan subtree a second time: 11 parquet scans
+    // where 2 suffice, the measured q186 regression
+    // (StatsAnalyticsSpec pins the scan count). The window shuffles
+    // exactly `bins` rows to one task — nothing scales with the data.
+    // Zero-total guard unchanged: an empty side zeroes a total, the
+    // filter empties every row, so the result is EMPTY instead of
+    // NaN/Infinity-derived garbage micro-units.
+    val wAll = Window.partitionBy()
+    val withTot = grid
+      .withColumn("_tr", sum("n_ref").over(wAll))
+      .withColumn("_tc", sum("n_cur").over(wAll))
       .filter(col("_tr") > 0 && col("_tc") > 0)
     val pf = greatest(col("n_ref").cast("double") / col("_tr"), lit(1e-6))
     val qf = greatest(col("n_cur").cast("double") / col("_tc"), lit(1e-6))
-    grid.crossJoin(broadcast(tot))
+    withTot
       .select(col("bucket"), col("n_ref"), col("n_cur"),
         round(round(pf, 6) * lit(1e6), 0).cast("long").as("p_micro"),
         round(round(qf, 6) * lit(1e6), 0).cast("long").as("q_micro"),
@@ -230,25 +349,47 @@ object Stats {
                         accuracy: Int = 10000): Unit = {
     require(bins >= 2, s"bins must be >= 2: $bins")
     val spark = reference.sparkSession
-    val ps = (1 until bins).map(i => i.toDouble / bins)
-    val pctFn = if (exact) "percentile" else "approx_percentile"
-    val pctArgs = if (exact) "" else s", $accuracy"
-    val edges = reference.filter(col(valueCol).isNotNull)
-      .agg(expr(s"$pctFn($valueCol, array(${ps.mkString(", ")})$pctArgs)")
-        .as("_e"))
-      .select(transform(col("_e"), e => round(e, 4)).as("_e"))
-    edges.write.mode("overwrite").parquet(s"$path/edges")
-    val stored = spark.read.parquet(s"$path/edges")
-    val counts = reference.filter(col(valueCol).isNotNull)
-      .crossJoin(broadcast(stored))
-      .withColumn("bucket",
-        size(filter(col("_e"), e => col(valueCol) > e)).cast("long"))
-      .groupBy("bucket").agg(count(lit(1)).as("n_ref"))
-    spark.range(bins).select(col("id").as("bucket"))
-      .join(counts, Seq("bucket"), "left")
-      .select(col("bucket"), coalesce(col("n_ref"), lit(0L)).as("n_ref"))
-      .write.mode("overwrite").parquet(s"$path/buckets")
+    import spark.implicits._
+    if (exact) {
+      // one corpus pass: the fused profile carries edges AND counts
+      val prof = referenceProfile(reference, valueCol, bins)
+      require(prof != null,
+        s"writePsiReference: $valueCol has no non-null values — an " +
+          "empty reference is not a baseline")
+      val (edges, counts) = prof
+      spark.range(1)
+        .select(array(edges.toIndexedSeq.map(lit(_)): _*).as("_e"))
+        .write.mode("overwrite").parquet(s"$path/edges")
+      counts.toSeq.zipWithIndex.map { case (c, b) => (b.toLong, c) }
+        .toDF("bucket", "n_ref")
+        .write.mode("overwrite").parquet(s"$path/buckets")
+    } else {
+      val edges = quantileEdges(reference, valueCol, bins, exact, accuracy)
+      require(edges != null,
+        s"writePsiReference: $valueCol has no non-null values — an " +
+          "empty reference is not a baseline")
+      spark.range(1)
+        .select(array(edges.toIndexedSeq.map(lit(_)): _*).as("_e"))
+        .write.mode("overwrite").parquet(s"$path/edges")
+      // bucket with what was STORED (read back) so any write/read
+      // precision drift would surface at write time, not at monitor time
+      val stored = readStoredEdges(spark, path)
+      val counts = reference.filter(col(valueCol).isNotNull)
+        .groupBy(bucketOf(col(valueCol), stored).as("bucket"))
+        .agg(count(lit(1)).as("n_ref"))
+      spark.range(bins).select(col("id").as("bucket"))
+        .join(counts, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("n_ref"), lit(0L)).as("n_ref"))
+        .write.mode("overwrite").parquet(s"$path/buckets")
+    }
   }
+
+  /** The stored reference edges as driver literals — one 1-row read,
+    * `bins − 1` doubles.
+    */
+  private def readStoredEdges(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Array[Double] =
+    spark.read.parquet(s"$path/edges").head().getSeq[Double](0).toArray
 
   /** Contract one current-side feed to `(bucket, n_cur)` against the
     * STORED edges — a mergeable partial (integer counts, order-free):
@@ -259,12 +400,10 @@ object Stats {
   def psiCurrentPartial(spark: org.apache.spark.sql.SparkSession,
                         path: String, current: DataFrame,
                         valueCol: String): DataFrame = {
-    val edges = spark.read.parquet(s"$path/edges")
+    val edges = readStoredEdges(spark, path)
     current.filter(col(valueCol).isNotNull)
-      .crossJoin(broadcast(edges))
-      .withColumn("bucket",
-        size(filter(col("_e"), e => col(valueCol) > e)).cast("long"))
-      .groupBy("bucket").agg(count(lit(1)).as("n_cur"))
+      .groupBy(bucketOf(col(valueCol), edges).as("bucket"))
+      .agg(count(lit(1)).as("n_cur"))
   }
 
   /** Score merged current partials against the stored reference profile
@@ -281,11 +420,16 @@ object Stats {
       .join(merged, Seq("bucket"), "left")
       .select(col("bucket"), col("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-    val tot = grid.agg(sum("n_ref").as("_tr"), sum("n_cur").as("_tc"))
+    // single-lineage window totals ([[psi]]'s shape) — the partials
+    // union is aggregated ONCE, not re-evaluated for a totals branch
+    val wAll = Window.partitionBy()
+    val withTot = grid
+      .withColumn("_tr", sum("n_ref").over(wAll))
+      .withColumn("_tc", sum("n_cur").over(wAll))
       .filter(col("_tr") > 0 && col("_tc") > 0)
     val pf = greatest(col("n_ref").cast("double") / col("_tr"), lit(1e-6))
     val qf = greatest(col("n_cur").cast("double") / col("_tc"), lit(1e-6))
-    grid.crossJoin(broadcast(tot))
+    withTot
       .select(col("bucket"), col("n_ref"), col("n_cur"),
         round(round(pf, 6) * lit(1e6), 0).cast("long").as("p_micro"),
         round(round(qf, 6) * lit(1e6), 0).cast("long").as("q_micro"),
@@ -391,23 +535,30 @@ object Stats {
       }
     val bucketNet = bucketed.groupBy("_b")
       .agg(sum("nr").as("_br"), sum("nc").as("_bc"))
-    // deliberate unpartitioned window over rows = buckets (bounded)
+    // deliberate unpartitioned windows over rows = buckets (bounded):
+    // the carry-in offsets AND the grand totals ride the SAME
+    // bucket-grain net table — a separate `tot = merged.agg(...)`
+    // branch would re-evaluate the whole merged-counts lineage just to
+    // sum two columns (the q186 duplicated-lineage lesson). The
+    // zero-total guard lives here: a zeroed total empties `offsets`,
+    // the inner join below empties the result — an empty side yields
+    // an EMPTY output, never a NaN-derived supremum row.
     val wB = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    val wT = Window.orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offsets = bucketNet
       .withColumn("_or", coalesce(sum("_br").over(wB), lit(0L)))
       .withColumn("_oc", coalesce(sum("_bc").over(wB), lit(0L)))
-      .select("_b", "_or", "_oc")
-    // zero-total guard (the psi discipline): an empty side yields an
-    // EMPTY result, never a NaN-derived supremum row
-    val tot = merged.agg(sum("nr").as("_tr"), sum("nc").as("_tc"))
+      .withColumn("_tr", sum("_br").over(wT))
+      .withColumn("_tc", sum("_bc").over(wT))
       .filter(col("_tr") > 0 && col("_tc") > 0)
+      .select("_b", "_or", "_oc", "_tr", "_tc")
     val wIn = Window.partitionBy("_b").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val diffs = bucketed
       .withColumn("_cr", sum("nr").over(wIn))
       .withColumn("_cc", sum("nc").over(wIn))
       .join(broadcast(offsets), "_b")
-      .crossJoin(broadcast(tot))
       .select(col("v"),
         round(round(abs(
           (col("_cr") + col("_or")).cast("double") / col("_tr") -
@@ -463,23 +614,28 @@ object Stats {
     val bucketNet = bucketed.groupBy("g", "_b")
       .agg(sum("nr").as("_br"), sum("nc").as("_bc"))
     // carries over rows = groups x buckets (bounded — no data size can
-    // grow it), partitioned by group
+    // grow it), partitioned by group; per-group totals ride the SAME
+    // net table as full-frame window sums (the ksFromCounts shape) —
+    // never a second evaluation of `merged`'s lineage. The per-slice
+    // zero-total guard empties a group's offsets rows, and the inner
+    // join below drops that group from the output.
     val wB = Window.partitionBy("g").orderBy("_b")
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wT = Window.partitionBy("g").orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offsets = bucketNet
       .withColumn("_or", coalesce(sum("_br").over(wB), lit(0L)))
       .withColumn("_oc", coalesce(sum("_bc").over(wB), lit(0L)))
-      .select("g", "_b", "_or", "_oc")
-    val tot = merged.groupBy("g")
-      .agg(sum("nr").as("_tr"), sum("nc").as("_tc"))
+      .withColumn("_tr", sum("_br").over(wT))
+      .withColumn("_tc", sum("_bc").over(wT))
       .filter(col("_tr") > 0 && col("_tc") > 0)
+      .select("g", "_b", "_or", "_oc", "_tr", "_tc")
     val wIn = Window.partitionBy("g", "_b").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val diffs = bucketed
       .withColumn("_cr", sum("nr").over(wIn))
       .withColumn("_cc", sum("nc").over(wIn))
       .join(broadcast(offsets), Seq("g", "_b"))
-      .join(broadcast(tot), Seq("g"))
       .select(col("g"), col("v"), col("_tr"), col("_tc"),
         round(round(abs(
           (col("_cr") + col("_or")).cast("double") / col("_tr") -
@@ -519,12 +675,20 @@ object Stats {
     require(bins >= 2, s"bins must be >= 2: $bins")
     val spark = reference.sparkSession
     val ps = (1 until bins).map(i => i.toDouble / bins)
-    val pctFn = if (exact) "percentile" else "approx_percentile"
-    val pctArgs = if (exact) "" else s", $accuracy"
+    // per-group edges CANNOT collapse to driver literals (groups are
+    // data-dependent) — they stay a broadcast join; the quantile
+    // aggregate itself is the fast primitive-buffer one
+    val pctAgg =
+      if (exact)
+        graft.functions.ExactQuantiles.exactQuantiles(col(valueCol), ps)
+      else
+        expr(s"approx_percentile($valueCol, array(${ps.mkString(", ")}), " +
+          s"$accuracy)").cast("array<double>")
     val edges = reference.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol).as("group"))
-      .agg(expr(s"transform($pctFn($valueCol, array(${ps.mkString(", ")})" +
-        s"$pctArgs), x -> round(x, 4))").as("_e"))
+      .agg(pctAgg.as("_eq"))
+      .select(col("group"),
+        transform(col("_eq"), x => round(x, 4)).as("_e"))
     def bucketed(df: DataFrame, as: String) = df
       .filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("group"), col(valueCol))
@@ -541,12 +705,18 @@ object Stats {
       .select(col("group"), col("bucket"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-    val tot = grid.groupBy("group")
-      .agg(sum("n_ref").as("_tr"), sum("n_cur").as("_tc"))
+    // per-group totals as window sums over the groups × bins grid —
+    // single lineage (the scalar [[psi]] fix applied per slice); a
+    // group whose current slice is empty filters out entirely, same
+    // semantics as the r9 inner-join-against-filtered-totals shape
+    val wG = Window.partitionBy("group")
+    val withTot = grid
+      .withColumn("_tr", sum("n_ref").over(wG))
+      .withColumn("_tc", sum("n_cur").over(wG))
       .filter(col("_tc") > 0)
     val pf = greatest(col("n_ref").cast("double") / col("_tr"), lit(1e-6))
     val qf = greatest(col("n_cur").cast("double") / col("_tc"), lit(1e-6))
-    grid.join(tot, "group")
+    withTot
       .select(col("group"), col("bucket"), col("n_ref"), col("n_cur"),
         round(round(pf, 6) * lit(1e6), 0).cast("long").as("p_micro"),
         round(round(qf, 6) * lit(1e6), 0).cast("long").as("q_micro"),
@@ -583,11 +753,18 @@ object Stats {
       .select(col("category"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-    val tot = grid.agg(sum("n_ref").as("_tr"), sum("n_cur").as("_tc"))
+    // window totals over the category-grain grid — single lineage (the
+    // [[psi]] fix): the r9 totals branch re-scanned both corpora. The
+    // one-task window holds exactly the category rows, the op's stated
+    // cardinality bound.
+    val wAll = Window.partitionBy()
+    val withTot = grid
+      .withColumn("_tr", sum("n_ref").over(wAll))
+      .withColumn("_tc", sum("n_cur").over(wAll))
       .filter(col("_tr") > 0 && col("_tc") > 0)
     val pf = greatest(col("n_ref").cast("double") / col("_tr"), lit(1e-6))
     val qf = greatest(col("n_cur").cast("double") / col("_tc"), lit(1e-6))
-    grid.crossJoin(broadcast(tot))
+    withTot
       .select(col("category"), col("n_ref"), col("n_cur"),
         round(round(pf, 6) * lit(1e6), 0).cast("long").as("p_micro"),
         round(round(qf, 6) * lit(1e6), 0).cast("long").as("q_micro"),

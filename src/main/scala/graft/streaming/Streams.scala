@@ -652,6 +652,20 @@ object AttributionStream {
   * absorbs the duplicate; a strict-exactness consumer leaves the TTL
   * unset). Pick the TTL like a watermark: longer than any plausible
   * funnel dwell time.
+  *
+  * CHECKPOINT COMPATIBILITY: [[FunnelStream.FunnelState]] gained a
+  * `lastUs` field when the TTL landed (round 9). flatMapGroupsWithState
+  * state is encoder-schema-bound, so a query restarted from a
+  * checkpoint written BEFORE that change will fail to decode its state
+  * — this is a deliberate one-time break, not silent misdecoding (the
+  * extra Long shifts the UnsafeRow layout and Spark's state-store
+  * schema check rejects it at restart). Migration: drain the old query
+  * to a quiet point (watermark past all pending funnels), then restart
+  * with a FRESH checkpoint dir; in-flight funnels below the watermark
+  * re-emit nothing, and downstream per-step `count_distinct` absorbs
+  * any tail overlap. Future state evolutions must follow the same
+  * drain-and-restart protocol (Spark's state schema evolution does not
+  * cover case-class field additions on this API).
   */
 object FunnelStream {
 

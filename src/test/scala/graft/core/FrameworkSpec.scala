@@ -465,15 +465,27 @@ class EtlIoSpec extends SparkSpec {
     assert(back.count() == 4000)
     assert(back.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0)
       == (0L until 4000L).sum)
-    // second pass: steady state, nothing to do (re-pin mtimes — the
-    // swap refreshed them; in production the live stream's latest dir
-    // is always the newest because it is still being written)
-    batches.zipWithIndex.foreach { case (d, i) =>
-      new java.io.File(d).setLastModified(1700000000000L + i * 60000L)
-    }
+    // second pass WITHOUT touching mtimes: the swap refreshed the
+    // compacted dirs' mtimes, so an mtime-keyed keep set would now call
+    // a just-compacted OLD dir "newest" and compact the true live tail
+    // (batch3) — the resurrection race. The keep set keys on the
+    // batch<id> encoded in the name, which compaction cannot perturb:
+    // steady state, nothing to do, batch3 still 3 files.
     val res2 = graft.core.io.Maintenance.compactIncrements(spark, root,
       targetFileBytes = 512L * 1024 * 1024, keepLatest = 1)
     assert(res2.dirsCompacted == 0)
+    assert(files(batches.last) == 3,
+      "the replay-eligible tail lost keepLatest protection on pass 2")
+    // lexicographic batch ids must not confuse the numeric key: batch10
+    // is newer than batch9 even though "batch10" < "batch9" as text
+    spark.range(0, 10).toDF("id").repartition(2)
+      .write.parquet(s"$root/batch10")
+    val res3 = graft.core.io.Maintenance.compactIncrements(spark, root,
+      targetFileBytes = 512L * 1024 * 1024, keepLatest = 1)
+    // batch3 (now closed) compacts; batch10 is the protected tail
+    assert(files(s"$root/batch10") == 2 && files(batches.last) == 1,
+      "numeric batch ordering violated")
+    assert(res3.dirsCompacted == 1)
   }
 
   test("bucketed tables join with no exchange on the bucket key") {

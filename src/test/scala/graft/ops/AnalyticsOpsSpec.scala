@@ -316,6 +316,52 @@ class StatsAnalyticsSpec extends SparkSpec {
     assert(drift.forall(r => math.abs(r.getAs[Long]("psi_micro")) < 100000000L))
   }
 
+  test("psi reads each corpus subtree once — the returned plan holds " +
+      "ZERO file scans (the q186 duplicated-totals-lineage regression guard)") {
+    // the r9 crossJoin(tot) formulation re-evaluated grid's whole
+    // subtree: 11 parquet scans for a logically 2-scan query and a
+    // measured q186 regression. The exact path now runs exactly two
+    // bounded corpus jobs at build time (fused reference profile +
+    // current bucket counts) and returns a LOCAL grid — the returned
+    // plan must not touch the corpus at all.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flat(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: kids.flatMap(flat)
+    }
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val ref = li.filter(col("l_orderkey") % 2 === 0)
+      .select(col("l_extendedprice").as("v"))
+    val cur = li.filter(col("l_orderkey") % 2 === 1)
+      .select((col("l_extendedprice") * 1.08).as("v"))
+    val out = Stats.psi(ref, cur, "v", bins = 10)
+    out.collect()
+    val scans = flat(out.queryExecution.executedPlan)
+      .count { case _: FileSourceScanExec => true; case _ => false }
+    assert(scans == 0, s"psi plan re-reads the corpus: $scans file scans")
+    // the per-group variant carries the same single-lineage discipline
+    val outG = Stats.psiByGroup(
+      li.filter(col("l_orderkey") % 2 === 0)
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v")),
+      li.filter(col("l_orderkey") % 2 === 1)
+        .select(col("l_returnflag").as("g"), (col("l_extendedprice") * 1.08).as("v")),
+      "g", "v", bins = 4)
+    outG.collect()
+    val scansG = flat(outG.queryExecution.executedPlan)
+      .count { case _: FileSourceScanExec => true; case _ => false }
+    // 4, not 3: the groups × bins grid explodes over the per-group
+    // edges aggregate, whose exchange is runtime-reused in only two of
+    // its three uses (broadcast vs shuffle variants) — inherent to the
+    // per-group-edges design, NOT the totals duplication (which would
+    // read 6+)
+    assert(scansG <= 4, s"psiByGroup plan re-reads the corpus: $scansG scans")
+  }
+
   test("psiByGroup localizes drift to the drifting slice") {
     val ref = (1 to 1000).flatMap(i =>
       Seq(("steady", i.toDouble), ("drifty", i.toDouble))).toDF("g", "v")

@@ -172,6 +172,53 @@ class SearchIndexSpec extends SparkSpec {
     sameAsClean("sidx_j")
   }
 
+  test("vacuum tombstones a postings-only crash-orphan (append died " +
+      "between the postings and doclens writes); repeat vacuum is 0; " +
+      "all-docs vacuum yields empty results, never NaN stats") {
+    drop("sidx_k")
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val idx = Search.writeBm25Index(base, "doc_id", "text", "sidx_k",
+      numBuckets = 4)
+    val cleanTop = Search.bm25TopKIndexed(spark, idx, queries,
+      "query_id", "qtext", k = 5).collect().map(_.toSeq).toSet
+    // simulate boundary-A crash: odd docs' postings land, doclens never
+    // does, and the batch is NEVER replayed before the GDPR forget
+    import graft.functions.TextFunctions.tokens
+    val orphan = docs.filter(col("doc_id") % 2 === 1)
+    val orphanPost = orphan
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    graft.core.io.Writer.writeBucketed(orphanPost, idx.postingsTable,
+      Seq("term"), 4, mode = org.apache.spark.sql.SaveMode.Append)
+    // the forget MUST catch the orphans even though doclens never saw
+    // them — doclens-only derivation would return 0 and silently leave
+    // their postings inflating df
+    val forgotten = Search.vacuumBm25Index(spark, "sidx_k",
+      orphan.select("doc_id"))
+    assert(forgotten === orphan.count(),
+      "postings-only orphans escaped the GDPR forget")
+    // hidden ranking == the clean pre-crash index: df, stats, scores
+    assert(Search.bm25TopKIndexed(spark, idx, queries,
+      "query_id", "qtext", k = 5).collect().map(_.toSeq).toSet === cleanTop)
+    // repeat forget of the same ids is idempotent (orphans stay
+    // tombstoned until compact scrubs their postings)
+    assert(Search.vacuumBm25Index(spark, "sidx_k",
+      orphan.select("doc_id")) === 0L)
+    // compact scrubs the orphan postings physically
+    Search.compactBm25Index(spark, "sidx_k")
+    assert(spark.table(idx.postingsTable)
+      .filter(col("doc_id") % 2 === 1).isEmpty)
+    assert(Search.bm25TopKIndexed(spark, idx, queries,
+      "query_id", "qtext", k = 5).collect().map(_.toSeq).toSet === cleanTop)
+    // tombstone EVERY remaining doc: results empty, no NaN-poisoned
+    // stats row, and compact leaves a consistent empty index
+    assert(Search.vacuumBm25Index(spark, "sidx_k",
+      base.select("doc_id")) === base.count())
+    assert(Search.bm25TopKIndexed(spark, idx, queries,
+      "query_id", "qtext", k = 5).isEmpty)
+  }
+
   test("bucket-count drift between meta and catalog fails loudly") {
     drop("sidx_e")
     Search.writeBm25Index(docs.limit(50), "doc_id", "text", "sidx_e",
