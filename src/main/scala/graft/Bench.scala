@@ -82,7 +82,18 @@ object Bench {
     // failures carry a -1 sentinel per query; excluding them from total
     // stops a failing run from reporting a better-looking sum
     val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"flaky":$flaky,"noisy":$noisy,"noisy_queries":$noisyCount,"loadavg":{"start":$loadStart,"end":$loadEnd},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"flaky":$flaky,"noisy":$noisy,"noisy_queries":$noisyCount,"loadavg":{"start":$loadStart,"end":$loadEnd},"sf":"$sfDir"}"""
+    println(json)
+    // the driver's artifact keeps only a stdout tail — ALSO land the
+    // full JSON in a repo-tracked file so rounds stay comparable
+    // without /tmp forensics (BENCH_NOTES points here). Subset runs
+    // (args non-empty) skip the write: a 3-query iteration must not
+    // overwrite the last full record.
+    if (args.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+        (json + "\n").getBytes("UTF-8")): Unit
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write BENCH_LAST.json: $e") }
     spark.stop()
   }
 }

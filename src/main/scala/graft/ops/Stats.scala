@@ -590,14 +590,61 @@ object Stats {
     * `(group, n_ref, n_cur, d_micro, at_value)`.
     */
   def ksByGroup(reference: DataFrame, current: DataFrame, groupCol: String,
-                valueCol: String, buckets: Int = 64): DataFrame = {
+                valueCol: String, buckets: Int = 64): DataFrame =
+    ksByGroupFromCounts(ksGroupSide(reference, groupCol, valueCol, "nr"),
+      ksGroupSide(current, groupCol, valueCol, "nc"), buckets)
+
+  /** Per-group distinct-value count contraction `(g, v, <as>)` — the
+    * per-slice KS sufficient statistic.
+    */
+  private def ksGroupSide(df: DataFrame, groupCol: String, valueCol: String,
+                          as: String): DataFrame = df
+    .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+    .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+    .groupBy("g", "v").agg(count(lit(1)).as(as))
+
+  /** Persist a PER-GROUP KS monitor's reference side —
+    * [[writeKsReference]] for the slice matrix: the per-group
+    * distinct-value counts `(g, v, nr)` are each slice's minimal
+    * sufficient statistic, so a monitoring tick reads them instead of
+    * rescanning the reference slices (q205's recompute).
+    */
+  def writeKsReferenceByGroup(reference: DataFrame, groupCol: String,
+                              valueCol: String, path: String): Unit =
+    ksGroupSide(reference, groupCol, valueCol, "nr")
+      .write.mode("overwrite").parquet(s"$path/values")
+
+  /** Contract one current-side feed to mergeable `(g, v, n_cur)`
+    * counts — duplicates across feeds sum (order-free integers).
+    */
+  def ksByGroupCurrentPartial(current: DataFrame, groupCol: String,
+                              valueCol: String): DataFrame =
+    ksGroupSide(current, groupCol, valueCol, "n_cur")
+
+  /** Exact per-group KS against the stored reference from merged
+    * current partials — same output and quantization as [[ksByGroup]],
+    * bit-identical to the full recompute (oracle-gated as q208).
+    */
+  def ksByGroupFromPartials(spark: org.apache.spark.sql.SparkSession,
+                            path: String, partials: DataFrame,
+                            buckets: Int = 64): DataFrame =
+    ksByGroupFromCounts(spark.read.parquet(s"$path/values"),
+      partials.groupBy("g", "v").agg(sum("n_cur").as("nc")), buckets)
+
+  /** One-shot per-group KS tick against a stored reference. */
+  def ksByGroupFromReference(spark: org.apache.spark.sql.SparkSession,
+                             path: String, current: DataFrame,
+                             groupCol: String, valueCol: String,
+                             buckets: Int = 64): DataFrame =
+    ksByGroupFromPartials(spark, path,
+      ksByGroupCurrentPartial(current, groupCol, valueCol), buckets)
+
+  private def ksByGroupFromCounts(refCounts: DataFrame,
+                                  curCounts: DataFrame,
+                                  buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
-    def side(df: DataFrame, as: String) = df
-      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
-      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
-      .groupBy("g", "v").agg(count(lit(1)).as(as))
-    val merged = side(reference, "nr")
-      .join(side(current, "nc"), Seq("g", "v"), "full_outer")
+    val merged = refCounts
+      .join(curCounts, Seq("g", "v"), "full_outer")
       .select(col("g"), col("v"), coalesce(col("nr"), lit(0L)).as("nr"),
         coalesce(col("nc"), lit(0L)).as("nc"))
     val ps = (1 until buckets).map(i => i.toDouble / buckets)
@@ -705,10 +752,15 @@ object Stats {
       .select(col("group"), col("bucket"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-    // per-group totals as window sums over the groups × bins grid —
-    // single lineage (the scalar [[psi]] fix applied per slice); a
-    // group whose current slice is empty filters out entirely, same
-    // semantics as the r9 inner-join-against-filtered-totals shape
+    psiGroupScore(grid)
+  }
+
+  /** Shared per-group PSI scoring tail: totals as window sums over the
+    * bounded groups × bins grid — single lineage (the scalar [[psi]]
+    * discipline per slice); a group whose current slice is empty
+    * filters out entirely.
+    */
+  private def psiGroupScore(grid: DataFrame): DataFrame = {
     val wG = Window.partitionBy("group")
     val withTot = grid
       .withColumn("_tr", sum("n_ref").over(wG))
@@ -723,6 +775,97 @@ object Stats {
         round(round((pf - qf) * log(pf / qf), 6) * lit(1e6), 0)
           .cast("long").as("psi_micro"))
   }
+
+  /** Persist a PER-GROUP PSI monitor's reference — [[writePsiReference]]
+    * extended to the [[psiByGroup]] slice matrix: q197-style monitors
+    * otherwise rescan every reference SLICE on every tick. Stores the
+    * per-group rounded equi-depth edges (`$path/edges`: `(group, _e)`)
+    * and the zero-filled per-(group, bucket) reference counts
+    * (`$path/buckets`: `(group, bucket, n_ref)`);
+    * [[psiByGroupFromReference]] then scores any current snapshot
+    * reading only the current side, bit-identical to a full
+    * [[psiByGroup]] recompute (oracle-gated as q207). Groups are the
+    * reference's observed slices — a group absent here has no baseline
+    * and is absent from every downstream score.
+    */
+  def writePsiReferenceByGroup(reference: DataFrame, groupCol: String,
+                               valueCol: String, path: String,
+                               bins: Int = 10, exact: Boolean = true,
+                               accuracy: Int = 10000): Unit = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val spark = reference.sparkSession
+    val ps = (1 until bins).map(i => i.toDouble / bins)
+    val pctAgg =
+      if (exact)
+        graft.functions.ExactQuantiles.exactQuantiles(col(valueCol), ps)
+      else
+        expr(s"approx_percentile($valueCol, array(${ps.mkString(", ")}), " +
+          s"$accuracy)").cast("array<double>")
+    reference.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("group"))
+      .agg(pctAgg.as("_eq"))
+      .select(col("group"), transform(col("_eq"), x => round(x, 4)).as("_e"))
+      .write.mode("overwrite").parquet(s"$path/edges")
+    // bucket with what was STORED (read back) — write/read drift
+    // surfaces at write time, not at monitor time
+    val stored = spark.read.parquet(s"$path/edges")
+    val counts = reference.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("group"), col(valueCol))
+      .join(stored, "group")
+      .withColumn("bucket",
+        size(filter(col("_e"), e => col(valueCol) > e)).cast("long"))
+      .groupBy("group", "bucket").agg(count(lit(1)).as("n_ref"))
+    stored.select(col("group"),
+        explode(sequence(lit(0L), lit(bins - 1L))).as("bucket"))
+      .join(counts, Seq("group", "bucket"), "left")
+      .select(col("group"), col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"))
+      .write.mode("overwrite").parquet(s"$path/buckets")
+  }
+
+  /** Contract one current-side feed to `(group, bucket, n_cur)` against
+    * the STORED per-group edges — mergeable integer counts, order-free
+    * under union (the [[psiCurrentPartial]] discipline per slice).
+    * Rows of groups with no stored baseline drop here (no edges to
+    * bucket against).
+    */
+  def psiByGroupCurrentPartial(spark: org.apache.spark.sql.SparkSession,
+                               path: String, current: DataFrame,
+                               groupCol: String,
+                               valueCol: String): DataFrame = {
+    val edges = spark.read.parquet(s"$path/edges")
+    current.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("group"), col(valueCol))
+      .join(broadcast(edges), "group")
+      .withColumn("bucket",
+        size(filter(col("_e"), e => col(valueCol) > e)).cast("long"))
+      .groupBy("group", "bucket").agg(count(lit(1)).as("n_cur"))
+  }
+
+  /** Score merged per-group current partials against the stored
+    * per-group reference profile — same output schema and quantization
+    * as [[psiByGroup]], bit-identical to the full recompute over the
+    * concatenated feeds.
+    */
+  def psiByGroupFromPartials(spark: org.apache.spark.sql.SparkSession,
+                             path: String, partials: DataFrame): DataFrame = {
+    val ref = spark.read.parquet(s"$path/buckets")
+    val merged = partials.groupBy("group", "bucket")
+      .agg(sum("n_cur").as("n_cur"))
+    psiGroupScore(ref
+      .join(merged, Seq("group", "bucket"), "left")
+      .select(col("group"), col("bucket"), col("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur")))
+  }
+
+  /** One-shot per-group monitor tick against a stored reference — the
+    * reference corpus is never read.
+    */
+  def psiByGroupFromReference(spark: org.apache.spark.sql.SparkSession,
+                              path: String, current: DataFrame,
+                              groupCol: String, valueCol: String): DataFrame =
+    psiByGroupFromPartials(spark, path,
+      psiByGroupCurrentPartial(spark, path, current, groupCol, valueCol))
 
   /** Categorical PSI — [[psi]] over a discrete column: the category
     * set is the UNION of both snapshots' observed values (a category

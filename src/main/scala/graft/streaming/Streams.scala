@@ -220,6 +220,46 @@ object Streams {
       .write.parquet(dir.toString)
   }
 
+  /** Continuous KS drift monitoring — [[psiDriftSink]]'s discipline for
+    * the distribution-free test: each micro-batch contracts to its
+    * mergeable distinct-value counts
+    * ([[graft.ops.Stats.ksCurrentPartial]] — integer `(v, n_cur)` rows,
+    * order-free under union) and lands as one parquet increment per
+    * batch id. The monitor's CURRENT statistic at any point is
+    * [[graft.ops.Stats.ksFromPartials]] over the accumulated partials
+    * against the stored reference ([[graft.ops.Stats.writeKsReference]]),
+    * bit-identical to a batch [[graft.ops.Stats.ksStatistic]] recompute
+    * over everything streamed so far — the reference corpus is never
+    * read after its one-time value-count write.
+    *
+    * Replay safe: the per-batch dir is a pure function of the batch id
+    * and is deleted before write (the [[writeIncrement]] contract).
+    * Note the partial needs no reference access at all — value counts
+    * are reference-free — so the sink takes no refPath.
+    */
+  def ksDriftSink(stream: DataFrame, valueCol: String,
+                  partialsPath: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyKsDriftBatch(batch.toDF(), valueCol, partialsPath, id)
+      }
+      .start()
+
+  /** One micro-batch's KS partial — separated so the replay contract is
+    * directly testable: applying the same batch twice leaves one copy.
+    */
+  def applyKsDriftBatch(batch: DataFrame, valueCol: String,
+                        partialsPath: String, id: Long): Unit = {
+    val spark = batch.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(s"$partialsPath/batch$id")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) { fs.delete(dir, true); () }
+    graft.ops.Stats.ksCurrentPartial(batch, valueCol)
+      .write.parquet(dir.toString)
+  }
+
   /** Continuous near-dup ingest through a PERSISTED index
     * ([[graft.ops.Dedup.writeNearDupIndex]]): each micro-batch collapses
     * its own near-dup clusters, drops rows near-duplicating the corpus,

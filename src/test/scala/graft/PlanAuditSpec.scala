@@ -99,6 +99,12 @@ class PlanAuditSpec extends SparkSpec {
     // AnalyticsOpsSpec. q201 writes its merge side table (q100's
     // shape) but its pairing plan is the audited q26 inverted-index
     // join at token grain — audit it.
+    // round-10: q206 is streaming (the q204 family); q207/q208 write
+    // their reference profiles at build time (the q200/q202 family) —
+    // the poisoned-source + partials-order invariants live in
+    // StatsAnalyticsSpec/StreamsSpec. q186's exact path returns a
+    // LOCAL grid (zero corpus scans, pinned in StatsAnalyticsSpec) —
+    // it stays in the audit and is trivially clean.
 
   /** Queries whose BroadcastNestedLoopJoin is RUNTIME-gated rather than
     * plan-visible: brute-force cosine top-k broadcasts the probe side

@@ -447,6 +447,63 @@ class StatsAnalyticsSpec extends SparkSpec {
     assert(b1 === out)
   }
 
+  test("psiByGroupFromReference / ksByGroupFromReference == full " +
+      "per-group recomputes; partials merge order-free; a POISONED " +
+      "source cannot change a tick (the stored profile wins); empty " +
+      "current yields empty") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gref").toString
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map(i => ("a", rnd.nextDouble() * 100)) ++
+      (1 to 300).map(i => ("b", rnd.nextDouble() * 100))
+    rows.toDF("g", "v").write.parquet(s"$dir/src")
+    val ref = spark.read.parquet(s"$dir/src")
+    val cur = rows.map { case (g, v) =>
+      (g, if (g == "b") v + 20 else v) }.toDF("g", "v")
+    val psiFull = Stats.psiByGroup(ref, cur, "g", "v", bins = 5)
+      .orderBy("group", "bucket").collect().map(_.toSeq).toSeq
+    val ksFull = Stats.ksByGroup(ref, cur, "g", "v", buckets = 8)
+      .orderBy("group").collect().map(_.toSeq).toSeq
+    Stats.writePsiReferenceByGroup(ref, "g", "v", s"$dir/psiref", bins = 5)
+    Stats.writeKsReferenceByGroup(ref, "g", "v", s"$dir/ksref")
+    def psiTick(c: org.apache.spark.sql.DataFrame) =
+      Stats.psiByGroupFromReference(spark, s"$dir/psiref", c, "g", "v")
+        .orderBy("group", "bucket").collect().map(_.toSeq).toSeq
+    def ksTick(c: org.apache.spark.sql.DataFrame) =
+      Stats.ksByGroupFromReference(spark, s"$dir/ksref", c, "g", "v",
+        buckets = 8).orderBy("group").collect().map(_.toSeq).toSeq
+    assert(psiTick(cur) === psiFull)
+    assert(ksTick(cur) === ksFull)
+    // POISON the source the reference was profiled from: if any tick
+    // path still read the corpus, the scores would shift
+    spark.read.parquet(s"$dir/src") // drop any cached listing
+    rows.map { case (g, _) => (g, 1e9) }.toDF("g", "v")
+      .write.mode("overwrite").parquet(s"$dir/src")
+    assert(psiTick(cur) === psiFull, "psi tick read the poisoned corpus")
+    assert(ksTick(cur) === ksFull, "ks tick read the poisoned corpus")
+    // split feeds merge order-free
+    val feeds = Seq(cur.filter(col("v") <= 50), cur.filter(col("v") > 50))
+    val psiParts = feeds.map(f =>
+      Stats.psiByGroupCurrentPartial(spark, s"$dir/psiref", f, "g", "v"))
+    assert(Stats.psiByGroupFromPartials(spark, s"$dir/psiref",
+        psiParts.reverse.reduce(_.unionByName(_)))
+      .orderBy("group", "bucket").collect().map(_.toSeq).toSeq === psiFull)
+    val ksParts = feeds.map(f => Stats.ksByGroupCurrentPartial(f, "g", "v"))
+    assert(Stats.ksByGroupFromPartials(spark, s"$dir/ksref",
+        ksParts.reverse.reduce(_.unionByName(_)), buckets = 8)
+      .orderBy("group").collect().map(_.toSeq).toSeq === ksFull)
+    // empty current: the per-slice zero-total guard
+    assert(Stats.psiByGroupFromReference(spark, s"$dir/psiref",
+      cur.filter(lit(false)), "g", "v").isEmpty)
+    assert(Stats.ksByGroupFromReference(spark, s"$dir/ksref",
+      cur.filter(lit(false)), "g", "v").isEmpty)
+    // a group with no stored baseline is absent from the tick
+    val withNew = cur.unionByName(Seq(("brand_new", 1.0)).toDF("g", "v"))
+    assert(Stats.psiByGroupFromReference(spark, s"$dir/psiref",
+        withNew, "g", "v")
+      .select("group").distinct().collect().map(_.getString(0)).toSet
+      === Set("a", "b"))
+  }
+
   test("ksFromReference == full ksStatistic; partials merge order-free; " +
       "empty current yields empty") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ksref").toString

@@ -212,6 +212,36 @@ class StreamsSpec extends SparkSpec {
     assert(n0 === 100L)
   }
 
+  test("ksDriftSink: streamed value-count partials score identically to " +
+      "the batch ksStatistic; batch replay leaves one copy") {
+    import spark.implicits._
+    import graft.ops.Stats
+    val dir = java.nio.file.Files.createTempDirectory("graft_ksink").toString
+    val refRows = (1 to 1000).map(_.toDouble)
+    val ref = refRows.toDF("v")
+    Stats.writeKsReference(ref, "v", s"$dir/ref")
+    val cur = (1 to 600).map(i => i.toDouble * 1.1 + 50).toDF("v")
+    (0 until 3).foreach(i => cur.filter(pmod(col("v").cast("long"), lit(3)) === i)
+      .coalesce(1).write.mode("append").parquet(s"$dir/feed"))
+    val stream = spark.readStream.schema("v DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/feed")
+    val q = Streams.ksDriftSink(stream, "v", s"$dir/partials", s"$dir/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    def score() = Stats.ksFromPartials(spark, s"$dir/ref",
+        spark.read.parquet(s"$dir/partials/batch*"), buckets = 16)
+      .collect().map(_.toSeq).toSeq
+    val batchScore = Stats.ksStatistic(ref, cur, "v", buckets = 16)
+      .collect().map(_.toSeq).toSeq
+    assert(score() === batchScore)
+    // failure-before-checkpoint-commit replays a batch id: the partial
+    // is rewritten, never double-counted
+    Streams.applyKsDriftBatch(cur.limit(100), "v", s"$dir/partials", id = 0L)
+    Streams.applyKsDriftBatch(cur.limit(100), "v", s"$dir/partials", id = 0L)
+    val n0 = spark.read.parquet(s"$dir/partials/batch0")
+      .agg(sum("n_cur")).head().getLong(0)
+    assert(n0 === 100L)
+  }
+
   test("KafkaSink.push degrades cleanly when the connector jar is absent") {
     import spark.implicits._
     // this image has no spark-sql-kafka jar — the probe must say so
