@@ -99,6 +99,35 @@ object BenchStress {
         threshold = 0.8, maxBandFreq = None, appendAccepted = false).count()
     }
 
+    // TOKEN-GRAIN ingest (the q201 steady-state escape): q201 re-encodes
+    // AND re-pairs the whole corpus every run; the persisted
+    // piece-shingle index encodes only the delta. The same fixed delta
+    // against the 1x and `copies`x token indexes — the index-path
+    // exponent vs corpus size is the claim under measurement (encode
+    // cost tracks the delta, pairing cost the matched buckets).
+    val tokenMerges = graft.ops.Bpe.learn(docs, "text", numMerges = 20)
+      .localCheckpoint()
+    time("token pairs recompute (1x)") {
+      Dedup.jaccardPairsTokens(docs, "doc_id", "text",
+        graft.ops.Bpe.mergesOf(tokenMerges), threshold = 0.6, n = 5,
+        maxShingleFreq = Some(50)).count()
+    }
+    for ((label, corpus) <- Seq("1x" -> docs, s"${copies}x" -> stressed)) {
+      val nm = s"stresstok${label.replace("x", "")}"
+      Seq("_shingles", "_buckets", "_meta", "_merges").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS $nm$s"))
+      time(s"token index write ($label)") {
+        Dedup.writeTokenNearDupIndex(corpus, "doc_id", "text", tokenMerges,
+          nm, n = 5)
+        spark.table(s"${nm}_buckets").count()
+      }
+      time(s"token ingest: index path ($label)") {
+        Dedup.dropNearDuplicatesAgainstTokens(spark, nm, delta, "doc_id",
+          "text", threshold = 0.8, maxBandFreq = None,
+          appendAccepted = false).count()
+      }
+    }
+
     // similarity family on a duplicated embedding corpus: copy k scales
     // each vector by (1 + k·1e-4), which preserves cosine exactly — every
     // group of `copies` vectors is a true near-dup cluster

@@ -92,5 +92,113 @@ object QueriesRound10 {
       .orderBy("group")
   }, QueriesRound9.q205.oracle)
 
-  val all: Seq[QueryDef] = Seq(q206, q207, q208)
+  private val q209MergePath = QueriesScale.sidePath("q209_token_merges")
+
+  /** TOKEN-GRAIN ingest through the PERSISTED piece-shingle index
+    * ([[graft.ops.Dedup.writeTokenNearDupIndex]] /
+    * [[graft.ops.Dedup.dropNearDuplicatesAgainstTokens]]) — q201's
+    * steady-state escape: the corpus encodes ONCE at index-build time
+    * (merges learned on the corpus, stored as part of the index), and
+    * the q70-shaped delta ingest encodes only the delta. The oracle
+    * replays the whole chain in DuckDB: the recursive BPE merge apply
+    * over corpus ∪ delta, piece-5-gram shingles, the within-delta
+    * exact-Jaccard collapse (keep-min via connected components), and
+    * the cross corpus×delta drop — LSH at 64/16 has full recall at 0.8
+    * (the q27/q70 contract), so the outputs are bit-identical.
+    */
+  val q209 = QueryDef("q209_token_neardup_index", (spark, dir) => {
+    QueriesScale.reapStaleSideTables("q209_token_merges")
+    Seq("_shingles", "_buckets", "_meta", "_tombstones", "_merges",
+      "_shingles_vac", "_buckets_vac").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS q209idx$s"))
+    val (corpus, delta) = QueriesText.q70Corpus(spark, dir)
+    graft.ops.Bpe.learn(corpus, "text", numMerges = 20)
+      .write.mode("overwrite").parquet(q209MergePath)
+    graft.ops.Dedup.writeTokenNearDupIndex(corpus, "doc_id", "text",
+      spark.read.parquet(q209MergePath), "q209idx", n = 5, numBuckets = 8)
+    graft.ops.Dedup.dropNearDuplicatesAgainstTokens(spark, "q209idx",
+        delta, "doc_id", "text", threshold = 0.8, maxBandFreq = None,
+        appendAccepted = true)
+      .orderBy("doc_id")
+  }, Some(
+    s"""WITH RECURSIVE m AS (SELECT rank, lhs, rhs
+       |           FROM read_parquet('$q209MergePath/*.parquet')),
+       |nm AS (SELECT max(rank) AS top FROM m),
+       |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+       |delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+       |          UNION ALL
+       |          SELECT doc_id + 300000, text || ' extra trailing words here'
+       |          FROM documents WHERE doc_id % 20 = 0),
+       |alldocs AS (SELECT doc_id, text, 'c' AS side FROM corpus
+       |            UNION ALL SELECT doc_id, text, 'd' FROM delta),
+       |spl AS (SELECT doc_id, string_split(lower(text), ' ') AS l
+       |        FROM alldocs),
+       |tk AS (SELECT doc_id, i AS pos, l[i] AS term
+       |       FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+       |             FROM spl)
+       |       WHERE l[i] <> ''),
+       |enc(doc_id, pos, s, step) AS (
+       |  SELECT doc_id, pos,
+       |    array_to_string(list_transform(string_split(term, ''),
+       |      c -> chr(17) || c || chr(18)), ''), 0
+       |  FROM tk
+       |  UNION ALL
+       |  SELECT e.doc_id, e.pos,
+       |    replace(e.s, chr(17) || m.lhs || chr(18) || chr(17) || m.rhs || chr(18),
+       |      chr(17) || m.lhs || m.rhs || chr(18)),
+       |    e.step + 1
+       |  FROM enc e JOIN m ON m.rank = e.step + 1),
+       |fin AS (SELECT doc_id, pos,
+       |          replace(replace(replace(s, chr(18) || chr(17), ','),
+       |            chr(17), ''), chr(18), '') AS word_csv
+       |        FROM enc WHERE step = (SELECT top FROM nm)),
+       |pieces AS (SELECT doc_id,
+       |             string_split(string_agg(word_csv, ',' ORDER BY pos), ',')
+       |               AS p
+       |           FROM fin GROUP BY doc_id),
+       |sh0 AS (SELECT DISTINCT doc_id, array_to_string(p[i:i+4], ' ') AS shingle
+       |        FROM (SELECT doc_id, p,
+       |                unnest(generate_series(1, len(p) - 4)) AS i
+       |              FROM pieces WHERE len(p) >= 5)),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+       |          FROM sh0 GROUP BY doc_id),
+       |dsh AS (SELECT sh0.doc_id, shingle FROM sh0
+       |        JOIN alldocs a ON a.doc_id = sh0.doc_id AND a.side = 'd'),
+       |csh AS (SELECT sh0.doc_id, shingle FROM sh0
+       |        JOIN alldocs a ON a.doc_id = sh0.doc_id AND a.side = 'c'),
+       |dinter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |             count(*) AS n_inter
+       |           FROM dsh a JOIN dsh b
+       |             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       |dpairs AS (SELECT a_id, b_id FROM dinter
+       |           JOIN sizes sa ON sa.doc_id = dinter.a_id
+       |           JOIN sizes sb ON sb.doc_id = dinter.b_id
+       |           WHERE CAST(n_inter AS DOUBLE)
+       |             / (sa.n_sh + sb.n_sh - n_inter) >= 0.8),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM dpairs
+       |          UNION ALL SELECT b_id, a_id FROM dpairs),
+       |walk(id, lbl) AS (
+       |  SELECT s, s FROM edges GROUP BY s
+       |  UNION
+       |  SELECT e.s, walk.lbl FROM edges e JOIN walk ON walk.id = e.d),
+       |comp AS (SELECT id, min(lbl) AS comp FROM walk GROUP BY id),
+       |dkeep AS (SELECT doc_id, text FROM delta
+       |          WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> comp)),
+       |ksh AS (SELECT doc_id, shingle FROM dsh
+       |        WHERE doc_id IN (SELECT doc_id FROM dkeep)),
+       |xinter AS (SELECT c.doc_id AS c_id, k.doc_id AS d_id,
+       |             count(*) AS n_inter
+       |           FROM csh c JOIN ksh k ON c.shingle = k.shingle
+       |           GROUP BY 1, 2),
+       |xdrop AS (SELECT DISTINCT d_id FROM xinter
+       |          JOIN sizes cs ON cs.doc_id = xinter.c_id
+       |          JOIN sizes ds ON ds.doc_id = xinter.d_id
+       |          WHERE CAST(n_inter AS DOUBLE)
+       |            / (cs.n_sh + ds.n_sh - n_inter) >= 0.8)
+       |SELECT doc_id, text FROM dkeep
+       |WHERE doc_id NOT IN (SELECT d_id FROM xdrop)
+       |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q206, q207, q208, q209)
 }

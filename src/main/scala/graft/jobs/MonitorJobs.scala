@@ -76,9 +76,10 @@ class PsiFromReferenceJob extends EtlJob {
   }
 }
 
-/** Exact two-sample KS drift ([[Stats.ksStatistic]]). Inputs:
-  * `reference`/`current`. Params: `value_col` (required), `buckets`
-  * (default 64).
+/** Exact two-sample KS drift ([[Stats.ksStatistic]] /
+  * [[Stats.ksByGroup]]). Inputs: `reference`/`current`. Params:
+  * `value_col` (required), `buckets` (default 64), `group_col`
+  * (optional — per-slice monitoring, one supremum row per group).
   */
 class KsDriftJob extends EtlJob {
   def transform(inputs: Map[String, DataFrame], spark: SparkSession,
@@ -87,10 +88,41 @@ class KsDriftJob extends EtlJob {
       sys.error("KsDriftJob needs a 'reference' input"))
     val cur = inputs.getOrElse("current",
       sys.error("KsDriftJob needs a 'current' input"))
-    Stats.ksStatistic(ref, cur,
-      params.getOrElse("value_col",
-        sys.error("KsDriftJob needs a 'value_col' param")),
-      buckets = params.getOrElse("buckets", "64").toInt)
+    val v = params.getOrElse("value_col",
+      sys.error("KsDriftJob needs a 'value_col' param"))
+    val buckets = params.getOrElse("buckets", "64").toInt
+    params.get("group_col") match {
+      case Some(g) =>
+        Stats.ksByGroup(ref, cur, g, v, buckets = buckets).orderBy("group")
+      case None => Stats.ksStatistic(ref, cur, v, buckets = buckets)
+    }
+  }
+}
+
+/** Small-file maintenance for a streaming/incremental sink
+  * ([[graft.core.io.Maintenance.compactIncrements]]) — the cadence
+  * companion of the GDPR compacts, manifest-schedulable beside them:
+  * per-trigger `batch*`/`inc_*` dirs accumulate small files until the
+  * LISTING dominates every downstream scan. Params: `path` (required —
+  * the sink root), `target_file_bytes` (default 128 MiB),
+  * `keep_latest` (default 1 — the replay-eligible tail, protected by
+  * the dir-name logical order), `min_files` (default 2). Output: a
+  * one-row audit report `(dirs_compacted, files_before, files_after)`
+  * — run with `--no_save` when only the side effect matters.
+  */
+class CompactIncrementsJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val path = params.getOrElse("path",
+      sys.error("CompactIncrementsJob needs a 'path' param"))
+    val res = graft.core.io.Maintenance.compactIncrements(spark, path,
+      targetFileBytes = params.getOrElse("target_file_bytes",
+        (128L * 1024 * 1024).toString).toLong,
+      keepLatest = params.getOrElse("keep_latest", "1").toInt,
+      minFiles = params.getOrElse("min_files", "2").toInt)
+    import spark.implicits._
+    Seq((res.dirsCompacted, res.filesBefore, res.filesAfter))
+      .toDF("dirs_compacted", "files_before", "files_after")
   }
 }
 

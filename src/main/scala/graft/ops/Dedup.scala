@@ -926,16 +926,24 @@ object Dedup {
     * index table per ingest batch.
     */
   def appendToNearDupIndex(index: NearDupIndex, accepted: DataFrame,
-                           idCol: String, textCol: String): Unit = {
+                           idCol: String, textCol: String): Unit =
+    appendShinglesCore(index, accepted, idCol,
+      sizedShingles(accepted.select(col(idCol), col(textCol)),
+        idCol, textCol, index.n))
+
+  /** The append body shared by the word-grain and token-grain indexes —
+    * identical table schemas, only the shingle derivation differs.
+    */
+  private def appendShinglesCore(index: NearDupIndex, accepted: DataFrame,
+                                 idCol: String, sh: DataFrame): Unit = {
     val spark = accepted.sparkSession
-    val docs = accepted.select(col(idCol), col(textCol))
     // a tombstoned id's physical rows still await compaction: appending
     // NEW rows under the same id would leave them hidden behind the
     // tombstone (and un-hiding it would resurrect the stale rows) —
     // there is no consistent state short of a compact, so fail loudly.
     // Broadcast semi-join probe, bounded by the forget backlog.
     tombstones(spark, index).foreach { ts =>
-      val clash = docs.select(col(idCol).as("doc_id")).distinct()
+      val clash = accepted.select(col(idCol).as("doc_id")).distinct()
         .join(broadcast(ts.select("doc_id")), Seq("doc_id"), "left_semi")
         .take(1)
       require(clash.isEmpty,
@@ -943,7 +951,6 @@ object Dedup {
           s"is tombstoned in ${index.tombstonesTable} — run " +
           "compactNearDupIndex before re-ingesting a forgotten id")
     }
-    val sh = sizedShingles(docs, idCol, textCol, index.n)
     def freshOnly(rows: DataFrame, table: String): DataFrame =
       rows.join(spark.table(table).select("doc_id").distinct(),
         Seq("doc_id"), "left_anti")
@@ -1005,7 +1012,26 @@ object Dedup {
                                 idCol: String, textCol: String,
                                 threshold: Double, maxBandFreq: Option[Int],
                                 appendAccepted: Boolean,
-                                excludeSelfIds: Boolean): DataFrame = {
+                                excludeSelfIds: Boolean): DataFrame =
+    dropAgainstIndexCore(index, delta, idCol, threshold, maxBandFreq,
+      excludeSelfIds,
+      sizedShingles(delta, idCol, textCol, index.n),
+      if (appendAccepted)
+        Some(acc => appendToNearDupIndex(index, acc, idCol, textCol))
+      else None)
+
+  /** The index-ingest body shared by the word-grain and token-grain
+    * paths — only the delta shingle derivation and the append hook
+    * differ. `dShRaw` must be the delta's sized-shingle table at the
+    * INDEX's operating point.
+    */
+  private def dropAgainstIndexCore(index: NearDupIndex, delta: DataFrame,
+                                   idCol: String, threshold: Double,
+                                   maxBandFreq: Option[Int],
+                                   excludeSelfIds: Boolean,
+                                   dShRaw: DataFrame,
+                                   appender: Option[DataFrame => Unit])
+      : DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = delta.sparkSession
     // same shared-subtree staging as the corpus-variant overload: the
@@ -1013,7 +1039,7 @@ object Dedup {
     // index cross-pairing, across an eager-checkpoint job boundary —
     // cache them once. Built at the INDEX's operating point — a different
     // numHashes/numBands would silently run a different LSH S-curve.
-    val dSh = sizedShingles(delta, idCol, textCol, index.n)
+    val dSh = dShRaw
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dB = bandBuckets(dSh, index.numHashes, index.numBands)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1040,13 +1066,107 @@ object Dedup {
     dSh.unpersist()
     dB.unpersist()
     val accepted = deltaClean.join(hitIds, Seq(idCol), "left_anti")
-    if (!appendAccepted) accepted
-    else {
-      // reliable when a checkpoint dir is set — see dropExactDuplicatesAgainst
-      val materialized = graft.core.Checkpoints.truncate(accepted)
-      appendToNearDupIndex(index, materialized, idCol, textCol)
-      materialized
+    appender match {
+      case None => accepted
+      case Some(append) =>
+        // reliable when a checkpoint dir is set — see
+        // dropExactDuplicatesAgainst
+        val materialized = graft.core.Checkpoints.truncate(accepted)
+        append(materialized)
+        materialized
     }
+  }
+
+  /** TOKEN-GRAIN persisted near-dup index — [[writeNearDupIndex]] at
+    * BPE-piece grain, q201's steady-state escape: that query re-encodes
+    * AND re-pairs the whole corpus on every run (the r9 bench #2 at
+    * 10.8 s); with the index, a steady-state ingest encodes only the
+    * delta. The learned merge table is PART of the index
+    * (`<name>_merges` — a delta encoded under different merges would
+    * pair in a different piece space, so [[loadTokenNearDupIndex]]
+    * refuses an index without it), and the shingle/bucket/meta/
+    * tombstone tables are schema-identical to the word-grain layout, so
+    * the GDPR lanes ([[vacuumNearDupIndex]] / [[compactNearDupIndex]])
+    * apply VERBATIM. The merge table itself is a corpus-level frequency
+    * statistic (the BM25-idf class), not per-document content — a
+    * forget does not touch it.
+    */
+  def writeTokenNearDupIndex(corpus: DataFrame, idCol: String,
+                             textCol: String, mergeTable: DataFrame,
+                             name: String, n: Int = 5, numHashes: Int = 64,
+                             numBands: Int = 16,
+                             numBuckets: Int = 32): NearDupIndex = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val spark = corpus.sparkSession
+    graft.core.io.Writer.writeTable(
+      mergeTable.select("rank", "lhs", "rhs"), s"${name}_merges")
+    // encode with what was STORED — write/read drift would silently
+    // split the piece space between build and ingest
+    val merges = Bpe.mergesOf(spark.table(s"${name}_merges"))
+    val idx = NearDupIndex(name, n, numHashes, numBands, numBuckets)
+    graft.core.io.Writer.writeBucketed(
+      sizedTokenShingles(corpus, idCol, textCol, merges, n),
+      idx.shinglesTable, Seq("doc_id"), numBuckets)
+    graft.core.io.Writer.writeBucketed(
+      bandBuckets(spark.table(idx.shinglesTable), numHashes, numBands),
+      idx.bucketsTable, Seq("band", "bandhash"), numBuckets)
+    import spark.implicits._
+    graft.core.io.Writer.writeTable(
+      Seq((n, numHashes, numBands, numBuckets))
+        .toDF("n", "num_hashes", "num_bands", "num_buckets"),
+      idx.metaTable)
+    idx
+  }
+
+  /** Load a token-grain index handle + its stored merge table. Fails
+    * loudly on a word-grain index (no `_merges`) — pairing a
+    * BPE-encoded delta against word shingles would silently find
+    * nothing.
+    */
+  def loadTokenNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                            name: String)
+      : (NearDupIndex, Array[Array[String]]) = {
+    val idx = loadNearDupIndex(spark, name)
+    require(spark.catalog.tableExists(s"${name}_merges"),
+      s"$name has no ${name}_merges table — not a token-grain index " +
+        "(writeTokenNearDupIndex builds one)")
+    (idx, Bpe.mergesOf(spark.table(s"${name}_merges")))
+  }
+
+  /** [[appendToNearDupIndex]] at token grain: the accepted docs encode
+    * under the INDEX's stored merges (never a freshly-learned table —
+    * the piece space is pinned at build time).
+    */
+  def appendToTokenNearDupIndex(index: NearDupIndex, accepted: DataFrame,
+                                idCol: String, textCol: String,
+                                merges: Array[Array[String]]): Unit =
+    appendShinglesCore(index, accepted, idCol,
+      sizedTokenShingles(accepted.select(col(idCol), col(textCol)),
+        idCol, textCol, merges, index.n))
+
+  /** [[dropNearDuplicatesAgainst]] at TOKEN grain through a persisted
+    * token index: collapse within-delta piece-n-gram clusters, drop
+    * delta rows near-duplicating the indexed corpus, optionally append
+    * the survivors' index entries — the complete steady-state
+    * tokenizer-grain ingest (oracle-gated as q209 against a full
+    * DuckDB replay of the BPE encode + both pairing stages).
+    */
+  def dropNearDuplicatesAgainstTokens(spark: org.apache.spark.sql.SparkSession,
+                                      name: String, delta: DataFrame,
+                                      idCol: String, textCol: String,
+                                      threshold: Double,
+                                      maxBandFreq: Option[Int],
+                                      appendAccepted: Boolean,
+                                      excludeSelfIds: Boolean = false)
+      : DataFrame = {
+    val (idx, merges) = loadTokenNearDupIndex(spark, name)
+    dropAgainstIndexCore(idx, delta, idCol, threshold, maxBandFreq,
+      excludeSelfIds,
+      sizedTokenShingles(delta, idCol, textCol, merges, idx.n),
+      if (appendAccepted)
+        Some(acc =>
+          appendToTokenNearDupIndex(idx, acc, idCol, textCol, merges))
+      else None)
   }
 
   /** Exact Jaccard for an explicit candidate-pair set (a_id, b_id). `sh` is

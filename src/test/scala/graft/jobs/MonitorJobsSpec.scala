@@ -57,6 +57,39 @@ class MonitorJobsSpec extends SparkSpec {
     assert(poisoned.params.contains("ref_path"))
   }
 
+  test("compactIncrements runs from the manifest; a compacted sink " +
+      "replays a crashed batch identically (dir-identity contract)") {
+    import spark.implicits._
+    val root = loaded.jobs("compact_sink").params("path")
+    val cur = (1 to 300).map(_.toDouble).toDF("v")
+    (0 until 3).foreach(i => cur.repartition(3).write.parquet(s"$root/batch$i"))
+    def files(i: Int) = new java.io.File(s"$root/batch$i").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val rep = Flow.runPipeline(spark, loaded.jobs, "compact_sink",
+      save = false)("compact_sink").head()
+    // two closed batches compact; the newest (replay-eligible) is spared
+    assert(rep.getAs[Int]("dirs_compacted") === 2)
+    assert(files(0) === 1 && files(1) === 1 && files(2) === 3)
+    // dir identity preserved: a crashed micro-batch replay
+    // (delete-and-rewrite keyed on the batch dir — the writeIncrement /
+    // psiDriftSink contract) targets the SAME dir and converges to the
+    // same content, compacted or not
+    val before = spark.read.parquet(s"$root/batch0")
+      .as[Double].collect().sorted.toSeq
+    val dir = new org.apache.hadoop.fs.Path(s"$root/batch0")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dir, true)
+    cur.repartition(3).write.parquet(s"$root/batch0")
+    assert(spark.read.parquet(s"$root/batch0")
+      .as[Double].collect().sorted.toSeq === before)
+    // the replayed batch re-compacts on the next cadence pass; batch2
+    // keeps its tail protection (the mtime-refresh race is gone)
+    val rep2 = Flow.runPipeline(spark, loaded.jobs, "compact_sink",
+      save = false)("compact_sink").head()
+    assert(rep2.getAs[Int]("dirs_compacted") === 1)
+    assert(files(0) === 1 && files(2) === 3)
+  }
+
   test("per-source hot tokens and hybrid search agree with the ops") {
     val hh = Flow.runPipeline(spark, loaded.jobs, "source_hot_tokens",
       save = false)("source_hot_tokens")

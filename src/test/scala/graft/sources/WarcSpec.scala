@@ -106,6 +106,23 @@ class WarcSpec extends SparkSpec {
       .as[(String, String, Boolean)].collect()
     assert(back.map(r => (r._1, r._2)).toSeq == rows)
     assert(back.forall(_._3))
+    // CommonCrawl's real layout names shards `<name>.warc.gz` — codec
+    // detection keys on the trailing .gz, and the read must be
+    // byte-identical to an uncompressed read of the same records
+    val cc = tmp()
+    new java.io.File(cc).mkdirs()
+    new java.io.File(out).listFiles().filter(_.getName.endsWith(".txt.gz"))
+      .zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(cc, f"shard-$i%05d.warc.gz").toPath) }
+    val plain = tmp()
+    recs(rows).select(Warc.render(col("warc_type"), col("target_uri"),
+        col("record_id"), col("warc_date"), col("payload")).as("value"))
+      .write.option("lineSep", "\r\n\r\n").text(plain)
+    def all(p: String) = Warc.read(spark, p).orderBy("target_uri")
+      .collect().map(_.toSeq).toSeq
+    assert(all(cc) === all(plain),
+      ".warc.gz read differs from the uncompressed read")
   }
 
   test("multi-partition shards reread completely") {
