@@ -200,5 +200,34 @@ object QueriesRound10 {
        |WHERE doc_id NOT IN (SELECT d_id FROM xdrop)
        |ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q206, q207, q208, q209)
+  /** STREAMING weighted reservoir
+    * ([[graft.streaming.Streams.reservoirSampleSink]]): q139's
+    * per-source length-weighted top-10, maintained over a file stream
+    * in three micro-batches. Each batch lands its own per-group top-n
+    * partial under the deterministic E-S key; the merged reservoir must
+    * be bit-identical to the batch sampler over the whole feed — q139's
+    * oracle verbatim (the associativity of deterministic-key top-n is
+    * the claim under test).
+    */
+  val q210 = QueryDef("q210_stream_reservoir", (spark, dir) => {
+    val out = graft.Queries.tmpDir("graft_q210")
+    val docs = t(spark, dir, "documents")
+      .select("doc_id", "source", "n_chars")
+      .withColumn("_chunk", pmod(col("doc_id"), lit(3)))
+    (0 until 3).foreach(i => docs.filter(col("_chunk") === i).drop("_chunk")
+      .coalesce(1).write.mode("append").parquet(s"$out/feed"))
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, source STRING, n_chars BIGINT")
+      .option("maxFilesPerTrigger", "1").parquet(s"$out/feed")
+    val q = graft.streaming.Streams.reservoirSampleSink(stream, "doc_id",
+      "source", "n_chars", n = 10, s"$out/partials", s"$out/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    graft.streaming.Streams.loadReservoir(spark, s"$out/partials",
+        "doc_id", "source", n = 10)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("key_micro"), col("rank").cast("long").as("rank"))
+      .orderBy("source", "rank")
+  }, QueriesCurate.q139.oracle)
+
+  val all: Seq[QueryDef] = Seq(q206, q207, q208, q209, q210)
 }

@@ -88,16 +88,51 @@ object Sampling {
     * `key_micro`, ordered best-first.
     */
   def prioritySample(df: DataFrame, idCol: String, weightCol: String,
-                     n: Int, salt: String = "es"): DataFrame = {
+                     n: Int, salt: String = "es"): DataFrame =
+    df.filter(col(weightCol) > 0)
+      .withColumn("key_micro", esKeyMicro(idCol, weightCol, salt))
+      .orderBy(col("key_micro").desc, col(idCol))
+      .limit(n)
+
+  /** The deterministic Efraimidis–Spirakis competition key in integer
+    * micro-units — ln(u)/w with u drawn from the md5 hash of the salted
+    * id (see [[prioritySample]] for the derivation and why micro-units:
+    * the selection boundary must replay identically across engines and
+    * across the batch/streaming twins). One definition shared by both
+    * batch samplers and the streaming reservoir lane
+    * ([[graft.streaming.Streams.reservoirSampleSink]]).
+    */
+  def esKeyMicro(idCol: String, weightCol: String,
+                 salt: String): org.apache.spark.sql.Column = {
     val m = math.pow(2.0, 60)
     val u = (conv(substring(md5(concat(lit(salt),
       col(idCol).cast("string"))), 1, 15), 16, 10).cast("long") + 0.5) / m
-    df.filter(col(weightCol) > 0)
-      .withColumn("key_micro",
-        round(round(log(u) / col(weightCol).cast("double"), 6) * 1e6, 0)
-          .cast("long"))
+    round(round(log(u) / col(weightCol).cast("double"), 6) * 1e6, 0)
+      .cast("long")
+  }
+
+  /** Fold E-S reservoir partials back into ONE reservoir: collapse to a
+    * single row per id (largest key wins — replayed copies of a row are
+    * identical, and a re-weighted row competes on its best draw), then
+    * re-rank the per-group top-n boundary exactly like
+    * [[prioritySamplePerGroup]]. The E-S key is a pure function of
+    * (id, weight), so top-n is associative — top_n(A ∪ B) =
+    * top_n(top_n(A) ∪ top_n(B)) — and merging per-batch top-n partials
+    * is bit-identical to sampling the concatenated stream. Input is
+    * bounded by construction (each partial is already a per-group
+    * top-n), so these windows never see more than partials × groups × n
+    * rows.
+    */
+  def reservoirMerge(partials: DataFrame, idCol: String, groupCol: String,
+                     n: Int): DataFrame = {
+    val byId = Window.partitionBy(col(idCol)).orderBy(col("key_micro").desc)
+    val w = Window.partitionBy(col(groupCol))
       .orderBy(col("key_micro").desc, col(idCol))
-      .limit(n)
+    partials
+      .withColumn("_dup", row_number().over(byId)).filter(col("_dup") === 1)
+      .drop("_dup")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
   }
 
   /** [[prioritySample]] per group: n items per `groupCol` value, same
@@ -111,16 +146,11 @@ object Sampling {
   def prioritySamplePerGroup(df: DataFrame, idCol: String, groupCol: String,
                              weightCol: String, n: Int,
                              salt: String = "es"): DataFrame = {
-    val m = math.pow(2.0, 60)
-    val u = (conv(substring(md5(concat(lit(salt),
-      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long") + 0.5) / m
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col("key_micro").desc, col(idCol))
     df.filter(col(weightCol) > 0)
-      .withColumn("key_micro",
-        round(round(log(u) / col(weightCol).cast("double"), 6) * 1e6, 0)
-          .cast("long"))
+      .withColumn("key_micro", esKeyMicro(idCol, weightCol, salt))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= n)
   }

@@ -260,6 +260,66 @@ object Streams {
       .write.parquet(dir.toString)
   }
 
+  /** Continuous weighted sampling WITHOUT replacement over an unbounded
+    * stream — [[graft.ops.Sampling.prioritySamplePerGroup]] maintained
+    * as a reservoir. Each micro-batch contracts to ITS OWN per-group
+    * top-n under the deterministic Efraimidis–Spirakis key
+    * ([[graft.ops.Sampling.esKeyMicro]] — a pure function of id and
+    * weight, no RNG state) and lands as one parquet increment per batch
+    * id; the reservoir at any point is [[loadReservoir]], the per-group
+    * top-n over the union of partials. Because the key is deterministic,
+    * top-n is associative — top_n(A ∪ B) = top_n(top_n(A) ∪ top_n(B)) —
+    * so the streamed reservoir is bit-identical to the batch sampler run
+    * over everything streamed so far, held to the SAME DuckDB oracle
+    * (q210 vs q139).
+    *
+    * Scale: a partial never exceeds groups × n rows regardless of batch
+    * size (the contraction happens inside the batch), so the read side
+    * is bounded by batches × groups × n;
+    * [[graft.core.io.Maintenance.compactIncrements]] folds old partials
+    * when the batch count grows. Replay safe: delete-first batch dirs
+    * (the [[writeIncrement]] contract) plus the largest-key-per-id
+    * collapse in [[graft.ops.Sampling.reservoirMerge]].
+    */
+  def reservoirSampleSink(stream: DataFrame, idCol: String, groupCol: String,
+                          weightCol: String, n: Int, partialsPath: String,
+                          checkpoint: String,
+                          salt: String = "es"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyReservoirBatch(batch.toDF(), idCol, groupCol, weightCol, n,
+          partialsPath, id, salt)
+      }
+      .start()
+
+  /** One micro-batch's reservoir partial — separated so the replay
+    * contract is directly testable: applying the same batch twice leaves
+    * one copy.
+    */
+  def applyReservoirBatch(batch: DataFrame, idCol: String, groupCol: String,
+                          weightCol: String, n: Int, partialsPath: String,
+                          id: Long, salt: String = "es"): Unit = {
+    val spark = batch.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(s"$partialsPath/batch$id")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) { fs.delete(dir, true); () }
+    graft.ops.Sampling.prioritySamplePerGroup(batch, idCol, groupCol,
+        weightCol, n, salt)
+      .drop("rank") // rank is a property of the MERGED reservoir
+      .write.parquet(dir.toString)
+  }
+
+  /** The current reservoir: per-group top-n over the accumulated batch
+    * partials ([[graft.ops.Sampling.reservoirMerge]]), with the same
+    * `rank` column the batch sampler emits.
+    */
+  def loadReservoir(spark: SparkSession, partialsPath: String, idCol: String,
+                    groupCol: String, n: Int): DataFrame =
+    graft.ops.Sampling.reservoirMerge(
+      spark.read.parquet(s"$partialsPath/batch*"), idCol, groupCol, n)
+
   /** Continuous near-dup ingest through a PERSISTED index
     * ([[graft.ops.Dedup.writeNearDupIndex]]): each micro-batch collapses
     * its own near-dup clusters, drops rows near-duplicating the corpus,
@@ -820,12 +880,24 @@ object KafkaSink {
     * half-present connector (jar without its kafka-clients dependency)
     * reporting unavailable instead of crashing the probe.
     */
-  def transportAvailable: Boolean = {
+  def transportAvailable: Boolean = transportAvailableFor("kafka")
+
+  /** Per-format transport probe. The default `"kafka"` format resolves
+    * to the connector class probe above; any other format (a stand-in
+    * provider in tests, an alternative producer in a custom deploy) is
+    * probed by loading it as a class through the same context
+    * classloader — `CreatableRelationProvider` implementations are
+    * addressed by fully-qualified class name, so a loadable class IS an
+    * available transport for `.write.format(name)`.
+    */
+  def transportAvailableFor(format: String): Boolean = {
+    val probeClass =
+      if (format == "kafka") "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+      else format
     val loader = Option(Thread.currentThread().getContextClassLoader)
       .getOrElse(getClass.getClassLoader)
     try {
-      Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider",
-        false, loader)
+      Class.forName(probeClass, false, loader)
       true
     } catch {
       case _: ClassNotFoundException => false
@@ -845,24 +917,31 @@ object KafkaSink {
     * `.write.format("kafka")`; without it (this image) the validated
     * payload is still built — same plan, same validation errors — and
     * `sent = false` is returned with a loud stderr note, so pipelines
-    * are testable end-to-end up to the network boundary. (The present-jar
-    * branch is environment-gated: it cannot be exercised in a zero-egress
-    * image and is covered by the connector's own contract.)
+    * are testable end-to-end up to the network boundary.
+    *
+    * `format` is the produce seam: it defaults to the real connector
+    * (`"kafka"`) but accepts any `CreatableRelationProvider` class name,
+    * which receives the identical frame + options through the identical
+    * `.write.format(...)` plumbing — StreamsSpec drives the FULL send
+    * branch through a recording stand-in provider, so the only code this
+    * image cannot execute is the connector jar itself (covered by the
+    * connector's own contract).
     */
   def push(df: DataFrame, bootstrapServers: String, topic: String,
-           required: Seq[String] = Nil, keyCol: Option[String] = None): PushResult = {
+           required: Seq[String] = Nil, keyCol: Option[String] = None,
+           format: String = "kafka"): PushResult = {
     val (valid, invalid) =
       if (required.nonEmpty) validateRequired(df, required)
       else (df, df.limit(0))
     val frame = payload(valid, keyCol)
-    if (transportAvailable) {
-      frame.write.format("kafka")
+    if (transportAvailableFor(format)) {
+      frame.write.format(format)
         .option("kafka.bootstrap.servers", bootstrapServers)
         .option("topic", topic)
         .save()
       PushResult(sent = true, payload = frame, invalid = invalid)
     } else {
-      System.err.println(s"[graft] KafkaSink.push: spark-sql-kafka connector " +
+      System.err.println(s"[graft] KafkaSink.push: transport '$format' " +
         s"not on the classpath; payload for topic '$topic' validated and " +
         "built but NOT sent")
       PushResult(sent = false, payload = frame, invalid = invalid)
