@@ -229,5 +229,28 @@ object QueriesRound10 {
       .orderBy("source", "rank")
   }, QueriesCurate.q139.oracle)
 
-  val all: Seq[QueryDef] = Seq(q206, q207, q208, q209, q210)
+  /** INCREMENTAL cluster maintenance
+    * ([[graft.ops.Dedup.updateClusters]]): q51's near-dup pair set
+    * arrives in two waves; wave 1 clusters from scratch, wave 2 folds
+    * into the standing labels through the labels-as-star-edges
+    * contraction — never re-reading wave 1's edges. The final labels
+    * must be bit-identical to the full recompute over all pairs —
+    * q51's oracle verbatim (bridges that merge two wave-1 components
+    * are the case under test: the wave split is by edge parity, so
+    * chains alternate waves).
+    */
+  val q211 = QueryDef("q211_incremental_clusters", (spark, dir) => {
+    val pairs = graft.ops.Dedup.jaccardPairs(t(spark, dir, "documents"),
+        "doc_id", "text", threshold = 0.6, maxShingleFreq = Some(50))
+      .select("a_id", "b_id")
+      .localCheckpoint() // pairing runs once; the waves slice it
+    val wave1 = pairs.filter(pmod(col("a_id") + col("b_id"), lit(2)) === 0)
+    val wave2 = pairs.filter(pmod(col("a_id") + col("b_id"), lit(2)) === 1)
+    val labels1 = graft.ops.Dedup.connectedComponents(wave1)
+    graft.ops.Dedup.updateClusters(labels1, wave2)
+      .select(col("id").as("doc_id"), col("comp"))
+      .orderBy("doc_id")
+  }, QueriesScale.q51.oracle)
+
+  val all: Seq[QueryDef] = Seq(q206, q207, q208, q209, q210, q211)
 }

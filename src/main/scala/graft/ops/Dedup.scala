@@ -1284,6 +1284,45 @@ object Dedup {
         .select(col("dst").as("id"), col("dst").as("comp")))
   }
 
+  /** Incrementally maintain cluster labels as NEW pair edges arrive —
+    * the labels-as-star-edges contraction. An existing component is
+    * already connected through its (id → comp) star, so running
+    * [[connectedComponents]] over {star edges} ∪ {new pairs} yields
+    * exactly the labels a full recompute over EVERY edge ever seen
+    * would — without re-reading (or even retaining) a single old edge.
+    * The component minimum is preserved under merging because each comp
+    * label is itself a member, so min(merged) = min over old mins and
+    * new ids — identical to the from-scratch answer.
+    *
+    * Scale shape: input is |labels| + |newPairs| rows — one bounded row
+    * per already-clustered doc plus the delta's edges — versus the full
+    * edge history a recompute needs; convergence is fast because old
+    * components enter at star depth 1 (one large-star round folds a
+    * new bridge between two stars). This is the steady-state cluster
+    * maintenance for the persisted near-dup index family: ingest
+    * computes the delta's pairs anyway, and this call folds them into
+    * the standing labels at delta cost.
+    *
+    * `labels`: (id, comp) from a prior [[connectedComponents]] or
+    * [[updateClusters]] call. `newPairs`: (a_id, b_id). Returns
+    * (id, comp) covering every id in either input — ids untouched by
+    * any edge (degenerate (id, id) labels) carry through unchanged.
+    */
+  def updateClusters(labels: DataFrame, newPairs: DataFrame,
+                     maxIter: Int = 20): DataFrame = {
+    val edges = labels.select(col("id").as("a_id"), col("comp").as("b_id"))
+      .unionByName(newPairs.select(col("a_id"), col("b_id")))
+    val cc = connectedComponents(edges, maxIter)
+    // connectedComponents drops self-edges, so an id appearing ONLY as a
+    // singleton (id, id) label would vanish — re-attach it self-labeled
+    val allIds = labels.select(col("id"))
+      .unionByName(newPairs.select(col("a_id").as("id")))
+      .unionByName(newPairs.select(col("b_id").as("id")))
+      .distinct()
+    allIds.join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
   /** End-to-end near-duplicate REMOVAL: MinHash+LSH pairs (exact-Jaccard
     * verified) → connected components → keep the minimum id per cluster;
     * documents in no near-dup pair survive untouched. This is the

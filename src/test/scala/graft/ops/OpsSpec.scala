@@ -278,6 +278,26 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("updateClusters folds new edges into standing labels at delta cost") {
+    // wave 1: components {1,2,3} and {10,11}, plus a singleton label
+    val labels = Dedup.connectedComponents(
+        Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id"))
+      .unionByName(Seq((50L, 50L)).toDF("id", "comp"))
+    // wave 2: a bridge merges the two components, one fresh pair, and a
+    // brand-new node attaching to an old component
+    val newPairs = Seq((3L, 10L), (20L, 21L), (60L, 1L)).toDF("a_id", "b_id")
+    val merged = Dedup.updateClusters(labels, newPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // must equal the full recompute over every edge ever seen, with the
+    // untouched singleton carried through self-labeled
+    val full = Dedup.connectedComponents(
+        Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 10L), (20L, 21L), (60L, 1L))
+          .toDF("a_id", "b_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == full + (50L -> 50L))
+    assert(merged(11L) == 1L && merged(60L) == 1L)
+  }
+
   test("connectedComponents converges on a 100-node path in O(log n) rounds") {
     // Path 0-1-2-...-99 — diameter 99. One-hop min-label propagation would
     // need 99 rounds; large-star/small-star contracts the remaining depth
