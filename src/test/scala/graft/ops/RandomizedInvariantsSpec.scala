@@ -272,6 +272,60 @@ class RandomizedInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("reservoir merge is associative: random batch splits reproduce the " +
+      "one-shot sampler exactly") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 400).map { i =>
+      (i.toLong, s"g${rnd.nextInt(5)}", rnd.nextInt(50).toLong + 1)
+    }
+    def df(rs: Seq[(Long, String, Long)]) = rs.toDF("id", "g", "w")
+    val truth = graft.ops.Sampling
+      .prioritySamplePerGroup(df(rows), "id", "g", "w", n = 7)
+      .collect().map(_.toSeq).toSet
+    for (seed <- 1 to 3) {
+      val r2 = new scala.util.Random(seed)
+      val shuffled = r2.shuffle(rows)
+      val nBatches = 2 + r2.nextInt(4)
+      // each random batch contracts to its own per-group top-n (exactly
+      // what applyReservoirBatch lands), then reservoirMerge folds them —
+      // the deterministic E-S key makes top-n associative, so ANY split
+      // must reproduce the one-shot answer bit for bit
+      val partials = shuffled.grouped(
+          math.max(1, shuffled.size / nBatches)).toSeq
+        .map(chunk => graft.ops.Sampling
+          .prioritySamplePerGroup(df(chunk), "id", "g", "w", n = 7)
+          .drop("rank"))
+      val merged = graft.ops.Sampling.reservoirMerge(
+          partials.reduce(_.unionByName(_)), "id", "g", n = 7)
+        .collect().map(_.toSeq).toSet
+      assert(merged === truth, s"reservoir merge drifted under seed $seed")
+    }
+  }
+
+  test("updateClusters equals the full recompute under random edge waves") {
+    val rnd = new scala.util.Random(43)
+    // random sparse graph over 120 nodes plus a 40-edge path — the path is
+    // the adversarial case: consecutive edges land in different waves, so
+    // late waves must repeatedly merge standing components
+    val edges = ((1 to 150).map(_ =>
+        (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      ++ (0 until 40).map(i => (200L + i, 201L + i)))
+      .filter(e => e._1 != e._2)
+    def df(es: Seq[(Long, Long)]) = es.toDF("a_id", "b_id")
+    val full = Dedup.connectedComponents(df(edges)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (seed <- 1 to 3) {
+      val r2 = new scala.util.Random(seed)
+      val (w1, rest) = r2.shuffle(edges).splitAt(edges.size / 3)
+      val (w2, w3) = rest.splitAt(rest.size / 2)
+      val l3 = Dedup.updateClusters(
+          Dedup.updateClusters(Dedup.connectedComponents(df(w1)), df(w2)),
+          df(w3)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(l3 === full, s"incremental labels drifted under seed $seed")
+    }
+  }
+
   test("overlap cards: estimate is exact whenever the pair union fits in k") {
     val rnd = new scala.util.Random(3)
     val rows = for {
