@@ -5,7 +5,9 @@ import graft.Queries.QueryDef
 
 /** Round-10 widening: the drift family's remaining monitor lanes —
   * streaming KS partials and PERSISTED per-group references (q197/q205
-  * previously rescanned every reference slice on every tick).
+  * previously rescanned every reference slice on every tick) — plus
+  * planning-time file skipping (q212) and perceptual media near-dup
+  * (q213).
   */
 object QueriesRound10 {
 
@@ -252,5 +254,102 @@ object QueriesRound10 {
       .orderBy("doc_id")
   }, QueriesScale.q51.oracle)
 
-  val all: Seq[QueryDef] = Seq(q206, q207, q208, q209, q210, q211)
+  /** PLANNING-TIME FILE SKIPPING ([[graft.core.io.Skipping]]): lineitem
+    * range-clusters on `l_orderkey` ([[graft.ops.Layout.rangeSortedWrite]]),
+    * a one-pass min/max manifest profiles the files, and the scan reads
+    * only files the (orderkey, shipdate) conjunction cannot rule out —
+    * the Delta-style pruning plain parquet lacks (footer pushdown still
+    * opens every file at plan time; at ~1M files the listing/footer
+    * round-trips dominate a selective query). The query requires that
+    * pruning actually dropped files, so a silently-degraded manifest
+    * fails loudly rather than passing on the conservative fallback; the
+    * oracle is the plain row-level filter — pruning must be invisible in
+    * the result.
+    */
+  val q212 = QueryDef("q212_pruned_scan", (spark, dir) => {
+    import graft.core.io.Skipping
+    val out = graft.Queries.tmpDir("graft_q212")
+    val li = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_shipdate")
+    graft.ops.Layout.rangeSortedWrite(li, col("l_orderkey"),
+      s"$out/data", numFiles = 12)
+    Skipping.writeStatsManifest(spark, s"$out/data",
+      Seq("l_orderkey", "l_shipdate"), s"$out/manifest")
+    val ranges = Seq(
+      Skipping.ColumnRange("l_orderkey", Some(1000L), Some(2999L)),
+      Skipping.ColumnRange("l_shipdate", None, Some("1996-12-31")))
+    val pruned = Skipping.pruneFiles(spark, s"$out/data", s"$out/manifest",
+      ranges)
+    require(pruned.readFiles < pruned.manifestFiles,
+      s"range-clustered layout must prune: read ${pruned.readFiles} of " +
+        s"${pruned.manifestFiles}")
+    Skipping.read(spark, s"$out/data", s"$out/manifest", ranges)
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
+  }, Some(
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  round(sum(l_extendedprice), 2) AS sum_price,
+      |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+      |FROM lineitem
+      |WHERE l_orderkey BETWEEN 1000 AND 2999
+      |  AND l_shipdate <= DATE '1996-12-31'""".stripMargin))
+
+  /** MEDIA NEAR-DUP ([[graft.ops.Multimodal.aHash]] →
+    * [[graft.ops.Dedup.simhashPairsFrom]]): the LAION-style image-dedup
+    * chain over opaque payloads — perceptual average-hash fingerprints,
+    * 4-band hamming blocking, distance ≤ 3 pairs. The corpus is every
+    * document's byte payload plus a perturbed clone of every 10th (two
+    * appended bytes — the "re-encoded copy" shape). Unlike q28's
+    * engine-native xxhash64 SimHash, aHash is integer-exact
+    * (cross-multiplied block sums), so the oracle replays the ENTIRE
+    * chain from `hex(payload)` — fingerprint bits included, not just the
+    * pairing — and the banding's recall contract is verified against a
+    * full O(n²) DuckDB join.
+    */
+  val q213 = QueryDef("q213_media_neardup", (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    val base = docs.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"))
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        encode(concat(col("text"), lit(" .")), "UTF-8").as("payload"))
+    val media = base.unionByName(delta).filter(length(col("payload")) > 0)
+    val fp = graft.ops.Multimodal.aHash(media, "doc_id", "payload")
+    graft.ops.Dedup.simhashPairsFrom(fp.select("doc_id", "simhash"),
+        maxDist = 3)
+      .orderBy("a_id", "b_id")
+  }, Some(
+    """WITH media AS (
+      |  SELECT doc_id, encode(text) AS b FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, encode(text || ' .')
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |h AS (SELECT doc_id, hex(b) AS hx, octet_length(b) AS n FROM media
+      |      WHERE octet_length(b) > 0),
+      |byte AS (
+      |  SELECT doc_id, n, i, CAST('0x' || substr(hx, 2 * i + 1, 2) AS INT) AS v
+      |  FROM (SELECT doc_id, hx, n, unnest(generate_series(0, n - 1)) AS i
+      |        FROM h)),
+      |blk AS (SELECT doc_id, n,
+      |          CAST(floor(i / CAST(ceil(n / 63.0) AS INT)) AS INT) AS j, v
+      |        FROM byte),
+      |tot AS (SELECT doc_id, n, CAST(sum(v) AS BIGINT) AS s_all
+      |        FROM blk GROUP BY 1, 2),
+      |bsum AS (SELECT doc_id, j, CAST(sum(v) AS BIGINT) AS s_j,
+      |           CAST(count(*) AS BIGINT) AS c_j
+      |         FROM blk GROUP BY 1, 2),
+      |fp AS (SELECT b.doc_id,
+      |         CAST(COALESCE(sum(CASE WHEN b.s_j * t.n > t.s_all * b.c_j
+      |           THEN (1::BIGINT << b.j) ELSE 0 END), 0) AS BIGINT) AS simhash
+      |       FROM bsum b JOIN tot t ON t.doc_id = b.doc_id
+      |       GROUP BY b.doc_id),
+      |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
+      |          FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+      |SELECT a_id, b_id, dist FROM pairs WHERE dist <= 3
+      |ORDER BY a_id, b_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q206, q207, q208, q209, q210, q211, q212,
+    q213)
 }

@@ -107,6 +107,73 @@ object Multimodal {
     * Output: `(idCol, n_bytes, features)`. Blocks past the end of a short
     * payload are 0. No shuffle — one narrow pass, like a real decoder.
     */
+  /** Perceptual average-hash over the payload's byte blocks — media
+    * near-dup's fingerprint (the aHash of image dedup, on the byte-block
+    * stand-in "image" [[extractFeatures]] documents): bit `j` is set iff
+    * block `j`'s mean byte value exceeds the whole payload's mean.
+    * Downstream, [[Dedup.simhashPairsFrom]] bands the fingerprints into
+    * hamming-distance pairs — the LAION-style image-dedup chain with the
+    * decode step swapped for the container's deterministic featurizer.
+    *
+    * ENGINE-EXACT by construction, unlike the xxhash64 text SimHash: the
+    * bit test cross-multiplies integers (`blockSum * n > totalSum *
+    * blockCount` — no division, no doubles), so a SQL oracle replays the
+    * full fingerprint from `hex(payload)` bit-for-bit. `blocks` is
+    * capped at 63 to keep the packed hash non-negative (bit 63 stays 0;
+    * band 3 of the 4-way blocking just carries a constant bit).
+    *
+    * Partition-local like every decode-seam op: one narrow pass, no
+    * shuffle. Blocks past a short payload's end hash to 0 on both
+    * engines (no bytes → no row in the oracle's block aggregation, and
+    * `0 > 0` is false here).
+    *
+    * Output: `(idCol, n_bytes, simhash)`.
+    */
+  def aHash(docs: DataFrame, idCol: String, payloadCol: String,
+            blocks: Int = 63): DataFrame = {
+    require(blocks >= 1 && blocks <= 63,
+      s"blocks must be in [1, 63] (bit 63 keeps the hash non-negative): $blocks")
+    val idType = docs.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"aHash needs an integral id column; '$idCol' is ${idType.typeName}")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol))
+      .filter(col(idCol).isNotNull && col(payloadCol).isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = bytes.length
+          val blk = math.max(1, (n + blocks - 1) / blocks)
+          var total = 0L
+          var i = 0
+          while (i < n) { total += bytes(i) & 0xff; i += 1 }
+          // blockSum * n stays in Long up to n ~ 190M bytes (255 * n^2
+          // < 2^63); larger payloads cross-multiply in BigInt
+          val exact = n <= 190000000
+          var hash = 0L
+          var j = 0
+          while (j < blocks) {
+            val from = j * blk
+            val until = math.min(n, from + blk)
+            if (from < until) {
+              var s = 0L
+              var k = from
+              while (k < until) { s += bytes(k) & 0xff; k += 1 }
+              val c = until - from
+              val bit =
+                if (exact) s * n > total * c
+                else BigInt(s) * n > BigInt(total) * c
+              if (bit) hash |= 1L << j
+            }
+            j += 1
+          }
+          (id, n.toLong, hash)
+        }
+      }
+      .toDF(idCol, "n_bytes", "simhash")
+  }
+
   def extractFeatures(docs: DataFrame, idCol: String, payloadCol: String,
                       dim: Int = 16): DataFrame = {
     require(dim > 0, "feature dim must be positive")

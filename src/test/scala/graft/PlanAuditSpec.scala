@@ -91,7 +91,13 @@ class PlanAuditSpec extends SparkSpec {
     "q188_psi_categorical", "q189_ks_drift", "q191_hybrid_rrf",
     "q192_heavy_hitters_per_group", "q193_truncated_dim_recall",
     "q194_media_meta", "q195_balanced_downsample", "q196_embedding_drift",
-    "q197_psi_by_group", "q201_token_dedup_pairs", "q205_ks_by_group")
+    "q197_psi_by_group", "q201_token_dedup_pairs", "q205_ks_by_group",
+    // round-10 batch additions: q211's fold-in runs the audited CC
+    // machinery over labels-as-star-edges; q212 executes its layout
+    // write + manifest at build time (the side-table convention) and
+    // audits the PRUNED scan's aggregate; q213 is the banded simhash
+    // pairing over aHash fingerprints (q28's audited join shape)
+    "q211_incremental_clusters", "q212_pruned_scan", "q213_media_neardup")
     // round-9: q198/q199/q200 are catalog/path side-effect queries
     // (the q147/q190 family) — their plan shapes (bucket pruning,
     // partition pruning, zero-rewrite vacuums, reference-free monitor

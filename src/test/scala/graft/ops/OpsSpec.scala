@@ -643,6 +643,30 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getString(0) === "jpeg") // SOF2 (progressive) counts too
     assert(out.getInt(1) === 512 && out.getInt(2) === 256)
   }
+
+  test("aHash: integer-exact bits, hand-checked pattern, clone stability") {
+    // blocks=4 on an 8-byte payload: block sums (0+0, 255+255, 0+0,
+    // 255+255), total mean 127.5 — bits 1 and 3 set, hash = 0b1010
+    val hi = 0xff.toByte; val lo = 0x00.toByte
+    val payload = Array(lo, lo, hi, hi, lo, lo, hi, hi)
+    val one = Multimodal.aHash(Seq((1L, payload)).toDF("doc_id", "payload"),
+      "doc_id", "payload", blocks = 4).select("simhash").head().getLong(0)
+    assert(one === 10L)
+    // a re-encoded copy (tiny byte perturbation) stays within hamming 3
+    // of the original at 63 blocks — the property q213 pairs on
+    val text = ("the quick brown fox jumps over the lazy dog " * 6).trim
+    val a = text.getBytes("UTF-8")
+    val b = (text + " .").getBytes("UTF-8")
+    val fp = Multimodal.aHash(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "payload"), "doc_id", "payload")
+      .orderBy("doc_id").collect().map(_.getLong(2))
+    assert(java.lang.Long.bitCount(fp(0) ^ fp(1)) <= 3)
+    // empty payload: no block has bytes, hash 0, n_bytes 0
+    val z = Multimodal.aHash(
+      Seq((3L, Array.empty[Byte])).toDF("doc_id", "payload"),
+      "doc_id", "payload").head()
+    assert(z.getLong(1) === 0L && z.getLong(2) === 0L)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
