@@ -323,6 +323,87 @@ object BenchStress {
           .filter(col("decision") =!= "non_match").count()
       }
     }
+
+    // planning-time skipping under corpus growth: a range-clustered
+    // layout with files HELD at ~constant row size (file count scales
+    // with the corpus — the 100 TB shape), the same FIXED l_orderkey
+    // range at both scales. Claims: the pruned read tracks the MATCHED
+    // files (flat across corpus growth) while the plain filter scan
+    // tracks the corpus; the manifest append tick tracks the new file,
+    // not the listing.
+    {
+      val li = Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_shipdate")
+        .localCheckpoint()
+      val liN = li.count()
+      val skipRoot = java.nio.file.Files
+        .createTempDirectory("graft_skipstress").toString
+      val hi = li.agg(max("l_orderkey")).head().getLong(0)
+      val range = Seq(graft.core.io.Skipping.ColumnRange("l_orderkey",
+        Some(hi / 20), Some(hi / 10))) // a fixed ~5% orderkey slice
+      for ((label, k) <- Seq("1x" -> 1, s"${copies}x" -> copies)) {
+        val data = s"$skipRoot/data$k"
+        val mf = s"$skipRoot/mf$k"
+        val corpus = (0 until k).map(i => li.select(
+            (col("l_orderkey") + lit(i.toLong * 10000000L)).as("l_orderkey"),
+            col("l_extendedprice"), col("l_shipdate")))
+          .reduce(_.unionByName(_))
+        graft.ops.Layout.rangeSortedWrite(corpus, col("l_orderkey"),
+          data, numFiles = 16 * k)
+        println(s"skipping ($label): ${liN * k} rows, ${16 * k} files")
+        time(s"stats manifest build ($label)") {
+          graft.core.io.Skipping.writeStatsManifest(spark, data,
+            Seq("l_orderkey", "l_shipdate"), mf)
+        }
+        time(s"full filter scan ($label)") {
+          spark.read.parquet(data)
+            .filter(col("l_orderkey").between(hi / 20, hi / 10))
+            .agg(count(lit(1))).head().getLong(0)
+        }
+        time(s"pruned read ($label)") {
+          graft.core.io.Skipping.read(spark, data, mf, range)
+            .agg(count(lit(1))).head().getLong(0)
+        }
+        li.limit(1000).coalesce(1).write.mode("append").parquet(data)
+        time(s"manifest append tick ($label)") {
+          graft.core.io.Skipping.appendStatsManifest(spark, data, mf)
+            .profiledFiles.toLong
+        }
+      }
+    }
+
+    // incremental cluster maintenance vs full recompute: a chain-heavy
+    // synthetic graph at 1x and `copies`x edges. The fold-in contracts
+    // standing labels to star edges, so its input is |nodes| + |delta|
+    // regardless of how many edges history holds — the full recompute
+    // re-reads every edge ever seen and pays CC's multi-round
+    // contraction over them.
+    {
+      def edgesOf(m: Long) = spark.range(m).select(
+          (col("id") * 13L % (m / 2)).as("a_id"),
+          (col("id") * 13L % (m / 2) + (col("id") % 7L) + 1L).as("b_id"))
+        .filter(col("a_id") =!= col("b_id")).distinct().localCheckpoint()
+      val deltaEdges = spark.range(10000).select(
+          (col("id") * 977L % 100000L).as("a_id"),
+          (col("id") * 977L % 100000L + 100L).as("b_id")).distinct()
+        .localCheckpoint()
+      println(s"cluster maintenance delta: ${deltaEdges.count()} edges")
+      for ((label, k) <- Seq("1x" -> 1, s"${copies}x" -> copies)) {
+        val eg2 = edgesOf(200000L * k)
+        println(s"cluster maintenance ($label): ${eg2.count()} standing edges")
+        var labels: org.apache.spark.sql.DataFrame = null
+        time(s"full CC ($label)") {
+          labels = Dedup.connectedComponents(eg2).localCheckpoint()
+          labels.count()
+        }
+        time(s"fold-in delta ($label)") {
+          Dedup.updateClusters(labels, deltaEdges).count()
+        }
+        time(s"full CC + delta ($label)") {
+          Dedup.connectedComponents(eg2.unionByName(deltaEdges)).count()
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -88,6 +88,75 @@ object Skipping {
     }.collect { case (c, Some(fam)) => c -> fam }
     require(profiled.nonEmpty,
       s"none of ${cols.mkString(",")} has a skippable type")
+    profileFiles(df, profiled)
+      .coalesce(1).write.mode("overwrite").parquet(manifestDir)
+    spark.read.parquet(manifestDir).select("file").distinct().count()
+  }
+
+  final case class ManifestDelta(profiledFiles: Int, droppedFiles: Int,
+                                 totalFiles: Long)
+
+  /** Refresh an existing manifest against the directory's CURRENT file
+    * set by profiling ONLY the files the manifest has never seen and
+    * dropping rows for files that vanished (compaction / GDPR rewrite).
+    * This is the steady-state maintenance path: [[writeStatsManifest]]
+    * rescans the whole directory (corpus-linear — the build cost), an
+    * append tick costs ~the new files. Profiled columns and families
+    * are inherited from the manifest itself, so build and append can
+    * never diverge on what is indexed.
+    *
+    * The combined manifest lands via a staged-directory swap. A crash
+    * between delete and rename leaves the manifest MISSING (reads fail
+    * loud, never stale-wrong); the manifest is a derived artifact — the
+    * heal is a [[writeStatsManifest]] rebuild. A reader racing the swap
+    * sees either generation; both are conservative (a file absent from
+    * whichever generation it reads is scanned, not skipped).
+    */
+  def appendStatsManifest(spark: SparkSession, dataDir: String,
+                          manifestDir: String): ManifestDelta = {
+    val onDisk = listParquet(spark, dataDir)
+    val diskKeys = onDisk.map(pathKey).toSet
+    val manifest = spark.read.parquet(manifestDir)
+    val profiled = manifest.select("column", "family").distinct()
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSeq.sortBy(_._1)
+    val oldKeys = manifest.select("file").distinct()
+      .collect().map(r => pathKey(r.getString(0))).toSet
+    val newFiles = onDisk.filterNot(f => oldKeys.contains(pathKey(f)))
+    val dropped = (oldKeys -- diskKeys).size
+    if (newFiles.isEmpty && dropped == 0)
+      return ManifestDelta(0, 0, oldKeys.size.toLong)
+    // scheme-normalize in-plan so kept-row matching never collects the
+    // (files × columns) manifest to the driver
+    import spark.implicits._
+    val keyCol = regexp_replace(col("file"),
+      lit("^[a-zA-Z][a-zA-Z0-9+.-]*:/+"), lit("/"))
+    // no broadcast hint: AQE broadcasts the key list while it is small
+    // and degrades to a shuffle semi-join at listing scale
+    val keep = manifest.join(
+      diskKeys.toSeq.toDF("_k"), keyCol === col("_k"), "left_semi")
+    val fresh =
+      if (newFiles.isEmpty) keep.limit(0)
+      else profileFiles(spark.read
+        .schema(spark.read.parquet(dataDir).schema)
+        .parquet(newFiles: _*), profiled)
+    val staged = manifestDir.stripSuffix("/") + "_staged"
+    keep.unionByName(fresh).coalesce(1)
+      .write.mode("overwrite").parquet(staged)
+    val fs = new Path(manifestDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(manifestDir), true)
+    require(fs.rename(new Path(staged), new Path(manifestDir)),
+      s"manifest swap failed: $staged -> $manifestDir")
+    ManifestDelta(newFiles.size, dropped,
+      spark.read.parquet(manifestDir).select("file").distinct().count())
+  }
+
+  /** Shared profiling core: per-file aggregation (ONE scan regardless of
+    * column count) + in-plan unpivot to the manifest's
+    * (file, column, family, typed min/max) rows.
+    */
+  private def profileFiles(df: DataFrame,
+                           profiled: Seq[(String, String)]): DataFrame = {
     val aggs = profiled.flatMap { case (c, fam) =>
       val v = fam match {
         case "long" => col(c).cast("long")
@@ -102,7 +171,6 @@ object Skipping {
       .withColumn("_file", input_file_name())
       .groupBy("_file")
       .agg(allAggs.head, allAggs.tail: _*)
-    // in-plan unpivot to (file, column, family, typed min/max) rows
     val rows = profiled.map { case (c, fam) =>
       def slot(f: String, v: Column) =
         if (fam == f) v else lit(null).cast(if (f == "long") "long"
@@ -116,12 +184,10 @@ object Skipping {
         slot("str", col(s"_min_$c")).as("min_str"),
         slot("str", col(s"_max_$c")).as("max_str"))
     }
-    val manifest = perFile.select(col("_file").as("file"),
+    perFile.select(col("_file").as("file"),
         col("_rows").cast("long").as("n_rows"),
         explode(array(rows: _*)).as("s"))
       .select(col("file"), col("n_rows"), col("s.*"))
-    manifest.coalesce(1).write.mode("overwrite").parquet(manifestDir)
-    spark.read.parquet(manifestDir).select("file").distinct().count()
   }
 
   /** The file set a conjunction of ranges cannot rule out. Overlap runs

@@ -126,6 +126,46 @@ class CompactIncrementsJob extends EtlJob {
   }
 }
 
+/** Skipping-manifest maintenance ([[graft.core.io.Skipping]]): the
+  * first run builds the per-file min/max stats manifest, every later
+  * cadence tick delta-refreshes it — only files the manifest has never
+  * seen are profiled, vanished files' rows drop, profiled columns are
+  * inherited from the manifest. Schedule beside
+  * [[CompactIncrementsJob]] / the GDPR compacts so their rewrites
+  * re-profile on the next tick (between ticks the rewritten files read
+  * conservatively — correct, just unpruned). Params: `path` (required
+  * — the parquet dir), `manifest` (default `<path>_manifest`), `cols`
+  * (comma-separated; consulted only for the first build). Output: a
+  * one-row audit `(profiled_files, dropped_files, total_files)` — run
+  * with `--no_save` when only the side effect matters.
+  */
+class StatsManifestJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    import graft.core.io.Skipping
+    val path = params.getOrElse("path",
+      sys.error("StatsManifestJob needs a 'path' param"))
+    val manifestDir = params.getOrElse("manifest",
+      path.stripSuffix("/") + "_manifest")
+    val fs = new org.apache.hadoop.fs.Path(manifestDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (profiledN, droppedN, totalN) =
+      if (fs.exists(new org.apache.hadoop.fs.Path(manifestDir))) {
+        val d = Skipping.appendStatsManifest(spark, path, manifestDir)
+        (d.profiledFiles.toLong, d.droppedFiles.toLong, d.totalFiles)
+      } else {
+        val cols = params.getOrElse("cols", sys.error(
+            "StatsManifestJob needs a 'cols' param for the first build"))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val n = Skipping.writeStatsManifest(spark, path, cols, manifestDir)
+        (n, 0L, n)
+      }
+    import spark.implicits._
+    Seq((profiledN, droppedN, totalN))
+      .toDF("profiled_files", "dropped_files", "total_files")
+  }
+}
+
 /** Per-group exact heavy hitters ([[Sketches.heavyHittersPerGroup]]).
   * Params: `group_col` (required), `value_col` (required, or
   * `text_col` to token-explode), `phi` (default 0.01).

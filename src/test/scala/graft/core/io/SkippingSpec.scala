@@ -120,6 +120,49 @@ class SkippingSpec extends SparkSpec {
     assert(got.columns.toSeq === Seq("id", "v", "s", "d"))
   }
 
+  test("appendStatsManifest profiles only new files, drops vanished ones") {
+    val (data, mf) = freshDirs()
+    Layout.rangeSortedWrite(corpus().filter(col("id") < 500), col("id"),
+      data, numFiles = 5, tiebreak = Seq(col("id")))
+    Skipping.writeStatsManifest(spark, data, Seq("id", "s"), mf)
+    // append two new range-clustered files
+    Layout.rangeSortedWrite(corpus().filter(col("id") >= 500), col("id"),
+      s"${data}_late", numFiles = 2, tiebreak = Seq(col("id")))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val late = fs.listStatus(new org.apache.hadoop.fs.Path(s"${data}_late"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    late.zipWithIndex.foreach { case (st, i) =>
+      fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(s"$data/late-$i.parquet"))
+    }
+    val d1 = Skipping.appendStatsManifest(spark, data, mf)
+    assert(d1.profiledFiles === 2 && d1.droppedFiles === 0 &&
+      d1.totalFiles === 7)
+    // the freshly profiled files now PRUNE (not just conservative-read):
+    val p = Skipping.pruneFiles(spark, data, mf,
+      Seq(ColumnRange("id", Some(900L), None)))
+    assert(p.unlistedFiles === 0)
+    assert(p.readFiles === 1, "only the upper late file overlaps")
+    val got = Skipping.read(spark, data, mf,
+      Seq(ColumnRange("id", Some(900L), None)))
+    assert(got.count() === 100)
+    // inherited column set: string ranges keep working on appended files
+    assert(Skipping.read(spark, data, mf,
+      Seq(ColumnRange("s", Some("k0990"), None))).count() === 10)
+    // idempotent when nothing changed
+    val d2 = Skipping.appendStatsManifest(spark, data, mf)
+    assert(d2.profiledFiles === 0 && d2.droppedFiles === 0)
+    // vanished files drop from the manifest on the next tick
+    fs.delete(new org.apache.hadoop.fs.Path(s"$data/late-0.parquet"), false)
+    val d3 = Skipping.appendStatsManifest(spark, data, mf)
+    assert(d3.profiledFiles === 0 && d3.droppedFiles === 1 &&
+      d3.totalFiles === 6)
+    assert(Skipping.read(spark, data, mf,
+      Seq(ColumnRange("id", Some(0L), None))).count() ===
+      spark.read.parquet(data).count())
+  }
+
   test("manifest survives compaction: rewritten files read as unlisted") {
     val (data, mf) = freshDirs()
     Layout.rangeSortedWrite(corpus(), col("id"), data, numFiles = 8,

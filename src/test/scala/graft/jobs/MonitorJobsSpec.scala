@@ -90,6 +90,36 @@ class MonitorJobsSpec extends SparkSpec {
     assert(files(0) === 1 && files(2) === 3)
   }
 
+  test("StatsManifestJob builds on first run, delta-refreshes after") {
+    import graft.core.io.Skipping
+    import graft.core.io.Skipping.ColumnRange
+    val path = loaded.jobs("skip_manifest").params("path")
+    val mf = path.stripSuffix("/") + "_manifest"
+    val li = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+        "lineitem").select("l_orderkey", "l_extendedprice", "l_shipdate")
+    graft.ops.Layout.rangeSortedWrite(li, col("l_orderkey"), path,
+      numFiles = 6)
+    val first = Flow.runPipeline(spark, loaded.jobs, "skip_manifest",
+      save = false)("skip_manifest").head()
+    assert(first.getLong(0) === 6L && first.getLong(2) === 6L)
+    // the job-built manifest prunes
+    val hi = li.agg(max("l_orderkey")).head().getLong(0)
+    val p = Skipping.pruneFiles(spark, path, mf,
+      Seq(ColumnRange("l_orderkey", Some(hi), None)))
+    assert(p.readFiles < p.manifestFiles)
+    // append a file out-of-band; the next tick profiles ONLY it, and
+    // the inherited column set still covers l_shipdate
+    li.limit(10).coalesce(1).write.mode("append").parquet(path)
+    val second = Flow.runPipeline(spark, loaded.jobs, "skip_manifest",
+      save = false)("skip_manifest").head()
+    assert(second.getLong(0) === 1L && second.getLong(1) === 0L &&
+      second.getLong(2) === 7L)
+    val got = Skipping.read(spark, path, mf,
+      Seq(ColumnRange("l_shipdate", None, Some("1995-12-31"))))
+    assert(got.count() === spark.read.parquet(path)
+      .filter(col("l_shipdate") <= "1995-12-31").count())
+  }
+
   test("per-source hot tokens and hybrid search agree with the ops") {
     val hh = Flow.runPipeline(spark, loaded.jobs, "source_hot_tokens",
       save = false)("source_hot_tokens")

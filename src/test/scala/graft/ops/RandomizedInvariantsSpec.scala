@@ -326,6 +326,48 @@ class RandomizedInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("pruned reads equal the full filter for random layouts and ranges") {
+    import graft.core.io.Skipping
+    import graft.core.io.Skipping.ColumnRange
+    val rnd = new scala.util.Random(44)
+    for (round <- 1 to 3) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_skipinv$round").toString
+      val n = 300 + rnd.nextInt(400)
+      // values deliberately include negatives, duplicates and a null
+      // stripe; layout is whatever repartition(k) hashes out — file
+      // stats overlap arbitrarily, unlike the clustered happy path
+      val rows = (1 to n).map(i => (i.toLong,
+        if (i % 17 == 0) None else Some(rnd.nextInt(2000).toLong - 1000),
+        f"s${rnd.nextInt(1000)}%04d"))
+      rows.toDF("id", "v", "s")
+        .repartition(2 + rnd.nextInt(5))
+        .write.parquet(s"$root/data")
+      Skipping.writeStatsManifest(spark, s"$root/data", Seq("v", "s"),
+        s"$root/mf")
+      for (_ <- 1 to 4) {
+        val lo = rnd.nextInt(2400).toLong - 1200
+        val hi = lo + rnd.nextInt(800)
+        val sLo = f"s${rnd.nextInt(1000)}%04d"
+        val ranges = rnd.nextInt(3) match {
+          case 0 => Seq(ColumnRange("v", Some(lo), Some(hi)))
+          case 1 => Seq(ColumnRange("s", Some(sLo), None))
+          case _ => Seq(ColumnRange("v", Some(lo), Some(hi)),
+            ColumnRange("s", None, Some(sLo)))
+        }
+        val got = Skipping.read(spark, s"$root/data", s"$root/mf", ranges)
+        val want = ranges.map { r =>
+          val c = col(r.column)
+          (r.lower.map(x => c >= lit(x)) ++ r.upper.map(x => c <= lit(x)))
+            .reduce(_ && _)
+        }.reduce(_ && _)
+        val full = spark.read.parquet(s"$root/data").filter(want)
+        assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty,
+          s"round $round ranges $ranges")
+      }
+    }
+  }
+
   test("overlap cards: estimate is exact whenever the pair union fits in k") {
     val rnd = new scala.util.Random(3)
     val rows = for {
