@@ -95,12 +95,21 @@ object Maintenance {
         case n if n.startsWith("inc_") => (1, 0L, n)
         case n => (2, st.getModificationTime, n)
       }
+    // keepLatest applies PER KIND: batch ids and inc_ timestamps have no
+    // shared scale, so in a sink that ever mixes kinds (or gains one
+    // stray dir, which sorts last) a single global dropRight would let
+    // the stray displace the live batch tail from the keep set and
+    // re-open the replay/compaction resurrection race. Protecting the
+    // newest keepLatest of EACH kind present is strictly more
+    // conservative — a homogeneous sink behaves exactly as before.
     val subdirs = fs.listStatus(rootPath)
       .filter(st => st.isDirectory &&
         !st.getPath.getName.startsWith(".") &&
         !st.getPath.getName.startsWith("_"))
+      .groupBy(st => logicalKey(st)._1)
+      .values.toSeq
+      .flatMap(_.sortBy(logicalKey).dropRight(keepLatest))
       .sortBy(logicalKey)
-      .dropRight(keepLatest)
     var dirs = 0; var before = 0; var after = 0
     subdirs.foreach { st =>
       val n = fs.listStatus(st.getPath)

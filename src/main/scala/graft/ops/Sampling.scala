@@ -125,7 +125,16 @@ object Sampling {
     */
   def reservoirMerge(partials: DataFrame, idCol: String, groupCol: String,
                      n: Int): DataFrame = {
-    val byId = Window.partitionBy(col(idCol)).orderBy(col("key_micro").desc)
+    // Per-id collapse must be DETERMINISTIC even when the same id shows
+    // up in different batches with an equal key_micro but a changed
+    // payload (re-weighted to the same key, or an attribute edit):
+    // tie-break on a stable hash of every non-key column so each run —
+    // and the batch-replay twin — picks the same winner.
+    val payload = partials.columns.toSeq
+      .filterNot(c => c == idCol || c == "key_micro").sorted.map(col)
+    val byId = Window.partitionBy(col(idCol))
+      .orderBy((col("key_micro").desc +:
+        (if (payload.isEmpty) Nil else Seq(xxhash64(payload: _*).asc))): _*)
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("key_micro").desc, col(idCol))
     partials

@@ -302,6 +302,27 @@ class RandomizedInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("reservoir merge picks a deterministic winner when the same id " +
+      "ties on key_micro with a changed payload") {
+    // same id, same (id, w) → identical E-S key, but a non-key attribute
+    // changed between batches: the per-id collapse must resolve the tie
+    // identically on every run and under any input order
+    val a = Seq((1L, "gA", 10L), (2L, "gA", 3L)).toDF("id", "g", "w")
+      .withColumn("key_micro",
+        graft.ops.Sampling.esKeyMicro("id", "w", "es"))
+    val b = Seq((1L, "gB", 10L), (3L, "gA", 4L)).toDF("id", "g", "w")
+      .withColumn("key_micro",
+        graft.ops.Sampling.esKeyMicro("id", "w", "es"))
+    def run(parts: Seq[org.apache.spark.sql.DataFrame]) =
+      graft.ops.Sampling.reservoirMerge(
+          parts.reduce(_.unionByName(_)).repartition(7), "id", "g", n = 5)
+        .collect().map(_.toSeq).toSet
+    val first = run(Seq(a, b))
+    assert(first.count(_.head == 1L) === 1, "one row per id survives")
+    for (_ <- 1 to 3) assert(run(Seq(b, a)) === first,
+      "equal-key merge must be order-independent and replay-stable")
+  }
+
   test("updateClusters equals the full recompute under random edge waves") {
     val rnd = new scala.util.Random(43)
     // random sparse graph over 120 nodes plus a 40-edge path — the path is
