@@ -65,8 +65,22 @@ object Runner {
         else if (j.sqlFile.isDefined) s"sql_file ${j.sqlFile.get}"
         else j.className.map(c => s"class $c").getOrElse("copy")
       val ins = j.inputs.map { case (n, ds) =>
+        // a skip_manifest input surfaces its pruning setup: the manifest
+        // it will consult and each declared conjunct (the period window
+        // from inc_field joins at run time)
+        val skip = ds.skipManifest.map { mf =>
+          val rs = ds.skipRanges.map(r =>
+            if (r.values.nonEmpty)
+              s"${r.column} IN (${r.values.map(p).mkString(",")})"
+            else s"${r.column} in [${r.lower.map(p).getOrElse("-inf")}, " +
+              s"${r.upper.map(p).getOrElse("+inf")}]").mkString(" AND ")
+          val inc = ds.incField.map(f =>
+            (if (rs.nonEmpty) " AND " else "") + s"$f in [period]").getOrElse("")
+          s" skip_manifest=${p(mf)}" +
+            (if (rs.nonEmpty || inc.nonEmpty) s" prune: $rs$inc" else "")
+        }.getOrElse("")
         if (ds.format == "df") s"$n=<in-memory>"
-        else s"$n=${p(ds.path)} (${ds.format})"
+        else s"$n=${p(ds.path)} (${ds.format})$skip"
       }.mkString(", ")
       val out = j.output.map(o => s" -> ${p(o.path)} (${o.format})").getOrElse("")
       Seq(f"${i + 1}%2d. $name [$kind] inputs: $ins$out")

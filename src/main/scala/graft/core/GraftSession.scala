@@ -24,6 +24,13 @@ object GraftSession {
     // Tables.load's TIMESTAMP_NTZ -> TIMESTAMP cast (and every oracle
     // comparison) is only value-preserving under a UTC session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // NOTE on parquet timestamps: the clustered-layout writers
+    // (graft.ops.Layout) write INT64 micros per-write (INT96 carries no
+    // usable min/max stats — it would blind row-group pushdown and the
+    // Skipping footer profiler). That stays PER-WRITE, not session-wide:
+    // downstream consumers (pandas/arrow correctness harnesses) read
+    // adjusted-to-UTC INT64 as tz-AWARE and choke comparing against
+    // tz-naive oracles, so general outputs keep the engine default.
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -18,8 +18,10 @@ object Reader {
 
   /** `period` (as a `[from, until)` day pair) reaches the JDBC source as a
     * database-side WHERE — only one period's rows cross the wire on an
-    * incremental pass. File formats ignore it (their period restriction
-    * is the pushdown-eligible [[graft.ops.Incremental.periodFilter]]).
+    * incremental pass; a parquet input with a `skip_manifest` turns the
+    * same pair into a planning-time FILE prune (see [[skipPredicates]]).
+    * Other file formats ignore it (their period restriction is the
+    * pushdown-eligible [[graft.ops.Incremental.periodFilter]]).
     */
   def read(spark: SparkSession, ds: DatasetSpec,
            period: Option[(String, String)] = None): DataFrame = {
@@ -28,6 +30,10 @@ object Reader {
       case "csv" =>
         spark.read.option("header", "true")
           .options(ds.readOptions).csv(path)
+      case "parquet" if ds.skipManifest.nonEmpty &&
+          skipPredicates(ds, period).nonEmpty =>
+        Skipping.read(spark, path, ds.skipManifest.get,
+          skipPredicates(ds, period), ds.readOptions)
       case "parquet" => spark.read.options(ds.readOptions).parquet(path)
       case "orc" => spark.read.options(ds.readOptions).orc(path)
       case "json" => spark.read.options(ds.readOptions).json(path)
@@ -65,6 +71,44 @@ object Reader {
         maxPages = ds.readOptions.get("maxPages").flatMap(_.toIntOption).getOrElse(1000))
       case other => sys.error(s"unsupported input format: $other")
     }
+  }
+
+  /** The pruning conjunction a `skip_manifest` input sends to
+    * [[Skipping.read]]: the declared `skip_ranges` plus — when the input
+    * is incremental and a period is being processed — the period's
+    * `[from, until]` window on `inc_field`, so each incremental pass
+    * plans a scan over ~one period's files instead of re-listing and
+    * re-opening the whole history (the manifest-level analog of the
+    * reference's `{{latest}}` path selection). The window is the
+    * conservative inclusive hull; [[graft.ops.Incremental.periodFilter]]
+    * still applies the exact row-level restriction downstream.
+    *
+    * YAML bounds are strings; they are typed here by parse — integer →
+    * BIGINT probe, decimal → DOUBLE, anything else STRING (dates ride
+    * the STRING family's ISO lexicographic order). A numeric-LOOKING
+    * bound on a string-profiled column therefore probes the wrong slot
+    * and degrades to no pruning — quote-proofing it is not expressible
+    * in YAML; profile such columns as strings or rename the bound.
+    */
+  private[graft] def skipPredicates(
+      ds: DatasetSpec,
+      period: Option[(String, String)]): Seq[Skipping.FilePredicate] = {
+    def typed(s: String): Any =
+      s.toLongOption.getOrElse(s.toDoubleOption.getOrElse(s))
+    val declared = ds.skipRanges.map { r =>
+      if (r.values.nonEmpty) {
+        require(r.lower.isEmpty && r.upper.isEmpty,
+          s"skip_ranges ${r.column}: values excludes lower/upper")
+        Skipping.ColumnIn(r.column, r.values.map(typed))
+      } else Skipping.ColumnRange(r.column,
+        r.lower.map(typed), r.upper.map(typed))
+    }
+    val periodRange = (ds.incField, period) match {
+      case (Some(f), Some((from, until))) =>
+        Seq(Skipping.ColumnRange(f, Some(from), Some(until)))
+      case _ => Nil
+    }
+    declared ++ periodRange
   }
 
   final case class Quarantined(good: DataFrame, bad: DataFrame)

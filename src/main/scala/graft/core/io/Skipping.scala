@@ -43,16 +43,31 @@ import org.apache.hadoop.fs.Path
   */
 object Skipping {
 
-  /** One pruning conjunct: `lower <= col <= upper`, bounds optional and
-    * inclusive. Values must match the column's stats family: Int/Long
-    * for integral columns, Double for floating, String for
-    * string/date-typed columns (dates in ISO `yyyy-MM-dd` form).
+  /** One pruning conjunct over a profiled column. Values must match the
+    * column's stats family: Int/Long for integral columns, Double for
+    * floating, String for string/date-typed columns (dates in ISO
+    * `yyyy-MM-dd` form).
     */
+  sealed trait FilePredicate { def column: String }
+
+  /** `lower <= col <= upper`, bounds optional and inclusive. */
   final case class ColumnRange(column: String,
                                lower: Option[Any] = None,
-                               upper: Option[Any] = None) {
+                               upper: Option[Any] = None)
+      extends FilePredicate {
     require(lower.nonEmpty || upper.nonEmpty,
       s"ColumnRange($column) needs at least one bound")
+  }
+
+  /** `col IN (values)` — the point-lookup / bucket-probe shape (a BM25
+    * term bucket list, a tenant-id set). A file is excluded when NO
+    * listed value can fall inside its [min, max]: on a range-clustered
+    * layout an IN-list reads ~one file per distinct value instead of
+    * the whole range hull between the smallest and largest probe.
+    */
+  final case class ColumnIn(column: String, values: Seq[Any])
+      extends FilePredicate {
+    require(values.nonEmpty, s"ColumnIn($column) needs at least one value")
   }
 
   final case class Pruned(keptFiles: Seq[String], manifestFiles: Int,
@@ -66,6 +81,15 @@ object Skipping {
     case _: DecimalType => "dbl"
     case StringType => "str"
     case DateType => "str" // ISO string: lexicographic == chronological
+    // Timestamps keep their own family even though they live in the str
+    // slots ("yyyy-MM-dd HH:mm:ss[.f]", trailing zeros trimmed, UTC
+    // session — lexicographic == chronological for trimmed fractions):
+    // a DATE-STRING bound ("1995-06-02") is a proper PREFIX of the
+    // midnight value's string ("1995-06-02 00:00:00"), so the plain
+    // `min > upper` exclusion would drop a file whose first row the
+    // row-level cast semantics KEEP. The ts family pads string bounds
+    // (see pruneFiles) to stay conservative under cast semantics.
+    case TimestampType | TimestampNTZType => "ts"
   }
 
   /** Profile `dataDir`'s parquet files into a manifest at `manifestDir`:
@@ -95,6 +119,206 @@ object Skipping {
 
   final case class ManifestDelta(profiledFiles: Int, droppedFiles: Int,
                                  totalFiles: Long)
+
+  /** [[writeStatsManifest]] from parquet FOOTERS instead of a data scan:
+    * the writer already ordered every row — re-reading 100 TB just to
+    * learn each file's min/max is the wrong steady state. Footers carry
+    * exact per-row-group min/max/null-count statistics, so the manifest
+    * build cost drops from corpus-linear to one ~KB metadata read per
+    * file, distributed over the cluster (a partition of file names per
+    * task). Produces BIT-IDENTICAL rows to the scan path for every
+    * supported shape (spec-pinned): integral ↔ BIGINT, float/double ↔
+    * DOUBLE (float widened exactly like `cast("double")`), decimal ↔
+    * DOUBLE via BigDecimal.doubleValue (the same conversion the cast
+    * performs), string ↔ parquet's unsigned-byte binary order (which IS
+    * Spark's UTF8String order), date ↔ ISO `LocalDate.toString`.
+    *
+    * Soundness under parquet's stats quirks: a chunk whose statistics
+    * were dropped (e.g. >4 KB binary bounds) or lack a null count makes
+    * the file's row conservative — `n_vals` falls back to the row count
+    * and min/max stay NULL, so comparisons are null → never excluded.
+    * Truncated binary stats (writers configured with a truncate length)
+    * remain valid bounds by parquet's contract (min truncates down, max
+    * up). Hive-partition columns live in directory names, not footers —
+    * profiling one here would claim all-null (an UNSOUND prune), so it
+    * throws; use [[emitManifest]], which falls back to the scan path.
+    */
+  def writeStatsManifestFromFooters(spark: SparkSession, dataDir: String,
+                                    cols: Seq[String],
+                                    manifestDir: String): Long = {
+    require(cols.nonEmpty, "profile at least one column")
+    val schema = spark.read.parquet(dataDir).schema
+    val profiled = cols.map { c =>
+      c -> statsFamilies.lift(schema(c).dataType)
+    }.collect { case (c, Some(fam)) => c -> fam }
+    require(profiled.nonEmpty,
+      s"none of ${cols.mkString(",")} has a skippable type")
+    val files = listParquet(spark, dataDir)
+    require(files.nonEmpty, s"no parquet files under $dataDir")
+    profiled.foreach { case (c, _) =>
+      if (files.exists(_.contains(s"/$c=")))
+        throw new UnsupportedOperationException(
+          s"column $c is a hive-partition column (directory-encoded): " +
+            "footers cannot profile it; use writeStatsManifest")
+    }
+    // ship the EXPLICIT hadoop conf entries (the Configuration object is
+    // not serializable); tasks rebuild it so object-store creds travel
+    val confEntries = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
+    val slices = math.min(files.size,
+      spark.sparkContext.defaultParallelism * 4).max(1)
+    val rows = spark.sparkContext
+      .parallelize(files, slices)
+      .flatMap { f => footerRows(f, profiled, confEntries) }
+    spark.createDataFrame(rows, manifestSchema)
+      .coalesce(1).write.mode("overwrite").parquet(manifestDir)
+    spark.read.parquet(manifestDir).select("file").distinct().count()
+  }
+
+  /** Write-time manifest emission seam for the layout writers: footers
+    * when every profiled column supports them, the data-scan path
+    * otherwise (hive-partition columns, exotic physical types).
+    */
+  def emitManifest(spark: SparkSession, dataDir: String, cols: Seq[String],
+                   manifestDir: String): Long =
+    try writeStatsManifestFromFooters(spark, dataDir, cols, manifestDir)
+    catch {
+      case _: UnsupportedOperationException =>
+        writeStatsManifest(spark, dataDir, cols, manifestDir)
+    }
+
+  private val manifestSchema = StructType(Seq(
+    StructField("file", StringType), StructField("n_rows", LongType),
+    StructField("column", StringType), StructField("family", StringType),
+    StructField("n_vals", LongType),
+    StructField("min_long", LongType), StructField("max_long", LongType),
+    StructField("min_dbl", DoubleType), StructField("max_dbl", DoubleType),
+    StructField("min_str", StringType), StructField("max_str", StringType)))
+
+  /** One file's footer → manifest rows. Runs inside a task. */
+  private def footerRows(file: String, profiled: Seq[(String, String)],
+                         confEntries: Map[String, String]): Seq[org.apache.spark.sql.Row] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import scala.jdk.CollectionConverters._
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks.asScala.toSeq
+      val nRows = blocks.map(_.getRowCount).sum
+      profiled.map { case (c, fam) =>
+        val chunks = blocks.flatMap(_.getColumns.asScala
+          .filter(_.getPath.toDotString == c))
+        var nVals = 0L
+        var usable = chunks.nonEmpty
+        var minL: Option[Long] = None; var maxL: Option[Long] = None
+        var minD: Option[Double] = None; var maxD: Option[Double] = None
+        var minS: Option[String] = None; var maxS: Option[String] = None
+        chunks.foreach { ch =>
+          val st = ch.getStatistics
+          val ok = st != null && st.isNumNullsSet &&
+            (st.hasNonNullValue || st.getNumNulls == ch.getValueCount)
+          if (!ok) usable = false
+          else {
+            nVals += ch.getValueCount - st.getNumNulls
+            if (st.hasNonNullValue) {
+              val prim = ch.getPrimitiveType
+              val ann = prim.getLogicalTypeAnnotation
+              def dec = ann.asInstanceOf[
+                LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+              (fam, prim.getPrimitiveTypeName) match {
+                case ("long", INT32) =>
+                  val lo = st.genericGetMin.asInstanceOf[Number].longValue
+                  val hi = st.genericGetMax.asInstanceOf[Number].longValue
+                  minL = Some(minL.fold(lo)(math.min(_, lo)))
+                  maxL = Some(maxL.fold(hi)(math.max(_, hi)))
+                case ("long", INT64) =>
+                  val lo = st.genericGetMin.asInstanceOf[Number].longValue
+                  val hi = st.genericGetMax.asInstanceOf[Number].longValue
+                  minL = Some(minL.fold(lo)(math.min(_, lo)))
+                  maxL = Some(maxL.fold(hi)(math.max(_, hi)))
+                case ("dbl", FLOAT | DOUBLE) =>
+                  val lo = st.genericGetMin.asInstanceOf[Number].doubleValue
+                  val hi = st.genericGetMax.asInstanceOf[Number].doubleValue
+                  minD = Some(minD.fold(lo)(math.min(_, lo)))
+                  maxD = Some(maxD.fold(hi)(math.max(_, hi)))
+                case ("dbl", INT32 | INT64) if ann.isInstanceOf[
+                    LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] =>
+                  def d(v: Any) = java.math.BigDecimal.valueOf(
+                    v.asInstanceOf[Number].longValue, dec.getScale).doubleValue
+                  val lo = d(st.genericGetMin); val hi = d(st.genericGetMax)
+                  minD = Some(minD.fold(lo)(math.min(_, lo)))
+                  maxD = Some(maxD.fold(hi)(math.max(_, hi)))
+                case ("dbl", FIXED_LEN_BYTE_ARRAY | BINARY) if ann.isInstanceOf[
+                    LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] =>
+                  def d(v: Any) = new java.math.BigDecimal(
+                    new java.math.BigInteger(v.asInstanceOf[
+                      org.apache.parquet.io.api.Binary].getBytes),
+                    dec.getScale).doubleValue
+                  val lo = d(st.genericGetMin); val hi = d(st.genericGetMax)
+                  minD = Some(minD.fold(lo)(math.min(_, lo)))
+                  maxD = Some(maxD.fold(hi)(math.max(_, hi)))
+                case ("str", BINARY) =>
+                  val lo = st.genericGetMin.asInstanceOf[
+                    org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                  val hi = st.genericGetMax.asInstanceOf[
+                    org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                  minS = Some(minS.fold(lo)(o => if (o <= lo) o else lo))
+                  maxS = Some(maxS.fold(hi)(o => if (o >= hi) o else hi))
+                case ("str", INT32) if ann.isInstanceOf[
+                    LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+                  def d(v: Any) = java.time.LocalDate
+                    .ofEpochDay(v.asInstanceOf[Number].longValue).toString
+                  val lo = d(st.genericGetMin); val hi = d(st.genericGetMax)
+                  minS = Some(minS.fold(lo)(o => if (o <= lo) o else lo))
+                  maxS = Some(maxS.fold(hi)(o => if (o >= hi) o else hi))
+                case ("ts", INT64) if ann.isInstanceOf[
+                    LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] =>
+                  // INT96 timestamps never reach here (no INT64 match):
+                  // they fall to the conservative arm below. Sessions
+                  // this engine tunes write TIMESTAMP_MICROS.
+                  val unit = ann.asInstanceOf[
+                    LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+                    .getUnit
+                  def d(v: Any) = {
+                    val raw = v.asInstanceOf[Number].longValue
+                    val us = unit match {
+                      case LogicalTypeAnnotation.TimeUnit.MICROS => raw
+                      case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+                      case LogicalTypeAnnotation.TimeUnit.NANOS =>
+                        Math.floorDiv(raw, 1000L)
+                    }
+                    microsToSparkString(us)
+                  }
+                  val lo = d(st.genericGetMin); val hi = d(st.genericGetMax)
+                  minS = Some(minS.fold(lo)(o => if (o <= lo) o else lo))
+                  maxS = Some(maxS.fold(hi)(o => if (o >= hi) o else hi))
+                case _ => usable = false // unknown physical shape
+              }
+            }
+          }
+        }
+        // unusable stats → conservative row: values "exist" (no all-null
+        // prune) and bounds unknown (no range prune); absent column
+        // (schema evolution) → genuinely all-null, n_vals = 0 prunes
+        val vals = if (!usable && chunks.nonEmpty) nRows
+                   else if (chunks.isEmpty) 0L else nVals
+        def o[T](v: Option[T]): Any =
+          if (usable) v.orNull else null
+        org.apache.spark.sql.Row(file, nRows, c, fam, vals,
+          o(minL), o(maxL), o(minD), o(maxD), o(minS), o(maxS))
+      }
+    } finally reader.close()
+  }
 
   /** Refresh an existing manifest against the directory's CURRENT file
     * set by profiling ONLY the files the manifest has never seen and
@@ -128,16 +352,16 @@ object Skipping {
     // scheme-normalize in-plan so kept-row matching never collects the
     // (files × columns) manifest to the driver
     import spark.implicits._
-    val keyCol = regexp_replace(col("file"),
-      lit("^[a-zA-Z][a-zA-Z0-9+.-]*:/+"), lit("/"))
     // no broadcast hint: AQE broadcasts the key list while it is small
     // and degrades to a shuffle semi-join at listing scale
     val keep = manifest.join(
-      diskKeys.toSeq.toDF("_k"), keyCol === col("_k"), "left_semi")
+      diskKeys.toSeq.toDF("_k"), pathKeyCol(col("file")) === col("_k"),
+      "left_semi")
     val fresh =
       if (newFiles.isEmpty) keep.limit(0)
       else profileFiles(spark.read
         .schema(spark.read.parquet(dataDir).schema)
+        .option("basePath", dataDir) // nested layouts: keep partition cols
         .parquet(newFiles: _*), profiled)
     val staged = manifestDir.stripSuffix("/") + "_staged"
     keep.unionByName(fresh).coalesce(1)
@@ -161,7 +385,7 @@ object Skipping {
       val v = fam match {
         case "long" => col(c).cast("long")
         case "dbl" => col(c).cast("double")
-        case "str" => col(c).cast("string")
+        case "str" | "ts" => col(c).cast("string")
       }
       Seq(min(v).as(s"_min_$c"), max(v).as(s"_max_$c"),
         count(v).as(s"_vals_$c"))
@@ -173,7 +397,8 @@ object Skipping {
       .agg(allAggs.head, allAggs.tail: _*)
     val rows = profiled.map { case (c, fam) =>
       def slot(f: String, v: Column) =
-        if (fam == f) v else lit(null).cast(if (f == "long") "long"
+        if (fam == f || (f == "str" && fam == "ts")) v
+        else lit(null).cast(if (f == "long") "long"
           else if (f == "dbl") "double" else "string")
       struct(lit(c).as("column"), lit(fam).as("family"),
         col(s"_vals_$c").cast("long").as("n_vals"),
@@ -196,23 +421,44 @@ object Skipping {
     * state Spark's own FileIndex holds for the pruned scan.
     */
   def pruneFiles(spark: SparkSession, dataDir: String, manifestDir: String,
-                 ranges: Seq[ColumnRange]): Pruned = {
-    require(ranges.nonEmpty, "pruneFiles needs at least one range")
+                 ranges: Seq[FilePredicate]): Pruned = {
+    require(ranges.nonEmpty, "pruneFiles needs at least one predicate")
     // URI spellings differ between input_file_name() (`file:///…`) and
     // FileSystem.listStatus (`file:/…`) — compare scheme-stripped paths,
     // read through the disk listing's spelling
     val onDisk = listParquet(spark, dataDir)
     val byKey = onDisk.map(f => pathKey(f) -> f).toMap
     val manifest = spark.read.parquet(manifestDir)
-    // a file is excluded if ANY range proves it cannot hold a match
+    // a file is excluded if ANY predicate proves it cannot hold a match.
+    // ts-family columns compare string bounds PREFIX-SAFELY: the row
+    // filter casts "1995-06-02" to the midnight timestamp (inclusive),
+    // whose string form extends the bound — pad the upper probe with
+    // U+FFFF so `min > upper` can never exclude a file the cast keeps.
+    def padUp(v: Any): Column = v match {
+      case s: String =>
+        when(col("family") === "ts", concat(lit(s), lit("\uffff")))
+          .otherwise(lit(s))
+      case other => lit(other)
+    }
     val exclusions = ranges.map { r =>
       val m = manifest.filter(col("column") === r.column)
-      val noVals = col("n_vals") === 0L // all-null: range preds reject null
-      val below = r.upper.map(v => boundCol(m, v, "min") > lit(v))
-        .getOrElse(lit(false))
-      val above = r.lower.map(v => boundCol(m, v, "max") < lit(v))
-        .getOrElse(lit(false))
-      m.filter(noVals || below || above).select("file")
+      val noVals = col("n_vals") === 0L // all-null: these preds reject null
+      val noHit = r match {
+        case ColumnRange(_, lower, upper) =>
+          val below = upper.map(v => boundCol(m, v, "min") > padUp(v))
+            .getOrElse(lit(false))
+          val above = lower.map(v => boundCol(m, v, "max") < lit(v))
+            .getOrElse(lit(false))
+          below || above
+        case ColumnIn(_, values) =>
+          // no listed value can land inside [min, max]; a null bound
+          // (wrong-typed probe, conservative footer row) yields null →
+          // filter false → file KEPT, same degradation as ranges
+          values.map(v => !(boundCol(m, v, "min") <= padUp(v) &&
+              boundCol(m, v, "max") >= lit(v)))
+            .reduce(_ && _)
+      }
+      m.filter(noVals || noHit).select("file")
     }.reduce(_ unionByName _).distinct()
     val listed = manifest.select("file").distinct()
     val keptKeys = listed.exceptAll(exclusions)
@@ -231,16 +477,20 @@ object Skipping {
     * manifest a correctness bug instead of a lost optimization.
     */
   def read(spark: SparkSession, dataDir: String, manifestDir: String,
-           ranges: Seq[ColumnRange]): DataFrame = {
+           ranges: Seq[FilePredicate],
+           options: Map[String, String] = Map.empty): DataFrame = {
     val pruned = pruneFiles(spark, dataDir, manifestDir, ranges)
-    val full = spark.read.parquet(dataDir)
-    val rowFilter = ranges.map { r =>
-      val c = col(r.column)
-      (r.lower.map(v => c >= lit(v)) ++ r.upper.map(v => c <= lit(v)))
-        .reduce(_ && _)
+    val full = spark.read.options(options).parquet(dataDir)
+    val rowFilter = ranges.map {
+      case r: ColumnRange =>
+        val c = col(r.column)
+        (r.lower.map(v => c >= lit(v)) ++ r.upper.map(v => c <= lit(v)))
+          .reduce(_ && _)
+      case i: ColumnIn => col(i.column).isin(i.values: _*)
     }.reduce(_ && _)
     if (pruned.keptFiles.isEmpty) full.filter(lit(false))
-    else spark.read.schema(full.schema)
+    else spark.read.schema(full.schema).options(options)
+      .option("basePath", dataDir) // nested layouts: keep partition cols
       .parquet(pruned.keptFiles: _*).filter(rowFilter)
   }
 
@@ -261,16 +511,69 @@ object Skipping {
         s"unsupported range bound type: ${other.getClass.getName}")
     }
 
+  /** Epoch-micros → Spark's `cast(ts AS STRING)` form under a UTC
+    * session: `yyyy-MM-dd HH:mm:ss[.f]` with the micro fraction's
+    * trailing zeros trimmed. MUST byte-replay the cast — the footer and
+    * scan profilers have to agree on every value, and the trimmed form
+    * is what keeps lexicographic order chronological.
+    */
+  private def microsToSparkString(us: Long): String = {
+    val sec = Math.floorDiv(us, 1000000L)
+    val frac = Math.floorMod(us, 1000000L)
+    val t = java.time.LocalDateTime.ofEpochSecond(
+      sec, 0, java.time.ZoneOffset.UTC)
+    val base = f"${t.getYear}%04d-${t.getMonthValue}%02d-" +
+      f"${t.getDayOfMonth}%02d ${t.getHour}%02d:${t.getMinute}%02d:" +
+      f"${t.getSecond}%02d"
+    if (frac == 0L) base
+    else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+  }
+
   /** Scheme/authority-stripped path: the equality key across URI
     * spellings of the same file.
     */
-  private def pathKey(s: String): String = new Path(s).toUri.getPath
+  private[io] def pathKey(s: String): String = new Path(s).toUri.getPath
 
+  /** In-plan twin of [[pathKey]]: strips `scheme://authority` (object
+    * stores — `s3a://bucket/p` → `/p`) and the authority-less
+    * `scheme:/p` spelling (`file:/p`, `file:///p` → `/p`). MUST stay
+    * value-equal to pathKey on every URI the filesystem emits, or the
+    * keep-join in [[appendStatsManifest]] silently discards profiled
+    * rows (they fall back to unlisted = unpruned, conservative but a
+    * total loss of the skip).
+    */
+  private[io] def pathKeyCol(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, lit("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*"), lit("")),
+      lit("^[a-zA-Z][a-zA-Z0-9+.-]*:/+"), lit("/"))
+
+  /** Recursive parquet listing under `dataDir`, skipping hidden
+    * (`_`/`.`-prefixed) files and directories exactly like Spark's own
+    * FileIndex — a Hive-partitioned or nested layout must yield the same
+    * file keys `input_file_name()` wrote into the manifest, or
+    * [[pruneFiles]] would see onDisk=∅ and return empty results.
+    */
   private def listParquet(spark: SparkSession, dataDir: String): Seq[String] = {
-    val p = new Path(dataDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toUri.toString).toSeq
+    val root = new Path(dataDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootKey = pathKey(root.toUri.toString).stripSuffix("/")
+    def hiddenBelowRoot(p: Path): Boolean = {
+      var cur = p
+      while (cur != null && pathKey(cur.toUri.toString).stripSuffix("/") != rootKey) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
+    }
+    val it = fs.listFiles(root, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      if (st.isFile && p.getName.endsWith(".parquet") && !hiddenBelowRoot(p))
+        out += p.toUri.toString
+    }
+    out.result()
   }
 }

@@ -69,7 +69,23 @@ object Manifest {
           case l: JList[_] => l.asScala.map(String.valueOf).toSeq
           case s => Seq(String.valueOf(s))
         }.getOrElse(Nil),
-        from = str("from"))
+        from = str("from"),
+        skipManifest = str("skip_manifest"),
+        skipRanges = m.get("skip_ranges").map {
+          case l: JList[_] => l.asScala.toSeq.map { e =>
+            val rm = asMap(e.asInstanceOf[Object])
+            def rs(k: String) = rm.get(k).map(String.valueOf)
+            SkipRange(
+              column = rs("column").getOrElse(sys.error(
+                "skip_ranges entry needs a column")),
+              lower = rs("lower"), upper = rs("upper"),
+              values = rm.get("values").map {
+                case vl: JList[_] => vl.asScala.map(String.valueOf).toSeq
+                case v => Seq(String.valueOf(v))
+              }.getOrElse(Nil))
+          }
+          case other => sys.error(s"skip_ranges must be a list, got $other")
+        }.getOrElse(Nil))
     }
 
     val jobs = root.get("jobs").map(asMap).getOrElse(Map.empty).map { case (name, jo) =>

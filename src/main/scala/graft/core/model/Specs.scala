@@ -7,6 +7,17 @@ package graft.core.model
   * writer ("csv" | "parquet" | "json" | "json_records" | "text" | "jdbc" |
   * "df" for in-memory handoff).
   */
+/** One declarative pruning conjunct on an input (`skip_ranges:` entry):
+  * either an inclusive range (`lower`/`upper`, at least one) or an
+  * IN-list (`values`). Bounds stay strings at parse time; the reader
+  * types them (integer → BIGINT probe, decimal → DOUBLE, else STRING —
+  * dates/timestamps ride the STRING family's ISO ordering).
+  */
+final case class SkipRange(column: String,
+                           lower: Option[String] = None,
+                           upper: Option[String] = None,
+                           values: Seq[String] = Nil)
+
 final case class DatasetSpec(
     path: String = "",
     format: String = "parquet",
@@ -15,7 +26,13 @@ final case class DatasetSpec(
     readOptions: Map[String, String] = Map.empty,
     saveOptions: Map[String, String] = Map.empty,
     pk: Seq[String] = Nil,
-    from: Option[String] = None)
+    from: Option[String] = None,
+    // planning-time file skipping (`skip_manifest:` + `skip_ranges:`):
+    // a parquet input with a stats manifest routes through
+    // graft.core.io.Skipping.read — explicit ranges plus the
+    // incremental period filter prune files BEFORE the scan is planned
+    skipManifest: Option[String] = None,
+    skipRanges: Seq[SkipRange] = Nil)
 
 /** Declarative job description (one entry of the reference's
   * `conf/jobs_metadata.yml`): named inputs → transform (inline SQL, SQL
@@ -79,5 +96,10 @@ object Params {
       path = interpolate(ds.path, args),
       glob = ds.glob.map(interpolate(_, args)),
       readOptions = ds.readOptions.map { case (k, v) => k -> interpolate(v, args) },
-      saveOptions = ds.saveOptions.map { case (k, v) => k -> interpolate(v, args) })
+      saveOptions = ds.saveOptions.map { case (k, v) => k -> interpolate(v, args) },
+      skipManifest = ds.skipManifest.map(interpolate(_, args)),
+      skipRanges = ds.skipRanges.map(r => r.copy(
+        lower = r.lower.map(interpolate(_, args)),
+        upper = r.upper.map(interpolate(_, args)),
+        values = r.values.map(interpolate(_, args)))))
 }

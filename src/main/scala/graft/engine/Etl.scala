@@ -68,14 +68,18 @@ object Etl {
         case None =>
           // JDBC incremental inputs push the period range into the
           // database query — a 1 TB source table must not cross the wire
-          // in full once per period just to be filtered Spark-side
-          val jdbcPeriod = (ds.format, ds.incField, period) match {
+          // in full once per period just to be filtered Spark-side; a
+          // skip_manifest parquet input turns the same pair into a
+          // planning-time file prune (Reader.skipPredicates)
+          val readerPeriod = (ds.format, ds.incField, period) match {
             case ("jdbc", Some(_), Some(p)) =>
+              Some((p, java.time.LocalDate.parse(p).plusDays(1).toString))
+            case ("parquet", Some(_), Some(p)) if ds.skipManifest.nonEmpty =>
               Some((p, java.time.LocalDate.parse(p).plusDays(1).toString))
             case _ => None
           }
           Reader.read(spark,
-            ds.copy(path = PathTemplating.expand(ds.path, spark, now)), jdbcPeriod)
+            ds.copy(path = PathTemplating.expand(ds.path, spark, now)), readerPeriod)
       }
       // file formats restrict Spark-side (pushdown-eligible range filter);
       // for the jdbc path this re-filter of already-restricted rows is a

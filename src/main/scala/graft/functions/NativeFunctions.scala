@@ -618,6 +618,138 @@ object ImageMeta {
   }
 }
 
+/** Perceptual average-hash over an opaque image payload — the
+  * pixel-grain dedup fingerprint ([[graft.ops.Multimodal.aHash]]'s
+  * byte-grain stand-in promoted to real pixels): decode via the JDK's
+  * ImageIO (PNG/GIF/JPEG/BMP — zero-egress safe, no external codec),
+  * downsample to an 8×8 luma grid (pixel → cell by `(y*8)/h, (x*8)/w`
+  * integer floors), set bit `cy*8+cx` iff the cell's mean luma exceeds
+  * the image's mean — all INTEGER-EXACT (cross-multiplied sums, no
+  * doubles), so a SQL oracle replays the hash from planted pixel
+  * values. Bit 63 stays 0 (cell 63 carries no bit), keeping the packed
+  * hash non-negative like every fingerprint in the engine — signed
+  * band shifts and BIGINT oracles stay safe.
+  *
+  * UNDECODABLE payloads fall back to the byte-block hash
+  * ([[AHash64.byteHash]], bit-identical to `Multimodal.aHash`) — a
+  * filterable-but-never-null fingerprint: corrupt media is data, not a
+  * bug, at 100 TB. The two value spaces never collide in practice (a
+  * re-encoded copy of a decodable image is decodable), and the
+  * fallback remains hex-payload oracle-replayable.
+  */
+case class AHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ahash64 expects binary, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ahash64"
+
+  override def nullSafeEval(input: Any): Any =
+    AHash64.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.functions.AHash64.compute($b);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AHash64 {
+  // decode in memory: the default disk-backed ImageInputStream cache
+  // would add a temp-file round trip per row
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Static entry (JIT-friendly from generated code) and total: any
+    * undecodable input takes the byte fallback, never throws.
+    */
+  def compute(b: Array[Byte]): Long = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case _: Throwable => null }
+    if (img == null) return byteHash(b, 63)
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0) return byteHash(b, 63)
+    // raw raster samples, NOT getRGB: gray rasters pass through
+    // untouched (getRGB would gamma-convert gray→sRGB and break
+    // integer-exactness); 3+ bands take integer BT.601 luma
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    val n = w.toLong * h
+    val cellSum = new Array[Long](64)
+    val cellCnt = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val cy = (y * 8) / h
+      var x = 0
+      while (x < w) {
+        val v =
+          if (bands >= 3)
+            (299 * raster.getSample(x, y, 0) + 587 * raster.getSample(x, y, 1)
+              + 114 * raster.getSample(x, y, 2)) / 1000
+          else raster.getSample(x, y, 0)
+        val c = cy * 8 + (x * 8) / w
+        cellSum(c) += v; cellCnt(c) += 1; total += v
+        x += 1
+      }
+      y += 1
+    }
+    // 8-bit samples stay exact in long up to ~1.9e8 px; 16-bit rasters
+    // or giant frames cross-multiply in BigInt
+    val exact = n <= 4000000 ||
+      (n <= 190000000 && img.getColorModel.getPixelSize <= 32)
+    var hash = 0L
+    var c = 0
+    while (c < 63) { // bit 63 stays 0: non-negative hash
+      val bit =
+        if (cellCnt(c) == 0L) false
+        else if (exact) cellSum(c) * n > total * cellCnt(c)
+        else BigInt(cellSum(c)) * n > BigInt(total) * cellCnt(c)
+      if (bit) hash |= 1L << c
+      c += 1
+    }
+    hash
+  }
+
+  /** The byte-grain block hash — ONE definition shared with
+    * [[graft.ops.Multimodal.aHash]]'s mapPartitions path, so the
+    * expression fallback and the byte-grain op are bit-identical by
+    * construction (spec-pinned).
+    */
+  def byteHash(bytes: Array[Byte], blocks: Int): Long = {
+    val n = bytes.length
+    val blk = math.max(1, (n + blocks - 1) / blocks)
+    var total = 0L
+    var i = 0
+    while (i < n) { total += bytes(i) & 0xff; i += 1 }
+    // blockSum * n stays in Long up to n ~ 190M bytes (255 * n^2
+    // < 2^63); larger payloads cross-multiply in BigInt
+    val exact = n <= 190000000
+    var hash = 0L
+    var j = 0
+    while (j < blocks) {
+      val from = j * blk
+      val until = math.min(n, from + blk)
+      if (from < until) {
+        var s = 0L
+        var k = from
+        while (k < until) { s += bytes(k) & 0xff; k += 1 }
+        val c = until - from
+        val bit =
+          if (exact) s * n > total * c
+          else BigInt(s) * n > BigInt(total) * c
+        if (bit) hash |= 1L << j
+      }
+      j += 1
+    }
+    hash
+  }
+}
+
 /** Audio/video container-header parse — [[ImageMeta]]'s time-media
   * sibling, again codec-free: WAV publishes channels / sample rate /
   * byte rate in its `fmt ` chunk (RIFF chunk scan, little-endian) and
@@ -765,6 +897,10 @@ object NativeFunctions {
     "media_meta" -> { args =>
       require(args.length == 1, "media_meta takes 1 argument")
       MediaMeta(args(0))
+    },
+    "ahash64" -> { args =>
+      require(args.length == 1, "ahash64 takes 1 argument")
+      AHash64(args(0))
     })
 
   // weak keys: sessions must stay collectible after stop(); synchronized:
@@ -819,6 +955,9 @@ object NativeFunctions {
 
   /** Column API for [[MediaMeta]] (via the registry, like [[dotF]]). */
   def mediaMeta(payload: Column): Column = call_function("media_meta", payload)
+
+  /** Column API for [[AHash64]] (via the registry, like [[dotF]]). */
+  def aHash64(payload: Column): Column = call_function("ahash64", payload)
 
   /** Column API for [[LshBuckets]]. Built directly (not via the function
     * registry — the broadcast handle is not an Expression argument).

@@ -1018,7 +1018,29 @@ object Dedup {
       sizedShingles(delta, idCol, textCol, index.n),
       if (appendAccepted)
         Some(acc => appendToNearDupIndex(index, acc, idCol, textCol))
-      else None)
+      else None)._1
+
+  /** [[dropNearDuplicatesAgainst]] that ALSO returns the batch's
+    * discovered near-dup PAIR set — within-delta edges plus
+    * delta-to-indexed-corpus edges, `(a_id, b_id)` distinct and
+    * checkpointed (safe to consume after the call). This is the edge
+    * feed for continuous cluster maintenance
+    * ([[updateClusters]] — the streaming sink folds these into a
+    * persisted (id, comp) table at delta cost): ingest computes the
+    * pairs anyway, so surfacing them is free.
+    */
+  def ingestNearDupWithPairs(index: NearDupIndex, delta: DataFrame,
+                             idCol: String, textCol: String,
+                             threshold: Double, maxBandFreq: Option[Int],
+                             excludeSelfIds: Boolean)
+      : (DataFrame, DataFrame) = {
+    val (accepted, pairs) = dropAgainstIndexCore(index, delta, idCol,
+      threshold, maxBandFreq, excludeSelfIds,
+      sizedShingles(delta, idCol, textCol, index.n),
+      Some(acc => appendToNearDupIndex(index, acc, idCol, textCol)),
+      wantPairs = true)
+    (accepted, pairs.get)
+  }
 
   /** The index-ingest body shared by the word-grain and token-grain
     * paths — only the delta shingle derivation and the append hook
@@ -1030,8 +1052,9 @@ object Dedup {
                                    maxBandFreq: Option[Int],
                                    excludeSelfIds: Boolean,
                                    dShRaw: DataFrame,
-                                   appender: Option[DataFrame => Unit])
-      : DataFrame = {
+                                   appender: Option[DataFrame => Unit],
+                                   wantPairs: Boolean = false)
+      : (DataFrame, Option[DataFrame]) = {
     import org.apache.spark.storage.StorageLevel
     val spark = delta.sparkSession
     // same shared-subtree staging as the corpus-variant overload: the
@@ -1043,7 +1066,8 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dB = bandBuckets(dSh, index.numHashes, index.numBands)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val drop = connectedComponents(selfPairs(dB, dSh, threshold, maxBandFreq))
+    val within = selfPairs(dB, dSh, threshold, maxBandFreq)
+    val drop = connectedComponents(within)
       .filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
     val deltaClean = delta.join(drop, Seq(idCol), "left_anti")
@@ -1058,6 +1082,14 @@ object Dedup {
       if (!excludeSelfIds) pairs
       else pairs.join(delta.select(col(idCol).as("_self_a_id")),
         col("a_id") === col("_self_a_id"), "left_anti")
+    // the discovered edge set (within-delta + cross-corpus), materialized
+    // while the delta tables are still cached
+    val pairsOut =
+      if (!wantPairs) None
+      else Some(graft.core.Checkpoints.truncate(
+        within.select(col("a_id"), col("b_id"))
+          .unionByName(pairsKept.select(col("a_id"), col("b_id")))
+          .distinct()))
     val hit = pairsKept.select(col("b_id").as(idCol)).distinct()
     // materialize the tiny hit-id set so the cached delta tables release
     // before returning (the accepted plan then reads only the delta scan
@@ -1066,7 +1098,7 @@ object Dedup {
     dSh.unpersist()
     dB.unpersist()
     val accepted = deltaClean.join(hitIds, Seq(idCol), "left_anti")
-    appender match {
+    val acceptedOut = appender match {
       case None => accepted
       case Some(append) =>
         // reliable when a checkpoint dir is set — see
@@ -1075,6 +1107,7 @@ object Dedup {
         append(materialized)
         materialized
     }
+    (acceptedOut, pairsOut)
   }
 
   /** TOKEN-GRAIN persisted near-dup index — [[writeNearDupIndex]] at
@@ -1136,13 +1169,38 @@ object Dedup {
   /** [[appendToNearDupIndex]] at token grain: the accepted docs encode
     * under the INDEX's stored merges (never a freshly-learned table —
     * the piece space is pinned at build time).
+    *
+    * The passed merges are VERIFIED against the index's stored
+    * `<name>_merges` table before any write: appending shingles encoded
+    * under a re-learned (different) merge table would silently split
+    * the piece space — old and new documents would shingle into
+    * disjoint vocabularies and near-dups across the split would simply
+    * never pair. A drifted table fails loudly here; the supported path
+    * for new merges is a full [[writeTokenNearDupIndex]] rebuild, which
+    * re-encodes the whole corpus under the new table. The check is
+    * driver-cheap: merge tables are BPE-rank-sized (thousands of rows),
+    * nothing like corpus-sized.
     */
   def appendToTokenNearDupIndex(index: NearDupIndex, accepted: DataFrame,
                                 idCol: String, textCol: String,
-                                merges: Array[Array[String]]): Unit =
+                                merges: Array[Array[String]]): Unit = {
+    val spark = accepted.sparkSession
+    val mergesTable = s"${index.name}_merges"
+    require(spark.catalog.tableExists(mergesTable),
+      s"$mergesTable missing — not a token-grain index; " +
+        "writeTokenNearDupIndex builds one")
+    val stored = Bpe.mergesOf(spark.table(mergesTable))
+    require(stored.length == merges.length &&
+        stored.zip(merges).forall { case (a, b) => a.sameElements(b) },
+      s"merge-table mismatch against $mergesTable (stored " +
+        s"${stored.length} merges, passed ${merges.length}): appending " +
+        "under different merges would silently split the piece space " +
+        "and miss near-dups — rebuild the index with " +
+        "writeTokenNearDupIndex to change merges")
     appendShinglesCore(index, accepted, idCol,
       sizedTokenShingles(accepted.select(col(idCol), col(textCol)),
         idCol, textCol, merges, index.n))
+  }
 
   /** [[dropNearDuplicatesAgainst]] at TOKEN grain through a persisted
     * token index: collapse within-delta piece-n-gram clusters, drop
@@ -1166,7 +1224,7 @@ object Dedup {
       if (appendAccepted)
         Some(acc =>
           appendToTokenNearDupIndex(idx, acc, idCol, textCol, merges))
-      else None)
+      else None)._1
   }
 
   /** Exact Jaccard for an explicit candidate-pair set (a_id, b_id). `sh` is

@@ -16,6 +16,28 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Run `f` with parquet timestamps written as INT64 micros, restoring
+    * the session's previous setting after. The clustered layouts this
+    * object writes exist to be PRUNED — and legacy INT96 timestamps
+    * carry no usable min/max statistics, which would blind both
+    * parquet's own row-group pushdown and the Skipping footer profiler
+    * on every timestamp-clustered layout. Scoped per-write (not
+    * session-wide) because adjusted-to-UTC INT64 reads back tz-aware in
+    * pandas/arrow, which general job outputs must not impose on
+    * downstream consumers.
+    */
+  private def withMicrosTimestamps[T](df: DataFrame)(f: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val conf = df.sparkSession.conf
+    val prev = conf.getOption(key)
+    conf.set(key, "TIMESTAMP_MICROS")
+    try f
+    finally prev match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+  }
+
   /** Morton (Z-order) value: interleave the low `bits` bits of each
     * column — bit `i` of dimension `d` lands at position `i·ndims + d`.
     * Columns are masked to `bits` (callers should range-bucket raw values
@@ -44,15 +66,32 @@ object Layout {
     * `expected_bytes / ~1 GB`. The range exchange samples the z
     * distribution, so skewed dimensions still yield balanced files.
     */
+  /** `statsManifest`: emit a [[graft.core.io.Skipping]] stats manifest
+    * for `statsCols` (typically the clustered dimensions' source
+    * columns) beside the data as part of the write — footer-derived, so
+    * the emission costs one metadata read per written file, not a
+    * second corpus scan. This makes the write-then-prune cycle
+    * self-maintaining: every rewrite refreshes the manifest the
+    * planning-time skip reads.
+    */
   def zorderWrite(df: DataFrame, dims: Seq[Column], outPath: String,
                   numFiles: Int, bits: Int = 16,
-                  mode: String = "overwrite"): Unit = {
+                  mode: String = "overwrite",
+                  statsManifest: Option[String] = None,
+                  statsCols: Seq[String] = Nil): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
-    df.withColumn("_z", zValue(dims, bits))
-      .repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
-      .write.mode(mode).parquet(outPath)
+    require(statsManifest.isEmpty || statsCols.nonEmpty,
+      "statsManifest needs statsCols: the z-value dims are derived " +
+        "expressions; name the source columns to profile")
+    withMicrosTimestamps(df) {
+      df.withColumn("_z", zValue(dims, bits))
+        .repartitionByRange(numFiles, col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode).parquet(outPath)
+    }
+    statsManifest.foreach(mf => graft.core.io.Skipping
+      .emitManifest(df.sparkSession, outPath, statsCols, mf): Unit)
   }
 
   /** Write `df` clustered on ONE sort dimension: range-repartition (the
@@ -67,16 +106,27 @@ object Layout {
     * equal-`sortCol` rows — without one, tie order is shuffle arrival
     * order and reruns are not byte-identical.
     */
+  /** `statsManifest`/`statsCols`: see [[zorderWrite]] — footer-derived
+    * write-time manifest emission.
+    */
   def rangeSortedWrite(df: DataFrame, sortCol: Column, outPath: String,
                        numFiles: Int, mode: String = "overwrite",
-                       tiebreak: Seq[Column] = Nil): Unit = {
+                       tiebreak: Seq[Column] = Nil,
+                       statsManifest: Option[String] = None,
+                       statsCols: Seq[String] = Nil): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(statsManifest.isEmpty || statsCols.nonEmpty,
+      "statsManifest needs statsCols: name the columns to profile")
     val keys = col("_r") +: tiebreak
-    df.withColumn("_r", sortCol)
-      .repartitionByRange(numFiles, keys: _*)
-      .sortWithinPartitions(keys: _*)
-      .drop("_r")
-      .write.mode(mode).parquet(outPath)
+    withMicrosTimestamps(df) {
+      df.withColumn("_r", sortCol)
+        .repartitionByRange(numFiles, keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .drop("_r")
+        .write.mode(mode).parquet(outPath)
+    }
+    statsManifest.foreach(mf => graft.core.io.Skipping
+      .emitManifest(df.sparkSession, outPath, statsCols, mf): Unit)
   }
 
   /** Write `df` globally SHUFFLED, deterministically: the training-export

@@ -142,36 +142,64 @@ object Multimodal {
       .filter(col(idCol).isNotNull && col(payloadCol).isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        // ONE definition of the block hash, shared with the AHash64
+        // expression's fallback path (bit-identical by construction)
         it.map { case (id, bytes) =>
-          val n = bytes.length
-          val blk = math.max(1, (n + blocks - 1) / blocks)
-          var total = 0L
-          var i = 0
-          while (i < n) { total += bytes(i) & 0xff; i += 1 }
-          // blockSum * n stays in Long up to n ~ 190M bytes (255 * n^2
-          // < 2^63); larger payloads cross-multiply in BigInt
-          val exact = n <= 190000000
-          var hash = 0L
-          var j = 0
-          while (j < blocks) {
-            val from = j * blk
-            val until = math.min(n, from + blk)
-            if (from < until) {
-              var s = 0L
-              var k = from
-              while (k < until) { s += bytes(k) & 0xff; k += 1 }
-              val c = until - from
-              val bit =
-                if (exact) s * n > total * c
-                else BigInt(s) * n > BigInt(total) * c
-              if (bit) hash |= 1L << j
-            }
-            j += 1
-          }
-          (id, n.toLong, hash)
+          (id, bytes.length.toLong,
+            graft.functions.AHash64.byteHash(bytes, blocks))
         }
       }
       .toDF(idCol, "n_bytes", "simhash")
+  }
+
+  /** PIXEL-GRAIN perceptual hash ([[graft.functions.AHash64]] — a
+    * codegen'd Catalyst expression, not a UDF): real ImageIO decode →
+    * 8×8 mean-luma threshold, with [[aHash]]'s byte-block hash as the
+    * fallback for undecodable payloads. This is the fingerprint that
+    * survives RE-ENCODING — compressed copies of the same image share
+    * ~no payload bytes (the one case image dedup exists for) but the
+    * same pixels. Same output shape as [[aHash]]
+    * (`idCol, n_bytes, simhash`, hash non-negative), so
+    * [[Dedup.simhashPairsFrom]] bands it unchanged.
+    */
+  def aHashPixel(docs: DataFrame, idCol: String,
+                 payloadCol: String): DataFrame = {
+    val idType = docs.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"aHashPixel needs an integral id column; '$idCol' is ${idType.typeName}")
+    docs.filter(col(idCol).isNotNull && col(payloadCol).isNotNull)
+      .select(col(idCol).cast("long").as(idCol),
+        length(col(payloadCol)).cast("long").as("n_bytes"),
+        graft.functions.NativeFunctions.aHash64(col(payloadCol))
+          .as("simhash"))
+  }
+
+  /** Deterministic 8-bit grayscale PNG with planted pixel values —
+    * the oracle-replayable image fixture (the q180 discipline for
+    * pixels): samples are set on the raster directly, PNG is lossless,
+    * and the PNG reader hands the same raster back, so
+    * `aHashPixel(grayPng(f)) == hash(f)` exactly — a SQL oracle
+    * recomputes the hash from `f`'s closed form without decoding
+    * anything. Task-side helper (use inside a UDF/mapPartitions).
+    */
+  def grayPng(width: Int, height: Int, v: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims: $width x $height")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raster.setSample(x, y, 0, v(x, y) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", out),
+      "JDK PNG writer unavailable")
+    out.toByteArray
   }
 
   def extractFeatures(docs: DataFrame, idCol: String, payloadCol: String,

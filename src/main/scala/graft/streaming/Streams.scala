@@ -260,6 +260,80 @@ object Streams {
       .write.parquet(dir.toString)
   }
 
+  /** PER-GROUP continuous PSI drift — [[psiDriftSink]] composed with the
+    * persisted slice references ([[graft.ops.Stats.writePsiReferenceByGroup]]):
+    * each micro-batch contracts to its `(group, bucket, n_cur)` integer
+    * partial against the STORED per-group edges
+    * ([[graft.ops.Stats.psiByGroupCurrentPartial]]) and lands as one
+    * parquet increment per batch id. The monitor's slice matrix at any
+    * point is [[graft.ops.Stats.psiByGroupFromPartials]] over the
+    * accumulated partials — bit-identical to a batch
+    * [[graft.ops.Stats.psiByGroup]] recompute over everything streamed,
+    * with the reference slices never re-read after their one-time
+    * profile. Replay-safe via the per-batch-dir delete-and-rewrite
+    * contract, like every sink in this family.
+    */
+  def psiByGroupDriftSink(stream: DataFrame, refPath: String,
+                          groupCol: String, valueCol: String,
+                          partialsPath: String,
+                          checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyPsiByGroupDriftBatch(batch.toDF(), refPath, groupCol, valueCol,
+          partialsPath, id)
+      }
+      .start()
+
+  /** One micro-batch's per-group PSI partial — separated so the replay
+    * contract is directly testable: the same batch twice leaves one copy.
+    */
+  def applyPsiByGroupDriftBatch(batch: DataFrame, refPath: String,
+                                groupCol: String, valueCol: String,
+                                partialsPath: String, id: Long): Unit = {
+    val spark = batch.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(s"$partialsPath/batch$id")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) { fs.delete(dir, true); () }
+    graft.ops.Stats.psiByGroupCurrentPartial(spark, refPath, batch,
+        groupCol, valueCol)
+      .write.parquet(dir.toString)
+  }
+
+  /** PER-GROUP continuous KS drift — [[ksDriftSink]] composed with the
+    * persisted per-group value counts
+    * ([[graft.ops.Stats.writeKsReferenceByGroup]]): each micro-batch
+    * contracts to mergeable `(g, v, n_cur)` counts
+    * ([[graft.ops.Stats.ksByGroupCurrentPartial]] — reference-free, so
+    * no refPath) and lands as one increment per batch id; score any
+    * time with [[graft.ops.Stats.ksByGroupFromPartials]], bit-identical
+    * to the batch [[graft.ops.Stats.ksByGroup]] recompute.
+    */
+  def ksByGroupDriftSink(stream: DataFrame, groupCol: String,
+                         valueCol: String, partialsPath: String,
+                         checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyKsByGroupDriftBatch(batch.toDF(), groupCol, valueCol,
+          partialsPath, id)
+      }
+      .start()
+
+  /** One micro-batch's per-group KS partial — replay-testable twin. */
+  def applyKsByGroupDriftBatch(batch: DataFrame, groupCol: String,
+                               valueCol: String, partialsPath: String,
+                               id: Long): Unit = {
+    val spark = batch.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(s"$partialsPath/batch$id")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) { fs.delete(dir, true); () }
+    graft.ops.Stats.ksByGroupCurrentPartial(batch, groupCol, valueCol)
+      .write.parquet(dir.toString)
+  }
+
   /** Continuous weighted sampling WITHOUT replacement over an unbounded
     * stream — [[graft.ops.Sampling.prioritySamplePerGroup]] maintained
     * as a reservoir. Each micro-batch contracts to ITS OWN per-group
@@ -340,24 +414,48 @@ object Streams {
   def nearDupSink(stream: DataFrame, indexName: String, idCol: String,
                   textCol: String, threshold: Double,
                   maxBandFreq: Option[Int], acceptedPath: String,
-                  checkpoint: String): StreamingQuery =
+                  checkpoint: String,
+                  clustersPath: Option[String] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         applyNearDupBatch(batch.toDF(), indexName, idCol, textCol,
-          threshold, maxBandFreq, acceptedPath, id)
+          threshold, maxBandFreq, acceptedPath, id, clustersPath)
       }
       .start()
 
+  def applyNearDupBatch(batch: DataFrame, indexName: String, idCol: String,
+                        textCol: String, threshold: Double,
+                        maxBandFreq: Option[Int], acceptedPath: String,
+                        id: Long): Unit =
+    applyNearDupBatch(batch, indexName, idCol, textCol, threshold,
+      maxBandFreq, acceptedPath, id, clustersPath = None)
+
   /** One micro-batch's near-dup ingest — separated so the replay contract
     * is directly testable: applying the same batch twice leaves the same
-    * accepted increment and the same index.
+    * accepted increment, the same index, and the same clusters table.
+    *
+    * `clustersPath`: maintain a persisted `(id, comp)` cluster table —
+    * every streamed id labeled with its component under the DISCOVERED
+    * edge set (within-batch pairs plus batch-to-indexed-corpus pairs),
+    * folded per batch with [[graft.ops.Dedup.updateClusters]] at delta
+    * cost and atomically swapped (the scd2Sink rename dance). The fold
+    * is bit-identical to a full [[graft.ops.Dedup.connectedComponents]]
+    * recompute over every discovered edge (min-label preservation —
+    * RandomizedInvariantsSpec), and REPLAY-IDEMPOTENT: a replayed batch
+    * recomputes the same pairs (excludeSelfIds keeps its own first-run
+    * index entries out of the corpus side) and re-folding already-merged
+    * edges into star labels is a no-op. Note the contract is the
+    * discovered edges: an edge between two DROPPED documents of
+    * different batches is not observed (a dropped doc never enters the
+    * index) — its endpoints still label into the corpus components that
+    * dropped them.
     */
   def applyNearDupBatch(batch: DataFrame, indexName: String, idCol: String,
                         textCol: String, threshold: Double,
                         maxBandFreq: Option[Int], acceptedPath: String,
-                        id: Long): Unit = {
+                        id: Long, clustersPath: Option[String]): Unit = {
     val spark = batch.sparkSession
     val idx = graft.ops.Dedup.loadNearDupIndex(spark, indexName)
     // another session (a prior stream's micro-batch clone, a different
@@ -367,13 +465,48 @@ object Streams {
     (Seq(idx.shinglesTable, idx.bucketsTable) ++
       Seq(idx.tombstonesTable).filter(spark.catalog.tableExists))
       .foreach(spark.catalog.refreshTable)
-    val accepted = graft.ops.Dedup.dropNearDuplicatesAgainst(idx, batch,
-      idCol, textCol, threshold, maxBandFreq,
-      appendAccepted = true, excludeSelfIds = true)
+    val (accepted, pairs) = clustersPath match {
+      case None =>
+        (graft.ops.Dedup.dropNearDuplicatesAgainst(idx, batch,
+          idCol, textCol, threshold, maxBandFreq,
+          appendAccepted = true, excludeSelfIds = true), None)
+      case Some(_) =>
+        val (acc, p) = graft.ops.Dedup.ingestNearDupWithPairs(idx, batch,
+          idCol, textCol, threshold, maxBandFreq, excludeSelfIds = true)
+        (acc, Some(p))
+    }
     val dir = new org.apache.hadoop.fs.Path(s"$acceptedPath/batch$id")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) { fs.delete(dir, true); () }
     accepted.write.parquet(dir.toString)
+    clustersPath.foreach { cp =>
+      val path = new org.apache.hadoop.fs.Path(cp)
+      val cfs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(path.getParent,
+        s".${path.getName}_clusters_tmp")
+      val old = new org.apache.hadoop.fs.Path(path.getParent,
+        s".${path.getName}_clusters_old")
+      // crash between move-aside and swap leaves the only copy at `old`
+      if (!cfs.exists(path) && cfs.exists(old))
+        require(cfs.rename(old, path), s"could not restore $cp from $old")
+      val batchLabels = batch
+        .select(col(idCol).cast("long").as("id")).distinct()
+        .withColumn("comp", col("id"))
+      val labels =
+        if (cfs.exists(path))
+          spark.read.parquet(cp).unionByName(batchLabels)
+        else batchLabels
+      val updated = graft.ops.Dedup.updateClusters(labels, pairs.get)
+      cfs.delete(tmp, true); cfs.delete(old, true)
+      updated.write.parquet(tmp.toString)
+      if (cfs.exists(path))
+        require(cfs.rename(path, old), s"could not move $cp aside")
+      if (!cfs.rename(tmp, path)) {
+        if (cfs.exists(old)) cfs.rename(old, path)
+        sys.error(s"could not swap clusters into $cp; original restored")
+      }
+      cfs.delete(old, true); ()
+    }
   }
 
   /** CDC-apply sink: maintain an SCD2 dimension at `dimPath` under a

@@ -376,6 +376,51 @@ class FlowSpec extends SparkSpec {
     assert(single.size == 1 && !single.head.startsWith("checkpoint_dir"))
   }
 
+  test("skip_manifest / skip_ranges parse, interpolate, and surface in " +
+    "the dry-run plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_skipyml")
+    val yml =
+      """common_params:
+        |  all_mode_params: {root: /tmp/skiproot}
+        |jobs:
+        |  pruned:
+        |    inputs:
+        |      li:
+        |        path: "{{root}}/data"
+        |        inc_field: l_shipdate
+        |        skip_manifest: "{{root}}/mf"
+        |        skip_ranges:
+        |          - {column: l_orderkey, lower: 1000, upper: 2999}
+        |          - {column: l_tag, values: [a, "{{root}}"]}
+        |    sql: "SELECT 1"
+        |""".stripMargin
+    val f = dir.resolve("skip.yml")
+    java.nio.file.Files.write(f, yml.getBytes("UTF-8"))
+    val job = Manifest.loadFile(f.toString).jobs("pruned")
+    val ds = graft.core.model.Params.resolve(job.inputs("li"), job.params)
+    assert(ds.skipManifest === Some("/tmp/skiproot/mf"))
+    assert(ds.skipRanges === Seq(
+      graft.core.model.SkipRange("l_orderkey", Some("1000"), Some("2999")),
+      graft.core.model.SkipRange("l_tag",
+        values = Seq("a", "/tmp/skiproot"))))
+    // typed predicates: integer bounds probe BIGINT slots, plus the
+    // period window from inc_field
+    val preds = graft.core.io.Reader.skipPredicates(ds,
+      Some(("1995-06-01", "1995-06-02")))
+    assert(preds === Seq(
+      graft.core.io.Skipping.ColumnRange("l_orderkey",
+        Some(1000L), Some(2999L)),
+      graft.core.io.Skipping.ColumnIn("l_tag", Seq("a", "/tmp/skiproot")),
+      graft.core.io.Skipping.ColumnRange("l_shipdate",
+        Some("1995-06-01"), Some("1995-06-02"))))
+    val plan = graft.Runner.dryRunPlan(Manifest.loadFile(f.toString).jobs,
+      "pruned", withDependencies = false)
+    assert(plan.exists(l => l.contains("skip_manifest=/tmp/skiproot/mf") &&
+      l.contains("l_orderkey in [1000, 2999]") &&
+      l.contains("l_tag IN (a,/tmp/skiproot)") &&
+      l.contains("l_shipdate in [period]")), plan.mkString("\n"))
+  }
+
   test("jobs.yml runs the SCD2 dimension merge from the manifest") {
     val loaded = Manifest.loadFile("conf/jobs.yml", Seq("dev"), Map.empty)
     val out = Flow.runPipeline(spark, loaded.jobs, "customer_scd2",

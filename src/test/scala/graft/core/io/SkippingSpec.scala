@@ -163,6 +163,184 @@ class SkippingSpec extends SparkSpec {
       spark.read.parquet(data).count())
   }
 
+  test("nested Hive-partitioned layout: manifest, pruning and append all " +
+    "see the same recursive file set") {
+    val (data, mf) = freshDirs()
+    corpus().withColumn("part", (col("id") / 250).cast("int"))
+      .repartition(col("part"))
+      .write.partitionBy("part").parquet(data)
+    val n = Skipping.writeStatsManifest(spark, data, Seq("id"), mf)
+    assert(n >= 4L)
+    val ranges = Seq(ColumnRange("id", Some(0L), Some(99L)))
+    val pruned = Skipping.pruneFiles(spark, data, mf, ranges)
+    // before the recursive listing fix this was kept=∅/unlisted=∅ and
+    // read() silently returned an EMPTY frame
+    assert(pruned.unlistedFiles === 0)
+    assert(pruned.readFiles >= 1 && pruned.readFiles < n)
+    val got = Skipping.read(spark, data, mf, ranges)
+    assert(got.count() === 100)
+    // partition column survives the explicit-file read (basePath)
+    assert(got.columns.contains("part"))
+    assert(got.select("part").distinct().collect().map(_.getInt(0)).toSeq
+      === Seq(0))
+    // the refresh tick keeps every profiled row (no silent discard)
+    val d = Skipping.appendStatsManifest(spark, data, mf)
+    assert(d.profiledFiles === 0 && d.droppedFiles === 0 &&
+      d.totalFiles === n)
+    // and pruning on a partition column itself works
+    val pp = Skipping.writeStatsManifest(spark, data, Seq("part"), mf)
+    assert(pp === n)
+    val byPart = Skipping.read(spark, data, mf,
+      Seq(ColumnRange("part", Some(3L), None)))
+    assert(byPart.count() === 250)
+    assert(byPart.inputFiles.length < n)
+  }
+
+  test("footer-derived manifest is bit-identical to the scan-derived one") {
+    val (data, mfScan) = freshDirs()
+    val mfFoot = mfScan + "_foot"
+    // every supported family in one table: long, double, DECIMAL (int64-
+    // and binary-backed), string, date — plus nulls in each
+    val df = corpus()
+      .withColumn("v", when(col("id") % 7 === 0, lit(null))
+        .otherwise(col("v")))
+      .withColumn("f", (col("id") * 1.5).cast("double"))
+      .withColumn("dec_s", col("id").cast("decimal(12,2)"))
+      .withColumn("dec_b", (col("id") * 7).cast("decimal(30,4)"))
+      .withColumn("s", when(col("id") % 11 === 0, lit(null))
+        .otherwise(col("s")))
+      .withColumn("t", expr("timestamp_micros(id * 98765432109)"))
+    Layout.rangeSortedWrite(df, col("id"), data, numFiles = 6,
+      tiebreak = Seq(col("id")))
+    val cols = Seq("id", "v", "f", "dec_s", "dec_b", "s", "d", "t")
+    Skipping.writeStatsManifest(spark, data, cols, mfScan)
+    assert(Skipping.writeStatsManifestFromFooters(spark, data, cols,
+      mfFoot) === 6L)
+    def canon(mf: String) = spark.read.parquet(mf)
+      .withColumn("file", Skipping.pathKeyCol(col("file")))
+      .orderBy("file", "column")
+      .collect().map(_.toSeq).toSeq
+    assert(canon(mfFoot) === canon(mfScan),
+      "footer stats must byte-replay the scan profiler")
+    // and the footer manifest PRUNES identically
+    val p = Skipping.pruneFiles(spark, data, mfFoot,
+      Seq(ColumnRange("id", Some(100L), Some(299L))))
+    assert(p.readFiles <= 2 && p.unlistedFiles === 0)
+  }
+
+  test("write-time manifest emission: the layout writers produce the " +
+    "manifest the pruned read consumes") {
+    val (data, mf) = freshDirs()
+    Layout.rangeSortedWrite(corpus(), col("id"), data, numFiles = 10,
+      tiebreak = Seq(col("id")),
+      statsManifest = Some(mf), statsCols = Seq("id", "d"))
+    val got = Skipping.read(spark, data, mf,
+      Seq(ColumnRange("id", Some(100L), Some(299L))))
+    assert(got.count() === 200)
+    assert(got.inputFiles.length <= 3)
+    // z-order: both interleaved dimensions prune through the emitted manifest
+    val (data2, mf2) = freshDirs()
+    Layout.zorderWrite(corpus(), Seq(col("id"), col("v")), data2,
+      numFiles = 16, statsManifest = Some(mf2), statsCols = Seq("id", "v"))
+    val byId = Skipping.pruneFiles(spark, data2, mf2,
+      Seq(ColumnRange("id", Some(0L), Some(63L))))
+    val byV = Skipping.pruneFiles(spark, data2, mf2,
+      Seq(ColumnRange("v", Some(0L), Some(63L))))
+    assert(byId.readFiles < 16 && byV.readFiles < 16,
+      s"z-order must prune on BOTH dims: id=${byId.readFiles} v=${byV.readFiles}")
+    assert(Skipping.read(spark, data2, mf2,
+      Seq(ColumnRange("v", Some(0L), Some(63L)))).count() ===
+      spark.read.parquet(data2).filter(col("v").between(0, 63)).count())
+  }
+
+  test("emitManifest falls back to the scan path for partition columns") {
+    val (data, mf) = freshDirs()
+    corpus().withColumn("part", (col("id") / 500).cast("int"))
+      .repartition(col("part"))
+      .write.partitionBy("part").parquet(data)
+    intercept[UnsupportedOperationException] {
+      Skipping.writeStatsManifestFromFooters(spark, data,
+        Seq("part"), mf)
+    }
+    val n = Skipping.emitManifest(spark, data, Seq("part", "id"), mf)
+    assert(n >= 2L)
+    assert(Skipping.read(spark, data, mf,
+      Seq(ColumnRange("part", Some(1L), None))).count() === 500)
+  }
+
+  test("timestamp ranges prune; a date-string bound never drops the " +
+    "midnight row its cast semantics keep") {
+    val (data, mf) = freshDirs()
+    // one row per hour over ~42 days; files split INSIDE days, so a
+    // day-range's boundary files hold midnight rows — the prefix trap
+    val df = spark.range(0, 1000).select(col("id"),
+      expr("timestamp_micros(id * 3600000000 + " +
+        "unix_micros(timestamp '1995-06-01 00:00:00'))").as("t"))
+    Layout.rangeSortedWrite(df, col("t"), data, numFiles = 10,
+      tiebreak = Seq(col("id")))
+    assert(Skipping.writeStatsManifest(spark, data, Seq("t"), mf) === 10L)
+    assert(spark.read.parquet(mf).select("family").distinct()
+      .collect().map(_.getString(0)).toSeq === Seq("ts"))
+    // [day2, day4) expressed as the YAML seam does: inclusive
+    // date-string hull, exact row filter downstream
+    val ranges = Seq(ColumnRange("t", Some("1995-06-02"), Some("1995-06-04")))
+    val got = Skipping.read(spark, data, mf, ranges)
+    val want = spark.read.parquet(data)
+      .filter(col("t") >= "1995-06-02" && col("t") <= "1995-06-04")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "pruned read must equal the full cast-semantics filter")
+    assert(got.count() === 49) // 48 hours + the 06-04 midnight row
+    assert(got.inputFiles.length < 10, "day range must prune files")
+    // full-form timestamp bounds prune too
+    val tight = Skipping.read(spark, data, mf,
+      Seq(ColumnRange("t", Some("1995-06-02 00:00:00"),
+        Some("1995-06-02 23:00:00"))))
+    assert(tight.count() === 24)
+    assert(tight.inputFiles.length <= 2)
+  }
+
+  test("IN-list pruning reads ~one file per probe, not the range hull") {
+    val (data, mf) = freshDirs()
+    Layout.rangeSortedWrite(corpus(), col("id"), data, numFiles = 10,
+      tiebreak = Seq(col("id")),
+      statsManifest = Some(mf), statsCols = Seq("id", "s"))
+    val keys = Seq(5L, 500L, 995L)
+    val pIn = Skipping.pruneFiles(spark, data, mf,
+      Seq(Skipping.ColumnIn("id", keys)))
+    val pHull = Skipping.pruneFiles(spark, data, mf,
+      Seq(ColumnRange("id", Some(5L), Some(995L))))
+    assert(pHull.readFiles === 10, "the hull spans every file")
+    assert(pIn.readFiles <= 3, s"3 probes must read <=3 files, " +
+      s"got ${pIn.readFiles}")
+    val got = Skipping.read(spark, data, mf,
+      Seq(Skipping.ColumnIn("id", keys)))
+    assert(got.count() === 3)
+    assert(got.select("id").collect().map(_.getLong(0)).sorted.toSeq === keys)
+    // string IN-list, and conjunction with a range
+    val both = Skipping.read(spark, data, mf,
+      Seq(Skipping.ColumnIn("s", Seq("k0005", "k0500", "k0995")),
+        ColumnRange("id", Some(400L), None)))
+    assert(both.count() === 2)
+    assert(both.inputFiles.length <= 2)
+  }
+
+  test("in-plan path key matches pathKey on every URI spelling") {
+    import spark.implicits._
+    val uris = Seq(
+      "s3a://bucket/warehouse/t/part-0.parquet",
+      "hdfs://namenode:8020/data/t/part-0.parquet",
+      "file:/tmp/t/part-0.parquet",
+      "file:///tmp/t/part-0.parquet",
+      "/tmp/t/part-0.parquet",
+      "gs://b/p=1/part-0.parquet")
+    val inPlan = uris.toDF("file")
+      .select(Skipping.pathKeyCol(col("file")))
+      .collect().map(_.getString(0)).toSeq
+    assert(inPlan === uris.map(Skipping.pathKey),
+      "pathKeyCol must stay value-equal to pathKey or appendStatsManifest " +
+        "silently discards profiled rows on authority-bearing filesystems")
+  }
+
   test("manifest survives compaction: rewritten files read as unlisted") {
     val (data, mf) = freshDirs()
     Layout.rangeSortedWrite(corpus(), col("id"), data, numFiles = 8,

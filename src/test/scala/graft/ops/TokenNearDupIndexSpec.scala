@@ -91,6 +91,41 @@ class TokenNearDupIndexSpec extends SparkSpec {
     } finally dropIndex("tndx2")
   }
 
+  test("appending under RE-LEARNED merges fails loudly; the rebuild path " +
+      "re-encodes the corpus under the new table") {
+    dropIndex("tndx3")
+    val corpus = Seq((10L, base), (11L, fresh)).toDF("doc_id", "text")
+    val v1 = Bpe.learn(corpus, "text", numMerges = 10)
+    val idx = Dedup.writeTokenNearDupIndex(corpus, "doc_id", "text", v1,
+      "tndx3", n = 5, numBuckets = 4)
+    try {
+      val delta = Seq((20L, "novel words that appear in no other " +
+        "document of this tiny spec corpus at all")).toDF("doc_id", "text")
+      // a re-learned table (different corpus slice + budget) is a
+      // DIFFERENT piece space: the append must refuse, not silently
+      // shingle into a split vocabulary
+      val v2 = Bpe.mergesOf(Bpe.learn(
+        corpus.unionByName(delta), "text", numMerges = 18))
+      val err = intercept[IllegalArgumentException] {
+        Dedup.appendToTokenNearDupIndex(idx, delta, "doc_id", "text", v2)
+      }
+      assert(err.getMessage.contains("merge-table mismatch") &&
+        err.getMessage.contains("writeTokenNearDupIndex"))
+      // the stored table verbatim still appends (the supported path —
+      // exactly what dropNearDuplicatesAgainstTokens passes)
+      val stored = Bpe.mergesOf(spark.table("tndx3_merges"))
+      Dedup.appendToTokenNearDupIndex(idx, delta, "doc_id", "text", stored)
+      spark.catalog.refreshTable("tndx3_shingles")
+      assert(spark.table("tndx3_shingles")
+        .filter(col("doc_id") === 20L).count() > 0)
+      // and the rebuild path accepts the new merges wholesale
+      Dedup.writeTokenNearDupIndex(corpus.unionByName(delta), "doc_id",
+        "text", Bpe.learn(corpus.unionByName(delta), "text", numMerges = 18),
+        "tndx3", n = 5, numBuckets = 4)
+      assert(Bpe.mergesOf(spark.table("tndx3_merges")).length === 18)
+    } finally dropIndex("tndx3")
+  }
+
   test("loading a word-grain index as token-grain fails loudly") {
     dropIndex("tndx3")
     val corpus = Seq((1L, base)).toDF("doc_id", "text")

@@ -266,6 +266,55 @@ class StreamsSpec extends SparkSpec {
     assert(n0 === 100L)
   }
 
+  test("psiByGroupDriftSink / ksByGroupDriftSink: streamed per-group " +
+      "partials score identically to the batch slice matrices; replay " +
+      "leaves one copy") {
+    import spark.implicits._
+    import graft.ops.Stats
+    val dir = java.nio.file.Files.createTempDirectory("graft_gsink").toString
+    val ref = (1 to 900).map(i => (if (i % 3 == 0) "a" else "b",
+      i.toDouble)).toDF("g", "v")
+    val cur = (1 to 600).map(i => (if (i % 3 == 0) "a" else "b",
+      i.toDouble * (if (i % 3 == 0) 1.3 else 1.0) + 40)).toDF("g", "v")
+    Stats.writePsiReferenceByGroup(ref, "g", "v", s"$dir/pref", bins = 5)
+    Stats.writeKsReferenceByGroup(ref, "g", "v", s"$dir/kref")
+    (0 until 3).foreach(i => cur
+      .filter(pmod(col("v").cast("long"), lit(3)) === i)
+      .coalesce(1).write.mode("append").parquet(s"$dir/feed"))
+    def stream = spark.readStream.schema("g STRING, v DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/feed")
+    val qp = Streams.psiByGroupDriftSink(stream, s"$dir/pref", "g", "v",
+      s"$dir/pp", s"$dir/pckpt")
+    try qp.processAllAvailable() finally qp.stop()
+    val qk = Streams.ksByGroupDriftSink(stream, "g", "v",
+      s"$dir/kp", s"$dir/kckpt")
+    try qk.processAllAvailable() finally qk.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col): _*).collect().map(_.toSeq).toSeq
+    assert(canon(Stats.psiByGroupFromPartials(spark, s"$dir/pref",
+        spark.read.parquet(s"$dir/pp/batch*"))) ===
+      canon(Stats.psiByGroup(ref, cur, "g", "v", bins = 5)),
+      "streamed per-group PSI must equal the batch recompute")
+    assert(canon(Stats.ksByGroupFromPartials(spark, s"$dir/kref",
+        spark.read.parquet(s"$dir/kp/batch*"), buckets = 8)) ===
+      canon(Stats.ksByGroup(ref, cur, "g", "v", buckets = 8)),
+      "streamed per-group KS must equal the batch recompute")
+    // failure-before-checkpoint-commit replays a batch id: partials are
+    // rewritten, never double-counted
+    Streams.applyPsiByGroupDriftBatch(cur.limit(90), s"$dir/pref", "g", "v",
+      s"$dir/pp", id = 0L)
+    Streams.applyPsiByGroupDriftBatch(cur.limit(90), s"$dir/pref", "g", "v",
+      s"$dir/pp", id = 0L)
+    assert(spark.read.parquet(s"$dir/pp/batch0")
+      .agg(sum("n_cur")).head().getLong(0) === 90L)
+    Streams.applyKsByGroupDriftBatch(cur.limit(90), "g", "v",
+      s"$dir/kp", id = 0L)
+    Streams.applyKsByGroupDriftBatch(cur.limit(90), "g", "v",
+      s"$dir/kp", id = 0L)
+    assert(spark.read.parquet(s"$dir/kp/batch0")
+      .agg(sum("n_cur")).head().getLong(0) === 90L)
+  }
+
   test("KafkaSink.push degrades cleanly when the connector jar is absent") {
     import spark.implicits._
     // this image has no spark-sql-kafka jar — the probe must say so
@@ -447,6 +496,57 @@ class NearDupSinkSpec extends SparkSpec {
       "replayed batch must not duplicate index rows")
     Seq("_shingles", "_buckets", "_meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS sink_ndx$s"))
+  }
+
+  test("nearDupSink clustersPath: per-batch fold equals the full recompute " +
+      "over discovered edges; batch replay leaves the clusters unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndc_sink").toString
+    Seq("_shingles", "_buckets", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS clus_ndx$s"))
+    val corpus = Seq((10L, base)).toDF("doc_id", "text")
+    graft.ops.Dedup.writeNearDupIndex(corpus, "doc_id", "text", "clus_ndx",
+      numBuckets = 4)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.nearDupSink(mem.toDF().toDF("doc_id", "text"), "clus_ndx",
+      "doc_id", "text", threshold = 0.8, maxBandFreq = None,
+      acceptedPath = s"$dir/acc", checkpoint = s"$dir/ckpt",
+      clustersPath = Some(s"$dir/clusters"))
+    val b1 = Seq((20L, base + " again"), (21L, fresh))
+    val b2 = Seq((30L, fresh + " too"),
+      (31L, "entirely unrelated text about catalyst plans and shuffle partitions today"))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def clusters(): Map[Long, Long] = spark.read.parquet(s"$dir/clusters")
+      .as[(Long, Long)].collect().toMap
+    // discovered edges: 20–10 (corpus dup), 30–21 (cross-batch dup);
+    // components carry the min id; 31 stays a singleton
+    val want = Map(10L -> 10L, 20L -> 10L, 21L -> 21L, 30L -> 21L,
+      31L -> 31L)
+    assert(clusters() === want)
+    // crash-replay of batch 1: same pairs recomputed (its own first-run
+    // index entries excluded from the corpus side), fold is a no-op
+    Streams.applyNearDupBatch(b2.toDF("doc_id", "text"), "clus_ndx",
+      "doc_id", "text", threshold = 0.8, maxBandFreq = None,
+      acceptedPath = s"$dir/acc", id = 1L,
+      clustersPath = Some(s"$dir/clusters"))
+    assert(clusters() === want, "replayed batch must not change clusters")
+    // equals the full recompute over everything streamed (q51 pattern)
+    val all = (corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+      ++ b1 ++ b2).toSeq.toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.jaccardPairs(all, "doc_id", "text",
+      threshold = 0.8)
+    val full = graft.ops.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val streamedIds = (b1 ++ b2).map(_._1)
+    val fullLabels = streamedIds.map(id =>
+      id -> full.getOrElse(id, id)).toMap ++ full
+    assert(clusters() === fullLabels)
+    Seq("_shingles", "_buckets", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS clus_ndx$s"))
   }
 }
 

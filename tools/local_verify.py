@@ -21,6 +21,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         # micros everywhere and str() renders both the same, so the driver's
         # hash treats them as equal — normalize so dtype compare agrees.
         if df[c].dtype.kind == 'M':
+            # tz-aware (INT64 adjusted-to-UTC parquet) -> naive UTC first:
+            # astype refuses the aware->naive conversion outright
+            if getattr(df[c].dtype, "tz", None) is not None:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = df[c].astype('datetime64[us]')
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
