@@ -355,6 +355,14 @@ object BenchStress {
           graft.core.io.Skipping.writeStatsManifest(spark, data,
             Seq("l_orderkey", "l_shipdate"), mf)
         }
+        // the footer profiler's claim: build cost ~ per-file metadata
+        // reads, not a corpus scan (content spec-pinned identical, so
+        // the downstream pruned read/append legs are unaffected by
+        // which build produced the manifest)
+        time(s"manifest via footers ($label)") {
+          graft.core.io.Skipping.writeStatsManifestFromFooters(spark, data,
+            Seq("l_orderkey", "l_shipdate"), mf)
+        }
         time(s"full filter scan ($label)") {
           spark.read.parquet(data)
             .filter(col("l_orderkey").between(hi / 20, hi / 10))

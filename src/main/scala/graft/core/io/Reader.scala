@@ -32,7 +32,9 @@ object Reader {
           .options(ds.readOptions).csv(path)
       case "parquet" if ds.skipManifest.nonEmpty &&
           skipPredicates(ds, period).nonEmpty =>
-        Skipping.read(spark, path, ds.skipManifest.get,
+        require(ds.glob.isEmpty, "skip_manifest needs a directory input — " +
+          "glob patterns and manifest file listings cannot compose")
+        Skipping.read(spark, ds.path, ds.skipManifest.get,
           skipPredicates(ds, period), ds.readOptions)
       case "parquet" => spark.read.options(ds.readOptions).parquet(path)
       case "orc" => spark.read.options(ds.readOptions).orc(path)

@@ -161,6 +161,18 @@ object Skipping {
           s"column $c is a hive-partition column (directory-encoded): " +
             "footers cannot profile it; use writeStatsManifest")
     }
+    footerProfile(spark, files, profiled)
+      .coalesce(1).write.mode("overwrite").parquet(manifestDir)
+    spark.read.parquet(manifestDir).select("file").distinct().count()
+  }
+
+  /** Distributed footer profiling over an explicit file list — the core
+    * of [[writeStatsManifestFromFooters]], also the delta leg of
+    * [[appendStatsManifest]] (an append tick's profiling cost becomes
+    * per-new-file METADATA, not a re-read of the new files' rows).
+    */
+  private def footerProfile(spark: SparkSession, files: Seq[String],
+                            profiled: Seq[(String, String)]): DataFrame = {
     // ship the EXPLICIT hadoop conf entries (the Configuration object is
     // not serializable); tasks rebuild it so object-store creds travel
     val confEntries = {
@@ -169,14 +181,15 @@ object Skipping {
       while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
       b.result()
     }
-    val slices = math.min(files.size,
-      spark.sparkContext.defaultParallelism * 4).max(1)
+    // ≥16 footers per task (a footer read is ~ms–tens-of-ms; one task
+    // per file would be pure scheduling overhead), capped so a 1M-file
+    // listing still fans out across the cluster
+    val slices = math.min(math.max(files.size / 16, 1),
+      math.max(spark.sparkContext.defaultParallelism * 8, 4096))
     val rows = spark.sparkContext
       .parallelize(files, slices)
       .flatMap { f => footerRows(f, profiled, confEntries) }
     spark.createDataFrame(rows, manifestSchema)
-      .coalesce(1).write.mode("overwrite").parquet(manifestDir)
-    spark.read.parquet(manifestDir).select("file").distinct().count()
   }
 
   /** Write-time manifest emission seam for the layout writers: footers
@@ -357,8 +370,14 @@ object Skipping {
     val keep = manifest.join(
       diskKeys.toSeq.toDF("_k"), pathKeyCol(col("file")) === col("_k"),
       "left_semi")
+    // delta profiling: footers when every inherited column supports
+    // them (per-new-file metadata cost), the row scan otherwise
+    // (hive-partition columns live in dir names, not footers)
     val fresh =
       if (newFiles.isEmpty) keep.limit(0)
+      else if (!profiled.exists { case (c, _) =>
+          newFiles.exists(_.contains(s"/$c=")) })
+        footerProfile(spark, newFiles, profiled)
       else profileFiles(spark.read
         .schema(spark.read.parquet(dataDir).schema)
         .option("basePath", dataDir) // nested layouts: keep partition cols
@@ -427,7 +446,6 @@ object Skipping {
     // FileSystem.listStatus (`file:/…`) — compare scheme-stripped paths,
     // read through the disk listing's spelling
     val onDisk = listParquet(spark, dataDir)
-    val byKey = onDisk.map(f => pathKey(f) -> f).toMap
     val manifest = spark.read.parquet(manifestDir)
     // a file is excluded if ANY predicate proves it cannot hold a match.
     // ts-family columns compare string bounds PREFIX-SAFELY: the row
@@ -440,30 +458,33 @@ object Skipping {
           .otherwise(lit(s))
       case other => lit(other)
     }
-    val exclusions = ranges.map { r =>
-      val m = manifest.filter(col("column") === r.column)
+    // ONE aggregation job + ONE collect over the bounded manifest: per
+    // (file, column) row, does ANY conjunct on that column prove
+    // exclusion? — then bool-or per file. A null comparison
+    // (wrong-typed probe, conservative footer row) coalesces to false →
+    // file kept. The previous per-range union + exceptAll shape ran 2-3
+    // tiny jobs — ~1 s of fixed driver overhead per pruned read.
+    val rowExcluded = ranges.map { r =>
       val noVals = col("n_vals") === 0L // all-null: these preds reject null
       val noHit = r match {
         case ColumnRange(_, lower, upper) =>
-          val below = upper.map(v => boundCol(m, v, "min") > padUp(v))
+          val below = upper.map(v => boundCol(manifest, v, "min") > padUp(v))
             .getOrElse(lit(false))
-          val above = lower.map(v => boundCol(m, v, "max") < lit(v))
+          val above = lower.map(v => boundCol(manifest, v, "max") < lit(v))
             .getOrElse(lit(false))
           below || above
         case ColumnIn(_, values) =>
-          // no listed value can land inside [min, max]; a null bound
-          // (wrong-typed probe, conservative footer row) yields null →
-          // filter false → file KEPT, same degradation as ranges
-          values.map(v => !(boundCol(m, v, "min") <= padUp(v) &&
-              boundCol(m, v, "max") >= lit(v)))
+          values.map(v => !(boundCol(manifest, v, "min") <= padUp(v) &&
+              boundCol(manifest, v, "max") >= lit(v)))
             .reduce(_ && _)
       }
-      m.filter(noVals || noHit).select("file")
-    }.reduce(_ unionByName _).distinct()
-    val listed = manifest.select("file").distinct()
-    val keptKeys = listed.exceptAll(exclusions)
-      .collect().map(r => pathKey(r.getString(0))).toSet
-    val listedKeys = listed.collect().map(r => pathKey(r.getString(0))).toSet
+      col("column") === r.column && coalesce(noVals || noHit, lit(false))
+    }.reduce(_ || _)
+    val flagged = manifest
+      .groupBy("file").agg(max(rowExcluded).as("_ex"))
+      .collect().map(r => pathKey(r.getString(0)) -> r.getBoolean(1))
+    val listedKeys = flagged.map(_._1).toSet
+    val keptKeys = flagged.collect { case (k, ex) if !ex => k }.toSet
     val kept = onDisk.filter(f => keptKeys.contains(pathKey(f)))
     val unlisted = onDisk.filterNot(f => listedKeys.contains(pathKey(f)))
     Pruned((kept ++ unlisted).sorted,

@@ -64,15 +64,64 @@ class PsiFromReferenceJob extends EtlJob {
       sys.error("PsiFromReferenceJob needs a 'current' input"))
     val buckets = new org.apache.hadoop.fs.Path(s"$path/buckets")
     val fs = buckets.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(buckets)) {
-      val ref = inputs.getOrElse("reference", sys.error(
-        "PsiFromReferenceJob: no profile at ref_path yet — the first " +
-          "run needs a 'reference' input to write it"))
-      Stats.writePsiReference(ref, v, path,
-        bins = params.getOrElse("bins", "10").toInt,
-        exact = params.getOrElse("exact", "true").toBoolean)
+    val firstRun = !fs.exists(buckets)
+    def ref = inputs.getOrElse("reference", sys.error(
+      "PsiFromReferenceJob: no profile at ref_path yet — the first " +
+        "run needs a 'reference' input to write it"))
+    // `group_col` → the per-slice matrix ([[Stats.psiByGroupFromReference]]):
+    // one persisted edges+buckets profile per slice, every later tick
+    // reads only the current side
+    params.get("group_col") match {
+      case Some(g) =>
+        if (firstRun)
+          Stats.writePsiReferenceByGroup(ref, g, v, path,
+            bins = params.getOrElse("bins", "10").toInt,
+            exact = params.getOrElse("exact", "true").toBoolean)
+        Stats.psiByGroupFromReference(spark, path, cur, g, v)
+          .orderBy("group", "bucket")
+      case None =>
+        if (firstRun)
+          Stats.writePsiReference(ref, v, path,
+            bins = params.getOrElse("bins", "10").toInt,
+            exact = params.getOrElse("exact", "true").toBoolean)
+        Stats.psiFromReference(spark, path, cur, v).orderBy("bucket")
     }
-    Stats.psiFromReference(spark, path, cur, v).orderBy("bucket")
+  }
+}
+
+/** Exact KS against a PERSISTED reference ([[Stats.ksFromReference]] /
+  * [[Stats.ksByGroupFromReference]]) — [[KsDriftJob]]'s steady-state
+  * twin: the reference's distinct-value counts are written once
+  * (first run needs a `reference` input), every later tick contracts
+  * only the `current` input. Params: `value_col`, `ref_path`
+  * (required), `buckets` (default 64), `group_col` (optional — the
+  * per-slice matrix).
+  */
+class KsFromReferenceJob extends EtlJob {
+  def transform(inputs: Map[String, DataFrame], spark: SparkSession,
+                params: Map[String, String]): DataFrame = {
+    val v = params.getOrElse("value_col",
+      sys.error("KsFromReferenceJob needs a 'value_col' param"))
+    val path = params.getOrElse("ref_path",
+      sys.error("KsFromReferenceJob needs a 'ref_path' param"))
+    val cur = inputs.getOrElse("current",
+      sys.error("KsFromReferenceJob needs a 'current' input"))
+    val buckets = params.getOrElse("buckets", "64").toInt
+    val values = new org.apache.hadoop.fs.Path(s"$path/values")
+    val fs = values.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val firstRun = !fs.exists(values)
+    def ref = inputs.getOrElse("reference", sys.error(
+      "KsFromReferenceJob: no profile at ref_path yet — the first " +
+        "run needs a 'reference' input to write it"))
+    params.get("group_col") match {
+      case Some(g) =>
+        if (firstRun) Stats.writeKsReferenceByGroup(ref, g, v, path)
+        Stats.ksByGroupFromReference(spark, path, cur, g, v,
+          buckets = buckets).orderBy("group")
+      case None =>
+        if (firstRun) Stats.writeKsReference(ref, v, path)
+        Stats.ksFromReference(spark, path, cur, v, buckets = buckets)
+    }
   }
 }
 
@@ -157,7 +206,9 @@ class StatsManifestJob extends EtlJob {
         val cols = params.getOrElse("cols", sys.error(
             "StatsManifestJob needs a 'cols' param for the first build"))
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        val n = Skipping.writeStatsManifest(spark, path, cols, manifestDir)
+        // footers-first (per-file metadata cost), scan fallback for
+        // hive-partition columns — see Skipping.emitManifest
+        val n = Skipping.emitManifest(spark, path, cols, manifestDir)
         (n, 0L, n)
       }
     import spark.implicits._

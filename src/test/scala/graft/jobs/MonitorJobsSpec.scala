@@ -57,6 +57,32 @@ class MonitorJobsSpec extends SparkSpec {
     assert(poisoned.params.contains("ref_path"))
   }
 
+  test("per-slice steady monitors (psi + ks by group) equal the " +
+      "full-recompute twins; later ticks never read the reference") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toSeq).toSeq
+    for ((steady, full) <- Seq(
+        "price_psi_by_flag_steady" -> "price_psi_by_flag",
+        "price_ks_by_flag_steady" -> "price_ks_by_flag")) {
+      val first = rows(Flow.runPipeline(spark, loaded.jobs, steady,
+        save = false)(steady))
+      val direct = rows(Flow.runPipeline(spark, loaded.jobs, full,
+        save = false)(full))
+      assert(first === direct,
+        s"$steady must equal $full's two-input recompute")
+      // poisoned reference on the second tick: the stored slice
+      // profiles must win
+      val jobs2 = loaded.jobs.updated("ref_snapshot",
+        loaded.jobs("ref_snapshot").copy(
+          sql = Some("SELECT CAST(0.0 AS DOUBLE) AS v, l_returnflag " +
+            "FROM lineitem LIMIT 1")))
+      assert(rows(Flow.runPipeline(spark, jobs2, steady,
+        save = false)(steady)) === first,
+        s"$steady reread the reference corpus instead of the profile")
+    }
+  }
+
   test("compactIncrements runs from the manifest; a compacted sink " +
       "replays a crashed batch identically (dir-identity contract)") {
     import spark.implicits._
