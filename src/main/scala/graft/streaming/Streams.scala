@@ -492,11 +492,22 @@ object Streams {
       val batchLabels = batch
         .select(col(idCol).cast("long").as("id")).distinct()
         .withColumn("comp", col("id"))
-      val labels =
-        if (cfs.exists(path))
-          spark.read.parquet(cp).unionByName(batchLabels)
-        else batchLabels
-      val updated = graft.ops.Dedup.updateClusters(labels, pairs.get)
+      val standing =
+        if (cfs.exists(path)) Some(spark.read.parquet(cp)) else None
+      val labels = standing match {
+        case Some(s) => s.unionByName(batchLabels)
+        case None => batchLabels
+      }
+      // a batch with NO discovered edges folds as labels ∪ fresh
+      // singletons — the steady-state common case skips the CC rounds
+      // entirely (updateClusters over star edges + ∅ is the identity)
+      val updated =
+        if (pairs.get.isEmpty) standing match {
+          case Some(s) => s.unionByName(
+            batchLabels.join(s.select("id"), Seq("id"), "left_anti"))
+          case None => batchLabels
+        }
+        else graft.ops.Dedup.updateClusters(labels, pairs.get)
       cfs.delete(tmp, true); cfs.delete(old, true)
       updated.write.parquet(tmp.toString)
       if (cfs.exists(path))

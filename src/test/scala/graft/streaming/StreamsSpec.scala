@@ -545,6 +545,15 @@ class NearDupSinkSpec extends SparkSpec {
     val fullLabels = streamedIds.map(id =>
       id -> full.getOrElse(id, id)).toMap ++ full
     assert(clusters() === fullLabels)
+    // a batch with ZERO discovered edges takes the no-CC fast fold:
+    // standing labels untouched, fresh ids appended as singletons
+    Streams.applyNearDupBatch(
+      Seq((40L, "totally novel sentence mentioning adaptive query " +
+        "execution and skew hints only")).toDF("doc_id", "text"),
+      "clus_ndx", "doc_id", "text", threshold = 0.8, maxBandFreq = None,
+      acceptedPath = s"$dir/acc", id = 2L,
+      clustersPath = Some(s"$dir/clusters"))
+    assert(clusters() === want + (40L -> 40L))
     Seq("_shingles", "_buckets", "_meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS clus_ndx$s"))
   }
