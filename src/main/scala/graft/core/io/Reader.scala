@@ -26,16 +26,16 @@ object Reader {
   def read(spark: SparkSession, ds: DatasetSpec,
            period: Option[(String, String)] = None): DataFrame = {
     val path = ds.glob.map(g => s"${ds.path.stripSuffix("/")}/$g").getOrElse(ds.path)
+    lazy val preds = skipPredicates(ds, period)
     ds.format match {
       case "csv" =>
         spark.read.option("header", "true")
           .options(ds.readOptions).csv(path)
-      case "parquet" if ds.skipManifest.nonEmpty &&
-          skipPredicates(ds, period).nonEmpty =>
+      case "parquet" if ds.skipManifest.nonEmpty && preds.nonEmpty =>
         require(ds.glob.isEmpty, "skip_manifest needs a directory input — " +
           "glob patterns and manifest file listings cannot compose")
-        Skipping.read(spark, ds.path, ds.skipManifest.get,
-          skipPredicates(ds, period), ds.readOptions)
+        Skipping.read(spark, ds.path, ds.skipManifest.get, preds,
+          ds.readOptions)
       case "parquet" => spark.read.options(ds.readOptions).parquet(path)
       case "orc" => spark.read.options(ds.readOptions).orc(path)
       case "json" => spark.read.options(ds.readOptions).json(path)

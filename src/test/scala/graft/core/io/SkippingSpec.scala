@@ -210,9 +210,15 @@ class SkippingSpec extends SparkSpec {
       .withColumn("s", when(col("id") % 11 === 0, lit(null))
         .otherwise(col("s")))
       .withColumn("t", expr("timestamp_micros(id * 98765432109)"))
+      // non-ASCII mix: Spark's UTF8String order and parquet's BINARY
+      // stats comparator are BOTH unsigned byte-wise — a signed compare
+      // on either side would order the high-byte strings first
+      .withColumn("u", concat(
+        when(col("id") % 3 === 0, lit("żebra-")).otherwise(lit("zebra-")),
+        when(col("id") % 5 === 0, lit("日本")).otherwise(col("s"))))
     Layout.rangeSortedWrite(df, col("id"), data, numFiles = 6,
       tiebreak = Seq(col("id")))
-    val cols = Seq("id", "v", "f", "dec_s", "dec_b", "s", "d", "t")
+    val cols = Seq("id", "v", "f", "dec_s", "dec_b", "s", "d", "t", "u")
     Skipping.writeStatsManifest(spark, data, cols, mfScan)
     assert(Skipping.writeStatsManifestFromFooters(spark, data, cols,
       mfFoot) === 6L)
