@@ -137,7 +137,8 @@ object BenchStressStreaming {
       .select((col("doc_id") + 50000000L).as("doc_id"),
         concat(col("text"), lit(" fresh delta tail words here")).as("text"))
       .localCheckpoint()
-    def ingestLane(corpus: DataFrame, name: String): LaneStats = {
+    def ingestLane(corpus: DataFrame, name: String,
+                   clusters: Boolean = false): LaneStats = {
       Seq("_shingles", "_buckets", "_meta", "_tombstones").foreach(s =>
         spark.sql(s"DROP TABLE IF EXISTS $name$s"))
       graft.ops.Dedup.writeNearDupIndex(corpus, "doc_id", "text", name)
@@ -154,7 +155,8 @@ object BenchStressStreaming {
       val q = graft.streaming.Streams.nearDupSink(stream, name, "doc_id",
         "text", threshold = 0.8, maxBandFreq = Some(50),
         acceptedPath = s"$root/${name}_accepted",
-        checkpoint = s"$root/${name}_ckpt")
+        checkpoint = s"$root/${name}_ckpt",
+        clustersPath = if (clusters) Some(s"$root/${name}_clusters") else None)
       q.processAllAvailable()
       val wall = (System.nanoTime() - t0) / 1e9
       val progs = q.recentProgress.toSeq
@@ -163,12 +165,22 @@ object BenchStressStreaming {
       q.stop()
       val accepted = spark.read.parquet(s"$root/${name}_accepted/batch*").count()
       LaneStats(wall, batchS.size, if (batchS.isEmpty) 0 else batchS.max,
-        0L, accepted)
+        if (clusters)
+          spark.read.parquet(s"$root/${name}_clusters").count()
+        else 0L, accepted)
     }
     println(s"ingest delta: ${delta.count()} docs, 4 micro-batches")
     report("stream neardup ingest",
       ingestLane(docs, "bssnd1"),
       ingestLane(stressedDocs, s"bssnd$copies"))
+    // same lanes with the per-batch cluster fold: the delta's extra cost
+    // is the updateClusters CC over |labels|+|pairs| (labels = streamed
+    // ids + touched corpus ids — delta-sized, never corpus-sized), so
+    // the exponent must stay far below 1 too; `state` reports the final
+    // clusters-table rows
+    report("ingest + cluster fold",
+      ingestLane(docs, "bssnc1", clusters = true),
+      ingestLane(stressedDocs, s"bssnc$copies", clusters = true))
 
     spark.stop()
   }

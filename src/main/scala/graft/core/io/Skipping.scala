@@ -188,7 +188,13 @@ object Skipping {
       math.max(spark.sparkContext.defaultParallelism * 8, 4096))
     val rows = spark.sparkContext
       .parallelize(files, slices)
-      .flatMap { f => footerRows(f, profiled, confEntries) }
+      .mapPartitions { it =>
+        // one Configuration rebuild per TASK, not per file — at 1M
+        // files the per-file rebuild would dominate the footer reads
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        it.flatMap(f => footerRows(f, profiled, conf))
+      }
     spark.createDataFrame(rows, manifestSchema)
   }
 
@@ -214,14 +220,13 @@ object Skipping {
 
   /** One file's footer → manifest rows. Runs inside a task. */
   private def footerRows(file: String, profiled: Seq[(String, String)],
-                         confEntries: Map[String, String]): Seq[org.apache.spark.sql.Row] = {
+                         conf: org.apache.hadoop.conf.Configuration)
+      : Seq[org.apache.spark.sql.Row] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import scala.jdk.CollectionConverters._
-    val conf = new org.apache.hadoop.conf.Configuration(false)
-    confEntries.foreach { case (k, v) => conf.set(k, v) }
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file), conf))
     try {
