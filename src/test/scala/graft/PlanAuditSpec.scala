@@ -97,7 +97,16 @@ class PlanAuditSpec extends SparkSpec {
     // write + manifest at build time (the side-table convention) and
     // audits the PRUNED scan's aggregate; q213 is the banded simhash
     // pairing over aHash fingerprints (q28's audited join shape)
-    "q211_incremental_clusters", "q212_pruned_scan", "q213_media_neardup")
+    "q211_incremental_clusters", "q212_pruned_scan", "q213_media_neardup",
+    // round-11 batch additions: q214/q215 execute their layout writes +
+    // multi-pass periods at build time (the q212 side-effect
+    // convention) and audit the final pruned-scan aggregates; q218 is
+    // the planted-PNG pixel-hash projection (UDF encode + codegen'd
+    // AHash64 — no join, no shuffle beyond the sort). q216/q217/q219
+    // are streaming (the q206 family) — replay/partials invariants
+    // live in StreamsSpec.
+    "q214_yaml_pruned_incremental", "q215_inlist_pruned_scan",
+    "q218_pixel_ahash")
     // round-9: q198/q199/q200 are catalog/path side-effect queries
     // (the q147/q190 family) — their plan shapes (bucket pruning,
     // partition pruning, zero-rewrite vacuums, reference-free monitor
