@@ -380,6 +380,46 @@ object BenchStress {
       }
     }
 
+    // FILE-COUNT stress at FIXED rows: the corpus-growth loop above
+    // scales rows and files together, so both scan legs stay row-bound;
+    // here the SAME rows land at 32 vs 1024 files — the 100 TB failure
+    // mode is the listing/footer round trips, which grow with the FILE
+    // count while the matched data does not. Claims: the plain filter
+    // scan's cost tracks the file count (per-file open/footer even when
+    // row-group pushdown skips the bytes), the pruned read tracks the
+    // MATCHED files, and the footer manifest build costs ~per-file
+    // metadata either way.
+    {
+      val li = Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_shipdate")
+        .localCheckpoint()
+      val hi = li.agg(max("l_orderkey")).head().getLong(0)
+      val range = Seq(graft.core.io.Skipping.ColumnRange("l_orderkey",
+        Some(hi / 20), Some(hi / 10)))
+      val fcRoot = java.nio.file.Files
+        .createTempDirectory("graft_filestress").toString
+      for (nf <- Seq(32, 1024)) {
+        val data = s"$fcRoot/data$nf"
+        val mf = s"$fcRoot/mf$nf"
+        graft.ops.Layout.rangeSortedWrite(li, col("l_orderkey"),
+          data, numFiles = nf)
+        println(s"file-count stress: ${li.count()} rows, $nf files")
+        time(s"manifest via footers ($nf files)") {
+          graft.core.io.Skipping.writeStatsManifestFromFooters(spark, data,
+            Seq("l_orderkey", "l_shipdate"), mf)
+        }
+        time(s"full filter scan ($nf files)") {
+          spark.read.parquet(data)
+            .filter(col("l_orderkey").between(hi / 20, hi / 10))
+            .agg(count(lit(1))).head().getLong(0)
+        }
+        time(s"pruned read ($nf files)") {
+          graft.core.io.Skipping.read(spark, data, mf, range)
+            .agg(count(lit(1))).head().getLong(0)
+        }
+      }
+    }
+
     // incremental cluster maintenance vs full recompute: a chain-heavy
     // synthetic graph at 1x and `copies`x edges. The fold-in contracts
     // standing labels to star edges, so its input is |nodes| + |delta|
