@@ -224,10 +224,21 @@ object QueriesRound11 {
     * a persisted `(id, comp)` table via
     * [[graft.ops.Dedup.updateClusters]] — q211's incremental fold run
     * from inside the sink, at delta cost per batch. The oracle is the
-    * q51-pattern full recompute: exact-Jaccard pairs over corpus∪delta
-    * (minus corpus-internal pairs, which no ingest ever observes),
-    * recursive-CTE components, and a self-label for every streamed
-    * singleton — the streamed fold must match it bit for bit.
+    * q51-pattern full recompute RESTRICTED TO THE DISCOVERED EDGE
+    * CONTRACT: exact-Jaccard pairs over corpus∪delta, minus
+    * corpus-internal pairs (no ingest observes them), minus pairs
+    * between a batch-1 doc the ingest DROPPED and a batch-2 doc — a
+    * dropped doc never enters the index, so a later batch cannot
+    * discover similarity to it ([[graft.streaming.Streams]]
+    * applyNearDupBatch docstring). A dropped doc's OWN within-batch and
+    * corpus edges are observed (cross-pairing runs over the full batch
+    * before the drop), so the excluded set is exactly dropped-b1 × b2.
+    * The SQL replays the drop decision: a b1 doc is dropped iff it is a
+    * non-min member of a within-b1 component or pairs with the corpus.
+    * With the contract mirrored, the oracle holds at ANY scale factor
+    * or threshold — not just fixtures where cross pairs hit the corpus.
+    * Recursive-CTE components plus a self-label for every streamed
+    * singleton; the streamed fold must match bit for bit.
     */
   val q219 = QueryDef("q219_stream_neardup_clusters", (spark, dir) => {
     val (corpus, delta) = QueriesText.q70Corpus(spark, dir)
@@ -272,9 +283,32 @@ object QueriesRound11 {
        |          JOIN sizes sb ON sb.doc_id = inter.b_id
        |          WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)
        |            >= 0.8),
+       |b1pairs AS (SELECT a_id, b_id FROM pairs
+       |            WHERE a_id % 2 = 1 AND a_id < 300000
+       |              AND b_id % 2 = 1 AND b_id < 300000),
+       |b1edges AS (SELECT a_id AS s, b_id AS d FROM b1pairs
+       |            UNION ALL SELECT b_id, a_id FROM b1pairs),
+       |b1walk(id, lbl) AS (
+       |  SELECT s, s FROM b1edges GROUP BY s
+       |  UNION
+       |  SELECT e.s, b1walk.lbl FROM b1edges e JOIN b1walk
+       |    ON b1walk.id = e.d),
+       |b1dropped AS (
+       |  SELECT id FROM (SELECT id, min(lbl) AS comp FROM b1walk
+       |                  GROUP BY id) t
+       |  WHERE t.id <> t.comp
+       |  UNION
+       |  SELECT CASE WHEN a_id % 2 = 1 THEN a_id ELSE b_id END AS id
+       |  FROM pairs
+       |  WHERE a_id < 300000 AND b_id < 300000
+       |    AND (a_id % 2) <> (b_id % 2)),
        |kept AS (SELECT a_id, b_id FROM pairs
        |         WHERE NOT (a_id % 2 = 0 AND a_id < 300000
-       |                AND b_id % 2 = 0 AND b_id < 300000)),
+       |                AND b_id % 2 = 0 AND b_id < 300000)
+       |           AND NOT (b_id >= 300000 AND
+       |                    a_id IN (SELECT id FROM b1dropped))
+       |           AND NOT (a_id >= 300000 AND
+       |                    b_id IN (SELECT id FROM b1dropped))),
        |edges AS (SELECT a_id AS s, b_id AS d FROM kept
        |          UNION ALL SELECT b_id, a_id FROM kept),
        |walk(id, lbl) AS (

@@ -157,7 +157,7 @@ object Skipping {
     require(files.nonEmpty, s"no parquet files under $dataDir")
     profiled.foreach { case (c, _) =>
       if (files.exists(_.contains(s"/$c=")))
-        throw new UnsupportedOperationException(
+        throw new HivePartitionColumnException(
           s"column $c is a hive-partition column (directory-encoded): " +
             "footers cannot profile it; use writeStatsManifest")
     }
@@ -198,15 +198,26 @@ object Skipping {
     spark.createDataFrame(rows, manifestSchema)
   }
 
+  /** A profiled column that lives in hive-partition directory names, not
+    * parquet footers — the ONE shape the footer path declines by design.
+    * A dedicated type so [[emitManifest]]'s fallback cannot swallow an
+    * environmental `UnsupportedOperationException` (object-store
+    * FileSystem stubs, exotic schemes) and silently reroute a 100 TB
+    * corpus into a full profiling scan: those must surface.
+    */
+  final class HivePartitionColumnException(msg: String)
+    extends UnsupportedOperationException(msg)
+
   /** Write-time manifest emission seam for the layout writers: footers
-    * when every profiled column supports them, the data-scan path
-    * otherwise (hive-partition columns, exotic physical types).
+    * when every profiled column supports them, the data-scan path only
+    * for the declared hive-partition-column shape. Any other failure
+    * propagates — see [[HivePartitionColumnException]].
     */
   def emitManifest(spark: SparkSession, dataDir: String, cols: Seq[String],
                    manifestDir: String): Long =
     try writeStatsManifestFromFooters(spark, dataDir, cols, manifestDir)
     catch {
-      case _: UnsupportedOperationException =>
+      case _: HivePartitionColumnException =>
         writeStatsManifest(spark, dataDir, cols, manifestDir)
     }
 

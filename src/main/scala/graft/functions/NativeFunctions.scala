@@ -663,13 +663,18 @@ object AHash64 {
   // would add a temp-file round trip per row
   javax.imageio.ImageIO.setUseCache(false)
 
-  /** Static entry (JIT-friendly from generated code) and total: any
-    * undecodable input takes the byte fallback, never throws.
+  /** Static entry (JIT-friendly from generated code) and total for
+    * DATA errors: any undecodable input takes the byte fallback, never
+    * throws. Only NonFatal decode failures are remapped — a fatal error
+    * (OutOfMemoryError on a decompression-bomb payload, StackOverflow)
+    * must propagate, or the row's fingerprint would depend on executor
+    * memory headroom and could differ between runs/executors, breaking
+    * the deterministic-fingerprint contract.
     */
   def compute(b: Array[Byte]): Long = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-      catch { case _: Throwable => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return byteHash(b, 63)
     val w = img.getWidth; val h = img.getHeight
     if (w <= 0 || h <= 0) return byteHash(b, 63)

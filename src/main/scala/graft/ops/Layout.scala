@@ -25,18 +25,27 @@ object Layout {
     * session-wide) because adjusted-to-UTC INT64 reads back tz-aware in
     * pandas/arrow, which general job outputs must not impose on
     * downstream consumers.
+    *
+    * There is no per-DataFrameWriter option for this conf — the flip is
+    * necessarily on the session's shared SQLConf — so the set/restore
+    * window is SERIALIZED per SparkSession: a concurrent plain write on
+    * the same session (parallel job threads) must neither pick up
+    * TIMESTAMP_MICROS nor have a layout write's setting reverted under
+    * it mid-write. Writes on the same session queue behind the lock;
+    * distinct sessions (own SQLConf each) proceed in parallel.
     */
-  private def withMicrosTimestamps[T](df: DataFrame)(f: => T): T = {
-    val key = "spark.sql.parquet.outputTimestampType"
-    val conf = df.sparkSession.conf
-    val prev = conf.getOption(key)
-    conf.set(key, "TIMESTAMP_MICROS")
-    try f
-    finally prev match {
-      case Some(v) => conf.set(key, v)
-      case None => conf.unset(key)
+  private def withMicrosTimestamps[T](df: DataFrame)(f: => T): T =
+    df.sparkSession.synchronized {
+      val key = "spark.sql.parquet.outputTimestampType"
+      val conf = df.sparkSession.conf
+      val prev = conf.getOption(key)
+      conf.set(key, "TIMESTAMP_MICROS")
+      try f
+      finally prev match {
+        case Some(v) => conf.set(key, v)
+        case None => conf.unset(key)
+      }
     }
-  }
 
   /** Morton (Z-order) value: interleave the low `bits` bits of each
     * column — bit `i` of dimension `d` lands at position `i·ndims + d`.

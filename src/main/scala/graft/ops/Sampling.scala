@@ -129,9 +129,25 @@ object Sampling {
     // up in different batches with an equal key_micro but a changed
     // payload (re-weighted to the same key, or an attribute edit):
     // tie-break on a stable hash of every non-key column so each run —
-    // and the batch-replay twin — picks the same winner.
-    val payload = partials.columns.toSeq
-      .filterNot(c => c == idCol || c == "key_micro").sorted.map(col)
+    // and the batch-replay twin — picks the same winner. xxhash64
+    // rejects MapType (even nested) unless a legacy flag is set, so
+    // map-bearing payload columns hash their to_json rendering instead
+    // — stable across replays (parquet re-reads preserve map entry
+    // order) and never an analysis failure.
+    def holdsMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.MapType => true
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.exists(f => holdsMap(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          holdsMap(a.elementType)
+        case _ => false
+      }
+    val payload = partials.schema.fields.toSeq
+      .filterNot(f => f.name == idCol || f.name == "key_micro")
+      .sortBy(_.name)
+      .map(f => if (holdsMap(f.dataType)) to_json(col(f.name))
+                else col(f.name))
     val byId = Window.partitionBy(col(idCol))
       .orderBy((col("key_micro").desc +:
         (if (payload.isEmpty) Nil else Seq(xxhash64(payload: _*).asc))): _*)

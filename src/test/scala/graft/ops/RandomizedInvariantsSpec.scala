@@ -323,6 +323,25 @@ class RandomizedInvariantsSpec extends SparkSpec {
       "equal-key merge must be order-independent and replay-stable")
   }
 
+  test("reservoir merge tolerates map-typed payload columns in the " +
+      "tie-break hash") {
+    // xxhash64 rejects MapType at analysis (even nested in a struct);
+    // the tie-break must route map-bearing columns through to_json, not
+    // fail the merge of a partials frame carrying a map payload
+    import org.apache.spark.sql.functions.{map, lit, struct}
+    val parts = Seq((1L, "gA", 10L), (1L, "gA", 10L), (2L, "gA", 3L))
+      .toDF("id", "g", "w")
+      .withColumn("key_micro",
+        graft.ops.Sampling.esKeyMicro("id", "w", "es"))
+      .withColumn("attrs", map(lit("k"), col("id") * 2))
+      .withColumn("nested", struct(map(lit("n"), lit("v")).as("m")))
+    val merged = graft.ops.Sampling
+      .reservoirMerge(parts, "id", "g", n = 5)
+      .collect()
+    assert(merged.map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L),
+      "map payload merge collapses to one row per id")
+  }
+
   test("updateClusters equals the full recompute under random edge waves") {
     val rnd = new scala.util.Random(43)
     // random sparse graph over 120 nodes plus a 40-edge path — the path is
