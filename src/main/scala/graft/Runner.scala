@@ -82,7 +82,14 @@ object Runner {
         if (ds.format == "df") s"$n=<in-memory>"
         else s"$n=${p(ds.path)} (${ds.format})$skip"
       }.mkString(", ")
-      val out = j.output.map(o => s" -> ${p(o.path)} (${o.format})").getOrElse("")
+      val out = j.output.map { o =>
+        // a stats_manifest output surfaces its write-path maintenance:
+        // the manifest the write will build-or-refresh
+        val mf = o.statsManifest.map(m => s" stats_manifest=${p(m)}" +
+          (if (o.statsCols.nonEmpty) s" cols=${o.statsCols.mkString(",")}"
+           else "")).getOrElse("")
+        s" -> ${p(o.path)} (${o.format})$mf"
+      }.getOrElse("")
       Seq(f"${i + 1}%2d. $name [$kind] inputs: $ins$out")
     }
   }

@@ -77,10 +77,19 @@ object Maintenance {
     * than `minFiles` parquet files are skipped (the steady state after
     * a previous pass — idempotent).
     */
+  /** `statsManifest`: a [[Skipping]] manifest over this sink to
+    * delta-refresh after the rewrites (drops the compacted-away files'
+    * rows, footer-profiles the replacements) — so a compaction tick and
+    * its manifest tick travel together and downstream `skip_manifest`
+    * readers never sit a cadence behind the layout. Must already exist
+    * (compaction maintains established sinks); absent → loud failure.
+    */
   def compactIncrements(spark: SparkSession, root: String,
                         targetFileBytes: Long = 128L * 1024 * 1024,
                         keepLatest: Int = 1,
-                        minFiles: Int = 2): IncrementsCompacted = {
+                        minFiles: Int = 2,
+                        statsManifest: Option[String] = None)
+      : IncrementsCompacted = {
     require(keepLatest >= 0, s"keepLatest must be >= 0: $keepLatest")
     require(minFiles >= 2, s"minFiles must be >= 2: $minFiles")
     val rootPath = new Path(root)
@@ -119,6 +128,8 @@ object Maintenance {
         dirs += 1; before += c.filesBefore; after += c.filesAfter
       }
     }
+    statsManifest.foreach(mf =>
+      Skipping.appendStatsManifest(spark, root, mf): Unit)
     IncrementsCompacted(dirs, before, after)
   }
 
@@ -191,10 +202,15 @@ object Maintenance {
     * had. Clean partitions are returned with `reclustered = false` and
     * their files untouched.
     */
+  /** `statsManifest`: see [[compactIncrements]] — delta-refresh an
+    * existing [[Skipping]] manifest after the partition rewrites.
+    */
   def compactZorder(spark: SparkSession, dir: String, dims: Seq[String],
                     bits: Int = 16,
                     targetFileBytes: Long = 128L * 1024 * 1024,
-                    maxOverlapPerFile: Int = 0): Seq[ZorderCompacted] = {
+                    maxOverlapPerFile: Int = 0,
+                    statsManifest: Option[String] = None)
+      : Seq[ZorderCompacted] = {
     require(dims.nonEmpty, "compactZorder needs at least one dim column")
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -219,9 +235,12 @@ object Maintenance {
         !st.getPath.getName.startsWith("_"))
       .map(_.getPath).sortBy(_.getName)
     val targets = if (partDirs.nonEmpty) partDirs.toSeq else Seq(root)
-    targets.map(p =>
+    val reports = targets.map(p =>
       compactZorderOne(spark, fs, p, dims, bits, targetFileBytes,
         maxOverlapPerFile))
+    statsManifest.foreach(mf =>
+      Skipping.appendStatsManifest(spark, dir, mf): Unit)
+    reports
   }
 
   final case class DirReport(partition: String, files: Int, bytes: Long,

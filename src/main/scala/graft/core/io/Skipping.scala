@@ -92,6 +92,23 @@ object Skipping {
     case TimestampType | TimestampNTZType => "ts"
   }
 
+  /** The full dataset under `dataDir`, whatever its layout: flat dirs,
+    * hive partitions (`basePath` keeps the directory-encoded columns),
+    * and incremental sinks whose files live in `inc_*`/`batch*` subdirs
+    * — which a plain `spark.read.parquet(dataDir)` would NOT discover
+    * (Spark only recurses into `key=value` partition dirs). Built from
+    * the same recursive listing the manifest rows use, so the profiled
+    * file set and the schema probe can never disagree.
+    */
+  private def openDataset(spark: SparkSession, dataDir: String,
+                          options: Map[String, String] = Map.empty)
+      : DataFrame = {
+    val files = listParquet(spark, dataDir)
+    require(files.nonEmpty, s"no parquet files under $dataDir")
+    spark.read.options(options).option("basePath", dataDir)
+      .parquet(files: _*)
+  }
+
   /** Profile `dataDir`'s parquet files into a manifest at `manifestDir`:
     * a row per (file, column) with `n_rows`, `n_vals` (non-null count)
     * and family-typed min/max. ONE scan of the data regardless of how
@@ -105,14 +122,16 @@ object Skipping {
   def writeStatsManifest(spark: SparkSession, dataDir: String,
                          cols: Seq[String], manifestDir: String): Long = {
     require(cols.nonEmpty, "profile at least one column")
-    val df = spark.read.parquet(dataDir)
+    val files = listParquet(spark, dataDir)
+    require(files.nonEmpty, s"no parquet files under $dataDir")
+    val df = spark.read.option("basePath", dataDir).parquet(files: _*)
     val profiled = cols.map { c =>
       val dt = df.schema(c).dataType // throws on unknown column: fail loud
       c -> statsFamilies.lift(dt)
     }.collect { case (c, Some(fam)) => c -> fam }
     require(profiled.nonEmpty,
       s"none of ${cols.mkString(",")} has a skippable type")
-    profileFiles(df, profiled)
+    profileFiles(df, profiled, files)
       .coalesce(1).write.mode("overwrite").parquet(manifestDir)
     spark.read.parquet(manifestDir).select("file").distinct().count()
   }
@@ -147,14 +166,15 @@ object Skipping {
                                     cols: Seq[String],
                                     manifestDir: String): Long = {
     require(cols.nonEmpty, "profile at least one column")
-    val schema = spark.read.parquet(dataDir).schema
+    val files = listParquet(spark, dataDir)
+    require(files.nonEmpty, s"no parquet files under $dataDir")
+    val schema = spark.read.option("basePath", dataDir)
+      .parquet(files: _*).schema
     val profiled = cols.map { c =>
       c -> statsFamilies.lift(schema(c).dataType)
     }.collect { case (c, Some(fam)) => c -> fam }
     require(profiled.nonEmpty,
       s"none of ${cols.mkString(",")} has a skippable type")
-    val files = listParquet(spark, dataDir)
-    require(files.nonEmpty, s"no parquet files under $dataDir")
     profiled.foreach { case (c, _) =>
       if (files.exists(_.contains(s"/$c=")))
         throw new HivePartitionColumnException(
@@ -220,6 +240,34 @@ object Skipping {
       case _: HivePartitionColumnException =>
         writeStatsManifest(spark, dataDir, cols, manifestDir)
     }
+
+  /** Build-or-refresh: the ONE manifest-maintenance entry every write
+    * path shares (the YAML `stats_manifest` output attr, the streaming
+    * increment sink, [[graft.jobs]]' StatsManifestJob cadence tick).
+    * First call builds via [[emitManifest]] (footers-first) from `cols`;
+    * every later call delta-refreshes via [[appendStatsManifest]] —
+    * profiling ONLY unseen files, dropping vanished ones, inheriting
+    * the profiled columns from the manifest itself (`cols` is consulted
+    * only for the first build, so a producer and a maintenance tick can
+    * never diverge on what is indexed). This is what makes skipping
+    * SELF-MAINTAINING at 100 TB: the steady-state cost of keeping a
+    * manifest fresh is per-new-file metadata, paid by the job that
+    * created the files — never a second corpus scan.
+    */
+  def maintainManifest(spark: SparkSession, dataDir: String,
+                       manifestDir: String,
+                       cols: Seq[String] = Nil): ManifestDelta = {
+    val mp = new Path(manifestDir)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(mp)) appendStatsManifest(spark, dataDir, manifestDir)
+    else {
+      require(cols.nonEmpty,
+        s"first manifest build at $manifestDir needs the columns to " +
+          "profile (stats_cols)")
+      val n = emitManifest(spark, dataDir, cols, manifestDir)
+      ManifestDelta(n.toInt, 0, n)
+    }
+  }
 
   private val manifestSchema = StructType(Seq(
     StructField("file", StringType), StructField("n_rows", LongType),
@@ -395,9 +443,12 @@ object Skipping {
           newFiles.exists(_.contains(s"/$c=")) })
         footerProfile(spark, newFiles, profiled)
       else profileFiles(spark.read
-        .schema(spark.read.parquet(dataDir).schema)
+        // schema from the FULL listed file set (a plain dataDir read
+        // would miss files living in inc_*/batch* subdirs)
+        .schema(spark.read.option("basePath", dataDir)
+          .parquet(onDisk: _*).schema)
         .option("basePath", dataDir) // nested layouts: keep partition cols
-        .parquet(newFiles: _*), profiled)
+        .parquet(newFiles: _*), profiled, newFiles)
     val staged = manifestDir.stripSuffix("/") + "_staged"
     keep.unionByName(fresh).coalesce(1)
       .write.mode("overwrite").parquet(staged)
@@ -413,9 +464,19 @@ object Skipping {
   /** Shared profiling core: per-file aggregation (ONE scan regardless of
     * column count) + in-plan unpivot to the manifest's
     * (file, column, family, typed min/max) rows.
+    *
+    * `allFiles` — the listed file set the aggregation is expected to
+    * cover: an EMPTY part file (an empty partition's write) contributes
+    * no rows, so the per-file groupBy never emits it; without a filler
+    * row the scan path would leave it unlisted while the footer path
+    * profiles it (0 rows, null bounds) and the two builders would
+    * diverge on the same directory. Missing files get the same
+    * zero-rows row the footer path emits — which also PRUNES
+    * (`n_vals = 0` excludes under any null-rejecting predicate),
+    * strictly better than unlisted conservatism.
     */
-  private def profileFiles(df: DataFrame,
-                           profiled: Seq[(String, String)]): DataFrame = {
+  private def profileFiles(df: DataFrame, profiled: Seq[(String, String)],
+                           allFiles: Seq[String]): DataFrame = {
     val aggs = profiled.flatMap { case (c, fam) =>
       val v = fam match {
         case "long" => col(c).cast("long")
@@ -444,10 +505,30 @@ object Skipping {
         slot("str", col(s"_min_$c")).as("min_str"),
         slot("str", col(s"_max_$c")).as("max_str"))
     }
-    perFile.select(col("_file").as("file"),
+    val out = perFile.select(col("_file").as("file"),
         col("_rows").cast("long").as("n_rows"),
         explode(array(rows: _*)).as("s"))
       .select(col("file"), col("n_rows"), col("s.*"))
+    // filler rows for listed-but-rowless files (empty part files):
+    // bounded anti-join over the files×columns manifest, never the data
+    import df.sparkSession.implicits._
+    val zrows = profiled.map { case (c, fam) =>
+      struct(lit(c).as("column"), lit(fam).as("family"),
+        lit(0L).as("n_vals"),
+        lit(null).cast("long").as("min_long"),
+        lit(null).cast("long").as("max_long"),
+        lit(null).cast("double").as("min_dbl"),
+        lit(null).cast("double").as("max_dbl"),
+        lit(null).cast("string").as("min_str"),
+        lit(null).cast("string").as("max_str"))
+    }
+    val zeros = allFiles.toDF("_lf")
+      .join(out.select(pathKeyCol(col("file")).as("_k")).distinct(),
+        pathKeyCol(col("_lf")) === col("_k"), "left_anti")
+      .select(col("_lf").as("file"), lit(0L).as("n_rows"),
+        explode(array(zrows: _*)).as("s"))
+      .select(col("file"), col("n_rows"), col("s.*"))
+    out.unionByName(zeros)
   }
 
   /** The file set a conjunction of ranges cannot rule out. Overlap runs
@@ -517,7 +598,9 @@ object Skipping {
            ranges: Seq[FilePredicate],
            options: Map[String, String] = Map.empty): DataFrame = {
     val pruned = pruneFiles(spark, dataDir, manifestDir, ranges)
-    val full = spark.read.options(options).parquet(dataDir)
+    // openDataset, not a plain dataDir read: incremental sinks keep
+    // files in inc_*/batch* subdirs a directory read would not discover
+    val full = openDataset(spark, dataDir, options)
     val rowFilter = ranges.map {
       case r: ColumnRange =>
         val c = col(r.column)

@@ -85,6 +85,12 @@ object Manifest {
               }.getOrElse(Nil))
           }
           case other => sys.error(s"skip_ranges must be a list, got $other")
+        }.getOrElse(Nil),
+        statsManifest = str("stats_manifest"),
+        statsCols = m.get("stats_cols").map {
+          case l: JList[_] => l.asScala.map(String.valueOf).toSeq
+          case s => String.valueOf(s).split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq
         }.getOrElse(Nil))
     }
 

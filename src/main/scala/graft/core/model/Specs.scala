@@ -32,7 +32,15 @@ final case class DatasetSpec(
     // graft.core.io.Skipping.read — explicit ranges plus the
     // incremental period filter prune files BEFORE the scan is planned
     skipManifest: Option[String] = None,
-    skipRanges: Seq[SkipRange] = Nil)
+    skipRanges: Seq[SkipRange] = Nil,
+    // write-path skipping maintenance (`stats_manifest:` +
+    // `stats_cols:`): a parquet OUTPUT with a stats manifest ticks it
+    // after every write — first write builds (footers-first,
+    // graft.core.io.Skipping.maintainManifest), later writes/periods
+    // delta-refresh at per-new-file metadata cost. stats_cols is
+    // consulted only for the first build.
+    statsManifest: Option[String] = None,
+    statsCols: Seq[String] = Nil)
 
 /** Declarative job description (one entry of the reference's
   * `conf/jobs_metadata.yml`): named inputs → transform (inline SQL, SQL

@@ -115,6 +115,21 @@ object Etl {
               GitInfo.writeSidecarHadoop(
                 job.params.getOrElse("git_repo_dir", "."), written.path,
                 spark.sparkContext.hadoopConfiguration): Unit
+            // write-path skipping maintenance (`stats_manifest`): tick
+            // the sink's per-file min/max manifest as part of the write
+            // — first run builds it, every later run/period appends at
+            // per-new-file metadata cost, so downstream `skip_manifest`
+            // readers always plan against a fresh manifest without a
+            // separate profiling scan (Skipping.maintainManifest)
+            o.statsManifest.foreach { mf =>
+              require(o.format == "parquet",
+                s"job ${job.name}: stats_manifest needs a parquet sink, " +
+                  s"got ${o.format}")
+              graft.core.io.Skipping.maintainManifest(spark,
+                graft.core.io.PathTemplating.expandNow(o.path, now),
+                graft.core.io.PathTemplating.expandNow(mf, now),
+                o.statsCols): Unit
+            }
             Result(out, Some(written.path))
           } else Result(out, None)
         } finally if (multiAction) { out.unpersist(); () }

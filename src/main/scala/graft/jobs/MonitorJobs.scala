@@ -155,8 +155,11 @@ class KsDriftJob extends EtlJob {
   * LISTING dominates every downstream scan. Params: `path` (required —
   * the sink root), `target_file_bytes` (default 128 MiB),
   * `keep_latest` (default 1 — the replay-eligible tail, protected by
-  * the dir-name logical order), `min_files` (default 2). Output: a
-  * one-row audit report `(dirs_compacted, files_before, files_after)`
+  * the dir-name logical order), `min_files` (default 2), `manifest`
+  * (optional — an existing skipping manifest to delta-refresh after
+  * the rewrites, so the compaction tick and its manifest tick travel
+  * together). Output: a one-row audit report
+  * `(dirs_compacted, files_before, files_after)`
   * — run with `--no_save` when only the side effect matters.
   */
 class CompactIncrementsJob extends EtlJob {
@@ -168,7 +171,8 @@ class CompactIncrementsJob extends EtlJob {
       targetFileBytes = params.getOrElse("target_file_bytes",
         (128L * 1024 * 1024).toString).toLong,
       keepLatest = params.getOrElse("keep_latest", "1").toInt,
-      minFiles = params.getOrElse("min_files", "2").toInt)
+      minFiles = params.getOrElse("min_files", "2").toInt,
+      statsManifest = params.get("manifest"))
     import spark.implicits._
     Seq((res.dirsCompacted, res.filesBefore, res.filesAfter))
       .toDF("dirs_compacted", "files_before", "files_after")
@@ -196,23 +200,14 @@ class StatsManifestJob extends EtlJob {
       sys.error("StatsManifestJob needs a 'path' param"))
     val manifestDir = params.getOrElse("manifest",
       path.stripSuffix("/") + "_manifest")
-    val fs = new org.apache.hadoop.fs.Path(manifestDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (profiledN, droppedN, totalN) =
-      if (fs.exists(new org.apache.hadoop.fs.Path(manifestDir))) {
-        val d = Skipping.appendStatsManifest(spark, path, manifestDir)
-        (d.profiledFiles.toLong, d.droppedFiles.toLong, d.totalFiles)
-      } else {
-        val cols = params.getOrElse("cols", sys.error(
-            "StatsManifestJob needs a 'cols' param for the first build"))
-          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        // footers-first (per-file metadata cost), scan fallback for
-        // hive-partition columns — see Skipping.emitManifest
-        val n = Skipping.emitManifest(spark, path, cols, manifestDir)
-        (n, 0L, n)
-      }
+    // build-or-refresh through the shared maintenance entry (also the
+    // write-path `stats_manifest` hook): footers-first build, delta
+    // append ticks, columns inherited after the first build
+    val cols = params.get("cols").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val d = Skipping.maintainManifest(spark, path, manifestDir, cols)
     import spark.implicits._
-    Seq((profiledN, droppedN, totalN))
+    Seq((d.profiledFiles.toLong, d.droppedFiles.toLong, d.totalFiles))
       .toDF("profiled_files", "dropped_files", "total_files")
   }
 }

@@ -177,7 +177,22 @@ object Streams {
         batch.sparkSession.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) { fs.delete(p, true); () }
     }
-    Writer.write(batch, job, out, now, period)
+    val written = Writer.write(batch, job, out, now, period)
+    // write-path skipping maintenance, streaming twin of the batch
+    // Etl hook: each micro-batch ticks the sink's stats manifest
+    // (first batch builds, later batches delta-refresh). Replay safe:
+    // a replayed batch deletes its increment dir first, so the append
+    // tick drops the vanished files' rows and profiles the rewrites —
+    // the manifest converges to the on-disk file set either way.
+    out.statsManifest.foreach { mf =>
+      require(out.format == "parquet",
+        s"stats_manifest needs a parquet sink, got ${out.format}")
+      graft.core.io.Skipping.maintainManifest(batch.sparkSession,
+        graft.core.io.PathTemplating.expandNow(out.path, now),
+        graft.core.io.PathTemplating.expandNow(mf, now),
+        out.statsCols): Unit
+    }
+    written
   }
 
   /** Continuous drift monitoring against a STORED PSI reference

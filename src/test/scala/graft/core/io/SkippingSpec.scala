@@ -347,6 +347,55 @@ class SkippingSpec extends SparkSpec {
         "silently discards profiled rows on authority-bearing filesystems")
   }
 
+  test("maintainManifest: first call builds, later calls delta-refresh " +
+      "with inherited columns; always equals a full rebuild") {
+    val (data, mf) = freshDirs()
+    corpus().filter(col("id") < 500).coalesce(2)
+      .write.mode("append").parquet(data)
+    val d1 = Skipping.maintainManifest(spark, data, mf, Seq("id"))
+    assert(d1.droppedFiles === 0 && d1.profiledFiles === d1.totalFiles.toInt)
+    corpus().filter(col("id") >= 500).coalesce(3)
+      .write.mode("append").parquet(data)
+    // no cols on the refresh call: inherited from the manifest itself
+    val d2 = Skipping.maintainManifest(spark, data, mf)
+    assert(d2.droppedFiles === 0)
+    assert(d2.profiledFiles === (d2.totalFiles - d1.totalFiles).toInt,
+      "refresh profiles exactly the appended files")
+    assert(d2.profiledFiles >= 1)
+    val rebuilt = s"${data}_rebuilt_mf"
+    Skipping.writeStatsManifest(spark, data, Seq("id"), rebuilt)
+    val got = spark.read.parquet(mf).collect().map(_.toSeq).toSet
+    val want = spark.read.parquet(rebuilt).collect().map(_.toSeq).toSet
+    assert(got === want, "build + delta ticks must equal the rebuild")
+    // a first build with no columns fails loud, not silently empty
+    val err = intercept[IllegalArgumentException] {
+      Skipping.maintainManifest(spark, data, s"${data}_none")
+    }
+    assert(err.getMessage.contains("stats_cols"))
+  }
+
+  test("compactIncrements statsManifest tick: rewritten increments stay " +
+      "listed, and prune") {
+    val (root, mf) = freshDirs()
+    corpus().filter(col("id") < 500).repartition(4)
+      .write.parquet(s"$root/inc_20240101_000000_a")
+    corpus().filter(col("id") >= 500).repartition(4)
+      .write.parquet(s"$root/inc_20240102_000000_b")
+    Skipping.writeStatsManifest(spark, root, Seq("id"), mf)
+    val r = Maintenance.compactIncrements(spark, root,
+      targetFileBytes = 1L << 30, keepLatest = 0,
+      statsManifest = Some(mf))
+    assert(r.dirsCompacted === 2 && r.filesAfter === 2)
+    val pr = Skipping.pruneFiles(spark, root, mf,
+      Seq(ColumnRange("id", Some(0L), Some(49L))))
+    assert(pr.unlistedFiles === 0,
+      "the composed tick must re-profile every rewritten file")
+    assert(pr.readFiles === 1, "post-compaction bounds stay tight")
+    val got = Skipping.read(spark, root, mf,
+      Seq(ColumnRange("id", Some(0L), Some(49L))))
+    assert(got.count() === 50)
+  }
+
   test("manifest survives compaction: rewritten files read as unlisted") {
     val (data, mf) = freshDirs()
     Layout.rangeSortedWrite(corpus(), col("id"), data, numFiles = 8,

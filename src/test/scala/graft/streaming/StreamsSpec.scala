@@ -203,6 +203,40 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/sink/inc_n1_batch7").count() == 2)
   }
 
+  test("writeIncrement stats_manifest tick: per-batch maintenance keeps " +
+      "the manifest equal to a full rebuild, including under replay") {
+    import spark.implicits._
+    import graft.core.model.{DatasetSpec, JobSpec}
+    val dir = java.nio.file.Files.createTempDirectory("graft_wmf").toString
+    val out = DatasetSpec(path = s"$dir/sink", format = "parquet",
+      incField = Some("d"), statsManifest = Some(s"$dir/manifest"),
+      statsCols = Seq("id"))
+    val job = JobSpec(name = "j", output = Some(out))
+    def batch(lo: Long) = (lo until lo + 4)
+      .map(i => (i, "2024-01-01")).toDF("id", "d")
+    Streams.writeIncrement(batch(0), job, out, now = "n1", id = 0L)
+    Streams.writeIncrement(batch(100), job, out, now = "n1", id = 1L)
+    // crash-before-checkpoint-commit replay: batch 1's increment dir is
+    // deleted and rewritten; the manifest tick must drop the vanished
+    // files' rows and profile the rewrites — never double-count
+    Streams.writeIncrement(batch(100), job, out, now = "n1", id = 1L)
+    val rebuilt = s"$dir/rebuilt"
+    graft.core.io.Skipping.writeStatsManifest(spark, s"$dir/sink",
+      Seq("id"), rebuilt)
+    val got = spark.read.parquet(s"$dir/manifest")
+      .collect().map(_.toSeq).toSet
+    val want = spark.read.parquet(rebuilt).collect().map(_.toSeq).toSet
+    assert(got === want,
+      "per-batch ticks must converge to the rebuild manifest")
+    // and the maintained manifest actually prunes: batch 0 holds ids
+    // 0..3, batch 1 holds 100..103 — a probe on one range drops the
+    // other increment's files
+    val pr = graft.core.io.Skipping.pruneFiles(spark, s"$dir/sink",
+      s"$dir/manifest",
+      Seq(graft.core.io.Skipping.ColumnRange("id", Some(0L), Some(3L))))
+    assert(pr.unlistedFiles === 0 && pr.readFiles < pr.manifestFiles)
+  }
+
   test("psiDriftSink: streamed partials score identically to the batch " +
       "psi; batch replay leaves one copy") {
     import spark.implicits._
