@@ -122,9 +122,18 @@ object QueriesRound10 {
         delta, "doc_id", "text", threshold = 0.8, maxBandFreq = None,
         appendAccepted = true)
       .orderBy("doc_id")
-  }, Some(
+  }, Some(tokenIngestOracle(q209MergePath)))
+
+  /** The full-chain DuckDB replay of the token-grain ingest (q209, and
+    * the streaming twin q222): recursive BPE merge apply over
+    * corpus ∪ delta, piece-5-gram shingles, within-delta exact-Jaccard
+    * keep-min collapse, cross corpus×delta drop. Parameterized on the
+    * merge-table parquet path so each query's oracle reads the merges
+    * ITS run learned and stored.
+    */
+  private[graft] def tokenIngestOracle(mergePath: String): String =
     s"""WITH RECURSIVE m AS (SELECT rank, lhs, rhs
-       |           FROM read_parquet('$q209MergePath/*.parquet')),
+       |           FROM read_parquet('$mergePath/*.parquet')),
        |nm AS (SELECT max(rank) AS top FROM m),
        |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
        |delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
@@ -200,7 +209,7 @@ object QueriesRound10 {
        |            / (cs.n_sh + ds.n_sh - n_inter) >= 0.8)
        |SELECT doc_id, text FROM dkeep
        |WHERE doc_id NOT IN (SELECT d_id FROM xdrop)
-       |ORDER BY doc_id""".stripMargin))
+       |ORDER BY doc_id""".stripMargin
 
   /** STREAMING weighted reservoir
     * ([[graft.streaming.Streams.reservoirSampleSink]]): q139's

@@ -154,5 +154,47 @@ object QueriesRound12 {
       |WHERE l_orderkey BETWEEN b.olo AND b.olo + (b.ohi - b.olo) // 20
       |  AND l_partkey BETWEEN b.plo AND b.plo + (b.phi - b.plo) // 20""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q220, q221)
+  private val q222MergePath = QueriesScale.sidePath("q222_token_merges")
+
+  /** STREAMING TOKEN-GRAIN near-dup ingest
+    * ([[graft.streaming.Streams.tokenNearDupSink]]): q209's
+    * steady-state BPE-piece ingest made continuous — the q70 delta
+    * replays through a file stream in two micro-batches (odd docs, then
+    * the +300000 variants, the q101 batching) against the persisted
+    * token index; each batch encodes only itself under the index's
+    * STORED merges. The union of per-batch accepted increments must
+    * equal the one-shot batch ingest's survivor set — q209's full-chain
+    * DuckDB oracle verbatim (recursive BPE apply, piece-5-gram
+    * within-delta collapse, cross-corpus drop), over the merges THIS
+    * run learned and stored.
+    */
+  val q222 = QueryDef("q222_stream_token_neardup", (spark, dir) => {
+    QueriesScale.reapStaleSideTables("q222_token_merges")
+    Seq("_shingles", "_buckets", "_meta", "_tombstones", "_merges",
+      "_shingles_vac", "_buckets_vac").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS q222idx$s"))
+    val (corpus, delta) = QueriesText.q70Corpus(spark, dir)
+    graft.ops.Bpe.learn(corpus, "text", numMerges = 20)
+      .write.mode("overwrite").parquet(q222MergePath)
+    graft.ops.Dedup.writeTokenNearDupIndex(corpus, "doc_id", "text",
+      spark.read.parquet(q222MergePath), "q222idx", n = 5, numBuckets = 8)
+    val out = graft.Queries.tmpDir("graft_q222")
+    delta.filter(col("doc_id") < 300000).coalesce(1)
+      .write.mode("append").parquet(s"$out/in")
+    delta.filter(col("doc_id") >= 300000).coalesce(1)
+      .write.mode("append").parquet(s"$out/in")
+    val stream = graft.streaming.Streams.readFileStream(spark,
+      graft.core.model.DatasetSpec(path = s"$out/in", format = "parquet",
+        readOptions = Map("maxFilesPerTrigger" -> "1")),
+      "doc_id BIGINT, text STRING")
+    graft.streaming.Streams.withStatePartitions(spark, 8) {
+      val q = graft.streaming.Streams.tokenNearDupSink(stream, "q222idx",
+        "doc_id", "text", threshold = 0.8, maxBandFreq = None,
+        acceptedPath = s"$out/acc", checkpoint = s"$out/ckpt")
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(s"$out/acc/batch*").orderBy("doc_id")
+  }, Some(QueriesRound10.tokenIngestOracle(q222MergePath)))
+
+  val all: Seq[QueryDef] = Seq(q220, q221, q222)
 }

@@ -1227,6 +1227,29 @@ object Dedup {
       else None)._1
   }
 
+  /** [[ingestNearDupWithPairs]] at TOKEN grain — the edge feed for the
+    * token lane's continuous cluster maintenance
+    * ([[graft.streaming.Streams.tokenNearDupSink]]); the pairing body is
+    * the SAME [[dropAgainstIndexCore]] the word-grain lane runs, so the
+    * two grains cannot drift on drop/append/pair semantics.
+    */
+  def ingestTokenNearDupWithPairs(spark: org.apache.spark.sql.SparkSession,
+                                  name: String, delta: DataFrame,
+                                  idCol: String, textCol: String,
+                                  threshold: Double,
+                                  maxBandFreq: Option[Int],
+                                  excludeSelfIds: Boolean)
+      : (DataFrame, DataFrame) = {
+    val (idx, merges) = loadTokenNearDupIndex(spark, name)
+    val (accepted, pairs) = dropAgainstIndexCore(idx, delta, idCol,
+      threshold, maxBandFreq, excludeSelfIds,
+      sizedTokenShingles(delta, idCol, textCol, merges, idx.n),
+      Some(acc =>
+        appendToTokenNearDupIndex(idx, acc, idCol, textCol, merges)),
+      wantPairs = true)
+    (accepted, pairs.get)
+  }
+
   /** Exact Jaccard for an explicit candidate-pair set (a_id, b_id). `sh` is
     * a (doc_id, shingle[, n_sh]) table; the per-doc size is attached via a
     * window if not already present, so the shingle exchange is shared

@@ -473,13 +473,7 @@ object Streams {
                         id: Long, clustersPath: Option[String]): Unit = {
     val spark = batch.sparkSession
     val idx = graft.ops.Dedup.loadNearDupIndex(spark, indexName)
-    // another session (a prior stream's micro-batch clone, a different
-    // driver) may have appended since THIS session last listed the index
-    // tables — a stale cached file listing would silently pair against a
-    // smaller corpus. Refresh is metadata-cheap next to the pairing join.
-    (Seq(idx.shinglesTable, idx.bucketsTable) ++
-      Seq(idx.tombstonesTable).filter(spark.catalog.tableExists))
-      .foreach(spark.catalog.refreshTable)
+    refreshIndexTables(spark, idx)
     val (accepted, pairs) = clustersPath match {
       case None =>
         (graft.ops.Dedup.dropNearDuplicatesAgainst(idx, batch,
@@ -490,6 +484,87 @@ object Streams {
           idCol, textCol, threshold, maxBandFreq, excludeSelfIds = true)
         (acc, Some(p))
     }
+    landAcceptedAndClusters(batch, idCol, accepted, pairs, acceptedPath,
+      id, clustersPath)
+  }
+
+  /** TOKEN-GRAIN streaming near-dup ingest — [[nearDupSink]] through a
+    * persisted BPE-piece index ([[graft.ops.Dedup.writeTokenNearDupIndex]]):
+    * each micro-batch encodes ONLY itself under the index's STORED merge
+    * table (the piece space is pinned at build time — an append under
+    * re-learned merges fails loudly inside
+    * [[graft.ops.Dedup.appendToTokenNearDupIndex]]), collapses its own
+    * piece-n-gram near-dup clusters, drops rows near-duplicating the
+    * indexed corpus, and appends the survivors' entries so the next
+    * batch sees them. Same landing contract as the word-grain lane:
+    * per-batch accepted increments (delete-first replay), optional
+    * continuous cluster maintenance via `clustersPath`. This is q209's
+    * steady-state ingest made CONTINUOUS — per-batch cost tracks the
+    * batch, never the corpus (BenchStress token exponent ~0.01).
+    */
+  def tokenNearDupSink(stream: DataFrame, indexName: String, idCol: String,
+                       textCol: String, threshold: Double,
+                       maxBandFreq: Option[Int], acceptedPath: String,
+                       checkpoint: String,
+                       clustersPath: Option[String] = None): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyTokenNearDupBatch(batch.toDF(), indexName, idCol, textCol,
+          threshold, maxBandFreq, acceptedPath, id, clustersPath)
+      }
+      .start()
+
+  /** One micro-batch's token-grain ingest — same replay contract as
+    * [[applyNearDupBatch]] (idempotent index append via anti-join,
+    * excludeSelfIds, delete-first increment dirs, no-op cluster
+    * re-fold).
+    */
+  def applyTokenNearDupBatch(batch: DataFrame, indexName: String,
+                             idCol: String, textCol: String,
+                             threshold: Double, maxBandFreq: Option[Int],
+                             acceptedPath: String, id: Long,
+                             clustersPath: Option[String]): Unit = {
+    val spark = batch.sparkSession
+    val (idx, _) = graft.ops.Dedup.loadTokenNearDupIndex(spark, indexName)
+    refreshIndexTables(spark, idx)
+    val (accepted, pairs) = clustersPath match {
+      case None =>
+        (graft.ops.Dedup.dropNearDuplicatesAgainstTokens(spark, indexName,
+          batch, idCol, textCol, threshold, maxBandFreq,
+          appendAccepted = true, excludeSelfIds = true), None)
+      case Some(_) =>
+        val (acc, p) = graft.ops.Dedup.ingestTokenNearDupWithPairs(spark,
+          indexName, batch, idCol, textCol, threshold, maxBandFreq,
+          excludeSelfIds = true)
+        (acc, Some(p))
+    }
+    landAcceptedAndClusters(batch, idCol, accepted, pairs, acceptedPath,
+      id, clustersPath)
+  }
+
+  /** Another session (a prior stream's micro-batch clone, a different
+    * driver) may have appended since THIS session last listed the index
+    * tables — a stale cached file listing would silently pair against a
+    * smaller corpus. Refresh is metadata-cheap next to the pairing join.
+    */
+  private def refreshIndexTables(spark: SparkSession,
+                                 idx: graft.ops.NearDupIndex): Unit =
+    (Seq(idx.shinglesTable, idx.bucketsTable) ++
+      Seq(idx.tombstonesTable).filter(spark.catalog.tableExists))
+      .foreach(spark.catalog.refreshTable)
+
+  /** The shared landing half of the near-dup ingest lanes: per-batch
+    * accepted increment (delete-first — replay rewrites, never
+    * duplicates) plus the optional cluster fold + atomic swap.
+    */
+  private def landAcceptedAndClusters(batch: DataFrame, idCol: String,
+                                      accepted: DataFrame,
+                                      pairs: Option[DataFrame],
+                                      acceptedPath: String, id: Long,
+                                      clustersPath: Option[String]): Unit = {
+    val spark = batch.sparkSession
     val dir = new org.apache.hadoop.fs.Path(s"$acceptedPath/batch$id")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) { fs.delete(dir, true); () }

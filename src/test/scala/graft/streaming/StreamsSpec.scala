@@ -591,6 +591,59 @@ class NearDupSinkSpec extends SparkSpec {
     Seq("_shingles", "_buckets", "_meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS clus_ndx$s"))
   }
+
+  test("tokenNearDupSink: micro-batches ingest under the index's STORED " +
+      "merges; replay idempotent; cluster fold matches the word-grain " +
+      "contract") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tnd_sink").toString
+    Seq("_shingles", "_buckets", "_meta", "_merges").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS tok_ndx$s"))
+    val corpus = Seq((10L, base)).toDF("doc_id", "text")
+    graft.ops.Dedup.writeTokenNearDupIndex(corpus, "doc_id", "text",
+      graft.ops.Bpe.learn(corpus, "text", numMerges = 8), "tok_ndx",
+      n = 5, numBuckets = 4)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.tokenNearDupSink(mem.toDF().toDF("doc_id", "text"),
+      "tok_ndx", "doc_id", "text", threshold = 0.8, maxBandFreq = None,
+      acceptedPath = s"$dir/acc", checkpoint = s"$dir/ckpt",
+      clustersPath = Some(s"$dir/clusters"))
+    val b1 = Seq((20L, base + " again"), (21L, fresh))
+    val b2 = Seq((30L, fresh + " too"),
+      (31L, "entirely unrelated text about catalyst plans and shuffle partitions today"))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def acceptedIds(batch: Int): Set[Long] =
+      spark.read.parquet(s"$dir/acc/batch$batch")
+        .select("doc_id").as[Long].collect().toSet
+    assert(acceptedIds(0) == Set(21L),
+      "batch 0: corpus piece-near-dup drops, fresh doc accepted")
+    assert(acceptedIds(1) == Set(31L),
+      "batch 1: near-dup of batch 0's ACCEPTED doc drops against the " +
+        "grown index")
+    def clusters(): Map[Long, Long] = spark.read.parquet(s"$dir/clusters")
+      .as[(Long, Long)].collect().toMap
+    val want = Map(10L -> 10L, 20L -> 10L, 21L -> 21L, 30L -> 21L,
+      31L -> 31L)
+    assert(clusters() === want)
+    // crash-replay of batch 1: identical increment, no index
+    // duplication, cluster fold a no-op
+    spark.catalog.refreshTable("tok_ndx_shingles")
+    val shinglesBefore = spark.table("tok_ndx_shingles").count()
+    Streams.applyTokenNearDupBatch(b2.toDF("doc_id", "text"), "tok_ndx",
+      "doc_id", "text", threshold = 0.8, maxBandFreq = None,
+      acceptedPath = s"$dir/acc", id = 1L,
+      clustersPath = Some(s"$dir/clusters"))
+    assert(acceptedIds(1) == Set(31L))
+    assert(spark.table("tok_ndx_shingles").count() == shinglesBefore,
+      "replayed batch must not duplicate index rows")
+    assert(clusters() === want, "replayed batch must not change clusters")
+    Seq("_shingles", "_buckets", "_meta", "_merges").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS tok_ndx$s"))
+  }
 }
 
 class Scd2SinkSpec extends SparkSpec {
