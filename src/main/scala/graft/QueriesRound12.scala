@@ -196,5 +196,63 @@ object QueriesRound12 {
     spark.read.parquet(s"$out/acc/batch*").orderBy("doc_id")
   }, Some(QueriesRound10.tokenIngestOracle(q222MergePath)))
 
-  val all: Seq[QueryDef] = Seq(q220, q221, q222)
+  /** YAML-DECLARED STREAMING JOB ([[graft.engine.StreamRun]] /
+    * `Runner --streaming`): the SAME manifest entry shape every batch
+    * job uses — one file-source input, an inline-SQL transform, an
+    * incremental output with `stats_manifest` — drains as a Structured
+    * Streaming pipeline: three feed files become three micro-batches,
+    * each landing a delete-first increment AND ticking the sink's
+    * skipping manifest. Gates: the drain ran as 3 micro-batches (not
+    * one batch read), and the write-path manifest covers every sink
+    * file. The oracle is the plain filtered aggregate — the streaming
+    * machinery must be invisible in the result.
+    */
+  val q223 = QueryDef("q223_yaml_streaming_job", (spark, dir) => {
+    val out = graft.Queries.tmpDir("graft_q223")
+    val li = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+    (0 until 3).foreach(i => li.filter(pmod(col("l_orderkey"), lit(3)) === i)
+      .coalesce(1).write.mode("append").parquet(s"$out/feed"))
+    val yml =
+      s"""jobs:
+         |  stream_rev:
+         |    inputs:
+         |      li:
+         |        path: $out/feed
+         |        read_kwargs: {maxFilesPerTrigger: "1"}
+         |    output:
+         |      path: $out/sink
+         |      inc_field: l_orderkey
+         |      stats_manifest: $out/manifest
+         |      stats_cols: [l_orderkey]
+         |    sql: "SELECT l_returnflag, l_orderkey, l_extendedprice
+         |      FROM li WHERE l_quantity > 25"
+         |""".stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/job.yml"),
+      yml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val job = graft.core.model.Manifest.loadFile(s"$out/job.yml")
+      .jobs("stream_rev")
+    val batches = graft.streaming.Streams.withStatePartitions(spark, 8) {
+      graft.engine.StreamRun.runOnce(spark, job, s"$out/ckpt", now = "s1")
+    }
+    require(batches == 3L,
+      s"three feed files must drain as three micro-batches, got $batches")
+    val files = spark.read.parquet(s"$out/sink/inc_*").inputFiles.length
+    val mfN = spark.read.parquet(s"$out/manifest")
+      .select("file").distinct().count()
+    require(mfN == files.toLong,
+      s"per-batch manifest ticks must cover the sink: $mfN of $files")
+    spark.read.parquet(s"$out/sink/inc_*")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("rev"))
+      .orderBy("l_returnflag")
+  }, Some(
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(l_extendedprice), 2) AS rev
+      |FROM lineitem WHERE l_quantity > 25
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q220, q221, q222, q223)
 }

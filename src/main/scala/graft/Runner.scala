@@ -114,6 +114,22 @@ object Runner {
     val spark = GraftSession.local(appName = s"graft-$jobName")
     resolveCheckpointDir(job, loaded.jobs, kv.contains("dependencies"))
       .foreach(spark.sparkContext.setCheckpointDir)
+    // `--streaming`: run the SAME manifest entry as a Structured
+    // Streaming drain (process everything available at the file source,
+    // then stop) — graft.engine.StreamRun. Cadence-friendly and
+    // crash-replay idempotent via the delete-first increment contract.
+    if (kv.contains("streaming")) {
+      val ckpt = kv.get("stream_checkpoint")
+        .orElse(resolveCheckpointDir(job, loaded.jobs,
+          withDependencies = false).map(_ + s"/_stream_$jobName"))
+        .getOrElse(sys.error("--streaming needs --stream_checkpoint=<dir> " +
+          "or a checkpoint_dir param"))
+      val n = graft.engine.StreamRun.runOnce(spark, job, ckpt,
+        graft.engine.Etl.defaultNow())
+      println(s"[stream] $jobName drained $n micro-batches")
+      spark.stop()
+      return
+    }
     val save = !kv.contains("no_save")
     // Failure notification (reference send_job_failure_email,
     // yaetos/etl_utils.py:754-755): fires only when the job declares

@@ -334,9 +334,15 @@ object Maintenance {
     * touches nearly every file is not a TARGETED delete; fail loudly
     * and point at a full rewrite instead.
     */
+  /** `statsManifest`: see [[compactIncrements]] — delta-refresh an
+    * existing [[Skipping]] manifest after the rewrites, so a forget and
+    * its manifest tick travel together (between ticks the rewritten
+    * files read conservatively — correct, just unpruned).
+    */
   def deleteMatching(spark: SparkSession, dir: String, idCol: String,
                      ids: org.apache.spark.sql.DataFrame,
-                     maxAffectedFiles: Int = 100000): DeleteResult = {
+                     maxAffectedFiles: Int = 100000,
+                     statsManifest: Option[String] = None): DeleteResult = {
     import org.apache.spark.sql.functions.{col, input_file_name}
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -392,6 +398,8 @@ object Maintenance {
       rewritten += finishDelete(fs, pdir, tmp)
       deleted += nMatched
     }
+    statsManifest.foreach(mf =>
+      Skipping.appendStatsManifest(spark, dir, mf): Unit)
     DeleteResult(filesTotal, affected.length, rewritten, deleted)
   }
 

@@ -26,7 +26,7 @@ object Etl {
   /** Resolve a job's transform: inline SQL, SQL file (with param header),
     * registered class, or identity (single-input copy job).
     */
-  private def transformOf(job: JobSpec): EtlJob = {
+  private[engine] def transformOf(job: JobSpec): EtlJob = {
     (job.sql, job.sqlFile, job.className) match {
       case (Some(sql), _, _) => new SqlJob(sql)
       case (_, Some(file), _) => new SqlJob(SqlFile.resourceOrFile(file))

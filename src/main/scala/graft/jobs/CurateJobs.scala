@@ -137,7 +137,9 @@ class QuarantineLoadJob extends EtlJob {
   * dataset to rewrite in place. Returns the one-row deletion report
   * (files_total/files_affected/files_rewritten/rows_deleted) — wire an
   * `output:` to keep the audit trail.
-  * Params: `target_path` (required), `id_col` (required).
+  * Params: `target_path` (required), `id_col` (required), `manifest`
+  * (optional — an existing skipping manifest to delta-refresh after
+  * the rewrites, so forgets and their manifest tick travel together).
   */
 class TargetedDeleteJob extends EtlJob {
   def transform(inputs: Map[String, DataFrame], spark: SparkSession,
@@ -147,7 +149,8 @@ class TargetedDeleteJob extends EtlJob {
     val idCol = params.getOrElse("id_col",
       sys.error("TargetedDeleteJob needs an 'id_col' param"))
     val r = graft.core.io.Maintenance.deleteMatching(
-      spark, target, idCol, inputs.values.head)
+      spark, target, idCol, inputs.values.head,
+      statsManifest = params.get("manifest"))
     import spark.implicits._
     Seq((target, r.filesTotal, r.filesAffected, r.filesRewritten,
       r.rowsDeleted))

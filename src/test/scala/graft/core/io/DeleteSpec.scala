@@ -49,6 +49,27 @@ class DeleteSpec extends SparkSpec {
     assert(!names.exists(_.endsWith("_deleted")))
   }
 
+  test("deleteMatching statsManifest tick: the manifest equals a rebuild " +
+      "after the forget and keeps pruning") {
+    val dir = tmp()
+    val ds = s"$dir/data"
+    spark.range(0, 10000).toDF("id").withColumn("v", col("id") % 13)
+      .repartitionByRange(10, col("id")).write.parquet(ds)
+    Skipping.writeStatsManifest(spark, ds, Seq("id"), s"$dir/mf")
+    val res = Maintenance.deleteMatching(spark, ds, "id",
+      spark.range(100, 200).toDF("id"), statsManifest = Some(s"$dir/mf"))
+    assert(res.rowsDeleted === 100L)
+    val rebuilt = s"$dir/mf_rebuilt"
+    Skipping.writeStatsManifest(spark, ds, Seq("id"), rebuilt)
+    val got = spark.read.parquet(s"$dir/mf").collect().map(_.toSeq).toSet
+    val want = spark.read.parquet(rebuilt).collect().map(_.toSeq).toSet
+    assert(got === want, "forget + tick must equal the rebuild")
+    val pr = Skipping.pruneFiles(spark, ds, s"$dir/mf",
+      Seq(Skipping.ColumnRange("id", Some(5000L), Some(5999L))))
+    assert(pr.unlistedFiles === 0 && pr.readFiles === 1,
+      "rewritten files stay listed with tight bounds")
+  }
+
   test("a bulk delete trips the affected-file cap instead of collecting " +
       "a table-sized file list") {
     val dir = tmp()

@@ -148,4 +148,46 @@ class RunnerEndToEndSpec extends SparkSpec {
         "resume"))
     assert(log3.contains("nothing to do"), log3.takeRight(1500))
   }
+
+  test("--streaming drains the SAME manifest entry as micro-batches " +
+      "through the CLI; a second drain is a no-op") {
+    val outRoot = new java.io.File(work, "stream_out")
+    outRoot.mkdirs()
+    // two feed files -> two micro-batches under maxFilesPerTrigger=1
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "k", "v")
+      .coalesce(1).write.mode("append")
+      .parquet(s"${outRoot.getAbsolutePath}/feed")
+    Seq((3L, "a", 30.0)).toDF("id", "k", "v")
+      .coalesce(1).write.mode("append")
+      .parquet(s"${outRoot.getAbsolutePath}/feed")
+    val m = new java.io.File(work, "stream.yml")
+    val w = new java.io.PrintWriter(m, "UTF-8")
+    try w.write(
+      s"""jobs:
+         |  stream_copy:
+         |    inputs:
+         |      src:
+         |        path: ${outRoot.getAbsolutePath}/feed
+         |        read_kwargs: {maxFilesPerTrigger: "1"}
+         |    output:
+         |      path: ${outRoot.getAbsolutePath}/sink
+         |      inc_field: id
+         |    sql: "SELECT id, k, v FROM src WHERE v > 15"
+         |""".stripMargin) finally w.close()
+    val common = Map("manifest" -> m.getAbsolutePath,
+      "job_name" -> "stream_copy", "mode" -> "dev",
+      "streaming" -> Submit.flagOnly,
+      "stream_checkpoint" -> s"${outRoot.getAbsolutePath}/ckpt")
+    val keys = Seq("manifest", "job_name", "mode", "streaming",
+      "stream_checkpoint")
+    val log = runCli(common, keys)
+    assert(log.contains("drained 2 micro-batches"), log.takeRight(2000))
+    val back = spark.read.parquet(
+      s"${outRoot.getAbsolutePath}/sink/inc_*")
+    assert(back.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(2L, 3L))
+    // checkpointed offsets survive the process: a rerun drains nothing
+    val log2 = runCli(common, keys)
+    assert(log2.contains("drained 0 micro-batches"), log2.takeRight(2000))
+  }
 }
