@@ -420,6 +420,44 @@ object BenchStress {
       }
     }
 
+    // WRITE-PATH manifest tick under sink growth (round 12): the
+    // per-batch `stats_manifest` tick must track the BATCH (one new
+    // file profiled + a bounded keep-join over the files×columns
+    // manifest), never the accumulated sink's rows. Sinks pre-seeded at
+    // 8 vs 8·copies increments; one more increment lands with and
+    // without the tick.
+    {
+      import graft.core.model.{DatasetSpec, JobSpec}
+      val li = Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice").localCheckpoint()
+      val batch = li.limit(2000).localCheckpoint()
+      val wpRoot = java.nio.file.Files
+        .createTempDirectory("graft_wpstress").toString
+      for ((label, k) <- Seq("1x" -> 8, s"${copies}x" -> (8 * copies))) {
+        val sink = s"$wpRoot/sink$k"
+        val mf = s"$wpRoot/mf$k"
+        val outNo = DatasetSpec(path = sink, format = "parquet",
+          incField = Some("l_orderkey"))
+        val jobNo = JobSpec(name = "w", output = Some(outNo))
+        (0 until k).foreach(i => graft.streaming.Streams.writeIncrement(
+          batch, jobNo, outNo, "n1", i.toLong): Unit)
+        graft.core.io.Skipping.writeStatsManifest(spark, sink,
+          Seq("l_orderkey"), mf)
+        println(s"write-path tick ($label): $k seeded increments")
+        time(s"increment alone ($label)") {
+          graft.streaming.Streams.writeIncrement(batch, jobNo, outNo,
+            "n1", (k + 1).toLong); 1L
+        }
+        val outMf = outNo.copy(statsManifest = Some(mf),
+          statsCols = Seq("l_orderkey"))
+        val jobMf = JobSpec(name = "w", output = Some(outMf))
+        time(s"increment + manifest tick ($label)") {
+          graft.streaming.Streams.writeIncrement(batch, jobMf, outMf,
+            "n1", (k + 2).toLong); 1L
+        }
+      }
+    }
+
     // incremental cluster maintenance vs full recompute: a chain-heavy
     // synthetic graph at 1x and `copies`x edges. The fold-in contracts
     // standing labels to star edges, so its input is |nodes| + |delta|

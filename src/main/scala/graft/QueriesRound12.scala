@@ -254,5 +254,54 @@ object QueriesRound12 {
       |FROM lineitem WHERE l_quantity > 25
       |GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q220, q221, q222, q223)
+  /** YAML-DECLARED STREAMING DRIFT MONITOR (`stream_lane: psi_drift`):
+    * q204's continuous PSI monitor with every moving part in the
+    * manifest — the file-source input, an inline-SQL projection, the
+    * stored reference, and the partials sink. Three micro-batches land
+    * their integer bucket partials through the YAML-dispatched
+    * [[graft.streaming.Streams.psiDriftSink]]; the accumulated score
+    * must equal the full batch recompute — q186's oracle verbatim
+    * (q204's gate, now reachable without writing a line of Scala).
+    */
+  val q224 = QueryDef("q224_yaml_stream_psi", (spark, dir) => {
+    val out = graft.Queries.tmpDir("graft_q224")
+    val li = t(spark, dir, "lineitem")
+    val ref = li.filter(col("l_orderkey") % 2 === 0)
+      .select(col("l_extendedprice").as("v"))
+    graft.ops.Stats.writePsiReference(ref, "v", s"$out/ref", bins = 10)
+    val cur = li.filter(col("l_orderkey") % 2 === 1)
+      .select(col("l_extendedprice").as("price"),
+        pmod(col("l_orderkey"), lit(3)).as("_chunk"))
+    (0 until 3).foreach(i => cur.filter(col("_chunk") === i).drop("_chunk")
+      .coalesce(1).write.mode("append").parquet(s"$out/feed"))
+    val yml =
+      s"""jobs:
+         |  psi_monitor:
+         |    inputs:
+         |      cur:
+         |        path: $out/feed
+         |        read_kwargs: {maxFilesPerTrigger: "1"}
+         |    output: {path: $out/partials}
+         |    sql: "SELECT price * 1.08 AS v FROM cur"
+         |    params:
+         |      stream_lane: psi_drift
+         |      ref: $out/ref
+         |      value_col: v
+         |""".stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/job.yml"),
+      yml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val job = graft.core.model.Manifest.loadFile(s"$out/job.yml")
+      .jobs("psi_monitor")
+    val batches = graft.streaming.Streams.withStatePartitions(spark, 8) {
+      graft.engine.StreamRun.runOnce(spark, job, s"$out/ckpt", now = "s1")
+    }
+    require(batches == 3L,
+      s"three feed files must drain as three micro-batches, got $batches")
+    graft.ops.Stats.psiFromPartials(spark, s"$out/ref",
+        spark.read.parquet(s"$out/partials/batch*"))
+      .orderBy("bucket")
+  }, QueriesRound8.q186.oracle)
+
+  val all: Seq[QueryDef] = Seq(q220, q221, q222, q223, q224)
 }

@@ -24,7 +24,12 @@ import graft.core.model.{JobSpec, Params}
   *    functions — Spark rejects unsupported shapes at `start()`, which
   *    propagates);
   *  - the output must be incremental or partitioned (the
-  *    [[graft.streaming.Streams.writeIncrements]] contract).
+  *    [[graft.streaming.Streams.writeIncrements]] contract) — unless a
+  *    `stream_lane` param routes the stream into one of the engine's
+  *    stateful sink lanes (psi_drift/ks_drift/psi_by_group/ks_by_group/
+  *    neardup/token_neardup/reservoir), making the drift monitors,
+  *    near-dup ingest, and weighted reservoir manifest-declarable with
+  *    the output path as the lane's partials/accepted sink.
   *
   * The input's schema comes from a one-time batch probe of the files
   * already at the path (streaming sources cannot infer) — a streaming
@@ -62,7 +67,50 @@ object StreamRun {
       .transform(Map(name -> stream), spark, job.params)
     val o = job.output.map(x => Params.resolve(x, job.params)).getOrElse(
       sys.error(s"streaming job ${job.name} needs an output"))
-    graft.streaming.Streams.writeIncrements(out, job, o, checkpoint, now)
+    val outPath = graft.core.io.PathTemplating.expandNow(o.path, now)
+    def p(k: String): String = job.params.getOrElse(k,
+      sys.error(s"streaming job ${job.name}: lane " +
+        s"'${job.params("stream_lane")}' needs param '$k'"))
+    // `stream_lane` dispatches the transformed stream into one of the
+    // engine's stateful sink lanes instead of plain increments — the
+    // whole streaming surface (drift monitors, near-dup ingest, the
+    // weighted reservoir) becomes manifest-declarable. The output path
+    // is the lane's partials/accepted sink; each lane keeps its own
+    // replay contract (delete-first batch dirs, idempotent appends).
+    job.params.get("stream_lane") match {
+      case None =>
+        graft.streaming.Streams.writeIncrements(out, job, o, checkpoint, now)
+      case Some("psi_drift") =>
+        graft.streaming.Streams.psiDriftSink(out, p("ref"),
+          p("value_col"), outPath, checkpoint)
+      case Some("ks_drift") =>
+        graft.streaming.Streams.ksDriftSink(out, p("value_col"),
+          outPath, checkpoint)
+      case Some("psi_by_group") =>
+        graft.streaming.Streams.psiByGroupDriftSink(out, p("ref"),
+          p("group_col"), p("value_col"), outPath, checkpoint)
+      case Some("ks_by_group") =>
+        graft.streaming.Streams.ksByGroupDriftSink(out, p("group_col"),
+          p("value_col"), outPath, checkpoint)
+      case Some("neardup") =>
+        graft.streaming.Streams.nearDupSink(out, p("index"), p("id_col"),
+          p("text_col"), p("threshold").toDouble,
+          job.params.get("max_band_freq").map(_.toInt), outPath,
+          checkpoint, job.params.get("clusters_path"))
+      case Some("token_neardup") =>
+        graft.streaming.Streams.tokenNearDupSink(out, p("index"),
+          p("id_col"), p("text_col"), p("threshold").toDouble,
+          job.params.get("max_band_freq").map(_.toInt), outPath,
+          checkpoint, job.params.get("clusters_path"))
+      case Some("reservoir") =>
+        graft.streaming.Streams.reservoirSampleSink(out, p("id_col"),
+          p("group_col"), p("weight_col"), p("n").toInt, outPath,
+          checkpoint, job.params.getOrElse("salt", "es"))
+      case Some(other) => sys.error(
+        s"streaming job ${job.name}: unknown stream_lane '$other' — " +
+          "one of psi_drift|ks_drift|psi_by_group|ks_by_group|" +
+          "neardup|token_neardup|reservoir, or omit for increments")
+    }
   }
 
   /** Drain-and-stop: process every file currently at the source, then

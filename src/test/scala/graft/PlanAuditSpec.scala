@@ -106,7 +106,15 @@ class PlanAuditSpec extends SparkSpec {
     // are streaming (the q206 family) — replay/partials invariants
     // live in StreamsSpec.
     "q214_yaml_pruned_incremental", "q215_inlist_pruned_scan",
-    "q218_pixel_ahash")
+    "q218_pixel_ahash",
+    // round-12 batch additions: q220 runs its producer/consumer
+    // MultiPass DAG at build time (q214's side-effect convention) and
+    // audits the final inc_* aggregate; q221 executes its zorder write
+    // + write-time manifest and audits the two-dim pruned-scan
+    // aggregate. q222/q223 are streaming (the q101/q204 families) —
+    // their replay/coverage invariants live in StreamsSpec /
+    // RunnerEndToEndSpec.
+    "q220_selfmaintaining_skip_dag", "q221_zorder_twodim_prune")
     // round-9: q198/q199/q200 are catalog/path side-effect queries
     // (the q147/q190 family) — their plan shapes (bucket pruning,
     // partition pruning, zero-rewrite vacuums, reference-free monitor
