@@ -303,5 +303,53 @@ object QueriesRound12 {
       .orderBy("bucket")
   }, QueriesRound8.q186.oracle)
 
-  val all: Seq[QueryDef] = Seq(q220, q221, q222, q223, q224)
+  /** FOOTER-BLOOM POINT-PROBE PRUNING
+    * ([[graft.ops.Layout.rangeSortedWrite]] `bloomCols=` +
+    * [[graft.core.io.Skipping.pruneFiles]] `footerBlooms=true`): the
+    * layout clusters on l_shipdate, so an l_orderkey point probe's
+    * min/max hull excludes NOTHING — every file spans the key domain.
+    * Parquet bloom filters written at layout time answer it: one
+    * order's ≤7 lineitems ship within a bounded window, so the probe
+    * lands in ~1-2 of the shipdate-clustered files and the blooms drop
+    * the rest at plan time (no false negatives by parquet's contract;
+    * a false positive only loses pruning — and the row-level re-filter
+    * plus the DuckDB hash keep the ANSWER exact regardless). This is
+    * the unclustered-point-lookup prune that q215's IN-list (which
+    * rides clustering) cannot express; the gate requires the blooms to
+    * beat the bloomless baseline, which reads every file.
+    */
+  val q225 = QueryDef("q225_bloom_pruned_probe", (spark, dir) => {
+    import graft.core.io.Skipping
+    val out = graft.Queries.tmpDir("graft_q225")
+    val li = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate")
+    graft.ops.Layout.rangeSortedWrite(li, col("l_shipdate"), s"$out/data",
+      numFiles = 12, tiebreak = Seq(col("l_orderkey")),
+      statsManifest = Some(s"$out/manifest"), statsCols = Seq("l_shipdate"),
+      bloomCols = Seq("l_orderkey"), bloomNdv = 200000L)
+    val key = li.agg(min("l_orderkey")).collect().head.getLong(0)
+    val probe = Seq(Skipping.ColumnIn("l_orderkey", Seq(key)))
+    val base = Skipping.pruneFiles(spark, s"$out/data", s"$out/manifest",
+      probe)
+    val bloomed = Skipping.pruneFiles(spark, s"$out/data", s"$out/manifest",
+      probe, footerBlooms = true)
+    require(base.readFiles == base.manifestFiles,
+      "the shipdate-clustered manifest must be blind to an orderkey probe")
+    require(bloomed.readFiles < base.readFiles,
+      s"blooms must prune: ${bloomed.readFiles} of ${base.readFiles}")
+    Skipping.read(spark, s"$out/data", s"$out/manifest", probe,
+        footerBlooms = true)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("rev"),
+        round(sum("l_quantity"), 2).as("qty"))
+      .orderBy("l_orderkey")
+  }, Some(
+    """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(l_extendedprice), 2) AS rev,
+      |  round(sum(l_quantity), 2) AS qty
+      |FROM lineitem
+      |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+      |GROUP BY 1 ORDER BY l_orderkey""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q220, q221, q222, q223, q224, q225)
 }

@@ -191,16 +191,19 @@ object Skipping {
     * [[appendStatsManifest]] (an append tick's profiling cost becomes
     * per-new-file METADATA, not a re-read of the new files' rows).
     */
+  /** The EXPLICIT hadoop conf entries (the Configuration object is not
+    * serializable); tasks rebuild it so object-store creds travel.
+    */
+  private def hadoopConfEntries(spark: SparkSession): Map[String, String] = {
+    val it = spark.sparkContext.hadoopConfiguration.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+    b.result()
+  }
+
   private def footerProfile(spark: SparkSession, files: Seq[String],
                             profiled: Seq[(String, String)]): DataFrame = {
-    // ship the EXPLICIT hadoop conf entries (the Configuration object is
-    // not serializable); tasks rebuild it so object-store creds travel
-    val confEntries = {
-      val it = spark.sparkContext.hadoopConfiguration.iterator()
-      val b = Map.newBuilder[String, String]
-      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
-      b.result()
-    }
+    val confEntries = hadoopConfEntries(spark)
     // ≥16 footers per task (a footer read is ~ms–tens-of-ms; one task
     // per file would be pure scheduling overhead), capped so a 1M-file
     // listing still fans out across the cluster
@@ -537,7 +540,29 @@ object Skipping {
     * state Spark's own FileIndex holds for the pruned scan.
     */
   def pruneFiles(spark: SparkSession, dataDir: String, manifestDir: String,
-                 ranges: Seq[FilePredicate]): Pruned = {
+                 ranges: Seq[FilePredicate]): Pruned =
+    pruneFiles(spark, dataDir, manifestDir, ranges, footerBlooms = false)
+
+  /** `footerBlooms = true` adds a SECOND pruning stage for [[ColumnIn]]
+    * probes: every candidate the manifest could not exclude has its
+    * parquet FOOTER bloom filters consulted (written by the layout
+    * writers' `bloomCols=`, [[graft.ops.Layout.rangeSortedWrite]]) — a
+    * file whose every row group's bloom says "definitely absent" for
+    * every probe value of some conjunct is dropped. This is the prune
+    * for point lookups on UNCLUSTERED high-cardinality columns, where
+    * min/max ranges exclude nothing (every file's hull spans the
+    * domain) and a manifest-stored membership sketch would have to be
+    * NDV-sized (Delta/Iceberg reach the same conclusion — per-file
+    * filter structures, not stats-table blobs). Cost: one footer read
+    * per CANDIDATE (post-range-prune), distributed like the footer
+    * profiler. Soundness is parquet's bloom contract (no false
+    * negatives); a missing bloom — unenabled writer, absent column,
+    * unsupported type pairing — keeps the file. The row-level re-filter
+    * in [[read]] still applies regardless.
+    */
+  def pruneFiles(spark: SparkSession, dataDir: String, manifestDir: String,
+                 ranges: Seq[FilePredicate],
+                 footerBlooms: Boolean): Pruned = {
     require(ranges.nonEmpty, "pruneFiles needs at least one predicate")
     // URI spellings differ between input_file_name() (`file:///…`) and
     // FileSystem.listStatus (`file:/…`) — compare scheme-stripped paths,
@@ -584,8 +609,82 @@ object Skipping {
     val keptKeys = flagged.collect { case (k, ex) if !ex => k }.toSet
     val kept = onDisk.filter(f => keptKeys.contains(pathKey(f)))
     val unlisted = onDisk.filterNot(f => listedKeys.contains(pathKey(f)))
-    Pruned((kept ++ unlisted).sorted,
+    val candidates = (kept ++ unlisted).sorted
+    val probes = ranges.collect { case ColumnIn(c, vs) => c -> vs }
+    val surviving =
+      if (!footerBlooms || probes.isEmpty || candidates.isEmpty) candidates
+      else bloomSurvivors(spark, candidates, probes)
+    Pruned(surviving,
       manifestFiles = listedKeys.size, unlistedFiles = unlisted.size)
+  }
+
+  /** The candidate files whose footer bloom filters cannot rule out
+    * every probe conjunct — runs distributed (a partition of file names
+    * per task, one footer read each). A file survives a conjunct if ANY
+    * row group might hold ANY of its values; missing blooms, absent
+    * columns, and untypable probes all read as "might" (conservative).
+    */
+  private def bloomSurvivors(spark: SparkSession, files: Seq[String],
+                             probes: Seq[(String, Seq[Any])])
+      : Seq[String] = {
+    val confEntries = hadoopConfEntries(spark)
+    val slices = math.min(math.max(files.size / 16, 1),
+      math.max(spark.sparkContext.defaultParallelism * 8, 4096))
+    spark.sparkContext.parallelize(files, slices)
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        it.filter(f => bloomMightHold(f, probes, conf))
+      }
+      .collect().toSeq.sorted
+  }
+
+  /** One file's footer-bloom test — runs inside a task. */
+  private def bloomMightHold(file: String, probes: Seq[(String, Seq[Any])],
+                             conf: org.apache.hadoop.conf.Configuration)
+      : Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import scala.jdk.CollectionConverters._
+    val reader =
+      try ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+      catch { case scala.util.control.NonFatal(_) => return true }
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      probes.forall { case (c, values) =>
+        blocks.isEmpty || blocks.exists { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == c) match {
+            case None => true // column not in this file: conservative
+            case Some(ch) =>
+              val bf =
+                try reader.getBloomFilterDataReader(b).readBloomFilter(ch)
+                catch { case scala.util.control.NonFatal(_) => null }
+              if (bf == null) true // no bloom written: conservative
+              else {
+                val prim = ch.getPrimitiveType.getPrimitiveTypeName
+                values.exists { v =>
+                  (prim, v) match {
+                    case (INT64, x: Long) => bf.findHash(bf.hash(x))
+                    case (INT64, x: Int) => bf.findHash(bf.hash(x.toLong))
+                    case (INT32, x: Long) =>
+                      // a long probe outside the int32 domain cannot be
+                      // in the column; in-domain probes hash as int
+                      x >= Int.MinValue && x <= Int.MaxValue &&
+                        bf.findHash(bf.hash(x.toInt))
+                    case (INT32, x: Int) => bf.findHash(bf.hash(x))
+                    case (DOUBLE, x: Double) => bf.findHash(bf.hash(x))
+                    case (FLOAT, x: Double) => bf.findHash(bf.hash(x.toFloat))
+                    case (BINARY, x: String) => bf.findHash(bf.hash(
+                      org.apache.parquet.io.api.Binary.fromString(x)))
+                    case _ => true // untypable pairing: conservative
+                  }
+                }
+              }
+          }
+        }
+      }
+    } finally reader.close()
   }
 
   /** Pruned scan + row-level re-filter: semantically identical to
@@ -596,8 +695,10 @@ object Skipping {
     */
   def read(spark: SparkSession, dataDir: String, manifestDir: String,
            ranges: Seq[FilePredicate],
-           options: Map[String, String] = Map.empty): DataFrame = {
-    val pruned = pruneFiles(spark, dataDir, manifestDir, ranges)
+           options: Map[String, String] = Map.empty,
+           footerBlooms: Boolean = false): DataFrame = {
+    val pruned = pruneFiles(spark, dataDir, manifestDir, ranges,
+      footerBlooms)
     // openDataset, not a plain dataDir read: incremental sinks keep
     // files in inc_*/batch* subdirs a directory read would not discover
     val full = openDataset(spark, dataDir, options)

@@ -83,21 +83,36 @@ object Layout {
     * self-maintaining: every rewrite refreshes the manifest the
     * planning-time skip reads.
     */
+  /** `bloomCols`/`bloomNdv`: write parquet BLOOM FILTERS for the named
+    * columns (per-file footer structures, the point-lookup complement
+    * of min/max clustering — consumed by
+    * [[graft.core.io.Skipping.pruneFiles]]'s `footerBlooms` stage for
+    * IN-probes on columns the layout does NOT cluster). `bloomNdv`
+    * sizes each filter to the expected per-file distinct count; parquet
+    * caps the bytes at its `parquet.bloom.filter.max.bytes` (1 MB).
+    */
   def zorderWrite(df: DataFrame, dims: Seq[Column], outPath: String,
                   numFiles: Int, bits: Int = 16,
                   mode: String = "overwrite",
                   statsManifest: Option[String] = None,
-                  statsCols: Seq[String] = Nil): Unit = {
+                  statsCols: Seq[String] = Nil,
+                  bloomCols: Seq[String] = Nil,
+                  bloomNdv: Long = 100000L): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     require(statsManifest.isEmpty || statsCols.nonEmpty,
       "statsManifest needs statsCols: the z-value dims are derived " +
         "expressions; name the source columns to profile")
     withMicrosTimestamps(df) {
-      df.withColumn("_z", zValue(dims, bits))
+      var w = df.withColumn("_z", zValue(dims, bits))
         .repartitionByRange(numFiles, col("_z"))
         .sortWithinPartitions("_z")
         .drop("_z")
-        .write.mode(mode).parquet(outPath)
+        .write.mode(mode)
+      bloomCols.foreach { c =>
+        w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c", bloomNdv.toString)
+      }
+      w.parquet(outPath)
     }
     statsManifest.foreach(mf => graft.core.io.Skipping
       .emitManifest(df.sparkSession, outPath, statsCols, mf): Unit)
@@ -118,21 +133,31 @@ object Layout {
   /** `statsManifest`/`statsCols`: see [[zorderWrite]] — footer-derived
     * write-time manifest emission.
     */
+  /** `bloomCols`/`bloomNdv`: see [[zorderWrite]] — footer bloom filters
+    * for point-lookup pruning on the columns this sort does NOT cluster.
+    */
   def rangeSortedWrite(df: DataFrame, sortCol: Column, outPath: String,
                        numFiles: Int, mode: String = "overwrite",
                        tiebreak: Seq[Column] = Nil,
                        statsManifest: Option[String] = None,
-                       statsCols: Seq[String] = Nil): Unit = {
+                       statsCols: Seq[String] = Nil,
+                       bloomCols: Seq[String] = Nil,
+                       bloomNdv: Long = 100000L): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     require(statsManifest.isEmpty || statsCols.nonEmpty,
       "statsManifest needs statsCols: name the columns to profile")
     val keys = col("_r") +: tiebreak
     withMicrosTimestamps(df) {
-      df.withColumn("_r", sortCol)
+      var w = df.withColumn("_r", sortCol)
         .repartitionByRange(numFiles, keys: _*)
         .sortWithinPartitions(keys: _*)
         .drop("_r")
-        .write.mode(mode).parquet(outPath)
+        .write.mode(mode)
+      bloomCols.foreach { c =>
+        w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c", bloomNdv.toString)
+      }
+      w.parquet(outPath)
     }
     statsManifest.foreach(mf => graft.core.io.Skipping
       .emitManifest(df.sparkSession, outPath, statsCols, mf): Unit)

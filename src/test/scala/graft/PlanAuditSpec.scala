@@ -114,7 +114,10 @@ class PlanAuditSpec extends SparkSpec {
     // aggregate. q222/q223 are streaming (the q101/q204 families) —
     // their replay/coverage invariants live in StreamsSpec /
     // RunnerEndToEndSpec.
-    "q220_selfmaintaining_skip_dag", "q221_zorder_twodim_prune")
+    "q220_selfmaintaining_skip_dag", "q221_zorder_twodim_prune",
+    // q225 executes its bloom-enabled layout write at build time and
+    // audits the bloom-pruned scan's aggregate
+    "q225_bloom_pruned_probe")
     // round-9: q198/q199/q200 are catalog/path side-effect queries
     // (the q147/q190 family) — their plan shapes (bucket pruning,
     // partition pruning, zero-rewrite vacuums, reference-free monitor

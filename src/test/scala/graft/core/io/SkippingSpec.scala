@@ -396,6 +396,48 @@ class SkippingSpec extends SparkSpec {
     assert(got.count() === 50)
   }
 
+  test("footer-bloom pruning: IN-probes on an unclustered column drop " +
+      "files; missing blooms and absent values stay conservative") {
+    val (data, mf) = freshDirs()
+    // cluster on id; v is id*7 % 1000 — every file's v-hull spans the
+    // domain, so min/max ranges exclude NOTHING for a v point probe
+    Layout.rangeSortedWrite(corpus(), col("id"), data, numFiles = 10,
+      tiebreak = Seq(col("id")), statsManifest = Some(mf),
+      statsCols = Seq("id"), bloomCols = Seq("v", "s"),
+      bloomNdv = 2000L)
+    // v = 7 exists only where id = 1 (id*7 % 1000 == 7 within one file)
+    val probe = Seq(Skipping.ColumnIn("v", Seq(7L)))
+    val noBloom = Skipping.pruneFiles(spark, data, mf, probe)
+    assert(noBloom.readFiles === 10,
+      "ranges alone cannot exclude an unclustered point probe")
+    val withBloom = Skipping.pruneFiles(spark, data, mf, probe,
+      footerBlooms = true)
+    assert(withBloom.readFiles < 10,
+      s"blooms must drop files: read ${withBloom.readFiles} of 10")
+    val got = Skipping.read(spark, data, mf, probe, footerBlooms = true)
+    val want = spark.read.parquet(data).filter(col("v") === 7L)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // string column probes hash as Binary
+    val sGot = Skipping.read(spark, data, mf,
+      Seq(Skipping.ColumnIn("s", Seq("k0042"))), footerBlooms = true)
+    assert(sGot.count() === 1L)
+    assert(sGot.inputFiles.length < 10)
+    // a value absent from the corpus reads zero files through the blooms
+    val absent = Skipping.pruneFiles(spark, data, mf,
+      Seq(Skipping.ColumnIn("v", Seq(1000001L))), footerBlooms = true)
+    assert(absent.readFiles === 0 ||
+      absent.readFiles < withBloom.readFiles) // FPs allowed, only fewer
+    // bloomless layout: footerBlooms degrades to no extra pruning
+    val (d2, m2) = freshDirs()
+    Layout.rangeSortedWrite(corpus(), col("id"), d2, numFiles = 10,
+      tiebreak = Seq(col("id")), statsManifest = Some(m2),
+      statsCols = Seq("id"))
+    val cons = Skipping.pruneFiles(spark, d2, m2, probe,
+      footerBlooms = true)
+    assert(cons.readFiles === 10,
+      "no blooms written -> every candidate survives (conservative)")
+  }
+
   test("manifest survives compaction: rewritten files read as unlisted") {
     val (data, mf) = freshDirs()
     Layout.rangeSortedWrite(corpus(), col("id"), data, numFiles = 8,
