@@ -401,8 +401,11 @@ object BenchStress {
       for (nf <- Seq(32, 1024)) {
         val data = s"$fcRoot/data$nf"
         val mf = s"$fcRoot/mf$nf"
+        // blooms on the UNclustered shipdate-probe complement column:
+        // the bloom-prune leg below pays one footer read per candidate
         graft.ops.Layout.rangeSortedWrite(li, col("l_orderkey"),
-          data, numFiles = nf)
+          data, numFiles = nf, bloomCols = Seq("l_extendedprice"),
+          bloomNdv = 200000L)
         println(s"file-count stress: ${li.count()} rows, $nf files")
         time(s"manifest via footers ($nf files)") {
           graft.core.io.Skipping.writeStatsManifestFromFooters(spark, data,
@@ -415,6 +418,17 @@ object BenchStress {
         }
         time(s"pruned read ($nf files)") {
           graft.core.io.Skipping.read(spark, data, mf, range)
+            .agg(count(lit(1))).head().getLong(0)
+        }
+        // point probe on the unclustered column: range stage is blind
+        // (manifest doesn't profile it), blooms do all the dropping —
+        // planning cost = distributed footer reads over ALL candidates
+        val probeV = li.limit(1).select("l_extendedprice")
+          .head().getDouble(0)
+        time(s"bloom-pruned probe ($nf files)") {
+          graft.core.io.Skipping.read(spark, data, mf,
+              Seq(graft.core.io.Skipping.ColumnIn("l_extendedprice",
+                Seq(probeV))), footerBlooms = true)
             .agg(count(lit(1))).head().getLong(0)
         }
       }

@@ -77,6 +77,7 @@ object Runner {
           val inc = ds.incField.map(f =>
             (if (rs.nonEmpty) " AND " else "") + s"$f in [period]").getOrElse("")
           s" skip_manifest=${p(mf)}" +
+            (if (ds.skipBlooms) " +footer_blooms" else "") +
             (if (rs.nonEmpty || inc.nonEmpty) s" prune: $rs$inc" else "")
         }.getOrElse("")
         if (ds.format == "df") s"$n=<in-memory>"

@@ -35,7 +35,7 @@ object Reader {
         require(ds.glob.isEmpty, "skip_manifest needs a directory input — " +
           "glob patterns and manifest file listings cannot compose")
         Skipping.read(spark, ds.path, ds.skipManifest.get, preds,
-          ds.readOptions)
+          ds.readOptions, footerBlooms = ds.skipBlooms)
       case "parquet" => spark.read.options(ds.readOptions).parquet(path)
       case "orc" => spark.read.options(ds.readOptions).orc(path)
       case "json" => spark.read.options(ds.readOptions).json(path)

@@ -86,6 +86,7 @@ object Manifest {
           }
           case other => sys.error(s"skip_ranges must be a list, got $other")
         }.getOrElse(Nil),
+        skipBlooms = str("skip_blooms").exists(_.toBoolean),
         statsManifest = str("stats_manifest"),
         statsCols = m.get("stats_cols").map {
           case l: JList[_] => l.asScala.map(String.valueOf).toSeq

@@ -33,6 +33,10 @@ final case class DatasetSpec(
     // incremental period filter prune files BEFORE the scan is planned
     skipManifest: Option[String] = None,
     skipRanges: Seq[SkipRange] = Nil,
+    // `skip_blooms: true` — consult candidates' parquet footer bloom
+    // filters for the IN-shaped skip_ranges after the manifest range
+    // stage (graft.core.io.Skipping.pruneFiles footerBlooms)
+    skipBlooms: Boolean = false,
     // write-path skipping maintenance (`stats_manifest:` +
     // `stats_cols:`): a parquet OUTPUT with a stats manifest ticks it
     // after every write — first write builds (footers-first,

@@ -389,6 +389,7 @@ class FlowSpec extends SparkSpec {
         |        path: "{{root}}/data"
         |        inc_field: l_shipdate
         |        skip_manifest: "{{root}}/mf"
+        |        skip_blooms: true
         |        skip_ranges:
         |          - {column: l_orderkey, lower: 1000, upper: 2999}
         |          - {column: l_tag, values: [a, "{{root}}"]}
@@ -399,6 +400,7 @@ class FlowSpec extends SparkSpec {
     val job = Manifest.loadFile(f.toString).jobs("pruned")
     val ds = graft.core.model.Params.resolve(job.inputs("li"), job.params)
     assert(ds.skipManifest === Some("/tmp/skiproot/mf"))
+    assert(ds.skipBlooms, "skip_blooms: true must parse")
     assert(ds.skipRanges === Seq(
       graft.core.model.SkipRange("l_orderkey", Some("1000"), Some("2999")),
       graft.core.model.SkipRange("l_tag",
@@ -416,6 +418,7 @@ class FlowSpec extends SparkSpec {
     val plan = graft.Runner.dryRunPlan(Manifest.loadFile(f.toString).jobs,
       "pruned", withDependencies = false)
     assert(plan.exists(l => l.contains("skip_manifest=/tmp/skiproot/mf") &&
+      l.contains("+footer_blooms") &&
       l.contains("l_orderkey in [1000, 2999]") &&
       l.contains("l_tag IN (a,/tmp/skiproot)") &&
       l.contains("l_shipdate in [period]")), plan.mkString("\n"))
