@@ -70,7 +70,8 @@ object Runner {
         // from inc_field joins at run time)
         val skip = ds.skipManifest.map { mf =>
           val rs = ds.skipRanges.map(r =>
-            if (r.values.nonEmpty)
+            if (r.notNull) s"${r.column} IS NOT NULL"
+            else if (r.values.nonEmpty)
               s"${r.column} IN (${r.values.map(p).mkString(",")})"
             else s"${r.column} in [${r.lower.map(p).getOrElse("-inf")}, " +
               s"${r.upper.map(p).getOrElse("+inf")}]").mkString(" AND ")

@@ -98,7 +98,12 @@ object Reader {
     def typed(s: String): Any =
       s.toLongOption.getOrElse(s.toDoubleOption.getOrElse(s))
     val declared = ds.skipRanges.map { r =>
-      if (r.values.nonEmpty) {
+      if (r.notNull) {
+        require(r.values.isEmpty && r.lower.isEmpty && r.upper.isEmpty,
+          s"skip_ranges ${r.column}: not_null excludes values/lower/upper" +
+            " (declare them as separate conjuncts)")
+        Skipping.ColumnNotNull(r.column)
+      } else if (r.values.nonEmpty) {
         require(r.lower.isEmpty && r.upper.isEmpty,
           s"skip_ranges ${r.column}: values excludes lower/upper")
         Skipping.ColumnIn(r.column, r.values.map(typed))

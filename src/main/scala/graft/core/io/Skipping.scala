@@ -70,6 +70,17 @@ object Skipping {
     require(values.nonEmpty, s"ColumnIn($column) needs at least one value")
   }
 
+  /** `col IS NOT NULL` — drops files whose profiled column holds no
+    * non-null value (sparse optional columns: at 100 TB "rows WITH an
+    * embedding" can exclude entire unembedded partitions). Sound
+    * against the conservative stats fallback: a file with dropped
+    * footer stats records `n_vals = n_rows > 0` and stays read. The
+    * dual (`IS NULL` pruning) is deliberately NOT offered — that same
+    * fallback would claim "no nulls" for a file whose statistics
+    * vanished and wrongly drop it.
+    */
+  final case class ColumnNotNull(column: String) extends FilePredicate
+
   final case class Pruned(keptFiles: Seq[String], manifestFiles: Int,
                           unlistedFiles: Int) {
     def readFiles: Int = keptFiles.length
@@ -599,6 +610,7 @@ object Skipping {
           values.map(v => !(boundCol(manifest, v, "min") <= padUp(v) &&
               boundCol(manifest, v, "max") >= lit(v)))
             .reduce(_ && _)
+        case ColumnNotNull(_) => lit(false) // noVals alone excludes
       }
       col("column") === r.column && coalesce(noVals || noHit, lit(false))
     }.reduce(_ || _)
@@ -708,6 +720,7 @@ object Skipping {
         (r.lower.map(v => c >= lit(v)) ++ r.upper.map(v => c <= lit(v)))
           .reduce(_ && _)
       case i: ColumnIn => col(i.column).isin(i.values: _*)
+      case n: ColumnNotNull => col(n.column).isNotNull
     }.reduce(_ && _)
     if (pruned.keptFiles.isEmpty) full.filter(lit(false))
     else spark.read.schema(full.schema).options(options)

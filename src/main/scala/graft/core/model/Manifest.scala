@@ -82,7 +82,8 @@ object Manifest {
               values = rm.get("values").map {
                 case vl: JList[_] => vl.asScala.map(String.valueOf).toSeq
                 case v => Seq(String.valueOf(v))
-              }.getOrElse(Nil))
+              }.getOrElse(Nil),
+              notNull = rs("not_null").exists(_.toBoolean))
           }
           case other => sys.error(s"skip_ranges must be a list, got $other")
         }.getOrElse(Nil),

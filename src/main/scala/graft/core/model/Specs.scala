@@ -8,15 +8,18 @@ package graft.core.model
   * "df" for in-memory handoff).
   */
 /** One declarative pruning conjunct on an input (`skip_ranges:` entry):
-  * either an inclusive range (`lower`/`upper`, at least one) or an
-  * IN-list (`values`). Bounds stay strings at parse time; the reader
-  * types them (integer → BIGINT probe, decimal → DOUBLE, else STRING —
-  * dates/timestamps ride the STRING family's ISO ordering).
+  * an inclusive range (`lower`/`upper`, at least one), an IN-list
+  * (`values`), or a non-null requirement (`not_null: true` — drops
+  * files whose profiled column is entirely null). Bounds stay strings
+  * at parse time; the reader types them (integer → BIGINT probe,
+  * decimal → DOUBLE, else STRING — dates/timestamps ride the STRING
+  * family's ISO ordering).
   */
 final case class SkipRange(column: String,
                            lower: Option[String] = None,
                            upper: Option[String] = None,
-                           values: Seq[String] = Nil)
+                           values: Seq[String] = Nil,
+                           notNull: Boolean = false)
 
 final case class DatasetSpec(
     path: String = "",

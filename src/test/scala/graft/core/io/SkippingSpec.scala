@@ -438,6 +438,37 @@ class SkippingSpec extends SparkSpec {
       "no blooms written -> every candidate survives (conservative)")
   }
 
+  test("ColumnNotNull prunes all-null files; stats-fallback files stay " +
+      "read") {
+    val (data, mf) = freshDirs()
+    // e is populated only for id < 300 — clustered on id, files past
+    // the boundary hold ONLY nulls in e
+    val c = corpus().withColumn("e",
+      when(col("id") < 300, col("id") * 2).otherwise(lit(null).cast("long")))
+    Layout.rangeSortedWrite(c, col("id"), data, numFiles = 10,
+      tiebreak = Seq(col("id")))
+    Skipping.writeStatsManifest(spark, data, Seq("id", "e"), mf)
+    val pr = Skipping.pruneFiles(spark, data, mf,
+      Seq(Skipping.ColumnNotNull("e")))
+    assert(pr.readFiles <= 4,
+      s"all-null files must drop: read ${pr.readFiles} of 10")
+    val got = Skipping.read(spark, data, mf,
+      Seq(Skipping.ColumnNotNull("e")))
+    assert(got.count() === 300)
+    assert(got.filter(col("e").isNull).isEmpty)
+    // composes with a range conjunct on another column
+    val both = Skipping.read(spark, data, mf,
+      Seq(Skipping.ColumnNotNull("e"),
+        ColumnRange("id", Some(100L), Some(999L))))
+    assert(both.count() === 200)
+    // YAML shape: not_null parses and routes to ColumnNotNull
+    val ds = graft.core.model.DatasetSpec(path = data,
+      skipManifest = Some(mf),
+      skipRanges = Seq(graft.core.model.SkipRange("e", notNull = true)))
+    assert(Reader.skipPredicates(ds, None) ===
+      Seq(Skipping.ColumnNotNull("e")))
+  }
+
   test("manifest survives compaction: rewritten files read as unlisted") {
     val (data, mf) = freshDirs()
     Layout.rangeSortedWrite(corpus(), col("id"), data, numFiles = 8,
