@@ -651,7 +651,16 @@ object Skipping {
       .collect().toSeq.sorted
   }
 
-  /** One file's footer-bloom test — runs inside a task. */
+  /** One file's footer membership test — runs inside a task. Two exact
+    * metadata structures answer "might this row group hold value v?":
+    * the column's BLOOM FILTER when one was written, else — because
+    * parquet-mr deliberately SKIPS the bloom when every data page is
+    * dictionary-encoded (the dictionary is already exact membership) —
+    * the DICTIONARY PAGE itself, decoded and probed directly. Both are
+    * per-row-group footer/metadata reads; everything unanswerable
+    * (no bloom and non-dict pages, absent column, untypable pairing,
+    * unreadable footer) stays "might" (conservative).
+    */
   private def bloomMightHold(file: String, probes: Seq[(String, Seq[Any])],
                              conf: org.apache.hadoop.conf.Configuration)
       : Boolean = {
@@ -669,12 +678,11 @@ object Skipping {
           b.getColumns.asScala.find(_.getPath.toDotString == c) match {
             case None => true // column not in this file: conservative
             case Some(ch) =>
+              val prim = ch.getPrimitiveType.getPrimitiveTypeName
               val bf =
                 try reader.getBloomFilterDataReader(b).readBloomFilter(ch)
                 catch { case scala.util.control.NonFatal(_) => null }
-              if (bf == null) true // no bloom written: conservative
-              else {
-                val prim = ch.getPrimitiveType.getPrimitiveTypeName
+              if (bf != null)
                 values.exists { v =>
                   (prim, v) match {
                     case (INT64, x: Long) => bf.findHash(bf.hash(x))
@@ -690,6 +698,49 @@ object Skipping {
                     case (BINARY, x: String) => bf.findHash(bf.hash(
                       org.apache.parquet.io.api.Binary.fromString(x)))
                     case _ => true // untypable pairing: conservative
+                  }
+                }
+              else {
+                val es = ch.getEncodingStats
+                val allDict = es != null && es.hasDictionaryEncodedPages &&
+                  !es.hasNonDictionaryEncodedPages
+                if (!allDict) true // no exact structure: conservative
+                else {
+                  val dict =
+                    try {
+                      val desc = reader.getFooter.getFileMetaData.getSchema
+                        .getColumnDescription(ch.getPath.toArray)
+                      // ascribe to the public interface: the concrete
+                      // DictionaryPageReader class is package-private
+                      val store: org.apache.parquet.column.page
+                        .DictionaryPageReadStore = reader.getDictionaryReader(b)
+                      val page = store.readDictionaryPage(desc)
+                      if (page == null) null
+                      else page.getEncoding.initDictionary(desc, page)
+                    } catch { case scala.util.control.NonFatal(_) => null }
+                  if (dict == null) true
+                  else values.exists { v =>
+                    val n = dict.getMaxId
+                    (prim, v) match {
+                      case (INT64, x: Long) =>
+                        (0 to n).exists(dict.decodeToLong(_) == x)
+                      case (INT64, x: Int) =>
+                        (0 to n).exists(dict.decodeToLong(_) == x.toLong)
+                      case (INT32, x: Long) =>
+                        x >= Int.MinValue && x <= Int.MaxValue &&
+                          (0 to n).exists(dict.decodeToInt(_) == x.toInt)
+                      case (INT32, x: Int) =>
+                        (0 to n).exists(dict.decodeToInt(_) == x)
+                      case (DOUBLE, x: Double) =>
+                        (0 to n).exists(dict.decodeToDouble(_) == x)
+                      case (FLOAT, x: Double) =>
+                        (0 to n).exists(dict.decodeToFloat(_) == x.toFloat)
+                      case (BINARY, x: String) =>
+                        val bin = org.apache.parquet.io.api.Binary
+                          .fromString(x)
+                        (0 to n).exists(dict.decodeToBinary(_) == bin)
+                      case _ => true
+                    }
                   }
                 }
               }

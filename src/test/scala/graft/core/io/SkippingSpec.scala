@@ -427,7 +427,9 @@ class SkippingSpec extends SparkSpec {
       Seq(Skipping.ColumnIn("v", Seq(1000001L))), footerBlooms = true)
     assert(absent.readFiles === 0 ||
       absent.readFiles < withBloom.readFiles) // FPs allowed, only fewer
-    // bloomless layout: footerBlooms degrades to no extra pruning
+    // bloomless layout whose probed column is PLAIN-encoded (unique
+    // values per file — parquet skips the dictionary): no exact
+    // membership structure exists, footerBlooms degrades to no pruning
     val (d2, m2) = freshDirs()
     Layout.rangeSortedWrite(corpus(), col("id"), d2, numFiles = 10,
       tiebreak = Seq(col("id")), statsManifest = Some(m2),
@@ -435,7 +437,21 @@ class SkippingSpec extends SparkSpec {
     val cons = Skipping.pruneFiles(spark, d2, m2, probe,
       footerBlooms = true)
     assert(cons.readFiles === 10,
-      "no blooms written -> every candidate survives (conservative)")
+      "no blooms and no dictionary -> every candidate survives")
+    // DICTIONARY fallback: still no blooms, but repeated values make
+    // parquet dictionary-encode the chunk — and parquet deliberately
+    // SKIPS blooms on all-dictionary chunks, so the dictionary page
+    // itself answers membership EXACTLY (no write-side config at all)
+    val (d3, m3) = freshDirs()
+    val c3 = corpus().withColumn("w", (col("id") / lit(100)).cast("long"))
+    Layout.rangeSortedWrite(c3, col("id"), d3, numFiles = 10,
+      tiebreak = Seq(col("id")), statsManifest = Some(m3),
+      statsCols = Seq("id"))
+    val dGot = Skipping.read(spark, d3, m3,
+      Seq(Skipping.ColumnIn("w", Seq(3L))), footerBlooms = true)
+    assert(dGot.count() === 100)
+    assert(dGot.inputFiles.length <= 2,
+      s"dictionary membership must prune: read ${dGot.inputFiles.length}")
   }
 
   test("ColumnNotNull prunes all-null files; stats-fallback files stay " +
