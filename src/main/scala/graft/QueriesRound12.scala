@@ -351,5 +351,54 @@ object QueriesRound12 {
       |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
       |GROUP BY 1 ORDER BY l_orderkey""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q220, q221, q222, q223, q224, q225)
+  /** YAML-DECLARED STREAMING DEDUP (`stream_lane: dedup`): q74's
+    * watermarked exactly-once key dedup composed with the increment
+    * landing, every moving part in the manifest. The feed carries the
+    * content fingerprint ([[graft.functions.TextFunctions.fingerprint]]
+    * — q74's fixture discipline), the SQL transform projects the key
+    * in-stream, the lane drops within-watermark duplicates, and
+    * per-batch increments land append-only. Held to q74's DISTINCT
+    * oracle: the streaming machinery and the duplicate feed must be
+    * invisible.
+    */
+  val q226 = QueryDef("q226_yaml_stream_dedup", (spark, dir) => {
+    val out = graft.Queries.tmpDir("graft_q226")
+    val docs = t(spark, dir, "documents").select(col("doc_id"),
+      graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("fp")))
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      .coalesce(1).write.parquet(s"$out/feed")
+    val yml =
+      s"""jobs:
+         |  dedup_docs:
+         |    inputs:
+         |      src: {path: $out/feed}
+         |    output: {path: $out/sink, inc_field: ts}
+         |    sql: "SELECT fp, ts FROM src"
+         |    params:
+         |      stream_lane: dedup
+         |      ts_col: ts
+         |      keys: fp
+         |      watermark: 1 second
+         |""".stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/job.yml"),
+      yml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val job = graft.core.model.Manifest.loadFile(s"$out/job.yml")
+      .jobs("dedup_docs")
+    graft.streaming.Streams.withStatePartitions(spark, 8) {
+      graft.engine.StreamRun.runOnce(spark, job, s"$out/ckpt", now = "s1")
+    }
+    spark.read.parquet(s"$out/sink/inc_*").select("fp").orderBy("fp")
+  }, Some(
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text FROM documents
+      |  WHERE doc_id % 7 = 0)
+      |SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |FROM corpus ORDER BY fp""".stripMargin))
+
+  val all: Seq[QueryDef] =
+    Seq(q220, q221, q222, q223, q224, q225, q226)
 }

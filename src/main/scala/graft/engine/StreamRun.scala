@@ -102,6 +102,15 @@ object StreamRun {
           p("id_col"), p("text_col"), p("threshold").toDouble,
           job.params.get("max_band_freq").map(_.toInt), outPath,
           checkpoint, job.params.get("clusters_path"))
+      case Some("dedup") =>
+        // watermarked exactly-once key dedup, then plain increments:
+        // the q74 stateful lane composed with the increment landing —
+        // a YAML-declared streaming dedup pipeline
+        val deduped = graft.streaming.Streams.dedupStream(out,
+          p("ts_col"), p("keys").split(",").map(_.trim).toSeq,
+          p("watermark"))
+        graft.streaming.Streams.writeIncrements(deduped, job, o,
+          checkpoint, now)
       case Some("reservoir") =>
         graft.streaming.Streams.reservoirSampleSink(out, p("id_col"),
           p("group_col"), p("weight_col"), p("n").toInt, outPath,
@@ -109,7 +118,7 @@ object StreamRun {
       case Some(other) => sys.error(
         s"streaming job ${job.name}: unknown stream_lane '$other' — " +
           "one of psi_drift|ks_drift|psi_by_group|ks_by_group|" +
-          "neardup|token_neardup|reservoir, or omit for increments")
+          "neardup|token_neardup|reservoir|dedup, or omit for increments")
     }
   }
 
