@@ -166,7 +166,8 @@ object BenchStressStreaming {
       val accepted = spark.read.parquet(s"$root/${name}_accepted/batch*").count()
       LaneStats(wall, batchS.size, if (batchS.isEmpty) 0 else batchS.max,
         if (clusters)
-          spark.read.parquet(s"$root/${name}_clusters").count()
+          graft.streaming.Streams
+            .loadClusters(spark, s"$root/${name}_clusters").count()
         else 0L, accepted)
     }
     println(s"ingest delta: ${delta.count()} docs, 4 micro-batches")
@@ -181,6 +182,45 @@ object BenchStressStreaming {
     report("ingest + cluster fold",
       ingestLane(docs, "bssnc1", clusters = true),
       ingestLane(stressedDocs, s"bssnc$copies", clusters = true))
+
+    // LABEL-TABLE GROWTH: a zero-pair batch's cluster landing must cost
+    // O(|batch|) regardless of the accumulated label count — the
+    // incremental inc_b<id> landing never reads or rewrites the standing
+    // snapshot. Seed 1x vs `copies`x standing labels, land the SAME
+    // synthetic no-near-dup batch (hash-derived tokens share no
+    // shingles), and the wall must stay flat (exponent ~0).
+    def landLane(nLabels: Long, name: String): LaneStats = {
+      Seq("_shingles", "_buckets", "_meta", "_tombstones").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS $name$s"))
+      import spark.implicits._
+      graft.ops.Dedup.writeNearDupIndex(
+        Seq((1L, "seed corpus document with a few plain words"))
+          .toDF("doc_id", "text"), "doc_id", "text", name, numBuckets = 4)
+      val cp = s"$root/${name}_clusters"
+      spark.range(nLabels).select(col("id"), col("id").as("comp"))
+        .write.mode("overwrite").parquet(s"$cp/base")
+      val batch = spark.range(90000000L, 90002000L)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), lit(30)),
+            i => concat(lit("tok"),
+              pmod(col("id") * 2654435761L + i * 40503L, lit(99991)))))
+            .as("text"))
+      val t0 = System.nanoTime()
+      graft.streaming.Streams.applyNearDupBatch(batch.toDF(), name,
+        "doc_id", "text", threshold = 0.8, maxBandFreq = Some(50),
+        acceptedPath = s"$root/${name}_acc", id = 1L,
+        clustersPath = Some(cp))
+      val wall = (System.nanoTime() - t0) / 1e9
+      val written = spark.read.parquet(s"$cp/inc_b1").count()
+      LaneStats(wall, 1, wall, written, 2000L)
+    }
+    val seedLabels = 100000L
+    println(s"cluster landing vs standing labels: $seedLabels vs " +
+      s"${seedLabels * copies} seeded; `state` = inc_b rows written " +
+      "(must equal the batch, never the standing count)")
+    report("zero-pair cluster land",
+      landLane(seedLabels, "bsscl1"),
+      landLane(seedLabels * copies, s"bsscl$copies"))
 
     spark.stop()
   }

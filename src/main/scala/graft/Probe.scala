@@ -2,32 +2,39 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Editable scratch driver (see .claude/skills/verify). */
+/** Editable scratch driver (see the project verify notes). */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = graft.core.GraftSession.local()
-    val dir = "/root/testdata/sf0.1"
-    val out = Queries.tmpDir("graft_probe_fc")
-    val li = graft.core.Tables.load(spark, dir, "lineitem")
-      .select("l_orderkey", "l_extendedprice", "l_shipdate").localCheckpoint()
-    val hi = li.agg(max("l_orderkey")).head().getLong(0)
-    graft.ops.Layout.rangeSortedWrite(li, col("l_orderkey"), s"$out/data",
-      numFiles = 1024)
-    def t(n: String)(f: => Any): Unit = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$n%-28s ${(System.nanoTime()-t0)/1e9}%6.2f s  $r")
-    }
-    t("footer build (1024)")(
-      graft.core.io.Skipping.writeStatsManifestFromFooters(spark,
-        s"$out/data", Seq("l_orderkey", "l_shipdate"), s"$out/mf"))
-    val range = Seq(graft.core.io.Skipping.ColumnRange("l_orderkey",
-      Some(hi / 20), Some(hi / 10)))
-    t("pruned read (1024)")(graft.core.io.Skipping.read(spark, s"$out/data",
-      s"$out/mf", range).agg(count(lit(1))).head().getLong(0))
-    t("plain filter scan (1024)")(spark.read.parquet(s"$out/data")
-      .filter(col("l_orderkey").between(hi/20, hi/10))
-      .agg(count(lit(1))).head().getLong(0))
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.01"
+    // q219 repro, direct (no stream): ingest pairs + the new incremental
+    // cluster landing
+    val (corpus, delta) = QueriesText.q70Corpus(spark, dir)
+    Seq("_shingles", "_buckets", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS probe219idx$s"))
+    graft.ops.Dedup.writeNearDupIndex(corpus, "doc_id", "text",
+      "probe219idx", numBuckets = 8)
+    val out = Queries.tmpDir("graft_probe219")
+    val b0 = delta.filter(col("doc_id") < 300000)
+    graft.streaming.Streams.applyNearDupBatch(b0, "probe219idx",
+      "doc_id", "text", threshold = 0.8, maxBandFreq = None,
+      acceptedPath = s"$out/acc", id = 0L,
+      clustersPath = Some(s"$out/clusters"))
+    println("batch 0 landed")
+    val b1 = delta.filter(col("doc_id") >= 300000)
+    graft.streaming.Streams.applyNearDupBatch(b1, "probe219idx",
+      "doc_id", "text", threshold = 0.8, maxBandFreq = None,
+      acceptedPath = s"$out/acc", id = 1L,
+      clustersPath = Some(s"$out/clusters"))
+    println("batch 1 landed")
+    println("clusters: " +
+      graft.streaming.Streams.loadClusters(spark, s"$out/clusters").count())
     spark.stop()
   }
 }

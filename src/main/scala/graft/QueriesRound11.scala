@@ -262,7 +262,8 @@ object QueriesRound11 {
         clustersPath = Some(s"$out/clusters"))
       try q.processAllAvailable() finally q.stop()
     }
-    spark.read.parquet(s"$out/clusters").orderBy("id")
+    graft.streaming.Streams.loadClusters(spark, s"$out/clusters")
+      .orderBy("id")
   }, Some(
     s"""WITH RECURSIVE
        |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),

@@ -270,14 +270,15 @@ object Skipping {
     */
   def maintainManifest(spark: SparkSession, dataDir: String,
                        manifestDir: String,
-                       cols: Seq[String] = Nil): ManifestDelta = {
+                       cols: Seq[String] = Nil,
+                       colsParamName: String = "stats_cols"): ManifestDelta = {
     val mp = new Path(manifestDir)
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(mp)) appendStatsManifest(spark, dataDir, manifestDir)
     else {
       require(cols.nonEmpty,
         s"first manifest build at $manifestDir needs the columns to " +
-          "profile (stats_cols)")
+          s"profile ($colsParamName)")
       val n = emitManifest(spark, dataDir, cols, manifestDir)
       ManifestDelta(n.toInt, 0, n)
     }
@@ -677,6 +678,15 @@ object Skipping {
         blocks.isEmpty || blocks.exists { b =>
           b.getColumns.asScala.find(_.getPath.toDotString == c) match {
             case None => true // column not in this file: conservative
+            case Some(ch) if !probeValueTransparent(ch.getPrimitiveType) =>
+              // the physical values are NOT the logical values (Decimal
+              // stores unscaled ints, Date stores epoch days, Timestamp
+              // stores epoch micros/millis/nanos, ...): an exact-membership
+              // probe on the physical encoding would hash/compare the
+              // wrong representation and could DROP a file whose rows the
+              // row-level filter keeps. Stay "might" — wrong-typed probes
+              // degrade to no pruning, never a wrong drop.
+              true
             case Some(ch) =>
               val prim = ch.getPrimitiveType.getPrimitiveTypeName
               val bf =
@@ -719,27 +729,46 @@ object Skipping {
                       else page.getEncoding.initDictionary(desc, page)
                     } catch { case scala.util.control.NonFatal(_) => null }
                   if (dict == null) true
-                  else values.exists { v =>
+                  else {
                     val n = dict.getMaxId
-                    (prim, v) match {
-                      case (INT64, x: Long) =>
-                        (0 to n).exists(dict.decodeToLong(_) == x)
-                      case (INT64, x: Int) =>
-                        (0 to n).exists(dict.decodeToLong(_) == x.toLong)
-                      case (INT32, x: Long) =>
-                        x >= Int.MinValue && x <= Int.MaxValue &&
-                          (0 to n).exists(dict.decodeToInt(_) == x.toInt)
-                      case (INT32, x: Int) =>
-                        (0 to n).exists(dict.decodeToInt(_) == x)
-                      case (DOUBLE, x: Double) =>
-                        (0 to n).exists(dict.decodeToDouble(_) == x)
-                      case (FLOAT, x: Double) =>
-                        (0 to n).exists(dict.decodeToFloat(_) == x.toFloat)
-                      case (BINARY, x: String) =>
-                        val bin = org.apache.parquet.io.api.Binary
-                          .fromString(x)
-                        (0 to n).exists(dict.decodeToBinary(_) == bin)
-                      case _ => true
+                    // large IN-lists: decode the dictionary ONCE into a
+                    // typed set instead of |values|·|dict| linear scans
+                    lazy val decodedSet: Set[Any] = prim match {
+                      case INT64 => (0 to n).map(dict.decodeToLong(_): Any).toSet
+                      case INT32 => (0 to n).map(dict.decodeToInt(_): Any).toSet
+                      case DOUBLE => (0 to n).map(dict.decodeToDouble(_): Any).toSet
+                      case FLOAT => (0 to n).map(dict.decodeToFloat(_): Any).toSet
+                      case BINARY => (0 to n).map(dict.decodeToBinary(_): Any).toSet
+                      case _ => Set.empty
+                    }
+                    val useSet = values.size.toLong * (n + 1L) > 4096L
+                    def holdsLong(x: Long): Boolean =
+                      if (useSet) decodedSet.contains(x)
+                      else (0 to n).exists(dict.decodeToLong(_) == x)
+                    def holdsInt(x: Int): Boolean =
+                      if (useSet) decodedSet.contains(x)
+                      else (0 to n).exists(dict.decodeToInt(_) == x)
+                    values.exists { v =>
+                      (prim, v) match {
+                        case (INT64, x: Long) => holdsLong(x)
+                        case (INT64, x: Int) => holdsLong(x.toLong)
+                        case (INT32, x: Long) =>
+                          x >= Int.MinValue && x <= Int.MaxValue &&
+                            holdsInt(x.toInt)
+                        case (INT32, x: Int) => holdsInt(x)
+                        case (DOUBLE, x: Double) =>
+                          if (useSet) decodedSet.contains(x)
+                          else (0 to n).exists(dict.decodeToDouble(_) == x)
+                        case (FLOAT, x: Double) =>
+                          if (useSet) decodedSet.contains(x.toFloat)
+                          else (0 to n).exists(dict.decodeToFloat(_) == x.toFloat)
+                        case (BINARY, x: String) =>
+                          val bin = org.apache.parquet.io.api.Binary
+                            .fromString(x)
+                          if (useSet) decodedSet.contains(bin)
+                          else (0 to n).exists(dict.decodeToBinary(_) == bin)
+                        case _ => true
+                      }
                     }
                   }
                 }
@@ -748,6 +777,34 @@ object Skipping {
         }
       }
     } finally reader.close()
+  }
+
+  /** Is a column's PHYSICAL value representation identical to the logical
+    * value a probe would supply? Exact-membership pruning (bloom hash /
+    * dictionary decode) compares probe values against physical storage,
+    * so it is only sound when the logical type annotation is absent or
+    * value-transparent: plain signed ints over INT32/INT64, UTF8/ENUM
+    * strings over BINARY, unannotated DOUBLE/FLOAT. Every other
+    * annotation (Decimal = unscaled ints, Date = epoch days, Timestamp =
+    * epoch micros, Time, UUID, Float16, ...) transforms the value and
+    * MUST fall through to the conservative "might hold" arm.
+    */
+  private def probeValueTransparent(
+      prim: org.apache.parquet.schema.PrimitiveType): Boolean = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val ann = prim.getLogicalTypeAnnotation
+    prim.getPrimitiveTypeName match {
+      case INT32 | INT64 => ann == null || (ann match {
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+        case _ => false
+      })
+      case BINARY => ann == null ||
+        ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] ||
+        ann.isInstanceOf[LogicalTypeAnnotation.EnumLogicalTypeAnnotation]
+      case DOUBLE | FLOAT => ann == null
+      case _ => false // BOOLEAN/INT96/FIXED_LEN: no probe typing exists
+    }
   }
 
   /** Pruned scan + row-level re-filter: semantically identical to

@@ -17,9 +17,10 @@ import graft.core.model.{JobSpec, Params}
   *
   * Scope rules, enforced loudly:
   *  - exactly ONE input, a file-source format (parquet/csv/json/text) —
-  *    multi-input streaming joins need the dedicated
-  *    [[graft.streaming.Streams.streamStreamJoin]] lane with watermarks,
-  *    not a silent unbounded-state SQL join;
+  *    except `stream_lane: join`, the one TWO-input shape, which routes
+  *    through [[graft.streaming.Streams.streamJoin]] with explicit
+  *    watermark + event-time bounds (never a silent unbounded-state SQL
+  *    join);
   *  - the transform must be stream-safe (projections/filters/row-local
   *    functions — Spark rejects unsupported shapes at `start()`, which
   *    propagates);
@@ -49,9 +50,14 @@ object StreamRun {
     */
   def start(spark: SparkSession, job: JobSpec, checkpoint: String,
             now: String): StreamingQuery = {
+    // the join lane is the one TWO-input streaming shape; every other
+    // lane transforms a single stream
+    if (job.params.get("stream_lane").contains("join"))
+      return startJoin(spark, job, checkpoint, now)
     require(job.inputs.size == 1,
       s"streaming job ${job.name} needs exactly one input, got " +
-        s"${job.inputs.keys.mkString(",")}")
+        s"${job.inputs.keys.mkString(",")} (two-input streaming joins " +
+        "declare stream_lane: join)")
     val (name, ds0) = job.inputs.head
     val ds = Params.resolve(ds0, job.params)
       .copy(path = graft.core.io.PathTemplating.expandNow(
@@ -118,23 +124,88 @@ object StreamRun {
       case Some(other) => sys.error(
         s"streaming job ${job.name}: unknown stream_lane '$other' — " +
           "one of psi_drift|ks_drift|psi_by_group|ks_by_group|" +
-          "neardup|token_neardup|reservoir|dedup, or omit for increments")
+          "neardup|token_neardup|reservoir|dedup|join, or omit for " +
+          "increments")
     }
+  }
+
+  /** `stream_lane: join` — the manifest-declarable WATERMARKED
+    * stream-stream inner join ([[graft.streaming.Streams.streamJoin]]):
+    * exactly TWO file-source inputs; `left` names which input is the
+    * left side; `key`/`left_ts`/`right_ts` the join columns (each side's
+    * feed carries its own column names — pre-shape the feeds when both
+    * sides share names, exactly as a batch join would need);
+    * `watermark`/`within` bound the join state so it expires instead of
+    * growing with the stream. The joined rows land as per-batch
+    * increments under the job's incremental output — closing the one
+    * asymmetry between the batch and streaming YAML surfaces (every
+    * batch job family could already declare a join; now the streaming
+    * surface can too).
+    */
+  private def startJoin(spark: SparkSession, job: JobSpec,
+                        checkpoint: String, now: String): StreamingQuery = {
+    require(job.inputs.size == 2,
+      s"streaming job ${job.name}: stream_lane join needs exactly two " +
+        s"inputs, got ${job.inputs.keys.mkString(",")}")
+    def p(k: String): String = job.params.getOrElse(k,
+      sys.error(s"streaming job ${job.name}: lane 'join' needs param '$k'"))
+    val leftName = p("left")
+    require(job.inputs.contains(leftName),
+      s"streaming job ${job.name}: param left='$leftName' names no input " +
+        s"of ${job.inputs.keys.mkString(",")}")
+    val rightName = (job.inputs.keySet - leftName).head
+    def side(name: String): DataFrame = {
+      val ds = Params.resolve(job.inputs(name), job.params)
+        .copy(path = graft.core.io.PathTemplating.expandNow(
+          Params.resolve(job.inputs(name), job.params).path, now))
+      require(Seq("parquet", "csv", "json", "text").contains(ds.format),
+        s"streaming job ${job.name}: unsupported stream source ${ds.format}")
+      val schema = graft.core.io.Reader.read(spark, ds, period = None).schema
+      graft.streaming.Streams.readFileStream(spark, ds, schema.toDDL)
+    }
+    val joined = graft.streaming.Streams.streamJoin(
+      side(leftName), side(rightName), key = p("key"),
+      leftTs = p("left_ts"), rightTs = p("right_ts"),
+      watermarkDelay = p("watermark"), within = p("within"))
+    val o = job.output.map(x => Params.resolve(x, job.params)).getOrElse(
+      sys.error(s"streaming job ${job.name} needs an output"))
+    graft.streaming.Streams.writeIncrements(joined, job, o, checkpoint, now)
   }
 
   /** Drain-and-stop: process every file currently at the source, then
     * stop — the run-once mode a scheduler drives on a cadence. Returns
-    * the number of micro-batches the drain executed.
+    * the number of micro-batches THIS drain committed — measured as the
+    * max-committed-batch-id delta in the checkpoint's `commits` log, NOT
+    * `lastProgress.batchId` (cumulative across checkpoint restarts: a
+    * second drain on an existing checkpoint would otherwise report the
+    * lifetime count). Exact under every edge the progress stream blurs:
+    * idle ticks commit nothing, zero-row batches (an empty new file)
+    * commit, and a replayed uncommitted batch commits here — it ran here.
     */
   def runOnce(spark: SparkSession, job: JobSpec, checkpoint: String,
               now: String): Long = {
+    val before = maxCommittedBatch(spark, checkpoint)
     val q = start(spark, job, checkpoint, now)
     try {
       q.processAllAvailable()
-      q.lastProgress match {
-        case null => 0L
-        case p => p.batchId + 1
-      }
+      maxCommittedBatch(spark, checkpoint) - before
     } finally q.stop()
+  }
+
+  /** Highest batch id in the checkpoint's commit log, -1 when none.
+    * Commit-log entries are plain integer file names (one per committed
+    * micro-batch; the commit log never compacts — only source/sink file
+    * logs do), so the max id is the lifetime committed-batch count - 1
+    * even after `minBatchesToRetain` purges old entries.
+    */
+  private def maxCommittedBatch(spark: SparkSession,
+                                checkpoint: String): Long = {
+    val dir = new org.apache.hadoop.fs.Path(checkpoint, "commits")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) -1L
+    else fs.listStatus(dir).iterator
+      .map(_.getPath.getName)
+      .filter(_.forall(_.isDigit))
+      .foldLeft(-1L)((m, n) => math.max(m, n.toLong))
   }
 }

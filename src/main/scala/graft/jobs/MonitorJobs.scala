@@ -205,7 +205,10 @@ class StatsManifestJob extends EtlJob {
     // append ticks, columns inherited after the first build
     val cols = params.get("cols").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    val d = Skipping.maintainManifest(spark, path, manifestDir, cols)
+    // error surfaces name THIS job's param ('cols'), not the library
+    // default 'stats_cols' — the knob an operator can actually set here
+    val d = Skipping.maintainManifest(spark, path, manifestDir, cols,
+      colsParamName = "cols")
     import spark.implicits._
     Seq((d.profiledFiles.toLong, d.droppedFiles.toLong, d.totalFiles))
       .toDF("profiled_files", "dropped_files", "total_files")

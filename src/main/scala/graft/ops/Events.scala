@@ -404,7 +404,7 @@ object Events {
       .agg(
         // CAST first: unix_micros rejects TIMESTAMP_NTZ, which is what a
         // raw micros events parquet reads as without Tables.load — value-
-        // preserving under the pinned UTC session (CLAUDE.md invariant).
+        // preserving under the pinned UTC session (see project notes).
         expr(s"(unix_micros(to_timestamp('$asOf')) - " +
           s"max(unix_micros(CAST($tsCol AS TIMESTAMP))))" +
           " div 86400000000").as("recency_days"),

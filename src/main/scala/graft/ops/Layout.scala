@@ -28,11 +28,13 @@ object Layout {
     *
     * There is no per-DataFrameWriter option for this conf — the flip is
     * necessarily on the session's shared SQLConf — so the set/restore
-    * window is SERIALIZED per SparkSession: a concurrent plain write on
-    * the same session (parallel job threads) must neither pick up
-    * TIMESTAMP_MICROS nor have a layout write's setting reverted under
-    * it mid-write. Writes on the same session queue behind the lock;
-    * distinct sessions (own SQLConf each) proceed in parallel.
+    * window is serialized against OTHER LAYOUT WRITES on the same
+    * session (they queue behind the session monitor; distinct sessions,
+    * own SQLConf each, proceed in parallel). Plain writes elsewhere do
+    * NOT take this lock: a non-layout write racing on the same session
+    * can still observe the flipped conf inside the window. Callers that
+    * mix layout and plain writes concurrently should give each thread
+    * its own `spark.newSession()` (own SQLConf, shared catalog/state).
     */
   private def withMicrosTimestamps[T](df: DataFrame)(f: => T): T =
     df.sparkSession.synchronized {

@@ -557,56 +557,151 @@ object Streams {
 
   /** The shared landing half of the near-dup ingest lanes: per-batch
     * accepted increment (delete-first — replay rewrites, never
-    * duplicates) plus the optional cluster fold + atomic swap.
+    * duplicates) plus the optional cluster-label DELTA landing.
+    *
+    * The clusters table is INCREMENTAL: per-batch `inc_b<id>` dirs hold
+    * only the labels this batch ADDED or CHANGED; a cadence compaction
+    * ([[compactClusters]], every [[clustersCompactEvery]] batches) folds
+    * them into the `base/` snapshot. Per-batch write I/O therefore
+    * tracks the BATCH (plus whatever the batch's merges relabel), never
+    * the accumulated streamed-id count — the property that lets a
+    * long-lived ingest run for months without each minutely micro-batch
+    * rewriting a billions-row snapshot.
+    *
+    * Correctness rests on MIN-LABEL MONOTONICITY: component labels are
+    * member ids with min-preservation under merge
+    * ([[graft.ops.Dedup.updateClusters]]), so an id's label only ever
+    * DECREASES — the current label of an id is `min(comp)` over every
+    * row ever written for it, which is exactly [[loadClusters]]' read
+    * collapse. That also makes every landing replay-idempotent: the
+    * zero-pair fast path rewrites the batch's self-labels (absorbed by
+    * the min), and a replayed merge batch recomputes the same delta
+    * against the same standing (its own inc dir is deleted FIRST, so
+    * standing is bit-identical to the first run's).
     */
   private def landAcceptedAndClusters(batch: DataFrame, idCol: String,
                                       accepted: DataFrame,
                                       pairs: Option[DataFrame],
                                       acceptedPath: String, id: Long,
-                                      clustersPath: Option[String]): Unit = {
+                                      clustersPath: Option[String],
+                                      clustersCompactEvery: Int = 16)
+      : Unit = {
     val spark = batch.sparkSession
     val dir = new org.apache.hadoop.fs.Path(s"$acceptedPath/batch$id")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) { fs.delete(dir, true); () }
     accepted.write.parquet(dir.toString)
     clustersPath.foreach { cp =>
-      val path = new org.apache.hadoop.fs.Path(cp)
-      val cfs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val tmp = new org.apache.hadoop.fs.Path(path.getParent,
-        s".${path.getName}_clusters_tmp")
-      val old = new org.apache.hadoop.fs.Path(path.getParent,
-        s".${path.getName}_clusters_old")
-      // crash between move-aside and swap leaves the only copy at `old`
-      if (!cfs.exists(path) && cfs.exists(old))
-        require(cfs.rename(old, path), s"could not restore $cp from $old")
+      val incDir = new org.apache.hadoop.fs.Path(s"$cp/inc_b$id")
+      val cfs = incDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // delete-first: a replayed batch recomputes its delta against the
+      // same standing state the first run saw
+      if (cfs.exists(incDir)) { cfs.delete(incDir, true); () }
       val batchLabels = batch
         .select(col(idCol).cast("long").as("id")).distinct()
         .withColumn("comp", col("id"))
-      val standing =
-        if (cfs.exists(path)) Some(spark.read.parquet(cp)) else None
-      val labels = standing match {
-        case Some(s) => s.unionByName(batchLabels)
-        case None => batchLabels
-      }
-      // a batch with NO discovered edges folds as labels ∪ fresh
-      // singletons — the steady-state common case skips the CC rounds
-      // entirely (updateClusters over star edges + ∅ is the identity)
-      val updated =
-        if (pairs.get.isEmpty) standing match {
-          case Some(s) => s.unionByName(
-            batchLabels.join(s.select("id"), Seq("id"), "left_anti"))
-          case None => batchLabels
+      // a batch with NO discovered edges writes ONLY its own self-labels
+      // — O(|batch|) rows with no read of the standing table at all: a
+      // standing id's smaller label wins at read time (min collapse),
+      // a fresh id IS its own label. The steady-state common case skips
+      // both the CC rounds and the snapshot entirely.
+      val delta =
+        if (pairs.get.isEmpty) batchLabels
+        else {
+          // BOTH truncates are load-bearing, not just lineage hygiene:
+          // the standing∪batch union carries an alias-equality
+          // constraint (comp = id on the batch side) that crashes
+          // Catalyst's Union constraint rewrite inside the CC fold
+          // (`key not found: src#...`), and the delta join's inferred
+          // constraints pushed into the fold's unions trip the same
+          // bug — truncation makes each a constraint-free leaf. The old
+          // layout WROTE the whole updated frame per batch, so the
+          // materializations cost no more than before.
+          val labels = graft.core.Checkpoints.truncate(
+            loadClusters(spark, cp).unionByName(batchLabels))
+          val updated = graft.core.Checkpoints.truncate(
+            graft.ops.Dedup.updateClusters(labels, pairs.get))
+          // only rows this fold ADDED or RELABELED — labels decrease
+          // monotonically, so "changed" is exactly "comp < standing's".
+          // The previous labels come from an INDEPENDENT re-read (fresh
+          // plan, own attribute ids): `updated` already carries
+          // `standing`'s lineage through the CC fold, and joining a
+          // frame against its own ancestor trips analysis
+          val prev = loadClusters(spark, cp)
+            .withColumnRenamed("comp", "comp_prev")
+          updated.join(prev, Seq("id"), "left")
+            .where(col("comp_prev").isNull ||
+              col("comp") =!= col("comp_prev"))
+            .select("id", "comp")
         }
-        else graft.ops.Dedup.updateClusters(labels, pairs.get)
-      cfs.delete(tmp, true); cfs.delete(old, true)
-      updated.write.parquet(tmp.toString)
-      if (cfs.exists(path))
-        require(cfs.rename(path, old), s"could not move $cp aside")
-      if (!cfs.rename(tmp, path)) {
-        if (cfs.exists(old)) cfs.rename(old, path)
-        sys.error(s"could not swap clusters into $cp; original restored")
+      delta.write.parquet(incDir.toString)
+      // deterministic in the batch id — a replayed compact tick re-folds
+      // already-folded rows, a no-op under the min collapse
+      if (clustersCompactEvery > 0 && id > 0 &&
+          id % clustersCompactEvery == 0)
+        compactClusters(spark, cp)
+    }
+  }
+
+  /** Visible read of a streaming clusters table: `base/` snapshot plus
+    * every `inc_b*` delta, collapsed to the CURRENT label per id —
+    * `min(comp)`, exact because labels only ever decrease (min-label
+    * preservation under merge). This is the ONLY correct way to read a
+    * `clustersPath` table; a plain directory read misses the inc dirs
+    * (Spark only recurses into key=value partition dirs) and would
+    * return stale labels.
+    */
+  def loadClusters(spark: SparkSession, clustersPath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(clustersPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(root, "base")
+    val old = new org.apache.hadoop.fs.Path(root, ".base_old")
+    // crash between compaction's move-aside and swap leaves the only
+    // snapshot copy at `old` — heal forward before listing
+    if (fs.exists(root) && !fs.exists(base) && fs.exists(old))
+      require(fs.rename(old, base),
+        s"could not restore $clustersPath/base from $old")
+    val incs =
+      if (!fs.exists(root)) Array.empty[String]
+      else fs.listStatus(root).collect {
+        case s if s.isDirectory && s.getPath.getName.startsWith("inc_b") =>
+          s.getPath.toString
       }
-      cfs.delete(old, true); ()
+    val parts = (if (fs.exists(base)) Seq(base.toString) else Nil) ++ incs
+    if (parts.isEmpty)
+      spark.range(0).select(col("id"), col("id").as("comp"))
+    else spark.read.parquet(parts: _*)
+      .groupBy("id").agg(min("comp").as("comp"))
+  }
+
+  /** Fold every `inc_b*` delta into the `base/` snapshot and drop the
+    * deltas — the cadence maintenance that bounds the inc-dir count.
+    * Atomic via the write-tmp → move-aside → swap dance; inc dirs are
+    * deleted only AFTER the swap, so every crash window leaves a state
+    * [[loadClusters]] reads correctly (leftover deltas are redundant
+    * with the new base — absorbed by the min collapse; a missing base
+    * with `.base_old` present heals forward on the next read).
+    */
+  def compactClusters(spark: SparkSession, clustersPath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(clustersPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val base = new org.apache.hadoop.fs.Path(root, "base")
+    val tmp = new org.apache.hadoop.fs.Path(root, ".base_tmp")
+    val old = new org.apache.hadoop.fs.Path(root, ".base_old")
+    fs.delete(tmp, true)
+    loadClusters(spark, clustersPath).write.parquet(tmp.toString)
+    fs.delete(old, true)
+    if (fs.exists(base))
+      require(fs.rename(base, old), s"could not move $base aside")
+    if (!fs.rename(tmp, base)) {
+      if (fs.exists(old)) fs.rename(old, base)
+      sys.error(s"could not swap clusters base at $clustersPath; restored")
+    }
+    fs.delete(old, true)
+    fs.listStatus(root).foreach { s =>
+      if (s.isDirectory && s.getPath.getName.startsWith("inc_b"))
+        fs.delete(s.getPath, true)
     }
   }
 

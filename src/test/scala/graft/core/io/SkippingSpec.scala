@@ -454,6 +454,52 @@ class SkippingSpec extends SparkSpec {
       s"dictionary membership must prune: read ${dGot.inputFiles.length}")
   }
 
+  test("footer-bloom pruning: annotated physical types (decimal) stay " +
+      "conservative — wrong-typed probes never drop a matching file") {
+    val (data, mf) = freshDirs()
+    // DecimalType(9,2) stores UNSCALED INT32 (42.00 -> 4200): an exact-
+    // membership probe typed as Long 42 would hash/compare the wrong
+    // representation. statsFamilies maps decimals to 'dbl', so the column
+    // IS a valid skip column — the bloom/dictionary paths must detect the
+    // Decimal annotation and fall back to "might hold", never drop.
+    val c = corpus()
+      .withColumn("dec", col("id").cast("decimal(9,2)"))        // unique: bloom
+      .withColumn("dgrp", floor(col("id") / lit(100)).cast("decimal(9,2)")) // repeated: dict
+    Layout.rangeSortedWrite(c, col("id"), data, numFiles = 10,
+      tiebreak = Seq(col("id")), statsManifest = Some(mf),
+      statsCols = Seq("id"), bloomCols = Seq("dec", "s"), bloomNdv = 2000L)
+    // BLOOM branch: row filter dec IN (42) matches 42.00 — the read must
+    // return it even though the bloom hashed unscaled 4200 at write time
+    val bGot = Skipping.read(spark, data, mf,
+      Seq(Skipping.ColumnIn("dec", Seq(42L))), footerBlooms = true)
+    assert(bGot.count() === 1L,
+      "decimal bloom probe must degrade to no pruning, not drop the row")
+    // DICTIONARY branch: dgrp is all-dictionary (parquet skips its bloom);
+    // decodeToInt would yield unscaled 300 for 3.00 — must stay conservative
+    val dGot = Skipping.read(spark, data, mf,
+      Seq(Skipping.ColumnIn("dgrp", Seq(3L))), footerBlooms = true)
+    assert(dGot.count() === 100L,
+      "decimal dictionary probe must degrade to no pruning")
+    // value-transparent columns in the SAME layout still prune exactly
+    // (the gate is per-column, not a global fallback)
+    val sGot = Skipping.read(spark, data, mf,
+      Seq(Skipping.ColumnIn("s", Seq("k0042"))), footerBlooms = true)
+    assert(sGot.count() === 1L && sGot.inputFiles.length < 10)
+    // large IN-list over a dictionary-encoded long column exercises the
+    // decode-once hash-set path (|values|·|dict| above the linear bound)
+    val (d2, m2) = freshDirs()
+    val c2 = corpus().withColumn("w", (col("id") / lit(100)).cast("long"))
+    Layout.rangeSortedWrite(c2, col("id"), d2, numFiles = 10,
+      tiebreak = Seq(col("id")), statsManifest = Some(m2),
+      statsCols = Seq("id"))
+    val big = (3L +: (1000L to 1998L)).toSeq // one present, 999 absent
+    val inGot = Skipping.read(spark, d2, m2,
+      Seq(Skipping.ColumnIn("w", big)), footerBlooms = true)
+    assert(inGot.count() === 100L)
+    assert(inGot.inputFiles.length <= 2,
+      s"hash-set dictionary probe must still prune: ${inGot.inputFiles.length}")
+  }
+
   test("ColumnNotNull prunes all-null files; stats-fallback files stay " +
       "read") {
     val (data, mf) = freshDirs()

@@ -45,6 +45,26 @@ class StreamRunSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(streamed === truth,
       "YAML reservoir drain must equal the one-shot batch sampler")
+    // a SECOND drain on the same checkpoint reports only ITS OWN batch
+    // count — batchId is cumulative across restarts, so a naive
+    // lastProgress.batchId+1 would report the lifetime count (3) here
+    val more = (301 to 340).map(i =>
+      (i.toLong, s"g${rnd.nextInt(4)}", rnd.nextInt(40).toLong + 1))
+    more.toDF("id", "g", "w").coalesce(1)
+      .write.mode("append").parquet(s"$dir/feed")
+    val batches2 = graft.streaming.Streams.withStatePartitions(spark, 4) {
+      StreamRun.runOnce(spark, job, s"$dir/ckpt", now = "n1")
+    }
+    assert(batches2 === 1L,
+      s"restarted drain must count its own batches, got $batches2")
+    val streamed2 = graft.streaming.Streams
+      .loadReservoir(spark, s"$dir/partials", "id", "g", n = 5)
+      .collect().map(_.toSeq).toSet
+    val truth2 = graft.ops.Sampling.prioritySamplePerGroup(
+        (rows ++ more).toDF("id", "g", "w"), "id", "g", "w", n = 5)
+      .collect().map(_.toSeq).toSet
+    assert(streamed2 === truth2,
+      "the restarted drain folds the new batch into the same reservoir")
   }
 
   test("unknown lanes and missing lane params fail loudly") {

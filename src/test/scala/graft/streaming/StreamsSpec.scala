@@ -554,8 +554,9 @@ class NearDupSinkSpec extends SparkSpec {
       mem.addData(b1: _*); q.processAllAvailable()
       mem.addData(b2: _*); q.processAllAvailable()
     } finally q.stop()
-    def clusters(): Map[Long, Long] = spark.read.parquet(s"$dir/clusters")
-      .as[(Long, Long)].collect().toMap
+    def clusters(): Map[Long, Long] =
+      Streams.loadClusters(spark, s"$dir/clusters")
+        .as[(Long, Long)].collect().toMap
     // discovered edges: 20–10 (corpus dup), 30–21 (cross-batch dup);
     // components carry the min id; 31 stays a singleton
     val want = Map(10L -> 10L, 20L -> 10L, 21L -> 21L, 30L -> 21L,
@@ -588,6 +589,36 @@ class NearDupSinkSpec extends SparkSpec {
       acceptedPath = s"$dir/acc", id = 2L,
       clustersPath = Some(s"$dir/clusters"))
     assert(clusters() === want + (40L -> 40L))
+    // the zero-pair batch's landing wrote O(|batch|) label rows — its
+    // own self-label only, NOT a rewrite of the standing snapshot
+    assert(spark.read.parquet(s"$dir/clusters/inc_b2").count() === 1L,
+      "zero-pair batch must land only its own labels")
+    // cadence compaction folds inc_b* into base/ and preserves the
+    // visible labels bit for bit
+    Streams.compactClusters(spark, s"$dir/clusters")
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/clusters")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val incsLeft = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/clusters"))
+      .count(_.getPath.getName.startsWith("inc_b"))
+    assert(incsLeft === 0, "compaction must drop the folded deltas")
+    assert(clusters() === want + (40L -> 40L),
+      "compaction must preserve the visible labels")
+    // crash between compaction's move-aside and swap: only .base_old
+    // remains — the next read heals forward
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/clusters/base"),
+      new org.apache.hadoop.fs.Path(s"$dir/clusters/.base_old")))
+    assert(clusters() === want + (40L -> 40L),
+      "read must heal a crashed compaction from .base_old")
+    // a post-compaction batch lands as a fresh delta over the new base
+    Streams.applyNearDupBatch(
+      Seq((41L, "another singleton about tungsten codegen stages and " +
+        "broadcast thresholds")).toDF("doc_id", "text"),
+      "clus_ndx", "doc_id", "text", threshold = 0.8, maxBandFreq = None,
+      acceptedPath = s"$dir/acc", id = 3L,
+      clustersPath = Some(s"$dir/clusters"))
+    assert(clusters() === want + (40L -> 40L) + (41L -> 41L))
     Seq("_shingles", "_buckets", "_meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS clus_ndx$s"))
   }
@@ -624,8 +655,9 @@ class NearDupSinkSpec extends SparkSpec {
     assert(acceptedIds(1) == Set(31L),
       "batch 1: near-dup of batch 0's ACCEPTED doc drops against the " +
         "grown index")
-    def clusters(): Map[Long, Long] = spark.read.parquet(s"$dir/clusters")
-      .as[(Long, Long)].collect().toMap
+    def clusters(): Map[Long, Long] =
+      Streams.loadClusters(spark, s"$dir/clusters")
+        .as[(Long, Long)].collect().toMap
     val want = Map(10L -> 10L, 20L -> 10L, 21L -> 21L, 30L -> 21L,
       31L -> 31L)
     assert(clusters() === want)
