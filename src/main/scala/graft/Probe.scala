@@ -13,28 +13,40 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.01"
-    // q219 repro, direct (no stream): ingest pairs + the new incremental
-    // cluster landing
-    val (corpus, delta) = QueriesText.q70Corpus(spark, dir)
-    Seq("_shingles", "_buckets", "_meta").foreach(s =>
-      spark.sql(s"DROP TABLE IF EXISTS probe219idx$s"))
-    graft.ops.Dedup.writeNearDupIndex(corpus, "doc_id", "text",
-      "probe219idx", numBuckets = 8)
-    val out = Queries.tmpDir("graft_probe219")
-    val b0 = delta.filter(col("doc_id") < 300000)
-    graft.streaming.Streams.applyNearDupBatch(b0, "probe219idx",
-      "doc_id", "text", threshold = 0.8, maxBandFreq = None,
-      acceptedPath = s"$out/acc", id = 0L,
-      clustersPath = Some(s"$out/clusters"))
-    println("batch 0 landed")
-    val b1 = delta.filter(col("doc_id") >= 300000)
-    graft.streaming.Streams.applyNearDupBatch(b1, "probe219idx",
-      "doc_id", "text", threshold = 0.8, maxBandFreq = None,
-      acceptedPath = s"$out/acc", id = 1L,
-      clustersPath = Some(s"$out/clusters"))
-    println("batch 1 landed")
-    println("clusters: " +
-      graft.streaming.Streams.loadClusters(spark, s"$out/clusters").count())
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text")
+    // reference: q147-style even build + ONE odd append
+    Seq("_postings", "_doclens", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS probeRef$s"))
+    val refIdx = graft.ops.Search.writeBm25Index(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      "probeRef", numBuckets = 8)
+    graft.ops.Search.appendBm25Index(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", refIdx)
+    // candidate: even build + TWO sequential appends (the q228 batching)
+    Seq("_postings", "_doclens", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS probeTwo$s"))
+    graft.ops.Search.writeBm25Index(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      "probeTwo", numBuckets = 8)
+    graft.streaming.Streams.applyBm25IngestBatch(
+      docs.filter(col("doc_id") % 4 === 1), "probeTwo", "doc_id", "text",
+      Queries.tmpDir("probe_ing"), 0L)
+    graft.streaming.Streams.applyBm25IngestBatch(
+      docs.filter(col("doc_id") % 4 === 3), "probeTwo", "doc_id", "text",
+      Queries.tmpDir("probe_ing2"), 1L)
+    Seq("probeRef", "probeTwo").foreach { n =>
+      Seq("_postings", "_doclens", "_meta").foreach(s =>
+        spark.catalog.refreshTable(s"$n$s"))
+      println(s"$n postings=" + spark.table(s"${n}_postings").count() +
+        " doclens=" + spark.table(s"${n}_doclens").count() +
+        " meta=" + spark.table(s"${n}_meta").collect().toSeq)
+    }
+    val diff = spark.table("probeRef_postings")
+      .exceptAll(spark.table("probeTwo_postings")).count()
+    val diff2 = spark.table("probeTwo_postings")
+      .exceptAll(spark.table("probeRef_postings")).count()
+    println(s"postings diff ref-two=$diff two-ref=$diff2")
     spark.stop()
   }
 }

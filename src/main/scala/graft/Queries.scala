@@ -366,7 +366,7 @@ object Queries {
       QueriesData.all ++ QueriesSelect.all ++ QueriesEvents.all ++
       QueriesCurate.all ++ QueriesAnalytics.all ++ QueriesRound8.all ++
       QueriesRound9.all ++ QueriesRound10.all ++ QueriesRound11.all ++
-      QueriesRound12.all
+      QueriesRound12.all ++ QueriesRound13.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -121,11 +121,17 @@ object StreamRun {
         graft.streaming.Streams.reservoirSampleSink(out, p("id_col"),
           p("group_col"), p("weight_col"), p("n").toInt, outPath,
           checkpoint, job.params.getOrElse("salt", "es"))
+      case Some("bm25_ingest") =>
+        graft.streaming.Streams.bm25IngestSink(out, p("index"),
+          p("id_col"), p("text_col"), outPath, checkpoint)
+      case Some("pq_ingest") =>
+        graft.streaming.Streams.pqIngestSink(out, p("index_dir"),
+          outPath, checkpoint)
       case Some(other) => sys.error(
         s"streaming job ${job.name}: unknown stream_lane '$other' — " +
           "one of psi_drift|ks_drift|psi_by_group|ks_by_group|" +
-          "neardup|token_neardup|reservoir|dedup|join, or omit for " +
-          "increments")
+          "neardup|token_neardup|reservoir|dedup|join|bm25_ingest|" +
+          "pq_ingest, or omit for increments")
     }
   }
 

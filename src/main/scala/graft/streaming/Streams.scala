@@ -544,6 +544,78 @@ object Streams {
       id, clustersPath)
   }
 
+  /** Streaming BM25 index maintenance: each micro-batch appends into the
+    * persisted inverted index through
+    * [[graft.ops.Search.appendBm25Index]] — postings and doclens append
+    * into the bucketed layout (never a rewrite of existing files), the
+    * one-row stats table refreshes by exact recount. The append is
+    * AT-LEAST-ONCE idempotent (per-table anti-join on doc ids + staged
+    * meta swap), which is exactly the foreachBatch replay contract: a
+    * crashed batch is repaired by Spark re-running it. `ingestedPath`
+    * lands each batch's doc ids as a delete-first `batch<id>` increment
+    * — the lane's observable output (what got indexed, when).
+    */
+  def bm25IngestSink(stream: DataFrame, indexName: String, idCol: String,
+                     textCol: String, ingestedPath: String,
+                     checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyBm25IngestBatch(batch.toDF(), indexName, idCol, textCol,
+          ingestedPath, id)
+      }
+      .start()
+
+  /** One micro-batch's BM25 ingest — separated so the replay contract is
+    * directly testable (re-applying a batch leaves the index and the
+    * increment unchanged).
+    */
+  def applyBm25IngestBatch(batch: DataFrame, indexName: String,
+                           idCol: String, textCol: String,
+                           ingestedPath: String, id: Long): Unit = {
+    val spark = batch.sparkSession
+    val idx = graft.ops.Search.loadBm25Index(spark, indexName)
+    (Seq(idx.postingsTable, idx.doclensTable, idx.metaTable) ++
+      Seq(idx.tombstonesTable).filter(spark.catalog.tableExists))
+      .foreach(spark.catalog.refreshTable)
+    graft.ops.Search.appendBm25Index(batch, idCol, textCol, idx)
+    val dir = new org.apache.hadoop.fs.Path(s"$ingestedPath/batch$id")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) { fs.delete(dir, true); () }
+    batch.select(col(idCol)).distinct().write.parquet(dir.toString)
+  }
+
+  /** Streaming IVF-PQ index maintenance: each micro-batch of
+    * `(vec_id, embedding)` rows encodes with the STORED codebook and
+    * assigns with the STORED centroids via
+    * [[graft.ops.Pq.appendPqIndex]] (appends never retrain — mixed
+    * codebooks would corrupt ADC), appending into the cell-partitioned
+    * codes layout. Same at-least-once replay contract and delete-first
+    * `ingestedPath` increments as [[bm25IngestSink]].
+    */
+  def pqIngestSink(stream: DataFrame, indexDir: String,
+                   ingestedPath: String, checkpoint: String)
+      : StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyPqIngestBatch(batch.toDF(), indexDir, ingestedPath, id)
+      }
+      .start()
+
+  /** One micro-batch's PQ ingest — see [[applyBm25IngestBatch]]. */
+  def applyPqIngestBatch(batch: DataFrame, indexDir: String,
+                         ingestedPath: String, id: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.ops.Pq.appendPqIndex(spark, indexDir, batch)
+    val dir = new org.apache.hadoop.fs.Path(s"$ingestedPath/batch$id")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) { fs.delete(dir, true); () }
+    batch.select(col("vec_id")).distinct().write.parquet(dir.toString)
+  }
+
   /** Another session (a prior stream's micro-batch clone, a different
     * driver) may have appended since THIS session last listed the index
     * tables — a stale cached file listing would silently pair against a

@@ -84,5 +84,28 @@ class StreamRunSpec extends SparkSpec {
         s"$dir/c2", "n1")
     }
     assert(e2.getMessage.contains("needs param 'ref'"))
+    // join lane: input-count and param validation fail loudly
+    val e3 = intercept[IllegalArgumentException] {
+      StreamRun.start(spark, job(Map("stream_lane" -> "join",
+        "left" -> "src", "key" -> "id", "left_ts" -> "v",
+        "right_ts" -> "v", "watermark" -> "1 hour",
+        "within" -> "1 hour")), s"$dir/c3", "n1")
+    }
+    assert(e3.getMessage.contains("exactly two inputs"))
+    val twoIn = JobSpec(name = "j2",
+      inputs = Map("a" -> DatasetSpec(path = s"$dir/feed"),
+        "b" -> DatasetSpec(path = s"$dir/feed")),
+      output = Some(DatasetSpec(path = s"$dir/out2")),
+      params = Map("stream_lane" -> "join", "left" -> "nope"))
+    val e4 = intercept[IllegalArgumentException] {
+      StreamRun.start(spark, twoIn, s"$dir/c4", "n1")
+    }
+    assert(e4.getMessage.contains("names no input"))
+    // two inputs WITHOUT the join lane still fail the one-input rule
+    val e5 = intercept[IllegalArgumentException] {
+      StreamRun.start(spark, twoIn.copy(params = Map.empty),
+        s"$dir/c5", "n1")
+    }
+    assert(e5.getMessage.contains("exactly one input"))
   }
 }

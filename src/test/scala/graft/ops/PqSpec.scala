@@ -139,6 +139,39 @@ class PqSpec extends SparkSpec {
     assert(out2.filter(col("cand_id") % 3 === 0).count() > 0)
   }
 
+  test("streaming PQ ingest batches equal one batch append; a replayed " +
+      "batch leaves codes and increment unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqstr").toString
+    val ing = java.nio.file.Files.createTempDirectory("graft_pqing").toString
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings").select("vec_id", "embedding")
+    Pq.writePqIndex(emb.filter(col("vec_id") % 3 =!= 0), dir,
+      m = 4, k = 16, cells = 8, seed = 42L)
+    graft.streaming.Streams.applyPqIngestBatch(
+      emb.filter(col("vec_id") % 6 === 0).toDF(), dir, ing, 0L)
+    graft.streaming.Streams.applyPqIngestBatch(
+      emb.filter(col("vec_id") % 6 === 3).toDF(), dir, ing, 1L)
+    // streamed codes are exactly the stored-model encode of the delta
+    val cb = Pq.codebookArrays(spark.read.parquet(s"$dir/codebook"))
+    val expected = Pq.encodePq(emb.filter(col("vec_id") % 3 === 0),
+        "embedding", cb)
+      .select(col("vec_id"), col("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val stored = spark.read.parquet(s"$dir/codes")
+      .filter(col("cand_id") % 3 === 0)
+      .select(col("cand_id"), col("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(stored === expected)
+    // replay of batch 1: anti-join no-op + delete-first increment rewrite
+    val before = spark.read.parquet(s"$dir/codes").count()
+    graft.streaming.Streams.applyPqIngestBatch(
+      emb.filter(col("vec_id") % 6 === 3).toDF(), dir, ing, 1L)
+    assert(spark.read.parquet(s"$dir/codes").count() === before,
+      "replayed batch must not duplicate codes")
+    assert(spark.read.parquet(s"$ing/batch1").count() ===
+      emb.filter(col("vec_id") % 6 === 3).count())
+  }
+
   test("PQ GDPR lane: vacuum hides forgotten vectors (files byte-" +
       "identical), compact scrubs only affected cell files, append " +
       "replay is idempotent and tombstoned ids are rejected") {

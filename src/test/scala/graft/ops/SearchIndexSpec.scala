@@ -70,6 +70,45 @@ class SearchIndexSpec extends SparkSpec {
     assert(m.getAs[Long]("sum_dl") === mc.getAs[Long]("sum_dl"))
   }
 
+  test("streaming ingest batches equal a full build; a replayed batch " +
+      "leaves the index and its increment unchanged") {
+    drop("sidx_s"); drop("sidx_sf")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    Search.writeBm25Index(even, "doc_id", "text", "sidx_s", numBuckets = 4)
+    val ing = java.nio.file.Files
+      .createTempDirectory("graft_bm25_ing").toString
+    // two micro-batches through the streaming apply seam
+    graft.streaming.Streams.applyBm25IngestBatch(
+      docs.filter(col("doc_id") % 4 === 1), "sidx_s", "doc_id", "text",
+      ing, 0L)
+    graft.streaming.Streams.applyBm25IngestBatch(
+      docs.filter(col("doc_id") % 4 === 3), "sidx_s", "doc_id", "text",
+      ing, 1L)
+    val full = Search.writeBm25Index(docs, "doc_id", "text", "sidx_sf",
+      numBuckets = 4)
+    Seq("_postings", "_doclens", "_meta").foreach(s =>
+      spark.catalog.refreshTable(s"sidx_s$s"))
+    val streamed = Search.bm25TopKIndexed(spark,
+      Search.loadBm25Index(spark, "sidx_s"), queries,
+      "query_id", "qtext", k = 5).collect().map(_.toSeq).toSet
+    val direct = Search.bm25TopKIndexed(spark, full, queries,
+      "query_id", "qtext", k = 5).collect().map(_.toSeq).toSet
+    assert(streamed === direct)
+    // crash-replay of batch 1: the anti-join append is a no-op and the
+    // delete-first increment rewrites identically
+    val before = spark.table("sidx_s_postings").count()
+    val incBefore = spark.read.parquet(s"$ing/batch1")
+      .collect().map(_.getLong(0)).toSet
+    graft.streaming.Streams.applyBm25IngestBatch(
+      docs.filter(col("doc_id") % 4 === 3), "sidx_s", "doc_id", "text",
+      ing, 1L)
+    spark.catalog.refreshTable("sidx_s_postings")
+    assert(spark.table("sidx_s_postings").count() === before,
+      "replayed batch must not duplicate postings")
+    assert(spark.read.parquet(s"$ing/batch1")
+      .collect().map(_.getLong(0)).toSet === incBefore)
+  }
+
   test("query path reads only the buckets the query terms hash into") {
     drop("sidx_d")
     val idx = Search.writeBm25Index(docs, "doc_id", "text", "sidx_d",
