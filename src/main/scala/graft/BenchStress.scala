@@ -434,6 +434,38 @@ object BenchStress {
       }
     }
 
+    // MANIFEST SHARDING at listing scale (round 13): a steady-state tick
+    // (one appended file) against a 1k-file vs a 10k-file manifest. The
+    // sharded layout rewrites only the new file's shard
+    // (~filesPerShard·columns rows), so tick cost must stay ~flat in
+    // the manifest's file count — the recursive listing walk is the one
+    // remaining count-tracking term. Pre-shard, the same tick rewrote
+    // the WHOLE files×columns manifest through one task.
+    {
+      val msRoot = java.nio.file.Files
+        .createTempDirectory("graft_mfshard").toString
+      for (nf <- Seq(1000, 10000)) {
+        val data = s"$msRoot/d$nf"
+        spark.range(nf.toLong).repartition(nf).select(col("id").as("k"))
+          .write.parquet(data)
+        val mf = s"$msRoot/m$nf"
+        time(s"sharded manifest build ($nf files)") {
+          graft.core.io.Skipping.writeStatsManifestFromFooters(spark, data,
+            Seq("k"), mf)
+        }
+        spark.range(1).select(lit(-1L).as("k")).coalesce(1)
+          .write.mode("append").parquet(data)
+        time(s"steady-state tick, 1 new file ($nf files)") {
+          graft.core.io.Skipping.appendStatsManifest(spark, data, mf)
+            .profiledFiles.toLong
+        }
+        time(s"no-op tick ($nf files)") {
+          graft.core.io.Skipping.appendStatsManifest(spark, data, mf)
+            .profiledFiles.toLong
+        }
+      }
+    }
+
     // WRITE-PATH manifest tick under sink growth (round 12): the
     // per-batch `stats_manifest` tick must track the BATCH (one new
     // file profiled + a bounded keep-join over the files×columns

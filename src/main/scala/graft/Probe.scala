@@ -5,48 +5,34 @@ import org.apache.spark.sql.functions._
 /** Editable scratch driver (see the project verify notes). */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.01"
-    val docs = graft.core.Tables.load(spark, dir, "documents")
-      .select("doc_id", "text")
-    // reference: q147-style even build + ONE odd append
-    Seq("_postings", "_doclens", "_meta").foreach(s =>
-      spark.sql(s"DROP TABLE IF EXISTS probeRef$s"))
-    val refIdx = graft.ops.Search.writeBm25Index(
-      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-      "probeRef", numBuckets = 8)
-    graft.ops.Search.appendBm25Index(
-      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", refIdx)
-    // candidate: even build + TWO sequential appends (the q228 batching)
-    Seq("_postings", "_doclens", "_meta").foreach(s =>
-      spark.sql(s"DROP TABLE IF EXISTS probeTwo$s"))
-    graft.ops.Search.writeBm25Index(
-      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-      "probeTwo", numBuckets = 8)
-    graft.streaming.Streams.applyBm25IngestBatch(
-      docs.filter(col("doc_id") % 4 === 1), "probeTwo", "doc_id", "text",
-      Queries.tmpDir("probe_ing"), 0L)
-    graft.streaming.Streams.applyBm25IngestBatch(
-      docs.filter(col("doc_id") % 4 === 3), "probeTwo", "doc_id", "text",
-      Queries.tmpDir("probe_ing2"), 1L)
-    Seq("probeRef", "probeTwo").foreach { n =>
-      Seq("_postings", "_doclens", "_meta").foreach(s =>
-        spark.catalog.refreshTable(s"$n$s"))
-      println(s"$n postings=" + spark.table(s"${n}_postings").count() +
-        " doclens=" + spark.table(s"${n}_doclens").count() +
-        " meta=" + spark.table(s"${n}_meta").collect().toSeq)
+    val spark = graft.core.GraftSession.local()
+    def time(n: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$n%-44s ${(System.nanoTime() - t0) / 1e9}%7.2f s  $r")
     }
-    val diff = spark.table("probeRef_postings")
-      .exceptAll(spark.table("probeTwo_postings")).count()
-    val diff2 = spark.table("probeTwo_postings")
-      .exceptAll(spark.table("probeRef_postings")).count()
-    println(s"postings diff ref-two=$diff two-ref=$diff2")
+    val msRoot = java.nio.file.Files
+      .createTempDirectory("graft_mfshard").toString
+    for (nf <- Seq(1000, 10000)) {
+      val data = s"$msRoot/d$nf"
+      spark.range(nf.toLong).repartition(nf).select(col("id").as("k"))
+        .write.parquet(data)
+      val mf = s"$msRoot/m$nf"
+      time(s"sharded manifest build ($nf files)") {
+        graft.core.io.Skipping.writeStatsManifestFromFooters(spark, data,
+          Seq("k"), mf)
+      }
+      spark.range(1).select(lit(-1L).as("k")).coalesce(1)
+        .write.mode("append").parquet(data)
+      time(s"steady-state tick, 1 new file ($nf files)") {
+        graft.core.io.Skipping.appendStatsManifest(spark, data, mf)
+          .profiledFiles.toLong
+      }
+      time(s"no-op tick ($nf files)") {
+        graft.core.io.Skipping.appendStatsManifest(spark, data, mf)
+          .profiledFiles.toLong
+      }
+    }
     spark.stop()
   }
 }

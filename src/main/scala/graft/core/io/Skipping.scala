@@ -142,8 +142,57 @@ object Skipping {
     }.collect { case (c, Some(fam)) => c -> fam }
     require(profiled.nonEmpty,
       s"none of ${cols.mkString(",")} has a skippable type")
-    profileFiles(df, profiled, files)
-      .coalesce(1).write.mode("overwrite").parquet(manifestDir)
+    writeManifestSharded(spark, profileFiles(df, profiled, files),
+      manifestDir, files.size.toLong)
+  }
+
+  /** SHARDED manifest layout: rows land in `shard=<k>` partition dirs,
+    * `k = xxhash64(pathKey(file)) mod n` with `n` scaled to the file
+    * count (1 shard for small datasets — today's layout, nested — up to
+    * 256 at listing scale) and pinned in a hidden `_shards` one-row
+    * parquet. Readers are unchanged (`spark.read.parquet(manifestDir)`
+    * discovers the partitions; the extra `shard` column is ignored);
+    * what changes is the TICK cost: [[appendStatsManifest]] rewrites
+    * only the shards whose membership changed, so a steady-state tick
+    * at 10⁵–10⁶ files costs ~(changed files / n)·|manifest| instead of
+    * a whole-manifest single-task rewrite.
+    */
+  /** Files per manifest shard — package-visible so specs can exercise
+    * multi-shard layouts without writing thousands of files.
+    */
+  private[io] var manifestFilesPerShard: Long = 512L
+
+  private def manifestShardsFor(nFiles: Long): Int =
+    math.min(256L, math.max(1L, nFiles / manifestFilesPerShard)).toInt
+
+  private def manifestShardCol(numShards: Int): Column =
+    pmod(xxhash64(pathKeyCol(col("file"))), lit(numShards.toLong))
+      .cast("int")
+
+  /** The pinned shard count, None for a legacy flat manifest. */
+  private def readManifestShards(spark: SparkSession,
+                                 manifestDir: String): Option[Int] = {
+    val p = new Path(s"$manifestDir/_shards")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).head().getInt(0))
+  }
+
+  private def writeManifestShardMeta(spark: SparkSession,
+                                     manifestDir: String, n: Int): Unit = {
+    import spark.implicits._
+    Seq(n).toDF("num_shards").coalesce(1)
+      .write.mode("overwrite").parquet(s"$manifestDir/_shards")
+  }
+
+  private def writeManifestSharded(spark: SparkSession, rows: DataFrame,
+                                   manifestDir: String,
+                                   nFiles: Long): Long = {
+    val n = manifestShardsFor(nFiles)
+    rows.withColumn("shard", manifestShardCol(n))
+      .repartition(col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(manifestDir)
+    writeManifestShardMeta(spark, manifestDir, n)
     spark.read.parquet(manifestDir).select("file").distinct().count()
   }
 
@@ -192,9 +241,8 @@ object Skipping {
           s"column $c is a hive-partition column (directory-encoded): " +
             "footers cannot profile it; use writeStatsManifest")
     }
-    footerProfile(spark, files, profiled)
-      .coalesce(1).write.mode("overwrite").parquet(manifestDir)
-    spark.read.parquet(manifestDir).select("file").distinct().count()
+    writeManifestSharded(spark, footerProfile(spark, files, profiled),
+      manifestDir, files.size.toLong)
   }
 
   /** Distributed footer profiling over an explicit file list — the core
@@ -421,18 +469,23 @@ object Skipping {
     * are inherited from the manifest itself, so build and append can
     * never diverge on what is indexed.
     *
-    * The combined manifest lands via a staged-directory swap. A crash
-    * between delete and rename leaves the manifest MISSING (reads fail
-    * loud, never stale-wrong); the manifest is a derived artifact — the
-    * heal is a [[writeStatsManifest]] rebuild. A reader racing the swap
-    * sees either generation; both are conservative (a file absent from
-    * whichever generation it reads is scanned, not skipped).
+    * The tick lands PER-SHARD (see [[writeManifestSharded]]'s layout):
+    * only shards whose membership changed — a new file's shard, a
+    * vanished file's shard — are rewritten, via a staged write and a
+    * per-shard dir swap. A crash mid-tick leaves a MIX of generations;
+    * every mix is conservative (a file absent from whichever generation
+    * a reader sees is scanned, not skipped; a vanished file's stale row
+    * is ignored — [[pruneFiles]] intersects with the disk listing), and
+    * re-running the tick heals completely (missing shards read as
+    * unprofiled files → re-profiled into fresh). A legacy FLAT manifest
+    * (no `_shards` meta) migrates on its first tick with one full
+    * sharded rewrite behind a whole-dir staged swap.
     */
   def appendStatsManifest(spark: SparkSession, dataDir: String,
                           manifestDir: String): ManifestDelta = {
     val onDisk = listParquet(spark, dataDir)
     val diskKeys = onDisk.map(pathKey).toSet
-    val manifest = spark.read.parquet(manifestDir)
+    val manifest = spark.read.parquet(manifestDir).drop("shard")
     val profiled = manifest.select("column", "family").distinct()
       .collect().map(r => r.getString(0) -> r.getString(1)).toSeq.sortBy(_._1)
     val oldKeys = manifest.select("file").distinct()
@@ -465,13 +518,58 @@ object Skipping {
         .option("basePath", dataDir) // nested layouts: keep partition cols
         .parquet(newFiles: _*), profiled, newFiles)
     val staged = manifestDir.stripSuffix("/") + "_staged"
-    keep.unionByName(fresh).coalesce(1)
-      .write.mode("overwrite").parquet(staged)
     val fs = new Path(manifestDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(manifestDir), true)
-    require(fs.rename(new Path(staged), new Path(manifestDir)),
-      s"manifest swap failed: $staged -> $manifestDir")
+    fs.delete(new Path(staged), true)
+    val target = manifestShardsFor(onDisk.size.toLong)
+    val pinned = readManifestShards(spark, manifestDir)
+    if (pinned.forall(n => target > 4 * n || n > 4 * target)) {
+      // full sharded rewrite, staged then whole-dir swapped (the input
+      // plan reads the old manifest — never overwrite a dir a pending
+      // plan still reads): a legacy FLAT manifest's migration tick, or
+      // a RE-SHARD when the pinned count has drifted 4× from the file
+      // count's target (a manifest built small would otherwise stay
+      // 1-sharded forever as its dataset grows)
+      keep.unionByName(fresh).withColumn("shard", manifestShardCol(target))
+        .repartition(col("shard"))
+        .write.partitionBy("shard").mode("overwrite").parquet(staged)
+      writeManifestShardMeta(spark, staged, target)
+      fs.delete(new Path(manifestDir), true)
+      require(fs.rename(new Path(staged), new Path(manifestDir)),
+        s"manifest swap failed: $staged -> $manifestDir")
+    } else {
+      val n = pinned.get
+        // shards touched by this tick: every new file's shard plus every
+        // vanished file's shard — derived in-plan (names only, no
+        // profiling run) so the driver never replicates the hash
+        val freshShards =
+          if (newFiles.isEmpty) Set.empty[Int]
+          else newFiles.toDF("file").select(manifestShardCol(n).as("s"))
+            .distinct().collect().map(_.getInt(0)).toSet
+        val droppedShards =
+          if (dropped == 0) Set.empty[Int]
+          else manifest.join(diskKeys.toSeq.toDF("_k"),
+              pathKeyCol(col("file")) === col("_k"), "left_anti")
+            .select(manifestShardCol(n).as("s"))
+            .distinct().collect().map(_.getInt(0)).toSet
+        val affected = (freshShards ++ droppedShards).toSeq.sorted
+        keep.withColumn("shard", manifestShardCol(n))
+          .filter(col("shard").isin(affected: _*))
+          .unionByName(fresh.withColumn("shard", manifestShardCol(n)))
+          .repartition(col("shard"))
+          .write.partitionBy("shard").mode("overwrite").parquet(staged)
+        affected.foreach { k =>
+          val src = new Path(staged, s"shard=$k")
+          val dst = new Path(manifestDir, s"shard=$k")
+          fs.delete(dst, true)
+          // a shard whose every file vanished stages no dir — the
+          // deletion above IS its update
+          if (fs.exists(src))
+            require(fs.rename(src, dst),
+              s"manifest shard swap failed: $src -> $dst")
+        }
+        fs.delete(new Path(staged), true)
+    }
     ManifestDelta(newFiles.size, dropped,
       spark.read.parquet(manifestDir).select("file").distinct().count())
   }
@@ -546,6 +644,13 @@ object Skipping {
     out.unionByName(zeros)
   }
 
+  private def balancedAnd(cs: Seq[Column]): Column =
+    if (cs.size == 1) cs.head
+    else {
+      val (l, r) = cs.splitAt(cs.size / 2)
+      balancedAnd(l) && balancedAnd(r)
+    }
+
   /** The file set a conjunction of ranges cannot rule out. Overlap runs
     * as a Spark job over the (bounded, files×columns) manifest; only the
     * surviving file NAMES reach the driver — the same order of driver
@@ -608,9 +713,12 @@ object Skipping {
             .getOrElse(lit(false))
           below || above
         case ColumnIn(_, values) =>
-          values.map(v => !(boundCol(manifest, v, "min") <= padUp(v) &&
-              boundCol(manifest, v, "max") >= lit(v)))
-            .reduce(_ && _)
+          // balanced conjunction: a linear reduce over a large IN-list
+          // builds a |values|-deep expression tree and blows the stack
+          // during Column→Expression conversion
+          balancedAnd(values.map(v =>
+            !(boundCol(manifest, v, "min") <= padUp(v) &&
+              boundCol(manifest, v, "max") >= lit(v))))
         case ColumnNotNull(_) => lit(false) // noVals alone excludes
       }
       col("column") === r.column && coalesce(noVals || noHit, lit(false))

@@ -152,51 +152,11 @@ class PlanAuditSpec extends SparkSpec {
       // q193 runs TWO gated brute-force legs (full-dim truth + truncated)
       "q193_truncated_dim_recall")
 
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
-    val kids = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case _ => p.children
-    }
-    p +: kids.flatMap(flatten)
-  }
-
-  /** Anti-pattern findings for an EXECUTED DataFrame's final plan. */
-  private def violations(name: String, df: DataFrame): Seq[String] = {
-    val nodes = flatten(df.queryExecution.executedPlan)
-    val cart = nodes.collect { case _: CartesianProductExec =>
-      s"$name: CartesianProduct" }
-    def tinyBuild(j: BroadcastNestedLoopJoinExec): Boolean = {
-      val build = j.buildSide match {
-        case BuildLeft => j.left
-        case BuildRight => j.right
-      }
-      // resolve exchange reuse LOCALLY (a build side that reuses a
-      // single-row aggregate's broadcast — q186's shared quantile edges —
-      // is as tiny as the original); the global flatten must NOT look
-      // through ReusedExchangeExec or every runtime reuse would read as
-      // a duplicate exchange
-      flatten(build).flatMap {
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-          flatten(r.child)
-        case p => Seq(p)
-      }.exists {
-        case a: BaseAggregateExec => a.groupingExpressions.isEmpty
-        case l: LocalTableScanExec => l.rows.lengthCompare(1) <= 0
-        case _ => false
-      }
-    }
-    val bnlj =
-      if (runtimeGatedBnlj(name)) Nil
-      else nodes.collect { case j: BroadcastNestedLoopJoinExec => j }
-        .filterNot(tinyBuild)
-        .map(_ => s"$name: ungated BroadcastNestedLoopJoin")
-    val dup = nodes.collect { case e: ShuffleExchangeExec => e }
-      .groupBy(_.canonicalized)
-      .collect { case (_, es) if es.lengthCompare(1) > 0 =>
-        s"$name: ${es.length} unreused duplicate exchanges over one subtree" }
-    cart ++ bnlj ++ dup.toSeq
-  }
+  /** Anti-pattern findings — the shared [[PlanAudit]] sweep with this
+    * roster's runtime-gated-BNLJ allowlist applied.
+    */
+  private def violations(name: String, df: DataFrame): Seq[String] =
+    PlanAudit.violations(name, df, allowGatedBnlj = runtimeGatedBnlj(name))
 
   test("top-cost gate queries carry none of the named anti-patterns") {
     val found = audited.flatMap { name =>

@@ -498,6 +498,7 @@ class SkippingSpec extends SparkSpec {
     assert(inGot.count() === 100L)
     assert(inGot.inputFiles.length <= 2,
       s"hash-set dictionary probe must still prune: ${inGot.inputFiles.length}")
+    graft.PlanAudit.assertClean("bloom-pruned IN read", inGot)
   }
 
   test("ColumnNotNull prunes all-null files; stats-fallback files stay " +
@@ -529,6 +530,73 @@ class SkippingSpec extends SparkSpec {
       skipRanges = Seq(graft.core.model.SkipRange("e", notNull = true)))
     assert(Reader.skipPredicates(ds, None) ===
       Seq(Skipping.ColumnNotNull("e")))
+  }
+
+  test("sharded manifest: a tick rewrites only the affected shards; " +
+      "legacy flat manifests migrate; drifted shard counts re-shard") {
+    val prev = Skipping.manifestFilesPerShard
+    Skipping.manifestFilesPerShard = 4L
+    try {
+      val (data, mf) = freshDirs()
+      Layout.rangeSortedWrite(corpus(), col("id"), data, numFiles = 40,
+        tiebreak = Seq(col("id")))
+      Skipping.writeStatsManifest(spark, data, Seq("id"), mf)
+      val fs = new org.apache.hadoop.fs.Path(mf)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def shardFiles(dir: String): Map[String, Set[String]] =
+        fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+          .filter(_.getPath.getName.startsWith("shard="))
+          .map(s => s.getPath.getName ->
+            fs.listStatus(s.getPath).map(_.getPath.getName).toSet)
+          .toMap
+      val shards0 = shardFiles(mf)
+      assert(shards0.size === 10, s"40 files / 4 -> 10 shards: $shards0")
+      // two appended data files -> a tick that touches <= 2 shards;
+      // every other shard dir must be BYTE-UNTOUCHED (same part files)
+      corpus().filter(col("id") < 10).coalesce(1)
+        .write.mode("append").parquet(data)
+      corpus().filter(col("id") >= 990).coalesce(1)
+        .write.mode("append").parquet(data)
+      val d = Skipping.appendStatsManifest(spark, data, mf)
+      assert(d.profiledFiles === 2 && d.droppedFiles === 0)
+      val shards1 = shardFiles(mf)
+      val changed = shards0.keySet.filter(k => shards0(k) != shards1(k))
+      assert(changed.nonEmpty && changed.size <= 2,
+        s"a 2-file tick must rewrite <= 2 shards, rewrote $changed")
+      // the ticked manifest equals a fresh rebuild (same shard count)
+      val mf2 = s"${data}_rebuild_mf"
+      Skipping.writeStatsManifest(spark, data, Seq("id"), mf2)
+      assert(spark.read.parquet(mf).collect().map(_.toSeq).toSet ===
+        spark.read.parquet(mf2).collect().map(_.toSeq).toSet)
+      // pruning reads the sharded layout transparently
+      val pr = Skipping.pruneFiles(spark, data, mf,
+        Seq(ColumnRange("id", Some(0L), Some(24L))))
+      assert(pr.unlistedFiles === 0 && pr.readFiles < 42)
+      // LEGACY FLAT manifest (pre-shard layout): first tick migrates
+      val flat = s"${data}_flat_mf"
+      spark.read.parquet(mf).drop("shard").coalesce(1)
+        .write.parquet(flat)
+      corpus().filter(col("id") === 500).coalesce(1)
+        .write.mode("append").parquet(data)
+      val dm = Skipping.appendStatsManifest(spark, data, flat)
+      assert(dm.profiledFiles === 1)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$flat/_shards")),
+        "migration tick must pin the shard count")
+      assert(shardFiles(flat).nonEmpty)
+      assert(spark.read.parquet(s"$flat/_shards").head().getInt(0) === 10)
+      // RE-SHARD: pinned 10 vs a 4x-drifted target forces a full rewrite
+      Skipping.manifestFilesPerShard = 1L // target = 43 > 4 * 10
+      corpus().filter(col("id") === 7).coalesce(1)
+        .write.mode("append").parquet(data)
+      Skipping.appendStatsManifest(spark, data, mf)
+      assert(spark.read.parquet(s"$mf/_shards").head().getInt(0) === 44)
+      val finalRead = Skipping.read(spark, data, mf,
+        Seq(ColumnRange("id", Some(0L), Some(999L))))
+      assert(finalRead.count() === corpus().count() + 10 + 10 + 1 + 1)
+      // the global anti-pattern sweep, applied where the side-effect
+      // surface actually runs (this family is not in the batch roster)
+      graft.PlanAudit.assertClean("sharded-manifest read", finalRead)
+    } finally Skipping.manifestFilesPerShard = prev
   }
 
   test("manifest survives compaction: rewritten files read as unlisted") {

@@ -57,6 +57,11 @@ class StreamRunSpec extends SparkSpec {
     }
     assert(batches2 === 1L,
       s"restarted drain must count its own batches, got $batches2")
+    // the streaming lanes are not in PlanAuditSpec's batch roster —
+    // sweep the final read frame here, where the lane runs
+    graft.PlanAudit.assertClean("reservoir lane read",
+      graft.streaming.Streams.loadReservoir(spark, s"$dir/partials",
+        "id", "g", n = 5))
     val streamed2 = graft.streaming.Streams
       .loadReservoir(spark, s"$dir/partials", "id", "g", n = 5)
       .collect().map(_.toSeq).toSet

@@ -619,6 +619,10 @@ class NearDupSinkSpec extends SparkSpec {
       acceptedPath = s"$dir/acc", id = 3L,
       clustersPath = Some(s"$dir/clusters"))
     assert(clusters() === want + (40L -> 40L) + (41L -> 41L))
+    // the incremental clusters read is a streaming-surface frame — sweep
+    // it here (not in PlanAuditSpec's batch roster)
+    graft.PlanAudit.assertClean("clusters min-collapse read",
+      Streams.loadClusters(spark, s"$dir/clusters"))
     Seq("_shingles", "_buckets", "_meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS clus_ndx$s"))
   }
