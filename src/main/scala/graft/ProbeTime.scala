@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Scratch profiler: run ONE gate query under the EXACT bench session
+  * (same master/shuffle-partition/timezone shape as [[Bench]]) and
+  * attribute wall time to the Spark jobs inside it — the measurement
+  * step of the optimization loop (guide §1: find where the time goes
+  * before changing anything). Not part of the library API.
+  *
+  * Usage: runMain graft.ProbeTime <queryName> [sfDir] [passes]
+  *   env: SPARK_GRAFT_CPUS (default 32) — bench parity
+  *
+  * Prints per-pass wall seconds, then the last pass's job table
+  * (jobId, seconds, description/callsite) sorted by start, so a
+  * fixture-heavy query decomposes into its build/ingest/read phases.
+  */
+object ProbeTime {
+  private final case class JobRow(id: Int, start: Long, var end: Long,
+                                  desc: String)
+
+  def main(args: Array[String]): Unit = {
+    val name = args.head
+    val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val passes = args.drop(2).headOption.map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRow]()
+    @volatile var record = false
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        if (record) {
+          val desc = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .orElse(Option(js.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short"))))
+            .getOrElse("?")
+          jobs.put(js.jobId, JobRow(js.jobId, js.time, js.time, desc))
+        }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        val r = jobs.get(je.jobId)
+        if (r != null) r.end = je.time
+      }
+    })
+    (1 to passes).foreach { p =>
+      jobs.clear()
+      record = p == passes // job table for the warmed pass only
+      val t0 = System.nanoTime()
+      val n = fn(spark, dir).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] pass $p: $secs%.3f s (rows=$n)")
+    }
+    record = false
+    import scala.jdk.CollectionConverters._
+    val rows = jobs.values.asScala.toSeq.sortBy(_.start)
+    val total = rows.map(r => (r.end - r.start) / 1e3).sum
+    println(f"[probe] last-pass job time sum: $total%.3f s over ${rows.size} jobs")
+    rows.foreach { r =>
+      val s = (r.end - r.start) / 1e3
+      if (s >= 0.05) println(f"[probe]   job ${r.id}%4d ${s}%8.3f s  ${r.desc.take(140)}")
+    }
+    spark.stop()
+  }
+}
