@@ -34,15 +34,32 @@ object ProbeTime {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRow]()
+    // AQE submits query-stage jobs from a thread pool, so a job's own
+    // callsite is useless — attribute through the SQL execution that owns
+    // it (executionId -> the ACTION's callsite), falling back to the
+    // result stage's callsite for plain RDD jobs (checkpoint, collect).
+    val execSite = new java.util.concurrent.ConcurrentHashMap[Long, String]()
     @volatile var record = false
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execSite.put(s.executionId, s.description.linesIterator
+              .toSeq.headOption.getOrElse("?")): Unit
+          case _ =>
+        }
       override def onJobStart(js: SparkListenerJobStart): Unit =
         if (record) {
-          val desc = Option(js.properties)
-            .flatMap(p => Option(p.getProperty("spark.job.description")))
-            .orElse(Option(js.properties)
-              .flatMap(p => Option(p.getProperty("callSite.short"))))
-            .getOrElse("?")
+          val stage = js.stageInfos.sortBy(_.stageId).lastOption
+          val site = stage.map(_.name).getOrElse("?")
+          val graftFrame = stage.map(_.details).getOrElse("")
+            .split('\n').find(l => l.contains("graft.") &&
+              !l.contains("ProbeTime")).map(_.trim).getOrElse("")
+          val byExec = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+            .flatMap(id => Option(execSite.get(id.toLong)))
+          val desc = byExec.getOrElse(
+            if (graftFrame.nonEmpty) s"$site | $graftFrame" else site)
           jobs.put(js.jobId, JobRow(js.jobId, js.time, js.time, desc))
         }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
@@ -65,8 +82,13 @@ object ProbeTime {
     println(f"[probe] last-pass job time sum: $total%.3f s over ${rows.size} jobs")
     rows.foreach { r =>
       val s = (r.end - r.start) / 1e3
-      if (s >= 0.05) println(f"[probe]   job ${r.id}%4d ${s}%8.3f s  ${r.desc.take(140)}")
+      if (s >= 0.05) println(f"[probe]   job ${r.id}%4d ${s}%8.3f s  ${r.desc.take(160)}")
     }
+    println("[probe] by call site:")
+    rows.groupBy(_.desc).map { case (d, rs) =>
+      (rs.map(r => (r.end - r.start) / 1e3).sum, rs.size, d) }
+      .toSeq.sortBy(-_._1).take(30).foreach { case (s, n, d) =>
+        println(f"[probe]   ${s}%8.3f s  x$n%-4d $d") }
     spark.stop()
   }
 }

@@ -74,6 +74,11 @@ object Bpe {
         .groupBy("lhs", "rhs").agg(sum("freq").as("cnt"))
         .persist()
       val budget = math.min(maxBatch, numMerges - merges.length)
+      // the ranked-prefix probe keeps its own collect: orderBy+limit
+      // planned under a direct collect is TakeOrderedAndProject (a
+      // single pass over the cached pairs) — folding it into a union
+      // with the bound legs demotes it to a global sort-limit exchange,
+      // measured strictly worse
       val top = pairs.orderBy(col("cnt").desc, col("lhs"), col("rhs"))
         .limit(budget).collect()
         .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"),
@@ -86,7 +91,9 @@ object Bpe {
         // and (ab, Y) with count <= old cnt(b, Y) — every creating
         // occurrence `X a b` / `a b Y` contains the old pair. So
         // max-over-rhs==a and max-over-lhs==b from THIS round's table
-        // bound everything a merge can spawn.
+        // bound everything a merge can spawn. (Fusing these two collects
+        // into one union job was MEASURED slower under AQE — two direct
+        // agg collects over the cached pairs beat the unioned plan.)
         val aSet = top.map(_._1).distinct.toSeq
         val bSet = top.map(_._2).distinct.toSeq
         val maxIn = pairs.filter(col("rhs").isin(aSet: _*))
@@ -99,9 +106,11 @@ object Bpe {
         val batch = selectBatch(top, minPairCount, maxIn, maxOut)
         batch.foreach { case (l, r, c) => merges += ((merges.length + 1, l, r, c)) }
         val bc = sc.broadcast(batch.map { case (l, r, _) => Array(l, r) }.toArray)
+        // truncate() is EAGER (checkpoint/localCheckpoint materialize on
+        // call), so the next round's table exists before its parent's
+        // checkpoint is deleted — no separate count() needed
         val next = Checkpoints.truncate(
           cur.withColumn("syms", bpeApply(col("syms"), bc)))
-        next.count() // materialize before deleting the round it derives from
         Checkpoints.delete(sc, prevCp)
         prevCp = Checkpoints.pathOf(next)
         cur = next

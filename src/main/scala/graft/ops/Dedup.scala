@@ -327,16 +327,20 @@ object Dedup {
     * row-locally from the pre-explode distinct array (the encode path
     * already holds one row per doc) — no count window, one less pass.
     *
-    * The encode result is MATERIALIZED once (checkpoint): the pairing
+    * The encode result is CACHED at doc grain (`persist`, lineage kept —
+    * a lost block recomputes, unlike a localCheckpoint): the pairing
     * tails reference this table in four legs (frequency annotation,
     * both self-join sides, hot-set correction), and — unlike the
     * word-grain path, whose pure-string subtree canonicalizes into a
     * ReusedExchange — the broadcast-fed native `bpe_apply` expression
-    * defeats exchange-reuse canonicalization, so without the
-    * checkpoint the two corpus-shuffle encode runs FOUR times
-    * (measured: the whole pairing dropped ~2× at sf0.1 with the
-    * materialization). The artifact is doc-grain (one compact pieces
-    * array per doc), far smaller than the exploded shingle table.
+    * defeats exchange-reuse canonicalization, so without the cache the
+    * corpus-shuffle encode PLANS AND RUNS FOUR TIMES (r13: q201's plan
+    * held 8 bpe_apply sites over 12 document scans; the pairing dropped
+    * ~2× at sf0.1 with the materialization). The artifact is doc-grain
+    * (one compact pieces array per doc), far smaller than the exploded
+    * shingle table. No explicit unpersist: the callers return LAZY
+    * frames, so there is no in-function action boundary to release
+    * behind — MEMORY_AND_DISK leaves eviction to the block manager.
     */
   private def sizedTokenShingles(docs: DataFrame, idCol: String,
                                  textCol: String,
@@ -350,6 +354,7 @@ object Dedup {
     val encoded =
       Bpe.encode(docs, idCol, textCol, merges)
         .select(col("doc_id"), split(col("pieces_csv"), ",").as("_p"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     encoded
       .select(col("doc_id"), arr.as("_sh"))
       .select(col("doc_id"), explode(col("_sh")).as("shingle"),
@@ -933,9 +938,15 @@ object Dedup {
 
   /** The append body shared by the word-grain and token-grain indexes —
     * identical table schemas, only the shingle derivation differs.
+    * `precomputedBuckets`: the ingest path passes the already-cached
+    * delta bucket rows (filtered to accepted ids) so the 64-hash MinHash
+    * aggregation is not recomputed; when absent the buckets derive from
+    * `sh` as always.
     */
   private def appendShinglesCore(index: NearDupIndex, accepted: DataFrame,
-                                 idCol: String, sh: DataFrame): Unit = {
+                                 idCol: String, sh: DataFrame,
+                                 precomputedBuckets: Option[DataFrame] = None)
+      : Unit = {
     val spark = accepted.sparkSession
     // a tombstoned id's physical rows still await compaction: appending
     // NEW rows under the same id would leave them hidden behind the
@@ -959,7 +970,8 @@ object Dedup {
       Seq("doc_id"), index.numBuckets,
       mode = org.apache.spark.sql.SaveMode.Append)
     graft.core.io.Writer.writeBucketed(
-      freshOnly(bandBuckets(sh, index.numHashes, index.numBands),
+      freshOnly(precomputedBuckets.getOrElse(
+          bandBuckets(sh, index.numHashes, index.numBands)),
         index.bucketsTable),
       index.bucketsTable, Seq("band", "bandhash"), index.numBuckets,
       mode = org.apache.spark.sql.SaveMode.Append)
@@ -1016,9 +1028,7 @@ object Dedup {
     dropAgainstIndexCore(index, delta, idCol, threshold, maxBandFreq,
       excludeSelfIds,
       sizedShingles(delta, idCol, textCol, index.n),
-      if (appendAccepted)
-        Some(acc => appendToNearDupIndex(index, acc, idCol, textCol))
-      else None)._1
+      appendAccepted)._1
 
   /** [[dropNearDuplicatesAgainst]] that ALSO returns the batch's
     * discovered near-dup PAIR set — within-delta edges plus
@@ -1037,22 +1047,32 @@ object Dedup {
     val (accepted, pairs) = dropAgainstIndexCore(index, delta, idCol,
       threshold, maxBandFreq, excludeSelfIds,
       sizedShingles(delta, idCol, textCol, index.n),
-      Some(acc => appendToNearDupIndex(index, acc, idCol, textCol)),
-      wantPairs = true)
+      appendAccepted = true, wantPairs = true)
     (accepted, pairs.get)
   }
 
   /** The index-ingest body shared by the word-grain and token-grain
-    * paths — only the delta shingle derivation and the append hook
-    * differ. `dShRaw` must be the delta's sized-shingle table at the
-    * INDEX's operating point.
+    * paths — only the delta shingle derivation differs. `dShRaw` must be
+    * the delta's sized-shingle table at the INDEX's operating point.
+    *
+    * `appendAccepted` grows the index from the CACHED delta tables: the
+    * accepted docs' shingle and bucket rows are semi-joined out of the
+    * already-persisted `dSh`/`dB` instead of re-deriving them from text
+    * (the public [[appendToNearDupIndex]]/[[appendToTokenNearDupIndex]]
+    * path re-shingles and re-hashes — at token grain that is a full BPE
+    * re-encode of the accepted docs, pure duplicate work here since
+    * filtering a doc-grain derivation to accepted ids commutes with
+    * deriving it from the accepted subset). The token merge-table
+    * consistency the public append verifies holds BY CONSTRUCTION on
+    * this path: `dShRaw` was encoded under the merges loaded from the
+    * index's own stored table.
     */
   private def dropAgainstIndexCore(index: NearDupIndex, delta: DataFrame,
                                    idCol: String, threshold: Double,
                                    maxBandFreq: Option[Int],
                                    excludeSelfIds: Boolean,
                                    dShRaw: DataFrame,
-                                   appender: Option[DataFrame => Unit],
+                                   appendAccepted: Boolean,
                                    wantPairs: Boolean = false)
       : (DataFrame, Option[DataFrame]) = {
     import org.apache.spark.storage.StorageLevel
@@ -1095,18 +1115,25 @@ object Dedup {
     // before returning (the accepted plan then reads only the delta scan
     // and two checkpointed id sets)
     val hitIds = graft.core.Checkpoints.truncate(hit)
-    dSh.unpersist()
-    dB.unpersist()
     val accepted = deltaClean.join(hitIds, Seq(idCol), "left_anti")
-    val acceptedOut = appender match {
-      case None => accepted
-      case Some(append) =>
+    val acceptedOut =
+      if (!appendAccepted) accepted
+      else {
         // reliable when a checkpoint dir is set — see
         // dropExactDuplicatesAgainst
         val materialized = graft.core.Checkpoints.truncate(accepted)
-        append(materialized)
+        val ids = materialized.select(col(idCol).as("doc_id"))
+        appendShinglesCore(index, materialized, idCol,
+          dSh.join(ids, Seq("doc_id"), "left_semi")
+            .select("doc_id", "shingle", "n_sh"),
+          precomputedBuckets = Some(
+            dB.join(ids, Seq("doc_id"), "left_semi")
+              .select("doc_id", "band", "bandhash")))
         materialized
-    }
+      }
+    // unpersist AFTER the append's writes consumed the cached tables
+    dSh.unpersist()
+    dB.unpersist()
     (acceptedOut, pairsOut)
   }
 
@@ -1221,10 +1248,7 @@ object Dedup {
     dropAgainstIndexCore(idx, delta, idCol, threshold, maxBandFreq,
       excludeSelfIds,
       sizedTokenShingles(delta, idCol, textCol, merges, idx.n),
-      if (appendAccepted)
-        Some(acc =>
-          appendToTokenNearDupIndex(idx, acc, idCol, textCol, merges))
-      else None)._1
+      appendAccepted)._1
   }
 
   /** [[ingestNearDupWithPairs]] at TOKEN grain — the edge feed for the
@@ -1244,9 +1268,7 @@ object Dedup {
     val (accepted, pairs) = dropAgainstIndexCore(idx, delta, idCol,
       threshold, maxBandFreq, excludeSelfIds,
       sizedTokenShingles(delta, idCol, textCol, merges, idx.n),
-      Some(acc =>
-        appendToTokenNearDupIndex(idx, acc, idCol, textCol, merges)),
-      wantPairs = true)
+      appendAccepted = true, wantPairs = true)
     (accepted, pairs.get)
   }
 
@@ -1294,6 +1316,17 @@ object Dedup {
     * `spark.sparkContext.setCheckpointDir(<shared fs path>)` first.
     *
     * Returns (id, comp) where comp = min doc id of the component.
+    *
+    * SMALL-GRAPH FAST PATH: when the canonical (distinct, self-loop-free)
+    * edge count is at or below `spark.graft.cc.localEdgeLimit` (default
+    * 500k; 0 disables) and ids are LongType, the edge set is collected and
+    * union-found on the driver — same (id, min-of-component) output, no
+    * iterative rounds. The regime this serves is a 100 TB corpus whose
+    * per-batch/per-delta pair graphs are batch-sized: the star rounds'
+    * fixed cost (2-3 jobs + a reliable checkpoint write per round) is pure
+    * overhead there. The collect is bounded by the limit the edge set was
+    * just counted against, never corpus-shaped; a corpus-sized graph runs
+    * the distributed contraction unchanged.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
@@ -1312,6 +1345,51 @@ object Dedup {
       .filter(col("src") =!= col("dst")).distinct())
     var prevCp = checkpointPathOf(edges)
     var edgeCount = edges.count()
+    // SMALL-GRAPH FAST PATH: below the (conf-gated, BOUNDED) edge limit,
+    // collect the canonical edge set and union-find on the driver — the
+    // output is bit-identical (comp = component min, unique regardless of
+    // algorithm), but the cost is 3 driver round-trips instead of
+    // 2-3 jobs × O(log diameter) star rounds, each of which also writes a
+    // reliable checkpoint when a dir is set. This is the dominant regime
+    // for per-batch streaming folds and delta ingests, whose edge sets
+    // track the BATCH even when the corpus is 100 TB; a corpus-sized pair
+    // graph (edgeCount above the limit) takes the distributed rounds
+    // unchanged. The collect is bounded by the limit it was just counted
+    // against — never corpus-shaped. Set spark.graft.cc.localEdgeLimit=0
+    // to force the distributed path.
+    val localLimit = pairs.sparkSession.conf
+      .get("spark.graft.cc.localEdgeLimit", "500000").toLong
+    val longTyped = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (edgeCount <= localLimit && longTyped) {
+      val collected = edges.collect()
+      deleteCheckpoint(prevCp) // the local result projects off nothing
+      val parent = new java.util.HashMap[Long, Long](collected.length * 4)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      collected.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        // attach the larger root under the smaller: roots stay component
+        // minima, so find() labels every node with min(component) — the
+        // exact star-contraction fixpoint
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      import scala.jdk.CollectionConverters._
+      val labels = parent.keySet().asScala.toArray.sorted
+        .map(id => (id, find(id))).toSeq
+      val session = pairs.sparkSession
+      import session.implicits._
+      return labels.toDF("id", "comp")
+    }
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {

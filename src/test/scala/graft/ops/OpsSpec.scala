@@ -247,9 +247,13 @@ class DedupSpec extends SparkSpec {
   test("connectedComponents writes reliable checkpoints when a dir is set") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
     spark.sparkContext.setCheckpointDir(dir.toString)
+    // force the distributed star rounds — this test pins THEIR checkpoint
+    // hygiene, which the small-graph fast path never exercises
+    spark.conf.set("spark.graft.cc.localEdgeLimit", "0")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
-    val comp = Dedup.connectedComponents(pairs).collect()
+    val comp = try Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("spark.graft.cc.localEdgeLimit")
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
     // checkpoint FILES (not just the uuid subdir) landed under the dir...
     import scala.jdk.CollectionConverters._
@@ -304,8 +308,10 @@ class DedupSpec extends SparkSpec {
     // geometrically, so maxIter = 10 suffices (and pins the O(log n) bound:
     // a diameter-many algorithm fails this test loudly).
     val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val comp = Dedup.connectedComponents(pairs, maxIter = 10).collect()
+    spark.conf.set("spark.graft.cc.localEdgeLimit", "0") // pin the DISTRIBUTED bound
+    val comp = try Dedup.connectedComponents(pairs, maxIter = 10).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("spark.graft.cc.localEdgeLimit")
     assert(comp.values.toSet == Set(0L) && comp.size == 100)
   }
 
@@ -331,11 +337,39 @@ class DedupSpec extends SparkSpec {
       val expected = nodes.map { v =>
         v -> nodes.filter(u => find(u) == find(v)).min
       }.toMap
-      val got = Dedup.connectedComponents(edges.toDF("a_id", "b_id"),
+      // BOTH paths must match the reference: the distributed star rounds
+      // (limit 0) and the default small-graph union-find fast path
+      spark.conf.set("spark.graft.cc.localEdgeLimit", "0")
+      val distributed = try Dedup.connectedComponents(
+          edges.toDF("a_id", "b_id"), maxIter = 12).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        finally spark.conf.unset("spark.graft.cc.localEdgeLimit")
+      assert(distributed == expected)
+      val local = Dedup.connectedComponents(edges.toDF("a_id", "b_id"),
           maxIter = 12).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected)
+      assert(local == expected)
     }
+  }
+
+  test("connectedComponents small-graph fast path leaves no checkpoint files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-local")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val pairs = Seq((5L, 9L), (9L, 2L), (30L, 31L)).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 30L -> 30L, 31L -> 30L))
+    // the fast path's one reliable checkpoint (the canonical edge set) is
+    // deleted after the bounded collect — nothing may accumulate across
+    // the per-batch streaming folds that hit this path every micro-batch
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(dir)
+    val rddDirs = try s.iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("rdd-")).toSeq
+      finally s.close()
+    assert(rddDirs.isEmpty,
+      s"fast path must clean its edge checkpoint, found: $rddDirs")
   }
 
   test("exactKeepFirst matches a driver-side reference on random data") {
