@@ -161,8 +161,12 @@ object Search {
       stored.groupBy("doc_id").agg(sum("tf").as("dl")),
       idx.doclensTable, Seq("doc_id"), numBuckets)
     import spark.implicits._
-    val (n, s) = stored.groupBy("doc_id").agg(sum("tf").as("dl"))
-      .agg(count(lit(1)), sum("dl")).as[(Long, Long)].head()
+    // totals from the just-written DOCLENS table (one row per doc) — the
+    // previous form re-scanned and re-aggregated the far larger postings
+    // table a second time for the same numbers
+    val (n, s) = spark.table(idx.doclensTable)
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L)))
+      .as[(Long, Long)].head()
     graft.core.io.Writer.writeTable(
       Seq((n, s, numBuckets)).toDF("n_docs", "sum_dl", "num_buckets"),
       idx.metaTable)
