@@ -25,12 +25,15 @@ object ProbeTime {
     val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
     val passes = args.drop(2).headOption.map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B knobs without a rebuild: PROBE_CONF="k=v,k=v"
+    sys.env.get("PROBE_CONF").foreach(_.split(',').filter(_.nonEmpty)
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRow]()

@@ -62,11 +62,23 @@ object Linkage {
     require(upperMicro >= lowerMicro, "upperMicro must be >= lowerMicro")
     val norm = (c: Column) => graft.functions.TextFunctions.normalize(c)
     val cols = (Seq(idCol, blockCol) ++ fields.map(_.name)).distinct
-    val base = df.select(cols.map(col): _*)
+    // normalize every comparison field ONCE per record, BEFORE the
+    // pairing blowup: the agree comparisons run at PAIR grain, and a
+    // per-pair norm() is 2 x |fields| regex chains per candidate pair
+    // (millions of regex executions for thousands of records). The
+    // block key's normalization is reused when it is also a field.
+    // Raw field values are dropped here too — only ids, block key
+    // derivatives, and normalized fields cross the pairing shuffle.
+    val base0 = df.select(cols.map(col): _*)
       .withColumn("_nk", norm(col(blockCol)))
       .withColumn("_pfx", substring(col("_nk"), 1, 4))
       .withColumn("_lb",
         (length(col("_nk")) / lit(blockMaxDist + 1)).cast("long"))
+    val base = fields.foldLeft(base0) { (d, f) =>
+      d.withColumn(s"_nf_${f.name}",
+        if (f.name == blockCol) col("_nk") else norm(col(f.name)))
+    }.select((Seq(idCol, "_pfx", "_lb").map(col) ++
+      fields.map(f => col(s"_nf_${f.name}"))).distinct: _*)
     val sized = base.join(
       base.groupBy("_pfx", "_lb").agg(count(lit(1)).as("_bn")),
       Seq("_pfx", "_lb"))
@@ -93,19 +105,22 @@ object Linkage {
       .select(Seq(
         when(smaller, col(s"x.$idCol")).otherwise(col(s"y.$idCol")).as("a_id"),
         when(smaller, col(s"y.$idCol")).otherwise(col(s"x.$idCol")).as("b_id")) ++
-        fields.flatMap(f => Seq(side("x", f.name, s"_xa_${f.name}"),
-          side("y", f.name, s"_xb_${f.name}"))): _*)
+        fields.flatMap(f => Seq(side("x", s"_nf_${f.name}", s"_xa_${f.name}"),
+          side("y", s"_nf_${f.name}", s"_xb_${f.name}"))): _*)
     // no distinct: discovery is unique by construction (same-bucket pairs
     // only via the smaller id's own-bucket probe; cross-bucket pairs only
     // via the smaller BUCKET's next-probe) — a distinct here shuffled the
     // full wide candidate set for nothing (measured 7.8 s -> ~5 s at
     // sf0.1 on q182)
     val withAgree = fields.foldLeft(cand) { (d, f) =>
-      val a = norm(col(s"_xa_${f.name}"))
-      val b = norm(col(s"_xb_${f.name}"))
+      val a = col(s"_xa_${f.name}") // normalized per record above
+      val b = col(s"_xb_${f.name}")
+      // threshold-bounded levenshtein (banded DP, O(len x maxDist)
+      // instead of O(len^2) per pair; returns -1 past the bound) —
+      // `>= 0` is exactly `distance <= maxDist`, null stays null
       val agree =
         if (f.maxDist == 0) a === b
-        else levenshtein(a, b) <= f.maxDist
+        else levenshtein(a, b, f.maxDist) >= 0
       d.withColumn(s"agree_${f.name}", coalesce(agree, lit(false)))
     }
     val score = fields.map(f =>
