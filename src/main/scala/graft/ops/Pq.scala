@@ -49,16 +49,28 @@ object Pq {
     val subDim = dim / m
     val spark = corpus.sparkSession
     import spark.implicits._
-    val perSub = (0 until m).map { s =>
-      val slices = corpus.select(
-        array_to_vector(slice(col(embCol), s * subDim + 1, subDim))
-          .as("_features"))
-      val model = new KMeans().setK(k).setSeed(seed + s).setMaxIter(maxIter)
-        .setFeaturesCol("_features").setPredictionCol("_c").fit(slices)
-      model.clusterCenters.zipWithIndex.map { case (c, i) =>
-        (s, i, c.toArray.map(_.toFloat).toSeq)
-      }.toSeq
-    }
+    // the m fits are independent (each its own slice + seed), and each
+    // is a chain of TINY jobs whose cost is driver/scheduling latency,
+    // not compute — run them concurrently and the wall time collapses
+    // toward the slowest single fit. Output is bit-identical: per-sub
+    // seed and input are unchanged, and the scheduler interleaving
+    // cannot affect a fit's arithmetic.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val perSub = Await.result(Future.sequence((0 until m).map { s =>
+      Future {
+        val slices = corpus.select(
+          array_to_vector(slice(col(embCol), s * subDim + 1, subDim))
+            .as("_features"))
+        val model = new KMeans().setK(k).setSeed(seed + s)
+          .setMaxIter(maxIter)
+          .setFeaturesCol("_features").setPredictionCol("_c").fit(slices)
+        model.clusterCenters.zipWithIndex.map { case (c, i) =>
+          (s, i, c.toArray.map(_.toFloat).toSeq)
+        }.toSeq
+      }
+    }), Duration.Inf)
     perSub.flatten.toDF("sub", "code", "centroid")
   }
 
