@@ -61,8 +61,8 @@ object ProbeTime {
           val byExec = Option(js.properties)
             .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
             .flatMap(id => Option(execSite.get(id.toLong)))
-          val desc = byExec.getOrElse(
-            if (graftFrame.nonEmpty) s"$site | $graftFrame" else site)
+          val desc = byExec.getOrElse(site) +
+            (if (graftFrame.nonEmpty) s" | $graftFrame" else "")
           jobs.put(js.jobId, JobRow(js.jobId, js.time, js.time, desc))
         }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {

@@ -847,9 +847,13 @@ object Dedup {
     healVacuumStaging(spark, name)
     val idx = loadNearDupIndex(spark, name)
     val idList = ids.select(col(ids.columns.head).as("doc_id")).distinct()
+    // semi-join BEFORE distinct: distinct-first shuffles every indexed
+    // doc's shingle rows; filtering against the (small, broadcast)
+    // forget list first leaves only matched rows for the distinct
     val fresh = visibleRows(spark, idx, idx.shinglesTable)
-      .select("doc_id").distinct()
+      .select("doc_id")
       .join(idList, Seq("doc_id"), "left_semi")
+      .distinct()
     val materialized = graft.core.Checkpoints.truncate(fresh)
     val removed = materialized.count()
     if (removed == 0) return 0L
@@ -883,9 +887,11 @@ object Dedup {
         val idList = ts.select("doc_id").distinct()
         // count across BOTH tables so a crash-resume that already
         // scrubbed the shingles still reports the bucket-row work
+        // semi-join before distinct — only tombstone-matched rows
+        // reach the distinct's shuffle (same set, far fewer bytes)
         val n = spark.table(idx.shinglesTable).select("doc_id")
           .unionByName(spark.table(idx.bucketsTable).select("doc_id"))
-          .distinct().join(idList, Seq("doc_id"), "left_semi").count()
+          .join(idList, Seq("doc_id"), "left_semi").distinct().count()
         // gate each rewrite on THAT table's own tombstone membership —
         // gating both on the shingles count would let a crash between
         // the shingles swap and the buckets rewrite resume as "n = 0,

@@ -326,9 +326,11 @@ object Search {
       case None => 0L
       case Some(ts) =>
         val idList = ts.select("doc_id").distinct()
+        // semi-join before distinct — only tombstone-matched rows
+        // reach the distinct's shuffle (same set, far fewer bytes)
         val n = spark.table(idx.postingsTable).select("doc_id")
           .unionByName(spark.table(idx.doclensTable).select("doc_id"))
-          .distinct().join(idList, Seq("doc_id"), "left_semi").count()
+          .join(idList, Seq("doc_id"), "left_semi").distinct().count()
         Seq((idx.postingsTable, Seq("term")),
           (idx.doclensTable, Seq("doc_id"))).foreach { case (t, bcols) =>
           val dirty = spark.table(t).select("doc_id")
