@@ -54,8 +54,16 @@ object QualityClassifier {
       bux.foreach(x => m(x.toInt) = m.getOrElse(x.toInt, 0.0) + 1.0)
       Vectors.sparse(b, m.toSeq.sortBy(_._1))
     })
+    // the labeled set is small by contract (thousands of rows), but it
+    // inherits the corpus scan's partitioning — every LBFGS iteration is
+    // then one treeAggregate job over `defaultParallelism` near-empty
+    // tasks, and a 100-iteration fit is scheduling, not math. Contract
+    // to a handful of partitions so each iteration is a handful of
+    // tasks. (coalesce, not repartition: narrow, and the per-partition
+    // float-sum order stays deterministic for a given input.)
     val train = labeled.select(col(labelCol).cast("double").as("label"),
       toVec(tokenBuckets(col(textCol), buckets, salt)).as("features"))
+      .coalesce(8)
     // single-class input makes MLlib return an INFINITE intercept, which
     // then poisons the quantized weight table — fail loudly instead (the
     // labeled set is small by contract, so the check is cheap)
