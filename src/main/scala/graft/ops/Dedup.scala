@@ -327,20 +327,24 @@ object Dedup {
     * row-locally from the pre-explode distinct array (the encode path
     * already holds one row per doc) — no count window, one less pass.
     *
-    * The encode result is CACHED at doc grain (`persist`, lineage kept —
-    * a lost block recomputes, unlike a localCheckpoint): the pairing
-    * tails reference this table in four legs (frequency annotation,
-    * both self-join sides, hot-set correction), and — unlike the
-    * word-grain path, whose pure-string subtree canonicalizes into a
-    * ReusedExchange — the broadcast-fed native `bpe_apply` expression
-    * defeats exchange-reuse canonicalization, so without the cache the
-    * corpus-shuffle encode PLANS AND RUNS FOUR TIMES (r13: q201's plan
-    * held 8 bpe_apply sites over 12 document scans; the pairing dropped
-    * ~2× at sf0.1 with the materialization). The artifact is doc-grain
-    * (one compact pieces array per doc), far smaller than the exploded
-    * shingle table. No explicit unpersist: the callers return LAZY
-    * frames, so there is no in-function action boundary to release
-    * behind — MEMORY_AND_DISK leaves eviction to the block manager.
+    * The encode result is CACHED at doc grain when the merge table is
+    * large (`persist`, lineage kept — a lost block recomputes, unlike a
+    * localCheckpoint): the pairing tails reference this table in four
+    * legs, and the broadcast-fed native `bpe_apply` expression defeats
+    * exchange-reuse canonicalization, so without a cache the encode
+    * PLANS AND RUNS FOUR TIMES (q201's plan held 8 bpe_apply sites over
+    * 12 document scans). Whether that matters is a function of the
+    * MERGE COUNT: bpe_apply's per-word cost scales with the merge
+    * rounds, so a production tokenizer (thousands of merges) dominates
+    * the pairing and must encode once, while a small merge table
+    * re-encodes cheaper than the cache's write+read (A/B at sf0.1,
+    * 20 merges: 13.6 s uncached vs 15.2 s cached). The gate is
+    * `spark.graft.bpe.cacheEncodeMinMerges` (default 256; 0 = always
+    * cache) — a property of the tokenizer, not the corpus, so the same
+    * setting behaves identically at any scale factor. No explicit
+    * unpersist when caching: the callers return LAZY frames, so there
+    * is no in-function action boundary to release behind —
+    * MEMORY_AND_DISK leaves eviction to the block manager.
     */
   private def sizedTokenShingles(docs: DataFrame, idCol: String,
                                  textCol: String,
@@ -351,10 +355,14 @@ object Dedup {
         transform(sequence(lit(0), size(col("_p")) - n),
           i => concat_ws(" ", slice(col("_p"), i + 1, lit(n)))))
         .otherwise(array().cast("array<string>")))
+    val cacheMin = docs.sparkSession.conf
+      .get("spark.graft.bpe.cacheEncodeMinMerges", "256").toInt
+    val raw = Bpe.encode(docs, idCol, textCol, merges)
+      .select(col("doc_id"), split(col("pieces_csv"), ",").as("_p"))
     val encoded =
-      Bpe.encode(docs, idCol, textCol, merges)
-        .select(col("doc_id"), split(col("pieces_csv"), ",").as("_p"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (merges.length >= cacheMin)
+        raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else raw
     encoded
       .select(col("doc_id"), arr.as("_sh"))
       .select(col("doc_id"), explode(col("_sh")).as("shingle"),
