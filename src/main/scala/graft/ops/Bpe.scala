@@ -63,6 +63,70 @@ object Bpe {
     var prevCp = Checkpoints.pathOf(cur)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rounds = 0
+    // SMALL-VOCABULARY FAST PATH (the connectedComponents discipline):
+    // the loop's unit of work is the DISTINCT-WORD table — vocabulary-
+    // not corpus-sized — and each distributed round costs ~4 jobs of
+    // driver latency regardless of data. When the vocabulary fits the
+    // (conf-gated, just-counted) bound, collect (freq, syms) once and
+    // run the IDENTICAL loop locally: same pair counts (integer sums),
+    // same `(cnt DESC, lhs, rhs)` ranking under Spark's binary UTF-8
+    // string order, same [[selectBatch]] (shared verbatim), same
+    // one-pass-per-merge application as [[graft.functions.BpeRuntime
+    // .applyMerges]] — so the merge table and the round count are
+    // bit-identical to the distributed loop (spec-pinned). A corpus
+    // with a production-scale vocabulary takes the distributed rounds
+    // unchanged; set spark.graft.bpe.localVocabLimit=0 to force them.
+    val localLimit = spark.conf
+      .get("spark.graft.bpe.localVocabLimit", "200000").toLong
+    val vocab = cur.count()
+    if (vocab <= localLimit) {
+      var wordsL = cur.collect().map(r =>
+        (r.getLong(0), r.getSeq[String](1).toArray))
+      Checkpoints.delete(sc, prevCp) // nothing distributed survives
+      val u = (s: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      var doneL = false
+      while (!doneL && merges.length < numMerges) {
+        val counts =
+          scala.collection.mutable.HashMap.empty[(String, String), Long]
+        wordsL.foreach { case (f, syms) =>
+          var i = 0
+          while (i < syms.length - 1) {
+            val k = (syms(i), syms(i + 1))
+            counts.update(k, counts.getOrElse(k, 0L) + f)
+            i += 1
+          }
+        }
+        val budget = math.min(maxBatch, numMerges - merges.length)
+        val ranked = counts.toArray
+          .map { case ((l, r), c) => (l, r, c) }
+          .sortWith { case ((la, ra, ca), (lb, rb, cb)) =>
+            if (ca != cb) ca > cb
+            else {
+              val lc = u(la).compareTo(u(lb))
+              if (lc != 0) lc < 0 else u(ra).compareTo(u(rb)) < 0
+            }
+          }
+        val top = ranked.take(budget).toSeq
+        if (top.isEmpty || top.head._3 < minPairCount) doneL = true
+        else {
+          rounds += 1
+          val aSet = top.map(_._1).distinct.toSet
+          val bSet = top.map(_._2).distinct.toSet
+          val maxIn = ranked.filter(t => aSet(t._2))
+            .groupBy(_._2).map { case (k, ts) => k -> ts.map(_._3).max }
+          val maxOut = ranked.filter(t => bSet(t._1))
+            .groupBy(_._1).map { case (k, ts) => k -> ts.map(_._3).max }
+          val batch = selectBatch(top, minPairCount, maxIn, maxOut)
+          batch.foreach { case (l, r, c) =>
+            merges += ((merges.length + 1, l, r, c)) }
+          wordsL = wordsL.map { case (f, syms) =>
+            (f, applyBatchLocal(syms, batch)) }
+        }
+      }
+      import spark.implicits._
+      return (merges.toSeq.toDF("rank", "lhs", "rhs", "cnt"), rounds)
+    }
     var done = false
     while (!done && merges.length < numMerges) {
       val pairs = cur.filter(size(col("syms")) >= 2)
@@ -119,6 +183,30 @@ object Bpe {
     Checkpoints.delete(sc, prevCp) // the symbol table is not returned
     import spark.implicits._
     (merges.toSeq.toDF("rank", "lhs", "rhs", "cnt"), rounds)
+  }
+
+  /** [[graft.functions.BpeRuntime.applyMerges]] on plain strings: each
+    * batched merge is one left-to-right non-overlapping scan, applied
+    * in rank order — the local fast path's twin of the distributed
+    * round's `bpeApply(col, bc)`.
+    */
+  private def applyBatchLocal(syms: Array[String],
+                              batch: Seq[(String, String, Long)])
+      : Array[String] = {
+    var arr = syms
+    batch.foreach { case (l, r, _) =>
+      val merged = l + r
+      val out = new Array[String](arr.length)
+      var o = 0
+      var j = 0
+      while (j < arr.length) {
+        if (j + 1 < arr.length && arr(j) == l && arr(j + 1) == r) {
+          out(o) = merged; o += 1; j += 2
+        } else { out(o) = arr(j); o += 1; j += 1 }
+      }
+      arr = java.util.Arrays.copyOf(out, o)
+    }
+    arr
   }
 
   /** The maximal prefix of the round's ranked pair list whose one-pass

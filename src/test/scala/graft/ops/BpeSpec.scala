@@ -117,6 +117,27 @@ class BpeSpec extends SparkSpec {
       s"batching never compressed: $rounds rounds for ${got.length} merges")
   }
 
+  test("local fast path and distributed rounds learn the identical table") {
+    val corpus2 = corpus ++ Seq(
+      (5L, Seq.fill(9)("ab").mkString(" ")),
+      (6L, Seq.fill(8)("cd").mkString(" ")),
+      (7L, Seq.fill(7)("ef").mkString(" ")))
+    val docs = corpus2.toDF("doc_id", "text")
+    val (localT, localRounds) = Bpe.learnWithRounds(docs, "text", 16)
+    val key = "spark.graft.bpe.localVocabLimit"
+    spark.conf.set(key, "0") // force the distributed star rounds
+    try {
+      val (distT, distRounds) = Bpe.learnWithRounds(docs, "text", 16)
+      val l = localT.collect().map(r => (r.getInt(0), r.getString(1),
+        r.getString(2), r.getLong(3))).sortBy(_._1).toSeq
+      val d = distT.collect().map(r => (r.getInt(0), r.getString(1),
+        r.getString(2), r.getLong(3))).sortBy(_._1).toSeq
+      assert(l == d, s"local $l\ndistributed $d")
+      assert(localRounds == distRounds,
+        s"round counts diverge: local $localRounds vs dist $distRounds")
+    } finally spark.conf.unset(key)
+  }
+
   test("selectBatch enforces prefix, disjoint, and dominant guards") {
     // disjoint + dominant: all three batch together
     assert(Bpe.selectBatch(
