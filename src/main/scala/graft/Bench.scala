@@ -83,17 +83,29 @@ object Bench {
     // stops a failing run from reporting a better-looking sum
     val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"flaky":$flaky,"noisy":$noisy,"noisy_queries":$noisyCount,"loadavg":{"start":$loadStart,"end":$loadEnd},"sf":"$sfDir"}"""
-    println(json)
-    // the driver's artifact keeps only a stdout tail — ALSO land the
-    // full JSON in a repo-tracked file so rounds stay comparable
-    // without /tmp forensics (BENCH_NOTES points here). Subset runs
-    // (args non-empty) skip the write: a 3-query iteration must not
-    // overwrite the last full record.
+    // the driver's artifact keeps only a small stdout TAIL — 13 rounds
+    // of BENCH_rN.json show every full-detail line (18+ KB at 229
+    // queries) overflowing that window and parsing as nothing
+    // (PERF per_query empty). Measurement-contract fix, r14: the full
+    // record (raw passes, flaky, noisy, loadavg) lands ONLY in the
+    // repo-tracked BENCH_LAST.json; stdout gets ONE COMPACT final line
+    // (min-of-2 per query, 3 decimals — ~6 KB) with nothing printed
+    // after it: log level is raised to ERROR and the session stopped
+    // BEFORE the println so Spark shutdown chatter cannot land behind
+    // the line and push it out of the captured tail.
     if (args.isEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
         (json + "\n").getBytes("UTF-8")): Unit
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write BENCH_LAST.json: $e") }
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val compactQs = results.map { case (k, v, _, _, _) => s"\"$k\":${r3(v)}" }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfDir"}"""
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(compact)
+    System.out.flush()
   }
 }

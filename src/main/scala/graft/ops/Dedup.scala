@@ -96,6 +96,16 @@ object Dedup {
         col("_kf_row").getField(c).as(c)) :+ col("n_copies"): _*)
   }
 
+  /** `(doc_id, shingle, …)` with the shingle string replaced by its
+    * xxhash64 (name and position kept) — the pairing/verification tails
+    * only ever test shingle EQUALITY, so the long is a drop-in join key
+    * that keeps n-gram strings out of every exchange (guide §2.3).
+    * Columns other than `shingle` pass through unchanged.
+    */
+  private def hashShingleCol(sh: DataFrame): DataFrame =
+    sh.select(sh.columns.map(c =>
+      if (c == "shingle") xxhash64(col(c)).as(c) else col(c)): _*)
+
   /** Long-format distinct (id, shingle) pairs for a document table. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     docs.select(col(idCol).as("doc_id"),
@@ -170,8 +180,15 @@ object Dedup {
     * table — shared by the word-grain and the token-grain
     * ([[jaccardPairsTokens]]) shingle builders.
     */
-  private def jaccardFromSized(sized: DataFrame, threshold: Double,
+  private def jaccardFromSized(sizedRaw: DataFrame, threshold: Double,
                                maxShingleFreq: Option[Int]): DataFrame = {
+    // Shuffle keys, not payloads (guide §2.3): every join/aggregation
+    // below keys on shingle EQUALITY only, so the variable-length
+    // shingle string (a word/piece n-gram, tens of bytes) is collapsed
+    // to its xxhash64 BEFORE the first exchange — the same 64-bit
+    // identity the MinHash/banding paths already stand on. n_sh is
+    // computed upstream over the string shingles and is untouched.
+    val sized = hashShingleCol(sizedRaw)
     maxShingleFreq match {
       case None => pairsFromSizedShingles(sized, threshold)
       case Some(f) =>
@@ -472,11 +489,13 @@ object Dedup {
     // a_ids come from the corpus side only and b_ids from the delta side
     // only, so each verification join reads its own side's shingle table —
     // in the index path the corpus side stays the bucketed stored scan
-    // instead of disappearing into a union with the delta.
-    val aSh = cSh.select(col("doc_id").as("a_id"), col("shingle"),
-      col("n_sh").as("n_a"))
-    val bSh = dSh.select(col("doc_id").as("b_id"), col("shingle"),
-      col("n_sh").as("n_b"))
+    // instead of disappearing into a union with the delta. Shingle
+    // strings collapse to xxhash64 before the verification exchanges
+    // ([[hashShingleCol]] — equality-only use, guide §2.3).
+    val aSh = hashShingleCol(cSh).select(col("doc_id").as("a_id"),
+      col("shingle"), col("n_sh").as("n_a"))
+    val bSh = hashShingleCol(dSh).select(col("doc_id").as("b_id"),
+      col("shingle"), col("n_sh").as("n_b"))
     cand.join(aSh, "a_id").join(bSh, Seq("b_id", "shingle"))
       .groupBy("a_id", "b_id", "n_a", "n_b").agg(count(lit(1)).as("n_inter"))
       .withColumn("jaccard",
@@ -1292,9 +1311,12 @@ object Dedup {
     * between the two join sides.
     */
   def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val sized =
+    val sizedStr =
       if (sh.columns.contains("n_sh")) sh
       else sh.withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+    // equality-only use downstream — shingle strings collapse to their
+    // xxhash64 before the verification exchanges (guide §2.3)
+    val sized = hashShingleCol(sizedStr)
     val aSh = sized.select(col("doc_id").as("a_id"), col("shingle"), col("n_sh").as("n_a"))
     val bSh = sized.select(col("doc_id").as("b_id"), col("shingle"), col("n_sh").as("n_b"))
     cand.join(aSh, "a_id").join(bSh, Seq("b_id", "shingle"))

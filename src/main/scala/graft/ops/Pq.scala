@@ -55,10 +55,16 @@ object Pq {
     // toward the slowest single fit. Output is bit-identical: per-sub
     // seed and input are unchanged, and the scheduler interleaving
     // cannot affect a fit's arithmetic.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // Bounded dedicated pool (spark.graft.pq.trainParallelism): m is
+    // small by construction (dim / subDim), but a wide caller must not
+    // pile m concurrent Spark jobs onto the process-global pool.
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val perSub = Await.result(Future.sequence((0 until m).map { s =>
+    val poolSize = math.max(1, math.min(m,
+      spark.conf.get("spark.graft.pq.trainParallelism", "8").toInt))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val perSub = try Await.result(Future.sequence((0 until m).map { s =>
       Future {
         val slices = corpus.select(
           array_to_vector(slice(col(embCol), s * subDim + 1, subDim))
@@ -71,6 +77,7 @@ object Pq {
         }.toSeq
       }
     }), Duration.Inf)
+    finally pool.shutdown()
     perSub.flatten.toDF("sub", "code", "centroid")
   }
 

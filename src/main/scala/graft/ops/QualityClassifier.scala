@@ -61,9 +61,16 @@ object QualityClassifier {
     // to a handful of partitions so each iteration is a handful of
     // tasks. (coalesce, not repartition: narrow, and the per-partition
     // float-sum order stays deterministic for a given input.)
-    val train = labeled.select(col(labelCol).cast("double").as("label"),
+    // Conf-parameterized (spark.graft.classifier.trainPartitions, 0
+    // disables) because coalesce also CAPS the upstream featurization
+    // scan's parallelism — the default suits the contract-small labeled
+    // set; a caller training on a corpus-sized labeled set raises it.
+    val trainParts = labeled.sparkSession.conf
+      .get("spark.graft.classifier.trainPartitions", "8").toInt
+    val projected = labeled.select(col(labelCol).cast("double").as("label"),
       toVec(tokenBuckets(col(textCol), buckets, salt)).as("features"))
-      .coalesce(8)
+    val train =
+      if (trainParts > 0) projected.coalesce(trainParts) else projected
     // single-class input makes MLlib return an INFINITE intercept, which
     // then poisons the quantized weight table — fail loudly instead (the
     // labeled set is small by contract, so the check is cheap)

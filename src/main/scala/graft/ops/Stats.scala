@@ -399,12 +399,28 @@ object Stats {
     */
   def psiCurrentPartial(spark: org.apache.spark.sql.SparkSession,
                         path: String, current: DataFrame,
-                        valueCol: String): DataFrame = {
-    val edges = readStoredEdges(spark, path)
+                        valueCol: String): DataFrame =
+    psiCurrentPartial(current, valueCol, loadPsiEdges(spark, path))
+
+  /** [[psiCurrentPartial]] against ALREADY-LOADED edges — the streaming
+    * drift sinks load the (bins-sized) stored edges once per drain via
+    * [[loadPsiEdges]] and feed every micro-batch from the captured
+    * array, instead of re-reading the reference parquet per batch.
+    * Same bucketing expression, bit-identical partials.
+    */
+  def psiCurrentPartial(current: DataFrame, valueCol: String,
+                        edges: Array[Double]): DataFrame =
     current.filter(col(valueCol).isNotNull)
       .groupBy(bucketOf(col(valueCol), edges).as("bucket"))
       .agg(count(lit(1)).as("n_cur"))
-  }
+
+  /** The stored scalar-PSI reference edges as a driver array — one
+    * 1-row read of `bins − 1` doubles, loadable once per monitoring
+    * drain.
+    */
+  def loadPsiEdges(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Array[Double] =
+    readStoredEdges(spark, path)
 
   /** Score merged current partials against the stored reference profile
     * — same output schema and quantization as [[psi]], bit-identical to
@@ -832,14 +848,38 @@ object Stats {
   def psiByGroupCurrentPartial(spark: org.apache.spark.sql.SparkSession,
                                path: String, current: DataFrame,
                                groupCol: String,
-                               valueCol: String): DataFrame = {
-    val edges = spark.read.parquet(s"$path/edges")
+                               valueCol: String): DataFrame =
+    psiByGroupCurrentPartial(current, groupCol, valueCol,
+      spark.read.parquet(s"$path/edges"))
+
+  /** [[psiByGroupCurrentPartial]] against an ALREADY-LOADED edges frame
+    * — the streaming per-group drift sink captures the (groups × bins)
+    * edges table once per drain via [[loadPsiGroupEdges]] and feeds
+    * every micro-batch from the local form, instead of re-reading the
+    * reference parquet per batch. Same join and bucketing, bit-identical
+    * partials.
+    */
+  def psiByGroupCurrentPartial(current: DataFrame, groupCol: String,
+                               valueCol: String,
+                               edges: DataFrame): DataFrame =
     current.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("group"), col(valueCol))
       .join(broadcast(edges), "group")
       .withColumn("bucket",
         size(filter(col("_e"), e => col(valueCol) > e)).cast("long"))
       .groupBy("group", "bucket").agg(count(lit(1)).as("n_cur"))
+
+  /** The stored per-group PSI edges captured as a LOCAL relation —
+    * `(group, _e)` rows collected once (bounded: groups × (bins−1)
+    * doubles) and rebuilt as an in-memory frame, so a per-batch
+    * reference to it broadcasts driver rows instead of re-scanning the
+    * stored parquet.
+    */
+  def loadPsiGroupEdges(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame = {
+    val stored = spark.read.parquet(s"$path/edges")
+    spark.createDataFrame(
+      java.util.Arrays.asList(stored.collect(): _*), stored.schema)
   }
 
   /** Score merged per-group current partials against the stored

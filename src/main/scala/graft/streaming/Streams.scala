@@ -213,25 +213,42 @@ object Streams {
     * partial instead of double-counting it.
     */
   def psiDriftSink(stream: DataFrame, refPath: String, valueCol: String,
-                   partialsPath: String, checkpoint: String): StreamingQuery =
+                   partialsPath: String, checkpoint: String): StreamingQuery = {
+    // the stored reference edges are bins-sized and IMMUTABLE for the
+    // life of the monitor — load them once per drain and feed every
+    // micro-batch from the captured array instead of re-reading the
+    // reference parquet per batch (a driver job per batch, pure
+    // protocol overhead)
+    val edges = graft.ops.Stats.loadPsiEdges(stream.sparkSession, refPath)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        applyPsiDriftBatch(batch.toDF(), refPath, valueCol, partialsPath, id)
+        applyPsiDriftBatch(batch.toDF(), edges, valueCol, partialsPath, id)
       }
       .start()
+  }
 
   /** One micro-batch's partial — separated so the replay contract is
     * directly testable: applying the same batch twice leaves one copy.
     */
   def applyPsiDriftBatch(batch: DataFrame, refPath: String, valueCol: String,
-                         partialsPath: String, id: Long): Unit = {
+                         partialsPath: String, id: Long): Unit =
+    applyPsiDriftBatch(batch,
+      graft.ops.Stats.loadPsiEdges(batch.sparkSession, refPath), valueCol,
+      partialsPath, id)
+
+  /** [[applyPsiDriftBatch]] from pre-loaded reference edges — the form
+    * the sink's per-batch loop uses (edges load once per drain).
+    */
+  def applyPsiDriftBatch(batch: DataFrame, edges: Array[Double],
+                         valueCol: String, partialsPath: String,
+                         id: Long): Unit = {
     val spark = batch.sparkSession
     val dir = new org.apache.hadoop.fs.Path(s"$partialsPath/batch$id")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) { fs.delete(dir, true); () }
-    graft.ops.Stats.psiCurrentPartial(spark, refPath, batch, valueCol)
+    graft.ops.Stats.psiCurrentPartial(batch, valueCol, edges)
       .write.parquet(dir.toString)
   }
 
@@ -291,28 +308,46 @@ object Streams {
   def psiByGroupDriftSink(stream: DataFrame, refPath: String,
                           groupCol: String, valueCol: String,
                           partialsPath: String,
-                          checkpoint: String): StreamingQuery =
+                          checkpoint: String): StreamingQuery = {
+    // per-drain capture of the (groups × bins) stored edges as a LOCAL
+    // relation — each micro-batch broadcasts driver rows instead of
+    // re-scanning the reference parquet (the psiDriftSink discipline,
+    // per-group form)
+    val edges = graft.ops.Stats.loadPsiGroupEdges(stream.sparkSession,
+      refPath)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        applyPsiByGroupDriftBatch(batch.toDF(), refPath, groupCol, valueCol,
+        applyPsiByGroupDriftBatch(batch.toDF(), edges, groupCol, valueCol,
           partialsPath, id)
       }
       .start()
+  }
 
   /** One micro-batch's per-group PSI partial — separated so the replay
     * contract is directly testable: the same batch twice leaves one copy.
     */
   def applyPsiByGroupDriftBatch(batch: DataFrame, refPath: String,
                                 groupCol: String, valueCol: String,
+                                partialsPath: String, id: Long): Unit =
+    applyPsiByGroupDriftBatch(batch,
+      batch.sparkSession.read.parquet(s"$refPath/edges"), groupCol,
+      valueCol, partialsPath, id)
+
+  /** [[applyPsiByGroupDriftBatch]] from a pre-loaded edges frame — the
+    * form the sink's per-batch loop uses (edges captured once per
+    * drain).
+    */
+  def applyPsiByGroupDriftBatch(batch: DataFrame, edges: DataFrame,
+                                groupCol: String, valueCol: String,
                                 partialsPath: String, id: Long): Unit = {
     val spark = batch.sparkSession
     val dir = new org.apache.hadoop.fs.Path(s"$partialsPath/batch$id")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) { fs.delete(dir, true); () }
-    graft.ops.Stats.psiByGroupCurrentPartial(spark, refPath, batch,
-        groupCol, valueCol)
+    graft.ops.Stats.psiByGroupCurrentPartial(batch, groupCol, valueCol,
+        edges)
       .write.parquet(dir.toString)
   }
 
