@@ -978,7 +978,8 @@ object Dedup {
     */
   private def appendShinglesCore(index: NearDupIndex, accepted: DataFrame,
                                  idCol: String, sh: DataFrame,
-                                 precomputedBuckets: Option[DataFrame] = None)
+                                 precomputedBuckets: Option[DataFrame] = None,
+                                 assumeFresh: Boolean = false)
       : Unit = {
     val spark = accepted.sparkSession
     // a tombstoned id's physical rows still await compaction: appending
@@ -995,8 +996,17 @@ object Dedup {
           s"is tombstoned in ${index.tombstonesTable} — run " +
           "compactNearDupIndex before re-ingesting a forgotten id")
     }
+    // `assumeFresh`: the caller PROVES the batch's ids were never
+    // appended (the streaming lanes' pre-append high-water mark — a
+    // batch id above the mark never started an append, and ids are
+    // unique across the stream), so the per-table ids-only anti-join
+    // probes are skipped. The probe cost scales with the INDEX, not the
+    // batch — on a long-lived ingest it is the one per-batch term that
+    // grows without bound. Replays and unknown marks take the probing
+    // path unchanged.
     def freshOnly(rows: DataFrame, table: String): DataFrame =
-      rows.join(spark.table(table).select("doc_id").distinct(),
+      if (assumeFresh) rows
+      else rows.join(spark.table(table).select("doc_id").distinct(),
         Seq("doc_id"), "left_anti")
     graft.core.io.Writer.writeBucketed(
       freshOnly(sh, index.shinglesTable), index.shinglesTable,
@@ -1058,10 +1068,24 @@ object Dedup {
                                 threshold: Double, maxBandFreq: Option[Int],
                                 appendAccepted: Boolean,
                                 excludeSelfIds: Boolean): DataFrame =
+    dropNearDuplicatesAgainst(index, delta, idCol, textCol, threshold,
+      maxBandFreq, appendAccepted, excludeSelfIds, assumeFresh = false)
+
+  /** `assumeFresh = true`: the caller proves (via the streaming lanes'
+    * pre-append high-water mark) that the batch's ids were never
+    * appended, so the index-sized append probes are skipped — see
+    * [[graft.streaming.Streams.nearDupSink]]. Replays must pass false.
+    */
+  def dropNearDuplicatesAgainst(index: NearDupIndex, delta: DataFrame,
+                                idCol: String, textCol: String,
+                                threshold: Double, maxBandFreq: Option[Int],
+                                appendAccepted: Boolean,
+                                excludeSelfIds: Boolean,
+                                assumeFresh: Boolean): DataFrame =
     dropAgainstIndexCore(index, delta, idCol, threshold, maxBandFreq,
       excludeSelfIds,
       sizedShingles(delta, idCol, textCol, index.n),
-      appendAccepted)._1
+      appendAccepted, assumeFresh = assumeFresh)._1
 
   /** [[dropNearDuplicatesAgainst]] that ALSO returns the batch's
     * discovered near-dup PAIR set — within-delta edges plus
@@ -1076,11 +1100,21 @@ object Dedup {
                              idCol: String, textCol: String,
                              threshold: Double, maxBandFreq: Option[Int],
                              excludeSelfIds: Boolean)
+      : (DataFrame, DataFrame) =
+    ingestNearDupWithPairs(index, delta, idCol, textCol, threshold,
+      maxBandFreq, excludeSelfIds, assumeFresh = false)
+
+  /** `assumeFresh` — see the [[dropNearDuplicatesAgainst]] overload. */
+  def ingestNearDupWithPairs(index: NearDupIndex, delta: DataFrame,
+                             idCol: String, textCol: String,
+                             threshold: Double, maxBandFreq: Option[Int],
+                             excludeSelfIds: Boolean,
+                             assumeFresh: Boolean)
       : (DataFrame, DataFrame) = {
     val (accepted, pairs) = dropAgainstIndexCore(index, delta, idCol,
       threshold, maxBandFreq, excludeSelfIds,
       sizedShingles(delta, idCol, textCol, index.n),
-      appendAccepted = true, wantPairs = true)
+      appendAccepted = true, wantPairs = true, assumeFresh = assumeFresh)
     (accepted, pairs.get)
   }
 
@@ -1106,7 +1140,8 @@ object Dedup {
                                    excludeSelfIds: Boolean,
                                    dShRaw: DataFrame,
                                    appendAccepted: Boolean,
-                                   wantPairs: Boolean = false)
+                                   wantPairs: Boolean = false,
+                                   assumeFresh: Boolean = false)
       : (DataFrame, Option[DataFrame]) = {
     import org.apache.spark.storage.StorageLevel
     val spark = delta.sparkSession
@@ -1161,7 +1196,8 @@ object Dedup {
             .select("doc_id", "shingle", "n_sh"),
           precomputedBuckets = Some(
             dB.join(ids, Seq("doc_id"), "left_semi")
-              .select("doc_id", "band", "bandhash")))
+              .select("doc_id", "band", "bandhash")),
+          assumeFresh = assumeFresh)
         materialized
       }
     // unpersist AFTER the append's writes consumed the cached tables
@@ -1275,13 +1311,14 @@ object Dedup {
                                       threshold: Double,
                                       maxBandFreq: Option[Int],
                                       appendAccepted: Boolean,
-                                      excludeSelfIds: Boolean = false)
+                                      excludeSelfIds: Boolean = false,
+                                      assumeFresh: Boolean = false)
       : DataFrame = {
     val (idx, merges) = loadTokenNearDupIndex(spark, name)
     dropAgainstIndexCore(idx, delta, idCol, threshold, maxBandFreq,
       excludeSelfIds,
       sizedTokenShingles(delta, idCol, textCol, merges, idx.n),
-      appendAccepted)._1
+      appendAccepted, assumeFresh = assumeFresh)._1
   }
 
   /** [[ingestNearDupWithPairs]] at TOKEN grain — the edge feed for the
@@ -1295,13 +1332,14 @@ object Dedup {
                                   idCol: String, textCol: String,
                                   threshold: Double,
                                   maxBandFreq: Option[Int],
-                                  excludeSelfIds: Boolean)
+                                  excludeSelfIds: Boolean,
+                                  assumeFresh: Boolean = false)
       : (DataFrame, DataFrame) = {
     val (idx, merges) = loadTokenNearDupIndex(spark, name)
     val (accepted, pairs) = dropAgainstIndexCore(idx, delta, idCol,
       threshold, maxBandFreq, excludeSelfIds,
       sizedTokenShingles(delta, idCol, textCol, merges, idx.n),
-      appendAccepted = true, wantPairs = true)
+      appendAccepted = true, wantPairs = true, assumeFresh = assumeFresh)
     (accepted, pairs.get)
   }
 

@@ -337,7 +337,16 @@ object Pq {
     * and un-hiding would resurrect the forgotten codes).
     */
   def appendPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                    delta: DataFrame): Unit = {
+                    delta: DataFrame): Unit =
+    appendPqIndex(spark, dir, delta, assumeFresh = false)
+
+  /** `assumeFresh = true`: the caller proves (streaming lanes'
+    * pre-append high-water mark, ids unique across the stream) the
+    * batch's ids were never appended, so the codes-wide ids anti-join
+    * probe is skipped. Replays must pass false.
+    */
+  def appendPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    delta: DataFrame, assumeFresh: Boolean): Unit = {
     pqTombstones(spark, dir).foreach { ts =>
       val clash = delta.select(col("vec_id").as("cand_id")).distinct()
         .join(broadcast(ts.select("cand_id")), Seq("cand_id"), "left_semi")
@@ -347,9 +356,13 @@ object Pq {
           s"tombstoned under $dir/tombstones — run compactPqIndex before " +
           "re-ingesting a forgotten id")
     }
-    val existing = spark.read.parquet(s"$dir/codes")
-      .select(col("cand_id").as("vec_id")).distinct()
-    val fresh = delta.join(existing, Seq("vec_id"), "left_anti")
+    val fresh =
+      if (assumeFresh) delta
+      else {
+        val existing = spark.read.parquet(s"$dir/codes")
+          .select(col("cand_id").as("vec_id")).distinct()
+        delta.join(existing, Seq("vec_id"), "left_anti")
+      }
     val cb = codebookArrays(spark.read.parquet(s"$dir/codebook"))
     val bc = spark.sparkContext.broadcast(storedCentroids(spark, dir))
     val assigned = fresh.withColumn("cell", element_at(

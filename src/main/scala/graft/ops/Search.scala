@@ -447,7 +447,18 @@ object Search {
     * [[compactBm25Index]] first.
     */
   def appendBm25Index(delta: DataFrame, idCol: String, textCol: String,
-                      idx: Bm25Index): Unit = {
+                      idx: Bm25Index): Unit =
+    appendBm25Index(delta, idCol, textCol, idx, assumeFresh = false)
+
+  /** `assumeFresh = true`: the caller proves (streaming lanes'
+    * pre-append high-water mark, ids unique across the stream) the
+    * batch's ids were never appended, so the per-table ids-only
+    * anti-join probes — whose cost scales with the INDEX, not the
+    * batch — are skipped. Replays must pass false. The meta recount is
+    * unconditional either way.
+    */
+  def appendBm25Index(delta: DataFrame, idCol: String, textCol: String,
+                      idx: Bm25Index, assumeFresh: Boolean): Unit = {
     val spark = delta.sparkSession
     healBm25Staging(spark, idx.name)
     bm25Tombstones(spark, idx).foreach { ts =>
@@ -465,7 +476,8 @@ object Search {
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
     val materialized = graft.core.Checkpoints.truncate(post)
     def freshOnly(rows: DataFrame, table: String): DataFrame =
-      rows.join(spark.table(table).select("doc_id").distinct(),
+      if (assumeFresh) rows
+      else rows.join(spark.table(table).select("doc_id").distinct(),
         Seq("doc_id"), "left_anti")
     graft.core.io.Writer.writeBucketed(
       freshOnly(materialized, idx.postingsTable), idx.postingsTable,

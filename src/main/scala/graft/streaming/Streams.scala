@@ -471,7 +471,9 @@ object Streams {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         applyNearDupBatch(batch.toDF(), indexName, idCol, textCol,
-          threshold, maxBandFreq, acceptedPath, id, clustersPath)
+          threshold, maxBandFreq, acceptedPath, id, clustersPath,
+          assumeFresh =
+            ingestBatchIsFresh(batch.sparkSession, checkpoint, id))
       }
       .start()
 
@@ -505,7 +507,8 @@ object Streams {
   def applyNearDupBatch(batch: DataFrame, indexName: String, idCol: String,
                         textCol: String, threshold: Double,
                         maxBandFreq: Option[Int], acceptedPath: String,
-                        id: Long, clustersPath: Option[String]): Unit = {
+                        id: Long, clustersPath: Option[String],
+                        assumeFresh: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val idx = graft.ops.Dedup.loadNearDupIndex(spark, indexName)
     refreshIndexTables(spark, idx)
@@ -513,10 +516,12 @@ object Streams {
       case None =>
         (graft.ops.Dedup.dropNearDuplicatesAgainst(idx, batch,
           idCol, textCol, threshold, maxBandFreq,
-          appendAccepted = true, excludeSelfIds = true), None)
+          appendAccepted = true, excludeSelfIds = true,
+          assumeFresh = assumeFresh), None)
       case Some(_) =>
         val (acc, p) = graft.ops.Dedup.ingestNearDupWithPairs(idx, batch,
-          idCol, textCol, threshold, maxBandFreq, excludeSelfIds = true)
+          idCol, textCol, threshold, maxBandFreq, excludeSelfIds = true,
+          assumeFresh = assumeFresh)
         (acc, Some(p))
     }
     landAcceptedAndClusters(batch, idCol, accepted, pairs, acceptedPath,
@@ -547,7 +552,9 @@ object Streams {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         applyTokenNearDupBatch(batch.toDF(), indexName, idCol, textCol,
-          threshold, maxBandFreq, acceptedPath, id, clustersPath)
+          threshold, maxBandFreq, acceptedPath, id, clustersPath,
+          assumeFresh =
+            ingestBatchIsFresh(batch.sparkSession, checkpoint, id))
       }
       .start()
 
@@ -560,7 +567,8 @@ object Streams {
                              idCol: String, textCol: String,
                              threshold: Double, maxBandFreq: Option[Int],
                              acceptedPath: String, id: Long,
-                             clustersPath: Option[String]): Unit = {
+                             clustersPath: Option[String],
+                             assumeFresh: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val (idx, _) = graft.ops.Dedup.loadTokenNearDupIndex(spark, indexName)
     refreshIndexTables(spark, idx)
@@ -568,11 +576,12 @@ object Streams {
       case None =>
         (graft.ops.Dedup.dropNearDuplicatesAgainstTokens(spark, indexName,
           batch, idCol, textCol, threshold, maxBandFreq,
-          appendAccepted = true, excludeSelfIds = true), None)
+          appendAccepted = true, excludeSelfIds = true,
+          assumeFresh = assumeFresh), None)
       case Some(_) =>
         val (acc, p) = graft.ops.Dedup.ingestTokenNearDupWithPairs(spark,
           indexName, batch, idCol, textCol, threshold, maxBandFreq,
-          excludeSelfIds = true)
+          excludeSelfIds = true, assumeFresh = assumeFresh)
         (acc, Some(p))
     }
     landAcceptedAndClusters(batch, idCol, accepted, pairs, acceptedPath,
@@ -598,7 +607,9 @@ object Streams {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         applyBm25IngestBatch(batch.toDF(), indexName, idCol, textCol,
-          ingestedPath, id)
+          ingestedPath, id,
+          assumeFresh =
+            ingestBatchIsFresh(batch.sparkSession, checkpoint, id))
       }
       .start()
 
@@ -608,13 +619,14 @@ object Streams {
     */
   def applyBm25IngestBatch(batch: DataFrame, indexName: String,
                            idCol: String, textCol: String,
-                           ingestedPath: String, id: Long): Unit = {
+                           ingestedPath: String, id: Long,
+                           assumeFresh: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val idx = graft.ops.Search.loadBm25Index(spark, indexName)
     (Seq(idx.postingsTable, idx.doclensTable, idx.metaTable) ++
       Seq(idx.tombstonesTable).filter(spark.catalog.tableExists))
       .foreach(spark.catalog.refreshTable)
-    graft.ops.Search.appendBm25Index(batch, idCol, textCol, idx)
+    graft.ops.Search.appendBm25Index(batch, idCol, textCol, idx, assumeFresh)
     val dir = new org.apache.hadoop.fs.Path(s"$ingestedPath/batch$id")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) { fs.delete(dir, true); () }
@@ -636,19 +648,69 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        applyPqIngestBatch(batch.toDF(), indexDir, ingestedPath, id)
+        applyPqIngestBatch(batch.toDF(), indexDir, ingestedPath, id,
+          assumeFresh =
+            ingestBatchIsFresh(batch.sparkSession, checkpoint, id))
       }
       .start()
 
   /** One micro-batch's PQ ingest — see [[applyBm25IngestBatch]]. */
   def applyPqIngestBatch(batch: DataFrame, indexDir: String,
-                         ingestedPath: String, id: Long): Unit = {
+                         ingestedPath: String, id: Long,
+                         assumeFresh: Boolean = false): Unit = {
     val spark = batch.sparkSession
-    graft.ops.Pq.appendPqIndex(spark, indexDir, batch)
+    graft.ops.Pq.appendPqIndex(spark, indexDir, batch, assumeFresh)
     val dir = new org.apache.hadoop.fs.Path(s"$ingestedPath/batch$id")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) { fs.delete(dir, true); () }
     batch.select(col("vec_id")).distinct().write.parquet(dir.toString)
+  }
+
+  /** Happy-path freshness gate for the ingest lanes' per-batch append
+    * probes: a high-water mark file under the CHECKPOINT records the
+    * largest batch id that may have (even partially) started an index
+    * append. The mark is written BEFORE any append work for a new id,
+    * so `id > mark` PROVES this stream never appended any of the
+    * batch's rows — with ids unique across the stream (the lanes'
+    * stated ingest contract) the per-table ids anti-join probes, whose
+    * cost scales with the INDEX rather than the batch, are then safely
+    * skipped. Everything suspicious takes the probing path: a replayed
+    * id (≤ mark), a missing mark (first batch of a drain — or a
+    * checkpoint newly pointed at a populated index), and an unreadable
+    * mark (crash mid-write → parse failure → probe, and the stamp
+    * self-heals). Disable outright with
+    * `spark.graft.stream.ingestHwmEnabled=false` for pipelines that
+    * re-stream previously-ingested ids through fresh checkpoints
+    * (which violates the uniqueness contract the skip stands on).
+    */
+  private def ingestBatchIsFresh(spark: SparkSession, checkpoint: String,
+                                 id: Long): Boolean = {
+    if (spark.conf.get("spark.graft.stream.ingestHwmEnabled", "true")
+        != "true") return false
+    val p = new org.apache.hadoop.fs.Path(checkpoint, "graft_ingest_hwm")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // missing and unreadable both read as "unknown" = +∞ → probe; the
+    // skip only ever rides a mark THIS lane wrote
+    val hwm = try {
+      if (!fs.exists(p)) Long.MaxValue
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+    } catch { case _: Throwable => Long.MaxValue }
+    val fresh = id > hwm
+    // stamp BEFORE any append runs (the invariant is "id ≤ mark may
+    // have partially appended"): create-overwrite — a crash mid-write
+    // leaves a partial file that reads back as unknown, never as a
+    // too-low mark
+    if (fresh || hwm == Long.MaxValue)
+      try {
+        val out = fs.create(p, true)
+        out.write(id.toString.getBytes("UTF-8"))
+        out.close()
+      } catch { case _: Throwable => return false }
+    fresh
   }
 
   /** Another session (a prior stream's micro-batch clone, a different

@@ -483,6 +483,68 @@ class NearDupSinkSpec extends SparkSpec {
   private val base = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
   private val fresh = "completely different words about spark shuffles and parquet row groups here"
 
+  test("ingest high-water mark: the sink stamps the checkpoint before " +
+      "appending, and the fresh-batch append equals the probing append") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hwm_sink").toString
+    Seq("hwm_ndx", "hwm_ndx2").foreach(n =>
+      Seq("_shingles", "_buckets", "_meta").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS $n$s")))
+    val corpus = Seq((10L, base)).toDF("doc_id", "text")
+    graft.ops.Dedup.writeNearDupIndex(corpus, "doc_id", "text", "hwm_ndx",
+      numBuckets = 4)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.nearDupSink(mem.toDF().toDF("doc_id", "text"), "hwm_ndx",
+      "doc_id", "text", threshold = 0.8, maxBandFreq = None,
+      acceptedPath = s"$dir/acc", checkpoint = s"$dir/ckpt")
+    try {
+      mem.addData((21L, fresh))
+      q.processAllAvailable()
+      mem.addData((31L, "entirely unrelated text about catalyst plans and shuffle partitions today"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the mark trails the last batch that started an append
+    val hwm = scala.io.Source.fromFile(s"$dir/ckpt/graft_ingest_hwm").mkString.trim
+    assert(hwm == "1", s"expected mark 1, got $hwm")
+    // fresh-path append (what batch 1 took — its id was above the mark)
+    // produced the same index rows the probing path builds: replay the
+    // same ingest sequence through the always-probe public API
+    graft.ops.Dedup.writeNearDupIndex(corpus, "doc_id", "text", "hwm_ndx2",
+      numBuckets = 4)
+    val idx2 = graft.ops.Dedup.loadNearDupIndex(spark, "hwm_ndx2")
+    Seq(Seq((21L, fresh)),
+      Seq((31L, "entirely unrelated text about catalyst plans and shuffle partitions today")))
+      .foreach { b =>
+        graft.ops.Dedup.dropNearDuplicatesAgainst(idx2,
+          b.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.8,
+          maxBandFreq = None, appendAccepted = true,
+          excludeSelfIds = true).count()
+      }
+    Seq("_shingles", "_buckets").foreach { s =>
+      spark.catalog.refreshTable(s"hwm_ndx$s")
+      val a = spark.table(s"hwm_ndx$s").collect().toSet
+      val b = spark.table(s"hwm_ndx2$s").collect().toSet
+      assert(a == b, s"fresh-path $s rows differ from the probing path")
+    }
+    // a batch id at or below the mark is NOT fresh: the direct apply
+    // (probing path, assumeFresh default false) replays batch 1 with no
+    // index duplication — the existing replay contract, now doubling as
+    // the mark's fallback-path check
+    val before = spark.table("hwm_ndx_shingles").count()
+    Streams.applyNearDupBatch(
+      Seq((31L, "entirely unrelated text about catalyst plans and shuffle partitions today"))
+        .toDF("doc_id", "text"),
+      "hwm_ndx", "doc_id", "text", threshold = 0.8, maxBandFreq = None,
+      acceptedPath = s"$dir/acc", id = 1L)
+    spark.catalog.refreshTable("hwm_ndx_shingles")
+    assert(spark.table("hwm_ndx_shingles").count() == before,
+      "replayed batch through the probing path must not duplicate rows")
+    Seq("hwm_ndx", "hwm_ndx2").foreach(n =>
+      Seq("_shingles", "_buckets", "_meta").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS $n$s")))
+  }
+
   test("nearDupSink ingests micro-batches against the index; replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
