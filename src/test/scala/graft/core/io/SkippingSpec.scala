@@ -550,7 +550,14 @@ class SkippingSpec extends SparkSpec {
             fs.listStatus(s.getPath).map(_.getPath.getName).toSet)
           .toMap
       val shards0 = shardFiles(mf)
-      assert(shards0.size === 10, s"40 files / 4 -> 10 shards: $shards0")
+      // the pinned count is the invariant; shard=k DIRS exist only for
+      // non-empty shards, and with 40 random part-file names hashed
+      // into 10 shards, one shard is empty in ~15% of runs (10·0.9⁴⁰)
+      // — asserting 10 dirs made this spec a coin flip
+      assert(spark.read.parquet(s"$mf/_shards").head().getInt(0) === 10,
+        "40 files / 4 -> 10 shards pinned")
+      assert(shards0.size >= 7 && shards0.size <= 10,
+        s"shard dirs = non-empty shards only: $shards0")
       // two appended data files -> a tick that touches <= 2 shards;
       // every other shard dir must be BYTE-UNTOUCHED (same part files)
       corpus().filter(col("id") < 10).coalesce(1)
